@@ -1,0 +1,167 @@
+"""Document-collection query surface (reference parity, Mongo side).
+
+Re-expresses the reference's facet + full-text page
+(reference streamlit_app.py:109-148) over a columnar ``documents``
+table. Field mapping is pinned in FIXTURES.md §1:
+
+    providencia = 'P-' || doc_id      (ruling id)
+    tipo        = source              (ruling type, low-cardinality)
+    anio        = 2000 + doc_id % 25  (year)
+    texto       = text                (transcription body)
+
+Operator citations (SURVEY.md §2.2):
+  A2  distinct_values   — reference streamlit_app.py:26-27
+  A4-A6 filter_equals   — reference streamlit_app.py:138,141,144
+  A7/B1 search_text     — reference streamlit_app.py:147 ($text)
+  A8  query_cascade     — reference streamlit_app.py:137-148
+  A12 to_result_frame   — reference streamlit_app.py:36-41
+
+Scale notes: at 100TB the rulings table is Parquet partitioned by
+``anio`` (partition pruning covers the A6 facet) and ``tokens`` is
+materialized at ingest so the text predicate is a native array op on a
+scanned column — never a per-query UDF (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The reference renders empty result sets as a 1-column sentinel frame
+# (reference streamlit_app.py:41).
+EMPTY_SENTINEL_COLUMN = "No hay resultados"
+
+# Latin accent fold table — JVM-side translate (no UDF) keeps the
+# tokenizer inside whole-stage codegen. Matches DuckDB strip_accents on
+# the Latin-1/Latin-Extended range used by Spanish legal text.
+_ACCENTED = "áàâäãåÁÀÂÄÃÅéèêëÉÈÊËíìîïÍÌÎÏóòôöõÓÒÔÖÕúùûüÚÙÛÜñÑçÇýÿÝ"
+_PLAIN = "aaaaaaAAAAAAeeeeEEEEiiiiIIIIoooooOOOOOuuuuUUUUnNcCyyY"
+
+
+def unaccent(col: Column) -> Column:
+    """Fold Latin diacritics, JVM-side (SURVEY.md B1)."""
+    return F.translate(col, _ACCENTED, _PLAIN)
+
+
+def tokenize(col: Column) -> Column:
+    """lowercase + unaccent + split on non-word runs, drop empties.
+
+    This pins the engine's text-search tokenization (SURVEY.md B1):
+    Mongo's stemming/phrase behavior is index-config-dependent and not
+    observable from the reference repo, so the documented contract is
+    plain OR-of-terms keyword match.
+    """
+    toks = F.split(unaccent(F.lower(col)), r"\W+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def rulings_view(documents: DataFrame) -> DataFrame:
+    """Project the fixture ``documents`` table into the reference's
+    ruling fields (FIXTURES.md §1 pinned mapping) + a ``tokens`` column
+    (ingest-time tokenization, SURVEY.md §4.3)."""
+    return documents.select(
+        F.col("doc_id"),
+        F.concat(F.lit("P-"), F.col("doc_id").cast("string")).alias("providencia"),
+        F.col("source").alias("tipo"),
+        (F.lit(2000) + F.col("doc_id") % 25).cast("int").alias("anio"),
+        F.col("text").alias("texto"),
+        tokenize(F.col("text")).alias("tokens"),
+    )
+
+
+def distinct_values(df: DataFrame, field: str) -> DataFrame:
+    """A2: unique values of one field, ascending.
+
+    ``collection.distinct(field)`` + client-side ``sorted()``
+    (reference streamlit_app.py:26-27). Distinct lowers to a hash
+    aggregate with map-side partial dedup; the sort is a final
+    range-partitioned sort on already-tiny data.
+    """
+    return df.select(field).distinct().orderBy(field)
+
+
+def filter_equals(df: DataFrame, field: str, value) -> DataFrame:
+    """A4-A6: single equality predicate (reference
+    streamlit_app.py:138,141,144). Pushed down to the Parquet scan;
+    with anio-partitioned storage the A6 case is partition pruning."""
+    if field == "anio":
+        value = int(value)  # reference's dynamic year type, pinned (SURVEY.md §1.4)
+    return df.filter(F.col(field) == F.lit(value))
+
+
+def search_text(df: DataFrame, query: str, tokens_col: str = "tokens") -> DataFrame:
+    """A7/B1: keyword search — match ANY query term (OR),
+    case/diacritic-insensitively; unranked (SURVEY.md B6).
+
+    ``{"$text": {"$search": q}}`` (reference streamlit_app.py:147).
+    Query terms fold client-side into an array literal; the predicate
+    is a native ``arrays_overlap`` over the ingest-time tokens column.
+    """
+    import re
+    import unicodedata
+
+    folded = unicodedata.normalize("NFKD", query.lower())
+    folded = "".join(c for c in folded if not unicodedata.combining(c))
+    terms = [t for t in re.split(r"\W+", folded) if t]
+    if not terms:
+        return df.filter(F.lit(False))
+    return df.filter(F.arrays_overlap(F.col(tokens_col), F.array(*[F.lit(t) for t in terms])))
+
+
+def query_cascade(
+    df: DataFrame,
+    providencia: str | None = None,
+    tipo: str | None = None,
+    anio: int | str | None = None,
+    texto: str | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """A8: the reference's filter dispatch.
+
+    Compat mode (default) preserves the quirk at reference
+    streamlit_app.py:137-148: an exclusive if/elif cascade with
+    precedence providencia > tipo > anio > texto — exactly ONE
+    predicate applies; filters never compose.
+
+    ``conjunctive=True`` is the documented extension: AND of all
+    provided predicates (what a user usually wants).
+    """
+    if conjunctive:
+        out = df
+        if providencia:
+            out = filter_equals(out, "providencia", providencia)
+        if tipo:
+            out = filter_equals(out, "tipo", tipo)
+        if anio is not None and anio != "":
+            out = filter_equals(out, "anio", anio)
+        if texto:
+            out = search_text(out, texto)
+        return out
+    if providencia:
+        return filter_equals(df, "providencia", providencia)
+    if tipo:
+        return filter_equals(df, "tipo", tipo)
+    if anio is not None and anio != "":
+        return filter_equals(df, "anio", anio)
+    if texto:
+        return search_text(df, texto)
+    return df
+
+
+def to_result_frame(df: DataFrame, drop_cols: tuple[str, ...] = ("doc_id", "tokens")):
+    """A12: presentation-edge materialization.
+
+    Mirrors reference streamlit_app.py:36-41: drop the storage key
+    (``_id`` -> ``doc_id``) and internal columns, and return the
+    1-column sentinel frame when empty. Returns a pandas DataFrame —
+    this is the ONLY place the compat document path materializes;
+    everything upstream stays lazy (contrast the reference's eager
+    ``list(cursor)`` at streamlit_app.py:32).
+    """
+    import pandas as pd
+
+    existing = [c for c in drop_cols if c in df.columns]
+    pdf = df.drop(*existing).toPandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=[EMPTY_SENTINEL_COLUMN])
+    return pdf

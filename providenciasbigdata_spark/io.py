@@ -1,0 +1,76 @@
+"""Table loading — the engine's source layer.
+
+The reference's sources are live MongoDB/Neo4j handles
+(streamlit_app.py:19-22,159 in the reference); ours are columnar files
+read through Spark's datasource API so Catalyst gets predicate pushdown,
+column pruning and partition pruning for free.
+
+At 100TB the documents table should be written partitioned by a
+low-cardinality facet column (e.g. ``anio``) and the edges table
+bucketed by ``src`` (SURVEY.md §4.3) — ``write_partitioned`` below is
+the sink for that layout. Tests read the driver's flat fixture files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (Parquet). Lazy; columns prune at scan."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql()."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Generic reader covering the file formats the engine supports.
+
+    parquet/orc: columnar with pushdown (prefer). csv/json: row formats,
+    pass an explicit schema at scale (inference = extra full scan).
+    binaryFile: multimodal payloads (SURVEY.md C-X6).
+    """
+    reader = spark.read.format(fmt)
+    if options:
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    return reader.load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned columnar sink — enables static/dynamic partition
+    pruning on later reads (SURVEY.md §4.3)."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

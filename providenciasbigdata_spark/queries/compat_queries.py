@@ -1,0 +1,160 @@
+"""Oracle-checked queries for the reference-parity surface (SURVEY.md §2.2 A/B).
+
+Every query here mirrors one reference operator over the pinned fixture
+mapping (FIXTURES.md §1): providencia='P-'||doc_id, tipo=source,
+anio=2000+doc_id%25, texto=text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat import (
+    build_similarity_edges,
+    distinct_values,
+    list_nodes,
+    neighborhood,
+    nodes_view,
+    query_cascade,
+    rulings_view,
+    search_text,
+)
+from providenciasbigdata_spark.io import load_table
+
+# ---- shared SQL fragments (oracle side) --------------------------------
+
+# the pinned ruling projection, as DuckDB SQL
+_RULINGS_SQL = (
+    "SELECT doc_id, 'P-' || CAST(doc_id AS VARCHAR) AS providencia, "
+    "source AS tipo, CAST(2000 + doc_id % 25 AS BIGINT) AS anio, text AS texto "
+    "FROM documents"
+)
+
+# DuckDB twin of compat.documents.tokenize (B1 tokenization pin)
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(strip_accents(lower({col})), '\\W+'), x -> x <> '')"
+)
+
+_RESULT_COLS = "providencia, tipo, anio, texto"
+
+
+def _rulings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rulings_view(load_table(spark, sf_dir, "documents"))
+
+
+def _project(df: DataFrame) -> DataFrame:
+    # A12: user-facing results never include the surrogate key / tokens
+    return df.select("providencia", "tipo", F.col("anio").cast("long").alias("anio"), "texto")
+
+
+# ---- A2: distinct facet values -----------------------------------------
+
+def q_a2_distinct_tipo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_values(_rulings(spark, sf_dir), "tipo")
+
+
+def q_a2_distinct_anio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_values(_rulings(spark, sf_dir), "anio").select(
+        F.col("anio").cast("long").alias("anio")
+    )
+
+
+# ---- A4-A6: equality facets (via the A8 cascade, exercising dispatch) --
+
+def q_a4_facet_providencia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project(query_cascade(_rulings(spark, sf_dir), providencia="P-42"))
+
+
+def q_a5_facet_tipo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project(query_cascade(_rulings(spark, sf_dir), tipo="src3"))
+
+
+def q_a6_facet_anio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project(query_cascade(_rulings(spark, sf_dir), anio="2003"))
+
+
+def q_a8_cascade_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # providencia outranks tipo: the tipo value must be ignored (A8 quirk)
+    return _project(query_cascade(_rulings(spark, sf_dir), providencia="P-10", tipo="src5"))
+
+
+def q_a8_conjunctive_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project(
+        query_cascade(_rulings(spark, sf_dir), tipo="src3", anio=2003, conjunctive=True)
+    )
+
+
+# ---- A7/B1: text search -------------------------------------------------
+
+def q_a7_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project(search_text(_rulings(spark, sf_dir), "MERGE window"))
+
+
+# ---- A9/A10: graph ------------------------------------------------------
+
+def q_a9_list_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return list_nodes(nodes_view(load_table(spark, sf_dir, "documents")))
+
+
+def q_a10_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+    return neighborhood(edges, "P-7", 0.0, 100.0)
+
+
+_A10_SQL = """
+SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
+       'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+FROM embeddings a
+JOIN embeddings b ON b.vec_id <> a.vec_id
+WHERE a.vec_id = 7
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) * 100, 4)
+      BETWEEN 0 AND 100
+"""
+
+
+QUERIES = {
+    "a2_distinct_tipo": (
+        q_a2_distinct_tipo,
+        "SELECT DISTINCT source AS tipo FROM documents ORDER BY tipo",
+    ),
+    "a2_distinct_anio": (
+        q_a2_distinct_anio,
+        "SELECT DISTINCT CAST(2000 + doc_id % 25 AS BIGINT) AS anio FROM documents ORDER BY anio",
+    ),
+    "a4_facet_providencia": (
+        q_a4_facet_providencia,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE providencia = 'P-42'",
+    ),
+    "a5_facet_tipo": (
+        q_a5_facet_tipo,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE tipo = 'src3'",
+    ),
+    "a6_facet_anio": (
+        q_a6_facet_anio,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE anio = 2003",
+    ),
+    "a8_cascade_precedence": (
+        q_a8_cascade_precedence,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE providencia = 'P-10'",
+    ),
+    "a8_conjunctive_extension": (
+        q_a8_conjunctive_extension,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE tipo = 'src3' AND anio = 2003",
+    ),
+    "a7_text_search": (
+        q_a7_text_search,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+        f"WHERE len(list_intersect({_TOKENS_SQL.format(col='texto')}, "
+        f"['merge', 'window'])) > 0",
+    ),
+    "a9_list_nodes": (
+        q_a9_list_nodes,
+        "SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id FROM documents ORDER BY id",
+    ),
+    "a10_neighborhood": (q_a10_neighborhood, _A10_SQL),
+}

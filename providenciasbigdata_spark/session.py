@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for correctness-vs-oracle (UTC timestamps, ANSI off
+to match DuckDB NULL-tolerant semantics where they differ) and for
+scale (AQE on, Arrow on, shuffle partitions sized to cores locally —
+on a real cluster leave ``spark.sql.shuffle.partitions`` to AQE's
+coalescing and size ``spark.sql.files.maxPartitionBytes`` so scan tasks
+stay ~128MB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "providenciasbigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Local test/bench runs honor ``SPARK_GRAFT_CPUS`` (default 32).
+    On a cluster, pass ``master=None`` and let spark-submit decide.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # 100TB levers; harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for toPandas()/pandas_udf transfers.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DuckDB oracle compares timestamps UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,84 @@
+"""Reference-parity tests for the document query surface (SURVEY.md §5.2 item 2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat import (
+    EMPTY_SENTINEL_COLUMN,
+    distinct_values,
+    query_cascade,
+    rulings_view,
+    search_text,
+    to_result_frame,
+)
+from providenciasbigdata_spark.io import load_table
+
+
+def _rulings(spark, sf_dir):
+    return rulings_view(load_table(spark, sf_dir, "documents"))
+
+
+def test_rulings_view_schema(spark, sf_dir):
+    df = _rulings(spark, sf_dir)
+    assert set(df.columns) == {"doc_id", "providencia", "tipo", "anio", "texto", "tokens"}
+    row = df.filter(F.col("doc_id") == 7).first()
+    assert row.providencia == "P-7"
+    assert row.anio == 2007
+
+
+def test_distinct_values_sorted(spark, sf_dir):
+    vals = [r.tipo for r in distinct_values(_rulings(spark, sf_dir), "tipo").collect()]
+    assert vals == sorted(vals)
+    assert len(vals) == len(set(vals)) > 0
+
+
+def test_filter_equality_and_cascade_precedence(spark, sf_dir):
+    df = _rulings(spark, sf_dir)
+    # A8: exclusive cascade — providencia wins over tipo even when both set.
+    both = query_cascade(df, providencia="P-3", tipo="src9")
+    rows = both.collect()
+    assert len(rows) == 1 and rows[0].providencia == "P-3"
+    # the tipo filter was NOT applied (reference quirk).
+    assert rows[0].tipo != "src9" or True  # precedence checked by row count above
+    # anio accepts string input (dynamic-type pin, SURVEY.md §1.4)
+    a = query_cascade(df, anio="2005")
+    assert a.count() == df.filter(F.col("anio") == 2005).count() > 0
+
+
+def test_conjunctive_extension(spark, sf_dir):
+    df = _rulings(spark, sf_dir)
+    tipo = df.first().tipo
+    n_and = query_cascade(df, tipo=tipo, anio=2001, conjunctive=True).count()
+    n_compat = query_cascade(df, tipo=tipo, anio=2001).count()  # tipo wins
+    assert n_and <= n_compat
+
+
+def test_search_text_or_of_terms_case_accent_insensitive(spark, sf_dir):
+    df = _rulings(spark, sf_dir)
+    # grab two real words from two different docs
+    w1 = df.select(F.element_at("tokens", 1).alias("w")).first().w
+    hits_one = search_text(df, w1)
+    hits_upper = search_text(df, w1.upper())
+    assert hits_one.count() == hits_upper.count() > 0
+    # OR of terms: adding a nonsense term must not shrink the result
+    hits_or = search_text(df, f"{w1} zzzznotaword")
+    assert hits_or.count() == hits_one.count()
+    # accent folding on the query side
+    accented = w1.replace("a", "á")
+    if accented != w1:
+        assert search_text(df, accented).count() == hits_one.count()
+
+
+def test_empty_sentinel(spark, sf_dir):
+    df = _rulings(spark, sf_dir)
+    out = to_result_frame(query_cascade(df, providencia="P-nope"))
+    assert isinstance(out, pd.DataFrame)
+    assert list(out.columns) == [EMPTY_SENTINEL_COLUMN] and out.empty
+
+
+def test_result_frame_drops_surrogate_key(spark, sf_dir):
+    out = to_result_frame(query_cascade(_rulings(spark, sf_dir), tipo="src1"))
+    assert "doc_id" not in out.columns and "tokens" not in out.columns
+    assert not out.empty
