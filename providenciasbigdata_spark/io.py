@@ -34,7 +34,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (Parquet). Lazy; columns prune at scan."""
+    """Read one fixture table (Parquet). Lazy; columns prune at scan.
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
+    as LONG (runtime-settable SQL conf) and rebuild a microsecond
+    TimestampType column; ``ts div 1000`` matches DuckDB's
+    ``epoch_us(ts)`` exactly (floor for positive epochs).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

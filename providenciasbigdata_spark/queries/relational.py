@@ -1,5 +1,489 @@
-"""Relational-surface queries (SURVEY.md §2.4 "driver" rows). Filled in Phase 3."""
+"""Relational-surface queries (SURVEY.md §2.4 "driver" rows).
+
+One oracle-checked query per operator category the reference lacks
+(it has NO joins/aggs/windows — SURVEY.md §2.4) but the driver harness
+and any real analytics workload needs, over the TPC-H-ish fixtures.
+
+Cross-engine determinism rules (driver hash compare, see
+queries/__init__.py):
+- money sums go through DECIMAL(28,10) (exact, order-independent),
+  then cast to DOUBLE and ROUND identically on both sides;
+- averages divide the decimal sum cast to double by the count (same
+  IEEE op both engines), then round;
+- integer outputs cast to BIGINT; Spark ``year()``/``row_number()``
+  return INT, DuckDB's return BIGINT;
+- every LIMIT/top-k has a total-order tiebreak;
+- timestamps compare via ``unix_micros`` (Spark) == ``epoch_us``
+  (DuckDB) when arithmetic is involved.
+
+Scale notes: dims (region/nation/supplier) are broadcast explicitly;
+fact-fact joins rely on AQE for skew; window queries partition by the
+natural key so state stays bounded per task.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators.joins import asof_join, range_join
+
+_DEC = "decimal(28,10)"
+
+
+def _dec_sum(col, digits=2):
+    """Exact decimal sum -> double, rounded: order-independent and
+    identical across engines."""
+    return F.round(F.sum(col.cast(_DEC)).cast("double"), digits)
+
+
+def _dec_avg(col, count_col, digits=6):
+    return F.round(F.sum(col.cast(_DEC)).cast("double") / F.count(count_col), digits)
+
+
+# SQL twins of the helpers above
+def _sql_sum(expr, alias, digits=2):
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE), {digits}) AS {alias}"
+
+
+def _sql_avg(expr, cnt, alias, digits=6):
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) / COUNT({cnt}), {digits})"
+        f" AS {alias}"
+    )
+
+
+# ---- aggregation: TPC-H Q1-shaped pricing summary ----------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            _dec_avg(F.col("l_quantity"), "l_quantity").alias("avg_qty"),
+            _dec_avg(F.col("l_extendedprice"), "l_extendedprice").alias("avg_price"),
+            _dec_avg(F.col("l_discount"), "l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_AGG_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_sum('l_quantity', 'sum_qty')},
+       {_sql_sum('l_extendedprice', 'sum_base_price')},
+       {_sql_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {_sql_avg('l_quantity', 'l_quantity', 'avg_qty')},
+       {_sql_avg('l_extendedprice', 'l_extendedprice', 'avg_price')},
+       {_sql_avg('l_discount', 'l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---- join + agg + top-k: TPC-H Q3-shaped shipping priority -------------
+
+def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(disc).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_JOIN_Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {_sql_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---- multi-join: TPC-H Q5-shaped revenue by nation ---------------------
+
+def q_join_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(disc).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+_JOIN_Q5_SQL = f"""
+SELECT n_name, {_sql_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
+# ---- semi / anti joins -------------------------------------------------
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---- window: ranking, analytics, running frames ------------------------
+
+def q_window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_window_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_value"),
+    )
+
+
+_WINDOW_LAG_SQL = """
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       ROUND(value - LAG(value) OVER w, 6) AS delta_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double"), 2).alias(
+            "running_qty"
+        ),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty
+FROM lineitem
+"""
+
+
+# ---- rollup / cube -----------------------------------------------------
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        _dec_sum(F.col("o_totalprice")).alias("sum_price"), F.count("*").alias("n")
+    )
+
+
+# ---- set operations ----------------------------------------------------
+
+def q_setops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return o.union(f).distinct().intersect(f).subtract(p)
+
+
+_SETOPS_SQL = """
+SELECT o_custkey FROM (
+  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+   UNION
+   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+# ---- distinct aggregates ----------------------------------------------
+
+def q_agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---- sort / global top-k ----------------------------------------------
+
+def q_sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # lowers to TakeOrderedAndProject: no full sort, per-partition heaps
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---- scalar function sampler ------------------------------------------
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return orders.select(
+        "o_orderkey",
+        F.lower(F.substring("o_orderpriority", 3, 20)).alias("prio_word"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT o_orderkey,
+       lower(substr(o_orderpriority, 3)) AS prio_word,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       ROUND(o_totalprice * 1.1, 2) AS price_with_tax
+FROM orders WHERE o_orderkey <= 100
+"""
+
+
+# ---- JSON extraction (events.props) ------------------------------------
+
+def q_json_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---- pivot (conditional aggregation) -----------------------------------
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---- as-of join (custom operator; DuckDB ASOF JOIN as oracle) ----------
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.unix_micros("ts").alias("purchase_us")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_us"],
+    )
+    return joined.select("event_id", "user_id", "purchase_us")
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, epoch_us(p.ts) AS purchase_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+# ---- range join (bucketized; plain theta-join as oracle) ---------------
+
+def q_range_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("lo_us"),
+        (F.unix_micros("ts") + hour_us).alias("hi_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        left_point="click_us",
+        right_lo="lo_us",
+        right_hi="hi_us",
+        by=["user_id"],
+        bucket_width=hour_us,
+    )
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+
+
+_RANGE_SQL = """
+SELECT p.purchase_id, COUNT(*) AS n_clicks
+FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS lo_us,
+             epoch_us(ts) + 3600000000 AS hi_us
+      FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.click_us >= p.lo_us AND c.click_us <= p.hi_us
+GROUP BY p.purchase_id
+"""
+
+
+QUERIES = {
+    "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),
+    "join_shipping_priority": (q_join_shipping_priority, _JOIN_Q3_SQL),
+    "join_region_nation_revenue": (q_join_region_nation_revenue, _JOIN_Q5_SQL),
+    "join_semi": (
+        q_join_semi,
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')",
+    ),
+    "join_anti": (
+        q_join_anti,
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')",
+    ),
+    "window_topk_per_customer": (q_window_topk_per_customer, _WINDOW_TOPK_SQL),
+    "window_lag_gaps": (q_window_lag_gaps, _WINDOW_LAG_SQL),
+    "window_running_total": (q_window_running_total, _WINDOW_RUNNING_SQL),
+    "agg_rollup": (
+        q_agg_rollup,
+        f"SELECT l_returnflag, l_linestatus, {_sql_sum('l_quantity', 'sum_qty')}, "
+        "COUNT(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    ),
+    "agg_cube": (
+        q_agg_cube,
+        f"SELECT o_orderstatus, o_orderpriority, {_sql_sum('o_totalprice', 'sum_price')}, "
+        "COUNT(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+    ),
+    "setops_custkeys": (q_setops_custkeys, _SETOPS_SQL),
+    "agg_distinct_counts": (
+        q_agg_distinct_counts,
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, "
+        "COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag",
+    ),
+    "sort_topk_orders": (
+        q_sort_topk_orders,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    ),
+    "scalar_functions": (q_scalar_functions, _SCALAR_SQL),
+    "json_events_agg": (q_json_events_agg, _JSON_SQL),
+    "pivot_status": (q_pivot_status, _PIVOT_SQL),
+    "asof_last_purchase": (q_asof_last_purchase, _ASOF_SQL),
+    "range_clicks_after_purchase": (q_range_clicks_after_purchase, _RANGE_SQL),
+}

