@@ -1,0 +1,128 @@
+"""Text-analysis functions for training-data pipelines (SURVEY.md C-X5).
+
+Everything here is a pure Catalyst expression over a string/array
+column — no UDFs — so the operators vectorize inside whole-stage
+codegen and scale linearly with scan throughput. At 100TB these run as
+map-only stages fused into the Parquet scan.
+
+The tokenization contract is shared with the compat text search
+(compat.documents.tokenize): lowercase, Latin-accent fold, split on
+non-word runs, drop empties — pinned so Spark results match the DuckDB
+oracle twins (strip_accents + string_split_regex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat.documents import tokenize, unaccent  # noqa: F401
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and SQL-expressible (the oracle uses the
+# same literals); a production pipeline would load larger lists as a
+# broadcast dimension table.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "es": ["el", "la", "de", "los", "las", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+# argmax tiebreak precedence (first wins at equal score)
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count (the cheap estimator)."""
+    toks = F.split(F.trim(col), r"\s+")
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token-count estimate: count word pieces and digit/punct
+    runs separately (a GPT-style pre-tokenizer regex, simplified).
+    Splitting on the boundaries the regex defines approximates the
+    number of merge seeds a BPE tokenizer would start from."""
+    pieces = F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def char_classes(col: Column) -> dict[str, Column]:
+    """Character-class tallies used by quality scoring."""
+    n = F.length(col)
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    space = F.length(F.regexp_replace(col, r"[^\s]", ""))
+    punct = n - alpha - digit - space
+    return {"n_chars": n, "n_alpha": alpha, "n_digit": digit, "n_space": space, "n_punct": punct}
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in the token array."""
+    lits = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens), lits)).cast("long")
+
+
+def lang_id(tokens: Column) -> Column:
+    """Stopword-overlap language ID: the first language (in LANG_ORDER)
+    whose distinct-stopword-hit count equals the maximum; all-zero =>
+    'und' (undetermined). A pure CASE expression tree — the SQL twin in
+    queries.pipeline is the same chain, so results oracle-match."""
+    scores = {lang: stopword_hits(tokens, lang) for lang in LANG_ORDER}
+    mx = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    chain = F.when(mx <= 0, F.lit("und"))
+    for lang in LANG_ORDER:  # CASE order = tiebreak precedence
+        chain = chain.when(scores[lang] == mx, F.lit(lang))
+    return chain
+
+
+def quality_score(text: Column, tokens: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards reasonable length,
+    wordiness and low punctuation/digit density (the classic C4-style
+    filters, folded into one score). Deterministic, SQL-expressible."""
+    cc = char_classes(text)
+    n = cc["n_chars"].cast("double")
+    n_tok = F.size(tokens).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    word_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.least(cc["n_punct"].cast("double") / F.greatest(n, F.lit(1.0)) * 5, F.lit(1.0))
+    digit_penalty = F.least(cc["n_digit"].cast("double") / F.greatest(n, F.lit(1.0)) * 5, F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * word_score
+        + F.lit(0.1) * (1 - punct_penalty)
+        + F.lit(0.1) * (1 - digit_penalty)
+    )
+    return F.round(score, 6)
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Exact content fingerprint: md5 of the case/accent-normalized,
+    whitespace-collapsed text. md5 is available in both Spark and
+    DuckDB with identical hex output — the dedup oracle depends on it."""
+    normalized = F.regexp_replace(F.trim(unaccent(F.lower(col))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram (shingle) array: the unit of MinHash/Jaccard near-dup
+    detection. Built with sequence+transform — no explode, no shuffle."""
+    k = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # sequence(0, k-1) with k<=0 would produce a DESCENDING sequence
+    # (Spark auto-negates the step), so guard the degenerate case.
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def rolling_hashes(tokens: Column, window: int = 5) -> Column:
+    """Winnowing-style rolling fingerprint: xxhash64 of each
+    ``window``-gram. Downstream picks minima per band (see
+    operators.dedup.minhash_signature) — all JVM-side."""
+    grams = shingles(tokens, window)
+    return F.transform(grams, lambda g: F.xxhash64(g))

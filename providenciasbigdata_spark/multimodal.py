@@ -1,0 +1,191 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md C-X6).
+
+Design: media are opaque ``binary`` payload columns plus typed
+metadata — the lakehouse-standard layout (one row per asset,
+`payload: binary`, `modality: string`, `meta: map<string,string>`).
+All Spark-side plumbing here is real and tested: schemas, Arrow batch
+shapes, mapInPandas signatures, partition sizing. The pixel/sample
+DECODING itself is stubbed — this container has no image/audio libs —
+behind ``decode_backend``:
+
+- ``"fake"`` (default): a deterministic synthetic decoder (blake2b of
+  the payload seeds width/height/luma, or PCM stats) so tests are
+  reproducible end-to-end;
+- ``"pil"``/``"librosa"``: raise NotImplementedError with the exact
+  integration point documented, so swapping the real library in is a
+  one-function change.
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` at default 128MB so scan tasks
+hold a bounded number of assets, and NEVER groupBy/shuffle the payload
+column: derive features first (map-only), then shuffle the small
+feature rows. ``spark.read.format("binaryFile")`` is the ingest path
+for raw media directories.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id long, n_bytes long, width long, height long, mean_luma double"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, n_bytes long, sample_rate long, n_samples long, rms double"
+)
+FRAME_SCHEMA = "asset_id long, frame_idx long, frame_bytes binary"
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest a directory of media files as (path, modificationTime,
+    length, content) via Spark's binaryFile source."""
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def attach_payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side payload stats — no Python, no decode."""
+    return df.withColumn("n_bytes", F.octet_length(payload_col).cast("long")).withColumn(
+        "payload_md5", F.md5(F.col(payload_col))
+    )
+
+
+def _fake_image_decode(payload: bytes) -> tuple[int, int, float]:
+    """FAKE deterministic decode: blake2b(payload) seeds the result.
+    Replace with PIL.Image.open(io.BytesIO(payload)) in production."""
+    import hashlib
+
+    h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+    width = 16 + h[0]
+    height = 16 + h[1]
+    mean_luma = round(int.from_bytes(h[2:4], "big") / 65535.0, 6)
+    return width, height, mean_luma
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Image decode + feature extraction over mapInPandas (Arrow
+    batches). The per-batch loop touches only the two needed columns —
+    column pruning keeps other payload metadata out of the transfer."""
+    if decode_backend == "pil":
+        raise NotImplementedError(
+            "real decode: `from PIL import Image; img = Image.open(io.BytesIO(p))` "
+            "then width/height/luma from img — PIL is not installed in this runtime"
+        )
+    if decode_backend != "fake":
+        raise ValueError(f"unknown decode_backend: {decode_backend}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                w, h, luma = _fake_image_decode(payload)
+                rows.append((aid, len(payload), w, h, luma))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_bytes", "width", "height", "mean_luma"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, IMAGE_FEATURES_SCHEMA)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Audio feature extraction (FAKE: bytes interpreted as u8 PCM;
+    real path would be librosa/soundfile — not installed)."""
+    if decode_backend == "librosa":
+        raise NotImplementedError(
+            "real decode: `librosa.load(io.BytesIO(p))` — librosa is not installed"
+        )
+    if decode_backend != "fake":
+        raise ValueError(f"unknown decode_backend: {decode_backend}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                pcm = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                rms = round(float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0, 6)
+                rows.append((aid, len(payload), 16000, len(pcm), rms))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_bytes", "sample_rate", "n_samples", "rms"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    frame_bytes: int = 1024,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Video frame sampling plumbing: FAKE container format = fixed
+    ``frame_bytes`` chunks; keep every ``every_n``-th chunk. Real path
+    would pyav-demux per batch — the row-explosion shape (one in-row ->
+    many out-rows via mapInPandas) is exactly what a real demuxer needs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    rows.append((aid, i, payload[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_bytes"])
+
+    return df.select(id_col, payload_col).mapInPandas(op, FRAME_SCHEMA)
+
+
+def embed_payload(
+    df: DataFrame,
+    dim: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Deterministic FAKE payload embedding (blake2b-seeded) with the
+    real plumbing: Arrow-batched pandas UDF returning array<float> —
+    the output feeds operators.similarity unchanged."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(payloads: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for p in payloads:
+            p = bytes(p) if p is not None else b""
+            seed = int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "big")
+            rng = np.random.Generator(np.random.PCG64(seed))
+            v = rng.standard_normal(dim)
+            out.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return df.select(id_col, _embed(F.col(payload_col)).alias("embedding"))

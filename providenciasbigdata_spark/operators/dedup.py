@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md C-X1/C-X2).
+
+Five strategies, cheapest first:
+
+- exact:        md5 content fingerprint -> groupBy keep-min.  One shuffle.
+- ngram-jaccard: exact set Jaccard over token shingles on candidate
+                pairs.  Exact but O(pairs); feed it LSH candidates.
+- MinHash+LSH:  shingle -> k minhashes -> b bands -> bucket join.
+                O(n*b) candidate generation, the 100TB near-dup path.
+- SimHash:      64-bit weighted-majority fingerprint; near-dups have
+                small Hamming distance.  One pandas_udf (Arrow) pass.
+- embedding:    cosine over an embedding column; thresholded pairs.
+
+All hash functions are deterministic across runs (xxhash64 seeds are
+literal ints; no PYTHONHASHSEED dependence).
+
+Scale notes: candidate generation never materializes O(n^2) — bands
+bucket-join with an equi-key (band_id, band_hash) so Catalyst plans a
+plain shuffle-hash join; the verify step runs exact Jaccard only on
+bucket collisions. Skewed buckets (a shingle shared by millions of
+docs) are handled by AQE skew splitting; degenerate full-constant
+buckets should be salted or capped upstream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.text import content_fingerprint, shingles, tokenize
+
+
+# ---- exact --------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: keep the smallest id per normalized-content
+    fingerprint. Deterministic 'keep-first' semantics (min id), unlike
+    dropDuplicates whose survivor is partition-order-dependent."""
+    h = content_fingerprint(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.asc(id_col))
+    return (
+        df.select(h, *df.columns)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row summary: total docs, distinct contents, duplicate docs."""
+    h = content_fingerprint(F.col(text_col))
+    return df.select(h.alias("content_hash")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("content_hash")).alias("n_dup_docs"),
+    )
+
+
+# ---- exact n-gram Jaccard ----------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.5,
+    left_filter=None,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct token n-gram sets for
+    candidate pairs (left x all, left optionally restricted). O(L*n):
+    use ``left_filter`` or feed LSH candidates at scale.
+
+    Output: (left_id, right_id, jaccard) with left_id < right_id.
+    """
+    toks = F.array_distinct(
+        shingles(tokenize(F.col(text_col)), ngram) if ngram > 1 else tokenize(F.col(text_col))
+    )
+    base = df.select(F.col(id_col), toks.alias("__set"))
+    left = base.select(F.col(id_col).alias("left_id"), F.col("__set").alias("set_a"))
+    if left_filter is not None:
+        left = left.filter(left_filter(F.col("left_id")))
+    right = base.select(F.col(id_col).alias("right_id"), F.col("__set").alias("set_b"))
+    pairs = left.join(right, F.col("left_id") < F.col("right_id"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return pairs.select("left_id", "right_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---- MinHash + LSH ------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64, ngram: int = 3
+) -> DataFrame:
+    """k-permutation MinHash over word shingles, entirely JVM-side:
+    minhash_i = min over shingles of xxhash64(i, shingle). No explode,
+    no shuffle — a map-only projection.
+
+    Output: (id, sig: array<long> length k).
+    """
+    sh = shingles(tokenize(F.col(text_col)), ngram)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda g: F.xxhash64(F.lit(i), g))) for i in range(k)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` hashes; docs sharing any full band land in the
+    same bucket. Candidate pairs = self-join on (band_id, band_hash) —
+    an equi-join, O(n*b) shuffle, never O(n^2).
+
+    Output: distinct candidate (left_id, right_id), left < right.
+    """
+    k = bands * rows_per_band
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: signatures -> LSH candidates ->
+    exact-Jaccard verify on candidates only (estimated via signature
+    agreement would also do; we verify exactly for precision 1.0).
+
+    Output: (left_id, right_id, jaccard >= threshold).
+    """
+    sigs = minhash_signature(df, id_col, text_col, k=bands * rows_per_band, ngram=ngram)
+    cands = minhash_lsh_pairs(sigs, bands, rows_per_band)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(tokenize(F.col(text_col)), ngram)).alias("__set"),
+    )
+    joined = (
+        cands.join(toks.withColumnRenamed("id", "left_id").withColumnRenamed("__set", "set_a"), "left_id")
+        .join(toks.withColumnRenamed("id", "right_id").withColumnRenamed("__set", "set_b"), "right_id")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return joined.select("left_id", "right_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---- SimHash ------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    The bit-majority accumulation is awkward as 64 separate aggregates,
+    so this is the one dedup operator using a pandas UDF — Arrow-batched
+    and numpy-vectorized per batch (not per row). Token hashes use
+    blake2b (deterministic across runs/processes).
+
+    Output: (id, simhash: long).
+    """
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [x for x in re.split(r"\W+", (t or "").lower()) if x]
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in set(toks):
+                h = np.uint64(
+                    int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sh = np.uint64(0)
+            for j in range(64):
+                if acc[j] > 0:
+                    sh |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming + 1``
+    chunks — any pair within the distance budget must agree on at least
+    one full chunk (pigeonhole), so candidates come from equi-joins on
+    (chunk_id, chunk_value), never a cross join.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    exploded = fingerprints.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("left_id"),
+            F.col("b.id").alias("right_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select(
+        "left_id", "right_id", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---- embedding cosine ---------------------------------------------------
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    left_filter=None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold. Exact pairwise
+    (restrict with ``left_filter`` or go through
+    operators.similarity.srp_lsh_pairs at scale).
+
+    Output: (left_id, right_id, cosine) with left_id < right_id.
+    """
+    from providenciasbigdata_spark.compat.graph import cosine
+
+    left = embeddings.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("va"))
+    if left_filter is not None:
+        left = left.filter(left_filter(F.col("left_id")))
+    right = embeddings.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, F.col("left_id") < F.col("right_id"))
+    return pairs.select(
+        "left_id",
+        "right_id",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (SURVEY.md C-X2/C-X3/C-X4).
+
+- ``brute_force_topk``     exact cosine top-k for one query vector —
+                           map + TakeOrdered, no shuffle of the corpus.
+- ``topk_per_query``       exact top-k for a (small) query set —
+                           broadcast the queries, window per query id.
+- ``srp_lsh_pairs``        signed-random-projection LSH bucketing — the
+                           approximate scale path: candidates from
+                           equi-joins on (table, bucket), O(n*t).
+- ``srp_lsh_topk``         ANN top-k via SRP buckets + exact re-rank of
+                           candidates.
+- ``ml_minhash_join``      optional pyspark.ml wrapper (import-gated).
+
+The exact cosine is a Catalyst expression (compat.graph.cosine) — all
+JVM. The SRP hyperplanes are deterministic (numpy PCG64 with a literal
+seed) and shipped as array literals, not a UDF closure.
+
+Scale notes: for a 100TB corpus the brute-force path is a single scan
+(fine for one-off queries); the SRP path buckets the corpus once
+(write-once, reused per query) and each query probes ``tables``
+buckets — the standard IVF/LSH trade: recall vs probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat.graph import cosine
+
+
+def _vec_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Plan shape: parquet scan -> project cosine -> TakeOrderedAndProject
+    (per-partition heaps, no global sort, no shuffle of the corpus).
+    Ordering is (rounded score desc, id asc) — total, so deterministic.
+    """
+    score = F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), round_digits)
+    return (
+        embeddings.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def topk_per_query(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each query row (batch ANN baseline).
+
+    The query set is broadcast (it must be small — thousands, not
+    millions); the corpus streams through a broadcast nested-loop join
+    and a per-query-id window takes the top k. Corpus is scanned once
+    regardless of query count.
+    """
+    pairs = embeddings.join(F.broadcast(queries))
+    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_digits)
+    scored = pairs.select(
+        F.col(query_id_col), F.col(id_col), score.alias("score")
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def srp_planes(dim: int, n_bits: int, tables: int, seed: int = 42):
+    """Deterministic signed-random-projection hyperplanes:
+    ``tables`` x ``n_bits`` x ``dim`` (numpy, literal seed)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((tables, n_bits, dim))
+
+
+def srp_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a bucket per hash table: bucket = sign-bit
+    pattern of ``n_bits`` random projections. Pure expressions — the
+    planes enter the plan as array literals; dot products are
+    zip_with/aggregate folds.
+
+    Output: (id, table, bucket) — one row per (vector, table).
+    """
+    planes = srp_planes(dim, n_bits, tables, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rows = []
+    for t in range(tables):
+        bits = []
+        for b in range(n_bits):
+            dot = F.aggregate(
+                F.zip_with(v, _vec_lit(planes[t, b]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for bit in bits[1:]:
+            bucket = bucket + bit
+        rows.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket"))
+        )
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("tb")
+    ).select("id", "tb.table", "tb.bucket")
+
+
+def srp_lsh_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate near-neighbor pairs: vectors sharing a bucket in ANY
+    table. Equi-join on (table, bucket) -> O(n*tables) shuffle."""
+    b = srp_buckets(embeddings, dim, n_bits, tables, seed, id_col=id_col)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .distinct()
+    )
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame,
+    query_vec,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket in each table, exact-rank
+    the union of candidates. Recall grows with ``tables`` and shrinks
+    with ``n_bits``; both are per-query knobs, corpus bucketing is
+    reusable."""
+    import numpy as np
+
+    planes = srp_planes(dim, n_bits, tables, seed)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    buckets = []
+    for t in range(tables):
+        bits = (planes[t] @ q >= 0).astype(np.int64)
+        buckets.append((t, int((bits << np.arange(n_bits)).sum())))
+    corpus_b = srp_buckets(embeddings, dim, n_bits, tables, seed, id_col=id_col, vec_col=vec_col)
+    probe = corpus_b.sparkSession.createDataFrame(buckets, "table int, bucket long")
+    cand_ids = corpus_b.join(F.broadcast(probe), ["table", "bucket"]).select("id").distinct()
+    cands = embeddings.join(cand_ids, embeddings[id_col] == cand_ids.id, "left_semi")
+    score = F.round(cosine(F.col(vec_col), _vec_lit(q)), round_digits)
+    return (
+        cands.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.6):
+    """Optional: pyspark.ml MinHashLSH approxSimilarityJoin over token
+    count-vectors — the library alternative to operators.dedup's
+    hand-rolled MinHash. Import-gated; returns None if pyspark.ml is
+    unavailable in the runtime."""
+    try:
+        from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+    except ImportError:  # pragma: no cover
+        return None
+    tok = RegexTokenizer(inputCol=text_col, outputCol="__toks", pattern=r"\W+")
+    toks = tok.transform(df)
+    cv = CountVectorizer(inputCol="__toks", outputCol="__vec", binary=True).fit(toks)
+    vecs = cv.transform(toks)
+    mh = MinHashLSH(inputCol="__vec", outputCol="__hashes", numHashTables=8, seed=42).fit(vecs)
+    return mh.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="jaccard_dist")

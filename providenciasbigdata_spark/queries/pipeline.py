@@ -1,5 +1,262 @@
-"""Training-data-pipeline queries (SURVEY.md §2.5 C-X). Filled in Phase 4."""
+"""Training-data-pipeline queries (SURVEY.md §2.5 C-X): dedup,
+similarity search, text analysis — over ``documents``/``embeddings``.
+
+Oracle-checked where ANSI-SQL-expressible (exact dedup, Jaccard,
+cosine pairs, brute-force ANN, text stats/quality/lang-id); the
+hash-family approximate ops (MinHash LSH, SimHash, SRP-LSH) are
+rows-only here and property-tested against exact baselines in
+tests/test_dedup.py / tests/test_similarity.py.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.text import (
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    char_classes,
+    content_fingerprint,
+    lang_id,
+    quality_score,
+    tokenize,
+    ws_token_count,
+)
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators import dedup, similarity
+
+# DuckDB twin of the pinned tokenizer (see compat_queries._TOKENS_SQL)
+_TOKENS = (
+    "list_filter(string_split_regex(strip_accents(lower(text)), '\\W+'), x -> x <> '')"
+)
+
+
+# ---- text analysis ------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cc = char_classes(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        cc["n_chars"].cast("long").alias("n_chars_calc"),
+        cc["n_punct"].cast("long").alias("n_punct"),
+        cc["n_digit"].cast("long").alias("n_digit"),
+    )
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(text)
+            - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            - length(regexp_replace(text, '[^0-9]', '', 'g'))
+            - length(regexp_replace(text, '[^\s]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text"), tokenize(F.col("text"))).alias("quality")
+    )
+
+
+_TEXT_QUALITY_SQL = rf"""
+SELECT doc_id,
+       ROUND(
+         0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       + 0.4 * least(CAST(len({_TOKENS}) AS DOUBLE) / 50.0, 1.0)
+       + 0.1 * (1 - least(CAST(length(text)
+                    - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - length(regexp_replace(text, '[^\s]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0))
+       + 0.1 * (1 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)),
+       6) AS quality
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(tokenize(F.col("text"))).alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return f"CAST(len(list_intersect(list_distinct({_TOKENS}), [{words}])) AS BIGINT)"
+
+    scores = ", ".join(f"{hits(lang)} AS s_{lang}" for lang in LANG_ORDER)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    cases = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in LANG_ORDER)
+    return (
+        f"SELECT doc_id, CASE WHEN {mx} <= 0 THEN 'und' {cases} END AS lang_pred "
+        f"FROM (SELECT doc_id, {scores} FROM documents)"
+    )
+
+
+# ---- dedup --------------------------------------------------------------
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+_DEDUP_STATS_SQL = r"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(trim(strip_accents(lower(text))), '\s+', ' ', 'g')))
+           AS n_distinct,
+       COUNT(*) - COUNT(DISTINCT md5(regexp_replace(trim(strip_accents(lower(text))), '\s+', ' ', 'g')))
+           AS n_dup_docs
+FROM documents
+"""
+
+
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs).select("content_hash", "doc_id")
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT md5(regexp_replace(trim(strip_accents(lower(text))), '\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS doc_id
+FROM documents
+GROUP BY content_hash
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        docs, ngram=1, threshold=0.5, left_filter=lambda c: c < 10
+    )
+
+
+_JACCARD_SQL = f"""
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / greatest(CAST(len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 1.0), 6)
+           AS jaccard
+FROM (SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents WHERE doc_id < 10) a
+JOIN (SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents) b
+  ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / greatest(CAST(len(a.toks) + len(b.toks)
+                            - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 1.0), 6) >= 0.5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.25, left_filter=lambda c: c < 10)
+
+
+_EMB_NEAR_SQL = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 10
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+"""
+
+
+# ---- similarity search --------------------------------------------------
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return similarity.brute_force_topk(emb, qvec, k=10)
+
+
+_ANN_BRUTE_SQL = """
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def q_ann_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.topk_per_query(emb, queries, k=3)
+
+
+_ANN_PER_QUERY_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                 ORDER BY ROUND(list_cosine_similarity(
+                                     CAST(e.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                 e.vec_id ASC) AS BIGINT) AS rank
+  FROM embeddings e
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+    ON e.vec_id <> q.vec_id
+) WHERE rank <= 3
+"""
+
+
+# ---- approximate families (rows-only; property-tested in pytest) -------
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(docs, threshold=0.4, bands=16, rows_per_band=4, ngram=3)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_near_dups(fps, max_hamming=7)
+
+
+def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_lsh_pairs(emb, dim=64, n_bits=14, tables=2)
+
+
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return similarity.srp_lsh_topk(emb, qvec, dim=64, k=10, n_bits=8, tables=8)
+
+
+QUERIES = {
+    "text_stats": (q_text_stats, _TEXT_STATS_SQL),
+    "text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
+    "text_lang_id": (q_text_lang_id, _lang_id_sql()),
+    "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
+    "dedup_exact_survivors": (q_dedup_exact_survivors, _DEDUP_EXACT_SQL),
+    "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
+    "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
+    "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
+    "ann_topk_per_query": (q_ann_topk_per_query, _ANN_PER_QUERY_SQL),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash_fingerprints": (q_simhash_fingerprints, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "srp_lsh_pairs": (q_srp_lsh_pairs, None),
+    "srp_ann_topk": (q_srp_ann_topk, None),
+}

@@ -1,0 +1,83 @@
+"""Property tests for the dedup family (SURVEY.md §5.2 item 3):
+approximate methods checked against exact baselines on sf0.001-derived
+corpora with injected near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators import dedup
+
+
+def _corpus_with_dups(spark, sf_dir, n=40):
+    """n originals + a near-dup of each (last word dropped) + one exact dup."""
+    docs = load_table(spark, sf_dir, "documents").limit(n).select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), F.upper(F.col("text")).alias("text")
+    )
+    return docs.union(near).union(exact)
+
+
+def test_dedup_exact_keeps_min_id(spark, sf_dir):
+    corpus = _corpus_with_dups(spark, sf_dir)
+    out = dedup.dedup_exact(corpus)
+    # the case-changed exact dup of doc 0 must lose to doc 0
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 20_000 not in ids
+    stats = dedup.dedup_stats(corpus).first()
+    assert stats.n_dup_docs >= 1
+    assert stats.n_docs == stats.n_distinct + stats.n_dup_docs
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    corpus = _corpus_with_dups(spark, sf_dir).cache()
+    exact = {
+        (r.left_id, r.right_id)
+        for r in dedup.jaccard_pairs(corpus, ngram=3, threshold=0.6).collect()
+    }
+    assert exact, "injected near-dups must produce exact-Jaccard pairs"
+    approx = {
+        (r.left_id, r.right_id)
+        for r in dedup.minhash_near_dups(
+            corpus, threshold=0.6, bands=16, rows_per_band=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} < 0.9 over {len(exact)} true pairs"
+    # precision is 1.0 by construction (exact verify on candidates)
+    assert approx <= exact or all(p in exact for p in approx)
+    corpus.unpersist()
+
+
+def test_simhash_identical_and_near(spark, sf_dir):
+    corpus = _corpus_with_dups(spark, sf_dir)
+    fps = {r.id: r.simhash for r in dedup.simhash(corpus).collect()}
+    # exact dup (case-folded): identical fingerprint
+    assert fps[0] == fps[20_000]
+    # near dup: small hamming distance
+    ham = bin((fps[1] ^ fps[10_001]) & (2**64 - 1)).count("1")
+    assert ham <= 8, f"near-dup hamming {ham} too large"
+
+
+def test_simhash_near_dups_finds_injected(spark, sf_dir):
+    corpus = _corpus_with_dups(spark, sf_dir)
+    fps = dedup.simhash(corpus)
+    pairs = {
+        (r.left_id, r.right_id)
+        for r in dedup.simhash_near_dups(fps, max_hamming=8).collect()
+    }
+    assert (0, 20_000) in pairs  # exact dup at hamming 0
+    hits = sum(1 for (a, b) in pairs if b == a + 10_000)
+    assert hits >= 10  # most injected near-dups found
+
+
+def test_embedding_near_dups_threshold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dups(emb, threshold=0.25, left_filter=lambda c: c < 20)
+    rows = out.collect()
+    assert all(r.cosine >= 0.25 and r.left_id < r.right_id for r in rows)

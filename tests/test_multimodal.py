@@ -1,0 +1,69 @@
+"""Tests for multimodal binary-column plumbing: schemas, batch shapes,
+determinism of the FAKE decoders, explosion shape of frame sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark import multimodal as mm
+from providenciasbigdata_spark.io import load_table
+
+
+def _assets(spark, sf_dir, n=20):
+    """Synthesize binary assets from document text bytes."""
+    docs = load_table(spark, sf_dir, "documents").limit(n)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").cast("binary").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+
+
+def test_payload_stats_jvm_side(spark, sf_dir):
+    out = mm.attach_payload_stats(_assets(spark, sf_dir))
+    row = out.first()
+    assert row.n_bytes > 0 and len(row.payload_md5) == 32
+    assert "meta" in out.columns  # stats attach without dropping columns
+
+
+def test_image_features_schema_and_determinism(spark, sf_dir):
+    feats = mm.decode_image_features(_assets(spark, sf_dir))
+    assert feats.columns == ["asset_id", "n_bytes", "width", "height", "mean_luma"]
+    a = sorted(feats.collect())
+    b = sorted(mm.decode_image_features(_assets(spark, sf_dir)).collect())
+    assert a == b  # deterministic fake decode
+    assert all(16 <= r.width <= 271 and 0 <= r.mean_luma <= 1 for r in a)
+
+
+def test_pil_backend_is_explicit_stub(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_features(_assets(spark, sf_dir), decode_backend="pil")
+
+
+def test_audio_features(spark, sf_dir):
+    feats = mm.decode_audio_features(_assets(spark, sf_dir)).collect()
+    assert all(r.n_samples == r.n_bytes and r.rms > 0 for r in feats)
+
+
+def test_frame_sampling_explosion(spark, sf_dir):
+    assets = _assets(spark, sf_dir, n=5)
+    frames = mm.sample_frames(assets, every_n=2, frame_bytes=64)
+    rows = frames.collect()
+    sizes = {r.asset_id: r for r in rows}
+    assert len(rows) > 5  # one-to-many explosion happened
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+    assert all(len(r.frame_bytes) <= 64 for r in rows)
+
+
+def test_embed_payload_feeds_similarity(spark, sf_dir):
+    from providenciasbigdata_spark.operators import similarity
+
+    emb = mm.embed_payload(_assets(spark, sf_dir), dim=16).withColumnRenamed(
+        "asset_id", "vec_id"
+    )
+    qvec = emb.first().embedding
+    top = similarity.brute_force_topk(emb, qvec, k=3).collect()
+    assert len(top) == 3 and abs(top[0].score - 1.0) < 1e-6
