@@ -1,0 +1,72 @@
+"""Headline benchmark: run representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Each query is forced end-to-end with the "noop" sink (computes every
+output column; no driver-side collect), timed individually after a
+shared warmup that touches the input files once so OS page-cache skew
+doesn't dominate the first query's number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from providenciasbigdata_spark.io import load_table  # noqa: E402
+from providenciasbigdata_spark.queries import all_queries  # noqa: E402
+from providenciasbigdata_spark.session import get_spark  # noqa: E402
+
+# Representative slice of SURVEY.md §2: reference-parity (a7/a10),
+# relational joins/aggs/windows, and the pipeline ops (dedup, ANN, text).
+HEADLINE = [
+    "a7_text_search",
+    "a10_neighborhood",
+    "agg_pricing_summary",
+    "join_shipping_priority",
+    "join_region_nation_revenue",
+    "window_topk_per_customer",
+    "agg_rollup",
+    "json_events_agg",
+    "asof_last_purchase",
+    "dedup_exact_survivors",
+    "minhash_near_dups",
+    "ann_topk_per_query",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    # Warm JVM + page cache with one cheap pass over each input table.
+    for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,16 +107,23 @@ def content_fingerprint(col: Column) -> Column:
 
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram (shingle) array: the unit of MinHash/Jaccard near-dup
-    detection. Built with sequence+transform — no explode, no shuffle."""
+    detection. No explode, no shuffle.
+
+    Built as a zip_with fold over n shifted slices of the token array.
+    The lambdas reference ONLY their bound lambda variables — never the
+    outer ``tokens`` expression — because higher-order functions are
+    interpreted (no codegen) and re-evaluate any captured outer
+    expression per element: an earlier element_at(tokens, i+j)
+    formulation re-ran the whole tokenizer ~3x per shingle (~300x
+    slower at sf0.1). ``tokens`` here is evaluated O(n) times per row.
+    """
     k = F.size(tokens) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    # sequence(0, k-1) with k<=0 would produce a DESCENDING sequence
-    # (Spark auto-negates the step), so guard the degenerate case.
+    width = F.greatest(k, F.lit(0))
+    grams = F.slice(tokens, 1, width)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(tokens, j + 1, width), lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(grams)
 
 

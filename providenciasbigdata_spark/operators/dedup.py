@@ -95,17 +95,28 @@ def jaccard_pairs(
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64, ngram: int = 3
 ) -> DataFrame:
-    """k-permutation MinHash over word shingles, entirely JVM-side:
-    minhash_i = min over shingles of xxhash64(i, shingle). No explode,
-    no shuffle — a map-only projection.
+    """k-permutation MinHash over word shingles: explode distinct
+    shingles once, then k codegen'd ``min(xxhash64(i, shingle))``
+    aggregates. Partial (map-side) aggregation reduces each partition
+    to one k-vector per doc before the shuffle, so shuffle volume is
+    O(docs x k) regardless of document length.
 
-    Output: (id, sig: array<long> length k).
+    (A prior formulation — k nested ``array_min(transform(...))``
+    higher-order expressions — re-tokenized the document k times in
+    interpreted mode: ~300x slower at sf0.1. HOF lambdas never enter
+    whole-stage codegen; keep hot hashing in flat exprs like this.)
+
+    Output: (id, sig: array<long> length k). Docs with no shingles
+    (fewer than ``ngram`` tokens) produce no row.
     """
-    sh = shingles(tokenize(F.col(text_col)), ngram)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda g: F.xxhash64(F.lit(i), g))) for i in range(k)]
+    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), ngram))
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("g"))
+    mins = [F.min(F.xxhash64(F.lit(i), "g")).alias(f"m{i}") for i in range(k)]
+    return (
+        exploded.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

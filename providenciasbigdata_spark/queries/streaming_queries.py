@@ -1,5 +1,115 @@
-"""Streaming-equivalent batch queries over ``events``. Filled in Phase 4."""
+"""Streaming-surface queries over ``events`` (SURVEY.md §2.4 streaming
+row), declared through their batch-equivalent form: each registry entry
+runs the SAME transformation function a streaming job uses (batch/stream
+parity is the module contract, see providenciasbigdata_spark/streaming.py)
+on the batch events table, so the DuckDB oracle can check the windowing
+semantics exactly. True streaming execution (availableNow trigger,
+watermarks, stateful ops) is exercised in tests/test_streaming.py.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+
+from providenciasbigdata_spark import streaming
+from providenciasbigdata_spark.io import load_table
+
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.tumbling_counts(load_table(spark, sf_dir, "events"), width="1 hour")
+
+
+_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.sliding_counts(
+        load_table(spark, sf_dir, "events"), width="1 hour", slide="30 minutes"
+    )
+
+
+# Each event belongs to exactly width/slide = 2 hopping windows whose
+# starts are the two 30-min boundaries in (ts - 1h, ts].
+_SLIDING_SQL = """
+SELECT ws AS window_start,
+       ws + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - (i * INTERVAL '30 minutes') AS ws,
+         value
+  FROM events, UNNEST([0, 1]) AS t(i)
+)
+GROUP BY 1, 2
+"""
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.session_windows(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# Classic lag-gap sessionization: a new session starts when the gap to
+# the previous event EXCEEDS 30 min (Spark merges an event landing at
+# exactly last+gap — boundary-inclusive; pinned by
+# tests/test_streaming.py::test_session_window_gap_boundary).
+_SESSIONS_SQL = """
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM (
+    SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        streaming.dedup_events(load_table(spark, sf_dir, "events"))
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n_unique_events")
+    )
+
+
+_DEDUP_EVENTS_SQL = """
+SELECT event_type, COUNT(*) AS n_unique_events
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+GROUP BY event_type
+"""
+
+
+def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.user_running_totals(load_table(spark, sf_dir, "events"))
+
+
+_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stream_tumbling_counts": (q_tumbling, _TUMBLING_SQL),
+    "stream_sliding_counts": (q_sliding, _SLIDING_SQL),
+    "stream_session_windows": (q_sessions, _SESSIONS_SQL),
+    "stream_dedup_events": (q_dedup_events, _DEDUP_EVENTS_SQL),
+    "stream_user_running_totals": (q_user_running_totals, _USER_TOTALS_SQL),
+}

@@ -1,0 +1,217 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.4
+"Streaming" row — absent in the reference, required by the north star).
+
+Design rule: every windowed/stateful transformation is a plain function
+``DataFrame -> DataFrame`` that works IDENTICALLY on a batch frame and
+a ``readStream`` frame — batch/stream parity by construction (tested in
+tests/test_streaming.py by running the same function both ways with an
+``availableNow`` trigger and diffing results).
+
+Watermarks are applied only when the input is streaming (batch frames
+reject ``withWatermark`` timing semantics at scale anyway: on a real
+cluster the watermark bounds state, it never changes the answer for
+data that arrives within the allowed lateness).
+
+Scale notes (100 TB / unbounded stream):
+- every aggregation here keys state by (window, low-cardinality key) —
+  state size is O(windows x keys), independent of event volume;
+- ``dropDuplicatesWithinWatermark`` state is bounded by the watermark
+  horizon, the only safe exact-dedup on an unbounded stream;
+- session windows merge server-side (Spark's session_window state
+  store), no per-event Python;
+- the stateful running aggregate uses applyInPandasWithState with
+  explicit state schema + event-time timeout so abandoned keys expire.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    (The reference has no streaming surface at all — its two pages are
+    batch request/response, streamlit_app.py:109-177 — so this module's
+    semantics are pinned to Spark's, not the reference's.)
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(events_dir)
+
+
+def _maybe_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    if events.isStreaming and watermark:
+        return events.withWatermark("ts", watermark)
+    return events
+
+
+# ---- windowed aggregations (batch/stream parity) ------------------------
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window per event_type: count + value sum.
+
+    Output: (window_start, window_end, event_type, n_events, sum_value).
+    """
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) event-time window: each event lands in
+    width/slide overlapping windows. Output as tumbling_counts, keyed
+    by window only."""
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-merged): a session spans
+    [first event, last event + gap). Spark merges overlapping gap
+    windows in the session state store — no per-event Python.
+
+    Output: (user_id, session_start, session_end, n_events).
+    """
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact event dedup by event_id. Streaming: state bounded by the
+    watermark horizon (dropDuplicatesWithinWatermark) — the only safe
+    exact dedup on an unbounded stream. Batch: plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+# ---- custom stateful operator -------------------------------------------
+
+_RUNNING_STATE_SCHEMA = "n LONG, total DOUBLE"
+_RUNNING_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def user_running_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful per-user running aggregate via
+    applyInPandasWithState (SURVEY.md §2.4 streaming row): emits the
+    updated (n_events, total_value) per user on every trigger.
+
+    Batch frames take the groupBy fast path (identical output contract:
+    one final row per user)."""
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_OUTPUT_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# ---- test/drive harness --------------------------------------------------
+
+def run_available_now(
+    transformed: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming frame to a memory sink with the availableNow
+    trigger (process-everything-then-stop) and return the result as a
+    batch DataFrame. Test-only sink: memory collects to the driver."""
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return transformed.sparkSession.table(query_name)
