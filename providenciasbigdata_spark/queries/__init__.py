@@ -14,12 +14,26 @@ dtypes agree.
 
 from __future__ import annotations
 
-from providenciasbigdata_spark.queries import compat_queries, pipeline, relational, streaming_queries
+from providenciasbigdata_spark.queries import (
+    compat_queries,
+    multimodal_queries,
+    pipeline,
+    relational,
+    sql_queries,
+    streaming_queries,
+)
 
 
 def all_queries():
     merged = {}
-    for mod in (compat_queries, relational, pipeline, streaming_queries):
+    for mod in (
+        compat_queries,
+        relational,
+        pipeline,
+        streaming_queries,
+        sql_queries,
+        multimodal_queries,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,162 @@
+"""SQL-frontend queries (SURVEY.md §2.4 "Multi-statement SQL / query
+language frontend" row): the engine's thin ``spark.sql`` passthrough —
+Catalyst's parser/analyzer do the work; our layer registers the fixture
+tables as views and binds parameters safely (named args, SURVEY.md A11 —
+the reference binds ``$providencia``-style Cypher params at
+streamlit_app.py:61-70; Spark >= 3.4 parameterized SQL is the
+injection-safe equivalent).
+
+Also carries the relational surface rows not yet covered elsewhere:
+GROUPING SETS, correlated EXISTS, scalar subqueries, date/time scalar
+functions, approximate distinct (HLL; rows-only — sketch internals are
+engine-specific by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.io import load_table, register_views
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # Catalyst rewrites the correlated EXISTS into a left-semi join.
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+    """)
+
+
+_EXISTS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+    """)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+"""
+
+
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: named-parameter binding through the SQL frontend (the
+    injection-safe twin of the reference's $-params)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )
+
+
+_SQL_PARAM_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+GROUP BY o_orderpriority
+"""
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+            # dates serialized as ISO strings: Spark DATE -> datetime.date
+            # but DuckDB DATE -> datetime64 in pandas; string output makes
+            # the driver's value-hash representation-independent
+            F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd")
+            .alias("due_date"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(F.to_date(F.lit("2025-01-01")), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("days_to_2025"),
+        )
+        .filter(F.col("o_orderkey") < 500)
+    )
+
+
+_DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(day(o_orderdate) AS BIGINT) AS o_day,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct per event_type. Rows-only: sketch
+    estimates are engine-specific; accuracy vs exact is property-tested
+    in tests/test_sql_queries.py (rsd 5% default)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+QUERIES = {
+    "sql_grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
+    "sql_exists_subquery": (q_exists_subquery, _EXISTS_SQL),
+    "sql_scalar_subquery": (q_scalar_subquery, _SCALAR_SUBQ_SQL),
+    "sql_parameterized": (q_sql_parameterized, _SQL_PARAM_SQL),
+    "date_functions": (q_date_functions, _DATE_FUNCS_SQL),
+    "approx_distinct_users": (q_approx_distinct, None),
+}
