@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from providenciasbigdata_spark.queries import (
     compat_queries,
+    extended,
     multimodal_queries,
     pipeline,
     relational,
@@ -33,6 +34,7 @@ def all_queries():
         streaming_queries,
         sql_queries,
         multimodal_queries,
+        extended,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,141 @@
+"""Extended relational surface: skew-resistant operators wired to the
+oracle gate (they must produce EXACTLY the plain-plan answers), plus
+reshape (unpivot/explode) and exact percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.text import tokenize
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators import skew
+
+
+def q_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) top-3 lineitems per supplier — the oracle is
+    the PLAIN window top-k: salting must not change the answer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        # total order -> deterministic survivors on both plans
+        (F.col("l_extendedprice") * 100000 + F.col("l_orderkey") * 10
+         + F.col("l_linenumber")).alias("v"),
+    )
+    return skew.two_phase_topk(li, key="l_suppkey", order_by="v", k=3, buckets=8)
+
+
+_SKEW_TOPK_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, v, rank FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         l_extendedprice * 100000 + l_orderkey * 10 + l_linenumber AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY
+              l_extendedprice * 100000 + l_orderkey * 10 + l_linenumber DESC)
+              AS BIGINT) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return skew.salted_distinct_count(events, key="event_type", value="user_id", buckets=16)
+
+
+_SKEW_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshape over per-nation aggregates (melt)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    wide = (
+        cust.groupBy("c_nationkey").agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+        .withColumnRenamed("c_nationkey", "nationkey")
+        .join(
+            supp.groupBy("s_nationkey")
+            .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+            .withColumnRenamed("s_nationkey", "nationkey"),
+            "nationkey",
+        )
+    )
+    return wide.unpivot(
+        ids=["nationkey"], values=["cust_bal", "supp_bal"],
+        variableColumnName="side", valueColumnName="balance",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c.nationkey, c.cust_bal, s.supp_bal
+  FROM (SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+        FROM customer GROUP BY 1) c
+  JOIN (SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+        FROM supplier GROUP BY 1) s USING (nationkey)
+)
+SELECT nationkey, 'cust_bal' AS side, cust_bal AS balance FROM wide
+UNION ALL
+SELECT nationkey, 'supp_bal' AS side, supp_bal AS balance FROM wide
+"""
+
+
+def q_explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of the tokenized text -> corpus-wide top-20
+    tokens. The generate (explode) stage feeds a two-phase count and a
+    TakeOrdered top-k — the wordcount shape, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_EXPLODE_SQL = r"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(strip_accents(lower(text)), '\W+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of order totals per status (continuous
+    interpolation — matches DuckDB quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "skew_topk_per_supplier": (q_skew_topk, _SKEW_TOPK_SQL),
+    "skew_distinct_count": (q_skew_distinct_count, _SKEW_DISTINCT_SQL),
+    "unpivot_balances": (q_unpivot_balances, _UNPIVOT_SQL),
+    "explode_top_tokens": (q_explode_top_tokens, _EXPLODE_SQL),
+    "agg_percentiles": (q_percentiles, _PERCENTILES_SQL),
+}

@@ -1,0 +1,93 @@
+"""Physical-plan shape assertions (SURVEY.md §4.2/§4.3).
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 100x scale-up: filters reach the parquet scan,
+small dimensions broadcast, top-k lowers to TakeOrderedAndProject
+(per-partition heaps, no global sort), aggregations are two-phase
+(map-side partial), and no LSH/banding path degenerates into a
+cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from providenciasbigdata_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return all_queries()
+
+
+def _run(reg, name, spark):
+    fn, _ = reg[name]
+    return fn(spark, SF)
+
+
+def test_facet_filter_pushed_to_scan(spark, reg):
+    plan = plan_of(_run(reg, "a5_facet_tipo", spark))
+    # tipo maps 1:1 onto the stored `source` column -> predicate must
+    # reach the parquet reader, not evaluate post-scan only
+    assert "EqualTo(source," in plan, plan
+
+
+def test_facet_scan_prunes_columns(spark, reg):
+    plan = plan_of(_run(reg, "a2_distinct_tipo", spark))
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all("text" not in l for l in scan_schemas), plan
+
+
+def test_dim_joins_broadcast(spark, reg):
+    plan = plan_of(_run(reg, "join_region_nation_revenue", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # region/nation/customer/orders are all broadcast-side here at test
+    # SF; the load-bearing assertion is no shuffle join for tiny dims
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_topk_lowered_to_take_ordered(spark, reg):
+    for name in ("sort_topk_orders", "ann_brute_topk"):
+        plan = plan_of(_run(reg, name, spark))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        # no global range-partitioned sort of the corpus
+        assert "rangepartitioning" not in plan.lower(), (name, plan)
+
+
+def test_agg_is_two_phase(spark, reg):
+    plan = plan_of(_run(reg, "agg_pricing_summary", spark))
+    # partial (map-side) + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_lsh_banding_never_cartesian(spark, reg):
+    for name in ("minhash_near_dups", "simhash_near_dups", "srp_lsh_pairs"):
+        plan = plan_of(_run(reg, name, spark))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_text_search_is_scan_plus_predicate(spark, reg):
+    # one scan, no join/exchange: tokenization + arrays_overlap are
+    # map-side expressions fused into the scan stage
+    plan = plan_of(_run(reg, "a7_text_search", spark), "simple")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_asof_join_no_cartesian(spark, reg):
+    plan = plan_of(_run(reg, "asof_last_purchase", spark))
+    assert "CartesianProduct" not in plan, plan
