@@ -17,6 +17,7 @@ from __future__ import annotations
 from providenciasbigdata_spark.queries import (
     compat_queries,
     extended,
+    graph_ext,
     multimodal_queries,
     pipeline,
     relational,
@@ -35,6 +36,7 @@ def all_queries():
         sql_queries,
         multimodal_queries,
         extended,
+        graph_ext,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,111 @@
+"""Graph extensions beyond the reference's anchored 1-hop page
+(streamlit_app.py:60-64 only ever needs one hop from a bound anchor):
+multi-hop expansion and degree analytics over the same
+nodes/edges-as-DataFrames model (SURVEY.md §1.4) — the GraphFrames
+motif pattern, expressed as plain joins so Catalyst plans them.
+
+Edges derive from ``embeddings`` (cosine x 100, compat.graph). The
+exact pairwise build here is fixture-scale; the 100 TB path swaps in
+operators.similarity.srp_lsh_pairs for candidate generation (same
+downstream joins, approximate edge set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat.graph import build_similarity_edges, cosine
+from providenciasbigdata_spark.io import load_table
+
+_HOP_LO = 30.0  # similitud >= 30 keeps hop fan-out small on the fixtures
+
+
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored 2-hop directed expansion: P-7 -[s1>=30]-> mid
+    -[s2>=30]-> dest (dest != anchor). Hop 1 is an O(n) anchored scan;
+    hop 2 joins the (small) intermediate set against the corpus — the
+    intermediate side broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hop1 = build_similarity_edges(emb, anchor_vec_id=7).filter(
+        F.col("similitud") >= _HOP_LO
+    )
+    mids = hop1.select(
+        F.col("dst").alias("intermedio"), F.col("similitud").alias("s1")
+    )
+    mid_vecs = mids.join(
+        emb.select(
+            F.concat(F.lit("P-"), F.col("vec_id").cast("string")).alias("intermedio"),
+            F.col("embedding").alias("emb_mid"),
+        ),
+        "intermedio",
+    )
+    right = emb.select(
+        F.concat(F.lit("P-"), F.col("vec_id").cast("string")).alias("destino"),
+        F.col("embedding").alias("emb_dst"),
+    )
+    pairs = F.broadcast(mid_vecs).join(
+        right, F.col("intermedio") != F.col("destino")
+    )
+    s2 = F.round(cosine(F.col("emb_mid"), F.col("emb_dst")) * 100, 4)
+    return (
+        pairs.select(
+            F.lit("P-7").alias("origen"), "intermedio", "destino", "s1", s2.alias("s2")
+        )
+        .filter((F.col("s2") >= _HOP_LO) & (F.col("destino") != "P-7"))
+    )
+
+
+_COS_SQL = (
+    "ROUND(list_cosine_similarity(CAST({a}.embedding AS DOUBLE[]), "
+    "CAST({b}.embedding AS DOUBLE[])) * 100, 4)"
+)
+
+_TWO_HOP_SQL = f"""
+WITH hop1 AS (
+  SELECT 'P-' || CAST(m.vec_id AS VARCHAR) AS intermedio,
+         {_COS_SQL.format(a='a', b='m')} AS s1,
+         m.embedding AS emb_mid
+  FROM embeddings a JOIN embeddings m ON m.vec_id <> a.vec_id
+  WHERE a.vec_id = 7 AND {_COS_SQL.format(a='a', b='m')} >= 30
+)
+SELECT 'P-7' AS origen, h.intermedio, 'P-' || CAST(d.vec_id AS VARCHAR) AS destino,
+       h.s1,
+       ROUND(list_cosine_similarity(CAST(h.emb_mid AS DOUBLE[]),
+                                    CAST(d.embedding AS DOUBLE[])) * 100, 4) AS s2
+FROM hop1 h
+JOIN embeddings d
+  ON 'P-' || CAST(d.vec_id AS VARCHAR) <> h.intermedio
+WHERE ROUND(list_cosine_similarity(CAST(h.emb_mid AS DOUBLE[]),
+                                   CAST(d.embedding AS DOUBLE[])) * 100, 4) >= 30
+  AND 'P-' || CAST(d.vec_id AS VARCHAR) <> 'P-7'
+"""
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the similarity graph at similitud >=
+    30: degree -> node count. Exact pairwise build (fixture scale; the
+    100 TB path feeds LSH candidate pairs into the same aggregation).
+    Two-phase agg both times; no row explosion beyond the edge set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    degrees = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return degrees.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+_DEGREE_SQL = f"""
+WITH edges AS (
+  SELECT a.vec_id AS src
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE {_COS_SQL.format(a='a', b='b')} >= 30
+), degrees AS (
+  SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
+)
+SELECT degree, COUNT(*) AS n_nodes FROM degrees GROUP BY degree
+"""
+
+
+QUERIES = {
+    "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
+    "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),
+}

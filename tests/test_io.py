@@ -1,0 +1,83 @@
+"""Source/sink layer: format round-trips and partition pruning.
+
+The 100 TB claim in io.write_partitioned's docstring is load-bearing:
+writing documents partitioned by anio must turn the year facet into
+partition pruning (PartitionFilters at the scan, not a post-scan
+filter). Pinned here against a real written layout.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+import pytest
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat.documents import rulings_view
+from providenciasbigdata_spark.io import load_table, read_any, write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def rulings(spark):
+    return rulings_view(load_table(spark, SF, "documents")).drop("tokens")
+
+
+def test_partitioned_write_prunes_year_facet(spark, rulings, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rulings_by_anio"))
+    write_partitioned(rulings, path, partition_by=["anio"])
+    back = read_any(spark, path)
+    filtered = back.filter(F.col("anio") == 2003)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the year predicate must appear as a partition filter on the scan
+    assert any(
+        "anio" in line for line in plan.splitlines() if "PartitionFilters" in line
+    ), plan
+    want = rulings.filter(F.col("anio") == 2003)
+    cols = ["providencia", "tipo", "texto"]
+    assert _sorted_rows(filtered, cols) == _sorted_rows(want, cols)
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_format_round_trip(spark, rulings, tmp_path_factory, fmt):
+    path = str(tmp_path_factory.mktemp(f"rt_{fmt}"))
+    df = rulings.select("doc_id", "providencia", "tipo", "anio")
+    opts = {"header": True} if fmt == "csv" else {}
+    df.write.mode("overwrite").format(fmt).options(
+        **{k: str(v) for k, v in opts.items()}
+    ).save(path)
+    read_opts = dict(opts)
+    if fmt == "csv":
+        # explicit schema at scale: inference would cost an extra full scan
+        back = (
+            spark.read.format(fmt)
+            .schema("doc_id long, providencia string, tipo string, anio int")
+            .options(**{k: str(v) for k, v in read_opts.items()})
+            .load(path)
+        )
+    else:
+        back = read_any(spark, path, fmt=fmt, **read_opts)
+    cols = ["doc_id", "providencia", "tipo", "anio"]
+    assert _sorted_rows(back.select(*cols), cols) == _sorted_rows(df, cols)
+
+
+def test_binary_file_source(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("blobs")
+    (d / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (d / "b.bin").write_bytes(b"payload-b" * 10)
+    from providenciasbigdata_spark.multimodal import read_binary_dir
+
+    df = read_binary_dir(spark, str(d), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r.content for r in df.collect()}
+    assert rows["a.bin"] == b"\x00\x01payload-a"
+    assert len(rows["b.bin"]) == 90

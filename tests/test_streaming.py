@@ -80,6 +80,59 @@ def test_user_running_totals_stateful(spark, events_dir):
     assert _as_rows(final, cols) == _as_rows(batch, cols)
 
 
+def test_watermark_drops_late_data_across_batches(spark, tmp_path_factory):
+    """Micro-batches via maxFilesPerTrigger=1. Batch 1 advances the
+    watermark past the 10:00 window; batch 2 keeps it there (and the
+    closed window's state is evicted + emitted); batch 3 delivers a
+    10:30 event — now behind the watermark WITH its state gone, the
+    case Spark guarantees dropping. (A late row arriving while the
+    window state still lingers may legally be merged: the watermark
+    contract bounds state retention, it does not promise eager drops.)"""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("late_events")
+
+    def write_file(name, ts_list, mtime):
+        n = len(ts_list)
+        table = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts_list, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array([None] * n, pa.string()),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(table, path)
+        os.utime(path, (mtime, mtime))
+        return path
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: two 10:xx events + a 12:00 event -> watermark 11:50
+    write_file("b1.parquet", [t, t + dt.timedelta(minutes=5), t.replace(hour=12)], 1000)
+    # batch 2: 12:30 -> the 10:00 window (end 11:00 < 11:50) closes:
+    # state evicted, append-mode row emitted with n_events=2
+    write_file("b2.parquet", [t.replace(hour=12, minute=30)], 2000)
+    # batch 3: a LATE 10:30 event — behind the watermark, state gone
+    write_file("b3.parquet", [t + dt.timedelta(minutes=30)], 3000)
+
+    stream = streaming.tumbling_counts(
+        streaming.events_stream(spark, str(d), max_files_per_trigger=1),
+        width="1 hour",
+        watermark="10 minutes",
+    )
+    got = streaming.run_available_now(stream, "t_late", output_mode="append")
+    rows = {r.window_start.hour: r.n_events for r in got.collect()}
+    # only the 10:00 window closed; its count excludes the late event
+    assert rows == {10: 2}, rows
+
+
 def test_session_window_gap_boundary(spark):
     import datetime as dt
 
