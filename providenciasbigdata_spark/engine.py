@@ -1,0 +1,132 @@
+"""The engine facade: one object exposing every capability a user of
+the reference app (SebastianUs28/providenciasBigData) uses today, plus
+the pipeline extensions — so switching is construct-and-call.
+
+Reference page 1 ("Resultados de los Filtros", streamlit_app.py:109-148)
+maps to ``facet_options`` + ``query_rulings``; page 2 ("Filtrar por
+Similitudes", streamlit_app.py:150-177) maps to ``node_ids`` +
+``similarity_neighborhood``. Connection config is constructor
+parameters — never hardcoded credentials (the reference embeds live
+URIs at streamlit_app.py:9,14; see SURVEY.md §0.1).
+
+Everything stays a lazy DataFrame until the ``*_frame``/pandas helpers
+at the presentation edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from providenciasbigdata_spark import multimodal, streaming
+from providenciasbigdata_spark.compat import documents as _docs
+from providenciasbigdata_spark.compat import graph as _graph
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators import dedup, similarity
+
+
+class ProvidenciasEngine:
+    """Facade over the document + graph query surfaces.
+
+    Parameters
+    ----------
+    spark : the session (build with session.get_spark for tuned defaults)
+    data_dir : directory holding the parquet tables (documents, embeddings)
+    """
+
+    def __init__(self, spark: SparkSession, data_dir: str):
+        self.spark = spark
+        self.data_dir = data_dir
+
+    # -- sources (cached logical views, still lazy) -----------------------
+
+    def rulings(self) -> DataFrame:
+        return _docs.rulings_view(load_table(self.spark, self.data_dir, "documents"))
+
+    def nodes(self) -> DataFrame:
+        return _graph.nodes_view(load_table(self.spark, self.data_dir, "documents"))
+
+    def edges(self, anchor_vec_id: int | None = None) -> DataFrame:
+        emb = load_table(self.spark, self.data_dir, "embeddings")
+        return _graph.build_similarity_edges(emb, anchor_vec_id=anchor_vec_id)
+
+    # -- page 1: facets + text search ------------------------------------
+
+    def facet_options(self, field: str) -> list:
+        """Selectbox domains (reference streamlit_app.py:125-131)."""
+        return [r[0] for r in _docs.distinct_values(self.rulings(), field).collect()]
+
+    def query_rulings(
+        self,
+        providencia: str | None = None,
+        tipo: str | None = None,
+        anio: int | str | None = None,
+        texto: str | None = None,
+        conjunctive: bool = False,
+    ) -> DataFrame:
+        """The reference's filter dispatch (exclusive cascade by
+        default; ``conjunctive=True`` for the AND extension)."""
+        return _docs.query_cascade(
+            self.rulings(),
+            providencia=providencia,
+            tipo=tipo,
+            anio=anio,
+            texto=texto,
+            conjunctive=conjunctive,
+        )
+
+    def query_rulings_frame(self, **kwargs):
+        """Presentation edge: pandas frame with the reference's
+        drop-storage-key + empty-sentinel behavior (A12)."""
+        return _docs.to_result_frame(self.query_rulings(**kwargs))
+
+    # -- page 2: similarity graph ----------------------------------------
+
+    def node_ids(self) -> list[str]:
+        """Graph selectbox domain (reference streamlit_app.py:159-164)."""
+        return [r.id for r in _graph.list_nodes(self.nodes()).collect()]
+
+    def similarity_neighborhood(
+        self, anchor: str, lo: float = 0.0, hi: float = 100.0
+    ) -> DataFrame:
+        """Anchored 1-hop expansion, weight in [lo, hi] inclusive
+        (reference streamlit_app.py:60-64). Anchored edge build is
+        O(n): only the anchor's outgoing cosines are computed."""
+        vec_id = int(anchor.split("-", 1)[1])
+        return _graph.neighborhood(self.edges(anchor_vec_id=vec_id), anchor, lo, hi)
+
+    def neighborhood_graph(self, anchor: str, lo: float = 0.0, hi: float = 100.0):
+        """(nodes_df, edges_df) for rendering — includes the singleton
+        fallback (A14: the anchor renders even with zero edges)."""
+        hits = self.similarity_neighborhood(anchor, lo, hi)
+        return _graph.neighborhood_nodes(hits, anchor), hits
+
+    # -- pipeline extensions ----------------------------------------------
+
+    def deduplicate(self, method: str = "exact", **kwargs) -> DataFrame:
+        docs = load_table(self.spark, self.data_dir, "documents")
+        if method == "exact":
+            return dedup.dedup_exact(docs, **kwargs)
+        if method == "minhash":
+            return dedup.minhash_near_dups(docs, **kwargs)
+        if method == "simhash":
+            return dedup.simhash_near_dups(dedup.simhash(docs), **kwargs)
+        if method == "jaccard":
+            return dedup.jaccard_pairs(docs, **kwargs)
+        raise ValueError(f"unknown dedup method: {method!r}")
+
+    def nearest_neighbors(self, query_vec, k: int = 10, approx: bool = False) -> DataFrame:
+        emb = load_table(self.spark, self.data_dir, "embeddings")
+        if approx:
+            dim = len(emb.select("embedding").first().embedding)
+            return similarity.srp_lsh_topk(emb, query_vec, dim=dim, k=k)
+        return similarity.brute_force_topk(emb, query_vec, k=k)
+
+    def events_stream(self, events_dir: str, **kwargs) -> DataFrame:
+        return streaming.events_stream(self.spark, events_dir, **kwargs)
+
+    def media_features(self, assets: DataFrame, modality: str = "image") -> DataFrame:
+        if modality == "image":
+            return multimodal.decode_image_features(assets)
+        if modality == "audio":
+            return multimodal.decode_audio_features(assets)
+        raise ValueError(f"unknown modality: {modality!r}")

@@ -1,0 +1,131 @@
+"""Iterative graph algorithms over the nodes/edges DataFrame model.
+
+The reference's graph surface is a single anchored 1-hop read
+(streamlit_app.py:60-64); these are the engine-side analytics a
+precomputed similarity graph enables. Both are driver-coordinated
+fixed-point loops — the one legitimate use of driver-side control flow:
+the driver holds only iteration counters and convergence counts, never
+row data.
+
+Scale notes: each iteration is one equi-join + one partial-agg shuffle,
+both keyed on node id — a stable partitioning Catalyst reuses across
+iterations. ``localCheckpoint`` every few rounds truncates the growing
+lineage (otherwise plan size, not data, becomes the bottleneck).
+GraphFrames/Pregel would be the library route; this stays dependency-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of a directed edge list (deduped)."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    return fwd.union(rev).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components by min-label propagation to a fixed point.
+
+    Every node's label converges to the smallest node id in its
+    component (total order on ids = deterministic labels). Converges in
+    O(component diameter) iterations; each iteration shuffles O(edges).
+
+    Output: (id, component).
+    """
+    # materialize the (possibly expensive) edge lineage ONCE — every
+    # iteration re-reads it; without this the upstream build (e.g. a
+    # pairwise cosine join) re-executes per iteration
+    sym = symmetrize(edges, src, dst).persist()
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .union(sym.select(F.col("v").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for i in range(max_iter):
+        nbr_labels = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .select(F.col("u").alias("id"), "label")
+        )
+        new_labels = (
+            labels.union(nbr_labels).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("component")).localCheckpoint(eager=True)
+    sym.unpersist()
+    return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Power-iteration PageRank on the directed graph.
+
+    Dangling nodes (no out-edges) redistribute uniformly via a scalar
+    (a one-row aggregate, not a row-data collect). Fixed iteration
+    count — the usual production choice (convergence tests belong in
+    offline validation, not the hot loop).
+
+    Output: (id, rank); ranks sum to ~1.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    nodes = (
+        e.select(F.col("u").alias("id")).union(e.select(F.col("v").alias("id")))
+        .distinct().persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("u").agg(F.count("*").alias("deg")).persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(max_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "u"), "u")
+            .join(out_deg, "u")
+            .select(F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("u", "id"), "id", "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    for df in (e, nodes, out_deg):
+        df.unpersist()
+    return ranks

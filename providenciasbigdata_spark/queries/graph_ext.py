@@ -105,7 +105,31 @@ SELECT degree, COUNT(*) AS n_nodes FROM degrees GROUP BY degree
 """
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component label per node of the similitud>=30 graph (bounded to
+    150 vectors so the fixed-point loop stays fast at fixture scale).
+    Iterative — not SQL-expressible; exactness is pinned on known
+    graphs in tests/test_graph_algos.py."""
+    from providenciasbigdata_spark.operators.graph_algos import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return connected_components(edges)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from providenciasbigdata_spark.operators.graph_algos import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return pagerank(edges, max_iter=5).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),
+    "graph_connected_components": (q_connected_components, None),
+    "graph_pagerank": (q_pagerank, None),
 }

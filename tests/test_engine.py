@@ -1,0 +1,61 @@
+"""Facade: the reference user's switch-over path, end to end."""
+
+from __future__ import annotations
+
+import pytest
+
+from providenciasbigdata_spark.compat.documents import EMPTY_SENTINEL_COLUMN
+from providenciasbigdata_spark.engine import ProvidenciasEngine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return ProvidenciasEngine(spark, SF)
+
+
+def test_facet_page_flow(engine):
+    tipos = engine.facet_options("tipo")
+    assert tipos == sorted(tipos) and len(tipos) > 1
+    hits = engine.query_rulings(tipo=tipos[0])
+    assert hits.count() > 0
+    assert set(hits.columns) >= {"providencia", "tipo", "anio", "texto"}
+
+
+def test_cascade_precedence_via_facade(engine):
+    # providencia outranks tipo (A8): tipo value must be ignored
+    got = engine.query_rulings(providencia="P-10", tipo="definitely-not-a-tipo")
+    assert got.count() == 1
+
+
+def test_empty_sentinel_via_facade(engine):
+    frame = engine.query_rulings_frame(providencia="P-does-not-exist")
+    assert list(frame.columns) == [EMPTY_SENTINEL_COLUMN]
+
+
+def test_graph_page_flow(engine):
+    ids = engine.node_ids()
+    assert "P-7" in ids
+    hits = engine.similarity_neighborhood("P-7", 0.0, 100.0)
+    assert hits.columns == ["origen", "destino", "similitud"]
+    n = hits.count()
+    assert n > 0
+    nodes, edges = engine.neighborhood_graph("P-7", 0.0, 100.0)
+    assert nodes.count() == n + 1  # all destinations + the anchor
+
+
+def test_singleton_fallback_via_facade(engine):
+    # impossible range -> zero edges, anchor still renders (A14)
+    nodes, edges = engine.neighborhood_graph("P-7", 99.999, 100.0)
+    assert edges.count() == 0
+    assert [r.id for r in nodes.collect()] == ["P-7"]
+
+
+def test_dedup_and_ann_extensions(engine):
+    assert engine.deduplicate("exact").count() > 0
+    qvec = [1.0] * 64
+    top = engine.nearest_neighbors(qvec, k=5)
+    assert top.count() == 5
+    top_approx = engine.nearest_neighbors(qvec, k=5, approx=True)
+    assert top_approx.count() <= 5

@@ -1,0 +1,53 @@
+"""Iterative graph algorithms: exact answers on known graphs +
+structural properties on the similarity graph."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat.graph import build_similarity_edges
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators.graph_algos import connected_components, pagerank
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def toy_edges(spark):
+    # components: {a,b,c} (chain), {d,e}, and f only as an isolated
+    # self-referencing... no — f appears via edge (f,f)? keep simple:
+    # {a,b,c}, {d,e}, {f,g}
+    rows = [("b", "a"), ("b", "c"), ("d", "e"), ("g", "f")]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_connected_components_exact(spark, toy_edges):
+    got = {r.id: r.component for r in connected_components(toy_edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f", "g": "f"}
+
+
+def test_connected_components_on_similarity_graph(spark):
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= 30)
+    comp = connected_components(edges)
+    # every edge's endpoints share a component (the defining property)
+    joined = (
+        edges.join(comp.withColumnRenamed("id", "src").withColumnRenamed("component", "c1"), "src")
+        .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("component", "c2"), "dst")
+    )
+    assert joined.filter(F.col("c1") != F.col("c2")).count() == 0
+    # labels are component minima: a label never exceeds its node id
+    assert comp.filter(F.col("component") > F.col("id")).count() == 0
+
+
+def test_pagerank_star_graph(spark):
+    # star: everyone points at 'hub'; spokes are dangling -> hub must
+    # dominate, ranks sum to 1
+    rows = [(f"s{i}", "hub") for i in range(5)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    pr = {r.id: r.rank for r in pagerank(edges, max_iter=20).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr["hub"] == max(pr.values())
+    spokes = [v for k, v in pr.items() if k != "hub"]
+    assert max(spokes) - min(spokes) < 1e-9  # symmetry
