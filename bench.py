@@ -37,6 +37,11 @@ HEADLINE = [
     "minhash_near_dups",
     "ann_topk_per_query",
     "text_quality",
+    "graph_degree_histogram",
+    "graph_two_hop",
+    "stream_session_windows",
+    "skew_topk_per_supplier",
+    "explode_top_tokens",
 ]
 
 
@@ -46,9 +51,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
-    # Warm JVM + page cache with one cheap pass over each input table.
+    # Warm JVM + page cache with one cheap pass over each input table,
+    # then one mini-query through the codegen/shuffle/HOF paths so the
+    # first timed query doesn't pay one-time JIT cost (~3s observed).
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, name).count()
+    warm_fn, _ = registry["a7_text_search"]
+    warm_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    registry["agg_pricing_summary"][0](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -302,15 +302,26 @@ def embedding_near_dups(
 
     Output: (left_id, right_id, cosine) with left_id < right_id.
     """
-    from providenciasbigdata_spark.compat.graph import cosine
+    from providenciasbigdata_spark.compat.graph import dot, l2_norm
 
-    left = embeddings.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("va"))
+    # norms once per side; one dot fold per pair (see compat.graph.cosine)
+    left = embeddings.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
     if left_filter is not None:
         left = left.filter(left_filter(F.col("left_id")))
-    right = embeddings.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("vb"))
+    right = embeddings.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = left.join(right, F.col("left_id") < F.col("right_id"))
+    cos = dot(
+        F.transform("va", lambda x: x.cast("double")),
+        F.transform("vb", lambda x: x.cast("double")),
+    ) / (F.col("na") * F.col("nb"))
     return pairs.select(
-        "left_id",
-        "right_id",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        "left_id", "right_id", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

