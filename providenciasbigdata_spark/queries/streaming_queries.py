@@ -106,8 +106,28 @@ GROUP BY user_id
 """
 
 
+def q_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.purchase_then_click(
+        load_table(spark, sf_dir, "events"), within="30 minutes"
+    )
+
+
+_PURCHASE_CLICK_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       date_diff('second', p.ts, c.ts) AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL '30 minutes'
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": (q_tumbling, _TUMBLING_SQL),
+    "stream_purchase_click_join": (q_purchase_click_join, _PURCHASE_CLICK_SQL),
     "stream_sliding_counts": (q_sliding, _SLIDING_SQL),
     "stream_session_windows": (q_sessions, _SESSIONS_SQL),
     "stream_dedup_events": (q_dedup_events, _DEDUP_EVENTS_SQL),

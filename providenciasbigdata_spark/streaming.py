@@ -149,6 +149,42 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def purchase_then_click(
+    events: DataFrame, within: str = "30 minutes", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in (purchase_ts, purchase_ts + within]. Both sides
+    need watermarks in streaming mode — the event-time range condition
+    bounds each side's join state to the interval + watermark horizon
+    (unbounded-state stream joins don't exist; the range IS the
+    contract).
+
+    Output: (user_id, purchase_id, click_id, gap_seconds).
+    """
+    purchases = _maybe_watermark(
+        events.filter(F.col("event_type") == "purchase"), watermark
+    ).select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = _maybe_watermark(
+        events.filter(F.col("event_type") == "click"), watermark
+    ).select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.c_ts > purchases.p_ts)
+        & (clicks.c_ts <= purchases.p_ts + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_seconds"),
+    )
+
+
 # ---- custom stateful operator -------------------------------------------
 
 _RUNNING_STATE_SCHEMA = "n LONG, total DOUBLE"

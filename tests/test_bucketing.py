@@ -1,0 +1,79 @@
+"""Bucketed-table co-located joins (SURVEY.md §4.3): pre-bucketing both
+sides of a recurring join key eliminates its shuffle — on 100 TB the
+difference between re-shuffling the fact table per query and a local
+zip of co-located buckets. Verified on real written tables: the bucket
+join plan must contain NO Exchange on the bucketed key.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+import pytest
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    # external tables via .option("path") — the (static) warehouse dir
+    # never comes into play. At fixture scale the planner would rather
+    # broadcast the small side / skip the bucketed scan, hiding the
+    # behavior that matters at 100 TB where neither side broadcasts —
+    # pin both knobs for the module.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    for name, df, key in (("li_b", li, "l_orderkey"), ("ord_b", orders, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{wh}/{name}")
+            .saveAsTable(name)
+        )
+    yield spark
+    for name in ("li_b", "ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_bucketed_join_has_no_shuffle(bucketed):
+    spark = bucketed
+    joined = (
+        spark.table("li_b")
+        .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderstatus")
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # co-located buckets: the join reads both sides WITHOUT an Exchange
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and produces the same rows as the plain shuffle join
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    want = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    assert joined.count() == want
+
+
+def test_bucket_pruning_on_key_equality(bucketed):
+    spark = bucketed
+    one = spark.table("li_b").filter(F.col("l_orderkey") == 42)
+    plan = _plan(one)
+    # bucket pruning: only 1 of 8 buckets selected at the scan
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan

@@ -80,6 +80,15 @@ def test_user_running_totals_stateful(spark, events_dir):
     assert _as_rows(final, cols) == _as_rows(batch, cols)
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    batch = streaming.purchase_then_click(load_table(spark, SF, "events"))
+    stream = streaming.purchase_then_click(streaming.events_stream(spark, events_dir))
+    assert stream.isStreaming
+    got = streaming.run_available_now(stream, "t_ssjoin", output_mode="append")
+    cols = ["user_id", "purchase_id", "click_id", "gap_seconds"]
+    assert _as_rows(got, cols) == _as_rows(batch, cols)
+
+
 def test_watermark_drops_late_data_across_batches(spark, tmp_path_factory):
     """Micro-batches via maxFilesPerTrigger=1. Batch 1 advances the
     watermark past the 10:00 window; batch 2 keeps it there (and the
