@@ -108,6 +108,80 @@ def search_text(df: DataFrame, query: str, tokens_col: str = "tokens") -> DataFr
     return df.filter(F.arrays_overlap(F.col(tokens_col), F.array(*[F.lit(t) for t in terms])))
 
 
+def _fold(text: str) -> str:
+    import unicodedata
+
+    folded = unicodedata.normalize("NFKD", text.lower())
+    return "".join(c for c in folded if not unicodedata.combining(c))
+
+
+def parse_search_query(query: str) -> tuple[list[str], list[str], list[str]]:
+    """Mongo-style query syntax: bare terms (OR), "quoted phrases"
+    (must ALL appear), -negated terms (must NOT appear). Returns
+    (terms, phrases, negated), case/accent-folded."""
+    import re
+
+    phrases = [_fold(p) for p in re.findall(r'"([^"]+)"', query)]
+    rest = re.sub(r'"[^"]+"', " ", query)
+    terms, negated = [], []
+    for raw in re.split(r"\s+", rest):
+        if not raw:
+            continue
+        if raw.startswith("-") and len(raw) > 1:
+            negated.extend(t for t in re.split(r"\W+", _fold(raw[1:])) if t)
+        else:
+            terms.extend(t for t in re.split(r"\W+", _fold(raw)) if t)
+    return terms, phrases, negated
+
+
+def search_text_extended(
+    df: DataFrame, query: str, text_col: str = "texto", tokens_col: str = "tokens"
+) -> DataFrame:
+    """B1 extension: the parts of Mongo's $text contract the compat
+    search (v1) documents as out of scope — quoted phrases and -term
+    negation (stemming stays out: index-config-dependent, unobservable
+    from the reference repo).
+
+    match = (ANY bare term present OR no bare terms)
+            AND every quoted phrase a substring (fold case+accents)
+            AND no negated term present
+    """
+    terms, phrases, negated = parse_search_query(query)
+    if not terms and not phrases:
+        return df.filter(F.lit(False))
+    cond = F.lit(True)
+    if terms:
+        cond = F.arrays_overlap(F.col(tokens_col), F.array(*[F.lit(t) for t in terms]))
+    folded_text = unaccent(F.lower(F.col(text_col)))
+    for p in phrases:
+        cond = cond & folded_text.contains(p)
+    if negated:
+        cond = cond & ~F.arrays_overlap(
+            F.col(tokens_col), F.array(*[F.lit(t) for t in negated])
+        )
+    return df.filter(cond)
+
+
+def search_text_ranked(
+    df: DataFrame, query: str, k: int | None = None, tokens_col: str = "tokens"
+) -> DataFrame:
+    """B6 extension (SURVEY §2.5 C-X4): token-overlap relevance score +
+    optional top-k. Score = number of DISTINCT query terms present
+    (ties broken by providencia for a total order). The compat search
+    stays unranked — ranking is opt-in."""
+    import re
+
+    terms = [t for t in re.split(r"\W+", _fold(query)) if t]
+    if not terms:
+        return df.filter(F.lit(False)).withColumn("score", F.lit(0).cast("long"))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    scored = df.withColumn(
+        "score", F.size(F.array_intersect(F.array_distinct(F.col(tokens_col)), qarr)).cast("long")
+    ).filter(F.col("score") > 0)
+    ranked = scored.orderBy(F.desc("score"), F.asc("providencia"))
+    return ranked.limit(k) if k else ranked
+
+
 def query_cascade(
     df: DataFrame,
     providencia: str | None = None,

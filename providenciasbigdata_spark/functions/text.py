@@ -94,7 +94,10 @@ def quality_score(text: Column, tokens: Column) -> Column:
         + F.lit(0.1) * (1 - punct_penalty)
         + F.lit(0.1) * (1 - digit_penalty)
     )
-    return F.round(score, 6)
+    # least()/greatest() SKIP nulls (both Spark and DuckDB), so a null
+    # text would otherwise score 0.8 — a silent high-quality pass for
+    # garbage rows. Null in, null out.
+    return F.when(text.isNotNull(), F.round(score, 6))
 
 
 def content_fingerprint(col: Column) -> Column:

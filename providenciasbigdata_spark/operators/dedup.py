@@ -287,6 +287,46 @@ def simhash_near_dups(fingerprints: DataFrame, max_hamming: int = 3) -> DataFram
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def near_dup_clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    near-dup pair graph (A~B, B~C => {A,B,C} even if A!~C directly —
+    the semantics fuzzy dedup actually needs; pairwise-only keep-rules
+    over-keep). Cluster label = min doc id in the cluster.
+
+    Input: (left_id, right_id [, ...]) pairs from any near-dup family.
+    Output: (id, cluster) — only docs that appear in some pair.
+    """
+    from providenciasbigdata_spark.operators.graph_algos import connected_components
+
+    return connected_components(pairs, src="left_id", dst="right_id").select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster")
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Fuzzy dedup end-to-end: MinHash LSH candidates -> exact-Jaccard
+    verify -> transitive clusters -> keep the min-id doc per cluster
+    (deterministic survivor rule). Docs in no cluster keep themselves.
+
+    Output: the deduplicated frame (original columns).
+    """
+    pairs = minhash_near_dups(
+        df, id_col, text_col, threshold=threshold,
+        bands=bands, rows_per_band=rows_per_band, ngram=ngram,
+    )
+    clusters = near_dup_clusters(pairs, id_col=id_col)
+    losers = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---- embedding cosine ---------------------------------------------------
 
 def embedding_near_dups(

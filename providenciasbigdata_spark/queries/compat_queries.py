@@ -20,6 +20,10 @@ from providenciasbigdata_spark.compat import (
     rulings_view,
     search_text,
 )
+from providenciasbigdata_spark.compat.documents import (
+    search_text_extended,
+    search_text_ranked,
+)
 from providenciasbigdata_spark.io import load_table
 
 # ---- shared SQL fragments (oracle side) --------------------------------
@@ -91,6 +95,19 @@ def q_a7_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _project(search_text(_rulings(spark, sf_dir), "MERGE window"))
 
 
+def q_a7_search_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # phrase must appear, 'merge' OR 'window' may, 'error' must not
+    return _project(
+        search_text_extended(_rulings(spark, sf_dir), 'merge window -error "the"')
+    )
+
+
+def q_a7_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_text_ranked(
+        _rulings(spark, sf_dir), "merge window shuffle", k=15
+    ).select("providencia", "score")
+
+
 # ---- A9/A10: graph ------------------------------------------------------
 
 def q_a9_list_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,6 +168,20 @@ QUERIES = {
         f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
         f"WHERE len(list_intersect({_TOKENS_SQL.format(col='texto')}, "
         f"['merge', 'window'])) > 0",
+    ),
+    "a7_search_extended": (
+        q_a7_search_extended,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+        f"WHERE len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['merge', 'window'])) > 0 "
+        f"AND contains(strip_accents(lower(texto)), 'the') "
+        f"AND NOT len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['error'])) > 0",
+    ),
+    "a7_search_ranked": (
+        q_a7_search_ranked,
+        f"SELECT providencia, CAST(len(list_intersect(list_distinct("
+        f"{_TOKENS_SQL.format(col='text')}), ['merge', 'window', 'shuffle'])) AS BIGINT) AS score "
+        f"FROM (SELECT 'P-' || CAST(doc_id AS VARCHAR) AS providencia, text FROM documents) "
+        f"WHERE score > 0 ORDER BY score DESC, providencia ASC LIMIT 15",
     ),
     "a9_list_nodes": (
         q_a9_list_nodes,

@@ -73,7 +73,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_QUALITY_SQL = rf"""
 SELECT doc_id,
-       ROUND(
+       CASE WHEN text IS NULL THEN NULL ELSE ROUND(
          0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
        + 0.4 * least(CAST(len({_TOKENS}) AS DOUBLE) / 50.0, 1.0)
        + 0.1 * (1 - least(CAST(length(text)
@@ -83,7 +83,7 @@ SELECT doc_id,
                   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0))
        + 0.1 * (1 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
                   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)),
-       6) AS quality
+       6) END AS quality
 FROM documents
 """
 
@@ -224,6 +224,15 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(docs, threshold=0.4, bands=16, rows_per_band=4, ngram=3)
 
 
+def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH -> verify -> transitive clusters ->
+    min-id survivors (rows-only: the cluster step is iterative CC)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_near(docs, threshold=0.4, bands=16, rows_per_band=4, ngram=3).select(
+        "doc_id"
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -255,6 +264,7 @@ QUERIES = {
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
     "ann_topk_per_query": (q_ann_topk_per_query, _ANN_PER_QUERY_SQL),
     "minhash_near_dups": (q_minhash_near_dups, None),
+    "dedup_near_survivors": (q_dedup_near_survivors, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),

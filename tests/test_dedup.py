@@ -81,3 +81,28 @@ def test_embedding_near_dups_threshold(spark, sf_dir):
     out = dedup.embedding_near_dups(emb, threshold=0.25, left_filter=lambda c: c < 20)
     rows = out.collect()
     assert all(r.cosine >= 0.25 and r.left_id < r.right_id for r in rows)
+
+
+def test_near_dup_clusters_are_transitive(spark):
+    # A~B and B~C but no direct A~C pair: all three must share a cluster
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "left_id long, right_id long")
+    got = {r.doc_id: r.cluster for r in dedup.near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_near_keeps_min_id_survivor(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, base + " extra more"),  # near-dup of 2 (chain)
+        (10, "completely different text about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_near(
+            df, threshold=0.5, bands=16, rows_per_band=4, ngram=2
+        ).collect()
+    )
+    assert kept == [1, 10]

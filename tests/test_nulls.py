@@ -1,0 +1,88 @@
+"""Null/degenerate-input behavior pins: at 100 TB there WILL be null,
+empty and sub-ngram documents in every batch; none of the text/dedup
+operators may crash or silently drop the rest of the frame on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat.documents import search_text, tokenize
+from providenciasbigdata_spark.functions.text import (
+    content_fingerprint,
+    quality_score,
+    shingles,
+    ws_token_count,
+)
+from providenciasbigdata_spark.operators import dedup
+
+
+def _docs(spark):
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one two"),  # fewer tokens than ngram=3
+        (5, "normal document with several words inside it"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokenize_degenerate_inputs(spark):
+    out = _docs(spark).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).collect()
+    got = {r.doc_id: r.toks for r in out}
+    assert got[1] is None  # null propagates (never fabricate tokens)
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["one", "two"]
+
+
+def test_shingles_degenerate_inputs(spark):
+    out = _docs(spark).select(
+        "doc_id", shingles(tokenize(F.col("text")), 3).alias("sh")
+    ).collect()
+    got = {r.doc_id: r.sh for r in out}
+    assert got[1] is None and got[2] == [] and got[4] == []
+    assert len(got[5]) > 0
+
+
+def test_quality_and_counts_never_crash(spark):
+    out = _docs(spark).select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text"), tokenize(F.col("text"))).alias("q"),
+    ).collect()
+    got = {r.doc_id: (r.n, r.q) for r in out}
+    # empty text: length/word scores 0, punct/digit penalty credits
+    # still granted -> 0.2 (the formula's defined floor for non-null);
+    # whitespace-only counts its chars toward length (3/500*0.4)
+    assert got[2] == (0, 0.2) and got[3] == (0, 0.2024)
+    assert got[1][0] is None and got[1][1] is None  # null in, null out
+    assert got[5][1] > 0
+
+
+def test_dedup_exact_null_and_empty_texts(spark):
+    # null-text docs share fingerprint NULL -> window groups them; the
+    # min-id survivor rule keeps exactly one null doc and one ""-doc
+    # ("" and "   " normalize equal). Pinned, documented behavior.
+    out = dedup.dedup_exact(_docs(spark)).select("doc_id").collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 4, 5]
+    fp = _docs(spark).select(content_fingerprint(F.col("text")).alias("h")).collect()
+    assert fp[0].h is None
+
+
+def test_minhash_skips_sub_ngram_docs(spark):
+    # docs with no 3-shingles produce no signature rows and no pairs —
+    # they can't be near-dups by construction, and must not crash
+    sigs = dedup.minhash_signature(_docs(spark), k=16, ngram=3)
+    assert sigs.filter(F.col("id").isin(1, 2, 3, 4)).count() == 0
+    pairs = dedup.minhash_near_dups(_docs(spark), bands=4, rows_per_band=4)
+    assert pairs.count() == 0
+
+
+def test_search_text_null_rows_never_match(spark):
+    hits = search_text(
+        _docs(spark).withColumn("tokens", tokenize(F.col("text"))), "normal"
+    )
+    assert [r.doc_id for r in hits.collect()] == [5]
