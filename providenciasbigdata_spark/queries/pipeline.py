@@ -107,6 +107,48 @@ def _lang_id_sql() -> str:
     )
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style curation pipeline: lang in (en, es) -> quality >= 0.5
+    -> exact dedup (min-id survivor). Fully oracle-checked by composing
+    the lang-id, quality and dedup SQL twins."""
+    from providenciasbigdata_spark.operators.curate import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate(docs, languages=["en", "es"], min_quality=0.5).select(
+        "doc_id", "lang_pred", "quality"
+    )
+
+
+def _curate_sql(languages: tuple[str, ...] = ("en", "es"), min_q: float = 0.5) -> str:
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return f"CAST(len(list_intersect(list_distinct({_TOKENS}), [{words}])) AS BIGINT)"
+
+    scores = ", ".join(f"{hits(lang)} AS s_{lang}" for lang in LANG_ORDER)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    cases = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in LANG_ORDER)
+    langs = ", ".join(f"'{lng}'" for lng in languages)
+    quality = _TEXT_QUALITY_SQL.split("SELECT doc_id,")[1].split("AS quality")[0]
+    return rf"""
+WITH scored AS (
+  SELECT doc_id, text, {scores}, {quality} AS quality FROM documents
+), labeled AS (
+  SELECT doc_id, text, quality,
+         CASE WHEN {mx} <= 0 THEN 'und' {cases} END AS lang_pred
+  FROM scored
+), filtered AS (
+  SELECT * FROM labeled WHERE lang_pred IN ({langs}) AND quality >= {min_q}
+)
+SELECT doc_id, lang_pred, quality FROM (
+  SELECT doc_id, lang_pred, quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(trim(strip_accents(lower(text))), '\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM filtered
+) WHERE rn = 1
+"""
+
+
 # ---- dedup --------------------------------------------------------------
 
 def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +299,7 @@ QUERIES = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "text_lang_id": (q_text_lang_id, _lang_id_sql()),
+    "curate_pipeline": (q_curate, _curate_sql()),
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
     "dedup_exact_survivors": (q_dedup_exact_survivors, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),

@@ -142,6 +142,43 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path_factory):
     assert rows == {10: 2}, rows
 
 
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path_factory):
+    """Exactly-once file sink across a restart: stop the query, add
+    new input, restart with the SAME checkpoint — the sink must hold
+    each input row exactly once (offsets resume, no dupes)."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path_factory.mktemp("ckpt_src")
+    sink = str(tmp_path_factory.mktemp("ckpt_sink"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_state"))
+
+    events = load_table(spark, SF, "events")
+    events.filter(F.col("event_id") < 100).write.mode("overwrite").parquet(
+        str(src / "f1")
+    )
+
+    def run_once():
+        q = (
+            streaming.events_stream(spark, str(src) + "/*")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 100
+    events.filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 150)
+    ).write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 150  # 100 original + 50 new, nothing twice
+    assert got.select("event_id").distinct().count() == 150
+
+
 def test_session_window_gap_boundary(spark):
     import datetime as dt
 
