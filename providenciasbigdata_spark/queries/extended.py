@@ -132,7 +132,71 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase funnel per user: first-touch timestamps, did
+    the purchase follow the signup, and within 7 days? One shuffle
+    (groupBy user) + a one-row summary — the sequence-analytics shape."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("purchase_ts"),
+    )
+    converted = (F.col("purchase_ts") > F.col("signup_ts")).cast("int")
+    within_7d = (
+        (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+    ).cast("int")
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("signup_ts").alias("n_signed_up"),
+        F.sum(F.when(F.col("signup_ts").isNotNull(), converted).otherwise(0)).alias(
+            "n_converted"
+        ),
+        F.sum(F.when(F.col("signup_ts").isNotNull(), within_7d).otherwise(0)).alias(
+            "n_converted_7d"
+        ),
+    )
+
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(signup_ts) AS n_signed_up,
+       COALESCE(SUM(CASE WHEN purchase_ts > signup_ts THEN 1 ELSE 0 END), 0) AS n_converted,
+       COALESCE(SUM(CASE WHEN purchase_ts > signup_ts
+                          AND purchase_ts <= signup_ts + INTERVAL '7 days'
+                         THEN 1 ELSE 0 END), 0) AS n_converted_7d
+FROM per_user
+"""
+
+
+def q_array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the sorted distinct user set per event type —
+    collect_set is unordered by contract, so sort_array pins a
+    deterministic, oracle-comparable output."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT event_type,
+       list_sort(list_distinct(array_agg(user_id))) AS users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "funnel_signup_purchase": (q_funnel, _FUNNEL_SQL),
+    "array_agg_users": (q_array_agg_users, _ARRAY_AGG_SQL),
     "skew_topk_per_supplier": (q_skew_topk, _SKEW_TOPK_SQL),
     "skew_distinct_count": (q_skew_distinct_count, _SKEW_DISTINCT_SQL),
     "unpivot_balances": (q_unpivot_balances, _UNPIVOT_SQL),
