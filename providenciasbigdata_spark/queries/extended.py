@@ -5,7 +5,7 @@ reshape (unpivot/explode) and exact percentiles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from providenciasbigdata_spark.functions.text import tokenize
@@ -194,7 +194,68 @@ FROM events GROUP BY event_type
 """
 
 
+def q_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each user's trailing-24h event-value sum
+    at every event (value-based frame bounds, not row counts — rows
+    with equal timestamps share a frame, and gaps shrink it)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    day = 24 * 3600
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-day, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_24h_value"),
+    )
+
+
+# frame bounds on whole epoch seconds BOTH sides (Spark unix_timestamp
+# truncates; an interval-typed oracle frame would disagree on rows
+# landing within the truncated fraction of the 24h boundary)
+_RANGE_FRAME_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+       ), 4) AS trailing_24h_value
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over one window: rank / dense_rank /
+    percent_rank / cume_dist / ntile(4)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_RANKING_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM orders WHERE o_orderkey < 1000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 QUERIES = {
+    "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
+    "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),
     "funnel_signup_purchase": (q_funnel, _FUNNEL_SQL),
     "array_agg_users": (q_array_agg_users, _ARRAY_AGG_SQL),
     "skew_topk_per_supplier": (q_skew_topk, _SKEW_TOPK_SQL),
