@@ -92,31 +92,52 @@ def jaccard_pairs(
 
 # ---- MinHash + LSH ------------------------------------------------------
 
-def minhash_signature(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64, ngram: int = 3
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
 ) -> DataFrame:
-    """k-permutation MinHash over word shingles: explode distinct
-    shingles once, then k codegen'd ``min(xxhash64(i, shingle))``
-    aggregates. Partial (map-side) aggregation reduces each partition
-    to one k-vector per doc before the shuffle, so shuffle volume is
+    """(id, __set: array<string>) — distinct word n-gram shingles per
+    doc. The shared upstream of signatures AND exact-Jaccard verify;
+    compute it once and persist when both consumers appear in one plan
+    (Spark does not dedupe common subplans across DataFrame branches)."""
+    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), ngram))
+    return df.select(F.col(id_col).alias("id"), sh.alias("__set"))
+
+
+def _signature_from_sets(sets: DataFrame, k: int) -> DataFrame:
+    """k-permutation MinHash from precomputed shingle sets: explode
+    once, then k codegen'd ``min(xxhash64(i, shingle))`` aggregates.
+    Partial (map-side) aggregation reduces each partition to one
+    k-vector per doc before the shuffle, so shuffle volume is
     O(docs x k) regardless of document length.
 
     (A prior formulation — k nested ``array_min(transform(...))``
     higher-order expressions — re-tokenized the document k times in
     interpreted mode: ~300x slower at sf0.1. HOF lambdas never enter
     whole-stage codegen; keep hot hashing in flat exprs like this.)
+    """
+    exploded = sets.select("id", F.explode("__set").alias("g"))
+    # hash the variable-length shingle string ONCE, then derive the k
+    # permutations by hashing the fixed 8-byte value — ~15% cheaper than
+    # k string hashes and overflow-free under ANSI mode (a multiply-add
+    # permutation family would overflow 64-bit and throw there)
+    hashed = exploded.select("id", F.xxhash64("g").alias("h"))
+    mins = [F.min(F.xxhash64(F.lit(i), "h")).alias(f"m{i}") for i in range(k)]
+    return (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64, ngram: int = 3
+) -> DataFrame:
+    """MinHash signatures over word shingles (see _signature_from_sets).
 
     Output: (id, sig: array<long> length k). Docs with no shingles
     (fewer than ``ngram`` tokens) produce no row.
     """
-    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), ngram))
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("g"))
-    mins = [F.min(F.xxhash64(F.lit(i), "g")).alias(f"m{i}") for i in range(k)]
-    return (
-        exploded.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
-    )
+    return _signature_from_sets(shingle_sets(df, id_col, text_col, ngram), k)
 
 
 def minhash_lsh_pairs(
@@ -170,28 +191,71 @@ def minhash_near_dups(
     bands: int = 16,
     rows_per_band: int = 4,
     ngram: int = 3,
+    cache_sets: bool = False,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures -> LSH candidates ->
-    exact-Jaccard verify on candidates only (estimated via signature
-    agreement would also do; we verify exactly for precision 1.0).
+    exact-Jaccard verify on candidates only (precision 1.0; see
+    ``minhash_near_dups_estimated`` for the verify-free variant).
+
+    The shingle sets feed three plan branches (signatures + both verify
+    sides). Measured verdict (sf0.1, 5k docs): RECOMPUTING them per
+    branch is ~6x faster than ``persist()`` — tokenize+shingle is flat
+    codegen'd expressions, while caching serializes every array<string>
+    into block storage and reads it back. ``cache_sets=True`` only pays
+    when upstream text is expensive to reproduce (e.g. decompressed /
+    UDF-derived), not for plain parquet scans.
 
     Output: (left_id, right_id, jaccard >= threshold).
     """
-    sigs = minhash_signature(df, id_col, text_col, k=bands * rows_per_band, ngram=ngram)
+    sets = shingle_sets(df, id_col, text_col, ngram)
+    if cache_sets:
+        sets = sets.persist()
+    sigs = _signature_from_sets(sets, k=bands * rows_per_band)
     cands = minhash_lsh_pairs(sigs, bands, rows_per_band)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(tokenize(F.col(text_col)), ngram)).alias("__set"),
-    )
     joined = (
-        cands.join(toks.withColumnRenamed("id", "left_id").withColumnRenamed("__set", "set_a"), "left_id")
-        .join(toks.withColumnRenamed("id", "right_id").withColumnRenamed("__set", "set_b"), "right_id")
+        cands.join(sets.withColumnRenamed("id", "left_id").withColumnRenamed("__set", "set_a"), "left_id")
+        .join(sets.withColumnRenamed("id", "right_id").withColumnRenamed("__set", "set_b"), "right_id")
     )
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
     jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
     return joined.select("left_id", "right_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def minhash_near_dups_estimated(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash near-dups with Jaccard ESTIMATED from signature
+    agreement (fraction of matching minhashes) instead of exact-set
+    verify — the cheapest scale path: after signatures, only the
+    k-long vectors move, never the shingle sets. With k = bands x
+    rows_per_band = 64 the estimator's std dev is ~sqrt(j(1-j)/64)
+    <= 0.0625 — thresholding is approximate (both false accepts and
+    rejects near the boundary), which fuzzy dedup tolerates by design.
+
+    Output: (left_id, right_id, jaccard_est >= threshold).
+    """
+    k = bands * rows_per_band
+    sigs = minhash_signature(df, id_col, text_col, k=k, ngram=ngram).persist()
+    cands = minhash_lsh_pairs(sigs, bands, rows_per_band)
+    joined = (
+        cands.join(sigs.withColumnRenamed("id", "left_id").withColumnRenamed("sig", "sig_a"), "left_id")
+        .join(sigs.withColumnRenamed("id", "right_id").withColumnRenamed("sig", "sig_b"), "right_id")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = F.round(matches.cast("double") / F.lit(float(k)), 6)
+    return joined.select("left_id", "right_id", est.alias("jaccard_est")).filter(
+        F.col("jaccard_est") >= threshold
     )
 
 

@@ -262,6 +262,91 @@ def pairwise_cosine_matmul(
     )
 
 
+def pairwise_cosine_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    scale: float = 1.0,
+    n_blocks: int | None = None,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, fully distributed — the
+    beyond-broadcast-memory path that ``pairwise_cosine_matmul`` can't
+    take (its corpus matrix lives on the driver then broadcasts whole).
+
+    Block decomposition: hash-assign each vector to one of ``n_blocks``
+    blocks, pack each block into a single row (JVM ``collect_list``),
+    join the upper triangle of block pairs (bid_a <= bid_b), and BLAS
+    each (block x block) tile in a mapInPandas kernel, emitting only
+    thresholded pairs. Work and memory per task are O(block_size^2) and
+    O(block_size x dim) — independent of corpus size; total compute is
+    the same O(n^2) as any exact method but sharded across
+    O((n/block_size)^2) independent tasks.
+
+    Off-diagonal tiles are computed once and emitted in both directions
+    (S and S^T) — halves the matmul work vs the naive full cross join.
+
+    Output: (left_id, right_id, cosine), all ordered pairs with
+    left_id != right_id and round(cosine*scale) >= threshold — identical
+    contract to ``pairwise_cosine_matmul``.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        n = embeddings.count()
+        n_blocks = max(1, math.ceil(n / block_size))
+
+    base = embeddings.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("bid"),
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    blocks = base.groupBy("bid").agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
+    )
+    a = blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b"))
+    tiles = a.join(b, F.col("bid_a") <= F.col("bid_b")).repartition(
+        max(n_blocks * (n_blocks + 1) // 2, 1), "bid_a", "bid_b"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray([r["id"] for r in row.rows_a], dtype=np.int64)
+                A = np.vstack([r["vec"] for r in row.rows_a]).astype(np.float64)
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                diagonal = row.bid_a == row.bid_b
+                if diagonal:
+                    ib, Bn = ia, An
+                else:
+                    ib = np.asarray([r["id"] for r in row.rows_b], dtype=np.int64)
+                    B = np.vstack([r["vec"] for r in row.rows_b]).astype(np.float64)
+                    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = np.round(An @ Bn.T * scale, round_digits)
+                mask = (S >= threshold) & (ia[:, None] != ib[None, :])
+                idx = np.argwhere(mask)
+                out = {
+                    "left_id": ia[idx[:, 0]],
+                    "right_id": ib[idx[:, 1]],
+                    "cosine": S[idx[:, 0], idx[:, 1]],
+                }
+                if not diagonal:  # emit the transposed tile too
+                    out = {
+                        "left_id": np.concatenate([out["left_id"], ib[idx[:, 1]]]),
+                        "right_id": np.concatenate([out["right_id"], ia[idx[:, 0]]]),
+                        "cosine": np.concatenate([out["cosine"], out["cosine"][: len(idx)]]),
+                    }
+                yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(kernel, "left_id long, right_id long, cosine double")
+
+
 def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.6):
     """Optional: pyspark.ml MinHashLSH approxSimilarityJoin over token
     count-vectors — the library alternative to operators.dedup's

@@ -131,9 +131,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_histogram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same degree histogram through the fully-distributed blocked
+    all-pairs path (operators.similarity.pairwise_cosine_blocked): no
+    driver-side matrix, no broadcast — per-task work is one
+    block x block BLAS tile. Oracle-checked against the same SQL as
+    graph_degree_histogram, which pins blocked == broadcast results."""
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = pairwise_cosine_blocked(emb, threshold=_HOP_LO, scale=100.0, block_size=1024)
+    degrees = edges.groupBy("left_id").agg(F.count("*").alias("degree"))
+    return degrees.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),
+    "graph_degree_histogram_blocked": (q_degree_histogram_blocked, _DEGREE_SQL),
     "graph_connected_components": (q_connected_components, None),
     "graph_pagerank": (q_pagerank, None),
 }

@@ -280,8 +280,20 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_hamming=3 (4 blocking chunks of 16 bits): hamming <= 3 of 64
+    bits ~ >= 95% bit agreement — an actual near-dup bar. The earlier
+    max_hamming=7 setting admitted ~8% of all pairs on the sf0.001
+    corpus (20k pairs / 500 docs): recall via loose thresholds is just
+    precision loss."""
     fps = dedup.simhash(load_table(spark, sf_dir, "documents"))
-    return dedup.simhash_near_dups(fps, max_hamming=7)
+    return dedup.simhash_near_dups(fps, max_hamming=3)
+
+
+def q_minhash_near_dups_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups_estimated(
+        docs, threshold=0.4, bands=16, rows_per_band=4, ngram=3
+    )
 
 
 def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +319,7 @@ QUERIES = {
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
     "ann_topk_per_query": (q_ann_topk_per_query, _ANN_PER_QUERY_SQL),
     "minhash_near_dups": (q_minhash_near_dups, None),
+    "minhash_near_dups_est": (q_minhash_near_dups_est, None),
     "dedup_near_survivors": (q_dedup_near_survivors, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_near_dups": (q_simhash_near_dups, None),

@@ -1,8 +1,9 @@
 """SparkSession factory tuned for the engine.
 
-Defaults are chosen for correctness-vs-oracle (UTC timestamps, ANSI off
-to match DuckDB NULL-tolerant semantics where they differ) and for
-scale (AQE on, Arrow on, shuffle partitions sized to cores locally —
+Defaults are chosen for correctness-vs-oracle (UTC timestamps; ANSI
+mode stays at the Spark 4 default ON — every oracle-checked query
+passes under it, and it surfaces overflow/cast bugs instead of wrapping)
+and for scale (AQE on, Arrow on, shuffle partitions sized to cores locally —
 on a real cluster leave ``spark.sql.shuffle.partitions`` to AQE's
 coalescing and size ``spark.sql.files.maxPartitionBytes`` so scan tasks
 stay ~128MB).

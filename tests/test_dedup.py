@@ -54,6 +54,28 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     corpus.unpersist()
 
 
+def test_minhash_estimated_tracks_exact(spark, sf_dir):
+    """The signature-agreement estimator must (a) find the injected
+    near-dups and (b) agree with exact Jaccard within the k=64
+    estimator tolerance on the pairs both report."""
+    corpus = _corpus_with_dups(spark, sf_dir).cache()
+    exact = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup.jaccard_pairs(corpus, ngram=3, threshold=0.5).collect()
+    }
+    est = {
+        (r.left_id, r.right_id): r.jaccard_est
+        for r in dedup.minhash_near_dups_estimated(
+            corpus, threshold=0.5, bands=16, rows_per_band=4
+        ).collect()
+    }
+    hit = set(exact) & set(est)
+    assert len(hit) / len(exact) >= 0.8, f"estimator recall {len(hit)}/{len(exact)}"
+    for p in hit:
+        assert abs(exact[p] - est[p]) <= 0.25, (p, exact[p], est[p])
+    corpus.unpersist()
+
+
 def test_simhash_identical_and_near(spark, sf_dir):
     corpus = _corpus_with_dups(spark, sf_dir)
     fps = {r.id: r.simhash for r in dedup.simhash(corpus).collect()}

@@ -53,6 +53,37 @@ def test_srp_lsh_topk_recall(spark, sf_dir):
     emb.unpersist()
 
 
+def test_blocked_pairwise_matches_broadcast_matmul(spark, sf_dir):
+    """pairwise_cosine_blocked (distributed tiles, no driver matrix)
+    must produce exactly the pairs of pairwise_cosine_matmul (broadcast
+    path) — same ids, same rounded cosines, both directions."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    bcast = sorted(
+        (r.left_id, r.right_id, r.cosine)
+        for r in similarity.pairwise_cosine_matmul(emb, threshold=30.0, scale=100.0).collect()
+    )
+    blocked = sorted(
+        (r.left_id, r.right_id, r.cosine)
+        for r in similarity.pairwise_cosine_blocked(
+            emb, threshold=30.0, scale=100.0, block_size=64
+        ).collect()
+    )
+    assert blocked == bcast and len(blocked) > 0
+    emb.unpersist()
+
+
+def test_blocked_pairwise_single_block_degenerate(spark, sf_dir):
+    """n_blocks=1 (everything in one diagonal tile) still honors the
+    left != right contract and emits each ordered pair exactly once."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(30)
+    rows = similarity.pairwise_cosine_blocked(
+        emb, threshold=-101.0, scale=100.0, n_blocks=1
+    ).collect()
+    pairs = [(r.left_id, r.right_id) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 30 * 29
+    assert all(l != r for l, r in pairs)
+
+
 def test_srp_buckets_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     b1 = sorted((r.id, r.table, r.bucket) for r in similarity.srp_buckets(emb, 64).collect())
