@@ -347,6 +347,146 @@ def pairwise_cosine_blocked(
     return tiles.mapInPandas(kernel, "left_id long, right_id long, cosine double")
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means over the embedding column, spherical variant
+    (cosine assignment) — the coarse quantizer for IVF search.
+
+    Distributed the way k-means should be on Spark: each Arrow batch
+    assigns its rows to the nearest centroid and emits ONE partial row
+    per cluster (count + sum-vector); the reduce side aggregates
+    O(batches x k) tiny rows, never the corpus. Centroids (k x dim,
+    driver-side numpy) are re-broadcast each iteration — the only data
+    that ever leaves the executors.
+
+    Init is deterministic: the ``n_clusters`` lowest-id vectors.
+
+    Returns (centroids: np.ndarray [k x dim], used_iters: int).
+    """
+    import numpy as np
+    import pandas as pd
+
+    init = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in init])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    base = embeddings.select(vec_col)
+
+    for it in range(max_iter):
+        bc = sc.broadcast(C)
+
+        def partials(batches):
+            Cn = bc.value
+            k, d = Cn.shape
+            for b in batches:
+                X = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                a = np.argmax(Xn @ Cn.T, axis=1)
+                rows = []
+                for c in np.unique(a):
+                    m = a == c
+                    rows.append((int(c), int(m.sum()), Xn[m].sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "vsum"])
+
+        part = base.mapInPandas(
+            partials, "cluster int, n long, vsum array<double>"
+        )
+        agg = (
+            part.select("cluster", "n", F.posexplode("vsum").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("n").alias("n"), F.sum("x").alias("sx"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = np.zeros(len(C))
+        for r in agg:
+            newC[r.cluster, r.pos] = r.sx
+            counts[r.cluster] = r.n  # same total repeated per pos
+        nz = counts > 0
+        newC[nz] = newC[nz] / np.linalg.norm(newC[nz], axis=1, keepdims=True)
+        newC[~nz] = C[~nz]  # empty cluster keeps its old centroid
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        bc.destroy()
+        if shift < 1e-6:
+            return C, it + 1
+    return C, max_iter
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): nearest-centroid (cosine) partition of the corpus
+    — the IVF inverted lists. At rest this is what you'd write
+    partitioned by ``cluster`` so probes prune file groups."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cn = bc.value
+        for b in batches:
+            X = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"id": b[id_col].to_numpy(), "cluster": np.argmax(Xn @ Cn.T, axis=1)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, "id long, cluster int"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec,
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids against the query on the driver
+    (k_clusters x dim — trivial), probe the ``nprobe`` nearest inverted
+    lists, exact-cosine re-rank only those candidates. Recall knob =
+    nprobe (probe all clusters => exact). The 100 TB shape: corpus
+    pre-assigned and stored partitioned by cluster, so each probe is a
+    partition-pruned scan, not a full pass."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(C @ qn))[:nprobe].tolist()
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    cand_ids = assigned.filter(F.col("cluster").isin(probes)).select("id")
+    cands = embeddings.join(
+        cand_ids, embeddings[id_col] == cand_ids.id, "left_semi"
+    )
+    score = F.round(cosine(F.col(vec_col), _vec_lit(q)), round_digits)
+    return (
+        cands.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.6):
     """Optional: pyspark.ml MinHashLSH approxSimilarityJoin over token
     count-vectors — the library alternative to operators.dedup's

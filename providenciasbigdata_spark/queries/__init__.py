@@ -23,6 +23,7 @@ from providenciasbigdata_spark.queries import (
     relational,
     sql_queries,
     streaming_queries,
+    timeseries,
 )
 
 
@@ -37,6 +38,7 @@ def all_queries():
         multimodal_queries,
         extended,
         graph_ext,
+        timeseries,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -296,6 +296,17 @@ def q_minhash_near_dups_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical k-means coarse quantizer (distributed Lloyd
+    with per-batch partial sums), probe the 4 nearest of 16 inverted
+    lists, exact re-rank. Rows-only: the quantizer is iterative
+    (recall pinned vs brute force in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    C, _ = similarity.kmeans_centroids(emb, n_clusters=16, max_iter=5)
+    return similarity.ivf_topk(emb, qvec, C, k=10, nprobe=4)
+
+
 def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_lsh_pairs(emb, dim=64, n_bits=14, tables=2)
@@ -323,6 +334,7 @@ QUERIES = {
     "dedup_near_survivors": (q_dedup_near_survivors, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
+    "ivf_ann_topk": (q_ivf_ann_topk, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),
 }

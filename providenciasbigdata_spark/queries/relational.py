@@ -442,8 +442,99 @@ GROUP BY p.purchase_id
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp fixture -> unit prices from
+    lineitem): for each part under 100, the supplier(s) whose minimum
+    unit price hits that part's global minimum. The correlated
+    'WHERE price = (SELECT MIN ...)' decorrelates into a per-part
+    min-agg joined back on (partkey, price) — both sides prune to the
+    same 100-part filter, and the min-agg side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    supp = load_table(spark, sf_dir, "supplier")
+    unit = F.round((F.col("l_extendedprice") / F.col("l_quantity")), 4)
+    offers = (
+        li.select("l_partkey", "l_suppkey", unit.alias("unit_price"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("best_offer"))
+    )
+    # part_min derives FROM offers — rename its columns so the
+    # self-referential join condition stays unambiguous (Spark resolves
+    # same-lineage refs to a trivially-true predicate otherwise)
+    part_min = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("best_offer").alias("min_price"))
+        .withColumnRenamed("l_partkey", "pm_partkey")
+    )
+    return (
+        offers.join(
+            F.broadcast(part_min),
+            (F.col("l_partkey") == F.col("pm_partkey"))
+            & (F.col("best_offer") == F.col("min_price")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("min_price"),
+        )
+    )
+
+
+_MIN_COST_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 4)) AS best_offer
+  FROM lineitem WHERE l_partkey < 100
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT o.l_partkey AS partkey, s.s_name AS supplier, o.best_offer AS min_price
+FROM offers o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+WHERE o.best_offer = (SELECT MIN(best_offer) FROM offers i
+                      WHERE i.l_partkey = o.l_partkey)
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, count + total balance of customers
+    with above-average positive balance and NO orders. Scalar avg
+    subquery (one-row broadcast cross join) + broadcast anti join on
+    the distinct order keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "avg_bal"
+        )
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(
+        orders.select("o_custkey").distinct(),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        _dec_sum(F.col("c_acctbal")).alias("total_balance"),
+    )
+
+
+_IDLE_RICH_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2)
+         AS total_balance
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),
+    "join_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
+    "agg_idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
     "join_shipping_priority": (q_join_shipping_priority, _JOIN_Q3_SQL),
     "join_region_nation_revenue": (q_join_region_nation_revenue, _JOIN_Q5_SQL),
     "join_semi": (

@@ -1,0 +1,159 @@
+"""Batch time-series analytics over the ``events`` table: gaps-and-
+islands sessionization, hierarchical time-bucket rollups (the
+"hypertable continuous aggregate" shape), and day-cohort retention.
+
+The reference has no time-series surface at all (its two pages are
+point-in-time lookups, streamlit_app.py:109-177); these are the batch
+twins of the Structured Streaming queries in streaming_queries.py —
+same event data, pure DataFrame plans, each DuckDB-oracle-checked.
+
+Scale notes: every query here is one window or one groupBy keyed on
+(user_id) or a time bucket — both high-cardinality, shuffle-friendly
+keys. Sessionization's window sort is per-user (no global sort);
+rollups are two-phase hash aggregates; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.io import load_table
+
+SESSION_GAP_S = 30 * 60  # same 30-min gap as streaming_queries sessions
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap to the user's previous event exceeds ``gap_s`` seconds.
+    session_no = running count of session starts per user (1-based),
+    so (user_id, session_no) is a stable session key.
+
+    Gap compare uses fractional epoch seconds (``ts.cast(double)``
+    keeps microseconds) — truncating to whole seconds would misfile
+    events that straddle the gap boundary within one second.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(float(gap_s))), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session summary: bounds, event count, total value."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sessionize(ev)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup per event type: (day, hour)
+    detail -> per-day subtotal -> per-type total, one pass via ROLLUP
+    grouping sets — the continuous-aggregate/"hypertable rollup" shape.
+    Finer buckets shuffle more groups, not more rows: partial
+    aggregation reduces each scan task to its local groups first."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), _TS_FMT).alias("hour"),
+        "value",
+    )
+    return ev.rollup("event_type", "day", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+_ROLLUP_HT_SQL = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY ROLLUP (event_type, day, hour)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention triangle: users grouped by first-seen day;
+    for each (cohort_day, day_offset) the count of distinct users from
+    that cohort active that many days later. Two shuffles: min-ts per
+    user (high-cardinality key), then the cohort-cell distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_ts")
+    )
+    joined = ev.join(first_seen, "user_id")
+    return (
+        joined.select(
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", "ts"), "cohort_ts")
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_ts
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.cohort_ts, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.cohort_ts, date_trunc('day', e.ts)) AS BIGINT)
+         AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
+    "rollup_hypertable": (q_rollup_hypertable, _ROLLUP_HT_SQL),
+    "cohort_retention": (q_cohort_retention, _COHORT_SQL),
+}

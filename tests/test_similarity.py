@@ -84,6 +84,36 @@ def test_blocked_pairwise_single_block_degenerate(spark, sf_dir):
     assert all(l != r for l, r in pairs)
 
 
+def test_kmeans_converges_and_partitions(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    C, iters = similarity.kmeans_centroids(emb, n_clusters=8, max_iter=10)
+    assert C.shape == (8, 64) and 1 <= iters <= 10
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)  # spherical
+    assigned = similarity.ivf_assign(emb, C)
+    n = emb.count()
+    assert assigned.count() == n
+    sizes = {r.cluster: r.n for r in assigned.groupBy("cluster").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == n and len(sizes) >= 2
+    emb.unpersist()
+
+
+def test_ivf_topk_recall_vs_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    brute = {r.vec_id for r in similarity.brute_force_topk(emb, qvec, k=10).collect()}
+    C, _ = similarity.kmeans_centroids(emb, n_clusters=16, max_iter=5)
+    ann = {r.vec_id for r in similarity.ivf_topk(emb, qvec, C, k=10, nprobe=4).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.6, f"IVF recall {recall} too low at nprobe=4/16"
+    # probing every list is exhaustive => exact
+    exact = {r.vec_id for r in similarity.ivf_topk(emb, qvec, C, k=10, nprobe=16).collect()}
+    assert exact == brute
+    emb.unpersist()
+
+
 def test_srp_buckets_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     b1 = sorted((r.id, r.table, r.bucket) for r in similarity.srp_buckets(emb, 64).collect())
