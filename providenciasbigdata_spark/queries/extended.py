@@ -253,8 +253,30 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey A
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-status fractions via sampleBy (seeded,
+    deterministic per partition layout), then per-stratum sampled
+    counts vs full counts. Rows-only check: no SQL engine reproduces
+    Spark's per-row Bernoulli draw; the pytest property pins the
+    sampled fraction within binomial tolerance instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    fractions = {"O": 0.1, "F": 0.5, "P": 1.0}
+    sampled = orders.sampleBy("o_orderstatus", fractions, seed=42)
+    full = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_total"))
+    samp = sampled.groupBy("o_orderstatus").agg(F.count("*").alias("n_sampled"))
+    return (
+        full.join(samp, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
 QUERIES = {
     "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
+    "sample_stratified": (q_stratified_sample, None),
     "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),
     "funnel_signup_purchase": (q_funnel, _FUNNEL_SQL),
     "array_agg_users": (q_array_agg_users, _ARRAY_AGG_SQL),

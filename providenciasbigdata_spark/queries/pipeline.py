@@ -296,6 +296,42 @@ def q_minhash_near_dups_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid norms + dispersion: element-wise
+    mean vector per label (posexplode -> two-phase avg per (label,
+    pos) -> re-assembled), plus how far the average member sits from
+    the unit sphere's center direction. The posexplode shuffles
+    n x dim skinny rows — at 100 TB swap in the per-batch partial-sum
+    pattern of operators.similarity.kmeans_centroids (same answer,
+    O(batches x dim) shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.count("*").alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+    )
+
+
+_LABEL_CENTROID_SQL = """
+WITH per_dim AS (
+  -- two unnests in one SELECT zip positionally in DuckDB
+  SELECT label,
+         unnest(range(array_length(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), dim_means AS (
+  SELECT label, pos, AVG(x) AS m FROM per_dim GROUP BY label, pos
+)
+SELECT label, COUNT(*) AS dim,
+       ROUND(SQRT(SUM(m * m)), 6) AS centroid_norm
+FROM dim_means GROUP BY label
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical k-means coarse quantizer (distributed Lloyd
     with per-batch partial sums), probe the 4 nearest of 16 inverted
@@ -334,6 +370,7 @@ QUERIES = {
     "dedup_near_survivors": (q_dedup_near_survivors, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
+    "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),

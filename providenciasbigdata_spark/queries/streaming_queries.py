@@ -10,6 +10,7 @@ watermarks, stateful ops) is exercised in tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from providenciasbigdata_spark import streaming
 from providenciasbigdata_spark.io import load_table
@@ -125,8 +126,30 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: events x customer
+    mktsegment (user_id keys into c_custkey on the fixtures)."""
+    profiles = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    return streaming.enrich_with_profile(
+        load_table(spark, sf_dir, "events"), profiles
+    )
+
+
+_ENRICH_SQL = """
+SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": (q_tumbling, _TUMBLING_SQL),
+    "stream_enrich_segments": (q_enrich_segments, _ENRICH_SQL),
     "stream_purchase_click_join": (q_purchase_click_join, _PURCHASE_CLICK_SQL),
     "stream_sliding_counts": (q_sliding, _SLIDING_SQL),
     "stream_session_windows": (q_sessions, _SESSIONS_SQL),

@@ -152,8 +152,40 @@ GROUP BY 1, 2
 """
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomalies: events whose value deviates
+    more than 3 population-stddevs from their type's mean. The
+    per-type stats are a tiny aggregate joined back broadcast — one
+    full scan, no window state. (The streaming twin keeps (mean, var)
+    as running state; same predicate.)"""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )
+
+
+_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+"""
+
+
 QUERIES = {
     "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
+    "anomaly_value_outliers": (q_value_outliers, _OUTLIERS_SQL),
     "rollup_hypertable": (q_rollup_hypertable, _ROLLUP_HT_SQL),
     "cohort_retention": (q_cohort_retention, _COHORT_SQL),
 }

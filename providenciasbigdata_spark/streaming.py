@@ -185,6 +185,29 @@ def purchase_then_click(
     )
 
 
+def enrich_with_profile(events: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Stream-static enrichment: left-join the (possibly streaming)
+    events against a STATIC profile dimension and aggregate value per
+    segment. In streaming mode the static side is re-planned per
+    micro-batch (so a reloaded dim table is picked up) and broadcast —
+    stream-static joins need no watermark because the static side holds
+    no state.
+
+    ``profiles``: (user_id, segment). Output: per-segment event count +
+    value sum ('unknown' for users outside the dim).
+    """
+    dim = F.broadcast(profiles.select("user_id", "segment"))
+    return (
+        events.join(dim, "user_id", "left")
+        .withColumn("segment", F.coalesce(F.col("segment"), F.lit("unknown")))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 # ---- custom stateful operator -------------------------------------------
 
 _RUNNING_STATE_SCHEMA = "n LONG, total DOUBLE"

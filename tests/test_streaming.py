@@ -55,6 +55,24 @@ def test_stream_matches_batch(spark, events_dir, fn, cols, output_mode):
     assert _as_rows(got, cols) == _as_rows(batch, cols)
 
 
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast join: streaming events x static profile
+    dim produces the batch answer (no watermark needed — static side
+    holds no state)."""
+    profiles = (
+        load_table(spark, SF, "customer")
+        .selectExpr("c_custkey AS user_id", "c_mktsegment AS segment")
+    )
+    cols = ["segment", "n_events", "sum_value"]
+    batch = streaming.enrich_with_profile(load_table(spark, SF, "events"), profiles)
+    stream = streaming.enrich_with_profile(
+        streaming.events_stream(spark, events_dir), profiles
+    )
+    assert stream.isStreaming
+    got = streaming.run_available_now(stream, "t_enrich", output_mode="complete")
+    assert _as_rows(got, cols) == _as_rows(batch, cols)
+
+
 def test_dedup_events_stream_drops_resent_ids(spark, events_dir):
     stream = streaming.dedup_events(streaming.events_stream(spark, events_dir))
     got = streaming.run_available_now(stream, "t_dedup", output_mode="append")
