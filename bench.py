@@ -42,6 +42,8 @@ HEADLINE = [
     "stream_session_windows",
     "skew_topk_per_supplier",
     "explode_top_tokens",
+    "sessionize_events",
+    "rollup_hypertable",
 ]
 
 
@@ -62,12 +64,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min of 2 runs per query: single-run numbers swing ~30% on the
+    # shuffle-heavy queries (JIT/GC timing); the min is the stable
+    # "plan cost" signal the per-round comparison needs.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)

@@ -130,6 +130,53 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(grams)
 
 
+def chunk_count(tokens: Column, chunk_size: int, stride: int) -> Column:
+    """Number of overlapping token windows covering the array:
+    1 window if it fits in ``chunk_size``, else enough stride steps to
+    cover the tail; 0 for an empty array. Kept as a standalone expr so
+    the DuckDB oracle can mirror the exact integer formula."""
+    n = F.size(tokens)
+    extra = F.floor((n - chunk_size + stride - 1) / F.lit(stride)).cast("long")
+    return (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_size, F.lit(1))
+        .otherwise(extra + 1)
+        .cast("long")
+    )
+
+
+def chunk_spans(tokens: Column, chunk_size: int = 100, overlap: int = 20) -> Column:
+    """Overlapping token-window chunks — the LLM-training-data chunker.
+    Returns array<struct<chunk_id:long, chunk_text:string,
+    n_tokens:int>>; stride = chunk_size - overlap. All JVM expressions:
+    sequence -> transform(slice + array_join); explode downstream.
+
+    IMPORTANT: pass a *bound column* (select the tokenized array into a
+    named column first), not the raw ``tokenize(text)`` expression — a
+    captured outer EXPRESSION is re-evaluated per lambda element
+    (re-tokenizing the doc once per chunk), while a captured attribute
+    is just a row-value read. See shingles() for the same pitfall.
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_size")
+    ids = F.sequence(F.lit(0), chunk_count(tokens, chunk_size, stride) - 1)
+    return F.when(F.size(tokens) <= 0, F.array().cast(
+        "array<struct<chunk_id:long,chunk_text:string,n_tokens:int>>"
+    )).otherwise(
+        F.transform(
+            ids,
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(tokens, i * stride + 1, chunk_size), " "
+                ).alias("chunk_text"),
+                F.size(F.slice(tokens, i * stride + 1, chunk_size)).alias("n_tokens"),
+            ),
+        )
+    )
+
+
 def rolling_hashes(tokens: Column, window: int = 5) -> Column:
     """Winnowing-style rolling fingerprint: xxhash64 of each
     ``window``-gram. Downstream picks minima per band (see

@@ -18,6 +18,7 @@ from providenciasbigdata_spark.functions.text import (
     LANG_STOPWORDS,
     bpe_ish_token_count,
     char_classes,
+    chunk_spans,
     content_fingerprint,
     lang_id,
     quality_score,
@@ -259,6 +260,87 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training chunker: 64-token windows, 16-token overlap
+    (stride 48). The token array is bound to a named column BEFORE the
+    chunk transform so the HOF lambda reads a row value instead of
+    re-tokenizing per chunk (functions.text.chunk_spans pitfall note).
+    One scan -> explode; no shuffle at all until a downstream consumer
+    asks for one."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    chunks = toks.select(
+        "doc_id", F.explode(chunk_spans(F.col("toks"), chunk_size=64, overlap=16)).alias("c")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(t[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text,
+       CAST(len(t[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens
+FROM sized,
+     UNNEST(range(CASE WHEN n <= 64 THEN 1
+                       ELSE CAST(floor((n - 64 + 47) / 48.0) AS BIGINT) + 1
+                  END)) AS u(i)
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF for the first 20 docs: tf = term count / doc
+    length, idf = ln(N / doc-frequency). Document frequency and N come
+    from the FULL corpus (two tiny aggregates broadcast back); only
+    the projection is filtered — the realistic shape where per-doc
+    scoring needs corpus-level statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(doclen, "doc_id")
+        .join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+    )
+    tfidf = (F.col("cnt") / F.col("doc_len")) * F.log(F.col("n_docs") / F.col("doc_freq"))
+    return scored.select(
+        "doc_id", "token", F.round(tfidf, 6).alias("tfidf")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY doc_id
+), dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+)
+SELECT tf.doc_id, tf.token,
+       ROUND((tf.cnt / doclen.doc_len) * ln((SELECT COUNT(*) FROM documents)
+                                            / dfreq.doc_freq), 6) AS tfidf
+FROM tf
+JOIN doclen USING (doc_id)
+JOIN dfreq USING (token)
+WHERE tf.doc_id < 20
+"""
+
+
 # ---- approximate families (rows-only; property-tested in pytest) -------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,6 +440,8 @@ QUERIES = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "text_lang_id": (q_text_lang_id, _lang_id_sql()),
+    "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
+    "text_tfidf": (q_tfidf_top_terms, _TFIDF_SQL),
     "curate_pipeline": (q_curate, _curate_sql()),
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
     "dedup_exact_survivors": (q_dedup_exact_survivors, _DEDUP_EXACT_SQL),

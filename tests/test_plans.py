@@ -91,3 +91,33 @@ def test_text_search_is_scan_plus_predicate(spark, reg):
 def test_asof_join_no_cartesian(spark, reg):
     plan = plan_of(_run(reg, "asof_last_purchase", spark))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sessionize_single_exchange(spark, reg):
+    """HashPartitioning(user_id) from the window sort satisfies the
+    downstream groupBy(user_id, session_no) ClusteredDistribution —
+    one shuffle end-to-end, the property that makes sessionization a
+    single-pass operator at 100 TB."""
+    plan = plan_of(_run(reg, "sessionize_events", spark), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_min_cost_supplier_broadcasts(spark, reg):
+    plan = plan_of(_run(reg, "join_min_cost_supplier", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the partkey filter must reach both lineitem scans
+    assert "LessThan(l_partkey,100)" in plan, plan
+
+
+def test_enrichment_is_broadcast_no_shuffle_join(spark, reg):
+    plan = plan_of(_run(reg, "stream_enrich_segments", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rollup_two_phase(spark, reg):
+    # grouping-set expansion still aggregates partially before the
+    # exchange (Expand -> partial HashAggregate -> shuffle -> final)
+    plan = plan_of(_run(reg, "rollup_hypertable", spark))
+    assert "Expand" in plan and plan.count("HashAggregate") >= 2, plan

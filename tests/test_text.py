@@ -73,3 +73,39 @@ def test_shingles_and_rolling_hashes(spark):
     # shorter than n => empty
     short = _one(spark, "a").select(tx.shingles(tx.tokenize(F.col("text")), 3).alias("sh")).first()
     assert short.sh == []
+
+
+def test_chunk_spans_cover_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(25))
+    df = _one(spark, words).select(tx.tokenize(F.col("text")).alias("toks"))
+    chunks = df.select(
+        tx.chunk_spans(F.col("toks"), chunk_size=10, overlap=4).alias("c")
+    ).first().c
+    # 25 tokens, stride 6: chunks start at 0,6,12,18 -> 4 chunks
+    assert [c.chunk_id for c in chunks] == [0, 1, 2, 3]
+    assert chunks[0].chunk_text.split() == [f"w{i}" for i in range(10)]
+    # consecutive chunks share exactly `overlap` tokens
+    assert chunks[0].chunk_text.split()[-4:] == chunks[1].chunk_text.split()[:4]
+    # tail chunk is short but non-empty and ends at the last token
+    assert chunks[-1].n_tokens == 7 and chunks[-1].chunk_text.split()[-1] == "w24"
+    # union of chunks covers every token
+    covered = {w for c in chunks for w in c.chunk_text.split()}
+    assert covered == {f"w{i}" for i in range(25)}
+
+
+def test_chunk_spans_degenerate(spark):
+    # doc shorter than one chunk -> exactly one chunk, itself
+    short = _one(spark, "a b c").select(
+        tx.chunk_spans(tx.tokenize(F.col("text")), 10, 2).alias("c")
+    ).first().c
+    assert len(short) == 1 and short[0].chunk_text == "a b c"
+    # empty doc -> no chunks
+    empty = _one(spark, "").select(
+        tx.chunk_spans(tx.tokenize(F.col("text")), 10, 2).alias("c")
+    ).first().c
+    assert empty == []
+    # exact multiple: 12 tokens, size 6, overlap 0 -> 2 full chunks
+    exact = _one(spark, " ".join(f"t{i}" for i in range(12))).select(
+        tx.chunk_spans(tx.tokenize(F.col("text")), 6, 0).alias("c")
+    ).first().c
+    assert [c.n_tokens for c in exact] == [6, 6]
