@@ -1,0 +1,87 @@
+"""End-to-end LLM training-data curation pipeline on this engine.
+
+The north-star flow (SURVEY.md §2.5): raw documents -> language ID ->
+quality gate -> exact dedup -> fuzzy (MinHash-LSH) dedup -> chunking,
+with embedding-side near-dup pruning and an IVF ANN probe — each stage
+a lazy DataFrame transformation, materialized once at the end. Usage:
+
+    python examples/training_pipeline_flow.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.text import (
+    chunk_spans,
+    lang_id,
+    quality_score,
+    tokenize,
+)
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators import dedup, similarity
+from providenciasbigdata_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="training-pipeline", master="local[4]", shuffle_partitions=4)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"[0] raw corpus: {n0} docs")
+
+    # -- 1. language ID + quality gate (pure Catalyst expressions) --------
+    scored = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("toks")
+    ).select(
+        "doc_id", "text", "toks",
+        lang_id(F.col("toks")).alias("lang"),
+        quality_score(F.col("text"), F.col("toks")).alias("quality"),
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    n1 = kept.count()
+    print(f"[1] lang=en & quality>=0.5: {n1} docs")
+
+    # -- 2. exact dedup (content fingerprint, min-id survivor) ------------
+    exact = dedup.dedup_exact(kept.select("doc_id", "text"))
+    n2 = exact.count()
+    print(f"[2] exact dedup: {n2} docs ({n1 - n2} dropped)")
+
+    # -- 3. fuzzy dedup: MinHash LSH -> verify -> transitive clusters -----
+    fuzzy = dedup.dedup_near(exact, threshold=0.5)
+    n3 = fuzzy.count()
+    print(f"[3] fuzzy dedup (jaccard>=0.5 clusters): {n3} docs ({n2 - n3} dropped)")
+
+    # -- 4. chunking: 64-token windows, 16 overlap ------------------------
+    chunks = (
+        fuzzy.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(chunk_spans(F.col("toks"), 64, 16)).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_tokens")
+    )
+    stats = chunks.agg(
+        F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_tokens")
+    ).first()
+    print(f"[4] chunked: {stats.n_chunks} chunks, {stats.n_tokens} tokens")
+
+    # -- 5. embedding near-dup pruning + IVF ANN probe --------------------
+    emb = load_table(spark, sf_dir, "embeddings")
+    near = similarity.pairwise_cosine_blocked(emb, threshold=0.95, block_size=512)
+    print(f"[5] embedding near-dup pairs (cos>=0.95): {near.count()}")
+
+    centroids, iters = similarity.kmeans_centroids(emb, n_clusters=8, max_iter=5)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    top = similarity.ivf_topk(emb, qvec, centroids, k=5, nprobe=2).collect()
+    print(f"[5] IVF (k-means {iters} iters) top-5 for vec 0: "
+          f"{[(r.vec_id, round(r.score, 4)) for r in top]}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""User-defined table / aggregate function surface (SURVEY.md §2.4
+"UDF/UDAF/UDTF" row — absent in the reference, which has no computed
+expressions at all, streamlit_app.py:137-148).
+
+Engine policy: built-in expressions first, Arrow-batched Pandas
+UDFs second, row-at-a-time Python never in a hot path. These two are
+the sanctioned escape hatches for shapes Catalyst can't express:
+
+- ``SplitSentences``: a Python UDTF (one row in -> N rows out with
+  stateful per-row logic) — sentence segmentation with a lookbehind
+  regex Spark's ``split`` can't do (and RE2-based engines can't either,
+  so the registry query is rows-only).
+- ``geo_mean``: a grouped-agg Pandas UDF (Arrow-vectorized UDAF).
+  Expressible as exp(avg(ln x)) in SQL — which is exactly what the
+  DuckDB oracle runs against it, making this the oracle-checked proof
+  the UDAF path computes what it claims.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+
+import pandas as pd  # module-level: pandas_udf resolves the stringized
+                     # 'pd.Series' hints (future-annotations) via module globals
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+_SENTENCE_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+class _SplitSentences:
+    """Lateral sentence splitter: yields (sentence_id, sentence,
+    n_chars) per input document. Runs once per input row on the
+    executor — linear, no state across rows."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract method
+        if not text:
+            return
+        for i, s in enumerate(_SENTENCE_RE.split(text.strip())):
+            s = s.strip()
+            if s:
+                yield i, s, len(s)
+
+
+# return-type DDL strings parse against the ACTIVE session, so the
+# udtf()/pandas_udf() wrappers must build lazily, not at import time
+@functools.lru_cache(maxsize=1)
+def sentences_udtf():
+    return udtf(_SplitSentences, returnType="sentence_id: int, sentence: string, sentence_chars: int")
+
+
+@functools.lru_cache(maxsize=1)
+def geo_mean_udaf():
+    """Grouped-agg geometric mean (Arrow-batched UDAF). Caller must
+    pre-filter to positive values; NaN/None are dropped like built-in
+    aggregates drop nulls."""
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        x = v.dropna()
+        x = x[x > 0]
+        if len(x) == 0:
+            return float("nan")
+        return float(np.exp(np.log(x.to_numpy(dtype="float64")).mean()))
+
+    return geo_mean
+
+
+def split_sentences(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Lateral-join the UDTF against a document frame: one output row
+    per sentence, document columns carried through."""
+    return df.lateralJoin(
+        sentences_udtf()(F.col(text_col).outer())
+    ).select(id_col, "sentence_id", "sentence", "sentence_chars")

@@ -274,9 +274,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via lateralJoin: per-document sentence rows.
+    Rows-only: the sentence boundary is a lookbehind regex that
+    RE2-based SQL engines can't run; semantics are pinned on synthetic
+    text in tests/test_udx.py."""
+    from providenciasbigdata_spark.functions.udx import split_sentences
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return split_sentences(docs)
+
+
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched grouped-agg pandas UDF (UDAF surface): geometric
+    mean of positive event values per type — oracle = exp(avg(ln x)),
+    proving the vectorized Python path computes what SQL says."""
+    from providenciasbigdata_spark.functions.udx import geo_mean_udaf
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # NB: a grouped-agg pandas UDF cannot share an agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — keep it solo
+    return ev.groupBy("event_type").agg(
+        F.round(geo_mean_udaf()(F.col("value")), 6).alias("geo_mean_value"),
+    )
+
+
+_UDAF_GEOMEAN_SQL = """
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))), 6) AS geo_mean_value
+FROM events WHERE value > 0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
     "sample_stratified": (q_stratified_sample, None),
+    "udtf_split_sentences": (q_udtf_sentences, None),
+    "udaf_geomean": (q_udaf_geomean, _UDAF_GEOMEAN_SQL),
     "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),
     "funnel_signup_purchase": (q_funnel, _FUNNEL_SQL),
     "array_agg_users": (q_array_agg_users, _ARRAY_AGG_SQL),
