@@ -210,7 +210,12 @@ def minhash_near_dups(
     sets = shingle_sets(df, id_col, text_col, ngram)
     if cache_sets:
         sets = sets.persist()
-    sigs = _signature_from_sets(sets, k=bands * rows_per_band)
+    # ALWAYS persist signatures: they are tiny (docs x k longs) and the
+    # LSH banding self-joins them — without the cache both join sides
+    # re-run the whole tokenize->shingle->hash pipeline, i.e. two full
+    # corpus scans at 100 TB. (Contrast cache_sets above: the shingle
+    # sets are corpus-sized, so caching THEM usually loses.)
+    sigs = _signature_from_sets(sets, k=bands * rows_per_band).persist()
     cands = minhash_lsh_pairs(sigs, bands, rows_per_band)
     joined = (
         cands.join(sets.withColumnRenamed("id", "left_id").withColumnRenamed("__set", "set_a"), "left_id")

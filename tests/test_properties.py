@@ -1,0 +1,83 @@
+"""Hypothesis property tests for the text pipeline primitives.
+
+Each example round-trips one generated document through Spark (1-row
+DataFrame), so examples are capped low — the point is adversarial
+inputs (unicode, punctuation runs, huge/empty tokens), not volume.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions import text as tx
+
+# printable-ish text with unicode letters, digits, punctuation, spaces
+_TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"), max_codepoint=0x2FF
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_TEXT)
+def test_tokenize_contract(spark, s):
+    """Tokens are lowercase, non-empty, \\w+-only, accent-folded."""
+    row = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(tx.tokenize(F.col("text")).alias("t"))
+        .first()
+    )
+    for tok in row.t:
+        assert tok and tok == tok.lower()
+        assert re.fullmatch(r"\w+", tok), tok
+
+
+@settings(max_examples=15, deadline=None)
+@given(_TEXT, st.integers(2, 12), st.integers(0, 6))
+def test_chunk_spans_properties(spark, s, chunk_size, overlap):
+    """For ANY text and any valid (chunk_size, overlap): chunk ids are
+    dense from 0, every chunk has 1..chunk_size tokens, consecutive
+    chunks overlap by exactly `overlap` (except a shorter tail), and
+    concatenating chunks at stride offsets reconstructs the tokens."""
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    stride = chunk_size - overlap
+    row = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(tx.tokenize(F.col("text")).alias("toks"))
+        .select(
+            "toks", tx.chunk_spans(F.col("toks"), chunk_size, overlap).alias("c")
+        )
+        .first()
+    )
+    toks, chunks = row.toks, row.c
+    if not toks:
+        assert chunks == []
+        return
+    assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+    rebuilt = []
+    for c in chunks:
+        words = c.chunk_text.split(" ") if c.chunk_text else []
+        assert 1 <= c.n_tokens <= chunk_size and len(words) == c.n_tokens
+        assert words == toks[c.chunk_id * stride : c.chunk_id * stride + c.n_tokens]
+        rebuilt = rebuilt[: c.chunk_id * stride] + words
+    assert rebuilt == toks  # full coverage, no gaps
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=6), max_size=30))
+def test_shingles_count(spark, words):
+    """len(shingles(tokens, n)) == max(0, len(tokens) - n + 1)."""
+    s = " ".join(words)
+    row = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(tx.tokenize(F.col("text")).alias("t"))
+        .select(F.size("t").alias("n"), tx.shingles(F.col("t"), 3).alias("sh"))
+        .first()
+    )
+    assert len(row.sh) == max(0, row.n - 2)
