@@ -81,3 +81,43 @@ def test_binary_file_source(spark, tmp_path_factory):
     rows = {r.path.rsplit("/", 1)[-1]: r.content for r in df.collect()}
     assert rows["a.bin"] == b"\x00\x01payload-a"
     assert len(rows["b.bin"]) == 90
+
+
+def _plan(df):
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path_factory):
+    """Year-partitioned fact + broadcast dim: a statically-derivable
+    dim filter folds into a literal PartitionFilter; a filter only
+    computable at run time (aggregate threshold) injects a
+    dynamicpruning subquery — the two mechanisms that turn the A6 year
+    facet and dim-filtered fact joins into partition-pruned scans at
+    100 TB."""
+    path = str(tmp_path_factory.mktemp("orders_by_year"))
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+
+    # static: constant-foldable dim filter becomes a literal partition filter
+    dim_static = (
+        orders.select(F.year("o_orderdate").alias("y")).distinct().filter(F.col("y") == 1995)
+    )
+    plan = _plan(fact.join(F.broadcast(dim_static), fact.o_year == F.col("y")))
+    assert "PartitionFilters: [(o_year" in plan.replace("#", " #").replace("  ", " ") or (
+        "(o_year" in plan and "= 1995)" in plan
+    ), plan
+
+    # dynamic: runtime-only dim filter -> dynamicpruning subquery on the scan
+    dim_dynamic = (
+        orders.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .filter(F.col("rev") > 0)
+    )
+    plan = _plan(fact.join(F.broadcast(dim_dynamic), fact.o_year == F.col("y")))
+    assert "dynamicpruning" in plan.lower(), plan
