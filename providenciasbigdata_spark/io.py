@@ -87,3 +87,38 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of (many, small)
+    files into ceil(total_bytes / target) files of ~target size — the
+    maintenance pass every long-running ingest needs (streaming sinks
+    and over-parallel writers fragment; a 100 TB table in 1 MB files
+    spends more time opening footers than scanning).
+
+    Uses coalesce (narrow — no shuffle: target count is always <= the
+    scan's partition count for a fragmented input); row ordering within
+    files is not preserved. Returns the output file count.
+    """
+    import math
+
+    df = spark.read.format(fmt).load(src_path)
+    n_files = max(1, math.ceil(_dir_bytes(src_path) / target_file_bytes))
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(dst_path)
+    return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    """Recursive on-disk byte count (local filesystem paths)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total

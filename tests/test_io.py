@@ -121,3 +121,20 @@ def test_partition_pruning_static_and_dynamic(spark, tmp_path_factory):
     )
     plan = _plan(fact.join(F.broadcast(dim_dynamic), fact.o_year == F.col("y")))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_compact_small_files(spark, tmp_path_factory):
+    from providenciasbigdata_spark.io import compact_small_files
+
+    src = str(tmp_path_factory.mktemp("fragmented"))
+    dst = str(tmp_path_factory.mktemp("compacted"))
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(src)  # ~64 tiny files
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) >= 32
+
+    n = compact_small_files(spark, src, dst, target_file_bytes=512 * 1024)
+    out_files = glob.glob(f"{dst}/*.parquet")
+    assert len(out_files) == n < 32
+    # lossless: same rows
+    assert spark.read.parquet(dst).count() == orders.count()
