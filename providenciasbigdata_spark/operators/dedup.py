@@ -201,23 +201,23 @@ def minhash_near_dups(
     bands: int = 16,
     rows_per_band: int = 4,
     ngram: int = 3,
-    cache_sets: bool = False,
+    cache_sets: bool = True,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures -> LSH candidates ->
     exact-Jaccard verify on candidates only (precision 1.0; see
     ``minhash_near_dups_estimated`` for the verify-free variant).
 
-    The shingle sets feed three plan branches (signatures + both verify
-    sides). Measured verdict (sf0.1, 5k docs): RECOMPUTING them per
-    branch is ~6x faster than ``persist()`` — tokenize+shingle is flat
-    codegen'd expressions, while caching serializes every set array
-    into block storage and reads it back. ``cache_sets=True`` only pays
-    when upstream text is expensive to reproduce (e.g. decompressed /
-    UDF-derived), not for plain parquet scans.
-
     Sets are pre-hashed to longs (shingle_hash_sets): Jaccard is
     preserved modulo 64-bit collisions and every shuffle/intersect
     moves 8-byte elements instead of strings.
+
+    The shingle sets feed three plan branches (signatures + both verify
+    sides); ``cache_sets`` persists them so tokenize/shingle/hash runs
+    once. Measured verdict (sf0.1, 5k docs): caching LONG sets wins ~2x
+    (they serialize cheaply), while caching the earlier STRING sets
+    LOST ~6x to recompute — whether a cache pays depends on element
+    width, not just recompute cost. At 100 TB the cache spills to
+    executor-local disk; disable to trade recompute for storage.
 
     Output: (left_id, right_id, jaccard >= threshold).
     """
