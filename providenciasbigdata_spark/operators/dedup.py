@@ -142,12 +142,16 @@ def _signature_from_sets(sets: DataFrame, k: int) -> DataFrame:
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64, ngram: int = 3
 ) -> DataFrame:
-    """MinHash signatures over word shingles (see _signature_from_sets).
+    """MinHash signatures over hashed word shingles (see
+    _signature_from_sets). Always derives from ``shingle_hash_sets`` so
+    every signature in the module — batch pipelines and the incremental
+    corpus index — comes from ONE hash family; signatures from
+    different families estimate garbage agreement.
 
     Output: (id, sig: array<long> length k). Docs with no shingles
     (fewer than ``ngram`` tokens) produce no row.
     """
-    return _signature_from_sets(shingle_sets(df, id_col, text_col, ngram), k)
+    return _signature_from_sets(shingle_hash_sets(df, id_col, text_col, ngram), k)
 
 
 def minhash_lsh_pairs(
@@ -410,6 +414,99 @@ def dedup_near(
     clusters = near_dup_clusters(pairs, id_col=id_col)
     losers = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+# ---- incremental (new batch vs historical index) ------------------------
+
+def dedup_exact_incremental(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup of an incoming batch against a historical fingerprint
+    index (one ``content_hash`` column): keeps rows whose normalized
+    content was never seen. The production ingest shape — the history
+    is a hash INDEX (16 bytes/doc), never the corpus itself; the
+    anti-join shuffles only the small batch when the index is
+    bucket/partitioned on content_hash.
+
+    Intra-batch duplicates are also collapsed (min-id survivor) so the
+    output can append straight into the index.
+    """
+    batch = dedup_exact(new_df, text_col=text_col, id_col=new_df.columns[0])
+    h = content_fingerprint(F.col(text_col)).alias("content_hash")
+    hashed = batch.select(h, *batch.columns)
+    return (
+        hashed.join(seen_hashes.select("content_hash"), "content_hash", "left_anti")
+        .drop("content_hash")
+    )
+
+
+def minhash_near_dups_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-dup pairs between an incoming batch and a PRE-BUILT corpus
+    signature index (from ``minhash_signature``, stored once — at 100TB
+    that is docs x 64 longs, ~0.5% of the text). Bands the small batch,
+    equi-joins it against the banded index: shuffle O(batch x bands)
+    on the batch side; the index's banding is a map-side projection of
+    a stored table, re-usable across batches if written bucketed on
+    (band_id, band_hash).
+
+    Jaccard is estimated from signature agreement (the corpus text is
+    not assumed readable here). Output: (left_id=batch, right_id=corpus,
+    jaccard_est) — NO self-pairs within the batch; run minhash_near_dups
+    on the batch separately for those.
+    """
+    k = bands * rows_per_band
+    new_sigs = _signature_from_sets(
+        shingle_hash_sets(new_df, id_col, text_col, ngram), k
+    )
+
+    def banded(sigs):
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.xxhash64(
+                                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("id", "sig", "band.band_id", "band.band_hash")
+
+    a = banded(new_sigs).alias("a")
+    b = banded(corpus_sigs).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.id").alias("left_id"),
+            F.col("b.id").alias("right_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    est = F.round(matches.cast("double") / F.lit(float(k)), 6)
+    return cands.select("left_id", "right_id", est.alias("jaccard_est"))
 
 
 # ---- embedding cosine ---------------------------------------------------

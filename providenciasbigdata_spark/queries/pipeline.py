@@ -357,6 +357,50 @@ def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-shape exact dedup: batch (doc 200-299) vs the hash index
+    of history (doc 0-249); 50 ids overlap and must drop."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(content_fingerprint(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    batch = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    return dedup.dedup_exact_incremental(batch, index).select("doc_id")
+
+
+_DEDUP_INCR_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(strip_accents(lower(text))),
+                                    '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+), index_hashes AS (
+  SELECT DISTINCT content_hash FROM fp WHERE doc_id < 250
+), batch AS (
+  -- intra-batch min-id survivor per hash, then anti-join the index
+  SELECT doc_id, content_hash,
+         ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM fp WHERE doc_id >= 200 AND doc_id < 300
+)
+SELECT doc_id FROM batch b
+WHERE rn = 1 AND NOT EXISTS (
+  SELECT 1 FROM index_hashes i WHERE i.content_hash = b.content_hash
+)
+"""
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch near-dups against a prebuilt corpus signature index
+    (rows-only: signature-agreement estimate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = dedup.minhash_signature(docs.filter(F.col("doc_id") < 250))
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return dedup.minhash_near_dups_incremental(batch, index).filter(
+        F.col("jaccard_est") >= 0.4
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -452,6 +496,8 @@ QUERIES = {
     "minhash_near_dups": (q_minhash_near_dups, None),
     "minhash_near_dups_est": (q_minhash_near_dups_est, None),
     "dedup_near_survivors": (q_dedup_near_survivors, None),
+    "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
+    "minhash_incremental": (q_minhash_incremental, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),

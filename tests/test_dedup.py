@@ -98,6 +98,46 @@ def test_simhash_near_dups_finds_injected(spark, sf_dir):
     assert hits >= 10  # most injected near-dups found
 
 
+def test_dedup_exact_incremental(spark, sf_dir):
+    """Batch-vs-index: rows already in the historical hash index are
+    dropped; fresh rows (and one intra-batch dup collapse) survive."""
+    from providenciasbigdata_spark.functions.text import content_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < 20)
+    index = history.select(
+        content_fingerprint(F.col("text")).alias("content_hash")
+    ).distinct()
+    batch = (
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 40))  # 10 overlap
+        .union(
+            docs.filter(F.col("doc_id") == 30).select(
+                (F.col("doc_id") + 9000).alias("doc_id"), "text"  # intra-batch dup
+            )
+        )
+    )
+    out = dedup.dedup_exact_incremental(batch, index)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == set(range(20, 40)), ids  # overlap dropped, dup collapsed
+
+
+def test_minhash_incremental_finds_cross_corpus_pairs(spark, sf_dir):
+    """A batch containing near-copies of indexed corpus docs must pair
+    with them at high estimated Jaccard; unrelated docs must not."""
+    corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    index = dedup.minhash_signature(corpus)
+    batch = corpus.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    pairs = dedup.minhash_near_dups_incremental(batch, index).filter(
+        F.col("jaccard_est") >= 0.5
+    )
+    got = {(r.left_id, r.right_id) for r in pairs.collect()}
+    hits = sum(1 for (l, r) in got if l == r + 5000)
+    assert hits >= 8, f"only {hits}/10 near-copies matched their source: {got}"
+
+
 def test_embedding_near_dups_threshold(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = dedup.embedding_near_dups(emb, threshold=0.25, left_filter=lambda c: c < 20)
