@@ -311,8 +311,13 @@ def pairwise_cosine_blocked(
     )
     a = blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
     b = blocks.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b"))
+    # one tile per partition up to a cap — an uncapped tile count is
+    # quadratic in corpus size (24k blocks -> 300M partitions; the
+    # scheduler, not the data, becomes the bottleneck). Above the cap
+    # each task just processes several tiles sequentially.
+    n_tiles = max(n_blocks * (n_blocks + 1) // 2, 1)
     tiles = a.join(b, F.col("bid_a") <= F.col("bid_b")).repartition(
-        max(n_blocks * (n_blocks + 1) // 2, 1), "bid_a", "bid_b"
+        min(n_tiles, 16384), "bid_a", "bid_b"
     )
 
     def kernel(batches):
