@@ -304,23 +304,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
         import numpy as np
 
+        shifts = np.arange(64, dtype=np.uint64)
+        powers = (np.uint64(1) << shifts).astype(np.uint64)
+        # batch-level token-hash cache: shared vocabulary across docs
+        # means most tokens hash once per Arrow batch, not once per doc
+        hcache: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            h = hcache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                hcache[tok] = h
+            return h
+
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = [x for x in re.split(r"\W+", (t or "").lower()) if x]
+            toks = {x for x in re.split(r"\W+", (t or "").lower()) if x}
             if not toks:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in set(toks):
-                h = np.uint64(
-                    int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sh = np.uint64(0)
-            for j in range(64):
-                if acc[j] > 0:
-                    sh |= np.uint64(1) << np.uint64(j)
+            hs = np.array([th(tok) for tok in toks], dtype=np.uint64)
+            # (T, 64) bit matrix in one vectorized shot; majority vote
+            # per bit = 2*popcount - T > 0
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            ones = bits.sum(axis=0, dtype=np.int64)
+            sh = powers[2 * ones > len(hs)].sum(dtype=np.uint64)
             out[i] = np.int64(sh.astype(np.int64))
         return pd.Series(out)
 
