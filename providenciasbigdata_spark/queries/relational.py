@@ -531,10 +531,132 @@ GROUP BY c_nationkey
 """
 
 
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: yearly trade volume between two nation pairs —
+    supplier nation x customer nation x ship-year. A 4-way join where
+    every dimension (nation twice, supplier, customer) broadcasts and
+    the two fact tables (lineitem, orders) join on orderkey; the
+    nation-pair filter prunes before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(_dec_sum(F.col("volume")).alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three composite
+    (brand, size, quantity) predicates. One fact-dim join; the
+    disjunction stays a single scan-level filter — Catalyst pushes the
+    common l_quantity bounds and evaluates the OR post-scan without
+    multiplying scans (no UNION rewrite)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    p = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(10, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#25") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(p).agg(
+        _dec_sum(revenue).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+_Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15
+       AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value analytic functions: each customer's first
+    and most recent order price by date (full-partition frame so
+    last_value sees the real last row, not the running current row)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),
     "join_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
     "agg_idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
+    "join_nation_volume": (q_nation_volume_shipping, _Q7_SQL),
+    "agg_disjunctive_predicates": (q_disjunctive_predicates, _Q19_SQL),
+    "window_first_last_order": (q_first_last_order, _FIRST_LAST_SQL),
     "join_shipping_priority": (q_join_shipping_priority, _JOIN_Q3_SQL),
     "join_region_nation_revenue": (q_join_region_nation_revenue, _JOIN_Q5_SQL),
     "join_semi": (
