@@ -76,6 +76,51 @@ def connected_components(
     return out
 
 
+def bfs_distances(
+    edges: DataFrame,
+    anchor,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """Hop distances from one anchor node — frontier-expansion BFS.
+    Generalizes the reference's 1-hop page (streamlit_app.py:60-64) and
+    our 2-hop query to arbitrary depth without the O(edges^k) blowup of
+    chained joins: each iteration joins only the CURRENT FRONTIER
+    against the edge list (frontier sizes are graph-width-bounded) and
+    anti-joins the visited set, so every node is expanded once.
+
+    Output: (id, hops) for every node reachable within ``max_hops``
+    (anchor included at 0).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = symmetrize(edges, src, dst)
+    e = e.persist()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(anchor, 0)], "id string, hops int")
+    # fixture node ids are strings ("P-7"); cast to match arbitrary types
+    visited = visited.withColumn("id", F.col("id").cast(e.schema["u"].dataType))
+    frontier = visited.select("id")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)  # truncate lineage per level
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt)
+        frontier = nxt.select("id")
+    out = visited.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

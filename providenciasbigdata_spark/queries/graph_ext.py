@@ -121,6 +121,18 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from P-7 over the similitud>=30 graph (bounded to
+    150 vectors), frontier BFS — the arbitrary-depth generalization of
+    the reference's 1-hop page. Rows-only (iterative); exactness pinned
+    on known chains in tests/test_graph_algos.py."""
+    from providenciasbigdata_spark.operators.graph_algos import bfs_distances
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return bfs_distances(edges, "P-7", max_hops=4)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from providenciasbigdata_spark.operators.graph_algos import pagerank
 
@@ -150,5 +162,6 @@ QUERIES = {
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),
     "graph_degree_histogram_blocked": (q_degree_histogram_blocked, _DEGREE_SQL),
     "graph_connected_components": (q_connected_components, None),
+    "graph_bfs_distances": (q_bfs_distances, None),
     "graph_pagerank": (q_pagerank, None),
 }

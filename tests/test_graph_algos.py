@@ -51,3 +51,23 @@ def test_pagerank_star_graph(spark):
     assert pr["hub"] == max(pr.values())
     spokes = [v for k, v in pr.items() if k != "hub"]
     assert max(spokes) - min(spokes) < 1e-9  # symmetry
+
+
+def test_bfs_distances_chain_and_direction(spark):
+    from providenciasbigdata_spark.operators.graph_algos import bfs_distances
+
+    # chain a->b->c->d plus shortcut a->c: distances take the shortest path
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], "src string, dst string"
+    )
+    d = {r.id: r.hops for r in bfs_distances(edges, "a").collect()}
+    assert d == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # direction respected: nothing reaches 'a' back
+    d_from_d = {r.id: r.hops for r in bfs_distances(edges, "d").collect()}
+    assert d_from_d == {"d": 0}
+    # undirected view reaches everything from 'd'
+    und = {r.id: r.hops for r in bfs_distances(edges, "d", directed=False).collect()}
+    assert und == {"d": 0, "c": 1, "a": 2, "b": 2}
+    # max_hops truncates
+    trunc = {r.id: r.hops for r in bfs_distances(edges, "a", max_hops=1).collect()}
+    assert trunc == {"a": 0, "b": 1, "c": 1}
