@@ -177,6 +177,37 @@ def chunk_spans(tokens: Column, chunk_size: int = 100, overlap: int = 20) -> Col
     )
 
 
+# PII scan patterns — written to behave identically under Java regex
+# (Spark) and RE2 (DuckDB oracle): no lookarounds, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document PII match counts (email / url / phone), all
+    JVM-side ``regexp_count`` — fused into the scan, no UDF."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def dup_gram_stats(tokens: Column, n: int = 3) -> dict[str, Column]:
+    """Within-document repetition via n-gram duplication (the Gopher
+    repetition filters, simplified): total n-grams, distinct n-grams,
+    and the duplicate fraction. Array-local — no explode, no shuffle."""
+    grams = shingles(tokens, n)
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    ratio = F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1 - distinct.cast("double") / total.cast("double"), 6)
+    )
+    return {"n_grams": total, "n_distinct_grams": distinct, "dup_gram_ratio": ratio}
+
+
 def rolling_hashes(tokens: Column, window: int = 5) -> Column:
     """Winnowing-style rolling fingerprint: xxhash64 of each
     ``window``-gram. Downstream picks minima per band (see

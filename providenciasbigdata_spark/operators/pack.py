@@ -1,0 +1,67 @@
+"""Sequence packing for LLM training-data prep (SURVEY.md §2.5 C-X).
+
+``packed_positions`` assigns every item its position in the
+concat-and-slice packing: order items by a key, lay their token runs
+end-to-end, slice the stream into fixed-``capacity`` context windows.
+Each item gets the bin it STARTS in and its offset within that bin
+(items may straddle a boundary — that is the standard "pack then
+slice" trade-off; the alternative first-fit packing is not
+order-deterministic and not SQL-expressible).
+
+The global running sum is computed as a two-phase distributed prefix
+sum — per-range-partition partial sums plus a broadcast of the tiny
+per-partition offset table — NOT a single-partition window. A naive
+``Window.orderBy(key)`` with no partitionBy funnels the whole table
+through ONE task; this version keeps every stage parallel, so it holds
+at 100 TB (the offset table has one row per partition regardless of
+data volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def packed_positions(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    capacity: int,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Add ``cum_before`` / ``bin_id`` / ``bin_offset`` columns.
+
+    ``cum_before`` = total size of all items strictly before this one in
+    ``order_col`` order (exact, independent of partitioning);
+    ``bin_id`` = cum_before // capacity; ``bin_offset`` = cum_before %
+    capacity.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    part = df.repartitionByRange(n_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # phase 1: running sum within each range partition (parallel)
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    part = part.withColumn(
+        "_within", F.coalesce(F.sum(size_col).over(w_in), F.lit(0)).cast("long")
+    )
+    # phase 2: one row per partition -> cumulative offsets. The
+    # single-partition window here is over n_partitions rows, not data.
+    totals = part.groupBy("_pid").agg(F.sum(size_col).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).cast("long").alias("_off")
+    )
+    out = part.join(F.broadcast(offsets), "_pid")
+    cum: Column = (F.col("_within") + F.col("_off")).alias("cum_before")
+    return (
+        out.select(*df.columns, cum)
+        .withColumn("bin_id", (F.col("cum_before") / capacity).cast("long"))
+        .withColumn("bin_offset", (F.col("cum_before") % capacity).cast("long"))
+    )

@@ -24,6 +24,7 @@ from providenciasbigdata_spark.queries import (
     sql_queries,
     streaming_queries,
     timeseries,
+    training_ext,
 )
 
 
@@ -39,6 +40,7 @@ def all_queries():
         extended,
         graph_ext,
         timeseries,
+        training_ext,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

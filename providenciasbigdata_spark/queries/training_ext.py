@@ -1,0 +1,241 @@
+"""Training-data governance queries (SURVEY.md §2.5 C-X5 extensions):
+within-doc repetition, PII scanning, benchmark decontamination, and
+sequence packing — the curation steps a 100 TB pretraining pipeline
+runs after dedup and before tokenization.
+
+All four are oracle-checked. Regexes are written to the Java/RE2
+common subset; n-gram construction mirrors functions.text.shingles on
+the DuckDB side via list_transform over ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.text import (
+    PII_PATTERNS,
+    dup_gram_stats,
+    pii_counts,
+    shingles,
+    tokenize,
+)
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators.pack import packed_positions
+
+_TOKENS = (
+    "list_filter(string_split_regex(strip_accents(lower(text)), '\\W+'), x -> x <> '')"
+)
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB twin of shingles(): n-gram list from the token list t."""
+    parts = ", ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"list_transform(range(greatest(len(t)-{n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+# ---- within-document repetition ----------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate 3-gram fraction
+    (array-local, fused into the scan) plus the top-token share (two-
+    phase partial aggregate — map-side combine keeps the shuffle tiny).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    g = dup_gram_stats(F.col("toks"), n=3)
+    gram_stats = toks.select(
+        "doc_id",
+        g["n_grams"].alias("n_grams"),
+        g["n_distinct_grams"].alias("n_distinct_grams"),
+        g["dup_gram_ratio"].alias("dup_gram_ratio"),
+    )
+    tok_counts = (
+        toks.select("doc_id", F.explode_outer("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("token").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.max("cnt"), F.lit(0)).alias("max_cnt"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+            .otherwise(F.round(F.col("max_cnt") / F.col("n_tokens"), 6))
+            .alias("top_token_ratio"),
+        )
+    )
+    return gram_stats.join(tok_counts, "doc_id")
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, {_grams_sql(3)} AS gs FROM toks
+), gram_stats AS (
+  SELECT doc_id,
+         CAST(len(gs) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_grams,
+         CASE WHEN len(gs) <= 0 THEN 0.0
+              ELSE ROUND(1 - CAST(len(list_distinct(gs)) AS DOUBLE)
+                           / CAST(len(gs) AS DOUBLE), 6) END AS dup_gram_ratio
+  FROM grams
+), tok_counts AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+  GROUP BY doc_id, token
+), top_tok AS (
+  SELECT doc_id,
+         ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS top_token_ratio
+  FROM tok_counts GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_grams, g.n_distinct_grams, g.dup_gram_ratio,
+       COALESCE(t.top_token_ratio, 0.0) AS top_token_ratio
+FROM gram_stats g LEFT JOIN top_tok t USING (doc_id)
+"""
+
+
+# ---- PII scan -----------------------------------------------------------
+
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII inventory: email / url / phone match counts and
+    a has_pii flag. Pure regexp_count expressions — one scan, map-only,
+    fully pushed into whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    total = sum(counts.values(), F.lit(0))
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["url"].alias("n_urls"),
+        counts["phone"].alias("n_phones"),
+        (total > 0).cast("int").cast("long").alias("has_pii"),
+    )
+
+
+_PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["url"]}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phones,
+       CAST((len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+           + len(regexp_extract_all(text, '{PII_PATTERNS["url"]}'))
+           + len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) > 0) AS BIGINT)
+           AS has_pii
+FROM documents
+"""
+
+
+# ---- benchmark decontamination -----------------------------------------
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: fraction of each training doc's
+    distinct 5-grams that appear in the benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval suite). The benchmark
+    gram set is tiny relative to the corpus, so it is broadcast —
+    at 100 TB the corpus side stays a map-only scan + broadcast hash
+    join + partial aggregate: no all-to-all shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(shingles(tokenize(F.col("text")), 5))
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .where(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(
+                F.col("n_contaminated") / F.greatest(F.col("n_grams"), F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct({_grams_sql(5)}) AS gs FROM toks
+), bench AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0)
+), exploded AS (
+  SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT e.doc_id, COUNT(*) AS n, COUNT(b.gram) AS h
+  FROM exploded e LEFT JOIN bench b USING (gram)
+  GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)
+             / GREATEST(COALESCE(h.n, 0), 1), 6) AS contamination_rate
+FROM grams g LEFT JOIN hits h USING (doc_id)
+WHERE g.doc_id % 97 <> 0
+"""
+
+
+# ---- sequence packing ---------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-slice packing of the token stream (doc order) into
+    512-token context windows: each doc's start bin + offset, via the
+    distributed two-phase prefix sum in operators.pack (no single-
+    partition window anywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return packed_positions(sized, "doc_id", "n_tokens", capacity=512).select(
+        "doc_id", "n_tokens", "cum_before", "bin_id", "bin_offset"
+    )
+
+
+_PACK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 512) AS BIGINT) AS bin_id,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           % 512 AS BIGINT) AS bin_offset
+FROM sized
+"""
+
+
+QUERIES = {
+    "text_repetition": (q_text_repetition, _REPETITION_SQL),
+    "text_pii_scan": (q_text_pii_scan, _PII_SQL),
+    "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
+    "pack_sequences": (q_pack_sequences, _PACK_SQL),
+}

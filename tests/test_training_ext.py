@@ -1,0 +1,120 @@
+"""Semantic tests for the training-governance operators on crafted
+inputs (the oracle gate in test_oracle_parity covers the real tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.text import (
+    dup_gram_stats,
+    pii_counts,
+    tokenize,
+)
+from providenciasbigdata_spark.operators.pack import packed_positions
+
+
+def test_pii_counts_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or x@y.io"),
+            (2, "see https://example.com/x?q=1 and http://a.b"),
+            (3, "call +1 (415) 555-0199 now"),
+            (4, "nothing suspicious here"),
+        ],
+        "id int, text string",
+    )
+    c = pii_counts(F.col("text"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            c["email"].alias("e"),
+            c["url"].alias("u"),
+            c["phone"].alias("p"),
+        ).collect()
+    }
+    assert (rows[1].e, rows[1].u, rows[1].p) == (2, 0, 0)
+    assert rows[2].u == 2 and rows[2].e == 0
+    assert rows[3].p == 1
+    assert (rows[4].e, rows[4].u, rows[4].p) == (0, 0, 0)
+
+
+def test_dup_gram_stats_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 trigrams, 3 distinct
+            (2, "all words here are unique tokens"),
+            (3, "x y"),  # shorter than n: no grams
+        ],
+        "id int, text string",
+    )
+    g = dup_gram_stats(tokenize(F.col("text")), n=3)
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            g["n_grams"].alias("n"),
+            g["n_distinct_grams"].alias("d"),
+            g["dup_gram_ratio"].alias("r"),
+        ).collect()
+    }
+    assert (rows[1].n, rows[1].d) == (7, 3)
+    assert rows[1].r == round(1 - 3 / 7, 6)
+    assert rows[2].r == 0.0
+    assert (rows[3].n, rows[3].r) == (0, 0.0)
+
+
+def test_packed_positions_invariants(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("sz")
+    )
+    out = packed_positions(df, "k", "sz", capacity=64, n_partitions=8)
+    rows = sorted(out.collect(), key=lambda r: r.k)
+    # exact prefix sum regardless of partitioning
+    cum = 0
+    for r in rows:
+        assert r.cum_before == cum
+        assert r.bin_id == cum // 64
+        assert r.bin_offset == cum % 64
+        cum += r.sz
+    # offsets always inside the window
+    assert all(0 <= r.bin_offset < 64 for r in rows)
+    # bins are non-decreasing in key order
+    bins = [r.bin_id for r in rows]
+    assert bins == sorted(bins)
+
+
+def test_packed_positions_single_row_and_empty(spark):
+    one = spark.createDataFrame([(1, 100)], "k int, sz int")
+    r = packed_positions(one, "k", "sz", capacity=64).collect()[0]
+    assert (r.cum_before, r.bin_id, r.bin_offset) == (0, 0, 0)
+    empty = spark.createDataFrame([], "k int, sz int")
+    assert packed_positions(empty, "k", "sz", capacity=64).count() == 0
+
+
+def test_contamination_identical_doc_fully_contaminated(spark, sf_dir):
+    """A corpus doc that shares all its 5-grams with a benchmark doc
+    must report contamination_rate 1.0 — checked by construction on a
+    tiny synthetic frame routed through the same expressions."""
+    from providenciasbigdata_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (5, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    grams = df.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(shingles(tokenize(F.col("text")), 5))).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") == 0)
+        .select("gram").distinct().withColumn("_hit", F.lit(1))
+    )
+    got = (
+        grams.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg((F.sum("_hit") / F.count("gram")).alias("rate"))
+        .collect()
+    )
+    assert got[0].rate == 1.0
