@@ -650,8 +650,158 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part order volume
+    sold into ASIA-region customers, per order year. Every dimension
+    (part-filtered, supplier, customer, nation x2, region) broadcasts;
+    the only shuffle is lineitem-orders on orderkey plus the final tiny
+    per-year aggregate. Share = conditional decimal sum / total decimal
+    sum, both cast to double before the divide (same IEEE op as the
+    oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n_cust = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        j.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                 volume.alias("vol"), target.alias("tvol"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.col("tvol").cast(_DEC)).cast("double")
+                / F.sum(F.col("vol").cast(_DEC)).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            _dec_sum(F.col("vol")).alias("total_volume"),
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0.0 END AS DECIMAL(28,10))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,10))) AS DOUBLE), 6) AS mkt_share,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_volume
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation x order year for parts
+    whose name contains 'red'. The fixture set has no partsupp table,
+    so unit cost is derived deterministically from the part dimension
+    (10% of retail price) — the join/agg shape is Q9's: fact-fact on
+    orderkey, three broadcast dims, two-level group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dec_sum(F.col("amount")).alias("sum_profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - p.p_retailprice * 0.1 * l.l_quantity
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 snapshot: each purchase event
+    updates the user's profile value; output the validity intervals
+    [valid_from, valid_to) per user with an is_current flag — the
+    standard lead() build of an SCD2 table from a change stream. The
+    window partitions by user_id, so state per task is one user's
+    history; no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("value").alias("profile_value"),
+        nxt.isNull().cast("int").cast("long").alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       value AS profile_value,
+       CAST((LEAD(ts) OVER w IS NULL) AS BIGINT) AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),
+    "join_market_share": (q_market_share, _Q8_SQL),
+    "agg_product_profit": (q_product_profit, _Q9_SQL),
+    "scd2_purchase_history": (q_scd2_purchase_history, _SCD2_SQL),
     "join_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
     "agg_idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
     "join_nation_volume": (q_nation_volume_shipping, _Q7_SQL),
