@@ -492,6 +492,192 @@ def ivf_topk(
     )
 
 
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: split each vector into
+    ``m`` contiguous subvectors and run L2 Lloyd's k-means per
+    subspace — all ``m`` subspace updates happen in the SAME pass over
+    the corpus (each Arrow batch emits per-(subspace, cluster) partial
+    sums), so an iteration costs one scan regardless of ``m``.
+
+    Deterministic init: the ``n_codes`` lowest-id vectors, sliced.
+    Returns np.ndarray [m, n_codes, dim//m].
+    """
+    import numpy as np
+    import pandas as pd
+
+    init = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    )
+    X0 = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in init])
+    dim = X0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    C = np.stack([X0[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)])
+    sc = embeddings.sparkSession.sparkContext
+    base = embeddings.select(vec_col)
+
+    for _ in range(max_iter):
+        bc = sc.broadcast(C)
+
+        def partials(batches):
+            Cb = bc.value  # [m, k, dsub]
+            for b in batches:
+                X = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+                rows = []
+                for s in range(Cb.shape[0]):
+                    Xs = X[:, s * dsub : (s + 1) * dsub]
+                    # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; ||x||^2 constant per row
+                    d = -2 * Xs @ Cb[s].T + (Cb[s] ** 2).sum(axis=1)[None, :]
+                    a = np.argmin(d, axis=1)
+                    for c in np.unique(a):
+                        msk = a == c
+                        rows.append(
+                            (s, int(c), int(msk.sum()), Xs[msk].sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(rows, columns=["sub", "cluster", "n", "vsum"])
+
+        agg = (
+            base.mapInPandas(partials, "sub int, cluster int, n long, vsum array<double>")
+            .select("sub", "cluster", "n", F.posexplode("vsum").alias("pos", "x"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.sum("n").alias("n"), F.sum("x").alias("sx"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = np.zeros((m, n_codes))
+        for r in agg:
+            newC[r.sub, r.cluster, r.pos] = r.sx
+            counts[r.sub, r.cluster] = r.n
+        for s in range(m):
+            nz = counts[s] > 0
+            newC[s, nz] = newC[s, nz] / counts[s, nz][:, None]
+            newC[s, ~nz] = C[s, ~nz]
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        bc.destroy()
+        if shift < 1e-6:
+            break
+    return C
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): nearest code per subspace. Compresses a
+    dim x float32 vector to ``m`` small ints — the at-rest index a
+    100 TB ANN store keeps hot while raw vectors stay cold."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(codebooks, dtype=np.float64)  # [m, k, dsub]
+    m, _, dsub = C.shape
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+
+    def encode(batches):
+        Cb = bc.value
+        for b in batches:
+            X = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d = -2 * Xs @ Cb[s].T + (Cb[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"id": b[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, "id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    codebooks,
+    k: int = 10,
+    pool: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC) + exact
+    re-rank.
+
+    The query builds an [m x n_codes] lookup table of per-subspace
+    squared distances ONCE on the driver; each encoded row's
+    approximate distance is then a pure Catalyst fold over its ``m``
+    codes against that literal table — JVM-side, no UDF, no shuffle
+    (TakeOrdered pools the best ``pool`` candidates). Only the pool
+    fetches raw vectors for the exact L2 re-rank, so the full-width
+    embedding column stays unread for 99.9% of the corpus — the I/O
+    shape that matters at 100 TB.
+
+    Pass a persisted ``codes_df`` (from pq_encode) to reuse the index
+    across queries; otherwise it is built on the fly.
+    """
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = C.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    lut = np.stack(
+        [((C[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1) for s in range(m)]
+    )  # [m, n_codes]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    codes = codes_df if codes_df is not None else pq_encode(embeddings, C, id_col, vec_col)
+    # approx_dist = sum_s lut[s][codes[s]] — an aggregate over the
+    # zipped (subspace index, code) pairs; element_at is 1-based.
+    approx = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.col("codes"),
+            lambda s, c: F.element_at(F.element_at(lut_lit, s), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        codes.select("id", approx.alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc("id"))
+        .limit(pool)
+    )
+    pooled = embeddings.join(
+        F.broadcast(cand), embeddings[id_col] == cand.id, "inner"
+    )
+    qlit = _vec_lit(q)
+    sqdiff = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            qlit,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pooled.select(
+            F.col(id_col), F.round(F.sqrt(sqdiff), round_digits).alias("l2_dist")
+        )
+        .orderBy(F.asc("l2_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.6):
     """Optional: pyspark.ml MinHashLSH approxSimilarityJoin over token
     count-vectors — the library alternative to operators.dedup's

@@ -469,6 +469,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qvec, C, k=10, nprobe=4)
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: 4x16 product-quantization codebooks (one-scan-per-iter
+    distributed training), JVM-side ADC candidate scoring against a
+    literal lookup table, exact L2 re-rank of the top-100 pool.
+    Rows-only: the quantizer is iterative (recall + exactness pinned in
+    tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    C = similarity.pq_train(emb, m=4, n_codes=16, max_iter=4)
+    return similarity.pq_topk(emb, qvec, C, k=10, pool=100)
+
+
 def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_lsh_pairs(emb, dim=64, n_bits=14, tables=2)
@@ -502,6 +514,7 @@ QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, None),
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
+    "pq_ann_topk": (q_pq_ann_topk, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),
 }

@@ -119,3 +119,56 @@ def test_srp_buckets_deterministic(spark, sf_dir):
     b1 = sorted((r.id, r.table, r.bucket) for r in similarity.srp_buckets(emb, 64).collect())
     b2 = sorted((r.id, r.table, r.bucket) for r in similarity.srp_buckets(emb, 64).collect())
     assert b1 == b2
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    C = similarity.pq_train(emb, m=4, n_codes=16, max_iter=3)
+    assert C.shape == (4, 16, 16)
+    codes = similarity.pq_encode(emb, C)
+    rows = {r.id: tuple(r.codes) for r in codes.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in rows.values())
+    rows2 = {r.id: tuple(r.codes) for r in similarity.pq_encode(emb, C).collect()}
+    assert rows == rows2
+    emb.unpersist()
+
+
+def test_pq_topk_recall_and_full_pool_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    C = similarity.pq_train(emb, m=4, n_codes=16, max_iter=4)
+    # pool = corpus size => exact re-rank of everything => exact L2 top-k
+    exact = [
+        (r.vec_id, r.l2_dist)
+        for r in similarity.pq_topk(emb, qvec, C, k=10, pool=n).collect()
+    ]
+    assert exact[0][0] == 0 and exact[0][1] == 0.0  # query is its own NN
+    ann = {r.vec_id for r in similarity.pq_topk(emb, qvec, C, k=10, pool=100).collect()}
+    recall = len({i for i, _ in exact} & ann) / 10
+    assert recall >= 0.6, f"PQ recall {recall} too low at pool=100/{n}"
+    emb.unpersist()
+
+
+def test_pq_adc_approximates_true_distance(spark, sf_dir):
+    """ADC distance must correlate strongly with true L2 distance —
+    Spearman-ish check: the 20 ADC-nearest contain most of the 10
+    true-nearest."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    pdf = emb.toPandas()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = X[0]
+    true_order = pdf["vec_id"].to_numpy()[np.argsort(((X - q) ** 2).sum(axis=1))]
+    C = similarity.pq_train(emb, m=4, n_codes=16, max_iter=4)
+    codes = {r.id: np.asarray(r.codes) for r in similarity.pq_encode(emb, C).collect()}
+    lut = np.stack(
+        [((C[s] - q[s * 16 : (s + 1) * 16]) ** 2).sum(axis=1) for s in range(4)]
+    )
+    adc = {i: lut[np.arange(4), c].sum() for i, c in codes.items()}
+    adc_top20 = sorted(adc, key=lambda i: (adc[i], i))[:20]
+    overlap = len(set(true_order[:10]) & set(adc_top20))
+    assert overlap >= 6, f"ADC top-20 holds only {overlap}/10 true NNs"
+    emb.unpersist()
