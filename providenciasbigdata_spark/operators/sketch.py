@@ -1,0 +1,70 @@
+"""Frequency-sketch operators: bounded-memory heavy hitters.
+
+``heavy_hitters`` finds all values occurring in more than ``phi`` of
+the rows with EXACT final counts, in two passes:
+
+1. per-partition Misra-Gries sketches (``k = ceil(1/phi)`` counters,
+   batch-weighted decrement) emit a candidate set. MG's guarantee
+   composes across partitions by pigeonhole: an item with global count
+   > phi*n must exceed phi*n_p on at least one partition p, so the
+   union of partition sketches has NO false negatives.
+2. exact counts for candidates only (semi-join + groupBy), filter
+   > phi*n.
+
+The result is therefore IDENTICAL to the exact
+``GROUP BY .. HAVING cnt > phi*n`` — which is what the DuckDB oracle
+runs — while pass 1 holds O(k) state per task no matter how many
+distinct values stream through (the exact groupBy would hold the full
+key space in the shuffle). At 100 TB with billions of distinct keys,
+that's the difference between a bounded sketch and an OOM.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate values (one column
+    ``candidate``, distinct). Batch-weighted updates: merge each Arrow
+    batch's value_counts into the counter set; on overflow subtract the
+    (k+1)-th largest counter value from all and drop non-positive —
+    every decrement round removes >= k+1 units of mass per unit
+    subtracted, preserving the classic MG bound."""
+    import numpy as np
+    import pandas as pd
+
+    def sketch(batches):
+        counters = pd.Series(dtype="int64")
+        for b in batches:
+            vc = b[col].dropna().value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                vals = counters.to_numpy()
+                delta = np.partition(vals, -(k + 1))[-(k + 1)]
+                counters = counters[counters > delta] - delta
+        yield pd.DataFrame({"candidate": counters.index})
+
+    return df.select(col).mapInPandas(
+        sketch, f"candidate {df.schema[col].dataType.simpleString()}"
+    ).distinct()
+
+
+def heavy_hitters(df: DataFrame, col: str, phi: float = 0.01) -> DataFrame:
+    """All values of ``col`` with count > phi * n, exact counts.
+    Output: (col, cnt) — equal to the exact HAVING query by MG's
+    no-false-negative guarantee + the exact second pass."""
+    if not 0 < phi < 1:
+        raise ValueError("phi must be in (0, 1)")
+    k = math.ceil(1.0 / phi)
+    n = df.count()
+    cands = mg_candidates(df, col, k)
+    exact = (
+        df.join(F.broadcast(cands), df[col] == cands.candidate, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact.filter(F.col("cnt") > phi * n)

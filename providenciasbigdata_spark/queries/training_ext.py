@@ -233,8 +233,34 @@ FROM sized
 """
 
 
+# ---- heavy hitters ------------------------------------------------------
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter tokens (> 1% of all token occurrences) via
+    the bounded-memory Misra-Gries two-pass in operators.sketch — the
+    exact same rows as the full GROUP BY .. HAVING the oracle runs, but
+    with O(1/phi) state per task instead of the whole key space."""
+    from providenciasbigdata_spark.operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", phi=0.01)
+
+
+_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+)
+SELECT token, cnt FROM counts
+WHERE cnt > 0.01 * (SELECT COUNT(*) FROM toks)
+"""
+
+
 QUERIES = {
     "text_repetition": (q_text_repetition, _REPETITION_SQL),
+    "sketch_heavy_hitter_tokens": (q_heavy_hitter_tokens, _HEAVY_HITTERS_SQL),
     "text_pii_scan": (q_text_pii_scan, _PII_SQL),
     "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
     "pack_sequences": (q_pack_sequences, _PACK_SQL),

@@ -118,3 +118,48 @@ def test_contamination_identical_doc_fully_contaminated(spark, sf_dir):
         .collect()
     )
     assert got[0].rate == 1.0
+
+
+def test_heavy_hitters_zipf_exact_vs_truth(spark):
+    """Vocab (1000) >> counters (k=20): MG must decrement heavily and
+    still produce exactly the true heavy-hitter set with exact counts."""
+    import numpy as np
+
+    from providenciasbigdata_spark.operators.sketch import heavy_hitters
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    vals = (rng.zipf(1.3, size=50_000) % 1000).astype(int).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v int").repartition(8)
+    phi = 0.05
+    got = {(r.v, r.cnt) for r in heavy_hitters(df, "v", phi=phi).collect()}
+    from collections import Counter
+
+    c = Counter(vals)
+    want = {(v, n) for v, n in c.items() if n > phi * len(vals)}
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_uniform_empty(spark):
+    """Uniform data above the threshold count: no value exceeds phi*n
+    -> empty result, and the sketch must not invent candidates."""
+    from providenciasbigdata_spark.operators.sketch import heavy_hitters
+
+    df = spark.range(0, 10_000).select((F.col("id") % 500).alias("v"))
+    assert heavy_hitters(df, "v", phi=0.01).count() == 0
+
+
+def test_mg_candidates_no_false_negatives(spark):
+    """Every true heavy hitter appears in the candidate union."""
+    import numpy as np
+
+    from providenciasbigdata_spark.operators.sketch import mg_candidates
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vals = (rng.zipf(1.5, size=20_000) % 300).astype(int).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v int").repartition(4)
+    cands = {r.candidate for r in mg_candidates(df, "v", k=25).collect()}
+    from collections import Counter
+
+    c = Counter(vals)
+    hh = {v for v, n in c.items() if n > len(vals) / 25}
+    assert hh <= cands
