@@ -147,8 +147,34 @@ GROUP BY 1
 """
 
 
+def q_route_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side governance router (PII quarantine / quality gate),
+    batch form of streaming.route_documents — stateless, so the oracle
+    checks the streaming semantics exactly."""
+    return streaming.route_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _route_documents_sql() -> str:
+    from providenciasbigdata_spark.functions.text import PII_PATTERNS
+    from providenciasbigdata_spark.queries.pipeline import _TEXT_QUALITY_SQL
+
+    pii = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+WITH q AS ({_TEXT_QUALITY_SQL}),
+p AS (SELECT doc_id, CAST(({pii} > 0) AS BIGINT) AS has_pii FROM documents)
+SELECT q.doc_id, q.quality, p.has_pii,
+       CASE WHEN p.has_pii = 1 THEN 'quarantine'
+            WHEN q.quality IS NULL OR q.quality < 0.5 THEN 'rejected'
+            ELSE 'accepted' END AS route
+FROM q JOIN p USING (doc_id)
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": (q_tumbling, _TUMBLING_SQL),
+    "stream_route_documents": (q_route_documents, _route_documents_sql()),
     "stream_enrich_segments": (q_enrich_segments, _ENRICH_SQL),
     "stream_purchase_click_join": (q_purchase_click_join, _PURCHASE_CLICK_SQL),
     "stream_sliding_counts": (q_sliding, _SLIDING_SQL),

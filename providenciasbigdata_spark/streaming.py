@@ -257,6 +257,51 @@ def user_running_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a directory of documents parquet files —
+    the ingest shape of a continuously-arriving training corpus."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(docs_dir)
+
+
+def route_documents(docs: DataFrame) -> DataFrame:
+    """Streaming ingest governance router: quarantine PII docs, reject
+    null/low-quality docs, accept the rest. Stateless (pure map over
+    the scan) so it runs identically on batch and stream with NO state
+    store and no watermark — at ingest scale this is a pass-through
+    filter fused into the source read."""
+    from providenciasbigdata_spark.functions.text import (
+        pii_counts,
+        quality_score,
+        tokenize,
+    )
+
+    counts = pii_counts(F.col("text"))
+    has_pii = sum(counts.values(), F.lit(0)) > 0
+    quality = quality_score(F.col("text"), tokenize(F.col("text")))
+    route = (
+        F.when(has_pii, F.lit("quarantine"))
+        .when(quality.isNull() | (quality < 0.5), F.lit("rejected"))
+        .otherwise(F.lit("accepted"))
+    )
+    return docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        has_pii.cast("int").cast("long").alias("has_pii"),
+        route.alias("route"),
+    )
+
+
 # ---- test/drive harness --------------------------------------------------
 
 def run_available_now(

@@ -213,3 +213,20 @@ def test_session_window_gap_boundary(spark):
     df = spark.createDataFrame(rows, schema=streaming.EVENTS_SCHEMA)
     out = streaming.session_windows(df, gap="30 minutes").collect()
     assert sorted(r.n_events for r in out) == [1, 2]
+
+
+def test_route_documents_stream_matches_batch(spark, tmp_path_factory):
+    """Governance router parity: same rows whether documents arrive as
+    a batch table or as a file stream (stateless map, append mode)."""
+    import shutil
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(src, d / "part-0.parquet")
+    batch = streaming.route_documents(
+        spark.read.schema(streaming.DOCUMENTS_SCHEMA).parquet(str(d))
+    )
+    stream = streaming.route_documents(streaming.documents_stream(spark, str(d)))
+    got = streaming.run_available_now(stream, "t_route", output_mode="append")
+    want = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, got.collect())) == want and len(want) > 0
