@@ -44,6 +44,11 @@ HEADLINE = [
     "explode_top_tokens",
     "sessionize_events",
     "rollup_hypertable",
+    "contamination_ngram_overlap",
+    "pack_sequences",
+    "sketch_heavy_hitter_tokens",
+    "pq_ann_topk",
+    "join_market_share",
 ]
 
 

@@ -121,3 +121,45 @@ def test_rollup_two_phase(spark, reg):
     # exchange (Expand -> partial HashAggregate -> shuffle -> final)
     plan = plan_of(_run(reg, "rollup_hypertable", spark))
     assert "Expand" in plan and plan.count("HashAggregate") >= 2, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark, reg):
+    """The benchmark gram set must broadcast — the corpus side of a
+    decontamination join can never afford an all-to-all shuffle."""
+    plan = plan_of(_run(reg, "contamination_ngram_overlap", spark))
+    assert "BroadcastHashJoin" in plan
+    # corpus rows must not be exchanged for the join itself: the only
+    # hash exchange allowed is the final per-doc aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pack_sequences_no_global_single_partition(spark, reg):
+    """The prefix sum must never collapse the data through a single
+    partition: no Exchange SinglePartition on the table-sized side
+    (the 32-row offset table is the one allowed singleton)."""
+    plan = plan_of(_run(reg, "pack_sequences", spark))
+    assert "rangepartitioning" in plan.lower()
+    # the only SinglePartition exchange feeds the tiny per-partition
+    # offset window, which then broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_adc_scoring_is_jvm_expression(spark, reg):
+    """ADC candidate scoring must stay a Catalyst fold over the literal
+    LUT — only the encode step may be a Python (Arrow) stage, and the
+    candidate pool must be TakeOrdered, not a global sort."""
+    plan = plan_of(_run(reg, "pq_ann_topk", spark))
+    assert "TakeOrderedAndProject" in plan
+    # exactly one Arrow/Python stage: pq_encode (mapInPandas); the
+    # formatted plan names each node twice (tree + detail), so count
+    # tree entries only
+    assert plan.count("MapInPandas (") == 1
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark, reg):
+    """The MG candidate set (<= 1/phi rows) must broadcast into the
+    exact-count pass; the token stream itself shuffles only for the
+    final per-candidate aggregate."""
+    plan = plan_of(_run(reg, "sketch_heavy_hitter_tokens", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan  # the sketch pass
