@@ -678,6 +678,40 @@ def pq_topk(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = absmax/127,
+    q = floor(x/scale + 0.5) (explicit half-up — identical in every
+    engine, unlike round()'s dialect-dependent half-even/half-away).
+    4x smaller at rest than float32; dot products stay int32-safe.
+    Pure Catalyst (transform/array_max folds) — quantization runs
+    inside the scan at 100 TB, no UDF.
+
+    Output: (id, scale double, qvec array<int>); all-zero vectors get
+    scale 0 and an all-zero qvec.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    # bind scale to a named column BEFORE the quantize lambda: a lambda
+    # capturing the computed absmax EXPRESSION would re-run the whole
+    # array_max fold per element (O(dim^2)/row) — interpreted HOFs
+    # re-evaluate captured outer expressions; a captured attribute is a
+    # row-value read (see functions.text.shingles for the same pitfall).
+    bound = embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("__v"),
+        (absmax / F.lit(127.0)).alias("__scale"),
+    )
+    s = F.col("__scale")
+    qvec = F.when(s <= 0, F.transform(F.col("__v"), lambda x: F.lit(0))).otherwise(
+        F.transform(F.col("__v"), lambda x: F.floor(x / s + F.lit(0.5)).cast("int"))
+    )
+    return bound.select("id", F.round(s, 9).alias("scale"), qvec.alias("qvec"))
+
+
 def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.6):
     """Optional: pyspark.ml MinHashLSH approxSimilarityJoin over token
     count-vectors — the library alternative to operators.dedup's

@@ -307,7 +307,91 @@ GROUP BY event_type
 """
 
 
+def q_setops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): customers'
+    order-priority multisets on 'F' vs 'O' status orders — duplicates
+    preserved, unlike the distinct set ops in setops_custkeys."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderpriority")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey", "o_orderpriority")
+    both = f.intersectAll(o).withColumn("op", F.lit("intersect_all"))
+    only_f = f.exceptAll(o).withColumn("op", F.lit("except_all"))
+    return (
+        both.unionByName(only_f)
+        .groupBy("op")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+_SETOPS_BAG_SQL = """
+WITH f AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+     both_rows AS (
+       SELECT *, 'intersect_all' AS op FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+     ),
+     only_f AS (
+       SELECT *, 'except_all' AS op FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+     )
+SELECT op, COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_customers
+FROM (SELECT * FROM both_rows UNION ALL SELECT * FROM only_f)
+GROUP BY op
+"""
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): events self-matched on the
+    (nullable) props payload — NULL props pair with NULL props, which a
+    plain equi-join silently drops. Spark lowers <=> to a hash join
+    key, so this stays a shuffled hash join, not a nested loop."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    a = ev.filter(F.col("event_id") < 100).alias("a")
+    b = ev.filter(F.col("event_id") >= 100).alias("b")
+    j = a.join(b, F.col("a.props").eqNullSafe(F.col("b.props")))
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("a.props").isNull().cast("long")).alias("n_null_pairs"),
+    )
+
+
+_JOIN_NULL_SAFE_SQL = """
+SELECT COUNT(*) AS n_pairs,
+       SUM(CAST(a.props IS NULL AS BIGINT)) AS n_null_pairs
+FROM (SELECT * FROM events WHERE event_id < 100) a
+JOIN (SELECT * FROM events WHERE event_id >= 100) b
+  ON a.props IS NOT DISTINCT FROM b.props
+"""
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random sample: top-64 orders by md5 of the
+    key — reproducible across engines and runs (md5 agrees between
+    Spark and DuckDB), uniform-ish because md5 scrambles key order.
+    The pattern for stable eval-set carving at 100 TB: no rand() seed
+    drift across retries/partitions, and TakeOrdered keeps it a
+    per-partition heap, never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    return (
+        orders.select("o_orderkey", "o_totalprice", h.alias("h"))
+        .orderBy("h")
+        .limit(64)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_SAMPLE_DET_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+LIMIT 64
+"""
+
+
 QUERIES = {
+    "setops_bag_semantics": (q_setops_bag, _SETOPS_BAG_SQL),
+    "join_null_safe": (q_join_null_safe, _JOIN_NULL_SAFE_SQL),
+    "sample_deterministic_hash": (q_sample_deterministic, _SAMPLE_DET_SQL),
     "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
     "sample_stratified": (q_stratified_sample, None),
     "udtf_split_sentences": (q_udtf_sentences, None),

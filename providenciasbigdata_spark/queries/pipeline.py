@@ -469,6 +469,42 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qvec, C, k=10, nprobe=4)
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization summary per vector: the at-rest
+    compression step before ANN indexing. Scalar outputs (scale, L1
+    mass, abs-max of the quantized codes) so the oracle compare stays
+    dtype-exact; the codes themselves are pinned by unit tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    qabs = F.transform(F.col("qvec"), F.abs)
+    return q.select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.aggregate(qabs, F.lit(0), lambda acc, x: acc + x).cast("long").alias("q_l1"),
+        F.array_max(qabs).cast("long").alias("q_max"),
+    )
+
+
+_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+             AS s,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id, s,
+         CASE WHEN s <= 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) END AS qv
+  FROM scaled
+)
+SELECT vec_id, ROUND(s, 9) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max
+FROM q
+"""
+
+
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: 4x16 product-quantization codebooks (one-scan-per-iter
     distributed training), JVM-side ADC candidate scoring against a
@@ -515,6 +551,7 @@ QUERIES = {
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "pq_ann_topk": (q_pq_ann_topk, None),
+    "embedding_quantize_int8": (q_quantize_int8, _QUANTIZE_SQL),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),
 }

@@ -172,3 +172,23 @@ def test_pq_adc_approximates_true_distance(spark, sf_dir):
     overlap = len(set(true_order[:10]) & set(adc_top20))
     assert overlap >= 6, f"ADC top-20 holds only {overlap}/10 true NNs"
     emb.unpersist()
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """Codes in [-127, 127]; dequantized values within scale/2 of the
+    original (half-up rounding bound); zero vector -> scale 0."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = similarity.quantize_int8(emb).collect()
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    assert len(rows) == 50
+    for r in rows:
+        q = np.asarray(r.qvec)
+        assert np.abs(q).max() <= 127
+        err = np.abs(orig[r.id] - q * r.scale).max()
+        assert err <= r.scale / 2 + 1e-12
+    zero = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
+    zr = similarity.quantize_int8(zero).collect()[0]
+    assert zr.scale == 0.0 and all(x == 0 for x in zr.qvec)
