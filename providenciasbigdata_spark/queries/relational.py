@@ -797,8 +797,47 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_cdc_latest_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction: purchase events upsert a user's
+    value, error events delete the user; output the surviving current
+    state. One key-partitioned window (operators.cdc.latest_state) —
+    the delete filter runs after the latest-row pick so an old upsert
+    can't resurrect a deleted key."""
+    from providenciasbigdata_spark.operators.cdc import latest_state
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    out = latest_state(
+        ev,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+        F.col("value").alias("current_value"),
+    )
+
+
+_CDC_LATEST_SQL = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at,
+       value AS current_value
+FROM (
+  SELECT user_id, ts, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('purchase', 'error')
+)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),
+    "cdc_latest_user_value": (q_cdc_latest_user_value, _CDC_LATEST_SQL),
     "join_market_share": (q_market_share, _Q8_SQL),
     "agg_product_profit": (q_product_profit, _Q9_SQL),
     "scd2_purchase_history": (q_scd2_purchase_history, _SCD2_SQL),

@@ -58,3 +58,26 @@ def test_range_join_bucketized_equals_naive(spark):
     assert (10, 0, 10) not in n_rows or True
     hits_at_edge = [r for r in n_rows if r[0] in (r[1], r[2])]
     assert all(r[1] <= r[0] <= r[2] for r in n_rows)
+
+
+def test_cdc_merge_upsert_delete_semantics(spark):
+    """Incremental merge: updates overwrite, deletes remove, deletes do
+    NOT resurrect via older upserts, unseen keys pass through."""
+    from providenciasbigdata_spark.operators.cdc import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, 10, 1.0, "upsert"), (2, 10, 2.0, "upsert"), (3, 10, 3.0, "upsert")],
+        "k long, v long, val double, op string",
+    )
+    changes = spark.createDataFrame(
+        [(1, 20, 1.5, "upsert"),   # update key 1
+         (2, 20, 0.0, "delete"),   # delete key 2
+         (4, 20, 4.0, "upsert")],  # new key 4
+        "k long, v long, val double, op string",
+    )
+    out = merge_upsert(
+        snap, changes, keys=["k"], order_cols=["v"],
+        delete_predicate=F.col("op") == "delete",
+    )
+    got = {r.k: r.val for r in out.collect()}
+    assert got == {1: 1.5, 3: 3.0, 4: 4.0}
