@@ -21,6 +21,7 @@ from providenciasbigdata_spark.queries import (
     multimodal_queries,
     pipeline,
     relational,
+    relational_ext,
     sql_queries,
     streaming_queries,
     timeseries,
@@ -33,6 +34,7 @@ def all_queries():
     for mod in (
         compat_queries,
         relational,
+        relational_ext,
         pipeline,
         streaming_queries,
         sql_queries,
