@@ -1,0 +1,98 @@
+"""Declarative data-quality expectations (single-scan validation).
+
+A 100 TB ingest pipeline validates every batch before publishing it;
+the non-negotiable constraint at that scale is ONE pass over the data
+regardless of how many checks run. Every check here compiles to an
+aggregate expression; all of them land in one ``agg`` over one scan
+(verified by plan pin in tests/test_plans.py), and the per-check report
+rows come from unpivoting the single 1-row aggregate — no per-check
+jobs, no driver-side loops over data.
+
+The reference has no validation surface at all (its result frames take
+whatever schema the server returns — streamlit_app.py:36-41); this is
+part of the north-star pipeline scope (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: ``name`` labels the report row; ``violations``
+    is an aggregate Column counting offending rows (0 == pass)."""
+
+    name: str
+    violations: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(
+        f"not_null_{col}",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+    )
+
+
+def unique(col: str) -> Check:
+    # duplicates = non-null rows minus distinct non-null values
+    return Check(
+        f"unique_{col}",
+        F.count(F.col(col)) - F.count_distinct(F.col(col)),
+    )
+
+
+def min_value(col: str, lo) -> Check:
+    return Check(
+        f"min_value_{col}",
+        F.sum(F.when(F.col(col) < F.lit(lo), 1).otherwise(0)),
+    )
+
+
+def max_value(col: str, hi) -> Check:
+    return Check(
+        f"max_value_{col}",
+        F.sum(F.when(F.col(col) > F.lit(hi), 1).otherwise(0)),
+    )
+
+
+def in_set(col: str, values) -> Check:
+    return Check(
+        f"in_set_{col}",
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(*values), 1
+            ).otherwise(0)
+        ),
+    )
+
+
+def row_count_min(n: int) -> Check:
+    return Check(
+        "row_count_min",
+        F.when(F.count(F.lit(1)) < n, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def validate_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run all checks in one scan; returns one row per check:
+    ``(check string, violations bigint, passed boolean)``."""
+    # SUM over zero rows is NULL, not 0 — an empty input must read as
+    # "no violations" for every check except row_count_min
+    agg_row = df.agg(
+        *[
+            F.coalesce(c.violations.cast("bigint"), F.lit(0)).alias(c.name)
+            for c in checks
+        ]
+    )
+    stack_args = ", ".join(f"'{c.name}', `{c.name}`" for c in checks)
+    return agg_row.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check, violations)"
+    ).select(
+        "check",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -157,8 +157,44 @@ def q_degree_histogram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the undirected similitud>=30 graph.
+    Canonical ordering (x < y on every edge) means each triangle is
+    counted exactly once as the ordered path x<y<z closed by edge
+    (x,z) — the standard degree-ordered triangle join. All three
+    self-joins key on edge endpoints; at 100 TB the edge set is the
+    LSH-approximate one (srp_lsh_pairs) and the same joins apply."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+
+    pairs = pairwise_cosine_matmul(emb, threshold=_HOP_LO, scale=100.0)
+    und = pairs.filter(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").alias("x"), F.col("right_id").alias("y")
+    )
+    e2 = und.select(F.col("x").alias("y2"), F.col("y").alias("z"))
+    e3 = und.select(F.col("x").alias("x3"), F.col("y").alias("z3"))
+    wedges = und.join(e2, und.y == e2.y2)
+    closed = wedges.join(
+        e3, (wedges.x == e3.x3) & (F.col("z") == F.col("z3")), "left_semi"
+    )
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+_TRIANGLE_SQL = f"""
+WITH sims AS MATERIALIZED (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a', b='b')} >= 30)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM sims e1
+JOIN sims e2 ON e1.y = e2.x
+JOIN sims e3 ON e3.x = e1.x AND e3.y = e2.y
+"""
+
+
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
+    "graph_triangle_count": (q_triangle_count, _TRIANGLE_SQL),
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),
     "graph_degree_histogram_blocked": (q_degree_histogram_blocked, _DEGREE_SQL),
     "graph_connected_components": (q_connected_components, None),

@@ -258,7 +258,61 @@ WHERE cnt > 0.01 * (SELECT COUNT(*) FROM toks)
 """
 
 
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan expectations suite over ``orders``: nullability,
+    key uniqueness, value ranges, and categorical domain — all checks
+    compiled into ONE aggregate over one parquet scan
+    (operators.quality; plan pinned in test_plans.py)."""
+    from providenciasbigdata_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    return Q.validate_expectations(
+        orders,
+        [
+            Q.row_count_min(1),
+            Q.not_null("o_orderkey"),
+            Q.not_null("o_custkey"),
+            Q.unique("o_orderkey"),
+            Q.min_value("o_totalprice", 0.0),
+            Q.in_set("o_orderstatus", ["F", "O", "P"]),
+            Q.in_set(
+                "o_orderpriority",
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            ),
+        ],
+    )
+
+
+_EXPECTATIONS_SQL = """
+WITH m AS (
+  SELECT
+    CASE WHEN COUNT(*) < 1 THEN 1 ELSE 0 END AS row_count_min,
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS not_null_o_orderkey,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS not_null_o_custkey,
+    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS unique_o_orderkey,
+    SUM(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END) AS min_value_o_totalprice,
+    SUM(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+      AS in_set_o_orderstatus,
+    SUM(CASE WHEN o_orderpriority IS NOT NULL
+              AND o_orderpriority NOT IN
+                ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             THEN 1 ELSE 0 END) AS in_set_o_orderpriority
+  FROM orders)
+SELECT "check", CAST(violations AS BIGINT) AS violations, violations = 0 AS passed
+FROM (
+  SELECT 'row_count_min' AS "check", row_count_min AS violations FROM m
+  UNION ALL SELECT 'not_null_o_orderkey', not_null_o_orderkey FROM m
+  UNION ALL SELECT 'not_null_o_custkey', not_null_o_custkey FROM m
+  UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey FROM m
+  UNION ALL SELECT 'min_value_o_totalprice', min_value_o_totalprice FROM m
+  UNION ALL SELECT 'in_set_o_orderstatus', in_set_o_orderstatus FROM m
+  UNION ALL SELECT 'in_set_o_orderpriority', in_set_o_orderpriority FROM m)
+"""
+
+
 QUERIES = {
+    "quality_expectations": (q_quality_expectations, _EXPECTATIONS_SQL),
     "text_repetition": (q_text_repetition, _REPETITION_SQL),
     "sketch_heavy_hitter_tokens": (q_heavy_hitter_tokens, _HEAVY_HITTERS_SQL),
     "text_pii_scan": (q_text_pii_scan, _PII_SQL),

@@ -163,3 +163,41 @@ def test_heavy_hitters_candidate_join_broadcasts(spark, reg):
     plan = plan_of(_run(reg, "sketch_heavy_hitter_tokens", spark))
     assert "BroadcastHashJoin" in plan
     assert "MapInPandas" in plan  # the sketch pass
+
+
+def test_q6_single_scan_pushed_filters(spark, reg):
+    """Q6 shape: every predicate reaches the parquet reader and the agg
+    is two-phase — at 100 TB this query is scan-bound, never
+    shuffle-bound (the exchange moves one partial-agg row per task)."""
+    plan = plan_of(_run(reg, "agg_forecast_revenue", spark))
+    assert "PushedFilters" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, pushed
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_q15_no_single_partition_window(spark, reg):
+    """Q15: the global-max compare must be a broadcast of a 1-row agg,
+    not an unpartitioned window (which serializes the whole per-supplier
+    agg through one task)."""
+    plan = plan_of(_run(reg, "join_top_supplier", spark))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q18_exchange_reuse(spark, reg):
+    """Q18: the HAVING-sum agg and the re-join both hash on orderkey —
+    the fact table must be shuffled once, with the second consumer
+    reusing the exchange (or AQE equivalent), and customer broadcast."""
+    plan = plan_of(_run(reg, "join_large_volume_customers", spark))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q21_semi_anti_no_cartesian(spark, reg):
+    plan = plan_of(_run(reg, "join_waiting_suppliers", spark))
+    assert "CartesianProduct" not in plan, plan
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti, both hash joins
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan

@@ -1,0 +1,87 @@
+"""operators.quality semantics on crafted frames: violation counts,
+null handling, and the one-scan plan guarantee."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from providenciasbigdata_spark.operators import quality as Q
+
+
+def _report(df, checks):
+    out = Q.validate_expectations(df, checks).collect()
+    return {r["check"]: (r["violations"], r["passed"]) for r in out}
+
+
+def test_violation_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", 3.0), (3, "zz", 200.0)],
+        "id int, cat string, val double",
+    )
+    rep = _report(
+        df,
+        [
+            Q.row_count_min(1),
+            Q.not_null("cat"),
+            Q.unique("id"),
+            Q.min_value("val", 0.0),
+            Q.max_value("val", 100.0),
+            Q.in_set("cat", ["a", "b"]),
+        ],
+    )
+    assert rep["row_count_min"] == (0, True)
+    assert rep["not_null_cat"] == (1, False)
+    assert rep["unique_id"] == (1, False)  # id=2 twice -> 1 duplicate
+    assert rep["min_value_val"] == (1, False)  # -1.0
+    assert rep["max_value_val"] == (1, False)  # 200.0
+    # NULL is not an in_set violation (not_null owns that concern)
+    assert rep["in_set_cat"] == (1, False)  # only 'zz'
+
+
+def test_all_pass_on_clean_frame(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, cat string")
+    rep = _report(
+        df,
+        [Q.row_count_min(2), Q.not_null("id"), Q.unique("id"), Q.in_set("cat", ["a", "b"])],
+    )
+    assert all(passed for _, passed in rep.values())
+
+
+def test_row_count_min_fails_on_empty(spark):
+    df = spark.createDataFrame([], "id int")
+    rep = _report(df, [Q.row_count_min(1), Q.not_null("id")])
+    assert rep["row_count_min"] == (1, False)
+    assert rep["not_null_id"] == (0, True)  # vacuous on empty input
+
+
+def test_single_scan_plan(spark):
+    """All checks must fold into one aggregate over one scan — the
+    property that keeps N checks O(1 pass) at 100 TB."""
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS cat")
+    rep_df = Q.validate_expectations(
+        df, [Q.not_null("cat"), Q.unique("id"), Q.min_value("id", 0)]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rep_df.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Scan") <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    """4 vectors arranged so exactly vectors {0,1,2} are mutually
+    similar (one triangle) and vector 3 is orthogonal to all."""
+    rows = [
+        (0, [1.0, 0.0, 0.01]),
+        (1, [1.0, 0.01, 0.0]),
+        (2, [1.0, 0.005, 0.005]),
+        (3, [0.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    from providenciasbigdata_spark.queries.graph_ext import q_triangle_count
+
+    out = q_triangle_count(spark, str(tmp_path)).collect()
+    assert out[0]["n_triangles"] == 1
