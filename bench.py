@@ -80,6 +80,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        # drop DataFrames persisted inside operators (minhash/ivf/...):
+        # without this the dead cached RDDs of earlier queries pile up
+        # and evict the LIVE cache of later ones mid-measurement
+        # (observed: minhash_near_dups 5.3s dirty vs 2.2s isolated)
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 

@@ -183,7 +183,89 @@ WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample purchase values to a dense hourly grid per user and
+    forward-fill gaps — the hypertable ``time_bucket_gapfill + locf``
+    operation. The spine is a per-user ``sequence`` explode (distributed,
+    no driver loop); the fill is ``last(ignorenulls)`` over a
+    per-user window, so state per task is one row. ``max_by(value,
+    event_id)`` pins a deterministic in-bucket winner on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & (F.col("event_type") == "purchase")
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.max_by("value", "event_id").alias("obs_value"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.round(F.last("obs_value", ignorenulls=True).over(w), 6).alias("value_ffill"),
+    )
+
+
+_RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, max_by(value, event_id) AS obs_value
+  FROM events WHERE user_id < 20 AND event_type = 'purchase'
+  GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span)
+SELECT s.user_id, s.hour,
+       ROUND(last_value(h.obs_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the financial-rollup shape:
+    first/last are ``min_by``/``max_by`` on a composite (ts, event_id)
+    order key packed into one BIGINT so both engines break intra-
+    microsecond ties identically. Pure two-phase agg, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    order_key = F.unix_micros("ts") * 1000 + F.pmod("event_id", 1000)
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.round(F.min_by("value", order_key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", order_key), 6).alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+_OHLC_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       ROUND(min_by(value, epoch_us(ts) * 1000 + event_id % 1000), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(max_by(value, epoch_us(ts) * 1000 + event_id % 1000), 6) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),
+    "timeseries_ohlc_bars": (q_ohlc_bars, _OHLC_SQL),
     "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
     "anomaly_value_outliers": (q_value_outliers, _OUTLIERS_SQL),
     "rollup_hypertable": (q_rollup_hypertable, _ROLLUP_HT_SQL),
