@@ -122,3 +122,82 @@ def _dir_bytes(path: str) -> int:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     return total
+
+
+def zorder_key(
+    cols: list,
+    mins: list,
+    maxs: list,
+    bits_per_col: int = 16,
+):
+    """Morton (Z-order) interleave of ``len(cols)`` numeric columns,
+    each uniform-bucketed to ``bits_per_col`` bits over [min, max].
+
+    Entirely flat bitwise expressions (shiftleft/or — no overflow
+    checks, fully codegen'd). Bucketing is width_bucket over the
+    min/max range; for heavily skewed columns substitute quantile cut
+    points upstream (compute approxQuantile once, map to ranks) — the
+    interleave below is unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits_per_col > 63:
+        raise ValueError("interleaved key must fit in a signed 64-bit long")
+    bucketed = [
+        (
+            F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(lo)),
+                F.lit(float(hi)),
+                F.lit((1 << bits_per_col) - 1),
+            )
+            - 1
+        ).cast("bigint")
+        for c, lo, hi in zip(cols, mins, maxs)
+    ]
+    key = F.lit(0).cast("bigint")
+    # bit j of column i lands at position j*n + i
+    for j in range(bits_per_col):
+        for i, b in enumerate(bucketed):
+            bit = F.shiftright(b, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits_per_col: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Multi-dimensional clustering sink: range-partition + sort by the
+    Morton key of ``cols`` so every output file covers a small
+    hyper-rectangle of the key space. Parquet min/max footer stats on
+    EACH clustered column then prune files for predicates on ANY of
+    them — single-column sorting only prunes its leading column. This
+    is the table-maintenance half of data skipping at 100 TB; the read
+    half is Spark's built-in scan-level min/max filtering.
+
+    One shuffle (range partition on the key); min/max bounds for the
+    bucketing come from one cheap agg over the input.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[f(c).alias(f"{p}_{c}") for c in cols for p, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    mins = [bounds[f"lo_{c}"] for c in cols]
+    maxs = [bounds[f"hi_{c}"] for c in cols]
+    key = zorder_key(cols, mins, maxs, bits_per_col)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

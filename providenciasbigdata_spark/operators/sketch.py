@@ -68,3 +68,38 @@ def heavy_hitters(df: DataFrame, col: str, phi: float = 0.01) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return exact.filter(F.col("cnt") > phi * n)
+
+
+def hll_daily_cumulative(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL, built into
+    Spark >= 3.5): one sketch per day, then cumulative distincts by
+    UNIONING the daily sketches — never rescanning the raw events.
+
+    This is the 100 TB pattern for incremental distinct metrics: a
+    nightly job appends one (day, sketch) row; any window's distinct
+    count is a merge over the tiny sketch table (bytes per day,
+    constant in data volume). The cumulative merge below is a
+    triangular self-join over the per-day sketch rows — |days|^2 rows
+    of kilobyte sketches, independent of event volume.
+
+    Output: (day, daily_users, cum_users) — both estimates, bigint.
+    """
+    daily = events.groupBy(F.date_trunc("day", ts_col).alias("day")).agg(
+        F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("sk")
+    )
+    upto = daily.select(F.col("day").alias("d2"), F.col("sk").alias("sk2"))
+    cum = (
+        daily.join(upto, F.col("d2") <= F.col("day"))
+        .groupBy("day", "sk")
+        .agg(F.hll_union_agg("sk2").alias("sk_cum"))
+    )
+    return cum.select(
+        "day",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("daily_users"),
+        F.hll_sketch_estimate("sk_cum").cast("bigint").alias("cum_users"),
+    ).orderBy("day")

@@ -311,7 +311,20 @@ FROM (
 """
 
 
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day + cumulative distinct users from mergeable HLL sketches
+    (operators.sketch.hll_daily_cumulative). Estimates are
+    deterministic but not SQL-reproducible (Datasketches hashing) —
+    rows-only here; the <=2% error bound vs exact is pinned in
+    tests/test_sketch_hll.py."""
+    from providenciasbigdata_spark.operators.sketch import hll_daily_cumulative
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_daily_cumulative(ev)
+
+
 QUERIES = {
+    "sketch_hll_daily_users": (q_hll_daily_users, None),
     "quality_expectations": (q_quality_expectations, _EXPECTATIONS_SQL),
     "text_repetition": (q_text_repetition, _REPETITION_SQL),
     "sketch_heavy_hitter_tokens": (q_heavy_hitter_tokens, _HEAVY_HITTERS_SQL),
