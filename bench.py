@@ -49,6 +49,10 @@ HEADLINE = [
     "sketch_heavy_hitter_tokens",
     "pq_ann_topk",
     "join_market_share",
+    "join_returned_items",
+    "sql_recursive_reachability",
+    "timeseries_resample_ffill",
+    "quality_expectations",
 ]
 
 

@@ -388,7 +388,101 @@ LIMIT 64
 """
 
 
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic + moment aggregates per group: exact interpolated
+    median, sample stddev, Pearson correlation. Median is Spark's exact
+    ``percentile`` (same lower+frac*(upper-lower) interpolation as
+    DuckDB ``median``); stddev/corr are float-order-dependent at ~1e-12
+    relative error, rounded to 6 digits well clear of it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+_ROBUST_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(median(l_quantity), 6) AS median_qty,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order totals — binning via an explicit
+    floor formula (identical arithmetic on both engines; no reliance on
+    engine-specific width_bucket edge conventions). Two-phase agg over
+    one scan."""
+    lo, hi, nbins = 0.0, 600000.0, 20
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - lo) / ((hi - lo) / nbins)).cast("bigint"),
+        F.lit(nbins - 1),
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT LEAST(CAST(FLOOR((o_totalprice - 0.0) / 30000.0) AS BIGINT), 19) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: customer-name pairs within Levenshtein
+    distance 1. Blocking on the leading digits of the name's numeric
+    suffix turns O(n^2) into an equi-join over ~100-row blocks — the
+    standard entity-resolution pattern; at 100 TB the blocking key is a
+    phonetic/sorted-token key instead, the join shape is unchanged."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 10, 4).alias("_blk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 10, 4).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+        .select("id_a", "id_b", "name_a", "name_b")
+    )
+
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b
+  ON substring(a.c_name, 10, 4) = substring(b.c_name, 10, 4)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) = 1
+"""
+
+
 QUERIES = {
+    "agg_robust_stats": (q_robust_stats, _ROBUST_STATS_SQL),
+    "agg_price_histogram": (q_price_histogram, _HISTOGRAM_SQL),
+    "join_fuzzy_name_pairs": (q_fuzzy_name_pairs, _FUZZY_SQL),
     "setops_bag_semantics": (q_setops_bag, _SETOPS_BAG_SQL),
     "join_null_safe": (q_join_null_safe, _JOIN_NULL_SAFE_SQL),
     "sample_deterministic_hash": (q_sample_deterministic, _SAMPLE_DET_SQL),

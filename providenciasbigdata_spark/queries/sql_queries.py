@@ -152,7 +152,52 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reachability (min hop count <= 3 from node 7) over
+    the similitud>=35 similarity graph via WITH RECURSIVE (Spark 4's
+    recursive CTE — each iteration is a planned join, the fixed point
+    handled by the engine; contrast operators.graph_algos.bfs_distances
+    which drives the loop from Python). The edge build is the exact
+    matmul path; at 100 TB swap in the LSH-approximate edge set.
+
+    The UNION ALL recursion enumerates paths, bounded by the hop cap;
+    the outer MIN(hop) aggregate collapses them. On a sparse graph
+    (avg degree ~1 at this threshold) the path count stays linear."""
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = pairwise_cosine_matmul(emb, threshold=35.0, scale=100.0).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    edges.createOrReplaceTempView("sim_edges")
+    return spark.sql("""
+        WITH RECURSIVE reach(dst, hop) AS (
+          SELECT dst, 1 AS hop FROM sim_edges WHERE src = 7
+          UNION ALL
+          SELECT e.dst, r.hop + 1 FROM reach r JOIN sim_edges e ON e.src = r.dst
+          WHERE r.hop < 3)
+        SELECT CAST(dst AS BIGINT) AS dst, CAST(MIN(hop) AS BIGINT) AS min_hop
+        FROM reach GROUP BY dst ORDER BY dst
+    """)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) * 100, 4) >= 35),
+reach(dst, hop) AS (
+  SELECT dst, 1 AS hop FROM edges WHERE src = 7
+  UNION ALL
+  SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.dst WHERE r.hop < 3)
+SELECT CAST(dst AS BIGINT) AS dst, CAST(MIN(hop) AS BIGINT) AS min_hop
+FROM reach GROUP BY dst ORDER BY dst
+"""
+
+
 QUERIES = {
+    "sql_recursive_reachability": (q_recursive_reachability, _RECURSIVE_SQL),
     "sql_grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
     "sql_exists_subquery": (q_exists_subquery, _EXISTS_SQL),
     "sql_scalar_subquery": (q_scalar_subquery, _SCALAR_SUBQ_SQL),

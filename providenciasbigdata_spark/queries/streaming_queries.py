@@ -172,7 +172,26 @@ FROM q JOIN p USING (doc_id)
 """
 
 
+def q_ohlc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.ohlc_windows(load_table(spark, sf_dir, "events"), width="1 hour")
+
+
+_OHLC_WINDOWS_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       ROUND(min_by(value, epoch_us(ts) * 1000 + event_id % 1000), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(max_by(value, epoch_us(ts) * 1000 + event_id % 1000), 6) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "stream_ohlc_windows": (q_ohlc_windows, _OHLC_WINDOWS_SQL),
     "stream_tumbling_counts": (q_tumbling, _TUMBLING_SQL),
     "stream_route_documents": (q_route_documents, _route_documents_sql()),
     "stream_enrich_segments": (q_enrich_segments, _ENRICH_SQL),

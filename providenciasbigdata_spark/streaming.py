@@ -140,6 +140,43 @@ def session_windows(
     )
 
 
+def ohlc_windows(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Windowed OHLC bars per event_type — open/close via
+    ``min_by``/``max_by`` on a composite (ts, event_id) BIGINT order
+    key (same key as the batch q_ohlc_bars twin, so stream == batch
+    row-for-row). All five aggregates are declarative and support
+    partial aggregation, so streaming state per (window, type) is one
+    constant-size buffer regardless of event volume.
+
+    Output: (window_start, window_end, event_type, open, high, low,
+    close, n).
+    """
+    order_key = F.unix_micros("ts") * 1000 + F.pmod("event_id", 1000)
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", order_key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", order_key), 6).alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exact event dedup by event_id. Streaming: state bounded by the
     watermark horizon (dropDuplicatesWithinWatermark) — the only safe

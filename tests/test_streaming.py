@@ -44,6 +44,11 @@ def _as_rows(df, cols):
             ["user_id", "session_start", "session_end", "n_events"],
             "complete",
         ),
+        (
+            streaming.ohlc_windows,
+            ["window_start", "window_end", "event_type", "open", "high", "low", "close", "n"],
+            "complete",
+        ),
     ],
 )
 def test_stream_matches_batch(spark, events_dir, fn, cols, output_mode):
