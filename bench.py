@@ -73,24 +73,30 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # min of 2 runs per query: single-run numbers swing ~30% on the
-    # shuffle-heavy queries (JIT/GC timing); the min is the stable
-    # "plan cost" signal the per-round comparison needs.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _sql = registry[name]
-        best = float("inf")
-        for _ in range(2):
+    # Per-query min over 3 FULL PASSES (not back-to-back repeats): the
+    # sandbox host has bursty multi-second interference windows that
+    # inflate whatever runs inside them 3-10x (observed: same query
+    # 2.5s/5.6s/38s across runs). Back-to-back repeats land in the same
+    # burst; full passes put a query's attempts minutes apart, so the
+    # min recovers the true plan cost unless a burst recurs all 3 times.
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _pass in range(3):
+        for name in HEADLINE:
+            fn, _sql = registry[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        # drop DataFrames persisted inside operators (minhash/ivf/...):
-        # without this the dead cached RDDs of earlier queries pile up
-        # and evict the LIVE cache of later ones mid-measurement
-        # (observed: minhash_near_dups 5.3s dirty vs 2.2s isolated)
-        spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+            # drop DataFrames persisted inside operators (minhash/ivf/...):
+            # dead cached RDDs from one query otherwise evict the LIVE
+            # cache of later ones mid-measurement (minhash 5.3s dirty
+            # vs 2.2s isolated)
+            spark.catalog.clearCache()
+        print(
+            f"[bench] pass {_pass}: " + ", ".join(f"{n}={timings[n]:.2f}" for n in HEADLINE),
+            file=sys.stderr,
+            flush=True,
+        )
+    timings = {n: round(v, 3) for n, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
