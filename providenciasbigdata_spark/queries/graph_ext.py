@@ -112,8 +112,11 @@ SELECT degree, COUNT(*) AS n_nodes FROM degrees GROUP BY degree
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component label per node of the similitud>=30 graph (bounded to
     150 vectors so the fixed-point loop stays fast at fixture scale).
-    Iterative — not SQL-expressible; exactness is pinned on known
-    graphs in tests/test_graph_algos.py."""
+    Spark side is the iterative min-label propagation
+    (operators.graph_algos); the oracle reproduces the fixed point with
+    a recursive reachability CTE + MIN over each node's reachable set —
+    same labels because both converge to min-id-in-component (string
+    order on both engines)."""
     from providenciasbigdata_spark.operators.graph_algos import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
@@ -121,11 +124,34 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+# Undirected (symmetrized) edge set of the bounded similarity graph —
+# shared by the CC/BFS oracles below. Cosine is symmetric, so the
+# a<>b all-pairs join already contains both directions.
+_SYM_EDGES_150_SQL = f"""
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS u,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND {_COS_SQL.format(a='a', b='b')} >= 30
+"""
+
+_CC_SQL = f"""
+WITH RECURSIVE sym AS MATERIALIZED ({_SYM_EDGES_150_SQL}),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+SELECT u AS id, LEAST(u, MIN(v)) AS component
+FROM reach GROUP BY u
+"""
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance from P-7 over the similitud>=30 graph (bounded to
     150 vectors), frontier BFS — the arbitrary-depth generalization of
-    the reference's 1-hop page. Rows-only (iterative); exactness pinned
-    on known chains in tests/test_graph_algos.py."""
+    the reference's 1-hop page. Spark drives the frontier loop;
+    the oracle is a recursive min-hop CTE (UNION-distinct bounds the
+    row set to nodes x hops even through cycles)."""
     from providenciasbigdata_spark.operators.graph_algos import bfs_distances
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
@@ -133,7 +159,26 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, "P-7", max_hops=4)
 
 
+_BFS_SQL = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_SYM_EDGES_150_SQL}),
+reach(id, hops) AS (
+  SELECT v, 1 FROM e WHERE u = 'P-7'
+  UNION
+  SELECT e.v, r.hops + 1 FROM reach r JOIN e ON e.u = r.id WHERE r.hops < 4)
+SELECT 'P-7' AS id, 0 AS hops
+UNION ALL
+SELECT id, CAST(MIN(hops) AS INT) AS hops
+FROM reach WHERE id <> 'P-7' GROUP BY id
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration power-method PageRank over the bounded similarity
+    graph. The cosine graph is symmetric, so there are no dangling
+    nodes and the oracle can UNROLL the five iterations as chained
+    CTEs (recursive terms can't aggregate over the recursive relation;
+    a fixed iteration count needs no recursion). Float summation-order
+    differences are ~1e-14 — far below the 6-digit round."""
     from providenciasbigdata_spark.operators.graph_algos import pagerank
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
@@ -141,6 +186,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, max_iter=5).select(
         "id", F.round("rank", 6).alias("rank")
     )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""pr{k} AS (
+  SELECT nodes.id,
+         CAST({1 - damping} AS DOUBLE) / (SELECT n FROM nn)
+           + CAST({damping} AS DOUBLE) * COALESCE(s.inflow, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS id, SUM(p.rank / d.deg) AS inflow
+    FROM e JOIN pr{k - 1} p ON p.id = e.u JOIN deg d ON d.u = e.u
+    GROUP BY e.v) s ON s.id = nodes.id)"""
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT u, v FROM ({_SYM_EDGES_150_SQL})),
+nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+{chained}
+SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
+"""
 
 
 def q_degree_histogram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,7 +267,7 @@ QUERIES = {
     "graph_triangle_count": (q_triangle_count, _TRIANGLE_SQL),
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),
     "graph_degree_histogram_blocked": (q_degree_histogram_blocked, _DEGREE_SQL),
-    "graph_connected_components": (q_connected_components, None),
-    "graph_bfs_distances": (q_bfs_distances, None),
-    "graph_pagerank": (q_pagerank, None),
+    "graph_connected_components": (q_connected_components, _CC_SQL),
+    "graph_bfs_distances": (q_bfs_distances, _BFS_SQL),
+    "graph_pagerank": (q_pagerank, _pagerank_sql()),
 }
