@@ -54,3 +54,44 @@ def merge_upsert(
     return latest_state(
         snapshot.unionByName(changes), keys, order_cols, delete_predicate
     )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch's partial
+    aggregate into an existing (keys, sums, count) state WITHOUT
+    rescanning history — the sums/counts are commutative monoids, so
+    state ⊕ agg(delta) == agg(history ∪ delta) exactly (decimal sums;
+    no float reordering). At 100 TB this turns a daily full-table
+    rollup into work proportional to the delta plus the touched state
+    partitions; the equality to the from-scratch aggregate is
+    oracle-checked (``incremental_daily_revenue``).
+
+    ``state`` and the returned frame share one schema:
+    (keys..., <sum_cols>..., count_col) — the output of
+    ``partial_agg`` below.
+    """
+    d = partial_agg(delta, keys, sum_cols, count_col)
+    merged = state.unionByName(d)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).cast("bigint").alias(count_col),
+    )
+
+
+def partial_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """The mergeable per-key state: exact DECIMAL(28,10) sums + count."""
+    return df.groupBy(*keys).agg(
+        *[F.sum(F.col(c).cast("decimal(28,10)")).alias(c) for c in sum_cols],
+        F.count("*").cast("bigint").alias(count_col),
+    )

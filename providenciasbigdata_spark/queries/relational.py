@@ -835,7 +835,38 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the pre-1998 order-revenue rollup
+    is the standing state; 1998+ orders arrive as the delta and are
+    folded in via operators.cdc.merge_agg_state — history is never
+    rescanned after its partial agg. The oracle aggregates the WHOLE
+    table from scratch: incremental must equal batch exactly (decimal
+    monoid sums, no float reordering)."""
+    from providenciasbigdata_spark.operators.cdc import merge_agg_state, partial_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    delta = orders.filter(F.col("o_orderdate") >= "1998-01-01")
+    state = partial_agg(hist, ["o_orderstatus"], ["o_totalprice"], "n_orders")
+    merged = merge_agg_state(state, delta, ["o_orderstatus"], ["o_totalprice"], "n_orders")
+    return merged.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("sum_price"),
+        "n_orders",
+    )
+
+
+_INCR_SQL = """
+SELECT o_orderstatus,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "incremental_daily_revenue": (q_incremental_daily_revenue, _INCR_SQL),
     "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),
     "cdc_latest_user_value": (q_cdc_latest_user_value, _CDC_LATEST_SQL),
     "join_market_share": (q_market_share, _Q8_SQL),

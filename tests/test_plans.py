@@ -201,3 +201,31 @@ def test_q21_semi_anti_no_cartesian(spark, reg):
     # EXISTS -> left-semi, NOT EXISTS -> left-anti, both hash joins
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_join_strategy_hints(spark):
+    """Physical join strategy is controllable per-join: broadcast /
+    merge / shuffle_hash hints must produce the corresponding physical
+    operators — the knob for overriding Catalyst's stats-based pick
+    when table stats mislead at scale."""
+    import pyspark.sql.functions as F
+
+    big = spark.range(100000).withColumn("k", F.col("id") % 100)
+    dim = spark.range(100).withColumnRenamed("id", "k")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, op in cases.items():
+        plan = plan_of(big.join(dim.hint(hint), "k"))
+        assert op in plan, (hint, plan)
+
+
+def test_incremental_merge_is_partial_agg_shaped(spark, reg):
+    """The incremental rollup must not rescan history twice: one scan
+    feeds the state partial agg, the delta scan feeds the merge, and
+    the final combine is a hash aggregate over the unioned partials."""
+    plan = plan_of(_run(reg, "incremental_daily_revenue", spark))
+    assert "Union" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final per branch

@@ -85,3 +85,24 @@ def test_triangle_count_known_graph(spark, tmp_path):
 
     out = q_triangle_count(spark, str(tmp_path)).collect()
     assert out[0]["n_triangles"] == 1
+
+
+def test_merge_agg_state_sequential_folds(spark):
+    """Folding batches one at a time must equal aggregating everything
+    at once — the monoid property incremental maintenance rests on."""
+    from providenciasbigdata_spark.operators.cdc import merge_agg_state, partial_agg
+
+    full = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 10.0), ("a", 3.0), ("b", 0.25), ("c", 7.0)],
+        "k string, v double",
+    )
+    batches = [full.limit(2), full.offset(2).limit(2), full.offset(4)]
+    state = partial_agg(batches[0], ["k"], ["v"])
+    for b in batches[1:]:
+        state = merge_agg_state(state, b, ["k"], ["v"])
+    got = {r["k"]: (float(r["v"]), r["n"]) for r in state.collect()}
+    want = {
+        r["k"]: (float(r["v"]), r["n"])
+        for r in partial_agg(full, ["k"], ["v"]).collect()
+    }
+    assert got == want
