@@ -36,18 +36,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (Parquet). Lazy; columns prune at scan.
 
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
-    as LONG (runtime-settable SQL conf) and rebuild a microsecond
-    TimestampType column; ``ts div 1000`` matches DuckDB's
-    ``epoch_us(ts)`` exactly (floor for positive epochs).
+    ``events.ts`` has shipped in two fixture vintages: Parquet
+    TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    ([PARQUET_TYPE_ILLEGAL]), so we read nanos as LONG and rebuild a
+    microsecond TimestampType column (``ts div 1000`` matches DuckDB's
+    ``epoch_us(ts)`` exactly: floor for positive epochs) — and plain
+    TIMESTAMP(MICROS), which both engines read natively. Detect which
+    by footer inspection so either vintage loads unchanged.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = os.path.join(sf_dir, "events.parquet")
+        nanos = False
+        try:
+            field = pq.read_schema(path).field("ts")
+            nanos = getattr(field.type, "unit", None) == "ns"
+        except Exception:
+            pass
+        if nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # micros vintage reads as TIMESTAMP_NTZ (isAdjustedToUTC=false);
+        # cast to TimestampType — identity under the session's UTC zone —
+        # so ts-derived exprs (unix_micros, window, watermark) keep the
+        # exact round-1 semantics either way.
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
