@@ -1,0 +1,174 @@
+"""Custom Python DataSource: MongoDB extended-JSON dump reader.
+
+The reference's production source is a live MongoDB collection handle
+(reference streamlit_app.py:19-22: ``MongoClient(uri)[db][collection]``).
+Its offline twin — and the standard migration artifact — is a
+``mongoexport`` dump: one MongoDB Extended-JSON document per line.
+This module makes that dump format a first-class Spark table via the
+Spark 4 Python DataSource API (``pyspark.sql.datasource``), so a user
+of the reference can point the engine at an exported collection and run
+every query without a server.
+
+Scale design (100 TB dump directory):
+- ``partitions()`` returns one ``InputPartition`` per dump file — the
+  natural split unit for line-delimited JSON (files are typically
+  sharded by the exporter). 1000 executors each open only their own
+  files; nothing is centralized except the file listing.
+- ``pushFilters()`` accepts top-level ``EqualTo`` filters (the only
+  predicate shape the reference's facet queries emit — SURVEY.md
+  A4-A6) and applies them inside the scan *before* building rows, so a
+  ``tipo = 'x'`` facet over a 100 TB dump deserializes every line but
+  materializes only matching rows into Arrow batches. Remaining
+  filters stay with Spark (we return only what we fully handle).
+- Schema is caller-declared (``.schema(...)``); we never infer by
+  pre-scanning the data (an extra full pass at scale).
+
+Extended-JSON type wrappers are unwrapped per the BSON spec:
+``{"$oid": s}`` -> string, ``{"$numberInt"|"$numberLong": s}`` -> int,
+``{"$numberDouble": s}`` -> float, ``{"$date": iso-or-millis}`` ->
+datetime. Unknown wrappers pass through as their inner value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "mongodump"
+
+
+def _unwrap(v):
+    """Unwrap one MongoDB Extended-JSON value into a plain Python value."""
+    if isinstance(v, dict) and len(v) == 1:
+        (k, inner), = v.items()
+        if k == "$oid":
+            return str(inner)
+        if k in ("$numberInt", "$numberLong"):
+            return int(inner)
+        if k == "$numberDouble":
+            return float(inner)
+        if k == "$date":
+            import datetime as _dt
+
+            if isinstance(inner, dict) and "$numberLong" in inner:
+                ms = int(inner["$numberLong"])
+                return _dt.datetime.fromtimestamp(ms / 1000, tz=_dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return _dt.datetime.fromisoformat(str(inner).rstrip("Z"))
+        if k.startswith("$"):
+            return inner
+    return v
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class MongoDumpReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_fields = [f.name for f in schema.fields]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mongodump source requires a path")
+        self.eq_filters: list[tuple[str, object]] = []
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        """Keep top-level EqualTo filters (the reference's facet
+        predicates, SURVEY.md A4-A6); everything else stays in Spark."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self.eq_filters.append((f.attribute[0], f.value))
+            else:
+                yield f
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith((".json", ".jsonl", ".txt")) and not f.startswith(("_", "."))
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        fields = self.schema_fields
+        eqs = self.eq_filters
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                doc = json.loads(line)
+                row = {k: _unwrap(v) for k, v in doc.items()}
+                if any(row.get(col) != val for col, val in eqs):
+                    continue
+                yield tuple(row.get(f) for f in fields)
+
+
+class MongoDumpDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        # Default schema = the reference collection's pinned shape
+        # (SURVEY.md §1.1 / FIXTURES.md mapping); callers with other
+        # collections pass .schema(...) explicitly.
+        return "_id string, providencia string, tipo string, anio int, texto string"
+
+    def reader(self, schema: StructType) -> MongoDumpReader:
+        return MongoDumpReader(schema, self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotently register the mongodump format on this session.
+
+    Also enables Python-datasource filter pushdown (off by default in
+    Spark 4.1) so ``pushFilters`` participates in planning.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MongoDumpDataSource)
+
+
+# ---- export helper (builds dumps; also used to stage test fixtures) ----
+
+def export_mongodump(docs: DataFrame, out_dir: str, n_files: int = 4) -> None:
+    """Write the rulings view as a mongoexport-style Extended-JSON dump.
+
+    Pure Spark sink: each row becomes one Extended-JSON line via
+    ``to_json`` over a struct whose field names carry the BSON type
+    wrappers; no driver-side loop, so the export itself scales. The
+    ``_id`` is a deterministic 24-hex string derived from ``doc_id``
+    (a real dump's ObjectId is opaque; determinism keeps the oracle
+    comparable).
+    """
+    line = F.to_json(
+        F.struct(
+            F.struct(
+                F.lpad(F.lower(F.hex(F.col("doc_id"))), 24, "0").alias("$oid")
+            ).alias("_id"),
+            F.col("providencia"),
+            F.col("tipo"),
+            F.struct(F.col("anio").cast("string").alias("$numberInt")).alias("anio"),
+            F.col("texto"),
+        )
+    )
+    docs.select(line.alias("value")).repartition(n_files).write.mode("overwrite").text(
+        out_dir
+    )

@@ -103,3 +103,77 @@ def hll_daily_cumulative(
         F.hll_sketch_estimate("sk").cast("bigint").alias("daily_users"),
         F.hll_sketch_estimate("sk_cum").cast("bigint").alias("cum_users"),
     ).orderBy("day")
+
+
+# ---- count-min sketch (pure DataFrame construction) ---------------------
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 5, width: int = 4096, seed: int = 42
+) -> DataFrame:
+    """Count-min sketch materialized as a (row, bucket, cnt) counter
+    table: ``depth`` independent hash rows of ``width`` buckets.
+
+    Built with one explode + one hash aggregate — entirely JVM-side
+    (xxhash64/pmod, whole-stage codegen), no UDF. The counter key
+    space is depth*width (small, bounded), so the shuffle after the
+    map-side partial agg moves at most depth*width rows per partition
+    regardless of input size — this is the point of a sketch at 100 TB:
+    frequency structure in O(d*w) space from one scan. Sketches built
+    shard-by-shard with the same (depth, width, seed) merge by summing
+    counters (union + re-agg), which is how a 1000-executor fleet
+    combines per-shard sketches without re-scanning.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("h"))
+        .groupBy(F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` against a
+    ``cms_build`` table: est(x) = min over rows of counter[row,
+    h_row(x)] — the classic CMS upper-bounding estimate (est >= true
+    count always; est <= true + eps*N w.h.p. for width = ceil(e/eps)).
+
+    The probe side is tiny (a candidate set), so the join against the
+    bounded counter table broadcasts; no full-data rescan.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_cells = probes.select(F.col(col), F.explode(cells).alias("h")).select(
+        col, F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket")
+    )
+    return (
+        probe_cells.join(cms, ["row", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_count"))
+    )

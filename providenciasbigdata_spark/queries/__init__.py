@@ -18,6 +18,7 @@ from providenciasbigdata_spark.queries import (
     compat_queries,
     extended,
     graph_ext,
+    modern,
     multimodal_queries,
     pipeline,
     relational,
@@ -43,6 +44,7 @@ def all_queries():
         graph_ext,
         timeseries,
         training_ext,
+        modern,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,216 @@
+"""Spark-4-native surface: Python DataSource, VARIANT semi-structured
+access, transformWithState stateful streaming, count-min sketch.
+
+These queries exercise the engine's newest execution surfaces against
+the same DuckDB oracles as the rest of the registry:
+
+- ``mongodump_facet_anio``: the reference's A1 source handle
+  re-expressed as a custom Python DataSource over a mongoexport-style
+  Extended-JSON dump (datasources.py), with EqualTo filter pushdown
+  into the scan — then the A6-shaped facet aggregation on top.
+- ``variant_props_stats``: events.props parsed once into a VARIANT
+  column (binary semi-structured encoding; typed paths extracted with
+  ``variant_get``) — the scale-correct way to query ragged JSON: parse
+  once, prune fields at access, no per-query string re-parsing.
+- ``tws_user_totals``: REAL streaming execution (file source ->
+  transformWithStateInPandas -> availableNow drain) oracle-checked
+  against the batch aggregate — the strongest stream/batch parity
+  statement in the registry.
+- ``cms_token_estimates``: rows-only (sketch estimates are not
+  SQL-expressible); error bounds pinned in tests/test_modern.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark import datasources
+from providenciasbigdata_spark.compat.documents import rulings_view, tokenize
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators.sketch import cms_build, cms_estimate
+
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return tag.replace(".", "_")
+
+
+# ---- custom Python DataSource (reference A1 over an offline dump) -------
+
+def _ensure_dump(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(tempfile.gettempdir(), f"pbd_mongodump_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = rulings_view(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "providencia", "tipo", "anio", "texto"
+        )
+        datasources.export_mongodump(docs, out)
+    return out
+
+
+def q_mongodump_facet_anio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet count-by-year over one ruling type, read through the
+    mongodump Python DataSource. The ``tipo = 'src3'`` equality filter
+    is pushed into the source scan (datasources.MongoDumpReader.
+    pushFilters); only matching documents reach Spark."""
+    datasources.register(spark)
+    dump_dir = _ensure_dump(spark, sf_dir)
+    docs = (
+        spark.read.format(datasources.FORMAT_NAME)
+        .schema("_id string, providencia string, tipo string, anio int, texto string")
+        .load(dump_dir)
+    )
+    return (
+        docs.filter(F.col("tipo") == "src3")
+        .groupBy("anio")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_MONGODUMP_SQL = """
+SELECT CAST(2000 + doc_id % 25 AS INTEGER) AS anio, COUNT(*) AS n_docs
+FROM documents
+WHERE source = 'src3'
+GROUP BY 1
+"""
+
+
+# ---- VARIANT semi-structured access -------------------------------------
+
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse events.props into VARIANT once, extract a typed path, and
+    aggregate. At 100 TB the VARIANT column is materialized at ingest
+    (shredded binary layout); queries then do typed path extraction
+    without re-tokenizing JSON strings per access."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+# ---- stateful streaming: REAL streaming run, oracle-checked -------------
+
+def has_tws_runtime() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; absent in some runtimes (this container has no
+    google.protobuf and installs are out of scope)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q_stream_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime (n_events, total_value) computed by an ACTUAL
+    streaming query — file source over the staged events table -> a
+    custom stateful per-key operator -> availableNow drain to a memory
+    sink — then oracle-checked against the batch aggregate: the
+    registry's strongest stream/batch parity statement.
+
+    Uses the Spark 4 transformWithStateInPandas operator (typed
+    ValueState, RocksDB-backed) when its protobuf runtime is present,
+    else the applyInPandasWithState formulation of the same contract
+    (streaming.user_running_totals). Update-mode emits one cumulative
+    row per user per micro-batch; the final state per user is selected
+    with max_by(total_value, n_events), so the result is batch-equal
+    even if the source splits into several micro-batches."""
+    from providenciasbigdata_spark import streaming as st
+
+    src = os.path.join(tempfile.gettempdir(), f"pbd_tws_src_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+    stream = st.events_stream(spark, src)
+    if has_tws_runtime():
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB)
+        try:
+            emitted = st.run_available_now(
+                st.user_running_totals_tws(stream),
+                f"tws_user_totals_{_sf_tag(sf_dir)}",
+                output_mode="update",
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+        emitted = st.run_available_now(
+            st.user_running_totals(stream),
+            f"apws_user_totals_{_sf_tag(sf_dir)}",
+            output_mode="update",
+        )
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
+    )
+
+
+_STREAM_LIVE_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---- count-min sketch point estimates (rows-only) -----------------------
+
+def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the 10 most frequent document
+    tokens, alongside exact counts. est >= exact always; the
+    overestimate bound is pinned in tests/test_modern.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(10)
+    )
+    est = cms_estimate(cms_build(toks, "token"), exact_top.select("token"), "token")
+    return exact_top.join(est, "token").select(
+        "token", "exact_count", "cms_count"
+    )
+
+
+QUERIES = {
+    "mongodump_facet_anio": (q_mongodump_facet_anio, _MONGODUMP_SQL),
+    "variant_props_stats": (q_variant_props_stats, _VARIANT_SQL),
+    "stream_user_totals_live": (q_stream_user_totals_live, _STREAM_LIVE_SQL),
+    "cms_token_estimates": (q_cms_token_estimates, None),
+}

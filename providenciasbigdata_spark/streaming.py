@@ -294,6 +294,56 @@ def user_running_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    ``user_running_totals``: same per-user running (n_events,
+    total_value) contract, expressed through the arbitrary-stateful-v2
+    API (typed ValueState handle instead of the GroupState blob;
+    requires the RocksDB state store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` before start).
+
+    At scale this is the preferred stateful surface: state lives in
+    per-partition RocksDB instances with changelog checkpointing, so
+    key cardinality is bounded by disk, not executor heap. Batch
+    frames take the identical groupBy fast path.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=_RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 DOCUMENTS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1,0 +1,201 @@
+"""Spark-4 surface tests: Python DataSource (mongodump), VARIANT,
+transformWithStateInPandas, count-min sketch bounds."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark import datasources
+from providenciasbigdata_spark.compat.documents import rulings_view, tokenize
+from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.operators.sketch import cms_build, cms_estimate
+from providenciasbigdata_spark.queries.modern import (
+    _ensure_dump,
+    has_tws_runtime,
+    q_stream_user_totals_live,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- mongodump Python DataSource ----------------------------------------
+
+def test_mongodump_roundtrip(spark):
+    """Dump -> datasource read reproduces the rulings view exactly."""
+    datasources.register(spark)
+    dump_dir = _ensure_dump(spark, SF)
+    got = (
+        spark.read.format("mongodump")
+        .schema("_id string, providencia string, tipo string, anio int, texto string")
+        .load(dump_dir)
+    )
+    want = rulings_view(load_table(spark, SF, "documents")).select(
+        "providencia", "tipo", "anio", "texto"
+    )
+    assert got.count() == want.count()
+    # row-level equality via anti-joins both ways
+    g = got.select("providencia", "tipo", "anio", "texto")
+    assert g.exceptAll(want).count() == 0
+    assert want.exceptAll(g).count() == 0
+    # _id is the deterministic 24-hex oid
+    one = got.filter(F.col("providencia") == "P-7").select("_id").first()
+    assert one["_id"] == format(7, "x").zfill(24)
+
+
+def test_mongodump_filter_pushdown_semantics(spark):
+    """EqualTo filters produce the same rows whether the source handles
+    them (pushdown) or Spark does (post-filter)."""
+    datasources.register(spark)
+    dump_dir = _ensure_dump(spark, SF)
+    schema = "_id string, providencia string, tipo string, anio int, texto string"
+    src = spark.read.format("mongodump").schema(schema).load(dump_dir)
+    full = (
+        spark.read.format("mongodump").schema(schema).load(dump_dir).collect()
+    )
+    # pick a (tipo, anio) combo that actually exists at this SF
+    tipo, anio = next((r["tipo"], r["anio"]) for r in full)
+    pushed = src.filter((F.col("tipo") == tipo) & (F.col("anio") == anio)).count()
+    manual = sum(1 for r in full if r["tipo"] == tipo and r["anio"] == anio)
+    assert pushed == manual
+    assert pushed > 0
+
+
+def test_mongodump_extended_json_unwrap():
+    assert datasources._unwrap({"$oid": "abc"}) == "abc"
+    assert datasources._unwrap({"$numberInt": "5"}) == 5
+    assert datasources._unwrap({"$numberLong": "9999999999"}) == 9999999999
+    assert datasources._unwrap({"$numberDouble": "1.5"}) == 1.5
+    assert datasources._unwrap({"a": 1, "b": 2}) == {"a": 1, "b": 2}
+    assert datasources._unwrap("plain") == "plain"
+    dt = datasources._unwrap({"$date": {"$numberLong": "86400000"}})
+    assert dt.year == 1970 and dt.day == 2
+
+
+# ---- VARIANT --------------------------------------------------------------
+
+def test_variant_matches_json_path(spark):
+    ev = load_table(spark, SF, "events")
+    both = ev.select(
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("vk"),
+        F.get_json_object("props", "$.k").cast("int").alias("jk"),
+    )
+    assert both.filter(~(F.col("vk").eqNullSafe(F.col("jk")))).count() == 0
+
+
+# ---- live stateful streaming run -----------------------------------------
+
+def test_live_stream_equals_batch(spark):
+    """Real streaming execution (availableNow) of the stateful per-user
+    totals == the batch aggregate. Runs through
+    transformWithStateInPandas when protobuf is present, else
+    applyInPandasWithState — both paths share the output contract."""
+    got = q_stream_user_totals_live(spark, SF).orderBy("user_id").collect()
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["user_id"] == w["user_id"]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["total_value"] - w["total_value"]) < 1e-6
+
+
+def test_tws_stream_equals_batch(spark):
+    """transformWithStateInPandas variant of the same parity — only
+    runnable where its protobuf state-protocol runtime exists."""
+    if not has_tws_runtime():
+        pytest.skip("google.protobuf not available: transformWithState "
+                    "state-server protocol cannot start in this runtime")
+    import tempfile as _tf
+
+    from providenciasbigdata_spark import streaming as st
+
+    src = _tf.mkdtemp(prefix="tws_events_")
+    load_table(spark, SF, "events").repartition(2).write.mode("overwrite").parquet(src)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = st.run_available_now(
+            st.user_running_totals_tws(st.events_stream(spark, src)),
+            "tws_parity_test",
+            output_mode="update",
+        )
+        got = (
+            emitted.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.expr("max_by(total_value, n_events)").alias("total_value"),
+            )
+            .orderBy("user_id")
+            .collect()
+        )
+    finally:
+        spark.conf.unset(conf_key)
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(g["user_id"], g["n_events"]) for g in got] == [
+        (w["user_id"], w["n_events"]) for w in want
+    ]
+
+
+# ---- count-min sketch -----------------------------------------------------
+
+def test_cms_bounds(spark):
+    toks = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    n_total = toks.count()
+    exact = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("exact"))
+    depth, width = 5, 4096
+    cms = cms_build(toks, "token", depth=depth, width=width)
+    est = cms_estimate(cms, exact.select("token"), "token", depth=depth, width=width)
+    joined = exact.join(est, "token").select("token", "exact", "cms_count").collect()
+    assert len(joined) > 0
+    eps = 2.718281828 / width
+    for r in joined:
+        assert r["cms_count"] >= r["exact"], f"CMS underestimated {r}"
+        assert r["cms_count"] <= r["exact"] + eps * n_total * 3, f"CMS blew bound {r}"
+
+
+def test_cms_merge_equals_single_build(spark):
+    """Sketches built per-shard with the same seeds merge (sum counters)
+    to exactly the single-pass sketch."""
+    toks = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .withColumn("shard", F.pmod(F.xxhash64("token", F.lit(99)), F.lit(2)))
+    )
+    whole = cms_build(toks, "token")
+    parts = [cms_build(toks.filter(F.col("shard") == s), "token") for s in (0, 1)]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
