@@ -53,6 +53,12 @@ HEADLINE = [
     "sql_recursive_reachability",
     "timeseries_resample_ffill",
     "quality_expectations",
+    "variant_props_stats",
+    "bitmap_distinct_users",
+    "array_hof_token_stats",
+    "agg_linear_regression",
+    "mongodump_facet_anio",
+    "stream_user_totals_live",
 ]
 
 

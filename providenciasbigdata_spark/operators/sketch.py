@@ -108,7 +108,12 @@ def hll_daily_cumulative(
 # ---- count-min sketch (pure DataFrame construction) ---------------------
 
 def cms_build(
-    df: DataFrame, col: str, depth: int = 5, width: int = 4096, seed: int = 42
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 4096,
+    seed: int = 42,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch materialized as a (row, bucket, cnt) counter
     table: ``depth`` independent hash rows of ``width`` buckets.
@@ -122,6 +127,12 @@ def cms_build(
     shard-by-shard with the same (depth, width, seed) merge by summing
     counters (union + re-agg), which is how a 1000-executor fleet
     combines per-shard sketches without re-scanning.
+
+    ``weight_col`` builds the identical sketch from pre-aggregated
+    (value, weight) pairs — e.g. a vocabulary table of token counts —
+    summing weights instead of counting rows. Mathematically the same
+    counters as a raw-stream build (pinned by tests), at vocabulary
+    cost instead of token-stream cost.
     """
     cells = F.array(
         *[
@@ -134,10 +145,11 @@ def cms_build(
             for i in range(depth)
         ]
     )
+    w = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col)
     return (
-        df.select(F.explode(cells).alias("h"))
+        df.select(F.explode(cells).alias("h"), w.alias("w"))
         .groupBy(F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
     )
 
 

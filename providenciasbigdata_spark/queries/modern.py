@@ -196,16 +196,147 @@ def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token")).filter(
         F.col("token") != ""
     )
-    exact_top = (
-        toks.groupBy("token")
-        .agg(F.count("*").cast("bigint").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "token")
-        .limit(10)
+    # one tokenize+explode scan total: aggregate the vocabulary once,
+    # then both the exact top-k AND the (weighted) CMS build read the
+    # small cached vocab table instead of re-scanning the token stream
+    vocab = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_count")
     )
-    est = cms_estimate(cms_build(toks, "token"), exact_top.select("token"), "token")
+    vocab.persist()
+    exact_top = vocab.orderBy(F.desc("exact_count"), "token").limit(10)
+    cms = cms_build(vocab, "token", weight_col="exact_count")
+    est = cms_estimate(cms, exact_top.select("token"), "token")
     return exact_top.join(est, "token").select(
         "token", "exact_count", "cms_count"
     )
+
+
+# ---- regression aggregates ----------------------------------------------
+
+def q_agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag OLS of extendedprice on quantity via the SQL-standard
+    regr_* aggregates — single-pass, partial-aggregatable moment
+    computation (no iterative fitting), so it scales like any other
+    hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n_pairs"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+_REGR_SQL = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---- exact distinct via mergeable bitmaps -------------------------------
+
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct user count per event_type through roaring-style
+    bitmap aggregation: map each key to (bucket, bit), OR the bit
+    positions per bucket (bitmap_construct_agg — partial-aggregatable
+    fixed-width state), then sum popcounts. Unlike COUNT(DISTINCT x)'s
+    shuffle of every distinct value, the shuffle here carries at most
+    one 4KB bitmap per (group, bucket) — the exact-distinct analogue of
+    the HLL sketch path (operators/sketch.py) when approximation isn't
+    acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("bigint").alias("n_users")
+    )
+
+
+_BITMAP_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---- ordered string aggregation -----------------------------------------
+
+def q_listagg_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered listagg of the distinct order statuses per priority —
+    the SQL:2016 LISTAGG ... WITHIN GROUP surface (Spark 4 F.listagg).
+    Deterministic: distinct + explicit order key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)"
+            ).alias("statuses")
+        )
+    )
+
+
+_LISTAGG_SQL = """
+SELECT o_orderpriority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+# ---- array higher-order functions ---------------------------------------
+
+def q_array_hof_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics computed entirely with array
+    higher-order functions (transform/filter/aggregate) — lambda
+    expressions evaluated inside whole-stage codegen, the JVM-side
+    alternative to exploding 100 TB of token arrays through a shuffle
+    or shipping them to Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    lens = F.transform(toks, lambda t: F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 7)).cast("bigint").alias(
+            "n_long_tokens"
+        ),
+        F.array_max(lens).alias("max_token_len"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_chars"
+        ),
+    )
+
+
+_HOF_SQL = """
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, t -> length(t) > 7)) AS BIGINT) AS n_long_tokens,
+       CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_token_len,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(strip_accents(lower(text)), '\\W+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+"""
 
 
 QUERIES = {
@@ -213,4 +344,8 @@ QUERIES = {
     "variant_props_stats": (q_variant_props_stats, _VARIANT_SQL),
     "stream_user_totals_live": (q_stream_user_totals_live, _STREAM_LIVE_SQL),
     "cms_token_estimates": (q_cms_token_estimates, None),
+    "agg_linear_regression": (q_agg_linear_regression, _REGR_SQL),
+    "bitmap_distinct_users": (q_bitmap_distinct_users, _BITMAP_SQL),
+    "listagg_status_sets": (q_listagg_status_sets, _LISTAGG_SQL),
+    "array_hof_token_stats": (q_array_hof_token_stats, _HOF_SQL),
 }

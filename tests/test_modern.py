@@ -180,6 +180,21 @@ def test_cms_bounds(spark):
         assert r["cms_count"] <= r["exact"] + eps * n_total * 3, f"CMS blew bound {r}"
 
 
+def test_cms_weighted_build_equals_raw(spark):
+    """Sketch built from the aggregated vocabulary (weight_col) is
+    counter-for-counter identical to the raw-stream build."""
+    toks = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    raw = cms_build(toks, "token")
+    vocab = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("w"))
+    weighted = cms_build(vocab, "token", weight_col="w")
+    assert raw.exceptAll(weighted).count() == 0
+    assert weighted.exceptAll(raw).count() == 0
+
+
 def test_cms_merge_equals_single_build(spark):
     """Sketches built per-shard with the same seeds merge (sum counters)
     to exactly the single-pass sketch."""
