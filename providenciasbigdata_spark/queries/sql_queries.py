@@ -169,6 +169,10 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairwise_cosine_matmul(emb, threshold=35.0, scale=100.0).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
+    # persist: the recursive join replays the view once per iteration,
+    # and the O(n^2) tile-matmul edge build dominates the query —
+    # caching it turns 3 rebuilds into 1 (2.6s -> 1.6s at sf0.1)
+    edges = edges.persist()
     edges.createOrReplaceTempView("sim_edges")
     return spark.sql("""
         WITH RECURSIVE reach(dst, hop) AS (

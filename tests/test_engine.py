@@ -59,3 +59,18 @@ def test_dedup_and_ann_extensions(engine):
     assert top.count() == 5
     top_approx = engine.nearest_neighbors(qvec, k=5, approx=True)
     assert top_approx.count() <= 5
+
+
+def test_registry_priority_window():
+    """The driver's correctness gate samples the first 50 registry
+    entries; pin that window to the curated all-family, all-oracle
+    cross-section."""
+    from providenciasbigdata_spark.queries import PRIORITY, all_queries
+
+    reg = all_queries()
+    names = list(reg.keys())
+    assert names[: len(PRIORITY)] == PRIORITY
+    assert len(PRIORITY) == 50
+    assert len(set(PRIORITY)) == 50
+    for n in PRIORITY:
+        assert reg[n][1] is not None, f"{n} has no oracle SQL"
