@@ -23,6 +23,13 @@ Scale design (100 TB dump directory):
 - Schema is caller-declared (``.schema(...)``); we never infer by
   pre-scanning the data (an extra full pass at scale).
 
+Lifecycle caveat (pinned in tests/test_modern.py): the Python
+DataSource runtime caches the planned reader — including its pushed
+filters — per loaded relation, so deriving several differently-filtered
+queries from ONE ``.load()`` reuses the first query's pushdown. Use one
+``.load()`` per query (the engine facade does this); ``pushFilters``
+also resets its state defensively on entry.
+
 Extended-JSON type wrappers are unwrapped per the BSON spec:
 ``{"$oid": s}`` -> string, ``{"$numberInt"|"$numberLong": s}`` -> int,
 ``{"$numberDouble": s}`` -> float, ``{"$date": iso-or-millis}`` ->
@@ -88,7 +95,14 @@ class MongoDumpReader(DataSourceReader):
 
     def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
         """Keep top-level EqualTo filters (the reference's facet
-        predicates, SURVEY.md A4-A6); everything else stays in Spark."""
+        predicates, SURVEY.md A4-A6); everything else stays in Spark.
+
+        Resets pushed state on entry: Spark reuses ONE reader instance
+        across every query planned from the same loaded DataFrame, so
+        appending without reset leaks one query's filters into the
+        next (each planning pass pickles the reader's state into its
+        own physical plan, so per-planning reset is safe)."""
+        self.eq_filters = []
         for f in filters:
             if isinstance(f, EqualTo) and len(f.attribute) == 1:
                 self.eq_filters.append((f.attribute[0], f.value))

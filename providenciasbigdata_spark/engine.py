@@ -37,9 +37,52 @@ class ProvidenciasEngine:
         self.spark = spark
         self.data_dir = data_dir
 
+    @classmethod
+    def from_mongodump(
+        cls, spark: SparkSession, dump_dir: str, data_dir: str = ""
+    ) -> "ProvidenciasEngine":
+        """Engine over an exported Mongo collection (mongoexport
+        Extended-JSON, read through the custom Python DataSource in
+        datasources.py) — the reference's production data path
+        (streamlit_app.py:19-22) without a live server. Document
+        queries run against the dump; graph queries still need the
+        embeddings table, so pass ``data_dir`` if you use them."""
+        eng = cls(spark, data_dir)
+        eng._dump_dir = dump_dir
+        return eng
+
     # -- sources (cached logical views, still lazy) -----------------------
 
+    _dump_dir: str | None = None
+
     def rulings(self) -> DataFrame:
+        if self._dump_dir is not None:
+            # fresh .load() per call: the Python-DataSource runtime
+            # caches the planned reader (incl. its pushed filters) per
+            # loaded relation, so reusing one relation across
+            # differently-filtered queries would leak the first
+            # query's pushdown into the rest (pinned by
+            # tests/test_modern.py)
+            from pyspark.sql import functions as F
+
+            from providenciasbigdata_spark import datasources
+
+            datasources.register(self.spark)
+            docs = (
+                self.spark.read.format(datasources.FORMAT_NAME)
+                .schema(
+                    "_id string, providencia string, tipo string, anio int, texto string"
+                )
+                .load(self._dump_dir)
+            )
+            return docs.select(
+                F.split(F.col("providencia"), "-")[1].cast("long").alias("doc_id"),
+                "providencia",
+                "tipo",
+                "anio",
+                "texto",
+                _docs.tokenize(F.col("texto")).alias("tokens"),
+            )
         return _docs.rulings_view(load_table(self.spark, self.data_dir, "documents"))
 
     def nodes(self) -> DataFrame:

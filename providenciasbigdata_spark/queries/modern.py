@@ -211,6 +211,49 @@ def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- XML ingestion surface ----------------------------------------------
+
+def q_xml_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML record parsing with ``from_xml``: render each order as an
+    XML element (stand-in for an XML feed — the fixture set has no raw
+    XML), parse it back through the schema-directed parser, aggregate
+    on the parsed fields. Exercises attribute mapping (``_``-prefixed)
+    and typed extraction; the oracle computes from the base columns, so
+    the parse step itself is what's being checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey"),
+        F.lit('" status="'),
+        F.col("o_orderstatus"),
+        F.lit('"><total>'),
+        F.col("o_totalprice"),
+        F.lit("</total></order>"),
+    )
+    parsed = F.from_xml(xml, "struct<_id: bigint, _status: string, total: double>")
+    return (
+        orders.select(parsed.alias("o"))
+        .groupBy(F.col("o._status").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o.total").cast("decimal(28,10)")).cast("double"), 2).alias(
+                "sum_total"
+            ),
+            F.max(F.col("o._id")).alias("max_key"),
+        )
+    )
+
+
+_XML_SQL = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_total,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 # ---- regression aggregates ----------------------------------------------
 
 def q_agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,4 +391,5 @@ QUERIES = {
     "bitmap_distinct_users": (q_bitmap_distinct_users, _BITMAP_SQL),
     "listagg_status_sets": (q_listagg_status_sets, _LISTAGG_SQL),
     "array_hof_token_stats": (q_array_hof_token_stats, _HOF_SQL),
+    "xml_orders_agg": (q_xml_orders_agg, _XML_SQL),
 }

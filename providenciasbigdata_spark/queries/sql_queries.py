@@ -200,8 +200,96 @@ FROM reach GROUP BY dst ORDER BY dst
 """
 
 
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF (SQL:2016 / Spark 4 ``CREATE FUNCTION
+    ... RETURN expr``): the function body is a Catalyst expression, so
+    unlike external UDFs it inlines into the caller's plan — pushdown,
+    codegen and constant folding all still apply. The reusable-logic
+    surface without the Python-worker tax."""
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION net_revenue(p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(net_revenue(l_extendedprice, l_discount, l_tax)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_net
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+_SQL_SCALAR_UDF_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_net
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language TABLE function: a 24-hour spine generated by the
+    function left-joined against per-hour event counts, so silent hours
+    surface as zero rows (the gap-filling shape every ops dashboard
+    needs). The function body is a plain subquery — planned and
+    optimized like any view."""
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION hour_spine()
+        RETURNS TABLE(hour INT)
+        RETURN SELECT explode(sequence(0, 23)) AS hour
+    """)
+    return spark.sql("""
+        SELECT s.hour, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+        FROM hour_spine() s
+        LEFT JOIN (
+          SELECT hour(ts) AS hour, COUNT(*) AS n FROM events GROUP BY 1
+        ) e ON s.hour = e.hour
+    """)
+
+
+_SQL_TABLE_UDF_SQL = """
+SELECT s.hour, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+FROM (SELECT CAST(unnest(generate_series(0, 23)) AS INTEGER) AS hour) s
+LEFT JOIN (
+  SELECT CAST(hour(ts) AS INTEGER) AS hour, COUNT(*) AS n FROM events GROUP BY 1
+) e ON s.hour = e.hour
+"""
+
+
+def q_governance_mask_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking at the projection edge via the built-in ``mask``
+    expression (upper->X, lower->x, digit->n): the column-level
+    redaction a governed lakehouse applies before data leaves the
+    trust boundary. Pure Catalyst expression — applies at scan speed,
+    composes with column pruning."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("masked_name"),
+        F.mask(F.col("c_mktsegment")).alias("masked_segment"),
+    )
+
+
+_MASK_SQL = """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+           c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+           AS masked_name,
+       regexp_replace(regexp_replace(regexp_replace(
+           c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+           AS masked_segment
+FROM customer
+"""
+
+
 QUERIES = {
     "sql_recursive_reachability": (q_recursive_reachability, _RECURSIVE_SQL),
+    "sql_scalar_udf": (q_sql_scalar_udf, _SQL_SCALAR_UDF_SQL),
+    "sql_table_udf": (q_sql_table_udf, _SQL_TABLE_UDF_SQL),
+    "governance_mask_names": (q_governance_mask_names, _MASK_SQL),
     "sql_grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
     "sql_exists_subquery": (q_exists_subquery, _EXISTS_SQL),
     "sql_scalar_subquery": (q_scalar_subquery, _SCALAR_SUBQ_SQL),

@@ -222,6 +222,47 @@ def purchase_then_click(
     )
 
 
+def purchase_then_click_outer(
+    events: DataFrame, within: str = "30 minutes", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase appears,
+    with NULL click columns when no click followed within the window.
+    The outer semantics are the hard part in streaming: the NULL row
+    for an unmatched purchase can only be emitted once the watermark
+    passes the end of its join interval (before that a matching click
+    could still arrive) — so results trail the inner join by the
+    lateness bound. Batch frames produce the identical relation
+    immediately.
+
+    Output: (user_id, purchase_id, click_id nullable, gap_seconds
+    nullable)."""
+    purchases = _maybe_watermark(
+        events.filter(F.col("event_type") == "purchase"), watermark
+    ).select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = _maybe_watermark(
+        events.filter(F.col("event_type") == "click"), watermark
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.c_ts > purchases.p_ts)
+        & (clicks.c_ts <= purchases.p_ts + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    )
+    return joined.select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_seconds"),
+    )
+
+
 def enrich_with_profile(events: DataFrame, profiles: DataFrame) -> DataFrame:
     """Stream-static enrichment: left-join the (possibly streaming)
     events against a STATIC profile dimension and aggregate value per

@@ -214,3 +214,42 @@ def test_cms_merge_equals_single_build(spark):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_engine_from_mongodump_matches_parquet(spark):
+    """The engine facade constructed over an exported dump answers the
+    reference's facet queries identically to the parquet-backed one."""
+    from providenciasbigdata_spark.engine import ProvidenciasEngine
+
+    datasources.register(spark)
+    dump_dir = _ensure_dump(spark, SF)
+    dumped = ProvidenciasEngine.from_mongodump(spark, dump_dir, SF)
+    parquet = ProvidenciasEngine(spark, SF)
+    assert dumped.facet_options("tipo") == parquet.facet_options("tipo")
+    a = dumped.query_rulings(tipo="src3").select("providencia", "tipo", "anio")
+    b = parquet.query_rulings(tipo="src3").select("providencia", "tipo", "anio")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # text search path works over dump-derived tokens
+    assert dumped.query_rulings(texto="the").count() == parquet.query_rulings(
+        texto="the"
+    ).count()
+
+
+def test_mongodump_fresh_load_per_query_is_isolated(spark):
+    """The Python-DataSource runtime caches the planned reader — with
+    its pushed filters — per loaded relation, so the safe pattern
+    (used by the engine facade) is one .load() per query. Pin that
+    fresh loads are fully isolated from each other's pushdown."""
+    datasources.register(spark)
+    dump_dir = _ensure_dump(spark, SF)
+    schema = "_id string, providencia string, tipo string, anio int, texto string"
+
+    def load():
+        return spark.read.format("mongodump").schema(schema).load(dump_dir)
+
+    n_src3 = load().filter(F.col("tipo") == "src3").count()
+    n_all = load().count()
+    n_src5 = load().filter(F.col("tipo") == "src5").count()
+    assert n_all == 500
+    assert n_src3 > 0 and n_src5 > 0
+    assert n_src3 + n_src5 < n_all

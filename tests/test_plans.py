@@ -229,3 +229,46 @@ def test_incremental_merge_is_partial_agg_shaped(spark, reg):
     plan = plan_of(_run(reg, "incremental_daily_revenue", spark))
     assert "Union" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final per branch
+
+
+# ---- round 2: Spark-4 surface plans --------------------------------------
+
+def test_variant_scan_prunes_columns(spark, reg):
+    """The VARIANT query must read only (event_type, props) — parse_json
+    at projection must not widen the scan."""
+    plan = plan_of(_run(reg, "variant_props_stats", spark))
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas, plan
+    for l in scan_schemas:
+        assert "value" not in l and "user_id" not in l, plan
+
+
+def test_bitmap_distinct_two_phase(spark, reg):
+    """Bitmap exact-distinct must partial-aggregate: both groupBys show
+    map-side partial_ before the final merge — the bounded-state
+    shuffle is the point of the operator."""
+    plan = plan_of(_run(reg, "bitmap_distinct_users", spark))
+    assert "partial_bitmap_construct_agg" in plan or "partial_" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mask_projection_prunes(spark, reg):
+    plan = plan_of(_run(reg, "governance_mask_names", spark))
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all("c_acctbal" not in l for l in scan_schemas), plan
+
+
+def test_sql_scalar_udf_inlines(spark, reg):
+    """The SQL UDF body must inline — no BatchEvalPython / pythonUDF
+    nodes anywhere in the plan."""
+    plan = plan_of(_run(reg, "sql_scalar_udf", spark))
+    assert "Python" not in plan, plan
+    assert "partial_" in plan, plan  # and the agg still two-phases
+
+
+def test_hof_token_stats_no_explode_shuffle(spark, reg):
+    """Array HOF stats are per-row projections: the plan must contain
+    no Exchange at all (narrow, embarrassingly parallel)."""
+    plan = plan_of(_run(reg, "array_hof_token_stats", spark))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # HOFs, not explode

@@ -235,3 +235,28 @@ def test_route_documents_stream_matches_batch(spark, tmp_path_factory):
     got = streaming.run_available_now(stream, "t_route", output_mode="append")
     want = sorted(map(tuple, batch.collect()))
     assert sorted(map(tuple, got.collect())) == want and len(want) > 0
+
+
+def test_stream_stream_outer_join_matches_batch(spark, events_dir):
+    """LEFT OUTER interval join: matched rows must equal the batch
+    relation exactly. NULL (unmatched) rows can only be emitted once
+    the watermark passes each purchase's interval end, and Spark does
+    not advance the watermark past the data at stream end — so the
+    streamed NULL rows are a subset of the batch NULL rows, restricted
+    to purchases whose interval closed under the final watermark."""
+    batch = streaming.purchase_then_click_outer(load_table(spark, SF, "events"))
+    stream = streaming.purchase_then_click_outer(
+        streaming.events_stream(spark, events_dir)
+    )
+    assert stream.isStreaming
+    got = streaming.run_available_now(stream, "t_ssjoin_outer", output_mode="append")
+    cols = ["user_id", "purchase_id", "click_id", "gap_seconds"]
+    got_matched = _as_rows(got.filter("click_id IS NOT NULL"), cols)
+    batch_matched = _as_rows(batch.filter("click_id IS NOT NULL"), cols)
+    assert got_matched == batch_matched
+    got_null = set(_as_rows(got.filter("click_id IS NULL"), cols))
+    batch_null = set(_as_rows(batch.filter("click_id IS NULL"), cols))
+    assert got_null <= batch_null
+    # and the watermark DID close most intervals (1h lateness on a
+    # multi-day fixture): expect the vast majority of null rows emitted
+    assert len(got_null) >= 0.8 * len(batch_null), (len(got_null), len(batch_null))
