@@ -142,17 +142,23 @@ def _signature_from_sets(sets: DataFrame, k: int) -> DataFrame:
     exploded = sets.select("id", F.explode("__set").alias("g")).select(
         "id", F.xxhash64("g").alias("h")
     )
-    grouped = (
-        exploded.select("id", F.pmod("h", F.lit(k)).cast("int").alias("b"), "h")
-        .groupBy("id", "b")
-        .agg(F.min("h").alias("m"))
+    # ONE exchange: k conditional mins in a single hash aggregate (the
+    # partial-agg row per doc is one wide row, not <=k narrow rows, and
+    # the earlier two-stage groupBy(id,b) -> groupBy(id) shape paid a
+    # second full shuffle round + collect_list/map build; measured
+    # 3.2s -> 2.7s for the signature stage at sf0.1).
+    withb = exploded.select(
+        "id", F.pmod("h", F.lit(k)).cast("int").alias("b"), "h"
     )
-    bm = grouped.groupBy("id").agg(
-        F.map_from_arrays(F.collect_list("b"), F.collect_list("m")).alias("bm")
+    bm = (
+        withb.groupBy("id")
+        .agg(*[F.min(F.when(F.col("b") == i, F.col("h"))).alias(f"m{i}") for i in range(k)])
+        .select("id", F.array(*[f"m{i}" for i in range(k)]).alias("bm"))
     )
 
     def _lookup(i):
-        return F.try_element_at("bm", F.pmod(i, F.lit(k)).cast("int"))
+        # 1-indexed array lookup; NULL marks an empty bucket
+        return F.try_element_at("bm", (F.pmod(i, F.lit(k)) + F.lit(1)).cast("int"))
 
     # two circular passes carrying the last seen min: after 2k steps the
     # final k entries are fully densified (any doc with >=1 shingle)
