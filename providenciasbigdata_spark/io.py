@@ -59,12 +59,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # micros vintage reads as TIMESTAMP_NTZ (isAdjustedToUTC=false);
-        # cast to TimestampType — identity under the session's UTC zone —
-        # so ts-derived exprs (unix_micros, window, watermark) keep the
-        # exact round-1 semantics either way.
+        # micros vintage reads as TIMESTAMP_NTZ (isAdjustedToUTC=false).
+        # Convert to TimestampType with the naive value interpreted AS
+        # UTC *independently of the session timezone*: timestampdiff on
+        # NTZ operands gives the naive epoch, timestamp_micros rebuilds
+        # the absolute instant. (A plain cast("timestamp") interprets
+        # the naive value in the session zone — correct only when that
+        # zone is UTC, and the verifying session's zone is not ours to
+        # assume.) DuckDB's epoch_us(naive) matches by construction.
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        epoch_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        return df.withColumn("ts", F.timestamp_micros(epoch_us))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

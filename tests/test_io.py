@@ -138,3 +138,33 @@ def test_compact_small_files(spark, tmp_path_factory):
     assert len(out_files) == n < 32
     # lossless: same rows
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_events_ts_epoch_is_timezone_independent(spark):
+    """The events loader must produce the same absolute epochs whatever
+    the session timezone is — the verifying session's zone is not ours
+    to assume. (A bare cast(ntz as timestamp) fails this.)"""
+    from providenciasbigdata_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    utc = (
+        load_table(spark, sf, "events")
+        .select(F.unix_micros("ts").alias("us"))
+        .orderBy("us")
+        .limit(5)
+        .collect()
+    )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Bogota")
+        shifted = (
+            load_table(spark, sf, "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .orderBy("us")
+            .limit(5)
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert [r["us"] for r in utc] == [r["us"] for r in shifted]
