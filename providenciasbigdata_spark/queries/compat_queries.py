@@ -108,6 +108,41 @@ def q_a7_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("providencia", "score")
 
 
+def q_a7_search_postings_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7's OR-of-terms contract answered from a materialized inverted
+    index (operators/postings.py) instead of a corpus scan — the B1
+    semantics at search-service scale. Result set must equal the scan
+    path exactly (same oracle as a7_text_search, ids only)."""
+    from providenciasbigdata_spark.operators.postings import build_postings, search_or
+
+    idx = build_postings(_rulings(spark, sf_dir))
+    return search_or(idx, ["merge", "window"]).orderBy("doc_id")
+
+
+def q_a7_search_postings_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (ALL-terms) search via posting intersection — the
+    extension MongoDB expresses with quoted phrases-as-AND; ours is a
+    count-of-terms intersection over the index."""
+    from providenciasbigdata_spark.operators.postings import build_postings, search_and
+
+    idx = build_postings(_rulings(spark, sf_dir))
+    return search_and(idx, ["merge", "window", "shuffle"]).orderBy("doc_id")
+
+
+_POSTINGS_OR_SQL = (
+    f"SELECT doc_id FROM ({_RULINGS_SQL}) "
+    f"WHERE len(list_intersect({_TOKENS_SQL.format(col='texto')}, "
+    f"['merge', 'window'])) > 0"
+)
+
+_POSTINGS_AND_SQL = (
+    f"SELECT doc_id FROM ({_RULINGS_SQL}) WHERE "
+    f"len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['merge'])) > 0 AND "
+    f"len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['window'])) > 0 AND "
+    f"len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['shuffle'])) > 0"
+)
+
+
 # ---- A9/A10: graph ------------------------------------------------------
 
 def q_a9_list_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +218,8 @@ QUERIES = {
         f"FROM (SELECT 'P-' || CAST(doc_id AS VARCHAR) AS providencia, text FROM documents) "
         f"WHERE score > 0 ORDER BY score DESC, providencia ASC LIMIT 15",
     ),
+    "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
+    "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
     "a9_list_nodes": (
         q_a9_list_nodes,
         "SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id FROM documents ORDER BY id",
