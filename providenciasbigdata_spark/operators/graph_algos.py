@@ -174,3 +174,45 @@ def pagerank(
     for df in (e, nodes, out_deg):
         df.unpersist()
     return ranks
+
+
+def sssp_distances(
+    edges: DataFrame,
+    anchor,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Weighted single-source shortest paths, hop-bounded Bellman-Ford:
+    after iteration h, ``d(v)`` is the minimum total weight over paths
+    of <= h edges (the well-defined objective on cyclic graphs without
+    running to full convergence). Each iteration is one equi-join of the
+    edge list against the current distance table plus a min-aggregate —
+    no path enumeration, state is one row per reached node.
+
+    FP note: min-then-extend equals enumerate-then-min bit-for-bit
+    because IEEE addition is monotonic (a <= b implies a+w <= b+w), so
+    a path-enumerating oracle reproduces these doubles exactly.
+
+    Output: (id, d) for every node reachable within ``max_hops`` edges,
+    anchor at 0.0.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).persist()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(str(anchor), 0.0)], "id string, d double")
+    dist = dist.withColumn("id", F.col("id").cast(e.schema["u"].dataType))
+    for _ in range(max_hops):
+        relaxed = e.join(
+            dist.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u"
+        ).select(F.col("v").alias("id"), (F.col("du") + F.col("w")).alias("d"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist

@@ -82,3 +82,67 @@ def search_and(postings: DataFrame, terms: list[str]) -> DataFrame:
         .where(F.col("nt") == n)
         .select("doc_id")
     )
+
+
+def build_term_freqs(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Term-frequency index: (doc_id, token, tf) + per-doc length —
+    the richer sibling of ``build_postings`` that ranked retrieval
+    needs. Same single-shuffle build; at 100 TB write bucketed by
+    token so a query's term slice is a bucket lookup."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def bm25_search(
+    term_freqs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-k over the term-frequency index.
+
+    score(d, q) = sum over query terms t of
+        idf(t) * tf(t,d) * (k1+1) / (tf(t,d) + k1 * (1 - b + b*|d|/avgdl))
+    with idf(t) = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)  (Lucene form,
+    always positive).
+
+    Everything derives from the index — no corpus rescan at query time:
+    doc lengths and avgdl are one aggregate over the index, df one over
+    the matched term slice. The per-term slice is tiny, so the scoring
+    join broadcasts; the final top-k is TakeOrdered (per-partition
+    heaps), not a global sort. Ties broken by doc_id ascending for a
+    total order.
+    """
+    term_lit = F.array(*[F.lit(t) for t in set(terms)])
+    doc_len = term_freqs.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = doc_len.count()
+    avgdl = doc_len.agg(F.avg("dl")).first()[0]
+
+    matched = term_freqs.where(F.array_contains(term_lit, F.col("token")))
+    df_t = matched.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        matched.join(F.broadcast(df_t), "token")
+        .join(doc_len, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), round_digits).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -143,6 +143,55 @@ _POSTINGS_AND_SQL = (
 )
 
 
+def q_a7_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the term-frequency index — the
+    full-strength version of B6's relevance extension (the reference's
+    $text returns matches unranked; a search service over the same
+    collection wants ranked top-k). Scoring runs entirely from the
+    index: no corpus rescan at query time."""
+    from providenciasbigdata_spark.operators.postings import (
+        bm25_search,
+        build_term_freqs,
+    )
+
+    tfs = build_term_freqs(_rulings(spark, sf_dir))
+    return bm25_search(tfs, ["merge", "window", "shuffle"], k=10)
+
+
+# DuckDB twin of the exact BM25 formula (k1=1.2, b=0.75, Lucene idf).
+# Arithmetic written with the same association order as the Spark
+# expression so the doubles agree bit-for-bit before the round.
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL.format(col='text')} AS t FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+  WHERE token <> '' GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+), dfs AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df
+  FROM tf WHERE token IN ('merge', 'window', 'shuffle') GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dfs USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---- A9/A10: graph ------------------------------------------------------
 
 def q_a9_list_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +269,7 @@ QUERIES = {
     ),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
+    "a7_search_bm25": (q_a7_search_bm25, _BM25_SQL),
     "a9_list_nodes": (
         q_a9_list_nodes,
         "SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id FROM documents ORDER BY id",

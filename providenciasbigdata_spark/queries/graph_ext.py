@@ -172,6 +172,41 @@ FROM reach WHERE id <> 'P-7' GROUP BY id
 """
 
 
+def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest path from P-7 where edge length = 100 -
+    similitud (more similar = closer) over the bounded similarity
+    graph: hop-bounded Bellman-Ford, oracle = path-enumerating
+    recursive CTE (identical doubles — see sssp_distances FP note)."""
+    from providenciasbigdata_spark.operators.graph_algos import sssp_distances
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = (
+        build_similarity_edges(emb)
+        .filter(F.col("similitud") >= _HOP_LO)
+        .withColumn("w", F.lit(100.0) - F.col("similitud"))
+    )
+    d = sssp_distances(edges, "P-7", max_hops=4)
+    return d.select("id", F.round("d", 6).alias("dist"))
+
+
+_SSSP_SQL = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS u,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS v,
+         100.0 - {_COS_SQL.format(a='a', b='b')} AS w
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND {_COS_SQL.format(a='a', b='b')} >= 30
+), paths(id, d, hop) AS (
+  SELECT 'P-7', 0.0, 0
+  UNION
+  SELECT e.v, p.d + e.w, p.hop + 1
+  FROM paths p JOIN e ON e.u = p.id WHERE p.hop < 4
+)
+SELECT id, ROUND(MIN(d), 6) AS dist FROM paths GROUP BY id
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-iteration power-method PageRank over the bounded similarity
     graph. The cosine graph is symmetric, so there are no dangling
@@ -269,5 +304,6 @@ QUERIES = {
     "graph_degree_histogram_blocked": (q_degree_histogram_blocked, _DEGREE_SQL),
     "graph_connected_components": (q_connected_components, _CC_SQL),
     "graph_bfs_distances": (q_bfs_distances, _BFS_SQL),
+    "graph_weighted_sssp": (q_sssp_distances, _SSSP_SQL),
     "graph_pagerank": (q_pagerank, _pagerank_sql()),
 }

@@ -71,3 +71,34 @@ def test_bfs_distances_chain_and_direction(spark):
     # max_hops truncates
     trunc = {r.id: r.hops for r in bfs_distances(edges, "a", max_hops=1).collect()}
     assert trunc == {"a": 0, "b": 1, "c": 1}
+
+
+def test_sssp_unit_weights_equal_bfs_hops(spark):
+    """With every edge weight 1.0, hop-bounded SSSP distances must
+    equal BFS hop counts exactly."""
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.compat.graph import build_similarity_edges
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.graph_algos import (
+        bfs_distances,
+        sssp_distances,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 100
+    )
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= 30).withColumn(
+        "w", F.lit(1.0)
+    )
+    d = {
+        r["id"]: r["d"]
+        for r in sssp_distances(edges, "P-7", max_hops=4).collect()
+    }
+    h = {
+        r["id"]: r["hops"]
+        for r in bfs_distances(edges, "P-7", max_hops=4).collect()
+    }
+    assert d.keys() == h.keys()
+    for k in d:
+        assert d[k] == float(h[k]), (k, d[k], h[k])

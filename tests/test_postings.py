@@ -62,3 +62,30 @@ def test_postings_sorted_and_distinct(spark):
         | (F.size("postings") != F.col("df"))
     )
     assert bad.count() == 0
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    """A doc matching a rare term must outscore a doc with the same tf
+    of a common term (idf monotonicity), and k bounds the result."""
+    from providenciasbigdata_spark.operators.postings import (
+        bm25_search,
+        build_term_freqs,
+    )
+
+    docs = _rulings(spark)
+    tfs = build_term_freqs(docs)
+    # pick a rare and a common token from the corpus itself
+    freqs = (
+        tfs.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy("df")
+        .collect()
+    )
+    rare = freqs[0]["token"]
+    common = freqs[-1]["token"]
+    assert freqs[0]["df"] < freqs[-1]["df"]
+    top = bm25_search(tfs, [rare, common], k=5).collect()
+    assert len(top) <= 5
+    # the top hit must contain the rare term
+    rare_docs = {r["doc_id"] for r in tfs.where(F.col("token") == rare).collect()}
+    assert top[0]["doc_id"] in rare_docs
