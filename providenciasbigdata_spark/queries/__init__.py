@@ -61,7 +61,7 @@ PRIORITY = [
     "agg_rollup",
     "ann_topk_per_query",
     "setops_custkeys",
-    "sort_topk_orders",
+    "a7_search_bm25",
     "scalar_functions",
     "json_events_agg",
     "pivot_status",

@@ -479,6 +479,27 @@ WHERE levenshtein(a.c_name, b.c_name) = 1
 """
 
 
+
+
+def q_arrow_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow grouped-map: per-event-type quartiles computed in
+    Arrow kernels (no pandas on either side). Oracle: DuckDB
+    quantile_cont (both linear interpolation over the sorted group)."""
+    from providenciasbigdata_spark.functions.udx import arrow_group_quantiles
+
+    return arrow_group_quantiles(load_table(spark, sf_dir, "events"))
+
+
+_ARROW_QUANTILES_SQL = """
+SELECT event_type AS key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.25), 6) AS q25,
+       ROUND(quantile_cont(value, 0.50), 6) AS q50,
+       ROUND(quantile_cont(value, 0.75), 6) AS q75
+FROM events
+GROUP BY event_type
+"""
+
 QUERIES = {
     "agg_robust_stats": (q_robust_stats, _ROBUST_STATS_SQL),
     "agg_price_histogram": (q_price_histogram, _HISTOGRAM_SQL),
@@ -490,6 +511,7 @@ QUERIES = {
     "sample_stratified": (q_stratified_sample, None),
     "udtf_split_sentences": (q_udtf_sentences, None),
     "udaf_geomean": (q_udaf_geomean, _UDAF_GEOMEAN_SQL),
+    "udx_arrow_group_quantiles": (q_arrow_group_quantiles, _ARROW_QUANTILES_SQL),
     "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),
     "funnel_signup_purchase": (q_funnel, _FUNNEL_SQL),
     "array_agg_users": (q_array_agg_users, _ARRAY_AGG_SQL),
