@@ -447,3 +447,18 @@ def run_available_now(
     )
     q.awaitTermination()
     return transformed.sparkSession.table(query_name)
+
+
+def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Open a streaming query's state store as a DataFrame (Spark 4
+    state data source): columns (key struct, value struct,
+    partition_id). The operations surface for a 100 TB stateful job —
+    inspect watermark-retained windows, audit per-key state size, or
+    bootstrap a migration — without touching the running query.
+    ``read_state_metadata`` lists the operators/stores a checkpoint
+    holds."""
+    return spark.read.format("statestore").load(checkpoint_dir)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    return spark.read.format("state-metadata").load(checkpoint_dir)

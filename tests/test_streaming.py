@@ -260,3 +260,44 @@ def test_stream_stream_outer_join_matches_batch(spark, events_dir):
     # and the watermark DID close most intervals (1h lateness on a
     # multi-day fixture): expect the vast majority of null rows emitted
     assert len(got_null) >= 0.8 * len(batch_null), (len(got_null), len(batch_null))
+
+
+def test_state_store_reader_exposes_window_state(spark, events_dir, tmp_path_factory):
+    """Run a checkpointed windowed aggregation, then read its state
+    store back as a DataFrame: every (window, event_type) group the
+    query output must exist in state with the same count."""
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    out = streaming.tumbling_counts(streaming.events_stream(spark, events_dir),
+                                    width="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table("t_state_probe")
+
+    from pyspark.sql import functions as F
+
+    meta = streaming.read_state_metadata(spark, ckpt)
+    assert meta.filter("operatorName = 'stateStoreSave'").count() == 1
+
+    state = streaming.read_state(spark, ckpt)
+    # state rows hold the raw aggregation BUFFERS (count, sum), keyed by
+    # the grouping struct — projection aliases only exist downstream
+    flat = state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in flat.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in result.collect()
+    }
+    assert got == want and got
