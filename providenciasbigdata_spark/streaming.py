@@ -25,7 +25,7 @@ Scale notes (100 TB / unbounded stream):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from typing import Any
 
 import pandas as pd
@@ -462,3 +462,76 @@ def read_state(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
 
 def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def upsert_sink(
+    stream: DataFrame,
+    target_dir: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    checkpoint_dir: str,
+    query_name: str = "upsert_sink",
+):
+    """foreachBatch merge sink: maintain a latest-wins keyed table in
+    plain parquet from a change stream — the MERGE INTO pattern without
+    a transactional table format.
+
+    Per micro-batch: union the batch with the current snapshot, keep
+    the latest row per key (operators.cdc.latest_state), write a new
+    snapshot directory, atomically swap it in. Exactly-once across
+    restarts comes from BATCH-ID IDEMPOTENCE: the applied batch id is
+    recorded with the snapshot, and a replayed batch (same id after a
+    crash between write and checkpoint commit) is skipped — the
+    documented foreachBatch at-least-once contract turned into
+    effectively-once by making the apply idempotent.
+
+    At scale, swap the full-snapshot rewrite for partition-scoped
+    rewrites (only partitions containing the batch's keys) — the
+    idempotence scheme is unchanged.
+    """
+    import json
+    import os
+    import shutil
+
+    from providenciasbigdata_spark.operators.cdc import latest_state
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta_path = os.path.join(target_dir, "_applied.json")
+        applied = -1
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            # batch ids are only monotonic WITHIN one checkpoint
+            # lineage; a fresh checkpoint restarts at 0, and skipping
+            # by a stale high-water mark would drop its new batches —
+            # so the mark is scoped to the lineage and a lineage change
+            # falls back to (idempotent) re-merge.
+            if meta.get("lineage") == checkpoint_dir:
+                applied = meta["batch_id"]
+        if batch_id <= applied:
+            return  # replay after crash: already merged, skip
+        spark_ = batch_df.sparkSession
+        data_dir = os.path.join(target_dir, "data")
+        if os.path.exists(data_dir):
+            merged = latest_state(
+                spark_.read.parquet(data_dir).unionByName(batch_df), keys, order_cols
+            )
+        else:
+            merged = latest_state(batch_df, keys, order_cols)
+        tmp = os.path.join(target_dir, f"_staging_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(target_dir, f"_old_{batch_id}")
+        if os.path.exists(data_dir):
+            os.rename(data_dir, old)
+        os.rename(tmp, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"batch_id": batch_id, "lineage": checkpoint_dir}, fh)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

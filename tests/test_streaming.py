@@ -301,3 +301,57 @@ def test_state_store_reader_exposes_window_state(spark, events_dir, tmp_path_fac
         for r in result.collect()
     }
     assert got == want and got
+
+
+def test_upsert_sink_maintains_latest_state_and_is_idempotent(
+    spark, events_dir, tmp_path_factory
+):
+    """foreachBatch merge sink: after draining the stream (one file per
+    micro-batch), the parquet target holds exactly the latest row per
+    user; re-running the whole stream against a FRESH checkpoint but
+    the SAME target must not change the result (batch-id idempotence
+    makes replays no-ops only within one checkpoint lineage — the
+    second run re-merges, which must also be a no-op because merge is
+    idempotent on content)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path_factory.mktemp("upsert_target"))
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    stream = streaming.events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = streaming.upsert_sink(
+        stream, target, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint_dir=ckpt, query_name="t_upsert",
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(os.path.join(target, "data"))
+    want = (
+        load_table(spark, SF, "events")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert got.count() == want.count()
+    key = ["user_id", "event_id"]
+    assert got.select(key).exceptAll(want.select(key)).count() == 0
+
+    # second full replay, fresh checkpoint, same target: content-idempotent
+    ckpt2 = str(tmp_path_factory.mktemp("upsert_ckpt2"))
+    q2 = streaming.upsert_sink(
+        streaming.events_stream(spark, events_dir, max_files_per_trigger=1),
+        target, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint_dir=ckpt2, query_name="t_upsert2",
+    )
+    q2.awaitTermination()
+    again = spark.read.parquet(os.path.join(target, "data"))
+    assert again.count() == want.count()
+    assert again.select(key).exceptAll(want.select(key)).count() == 0
