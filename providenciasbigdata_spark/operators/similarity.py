@@ -385,7 +385,8 @@ def kmeans_centroids(
     C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in init])
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
     sc = embeddings.sparkSession.sparkContext
-    base = embeddings.select(vec_col)
+    # persist: every Lloyd iteration rescans the projected vectors
+    base = embeddings.select(vec_col).persist()
 
     for it in range(max_iter):
         bc = sc.broadcast(C)
@@ -424,7 +425,9 @@ def kmeans_centroids(
         C = newC
         bc.destroy()
         if shift < 1e-6:
+            base.unpersist()
             return C, it + 1
+    base.unpersist()
     return C, max_iter
 
 
@@ -522,7 +525,10 @@ def pq_train(
     dsub = dim // m
     C = np.stack([X0[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)])
     sc = embeddings.sparkSession.sparkContext
-    base = embeddings.select(vec_col)
+    # persist the projected vectors once: every Lloyd iteration scans
+    # them, and re-reading (+ re-decoding) the parquet per iteration
+    # dominates training time at fixture scale
+    base = embeddings.select(vec_col).persist()
 
     for _ in range(max_iter):
         bc = sc.broadcast(C)
@@ -565,6 +571,7 @@ def pq_train(
         bc.destroy()
         if shift < 1e-6:
             break
+    base.unpersist()
     return C
 
 
