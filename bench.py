@@ -59,6 +59,7 @@ HEADLINE = [
     "agg_linear_regression",
     "mongodump_facet_anio",
     "stream_user_totals_live",
+    "a7_search_bm25",
 ]
 
 

@@ -734,3 +734,64 @@ def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.
     vecs = cv.transform(toks)
     mh = MinHashLSH(inputCol="__vec", outputCol="__hashes", numHashTables=8, seed=42).fit(vecs)
     return mh.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="jaccard_dist")
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 4,
+    pool: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    assigned_df: DataFrame | None = None,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN index shape (coarse
+    quantizer routes, product quantizer scores, exact re-rank at the
+    end) composed from this module's pieces.
+
+    1. rank the coarse centroids against the query on the driver and
+       keep ``nprobe`` cells (centroids are k x dim — trivial);
+    2. restrict the PQ code table to vectors assigned to those cells —
+       with the corpus stored partitioned by cell this is partition
+       pruning, not a scan;
+    3. ADC-score ONLY that slice against the query's literal lookup
+       table (JVM fold, no raw vectors read);
+    4. exact re-rank of the top ``pool`` by true cosine.
+
+    Recall knobs: nprobe (routing) and pool (re-rank width) — probing
+    all cells with pool >= corpus reduces to exact search. Pass
+    persisted ``assigned_df`` (ivf_assign) / ``codes_df`` (pq_encode)
+    to amortize the index across queries.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(C @ qn))[:nprobe].tolist()
+
+    assigned = (
+        assigned_df if assigned_df is not None else ivf_assign(embeddings, C, id_col, vec_col)
+    )
+    cell_ids = assigned.filter(F.col("cluster").isin(probes)).select("id")
+    codes = codes_df if codes_df is not None else pq_encode(embeddings, np.asarray(codebooks), id_col, vec_col)
+    cell_codes = codes.join(cell_ids, "id", "left_semi")
+    slice_emb = embeddings.join(
+        cell_ids, embeddings[id_col] == cell_ids.id, "left_semi"
+    )
+    return pq_topk(
+        slice_emb,
+        q,
+        codebooks,
+        k=k,
+        pool=pool,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        codes_df=cell_codes,
+    )

@@ -211,6 +211,67 @@ def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- alternate file-format read paths -----------------------------------
+
+def _staged_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Stage the nation table once per (sf, format) under /tmp — gives
+    the registry an oracle-checked read path for formats the fixtures
+    don't ship (the A1 source layer supports them; SURVEY.md §2.4)."""
+    out = os.path.join(tempfile.gettempdir(), f"pbd_{fmt}_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").format(fmt).option(
+            "header", "true"
+        ).save(out)
+    return out
+
+
+def q_orc_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan path (vectorized, predicate-pushdown-capable like
+    parquet): nation staged as ORC, read back, joined and aggregated;
+    oracle computes from the original table, so the ORC round-trip
+    itself is what's checked."""
+    orc = spark.read.orc(_staged_format(spark, sf_dir, "orc"))
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orc, cust.c_nationkey == orc.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double"), 2).alias(
+                "sum_acctbal"
+            ),
+        )
+    )
+
+
+def q_csv_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan path with an EXPLICIT schema (inference is an extra
+    full pass at scale — never in production paths)."""
+    csv = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .csv(_staged_format(spark, sf_dir, "csv"))
+    )
+    return csv.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+_ORC_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_CSV_SQL = """
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+"""
+
+
 # ---- XML ingestion surface ----------------------------------------------
 
 def q_xml_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,4 +453,6 @@ QUERIES = {
     "listagg_status_sets": (q_listagg_status_sets, _LISTAGG_SQL),
     "array_hof_token_stats": (q_array_hof_token_stats, _HOF_SQL),
     "xml_orders_agg": (q_xml_orders_agg, _XML_SQL),
+    "orc_read_agg": (q_orc_read_agg, _ORC_SQL),
+    "csv_read_agg": (q_csv_read_agg, _CSV_SQL),
 }

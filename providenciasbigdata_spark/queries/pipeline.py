@@ -517,6 +517,18 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, qvec, C, k=10, pool=100)
 
 
+def q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (coarse routing + ADC scoring + exact
+    re-rank) — the billion-scale index shape. Rows-only: iterative
+    quantizers; exhaustive-probe==exact and recall pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    Ck, _ = similarity.kmeans_centroids(emb, n_clusters=16, max_iter=3)
+    Cpq = similarity.pq_train(emb, m=4, n_codes=16, max_iter=3)
+    return similarity.ivf_pq_topk(emb, qvec, Ck, Cpq, k=10, nprobe=4, pool=100)
+
+
 def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_lsh_pairs(emb, dim=64, n_bits=14, tables=2)
@@ -550,6 +562,7 @@ QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, None),
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
+    "ivf_pq_ann_topk": (q_ivf_pq_ann_topk, None),
     "pq_ann_topk": (q_pq_ann_topk, None),
     "embedding_quantize_int8": (q_quantize_int8, _QUANTIZE_SQL),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),

@@ -259,6 +259,26 @@ LEFT JOIN (
 """
 
 
+def q_sql_identifier_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injection-safe DYNAMIC IDENTIFIERS: the reference interpolates
+    nothing (its params are values — A11), but a config-driven engine
+    also needs table/column names as parameters. String-formatting
+    identifiers into SQL is the injection vector; Spark 4's
+    IDENTIFIER(:param) binds them like values, parsed as a single
+    identifier or nothing."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT IDENTIFIER(:keycol) AS region_key, COUNT(*) AS n "
+        "FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:keycol)",
+        args={"tbl": "nation", "keycol": "n_regionkey"},
+    )
+
+
+_SQL_IDENTIFIER_SQL = """
+SELECT n_regionkey AS region_key, COUNT(*) AS n FROM nation GROUP BY n_regionkey
+"""
+
+
 def q_governance_mask_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking at the projection edge via the built-in ``mask``
     expression (upper->X, lower->x, digit->n): the column-level
@@ -289,6 +309,7 @@ QUERIES = {
     "sql_recursive_reachability": (q_recursive_reachability, _RECURSIVE_SQL),
     "sql_scalar_udf": (q_sql_scalar_udf, _SQL_SCALAR_UDF_SQL),
     "sql_table_udf": (q_sql_table_udf, _SQL_TABLE_UDF_SQL),
+    "sql_identifier_param": (q_sql_identifier_param, _SQL_IDENTIFIER_SQL),
     "governance_mask_names": (q_governance_mask_names, _MASK_SQL),
     "sql_grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
     "sql_exists_subquery": (q_exists_subquery, _EXISTS_SQL),
