@@ -41,10 +41,26 @@ def _sf_tag(sf_dir: str) -> str:
     return tag.replace(".", "_")
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Short content fingerprint (size + mtime) of a fixture parquet.
+    Staged /tmp copies are keyed by it so a regenerated fixture set
+    (the driver rewrites testdata between rounds) can never be served
+    from a stale staging dir — stale copies would silently diverge
+    from the oracle's view of the source table."""
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    return hashlib.sha1(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+
+
 # ---- custom Python DataSource (reference A1 over an offline dump) -------
 
 def _ensure_dump(spark: SparkSession, sf_dir: str) -> str:
-    out = os.path.join(tempfile.gettempdir(), f"pbd_mongodump_{_sf_tag(sf_dir)}")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pbd_mongodump_{_sf_tag(sf_dir)}_{_source_fingerprint(sf_dir, 'documents')}",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rulings_view(load_table(spark, sf_dir, "documents")).select(
             "doc_id", "providencia", "tipo", "anio", "texto"
@@ -145,7 +161,10 @@ def q_stream_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     even if the source splits into several micro-batches."""
     from providenciasbigdata_spark import streaming as st
 
-    src = os.path.join(tempfile.gettempdir(), f"pbd_tws_src_{_sf_tag(sf_dir)}")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"pbd_tws_src_{_sf_tag(sf_dir)}_{_source_fingerprint(sf_dir, 'events')}",
+    )
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         load_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
@@ -217,7 +236,10 @@ def _staged_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Stage the nation table once per (sf, format) under /tmp — gives
     the registry an oracle-checked read path for formats the fixtures
     don't ship (the A1 source layer supports them; SURVEY.md §2.4)."""
-    out = os.path.join(tempfile.gettempdir(), f"pbd_{fmt}_{_sf_tag(sf_dir)}")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pbd_{fmt}_{_sf_tag(sf_dir)}_{_source_fingerprint(sf_dir, 'nation')}",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load_table(spark, sf_dir, "nation").write.mode("overwrite").format(fmt).option(
             "header", "true"
