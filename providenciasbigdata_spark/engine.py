@@ -122,6 +122,28 @@ class ProvidenciasEngine:
         drop-storage-key + empty-sentinel behavior (A12)."""
         return _docs.to_result_frame(self.query_rulings(**kwargs))
 
+    # -- literal reference IR (compat/ir.py) ------------------------------
+
+    def query_mongo(self, query: dict) -> DataFrame:
+        """``collection.find(query)`` with the reference's own MQL
+        filter documents (streamlit_app.py:31-32,137-148) — paste the
+        dict, get the DataFrame."""
+        from providenciasbigdata_spark.compat.ir import mql_find
+
+        return mql_find(self.rulings(), query)
+
+    def run_cypher(self, query: str, params: dict | None = None) -> DataFrame:
+        """Run the reference's Cypher templates verbatim
+        (streamlit_app.py:50,60-64) against the derived graph."""
+        from providenciasbigdata_spark.compat.ir import cypher_run
+
+        return cypher_run(
+            query,
+            nodes=self.nodes(),
+            edges=self.edges(),
+            params=params,
+        )
+
     # -- page 2: similarity graph ----------------------------------------
 
     def node_ids(self) -> list[str]:

@@ -1,0 +1,109 @@
+"""The reference's literal query IR executes on this engine: its MQL
+filter documents and its verbatim Cypher strings produce the same
+results as our native API paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.compat.documents import rulings_view, search_text
+from providenciasbigdata_spark.compat.graph import build_similarity_edges, nodes_view
+from providenciasbigdata_spark.compat.ir import cypher_run, mql_find
+from providenciasbigdata_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+# the exact strings from the reference (streamlit_app.py:50, 60-64)
+CYPHER_NODE_SCAN = "MATCH (p:Providencia) RETURN p.id AS id"
+CYPHER_NEIGHBORHOOD = """
+    MATCH (a:Providencia {id: $providencia})-[r:SIMILAR]->(b:Providencia)
+    WHERE r.similitud >= $rango_min AND r.similitud <= $rango_max
+    RETURN a.id AS origen, b.id AS destino, r.similitud AS similitud
+    """
+
+
+def _rulings(spark):
+    return rulings_view(load_table(spark, SF, "documents"))
+
+
+def test_mql_equality_documents(spark):
+    """The four find() filter documents from streamlit_app.py:138-147."""
+    docs = _rulings(spark)
+    assert (
+        mql_find(docs, {"providencia": "P-7"}).count()
+        == docs.filter(F.col("providencia") == "P-7").count()
+        == 1
+    )
+    assert (
+        mql_find(docs, {"tipo": "src3"}).count()
+        == docs.filter(F.col("tipo") == "src3").count()
+    )
+    assert (
+        mql_find(docs, {"anio": 2005}).count()
+        == docs.filter(F.col("anio") == 2005).count()
+    )
+    t = mql_find(docs, {"$text": {"$search": "merge window"}})
+    assert t.count() == search_text(docs, "merge window").count()
+
+
+def test_mql_implicit_and_and_empty(spark):
+    docs = _rulings(spark)
+    both = mql_find(docs, {"tipo": "src3", "$text": {"$search": "merge"}})
+    manual = search_text(docs.filter(F.col("tipo") == "src3"), "merge")
+    assert both.count() == manual.count()
+    assert mql_find(docs, {}).count() == docs.count()
+
+
+def test_mql_rejects_unsupported_operators(spark):
+    docs = _rulings(spark)
+    with pytest.raises(ValueError):
+        mql_find(docs, {"anio": {"$gte": 2005}})
+    with pytest.raises(ValueError):
+        mql_find(docs, {"$or": [{"tipo": "src3"}]})
+
+
+def test_cypher_node_scan_verbatim(spark):
+    nodes = nodes_view(load_table(spark, SF, "documents"))
+    got = cypher_run(CYPHER_NODE_SCAN, nodes=nodes)
+    assert got.columns == ["id"]
+    assert got.count() == nodes.count()
+
+
+def test_cypher_neighborhood_verbatim(spark):
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+    got = cypher_run(
+        CYPHER_NEIGHBORHOOD,
+        edges=edges,
+        params={"providencia": "P-7", "rango_min": 20.0, "rango_max": 90.0},
+    )
+    assert got.columns == ["origen", "destino", "similitud"]
+    want = edges.filter(
+        (F.col("src") == "P-7") & F.col("similitud").between(20.0, 90.0)
+    )
+    assert got.count() == want.count() > 0
+    # inclusive bounds (B4): a row exactly at a bound must be returned
+    bounds = [r["similitud"] for r in got.collect()]
+    assert all(20.0 <= s <= 90.0 for s in bounds)
+
+
+def test_cypher_rejects_out_of_subset(spark):
+    nodes = nodes_view(load_table(spark, SF, "documents"))
+    with pytest.raises(ValueError):
+        cypher_run("MATCH (a)-[r*2]->(b) RETURN a, b", nodes=nodes)
+    with pytest.raises(ValueError):
+        cypher_run(CYPHER_NEIGHBORHOOD, edges=nodes, params={})
+
+
+def test_engine_facade_accepts_literal_ir(spark):
+    from providenciasbigdata_spark.engine import ProvidenciasEngine
+
+    eng = ProvidenciasEngine(spark, SF)
+    assert eng.query_mongo({"tipo": "src3"}).count() > 0
+    got = eng.run_cypher(
+        CYPHER_NEIGHBORHOOD,
+        params={"providencia": "P-7", "rango_min": 0.0, "rango_max": 100.0},
+    )
+    assert got.columns == ["origen", "destino", "similitud"]
+    assert got.count() > 0
