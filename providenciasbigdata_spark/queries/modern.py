@@ -294,6 +294,58 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+# ---- map-type column operations -----------------------------------------
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType as a first-class column: build a status->count map per
+    priority (map_from_entries over collected structs), then consume it
+    with the map operator family — element_at lookup, map_filter,
+    values fold. Scalar outputs so the oracle compares engine-neutral
+    values; the map itself stays an internal representation (DuckDB and
+    Spark render map cells differently)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return m.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).cast("bigint").alias(
+            "n_finished"
+        ),
+        F.size(F.col("m")).cast("bigint").alias("n_statuses"),
+        F.size(F.map_filter(F.col("m"), lambda k, v: v > 100)).cast("bigint").alias(
+            "n_common_statuses"
+        ),
+        total.alias("n_orders"),
+    )
+
+
+_MAP_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+       CAST(COUNT(DISTINCT o_orderstatus) FILTER (
+            WHERE o_orderstatus IN (
+              SELECT o_orderstatus FROM orders o2
+              WHERE o2.o_orderpriority = orders.o_orderpriority
+              GROUP BY o_orderstatus HAVING COUNT(*) > 100)
+       ) AS BIGINT) AS n_common_statuses,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # ---- XML ingestion surface ----------------------------------------------
 
 def q_xml_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,4 +529,5 @@ QUERIES = {
     "xml_orders_agg": (q_xml_orders_agg, _XML_SQL),
     "orc_read_agg": (q_orc_read_agg, _ORC_SQL),
     "csv_read_agg": (q_csv_read_agg, _CSV_SQL),
+    "map_functions": (q_map_functions, _MAP_SQL),
 }
