@@ -53,11 +53,18 @@ def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     wide = (
-        cust.groupBy("c_nationkey").agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double"), 2)
+            .alias("cust_bal")
+        )
         .withColumnRenamed("c_nationkey", "nationkey")
         .join(
             supp.groupBy("s_nationkey")
-            .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+            .agg(
+                F.round(F.sum(F.col("s_acctbal").cast("decimal(28,10)")).cast("double"), 2)
+                .alias("supp_bal")
+            )
             .withColumnRenamed("s_nationkey", "nationkey"),
             "nationkey",
         )
@@ -71,9 +78,11 @@ def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_SQL = """
 WITH wide AS (
   SELECT c.nationkey, c.cust_bal, s.supp_bal
-  FROM (SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+  FROM (SELECT c_nationkey AS nationkey,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS cust_bal
         FROM customer GROUP BY 1) c
-  JOIN (SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+  JOIN (SELECT s_nationkey AS nationkey,
+               ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS supp_bal
         FROM supplier GROUP BY 1) s USING (nationkey)
 )
 SELECT nationkey, 'cust_bal' AS side, cust_bal AS balance FROM wide
@@ -392,28 +401,59 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-statistic + moment aggregates per group: exact interpolated
     median, sample stddev, Pearson correlation. Median is Spark's exact
     ``percentile`` (same lower+frac*(upper-lower) interpolation as
-    DuckDB ``median``); stddev/corr are float-order-dependent at ~1e-12
-    relative error, rounded to 6 digits well clear of it."""
+    DuckDB ``median``). stddev/corr are derived from exact DECIMAL sums
+    (sum, sum-of-squares, cross-sum) through one shared closed form on
+    both engines — native double moment aggregates are accumulation-
+    order-dependent and can flip the ROUND digit at a boundary."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.count("*").cast("bigint").alias("n"),
-        )
+
+    def dec(c):
+        return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    raw = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.count("*").cast("double").alias("_n"),
+        dec(x).alias("_sx"),
+        dec(x * x).alias("_sxx"),
+        dec(y).alias("_sy"),
+        dec(y * y).alias("_syy"),
+        dec(x * y).alias("_sxy"),
+    )
+    n, sx, sxx = F.col("_n"), F.col("_sx"), F.col("_sxx")
+    sy, syy, sxy = F.col("_sy"), F.col("_syy"), F.col("_sxy")
+    sd = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return raw.select(
+        "l_returnflag",
+        "median_qty",
+        F.round(sd, 6).alias("sd_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+        n.cast("bigint").alias("n"),
     )
 
 
 _ROBUST_STATS_SQL = """
-SELECT l_returnflag,
-       ROUND(median(l_quantity), 6) AS median_qty,
-       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM lineitem
-GROUP BY l_returnflag
+WITH s AS (
+  SELECT l_returnflag,
+         ROUND(median(l_quantity), 6) AS median_qty,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, median_qty,
+       ROUND(SQRT((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS sd_qty,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS corr_qty_price,
+       CAST(n AS BIGINT) AS n
+FROM s
 """
 
 

@@ -431,14 +431,26 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern of operators.similarity.kmeans_centroids (same answer,
     O(batches x dim) shuffle)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Both AVG levels go through exact DECIMAL(28,10) sums: double
+    # accumulation order differs between engines and would flip the
+    # 6-digit round. The per-dim mean is dec-sum/count; the norm sums
+    # the (deterministic double) m*m terms through the same exact path.
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("x"))
+            .alias("m")
+        )
     )
     return per_dim.groupBy("label").agg(
         F.count("*").alias("dim"),
-        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("m") * F.col("m")).cast("decimal(28,10)")).cast("double")
+            ),
+            6,
+        ).alias("centroid_norm"),
     )
 
 
@@ -450,10 +462,13 @@ WITH per_dim AS (
          unnest(CAST(embedding AS DOUBLE[])) AS x
   FROM embeddings
 ), dim_means AS (
-  SELECT label, pos, AVG(x) AS m FROM per_dim GROUP BY label, pos
+  SELECT label, pos,
+         CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(x) AS m
+  FROM per_dim GROUP BY label, pos
 )
 SELECT label, COUNT(*) AS dim,
-       ROUND(SQRT(SUM(m * m)), 6) AS centroid_norm
+       ROUND(SQRT(CAST(SUM(CAST(m * m AS DECIMAL(28,10))) AS DOUBLE)), 6)
+         AS centroid_norm
 FROM dim_means GROUP BY label
 """
 

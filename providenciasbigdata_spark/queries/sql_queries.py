@@ -70,14 +70,16 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
         FROM customer
-        WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+        WHERE c_acctbal > 2 * (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                              / COUNT(c_acctbal) FROM customer)
     """)
 
 
 _SCALAR_SUBQ_SQL = """
 SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
 FROM customer
-WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+WHERE c_acctbal > 2 * (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                              / COUNT(c_acctbal) FROM customer)
 """
 
 

@@ -25,7 +25,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -43,7 +43,7 @@ _SLIDING_SQL = """
 SELECT ws AS window_start,
        ws + INTERVAL '1 hour' AS window_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_value
 FROM (
   SELECT time_bucket(INTERVAL '30 minutes', ts) - (i * INTERVAL '30 minutes') AS ws,
          value
@@ -101,7 +101,7 @@ def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _USER_TOTALS_SQL = """
-SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+SELECT user_id, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS total_value
 FROM events
 GROUP BY user_id
 """
@@ -160,7 +160,7 @@ def q_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENRICH_SQL = """
 SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
        COUNT(*) AS n_events,
-       ROUND(SUM(e.value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_value
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """

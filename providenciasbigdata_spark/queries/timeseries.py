@@ -24,6 +24,20 @@ SESSION_GAP_S = 30 * 60  # same 30-min gap as streaming_queries sessions
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
+# Double sums are order-dependent across engines (different partial-agg
+# orders flip the low bits, and ROUND at a boundary then flips a digit).
+# Route every SUM/AVG over a double column through an exact DECIMAL(28,10)
+# accumulator on BOTH engines — same rule as relational._dec_sum.
+_DEC = "decimal(28,10)"
+
+
+def _dec_sum(col, digits=4):
+    return F.round(F.sum(col.cast(_DEC)).cast("double"), digits)
+
+
+def _dec_avg(col, digits=6):
+    return F.round(F.sum(col.cast(_DEC)).cast("double") / F.count(col), digits)
+
 
 def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when the
@@ -57,7 +71,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
             F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            _dec_sum(F.col("value")).alias("total_value"),
         )
     )
 
@@ -79,7 +93,7 @@ SELECT user_id, session_no,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS total_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value
 FROM numbered GROUP BY user_id, session_no
 """
 
@@ -98,8 +112,8 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.rollup("event_type", "day", "hour").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _dec_sum(F.col("value")).alias("total_value"),
+        _dec_avg(F.col("value")).alias("avg_value"),
     )
 
 
@@ -108,8 +122,9 @@ SELECT event_type,
        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS total_value,
-       ROUND(AVG(value), 6) AS avg_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value), 6)
+         AS avg_value
 FROM events
 GROUP BY ROLLUP (event_type, day, hour)
 """
@@ -157,13 +172,20 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than 3 population-stddevs from their type's mean. The
     per-type stats are a tiny aggregate joined back broadcast — one
     full scan, no window state. (The streaming twin keeps (mean, var)
-    as running state; same predicate.)"""
+    as running state; same predicate.)
+
+    mu/sigma are derived from exact DECIMAL sums (sum, sum-of-squares)
+    rather than AVG/STDDEV_POP over doubles: native double moments are
+    accumulation-order-dependent and engines disagree in the low bits,
+    which flips both the ROUND digit and the |z|>3 boundary."""
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_pop("value").alias("sigma"),
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("value")).alias("mu"),
+        F.sum((F.col("value") * F.col("value")).cast(_DEC)).cast("double").alias("sumsq"),
+        F.count("value").alias("n"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    sigma = F.sqrt(F.col("sumsq") / F.col("n") - F.col("mu") * F.col("mu"))
+    z = (F.col("value") - F.col("mu")) / sigma
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3.0)
@@ -173,13 +195,16 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OUTLIERS_SQL = """
 WITH stats AS (
-  SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value) AS mu,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sumsq,
+         COUNT(value) AS n
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-       ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
+       ROUND((e.value - s.mu) / sqrt(s.sumsq / s.n - s.mu * s.mu), 6) AS zscore
 FROM events e JOIN stats s USING (event_type)
-WHERE ABS((e.value - s.mu) / s.sigma) > 3.0
+WHERE ABS((e.value - s.mu) / sqrt(s.sumsq / s.n - s.mu * s.mu)) > 3.0
 """
 
 

@@ -26,6 +26,7 @@ Scale notes (100 TB / unbounded stream):
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -33,6 +34,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Double sums are accumulation-order-dependent; engines (and micro-batch
+# orders) disagree in the low bits and ROUND then flips a digit. Every
+# value sum goes through an exact DECIMAL(28,10) accumulator — the same
+# rule as queries.relational._dec_sum — in the JVM aggregates AND in the
+# Python stateful processors, so batch, streaming, and the DuckDB oracle
+# agree bit-for-bit.
+_DEC = "decimal(28,10)"
+_Q10 = Decimal("1e-10")
+_Q6 = Decimal("1e-6")
+
+
+def _dec_sum6(col: str):
+    """Exact decimal sum -> double, 6-digit HALF_UP round."""
+    return F.round(F.sum(F.col(col).cast(_DEC)).cast("double"), 6)
+
+
+def _dec_add(total: Decimal, values) -> Decimal:
+    """Add a pandas value column to ``total`` exactly, mirroring the JVM
+    ``cast(double AS DECIMAL(28,10))`` per element: shortest-repr
+    decimal parse (same contract as java.lang.Double.toString) then
+    HALF_UP quantize to 10 dp."""
+    for v in values:
+        if v is None or pd.isna(v):
+            continue
+        total += Decimal(repr(float(v))).quantize(_Q10, rounding=ROUND_HALF_UP)
+    return total
+
+
+def _dec_round6(total: Decimal) -> float:
+    """``ROUND(CAST(total AS DOUBLE), 6)`` exactly as Spark's F.round
+    computes it (decimal repr of the double, HALF_UP)."""
+    return float(Decimal(repr(float(total))).quantize(_Q6, rounding=ROUND_HALF_UP))
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -81,7 +115,7 @@ def tumbling_counts(
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _dec_sum6("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -107,7 +141,7 @@ def sliding_counts(
         .groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _dec_sum6("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -281,14 +315,17 @@ def enrich_with_profile(events: DataFrame, profiles: DataFrame) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _dec_sum6("value").alias("sum_value"),
         )
     )
 
 
 # ---- custom stateful operator -------------------------------------------
 
-_RUNNING_STATE_SCHEMA = "n LONG, total DOUBLE"
+# total is the exact DECIMAL(28,10) running sum carried as its string
+# repr (state stores have no decimal column type; a DOUBLE would re-round
+# every micro-batch and drift off the batch/oracle answer).
+_RUNNING_STATE_SCHEMA = "n LONG, total STRING"
 _RUNNING_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
 
 
@@ -302,7 +339,7 @@ def user_running_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
     if not events.isStreaming:
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            _dec_sum6("value").alias("total_value"),
         )
 
     def update(
@@ -311,15 +348,16 @@ def user_running_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_s = state.get if state.exists else (0, "0")
+        total = Decimal(total_s)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            total = _dec_add(total, pdf["value"])
+        state.update((n, str(total)))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [_dec_round6(total)]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -351,7 +389,7 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     if not events.isStreaming:
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            _dec_sum6("value").alias("total_value"),
         )
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -361,16 +399,17 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
             self._state = handle.getValueState("totals", _RUNNING_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            n, total_s = self._state.get() if self._state.exists() else (0, "0")
+            total = Decimal(total_s)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].fillna(0.0).sum())
-            self._state.update((n, total))
+                total = _dec_add(total, pdf["value"])
+            self._state.update((n, str(total)))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [round(total, 6)],
+                    "total_value": [_dec_round6(total)],
                 }
             )
 
