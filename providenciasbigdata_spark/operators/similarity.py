@@ -206,6 +206,40 @@ def srp_lsh_topk(
     )
 
 
+def pairwise_cosine(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    scale: float = 1.0,
+    broadcast_limit: int = 100_000,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, size-dispatched.
+
+    While the corpus comfortably fits one broadcast (<= broadcast_limit
+    rows; 100k 64-dim float64 vectors ~ 50 MB) take the BLAS broadcast
+    matmul — fastest at small n. Beyond that, the tile-blocked fully
+    distributed path whose per-task cost is O(block_size^2) regardless
+    of corpus size. The decision costs one COUNT(*) scalar aggregate
+    (answered from parquet footers, no data read).
+
+    Both branches share the identical output contract (pinned equal in
+    tests/test_similarity.py), so callers get the same answer either
+    way — only the physical plan changes with scale.
+    """
+    n = embeddings.count()
+    if n <= broadcast_limit:
+        return pairwise_cosine_matmul(
+            embeddings, threshold, id_col, vec_col, round_digits, scale
+        )
+    return pairwise_cosine_blocked(
+        embeddings, threshold, id_col, vec_col, round_digits, scale,
+        block_size=block_size,
+    )
+
+
 def pairwise_cosine_matmul(
     embeddings: DataFrame,
     threshold: float,

@@ -84,15 +84,20 @@ WHERE ROUND(list_cosine_similarity(CAST(h.emb_mid AS DOUBLE[]),
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-degree distribution of the similarity graph at similitud >=
-    30: degree -> node count. Exact all-pairs via the blocked-matmul
-    path (operators.similarity.pairwise_cosine_matmul — BLAS per Arrow
-    batch against the broadcast normalized corpus; the expression-fold
-    build is ~30x slower here). Two-phase agg after; no row explosion
-    beyond the thresholded edge set."""
-    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+    30: degree -> node count. The edge build is the fully-distributed
+    tile-blocked all-pairs path (operators.similarity.
+    pairwise_cosine_blocked): per-task work/memory O(block^2),
+    independent of corpus size — the plan that survives a corpus that
+    no longer fits one broadcast (the driver-materializing
+    pairwise_cosine_matmul is kept for explicitly-bounded corpora;
+    operators.similarity.pairwise_cosine dispatches on size). Two-phase
+    agg after; no row explosion beyond the thresholded edge set."""
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = pairwise_cosine_matmul(emb, threshold=_HOP_LO, scale=100.0)
+    # block_size=512: >=10 parallel tiles at fixture scale, measured
+    # within ~0.3s of the broadcast matmul at sf0.1
+    edges = pairwise_cosine_blocked(emb, threshold=_HOP_LO, scale=100.0, block_size=512)
     degrees = edges.groupBy("left_id").agg(F.count("*").alias("degree"))
     return degrees.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
@@ -249,8 +254,8 @@ SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
 
 
 def q_degree_histogram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same degree histogram through the fully-distributed blocked
-    all-pairs path (operators.similarity.pairwise_cosine_blocked): no
+    """Degree histogram through the blocked all-pairs path at a larger
+    block size (operators.similarity.pairwise_cosine_blocked): no
     driver-side matrix, no broadcast — per-task work is one
     block x block BLAS tile. Oracle-checked against the same SQL as
     graph_degree_histogram, which pins blocked == broadcast results."""

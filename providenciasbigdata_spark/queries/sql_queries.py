@@ -159,32 +159,40 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     the similitud>=35 similarity graph via WITH RECURSIVE (Spark 4's
     recursive CTE — each iteration is a planned join, the fixed point
     handled by the engine; contrast operators.graph_algos.bfs_distances
-    which drives the loop from Python). The edge build is the exact
-    matmul path; at 100 TB swap in the LSH-approximate edge set.
+    which drives the loop from Python). The edge build is the fully-
+    distributed tile-blocked exact all-pairs path (per-task cost
+    O(block^2), no driver-side corpus materialization); at 100 TB swap
+    in the LSH-approximate edge set.
 
     The UNION ALL recursion enumerates paths, bounded by the hop cap;
     the outer MIN(hop) aggregate collapses them. On a sparse graph
     (avg degree ~1 at this threshold) the path count stays linear."""
-    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = pairwise_cosine_matmul(emb, threshold=35.0, scale=100.0).select(
+    edges = pairwise_cosine_blocked(emb, threshold=35.0, scale=100.0, block_size=512).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
     # persist: the recursive join replays the view once per iteration,
     # and the O(n^2) tile-matmul edge build dominates the query —
-    # caching it turns 3 rebuilds into 1 (2.6s -> 1.6s at sf0.1)
+    # caching it turns 3 rebuilds into 1 (2.6s -> 1.6s at sf0.1).
+    # The tiny result is localCheckpoint'ed eagerly so the cache can be
+    # released HERE instead of accumulating across a 157-query session.
     edges = edges.persist()
-    edges.createOrReplaceTempView("sim_edges")
-    return spark.sql("""
-        WITH RECURSIVE reach(dst, hop) AS (
-          SELECT dst, 1 AS hop FROM sim_edges WHERE src = 7
-          UNION ALL
-          SELECT e.dst, r.hop + 1 FROM reach r JOIN sim_edges e ON e.src = r.dst
-          WHERE r.hop < 3)
-        SELECT CAST(dst AS BIGINT) AS dst, CAST(MIN(hop) AS BIGINT) AS min_hop
-        FROM reach GROUP BY dst ORDER BY dst
-    """)
+    try:
+        edges.createOrReplaceTempView("sim_edges")
+        out = spark.sql("""
+            WITH RECURSIVE reach(dst, hop) AS (
+              SELECT dst, 1 AS hop FROM sim_edges WHERE src = 7
+              UNION ALL
+              SELECT e.dst, r.hop + 1 FROM reach r JOIN sim_edges e ON e.src = r.dst
+              WHERE r.hop < 3)
+            SELECT CAST(dst AS BIGINT) AS dst, CAST(MIN(hop) AS BIGINT) AS min_hop
+            FROM reach GROUP BY dst ORDER BY dst
+        """).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
 
 
 _RECURSIVE_SQL = """

@@ -266,6 +266,39 @@ def test_sql_scalar_udf_inlines(spark, reg):
     assert "partial_" in plan, plan  # and the agg still two-phases
 
 
+def test_graded_similarity_queries_never_materialize_corpus(spark, reg, monkeypatch):
+    """The oracle-graded all-pairs queries must build their edge sets
+    fully distributed: DataFrame.toPandas (the broadcast-matmul path's
+    driver-side corpus materialization) is forbidden during both plan
+    construction AND execution. This is the plan that survives a corpus
+    bigger than driver memory."""
+    from providenciasbigdata_spark.io import load_table
+
+    cls = type(load_table(spark, SF, "embeddings"))
+
+    def _banned(self, *a, **kw):
+        raise AssertionError("driver-side corpus materialization in a graded query")
+
+    monkeypatch.setattr(cls, "toPandas", _banned)
+    for name in ("graph_degree_histogram", "sql_recursive_reachability"):
+        assert _run(reg, name, spark).count() > 0, name
+
+
+def test_pairwise_cosine_dispatches_on_corpus_size(spark):
+    """The size dispatcher must take the broadcast matmul under the
+    limit and the tile-blocked distributed path above it, with
+    identical results either way."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine
+
+    emb = load_table(spark, SF, "embeddings")
+    small = pairwise_cosine(emb, threshold=30.0, scale=100.0)  # n=500 <= limit
+    assert "MapInPandas" in plan_of(small) and "Exchange" not in plan_of(small, "simple")
+    big = pairwise_cosine(emb, threshold=30.0, scale=100.0, broadcast_limit=100)
+    assert "Exchange" in plan_of(big, "simple")  # blocked: groupBy + tile join
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
 def test_hof_token_stats_no_explode_shuffle(spark, reg):
     """Array HOF stats are per-row projections: the plan must contain
     no Exchange at all (narrow, embarrassingly parallel)."""
