@@ -55,11 +55,14 @@ def tokenize(col: Column) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
-def rulings_view(documents: DataFrame) -> DataFrame:
+def rulings_view(documents: DataFrame, with_stems: bool = False) -> DataFrame:
     """Project the fixture ``documents`` table into the reference's
     ruling fields (FIXTURES.md §1 pinned mapping) + a ``tokens`` column
-    (ingest-time tokenization, SURVEY.md §4.3)."""
-    return documents.select(
+    (ingest-time tokenization, SURVEY.md §4.3). ``with_stems=True``
+    additionally materializes the Snowball-lite stemmed tokens
+    (compat.stemming) — the ingest-time shape a stemmed search index
+    wants at scale (stem once per document, not per query)."""
+    out = documents.select(
         F.col("doc_id"),
         F.concat(F.lit("P-"), F.col("doc_id").cast("string")).alias("providencia"),
         F.col("source").alias("tipo"),
@@ -67,6 +70,11 @@ def rulings_view(documents: DataFrame) -> DataFrame:
         F.col("text").alias("texto"),
         tokenize(F.col("text")).alias("tokens"),
     )
+    if with_stems:
+        from providenciasbigdata_spark.compat.stemming import stem_tokens
+
+        out = out.withColumn("stems", stem_tokens(F.col("tokens")))
+    return out
 
 
 def distinct_values(df: DataFrame, field: str) -> DataFrame:
@@ -89,14 +97,24 @@ def filter_equals(df: DataFrame, field: str, value) -> DataFrame:
     return df.filter(F.col(field) == F.lit(value))
 
 
-def search_text(df: DataFrame, query: str, tokens_col: str = "tokens") -> DataFrame:
+def search_text(
+    df: DataFrame, query: str, tokens_col: str = "tokens", stem: bool = False
+) -> DataFrame:
     """A7/B1: keyword search — match ANY query term (OR),
     case/diacritic-insensitively; unranked (SURVEY.md B6).
 
     ``{"$text": {"$search": q}}`` (reference streamlit_app.py:147).
     Query terms fold client-side into an array literal; the predicate
     is a native ``arrays_overlap`` over the ingest-time tokens column.
-    """
+
+    ``stem=True`` reproduces the Spanish-stemmed matching of the
+    reference's Mongo text index (language-default index on Spanish
+    legal text): both the query terms (client-side, Python) and the
+    document tokens (Catalyst, via the materialized ``stems`` column
+    when present — else a JVM transform on the fly) go through the
+    SAME Snowball-lite rule table (compat.stemming), so
+    "providencias" matches "providencia". The unstemmed contract stays
+    the default (B1 pin)."""
     import re
     import unicodedata
 
@@ -105,7 +123,17 @@ def search_text(df: DataFrame, query: str, tokens_col: str = "tokens") -> DataFr
     terms = [t for t in re.split(r"\W+", folded) if t]
     if not terms:
         return df.filter(F.lit(False))
-    return df.filter(F.arrays_overlap(F.col(tokens_col), F.array(*[F.lit(t) for t in terms])))
+    if stem:
+        from providenciasbigdata_spark.compat.stemming import stem_py, stem_tokens
+
+        terms = [stem_py(t) for t in terms]
+        doc_side = (
+            F.col("stems") if "stems" in df.columns
+            else stem_tokens(F.col(tokens_col))
+        )
+    else:
+        doc_side = F.col(tokens_col)
+    return df.filter(F.arrays_overlap(doc_side, F.array(*[F.lit(t) for t in terms])))
 
 
 def _fold(text: str) -> str:

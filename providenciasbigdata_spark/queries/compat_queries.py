@@ -43,6 +43,21 @@ _TOKENS_SQL = (
 _RESULT_COLS = "providencia, tipo, anio, texto"
 
 
+def _stemmed_search_sql() -> str:
+    """Oracle for the stemmed A7: BOTH sides stem in SQL through the
+    rule chain generated from compat.stemming's single rule table —
+    document tokens element-wise, and the literal query terms — so the
+    full stemming contract (not pre-stemmed literals) is checked."""
+    from providenciasbigdata_spark.compat.stemming import stems_sql
+
+    terms = "['values', 'merges']"
+    return (
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+        f"WHERE len(list_intersect({stems_sql(_TOKENS_SQL.format(col='texto'))}, "
+        f"{stems_sql(terms)})) > 0"
+    )
+
+
 def _rulings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulings_view(load_table(spark, sf_dir, "documents"))
 
@@ -106,6 +121,17 @@ def q_a7_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_text_ranked(
         _rulings(spark, sf_dir), "merge window shuffle", k=15
     ).select("providencia", "score")
+
+
+def q_a7_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + the Spanish-stemmed matching of Mongo's language text index
+    (reference streamlit_app.py:147): plural/derived query terms match
+    base document tokens through the shared Snowball-lite rule table
+    (compat.stemming) — "values merges" finds documents containing
+    "value" or "merge". Exercises the ingest-time materialized
+    ``stems`` column path (rulings_view(with_stems=True))."""
+    rulings = rulings_view(load_table(spark, sf_dir, "documents"), with_stems=True)
+    return _project(search_text(rulings, "values merges", stem=True))
 
 
 def q_a7_search_postings_or(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +293,7 @@ QUERIES = {
         f"FROM (SELECT 'P-' || CAST(doc_id AS VARCHAR) AS providencia, text FROM documents) "
         f"WHERE score > 0 ORDER BY score DESC, providencia ASC LIMIT 15",
     ),
+    "a7_search_stemmed": (q_a7_search_stemmed, _stemmed_search_sql()),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
     "a7_search_bm25": (q_a7_search_bm25, _BM25_SQL),
