@@ -97,6 +97,35 @@ def filter_equals(df: DataFrame, field: str, value) -> DataFrame:
     return df.filter(F.col(field) == F.lit(value))
 
 
+def text_match_condition(
+    query: str,
+    tokens_col: str = "tokens",
+    stem: bool = False,
+    has_stems_col: bool = False,
+) -> Column:
+    """The B1 OR-of-terms text predicate as a composable Column — the
+    building block ``search_text`` filters on, and what compat.ir uses
+    to place ``$text`` inside ``$and``/``$or`` compositions."""
+    import re
+    import unicodedata
+
+    folded = unicodedata.normalize("NFKD", query.lower())
+    folded = "".join(c for c in folded if not unicodedata.combining(c))
+    terms = [t for t in re.split(r"\W+", folded) if t]
+    if not terms:
+        return F.lit(False)
+    if stem:
+        from providenciasbigdata_spark.compat.stemming import stem_py, stem_tokens
+
+        terms = [stem_py(t) for t in terms]
+        doc_side = (
+            F.col("stems") if has_stems_col else stem_tokens(F.col(tokens_col))
+        )
+    else:
+        doc_side = F.col(tokens_col)
+    return F.arrays_overlap(doc_side, F.array(*[F.lit(t) for t in terms]))
+
+
 def search_text(
     df: DataFrame, query: str, tokens_col: str = "tokens", stem: bool = False
 ) -> DataFrame:
@@ -115,25 +144,11 @@ def search_text(
     SAME Snowball-lite rule table (compat.stemming), so
     "providencias" matches "providencia". The unstemmed contract stays
     the default (B1 pin)."""
-    import re
-    import unicodedata
-
-    folded = unicodedata.normalize("NFKD", query.lower())
-    folded = "".join(c for c in folded if not unicodedata.combining(c))
-    terms = [t for t in re.split(r"\W+", folded) if t]
-    if not terms:
-        return df.filter(F.lit(False))
-    if stem:
-        from providenciasbigdata_spark.compat.stemming import stem_py, stem_tokens
-
-        terms = [stem_py(t) for t in terms]
-        doc_side = (
-            F.col("stems") if "stems" in df.columns
-            else stem_tokens(F.col(tokens_col))
+    return df.filter(
+        text_match_condition(
+            query, tokens_col, stem=stem, has_stems_col="stems" in df.columns
         )
-    else:
-        doc_side = F.col(tokens_col)
-    return df.filter(F.arrays_overlap(doc_side, F.array(*[F.lit(t) for t in terms])))
+    )
 
 
 def _fold(text: str) -> str:

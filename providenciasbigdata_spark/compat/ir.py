@@ -7,12 +7,15 @@ MQL filter documents handed to ``collection.find`` (streamlit_app.py:
 demonstrable at the IR level: paste the reference's own queries, get
 the same result sets from DataFrames.
 
-Scope is pinned to the reference's observed grammar (SURVEY.md §2.2) —
-this is a compatibility shim, not a general MQL/Cypher engine:
+Scope is the reference's observed grammar (SURVEY.md §2.2) plus one
+documented step beyond it — this is a compatibility shim, not a
+general MQL/Cypher engine:
 
 - MQL: top-level equality on scalar fields, implicit AND across keys,
-  and ``{"$text": {"$search": s}}`` with B1 OR-of-terms semantics.
-  Unsupported operators raise rather than silently misread.
+  ``{"$text": {"$search": s}}`` with B1 OR-of-terms semantics, and
+  (the step beyond) ``$in``, ``$gt/$gte/$lt/$lte`` operator documents
+  and explicit ``$and``/``$or`` clause lists. Unsupported operators
+  raise rather than silently misread.
 - Cypher: the full-node-scan template and the anchored 1-hop SIMILAR
   expansion with an inclusive weight range and ``$param`` binding —
   matched structurally (whitespace-insensitive), parameters bound as
@@ -22,36 +25,94 @@ this is a compatibility shim, not a general MQL/Cypher engine:
 from __future__ import annotations
 
 import re
+from functools import reduce
+from operator import and_, or_
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from providenciasbigdata_spark.compat.documents import filter_equals, search_text
+from providenciasbigdata_spark.compat.documents import text_match_condition
 
 
 # ---- MQL filter documents ------------------------------------------------
+
+# comparison operators one step beyond the reference's observed grammar
+# (VERDICT r2 §missing-3): the predicates the first user extending a
+# filter reaches for. Anything else still raises.
+_RANGE_OPS = {
+    "$gt": Column.__gt__,
+    "$gte": Column.__ge__,
+    "$lt": Column.__lt__,
+    "$lte": Column.__le__,
+}
+
+
+def _coerce(field: str, value):
+    # the reference's dynamic year type, pinned (SURVEY.md §1.4): anio
+    # compares as int whatever the client sent
+    if field == "anio":
+        return int(value)
+    return value
+
+
+def _field_condition(field: str, value) -> Column:
+    if isinstance(value, dict):
+        if not value:
+            raise ValueError(f"empty operator document for {field!r}")
+        conds = []
+        for op, operand in value.items():
+            if op == "$in":
+                if not isinstance(operand, (list, tuple)):
+                    raise ValueError(f"$in needs a list, got {operand!r}")
+                vals = [_coerce(field, v) for v in operand]
+                # Mongo: $in [] matches nothing
+                conds.append(F.col(field).isin(vals) if vals else F.lit(False))
+            elif op in _RANGE_OPS:
+                conds.append(
+                    _RANGE_OPS[op](F.col(field), F.lit(_coerce(field, operand)))
+                )
+            else:
+                raise ValueError(f"unsupported MQL operator {op} for {field!r}")
+        return reduce(and_, conds)
+    return F.col(field) == F.lit(_coerce(field, value))
+
+
+def _query_condition(query: dict) -> Column:
+    conds: list[Column] = []
+    for key, value in query.items():
+        if key == "$text":
+            if not (isinstance(value, dict) and set(value) == {"$search"}):
+                raise ValueError(f"unsupported $text form: {value!r}")
+            conds.append(text_match_condition(value["$search"]))
+        elif key in ("$and", "$or"):
+            if not isinstance(value, (list, tuple)) or not value:
+                raise ValueError(f"{key} needs a non-empty list of clauses")
+            sub = [_query_condition(q) for q in value]
+            conds.append(reduce(and_ if key == "$and" else or_, sub))
+        elif key.startswith("$"):
+            raise ValueError(f"unsupported MQL operator: {key}")
+        else:
+            conds.append(_field_condition(key, value))
+    return reduce(and_, conds) if conds else F.lit(True)
+
 
 def mql_find(rulings: DataFrame, query: dict) -> DataFrame:
     """``collection.find(query)`` over the rulings view.
 
     Supports the reference's observed filter shapes (equality on
     providencia/tipo/anio — streamlit_app.py:138,141,144 — and $text —
-    :147), plus their implicit-AND composition, which Mongo defines for
-    multi-key documents. Empty query => full scan, like find({}).
+    :147) plus their implicit-AND composition, and one documented step
+    beyond the observed grammar: ``$in``, ``$gt/$gte/$lt/$lte`` (AND-
+    composed inside one operator document, as Mongo defines), and
+    explicit ``$and``/``$or`` clause lists (nestable, ``$text``
+    allowed inside). Empty query => full scan, like find({}).
+
+    The whole filter document compiles to ONE Column predicate pushed
+    into a single .filter — equality/range parts reach the parquet
+    scan as pushed filters; unsupported operators raise rather than
+    silently misread.
     """
-    out = rulings
-    for key, value in query.items():
-        if key == "$text":
-            if not (isinstance(value, dict) and set(value) == {"$search"}):
-                raise ValueError(f"unsupported $text form: {value!r}")
-            out = search_text(out, value["$search"])
-        elif key.startswith("$"):
-            raise ValueError(f"unsupported MQL operator: {key}")
-        elif isinstance(value, dict):
-            raise ValueError(f"unsupported nested predicate for {key!r}: {value!r}")
-        else:
-            out = filter_equals(out, key, value)
-    return out
+    return rulings.filter(_query_condition(query))
 
 
 # ---- Cypher templates ----------------------------------------------------

@@ -134,6 +134,52 @@ def q_a7_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _project(search_text(rulings, "values merges", stem=True))
 
 
+# ---- A11+/IR: widened MQL subset (compat.ir) ----------------------------
+
+def q_mql_in_tipo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$in membership — one step beyond the reference's observed MQL
+    grammar (compat.ir); compiles to an isin pushed to the scan."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return _project(mql_find(_rulings(spark, sf_dir), {"tipo": {"$in": ["src1", "src3"]}}))
+
+
+def q_mql_range_anio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range operator document {$gte,$lt} AND-composed (compat.ir),
+    with the anio dynamic-type coercion pin (string operands)."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return _project(
+        mql_find(_rulings(spark, sf_dir), {"anio": {"$gte": "2005", "$lt": 2008}})
+    )
+
+
+def q_mql_or_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit $or clause list with $text composed inside — the whole
+    document compiles to ONE Column predicate, single filter."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return _project(
+        mql_find(
+            _rulings(spark, sf_dir),
+            {"$or": [{"$text": {"$search": "merge"}}, {"tipo": "src1"}]},
+        )
+    )
+
+
+_MQL_IN_SQL = (
+    f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE tipo IN ('src1', 'src3')"
+)
+_MQL_RANGE_SQL = (
+    f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE anio >= 2005 AND anio < 2008"
+)
+_MQL_OR_TEXT_SQL = (
+    f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+    f"WHERE len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['merge'])) > 0 "
+    f"OR tipo = 'src1'"
+)
+
+
 def q_a7_search_postings_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7's OR-of-terms contract answered from a materialized inverted
     index (operators/postings.py) instead of a corpus scan — the B1
@@ -294,6 +340,9 @@ QUERIES = {
         f"WHERE score > 0 ORDER BY score DESC, providencia ASC LIMIT 15",
     ),
     "a7_search_stemmed": (q_a7_search_stemmed, _stemmed_search_sql()),
+    "mql_in_tipo": (q_mql_in_tipo, _MQL_IN_SQL),
+    "mql_range_anio": (q_mql_range_anio, _MQL_RANGE_SQL),
+    "mql_or_text": (q_mql_or_text, _MQL_OR_TEXT_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
     "a7_search_bm25": (q_a7_search_bm25, _BM25_SQL),

@@ -55,12 +55,52 @@ def test_mql_implicit_and_and_empty(spark):
     assert mql_find(docs, {}).count() == docs.count()
 
 
+def test_mql_widened_subset(spark):
+    """The documented one-step extension beyond the reference's
+    observed grammar: $in, range operators (AND-composed within one
+    operator document), explicit $and/$or, $text inside $or."""
+    docs = _rulings(spark)
+    n_in = mql_find(docs, {"tipo": {"$in": ["src1", "src3"]}}).count()
+    n1 = mql_find(docs, {"tipo": "src1"}).count()
+    n3 = mql_find(docs, {"tipo": "src3"}).count()
+    assert n_in == n1 + n3 > 0
+    # $in [] matches nothing (Mongo semantics)
+    assert mql_find(docs, {"tipo": {"$in": []}}).count() == 0
+
+    rng = mql_find(docs, {"anio": {"$gte": 2005, "$lt": 2008}})
+    years = {r.anio for r in rng.select("anio").distinct().collect()}
+    assert years == {2005, 2006, 2007}
+    # string operand coerces like the reference's dynamic year type
+    assert mql_find(docs, {"anio": {"$gte": "2005", "$lt": "2008"}}).count() == rng.count()
+
+    n_or = mql_find(docs, {"$or": [{"tipo": "src1"}, {"tipo": "src3"}]}).count()
+    assert n_or == n_in
+    n_and = mql_find(
+        docs, {"$and": [{"anio": {"$gte": 2005}}, {"anio": {"$lt": 2008}}]}
+    ).count()
+    assert n_and == rng.count()
+    # $text composes inside $or
+    n_text = mql_find(docs, {"$text": {"$search": "merge"}}).count()
+    n_both = mql_find(
+        docs, {"$or": [{"$text": {"$search": "merge"}}, {"tipo": "src1"}]}
+    ).count()
+    assert max(n_text, n1) <= n_both <= n_text + n1
+
+
 def test_mql_rejects_unsupported_operators(spark):
     docs = _rulings(spark)
-    with pytest.raises(ValueError):
-        mql_find(docs, {"anio": {"$gte": 2005}})
-    with pytest.raises(ValueError):
-        mql_find(docs, {"$or": [{"tipo": "src3"}]})
+    for bad in (
+        {"anio": {"$nin": [2005]}},
+        {"tipo": {"$exists": True}},
+        {"$nor": [{"tipo": "src3"}]},
+        {"$where": "1"},
+        {"anio": {}},
+        {"tipo": {"$in": "src3"}},  # $in needs a list
+        {"$or": []},  # empty clause list
+        {"$text": {"$search": "x", "$language": "es"}},
+    ):
+        with pytest.raises(ValueError):
+            mql_find(docs, bad)
 
 
 def test_cypher_node_scan_verbatim(spark):
