@@ -220,14 +220,15 @@ def q_a7_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-strength version of B6's relevance extension (the reference's
     $text returns matches unranked; a search service over the same
     collection wants ranked top-k). Scoring runs entirely from the
-    index: no corpus rescan at query time."""
+    prebuilt index (BM25Index captures N/avgdl at build — zero driver
+    actions per search): no corpus rescan at query time."""
     from providenciasbigdata_spark.operators.postings import (
         bm25_search,
-        build_term_freqs,
+        build_bm25_index,
     )
 
-    tfs = build_term_freqs(_rulings(spark, sf_dir))
-    return bm25_search(tfs, ["merge", "window", "shuffle"], k=10)
+    idx = build_bm25_index(_rulings(spark, sf_dir))
+    return bm25_search(idx, ["merge", "window", "shuffle"], k=10)
 
 
 # DuckDB twin of the exact BM25 formula (k1=1.2, b=0.75, Lucene idf).

@@ -89,3 +89,63 @@ def test_bm25_ranks_rarer_terms_higher(spark):
     # the top hit must contain the rare term
     rare_docs = {r["doc_id"] for r in tfs.where(F.col("token") == rare).collect()}
     assert top[0]["doc_id"] in rare_docs
+
+
+def test_bm25_index_zero_actions_per_query(spark):
+    """Service posture: with a prebuilt BM25Index, composing a search
+    must trigger NO driver actions (count/first/collect) — the stats
+    were captured at build time (VERDICT r2 item 6)."""
+    from providenciasbigdata_spark.operators.postings import (
+        bm25_search,
+        build_bm25_index,
+    )
+
+    docs = rulings_view(load_table(spark, SF, "documents"))
+    idx = build_bm25_index(docs)
+    cls = type(idx.term_freqs)
+    banned = {}
+    for name in ("count", "first", "collect", "toPandas", "head", "take"):
+        banned[name] = getattr(cls, name)
+
+        def _raise(self, *a, __n=name, **kw):
+            raise AssertionError(f"driver action {__n} during bm25_search")
+
+        setattr(cls, name, _raise)
+    try:
+        q = bm25_search(idx, ["merge", "window"], k=5)
+    finally:
+        for name, fn in banned.items():
+            setattr(cls, name, fn)
+    rows = q.collect()
+    assert 0 < len(rows) <= 5
+
+
+def test_bm25_and_search_degenerate_inputs(spark):
+    """Empty term lists and an empty index return empty frames instead
+    of failing analysis (ADVICE r2: F.array() with zero elements /
+    float(None) avgdl)."""
+    from providenciasbigdata_spark.operators.postings import (
+        BM25Index,
+        bm25_search,
+        build_bm25_index,
+        build_postings,
+        search_and,
+        search_or,
+    )
+
+    docs = rulings_view(load_table(spark, SF, "documents"))
+    idx = build_bm25_index(docs)
+    assert bm25_search(idx, []).collect() == []
+    post = build_postings(docs)
+    assert search_or(post, []).collect() == []
+    assert search_and(post, []).collect() == []
+
+    empty_docs = docs.filter(F.lit(False))
+    empty_idx = build_bm25_index(empty_docs)
+    assert empty_idx.n_docs == 0 and empty_idx.avgdl is None
+    out = bm25_search(empty_idx, ["merge"])
+    assert out.collect() == [] and out.columns == ["doc_id", "score"]
+    # one-shot DataFrame path still works
+    from providenciasbigdata_spark.operators.postings import build_term_freqs
+
+    assert bm25_search(build_term_freqs(empty_docs), ["merge"]).collect() == []
