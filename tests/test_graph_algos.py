@@ -102,3 +102,30 @@ def test_sssp_unit_weights_equal_bfs_hops(spark):
     assert d.keys() == h.keys()
     for k in d:
         assert d[k] == float(h[k]), (k, d[k], h[k])
+
+
+def test_pagerank_no_per_iteration_collect(spark):
+    """The dangling-mass fold: pagerank must run NO collect() at all —
+    the dangling aggregate rides the update plan as a broadcast 1-row
+    frame (VERDICT r2 item 7). count() is allowed exactly once (|V|)."""
+    rows = [(f"s{i}", "hub") for i in range(5)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    cls = type(edges)
+    counts = {"count": 0}
+    orig_collect, orig_count = cls.collect, cls.count
+
+    def banned_collect(self, *a, **kw):
+        raise AssertionError("collect() inside pagerank")
+
+    def counting_count(self, *a, **kw):
+        counts["count"] += 1
+        return orig_count(self, *a, **kw)
+
+    cls.collect, cls.count = banned_collect, counting_count
+    try:
+        pr = pagerank(edges, max_iter=7)
+    finally:
+        cls.collect, cls.count = orig_collect, orig_count
+    assert counts["count"] == 1
+    got = {r.id: r.rank for r in pr.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
