@@ -11,9 +11,12 @@ behind ``decode_backend``:
 - ``"fake"`` (default): a deterministic synthetic decoder (blake2b of
   the payload seeds width/height/luma, or PCM stats) so tests are
   reproducible end-to-end;
-- ``"pil"``/``"librosa"``: raise NotImplementedError with the exact
-  integration point documented, so swapping the real library in is a
-  one-function change.
+- ``"pil"``/``"librosa"``: REAL implementations, gated on import
+  availability (NotImplementedError with the install hint when the
+  library is absent; tests skip-if-absent);
+- ``"wav"`` (audio): a real stdlib decoder (``wave`` + numpy) for
+  RIFF/WAVE payloads — needs no third-party library, so the real-
+  decode path is exercised in CI even where PIL/librosa are missing.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` at default 128MB so scan tasks
@@ -75,6 +78,34 @@ def _fake_image_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
+def _require(module: str, hint: str) -> None:
+    """Driver-side availability gate for a real decode backend: fail
+    fast (before any job launches) when the library is missing."""
+    import importlib.util
+
+    if importlib.util.find_spec(module) is None:
+        raise NotImplementedError(
+            f"decode backend needs {module!r} which is not installed in "
+            f"this runtime ({hint})"
+        )
+
+
+def _pil_image_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode via Pillow (import-gated): width/height from the
+    container, mean luma from the 8-bit grayscale conversion, on the
+    same [0,1]/6-digit contract as the fake backend."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    img = img.convert("L")
+    arr = np.asarray(img, dtype=np.float64)
+    mean_luma = round(float(arr.mean()) / 255.0, 6) if arr.size else 0.0
+    return img.size[0], img.size[1], mean_luma
+
+
 def decode_image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -83,13 +114,17 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + feature extraction over mapInPandas (Arrow
     batches). The per-batch loop touches only the two needed columns —
-    column pruning keeps other payload metadata out of the transfer."""
+    column pruning keeps other payload metadata out of the transfer.
+
+    ``decode_backend="pil"`` runs the real Pillow decode (skip-if-
+    absent: NotImplementedError when Pillow isn't installed);
+    ``"fake"`` stays the deterministic CI default."""
     if decode_backend == "pil":
-        raise NotImplementedError(
-            "real decode: `from PIL import Image; img = Image.open(io.BytesIO(p))` "
-            "then width/height/luma from img — PIL is not installed in this runtime"
-        )
-    if decode_backend != "fake":
+        _require("PIL", "pip install pillow")
+        decode = _pil_image_decode
+    elif decode_backend == "fake":
+        decode = _fake_image_decode
+    else:
         raise ValueError(f"unknown decode_backend: {decode_backend}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,7 +132,7 @@ def decode_image_features(
             rows = []
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, luma = _fake_image_decode(payload)
+                w, h, luma = decode(payload)
                 rows.append((aid, len(payload), w, h, luma))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "n_bytes", "width", "height", "mean_luma"]
@@ -106,31 +141,81 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(op, IMAGE_FEATURES_SCHEMA)
 
 
+def _fake_audio_decode(payload: bytes) -> tuple[int, int, float]:
+    import numpy as np
+
+    pcm = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    rms = round(float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0, 6)
+    return 16000, len(pcm), rms
+
+
+def _wav_audio_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL RIFF/WAVE decode via the stdlib ``wave`` module: sample
+    rate + frame count from the header, RMS over the first channel's
+    PCM normalized to [-1, 1]. Exercised in CI (no third-party dep)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr, n, width, channels = (
+            w.getframerate(), w.getnframes(), w.getsampwidth(), w.getnchannels()
+        )
+        raw = w.readframes(n)
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    pcm = pcm[::channels]  # first channel
+    rms = round(float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0, 6)
+    return sr, len(pcm), rms
+
+
+def _librosa_audio_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL decode via librosa (import-gated): native sample rate,
+    mono mix-down, RMS on the same 6-digit contract."""
+    import io
+
+    import librosa
+    import numpy as np
+
+    y, sr = librosa.load(io.BytesIO(payload), sr=None, mono=True)
+    rms = round(float(np.sqrt(np.mean(y**2))) if len(y) else 0.0, 6)
+    return int(sr), len(y), rms
+
+
 def decode_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "asset_id",
     decode_backend: str = "fake",
 ) -> DataFrame:
-    """Audio feature extraction (FAKE: bytes interpreted as u8 PCM;
-    real path would be librosa/soundfile — not installed)."""
+    """Audio feature extraction over mapInPandas.
+
+    Backends: ``"fake"`` (deterministic u8-PCM stats, CI default),
+    ``"wav"`` (REAL stdlib RIFF/WAVE decode — runs everywhere),
+    ``"librosa"`` (real, import-gated: NotImplementedError with the
+    install hint when librosa is absent)."""
     if decode_backend == "librosa":
-        raise NotImplementedError(
-            "real decode: `librosa.load(io.BytesIO(p))` — librosa is not installed"
-        )
-    if decode_backend != "fake":
+        _require("librosa", "pip install librosa soundfile")
+        decode = _librosa_audio_decode
+    elif decode_backend == "wav":
+        decode = _wav_audio_decode
+    elif decode_backend == "fake":
+        decode = _fake_audio_decode
+    else:
         raise ValueError(f"unknown decode_backend: {decode_backend}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
-                pcm = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-                rms = round(float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0, 6)
-                rows.append((aid, len(payload), 16000, len(pcm), rms))
+                sr, n, rms = decode(payload)
+                rows.append((aid, len(payload), sr, n, rms))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "n_bytes", "sample_rate", "n_samples", "rms"]
             )

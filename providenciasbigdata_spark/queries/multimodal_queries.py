@@ -81,6 +81,43 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode, end to end and fully distributed: wrap
+    each audio asset's bytes into a valid RIFF/WAVE container (stdlib
+    ``wave``, one Arrow batch at a time), then recover sample rate /
+    frame count / RMS through the real ``"wav"`` decode backend — no
+    fake decoder anywhere in this path. Rows-only (RMS over PCM isn't
+    SQL-expressible in the oracle); the backend itself is pinned by
+    tests/test_multimodal.py::test_wav_backend_real_decode."""
+    import pandas as pd
+
+    assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "audio")
+
+    def wrap(batches):
+        import io
+        import wave
+
+        for pdf in batches:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if len(b) % 2:  # whole 16-bit frames only
+                    b += b"\x00"
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(16000)
+                    w.writeframes(b)
+                out.append((aid, buf.getvalue()))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    wavs = assets.select("asset_id", "payload").mapInPandas(
+        wrap, "asset_id long, payload binary"
+    )
+    return multimodal.decode_audio_features(wavs, decode_backend="wav")
+
+
 def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-embed every payload, then brute-force cosine top-10 against
     asset 0 — the multimodal->similarity handoff, end to end."""
@@ -96,5 +133,6 @@ QUERIES = {
     "multimodal_image_features": (q_image_features, None),
     "multimodal_audio_features": (q_audio_features, None),
     "multimodal_frame_sample": (q_frame_sample, None),
+    "multimodal_wav_decode": (q_wav_decode_features, None),
     "multimodal_embed_topk": (q_payload_embed_topk, None),
 }

@@ -67,3 +67,81 @@ def test_embed_payload_feeds_similarity(spark, sf_dir):
     qvec = emb.first().embedding
     top = similarity.brute_force_topk(emb, qvec, k=3).collect()
     assert len(top) == 3 and abs(top[0].score - 1.0) < 1e-6
+
+
+# ---- real decode backends -------------------------------------------------
+
+def _wav_bytes(sr=8000, n=800, amp=0.5, channels=1, width=2):
+    """Synthesize a valid RIFF/WAVE payload: a sine at amp."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        for i in range(n):
+            s = int(amp * 32767 * math.sin(2 * math.pi * 440 * i / sr))
+            w.writeframes(struct.pack("<h", s) * channels)
+    return buf.getvalue()
+
+
+def test_wav_backend_real_decode(spark):
+    """The stdlib WAV backend is a REAL decoder exercised in CI: header
+    sample-rate/frame-count recovered, RMS ~ amp/sqrt(2) for a sine."""
+    import math
+
+    payload = _wav_bytes(sr=8000, n=800, amp=0.5)
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    row = mm.decode_audio_features(df, decode_backend="wav").first()
+    assert row.sample_rate == 8000 and row.n_samples == 800
+    assert abs(row.rms - 0.5 / math.sqrt(2)) < 0.01
+    # stereo: first channel only, same stats
+    stereo = _wav_bytes(sr=8000, n=800, amp=0.5, channels=2)
+    df2 = spark.createDataFrame([(2, stereo)], "asset_id long, payload binary")
+    row2 = mm.decode_audio_features(df2, decode_backend="wav").first()
+    assert row2.n_samples == 800 and abs(row2.rms - row.rms) < 1e-9
+
+
+def test_pil_backend_real_or_gated(spark):
+    """When Pillow exists the real decode runs (dims + luma from actual
+    pixels); when absent the gate raises NotImplementedError BEFORE any
+    job launches."""
+    import importlib.util
+
+    import pytest
+
+    df = spark.createDataFrame([(1, b"\x00")], "asset_id long, payload binary")
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            mm.decode_image_features(df, decode_backend="pil")
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (7, 3), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "asset_id long, payload binary")
+    row = mm.decode_image_features(df, decode_backend="pil").first()
+    assert (row.width, row.height) == (7, 3)
+    assert abs(row.mean_luma - 128 / 255) < 1e-6
+
+
+def test_librosa_backend_real_or_gated(spark):
+    import importlib.util
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, _wav_bytes())], "asset_id long, payload binary"
+    )
+    if importlib.util.find_spec("librosa") is None:
+        with pytest.raises(NotImplementedError, match="librosa"):
+            mm.decode_audio_features(df, decode_backend="librosa")
+        return
+    row = mm.decode_audio_features(df, decode_backend="librosa").first()
+    assert row.sample_rate == 8000 and row.n_samples == 800
