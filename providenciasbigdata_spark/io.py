@@ -49,16 +49,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         path = os.path.join(sf_dir, "events.parquet")
-        nanos = False
+        nanos = tz_aware = False
         try:
             field = pq.read_schema(path).field("ts")
             nanos = getattr(field.type, "unit", None) == "ns"
+            tz_aware = getattr(field.type, "tz", None) is not None
         except Exception:
             pass
         if nanos:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
+            # nanosAsLong surfaces the stored count either way; for a
+            # tz-aware file that count is already the UTC epoch, and
+            # for the fixture's naive vintage the naive-as-UTC contract
+            # makes it one too — both rebuild identically.
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.parquet(path)
+        if tz_aware:
+            # instant semantics (isAdjustedToUTC=true): Spark already
+            # reads TimestampType holding the right absolute instant —
+            # applying the NTZ epoch rebuild here would coerce through
+            # the session timezone, the exact dependence this branch
+            # exists to avoid (ADVICE r2).
+            return df
         # micros vintage reads as TIMESTAMP_NTZ (isAdjustedToUTC=false).
         # Convert to TimestampType with the naive value interpreted AS
         # UTC *independently of the session timezone*: timestampdiff on
@@ -67,7 +80,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the naive value in the session zone — correct only when that
         # zone is UTC, and the verifying session's zone is not ours to
         # assume.) DuckDB's epoch_us(naive) matches by construction.
-        df = spark.read.parquet(path)
         epoch_us = F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         )

@@ -199,7 +199,8 @@ def q_stream_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_LIVE_SQL = """
-SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS total_value
 FROM events
 GROUP BY user_id
 """
@@ -222,12 +223,19 @@ def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("exact_count")
     )
     vocab.persist()
-    exact_top = vocab.orderBy(F.desc("exact_count"), "token").limit(10)
-    cms = cms_build(vocab, "token", weight_col="exact_count")
-    est = cms_estimate(cms, exact_top.select("token"), "token")
-    return exact_top.join(est, "token").select(
-        "token", "exact_count", "cms_count"
-    )
+    try:
+        exact_top = vocab.orderBy(F.desc("exact_count"), "token").limit(10)
+        cms = cms_build(vocab, "token", weight_col="exact_count")
+        est = cms_estimate(cms, exact_top.select("token"), "token")
+        # materialize the 10-row result eagerly so the cache can be
+        # released HERE instead of accumulating across the session
+        return (
+            exact_top.join(est, "token")
+            .select("token", "exact_count", "cms_count")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        vocab.unpersist()
 
 
 # ---- alternate file-format read paths -----------------------------------

@@ -528,13 +528,35 @@ def upsert_sink(
     rewrites (only partitions containing the batch's keys) — the
     idempotence scheme is unchanged.
     """
+    import glob
     import json
     import os
     import shutil
 
     from providenciasbigdata_spark.operators.cdc import latest_state
 
+    def recover(data_dir: str) -> None:
+        """Crash-window repair, run on every batch entry: a crash
+        between rename(data, _old) and rename(staging, data) leaves no
+        data dir and the whole prior state stranded in _old_<id> —
+        restore it before merging (silently re-merging just the
+        replayed batch would drop all history). Leftover _old dirs
+        alongside a live data dir (crash before cleanup) and
+        incomplete _staging writes are removed."""
+        olds = sorted(
+            glob.glob(os.path.join(target_dir, "_old_*")),
+            key=lambda p: int(p.rsplit("_", 1)[1]),
+        )
+        if olds and not os.path.exists(data_dir):
+            os.rename(olds[-1], data_dir)
+            olds = olds[:-1]
+        for p in olds:
+            shutil.rmtree(p, ignore_errors=True)
+        for p in glob.glob(os.path.join(target_dir, "_staging_*")):
+            shutil.rmtree(p, ignore_errors=True)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover(os.path.join(target_dir, "data"))
         meta_path = os.path.join(target_dir, "_applied.json")
         applied = -1
         if os.path.exists(meta_path):

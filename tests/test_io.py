@@ -168,3 +168,45 @@ def test_events_ts_epoch_is_timezone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert [r["us"] for r in utc] == [r["us"] for r in shifted]
+
+
+def test_events_tz_aware_micros_vintage(spark, tmp_path_factory):
+    """A TIMESTAMP(MICROS) file with isAdjustedToUTC=true (instant
+    semantics) must load as the same absolute instants with NO epoch
+    rebuild — and stay session-timezone-independent (ADVICE r2: the
+    NTZ rebuild on a tz-aware column would coerce through the session
+    zone)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.io import load_table
+
+    d = str(tmp_path_factory.mktemp("tzaware_sf"))
+    epochs = [0, 1_000_000, 86_400_000_000]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(epochs, pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "a"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Bogota")
+        got = (
+            load_table(spark, d, "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .orderBy("us")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert [r["us"] for r in got] == epochs

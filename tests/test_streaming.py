@@ -355,3 +355,41 @@ def test_upsert_sink_maintains_latest_state_and_is_idempotent(
     again = spark.read.parquet(os.path.join(target, "data"))
     assert again.count() == want.count()
     assert again.select(key).exceptAll(want.select(key)).count() == 0
+
+
+def test_upsert_sink_recovers_crash_window(spark, events_dir, tmp_path_factory):
+    """Crash between the two snapshot renames leaves no data dir and
+    the whole prior state stranded in _old_<id>; the sink must restore
+    it on the next batch entry instead of silently restarting from the
+    replayed batch alone (ADVICE r2)."""
+    import os
+    import shutil
+
+    target = str(tmp_path_factory.mktemp("upsert_crash_target"))
+    ckpt = str(tmp_path_factory.mktemp("upsert_crash_ckpt"))
+    q = streaming.upsert_sink(
+        streaming.events_stream(spark, events_dir),
+        target, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint_dir=ckpt, query_name="t_upsert_crash",
+    )
+    q.awaitTermination()
+    data = os.path.join(target, "data")
+    want = spark.read.parquet(data).count()
+    assert want > 0
+
+    # simulate the crash window: data renamed away, staging leftover,
+    # meta stale (points at the pre-crash batch of another lineage)
+    os.rename(data, os.path.join(target, "_old_99"))
+    os.makedirs(os.path.join(target, "_staging_100"))
+
+    ckpt2 = str(tmp_path_factory.mktemp("upsert_crash_ckpt2"))
+    q2 = streaming.upsert_sink(
+        streaming.events_stream(spark, events_dir),
+        target, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint_dir=ckpt2, query_name="t_upsert_crash2",
+    )
+    q2.awaitTermination()
+    got = spark.read.parquet(data)
+    assert got.count() == want  # prior state restored, merge idempotent
+    leftovers = [p for p in os.listdir(target) if p.startswith(("_old_", "_staging_"))]
+    assert leftovers == []
