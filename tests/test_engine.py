@@ -61,16 +61,23 @@ def test_dedup_and_ann_extensions(engine):
     assert top_approx.count() <= 5
 
 
-def test_registry_priority_window():
-    """The driver's correctness gate samples the first 50 registry
-    entries; pin that window to the curated all-family, all-oracle
-    cross-section."""
-    from providenciasbigdata_spark.queries import PRIORITY, all_queries
+def test_registry_order_is_unbiased_hash_shuffle():
+    """The external gate samples the first N registry entries; the
+    registry orders by md5(name) — a DISCLOSED deterministic shuffle,
+    not a curated all-oracle window (round-2 advice). Pin the order to
+    the hash, that it's stable across calls, and that the sampled
+    window now mixes oracle-checked and rows-only entries on equal
+    footing."""
+    import hashlib
+
+    from providenciasbigdata_spark.queries import all_queries
 
     reg = all_queries()
     names = list(reg.keys())
-    assert names[: len(PRIORITY)] == PRIORITY
-    assert len(PRIORITY) == 50
-    assert len(set(PRIORITY)) == 50
-    for n in PRIORITY:
-        assert reg[n][1] is not None, f"{n} has no oracle SQL"
+    assert names == sorted(names, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+    assert names == list(all_queries().keys())  # deterministic
+    window = names[:50]
+    with_oracle = [n for n in window if reg[n][1] is not None]
+    rows_only = [n for n in window if reg[n][1] is None]
+    assert len(with_oracle) > 30  # most of the sample stays hash-checked
+    assert rows_only  # but rows-only entries are no longer excluded
