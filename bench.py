@@ -60,6 +60,11 @@ HEADLINE = [
     "mongodump_facet_anio",
     "stream_user_totals_live",
     "a7_search_bm25",
+    # round 3 additions
+    "a7_search_stemmed",
+    "mql_or_text",
+    "graph_pagerank",
+    "multimodal_wav_decode",
 ]
 
 

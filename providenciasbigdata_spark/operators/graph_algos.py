@@ -127,17 +127,22 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     max_iter: int = 10,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Power-iteration PageRank on the directed graph.
 
     Dangling nodes (no out-edges) redistribute uniformly via a 1-row
-    broadcast aggregate folded INTO the update plan — no per-iteration
-    driver action (VERDICT r2 item 7: the old version collect()ed the
-    dangling scalar every iteration, serializing one job per step; now
-    the whole loop is lazy between checkpoints). Fixed iteration count
-    — the usual production choice (convergence tests belong in offline
-    validation, not the hot loop).
+    broadcast aggregate folded INTO the update plan, and each iteration
+    ends in ONE eager lineage checkpoint — one job per iteration,
+    versus the two the round-2 version ran (a dangling-scalar collect()
+    plus the update job). The checkpoint is per-iteration by
+    measurement, not taste: the update references the previous ranks
+    twice (contribs + dangling), so deferring truncation doubles the
+    plan per step (2^k growth — 9.4s vs ~1s for 5 fixture iterations),
+    and caching each level lazily instead measured 3x worse again
+    (13-16s: every broadcast build materializes through the cache
+    chain). Fixed iteration count — the usual production choice
+    (convergence tests belong in offline validation, not the hot
+    loop).
 
     Output: (id, rank); ranks sum to ~1.
     """
@@ -176,9 +181,7 @@ def pagerank(
                 (base + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=True)  # the iteration's ONE job
     for df in (e, nodes, out_deg):
         df.unpersist()
     return ranks
