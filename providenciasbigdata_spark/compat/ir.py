@@ -19,7 +19,13 @@ general MQL/Cypher engine:
 - Cypher: the full-node-scan template and the anchored 1-hop SIMILAR
   expansion with an inclusive weight range and ``$param`` binding —
   matched structurally (whitespace-insensitive), parameters bound as
-  values (injection-safe: they never enter a query string).
+  values (injection-safe: they never enter a query string) — plus one
+  step beyond the observed grammar: the anchored VARIABLE-LENGTH
+  expansion ``-[rs:SIMILAR*lo..hi]->`` with an ``all(x IN rs ...)``
+  weight guard. Divergence pin: we return the DISTINCT endpoint set at
+  MINIMUM hop count (what the similarity page consumes), not Cypher's
+  per-path enumeration; cycles back to already-visited nodes are not
+  re-reported.
 """
 
 from __future__ import annotations
@@ -133,6 +139,18 @@ _NEIGHBORHOOD_RE = re.compile(
 )
 
 
+_VARLEN_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\*\s*(\d+)\s*\.\.\s*(\d+)\s*\]\s*->"
+    r"\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+ALL\s*\(\s*(\w+)\s+IN\s+\3\s+WHERE\s+"
+    r"\7\.similitud\s*>=\s*\$(\w+)\s+AND\s+\7\.similitud\s*<=\s*\$(\w+)\s*\)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\6\.id\s+AS\s+(\w+)\s*,"
+    r"\s*length\s*\(\s*\3\s*\)\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
 def cypher_run(
     query: str,
     nodes: DataFrame | None = None,
@@ -146,6 +164,12 @@ def cypher_run(
     Template 2 (streamlit_app.py:60-64): anchored directed 1-hop
     expansion with inclusive weight range; ``$param`` names resolve in
     ``params`` like Bolt's run(query, **params).
+    Template 3 (extension): anchored variable-length expansion
+    ``-[rs:SIMILAR*lo..hi]->`` with an ``all(x IN rs ...)`` weight
+    guard and ``length(rs)`` projection — executed as a hop-bounded
+    BFS over the weight-filtered edge set (one equi-join per level,
+    frontier state only), returning each reachable endpoint once at
+    its minimum hop count.
     """
     params = params or {}
     flat = " ".join(query.split())
@@ -179,7 +203,35 @@ def cypher_run(
             )
         )
 
+    m = _VARLEN_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        anchor_p, wlo_p, whi_p = m.group(2), m.group(8), m.group(9)
+        hop_lo, hop_hi = int(m.group(4)), int(m.group(5))
+        out_origen, out_destino, out_hops = m.group(10), m.group(11), m.group(12)
+        if not 1 <= hop_lo <= hop_hi:
+            raise ValueError(f"bad hop range *{hop_lo}..{hop_hi}")
+        missing = [p for p in (anchor_p, wlo_p, whi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        from providenciasbigdata_spark.operators.graph_algos import bfs_distances
+
+        anchor = params[anchor_p]
+        fe = edges.filter(
+            F.col("similitud").between(
+                float(params[wlo_p]), float(params[whi_p])
+            )
+        )
+        reached = bfs_distances(fe, anchor, max_hops=hop_hi)
+        return reached.filter(F.col("hops").between(hop_lo, hop_hi)).select(
+            F.lit(anchor).alias(out_origen),
+            F.col("id").alias(out_destino),
+            F.col("hops").cast("bigint").alias(out_hops),
+        )
+
     raise ValueError(
         "query is outside the reference's Cypher subset "
-        "(SURVEY.md §2.2 A9/A10); got: " + flat[:120]
+        "(SURVEY.md §2.2 A9/A10 + the documented var-length extension); "
+        "got: " + flat[:120]
     )

@@ -277,6 +277,50 @@ def q_a10_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood(edges, "P-7", 0.0, 100.0)
 
 
+# the verbatim var-length template (compat.ir extension beyond the
+# reference's two observed Cypher shapes)
+CYPHER_VARLEN = """
+MATCH (a:Providencia {id: $origen})-[rs:SIMILAR*1..3]->(b:Providencia)
+WHERE all(x IN rs WHERE x.similitud >= $lo AND x.similitud <= $hi)
+RETURN a.id AS origen, b.id AS destino, length(rs) AS saltos
+"""
+
+
+def q_cypher_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length anchored expansion executed from the LITERAL
+    Cypher template through compat.ir (param binding included):
+    endpoints within 1..3 SIMILAR hops of P-7 where every traversed
+    edge's similitud is in [30, 100], each at its minimum hop count.
+    Engine side is a frontier BFS (one equi-join per level); oracle is
+    a recursive path CTE collapsed by MIN(hop)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    return cypher_run(
+        CYPHER_VARLEN, edges=edges,
+        params={"origen": "P-7", "lo": 30.0, "hi": 100.0},
+    )
+
+
+_CYPHER_VARLEN_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) * 100, 4)
+        BETWEEN 30 AND 100
+), reach(dst, hop) AS (
+  SELECT dst, 1 FROM e WHERE src = 'P-7'
+  UNION ALL
+  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.dst WHERE r.hop < 3
+)
+SELECT 'P-7' AS origen, dst AS destino, CAST(MIN(hop) AS BIGINT) AS saltos
+FROM reach WHERE dst <> 'P-7' GROUP BY dst
+"""
+
+
 _A10_SQL = """
 SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
        'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
@@ -352,4 +396,5 @@ QUERIES = {
         "SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id FROM documents ORDER BY id",
     ),
     "a10_neighborhood": (q_a10_neighborhood, _A10_SQL),
+    "cypher_varlen_expansion": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
 }

@@ -147,3 +147,38 @@ def test_engine_facade_accepts_literal_ir(spark):
     )
     assert got.columns == ["origen", "destino", "similitud"]
     assert got.count() > 0
+
+
+def test_cypher_varlen_expansion(spark):
+    """Template 3 (extension): variable-length anchored expansion with
+    the all(...) weight guard — *1..1 must equal the 1-hop template's
+    endpoint set, and hop counts are minimal."""
+    from providenciasbigdata_spark.queries.compat_queries import CYPHER_VARLEN
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb)
+    params = {"origen": "P-7", "lo": 30.0, "hi": 100.0}
+
+    one_hop_tpl = CYPHER_VARLEN.replace("*1..3", "*1..1")
+    got1 = cypher_run(one_hop_tpl, edges=edges, params=params)
+    direct = set(
+        r.destino
+        for r in cypher_run(
+            CYPHER_NEIGHBORHOOD, edges=edges,
+            params={"providencia": "P-7", "rango_min": 30.0, "rango_max": 100.0},
+        ).collect()
+    )
+    assert set(r.destino for r in got1.collect()) == direct
+    assert all(r.saltos == 1 for r in got1.collect())
+
+    multi = cypher_run(CYPHER_VARLEN, edges=edges, params=params).collect()
+    by_dst = {r.destino: r.saltos for r in multi}
+    # 1-hop endpoints keep hop 1 (minimality), anchor never reported
+    assert all(by_dst[d] == 1 for d in direct)
+    assert "P-7" not in by_dst
+    assert set(r.origen for r in multi) == {"P-7"} if multi else True
+
+    with pytest.raises(ValueError, match="unbound"):
+        cypher_run(CYPHER_VARLEN, edges=edges, params={"origen": "P-7"})
+    with pytest.raises(ValueError, match="bad hop range"):
+        cypher_run(CYPHER_VARLEN.replace("*1..3", "*0..3"), edges=edges, params=params)
