@@ -191,6 +191,21 @@ def q_a7_search_postings_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_or(idx, ["merge", "window"]).orderBy("doc_id")
 
 
+def q_a7_search_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed search answered from a STEMMED inverted index: postings
+    built over the ingest-time stems column (stem once per document at
+    index build), query terms stemmed client-side — the service-scale
+    form of a7_search_stemmed, zero corpus scan at query time. Result
+    must equal the stemmed scan path exactly (same oracle, ids only)."""
+    from providenciasbigdata_spark.compat.stemming import stem_py
+    from providenciasbigdata_spark.operators.postings import build_postings, search_or
+
+    rulings = rulings_view(load_table(spark, sf_dir, "documents"), with_stems=True)
+    idx = build_postings(rulings, tokens_col="stems")
+    terms = [stem_py(t) for t in ("values", "merges")]
+    return search_or(idx, terms).orderBy("doc_id")
+
+
 def q_a7_search_postings_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (ALL-terms) search via posting intersection — the
     extension MongoDB expresses with quoted phrases-as-AND; ours is a
@@ -199,6 +214,17 @@ def q_a7_search_postings_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = build_postings(_rulings(spark, sf_dir))
     return search_and(idx, ["merge", "window", "shuffle"]).orderBy("doc_id")
+
+
+def _stemmed_postings_sql() -> str:
+    from providenciasbigdata_spark.compat.stemming import stems_sql
+
+    terms = "['values', 'merges']"
+    return (
+        f"SELECT doc_id FROM ({_RULINGS_SQL}) "
+        f"WHERE len(list_intersect({stems_sql(_TOKENS_SQL.format(col='texto'))}, "
+        f"{stems_sql(terms)})) > 0"
+    )
 
 
 _POSTINGS_OR_SQL = (
@@ -389,6 +415,7 @@ QUERIES = {
     "mql_range_anio": (q_mql_range_anio, _MQL_RANGE_SQL),
     "mql_or_text": (q_mql_or_text, _MQL_OR_TEXT_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
+    "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
     "a7_search_bm25": (q_a7_search_bm25, _BM25_SQL),
     "a9_list_nodes": (
