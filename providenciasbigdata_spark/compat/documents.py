@@ -232,6 +232,7 @@ def query_cascade(
     anio: int | str | None = None,
     texto: str | None = None,
     conjunctive: bool = False,
+    stem: bool = False,
 ) -> DataFrame:
     """A8: the reference's filter dispatch.
 
@@ -241,7 +242,8 @@ def query_cascade(
     predicate applies; filters never compose.
 
     ``conjunctive=True`` is the documented extension: AND of all
-    provided predicates (what a user usually wants).
+    provided predicates (what a user usually wants). ``stem=True``
+    applies the Spanish Snowball-lite stemmer to the texto match.
     """
     if conjunctive:
         out = df
@@ -252,7 +254,7 @@ def query_cascade(
         if anio is not None and anio != "":
             out = filter_equals(out, "anio", anio)
         if texto:
-            out = search_text(out, texto)
+            out = search_text(out, texto, stem=stem)
         return out
     if providencia:
         return filter_equals(df, "providencia", providencia)
@@ -261,7 +263,7 @@ def query_cascade(
     if anio is not None and anio != "":
         return filter_equals(df, "anio", anio)
     if texto:
-        return search_text(df, texto)
+        return search_text(df, texto, stem=stem)
     return df
 
 

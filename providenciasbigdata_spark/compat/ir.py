@@ -87,9 +87,23 @@ def _query_condition(query: dict) -> Column:
     conds: list[Column] = []
     for key, value in query.items():
         if key == "$text":
-            if not (isinstance(value, dict) and set(value) == {"$search"}):
+            if not (
+                isinstance(value, dict)
+                and {"$search"} <= set(value) <= {"$search", "$language"}
+            ):
                 raise ValueError(f"unsupported $text form: {value!r}")
-            conds.append(text_match_condition(value["$search"]))
+            # $language maps onto the Snowball-lite stemmer: Spanish
+            # variants stem (the reference collection's language),
+            # "none" disables stemming — Mongo's own contract for the
+            # option. Other languages raise (no rule tables for them).
+            lang = str(value.get("$language", "none")).lower()
+            if lang in ("es", "spanish", "español", "espanol"):
+                stem = True
+            elif lang == "none":
+                stem = False
+            else:
+                raise ValueError(f"unsupported $text $language: {lang!r}")
+            conds.append(text_match_condition(value["$search"], stem=stem))
         elif key in ("$and", "$or"):
             if not isinstance(value, (list, tuple)) or not value:
                 raise ValueError(f"{key} needs a non-empty list of clauses")

@@ -105,9 +105,11 @@ class ProvidenciasEngine:
         anio: int | str | None = None,
         texto: str | None = None,
         conjunctive: bool = False,
+        stem: bool = False,
     ) -> DataFrame:
         """The reference's filter dispatch (exclusive cascade by
-        default; ``conjunctive=True`` for the AND extension)."""
+        default; ``conjunctive=True`` for the AND extension;
+        ``stem=True`` for Spanish-stemmed texto matching)."""
         return _docs.query_cascade(
             self.rulings(),
             providencia=providencia,
@@ -115,6 +117,7 @@ class ProvidenciasEngine:
             anio=anio,
             texto=texto,
             conjunctive=conjunctive,
+            stem=stem,
         )
 
     def query_rulings_frame(self, **kwargs):

@@ -97,10 +97,27 @@ def test_mql_rejects_unsupported_operators(spark):
         {"anio": {}},
         {"tipo": {"$in": "src3"}},  # $in needs a list
         {"$or": []},  # empty clause list
-        {"$text": {"$search": "x", "$language": "es"}},
+        {"$text": {"$search": "x", "$language": "fr"}},  # no rule table
+        {"$text": {"$search": "x", "$caseSensitive": True}},
     ):
         with pytest.raises(ValueError):
             mql_find(docs, bad)
+
+
+def test_mql_text_language_stems(spark):
+    """$text $language: Spanish variants stem through the Snowball-lite
+    table, 'none' (and absence) keep the unstemmed B1 pin."""
+    docs = _rulings(spark)
+    plain = mql_find(docs, {"$text": {"$search": "values merges"}}).count()
+    stemmed = mql_find(
+        docs, {"$text": {"$search": "values merges", "$language": "es"}}
+    ).count()
+    base = mql_find(docs, {"$text": {"$search": "value merge"}}).count()
+    assert stemmed == base > plain
+    none = mql_find(
+        docs, {"$text": {"$search": "values merges", "$language": "none"}}
+    ).count()
+    assert none == plain
 
 
 def test_cypher_node_scan_verbatim(spark):

@@ -81,3 +81,33 @@ def test_shingles_count(spark, words):
         .first()
     )
     assert len(row.sh) == max(0, row.n - 2)
+
+
+# lowercase ascii tokens like the post-tokenize stream the stemmer sees
+_TOKEN = st.text(alphabet=st.sampled_from("abcdefghijklmnñopqrstuvwxyz"), min_size=0, max_size=16)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_TOKEN, min_size=1, max_size=20))
+def test_stemmer_three_engine_parity_property(spark, tokens):
+    """stem_py / stem_col / stems_sql are generated from one rule
+    table; adversarial random tokens (including ones landing exactly on
+    suffix boundaries and min-stem edges) must agree across all three."""
+    import duckdb
+
+    from providenciasbigdata_spark.compat.stemming import stem_py, stem_tokens
+
+    want = [stem_py(t) for t in tokens]
+    got_spark = (
+        spark.createDataFrame([(tokens,)], "toks: array<string>")
+        .select(stem_tokens(F.col("toks")).alias("st"))
+        .first()
+        .st
+    )
+    assert got_spark == want
+
+    from providenciasbigdata_spark.compat.stemming import stems_sql
+
+    lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in tokens) + "]"
+    got_duck = duckdb.sql(f"SELECT {stems_sql(lit)} AS st").fetchone()[0]
+    assert got_duck == want
