@@ -115,12 +115,22 @@ def text_match_condition(
     if not terms:
         return F.lit(False)
     if stem:
-        from providenciasbigdata_spark.compat.stemming import stem_py, stem_tokens
-
-        terms = [stem_py(t) for t in terms]
-        doc_side = (
-            F.col("stems") if has_stems_col else stem_tokens(F.col(tokens_col))
+        from providenciasbigdata_spark.compat.stemming import (
+            stem_preimages,
+            stem_py,
         )
+
+        if has_stems_col:
+            terms = [stem_py(t) for t in terms]
+            doc_side = F.col("stems")
+        else:
+            # no materialized stems: expand the QUERY side to the exact
+            # preimage set of each stemmed term instead of evaluating
+            # the strip expression on every corpus token — same result
+            # by construction (stemming.stem_preimages), same plan
+            # shape as the unstemmed search (plain token overlap)
+            terms = sorted({p for t in terms for p in stem_preimages(stem_py(t))})
+            doc_side = F.col(tokens_col)
     else:
         doc_side = F.col(tokens_col)
     return F.arrays_overlap(doc_side, F.array(*[F.lit(t) for t in terms]))

@@ -145,6 +145,42 @@ def _apply_step_sql(expr: str, rules) -> str:
     return "CASE " + " ".join(branches) + f" ELSE {expr} END"
 
 
+def stem_preimages(term: str) -> list[str]:
+    """EXACT preimage set of a stemmed term: every token T with
+    ``stem_py(T) == term``.
+
+    This inverts the two strip steps compositionally — for each rule
+    (suffix, repl), any x with that rule applied ends in ``suffix`` and
+    equals ``base[:-len(repl)] + suffix`` — then FILTERS every candidate
+    through ``stem_py`` itself, which re-imposes guards, min-stem
+    bounds, and rule precedence, so equivalence is by construction.
+
+    Why: a stemmed search over a corpus with no materialized ``stems``
+    column would otherwise evaluate the ~36-branch strip expression on
+    every token of every row. Expanding the QUERY side instead turns
+    the scan predicate into a plain ``arrays_overlap`` against a
+    bounded literal array (|rules|² candidates per term, typically
+    <100) — per-row work becomes hash-set membership, the same plan
+    shape as the unstemmed B1 search. The sorted output keeps plans
+    deterministic.
+    """
+
+    def invert_step(base: str, rules) -> list[str]:
+        out = [base]
+        for suffix, repl, _min_stem, _guard in rules:
+            if repl:
+                if base.endswith(repl):
+                    out.append(base[: len(base) - len(repl)] + suffix)
+            else:
+                out.append(base + suffix)
+        return out
+
+    candidates = set()
+    for mid in invert_step(term, _DERIV_RULES):
+        candidates.update(invert_step(mid, _PLURAL_RULES))
+    return sorted(t for t in candidates if stem_py(t) == term)
+
+
 def stems_sql(list_expr: str, var: str = "t") -> str:
     """DuckDB SQL twin of ``stem_py`` applied element-wise to a token-
     list expression — generated from the SAME rule table, so the oracle

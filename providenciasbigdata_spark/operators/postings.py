@@ -60,6 +60,30 @@ def build_postings(
     return postings
 
 
+def stem_postings(postings: DataFrame) -> DataFrame:
+    """Derive a STEMMED inverted index from an existing one by stemming
+    the dictionary: posting lists of tokens sharing a stem merge
+    (union, sorted, distinct). The strip expression evaluates once per
+    DISTINCT token — vocabulary-sized work — instead of once per token
+    occurrence across the corpus; at 100 TB the vocabulary is millions
+    of rows while the corpus is trillions of occurrences.
+
+    Output: (token=stem, postings, df) — same contract as
+    ``build_postings``, consumable by every search function here.
+    """
+    from providenciasbigdata_spark.compat.stemming import stem_col
+
+    return (
+        postings.groupBy(stem_col(F.col("token")).alias("token"))
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("postings")))
+            ).alias("postings")
+        )
+        .withColumn("df", F.size("postings").cast("bigint"))
+    )
+
+
 def _matched(postings: DataFrame, terms: list[str]) -> DataFrame:
     term_lit: Column = F.array(*[F.lit(t) for t in terms])
     return postings.where(F.array_contains(term_lit, F.col("token")))

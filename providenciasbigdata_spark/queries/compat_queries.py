@@ -128,10 +128,12 @@ def q_a7_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference streamlit_app.py:147): plural/derived query terms match
     base document tokens through the shared Snowball-lite rule table
     (compat.stemming) — "values merges" finds documents containing
-    "value" or "merge". Exercises the ingest-time materialized
-    ``stems`` column path (rulings_view(with_stems=True))."""
-    rulings = rulings_view(load_table(spark, sf_dir, "documents"), with_stems=True)
-    return _project(search_text(rulings, "values merges", stem=True))
+    "value" or "merge". Runs the query-EXPANSION plan (no stems
+    column): each stemmed term is replaced by its exact preimage set,
+    so the scan predicate is a plain token overlap — the same plan
+    shape as the unstemmed B1 search. The materialized-stems path is
+    exercised by a7_search_postings_stemmed."""
+    return _project(search_text(_rulings(spark, sf_dir), "values merges", stem=True))
 
 
 # ---- A11+/IR: widened MQL subset (compat.ir) ----------------------------
@@ -192,16 +194,20 @@ def q_a7_search_postings_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a7_search_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stemmed search answered from a STEMMED inverted index: postings
-    built over the ingest-time stems column (stem once per document at
-    index build), query terms stemmed client-side — the service-scale
-    form of a7_search_stemmed, zero corpus scan at query time. Result
-    must equal the stemmed scan path exactly (same oracle, ids only)."""
+    """Stemmed search answered from a STEMMED inverted index, derived
+    by stemming the DICTIONARY of the token index (strip expression
+    runs once per distinct token, not per corpus occurrence; posting
+    lists of tokens sharing a stem merge) — the service-scale form of
+    a7_search_stemmed, zero corpus scan at query time. Result must
+    equal the stemmed scan path exactly (same oracle, ids only)."""
     from providenciasbigdata_spark.compat.stemming import stem_py
-    from providenciasbigdata_spark.operators.postings import build_postings, search_or
+    from providenciasbigdata_spark.operators.postings import (
+        build_postings,
+        search_or,
+        stem_postings,
+    )
 
-    rulings = rulings_view(load_table(spark, sf_dir, "documents"), with_stems=True)
-    idx = build_postings(rulings, tokens_col="stems")
+    idx = stem_postings(build_postings(_rulings(spark, sf_dir)))
     terms = [stem_py(t) for t in ("values", "merges")]
     return search_or(idx, terms).orderBy("doc_id")
 

@@ -111,3 +111,19 @@ def test_stemmer_three_engine_parity_property(spark, tokens):
     lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in tokens) + "]"
     got_duck = duckdb.sql(f"SELECT {stems_sql(lit)} AS st").fetchone()[0]
     assert got_duck == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_TOKEN, min_size=1, max_size=12), _TOKEN)
+def test_stem_preimage_expansion_equivalence(tokens, query_tok):
+    """Query expansion is an exact inverse: a token matches a stemmed
+    query term iff it is in the term's preimage set."""
+    from providenciasbigdata_spark.compat.stemming import (
+        stem_preimages,
+        stem_py,
+    )
+
+    term = stem_py(query_tok)
+    pre = set(stem_preimages(term))
+    for t in tokens + [query_tok, term]:
+        assert (stem_py(t) == term) == (t in pre), (t, term)
