@@ -65,9 +65,24 @@ def _field_condition(field: str, value) -> Column:
     if isinstance(value, dict):
         if not value:
             raise ValueError(f"empty operator document for {field!r}")
+        if "$options" in value and "$regex" not in value:
+            raise ValueError("$options is only valid alongside $regex")
         conds = []
         for op, operand in value.items():
-            if op == "$in":
+            if op == "$regex":
+                # Mongo $regex is an unanchored partial match — same
+                # contract as Spark rlike (java.util.regex find).
+                # Only the 'i' option has a faithful translation here.
+                if not isinstance(operand, str):
+                    raise ValueError(f"$regex needs a string, got {operand!r}")
+                opts = value.get("$options", "")
+                if not set(opts) <= {"i"}:
+                    raise ValueError(f"unsupported $options: {opts!r}")
+                pat = ("(?i)" if "i" in opts else "") + operand
+                conds.append(F.col(field).cast("string").rlike(pat))
+            elif op == "$options":
+                continue
+            elif op == "$in":
                 if not isinstance(operand, (list, tuple)):
                     raise ValueError(f"$in needs a list, got {operand!r}")
                 vals = [_coerce(field, v) for v in operand]

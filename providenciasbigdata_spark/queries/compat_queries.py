@@ -169,6 +169,25 @@ def q_mql_or_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mql_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$regex (unanchored partial match, Mongo contract == Spark rlike)
+    with the case-insensitive option — the prefix-match shape a ruling
+    lookup uses ('P-1' followed by one digit at end of id)."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return _project(
+        mql_find(
+            _rulings(spark, sf_dir),
+            {"providencia": {"$regex": "^p-1[0-9]$", "$options": "i"}},
+        )
+    )
+
+
+_MQL_REGEX_SQL = (
+    f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+    f"WHERE regexp_matches(providencia, '^p-1[0-9]$', 'i')"
+)
+
 _MQL_IN_SQL = (
     f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) WHERE tipo IN ('src1', 'src3')"
 )
@@ -420,6 +439,7 @@ QUERIES = {
     "mql_in_tipo": (q_mql_in_tipo, _MQL_IN_SQL),
     "mql_range_anio": (q_mql_range_anio, _MQL_RANGE_SQL),
     "mql_or_text": (q_mql_or_text, _MQL_OR_TEXT_SQL),
+    "mql_regex_providencia": (q_mql_regex, _MQL_REGEX_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),

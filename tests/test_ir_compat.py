@@ -99,9 +99,25 @@ def test_mql_rejects_unsupported_operators(spark):
         {"$or": []},  # empty clause list
         {"$text": {"$search": "x", "$language": "fr"}},  # no rule table
         {"$text": {"$search": "x", "$caseSensitive": True}},
+        {"tipo": {"$options": "i"}},  # $options without $regex
+        {"tipo": {"$regex": "x", "$options": "mx"}},  # unsupported opts
+        {"tipo": {"$regex": 7}},
     ):
         with pytest.raises(ValueError):
             mql_find(docs, bad)
+
+
+def test_mql_regex(spark):
+    docs = _rulings(spark)
+    got = mql_find(docs, {"providencia": {"$regex": "^P-1[0-9]$"}})
+    ids = sorted(r.providencia for r in got.collect())
+    assert ids == [f"P-1{d}" for d in range(10)]
+    # unanchored partial match (Mongo contract): '-1' hits P-1, P-10..
+    part = mql_find(docs, {"providencia": {"$regex": "-1"}}).count()
+    assert part > 10
+    # case-insensitive option
+    ci = mql_find(docs, {"providencia": {"$regex": "^p-1[0-9]$", "$options": "i"}})
+    assert ci.count() == 10
 
 
 def test_mql_text_language_stems(spark):
