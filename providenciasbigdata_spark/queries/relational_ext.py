@@ -446,8 +446,53 @@ LIMIT 20
 """
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type the registry lacked: big
+    spenders (by order volume) against rich customers (by balance);
+    the two predicates select different customer sets, so both
+    null-extension directions appear. Both sides pre-aggregate/filter
+    BEFORE the join (the scale rule: shuffle the reduced sets), and
+    the join keys are high-cardinality custkeys — hash-partitioned,
+    AQE-skew-safe."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    big = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_big_orders")
+    )
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey, "full_outer")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.coalesce("n_big_orders", F.lit(0)).cast("bigint").alias("n_big_orders"),
+            "acctbal",
+        )
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH big AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big_orders
+  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+), rich AS (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+  FROM customer WHERE c_acctbal > 9000
+)
+SELECT COALESCE(b.o_custkey, r.c_custkey) AS custkey,
+       CAST(COALESCE(b.n_big_orders, 0) AS BIGINT) AS n_big_orders,
+       r.acctbal
+FROM big b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+"""
+
+
 QUERIES = {
     "agg_forecast_revenue": (q_forecast_revenue, _Q6_SQL),
+    "join_full_outer_spenders": (q_full_outer_join, _FULL_OUTER_SQL),
     "agg_order_priority_late": (q_order_priority_late, _Q4_SQL),
     "join_returned_items": (q_returned_items, _Q10_SQL),
     "agg_shipping_priority_mix": (q_shipping_priority_mix, _Q12_SQL),

@@ -82,10 +82,13 @@ def test_lsh_banding_never_cartesian(spark, reg):
 
 def test_text_search_is_scan_plus_predicate(spark, reg):
     # one scan, no join/exchange: tokenization + arrays_overlap are
-    # map-side expressions fused into the scan stage
-    plan = plan_of(_run(reg, "a7_text_search", spark), "simple")
-    assert "Join" not in plan, plan
-    assert "Exchange" not in plan, plan
+    # map-side expressions fused into the scan stage. The STEMMED
+    # search must keep the identical shape — query-preimage expansion
+    # means no per-token strip expression and no extra operators.
+    for name in ("a7_text_search", "a7_search_stemmed"):
+        plan = plan_of(_run(reg, name, spark), "simple")
+        assert "Join" not in plan, (name, plan)
+        assert "Exchange" not in plan, (name, plan)
 
 
 def test_asof_join_no_cartesian(spark, reg):
