@@ -1,0 +1,81 @@
+"""Training-mix construction: deterministic weighted source sampling.
+
+A training corpus is assembled as a MIX — each source (crawl, books,
+code, per-language slices ...) contributes at its own sampling rate.
+The operator set here makes that mix REPRODUCIBLE at 100 TB:
+
+- ``hash_rate_sample``: keep a deterministic ``rate`` fraction of rows
+  by comparing a fixed-width prefix of ``md5(salt || key)`` against a
+  hex threshold. No ``rand()`` — the sample is identical across runs,
+  partitions, task retries, AND engines (md5 hex agrees between Spark
+  and DuckDB, so mixes stay oracle-checkable). Distinct salts give
+  independent samples from the same source, which is how you carve
+  train/eval splits that never collide.
+- ``mix_corpus``: union the per-source samples with a ``mix_source``
+  tag. Map-only per source (filter fused into each scan — no shuffle
+  until whatever aggregation follows), so the mix step adds zero
+  exchanges to the pipeline.
+
+Scale notes: each source's filter is a pure projection predicate on the
+scan (predicate pushdown does not apply to md5, but the filter is
+evaluated map-side with no data movement); rates compose with
+downstream dedup/quality gates; for token-budget mixes, compute rates
+from one cheap per-source count/SUM(n_tokens) aggregate first.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 15  # 60 bits of the md5 — plenty of resolution, < 2^63
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Uniform [0, 16^15) bucket as a fixed-width lowercase hex STRING
+    (lexicographic compare == numeric compare at fixed width) — the
+    representation both engines agree on bit-for-bit."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """The sampling threshold as a 15-hex-digit string; rows whose
+    bucket sorts strictly below it are kept."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(int(rate * (16 ** _HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+
+
+def hash_rate_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic ``rate``-fraction sample keyed on ``key_col``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return df
+    return df.filter(
+        _bucket(F.col(key_col), salt) < F.lit(rate_threshold_hex(rate))
+    )
+
+
+def mix_corpus(
+    sources: list[tuple[str, DataFrame, float]], key_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted mix of tagged sources: for each (name, df, rate), keep
+    the deterministic rate-sample (salted by the source name, so the
+    same key draws independently per source) and tag it ``mix_source``.
+    Columns are unioned by name; every input must share a schema."""
+    if not sources:
+        raise ValueError("mix_corpus needs at least one source")
+    parts = [
+        hash_rate_sample(df, rate, key_col, salt=name).withColumn(
+            "mix_source", F.lit(name)
+        )
+        for name, df, rate in sources
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -323,7 +323,40 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_daily_cumulative(ev)
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted training mix (operators.mix): per-language
+    sources sampled at different rates (en 0.8 / es 0.5 / fr 0.25),
+    tagged and unioned. md5-threshold sampling is reproducible across
+    engines/runs/retries, so the EXACT mixed row set is oracle-checked
+    — not just its size."""
+    from providenciasbigdata_spark.operators.mix import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [
+        (lang, docs.filter(F.col("lang") == lang), rate)
+        for lang, rate in _MIX_RATES
+    ]
+    return mix_corpus(sources).select("doc_id", "mix_source", "n_chars")
+
+
+_MIX_RATES = [("en", 0.8), ("es", 0.5), ("fr", 0.25)]
+
+
+def _mix_sql() -> str:
+    from providenciasbigdata_spark.operators.mix import rate_threshold_hex
+
+    branches = [
+        f"SELECT doc_id, '{lang}' AS mix_source, n_chars FROM documents "
+        f"WHERE lang = '{lang}' AND "
+        f"substr(md5('{lang}' || CAST(doc_id AS VARCHAR)), 1, 15) "
+        f"< '{rate_threshold_hex(rate)}'"
+        for lang, rate in _MIX_RATES
+    ]
+    return " UNION ALL ".join(branches)
+
+
 QUERIES = {
+    "training_mix_by_lang": (q_training_mix, _mix_sql()),
     "sketch_hll_daily_users": (q_hll_daily_users, None),
     "quality_expectations": (q_quality_expectations, _EXPECTATIONS_SQL),
     "text_repetition": (q_text_repetition, _REPETITION_SQL),

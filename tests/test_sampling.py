@@ -5,9 +5,13 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.io import load_table
 from providenciasbigdata_spark.queries.extended import q_stratified_sample
 
 SF = "/root/testdata/sf0.01"
+SF001 = "/root/testdata/sf0.001"
 
 
 def test_stratified_sample_fractions_and_determinism(spark):
@@ -22,3 +26,55 @@ def test_stratified_sample_fractions_and_determinism(spark):
         assert abs(k - n * frac) <= max(tol, 1), (status, n, k)
         # same seed + same partition layout => identical draw
         assert rows2[status].n_sampled == k
+
+
+# ---- deterministic training mix (operators/mix.py) ------------------------
+
+def test_hash_rate_sample_rate_and_determinism(spark):
+    from providenciasbigdata_spark.operators.mix import hash_rate_sample
+
+    docs = load_table(spark, SF001, "documents")
+    n = docs.count()
+    s1 = hash_rate_sample(docs, 0.5, "doc_id", salt="a")
+    s2 = hash_rate_sample(docs, 0.5, "doc_id", salt="a")
+    k = s1.count()
+    assert k == s2.count()  # deterministic
+    assert abs(k / n - 0.5) < 0.1  # uniform-ish at 500 docs
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids2 = {r.doc_id for r in s2.collect()}
+    assert ids1 == ids2
+    # distinct salts draw independently: overlap near rate product
+    s_other = hash_rate_sample(docs, 0.5, "doc_id", salt="b")
+    other = {r.doc_id for r in s_other.collect()}
+    overlap = len(ids1 & other) / n
+    assert 0.1 < overlap < 0.45
+    # rate 1.0 is identity, 0.0 empty
+    assert hash_rate_sample(docs, 1.0, "doc_id").count() == n
+    assert hash_rate_sample(docs, 0.0, "doc_id").count() == 0
+
+
+def test_mix_corpus_tags_and_rates(spark):
+    import pytest
+
+    from providenciasbigdata_spark.operators.mix import mix_corpus
+
+    docs = load_table(spark, SF001, "documents")
+    mixed = mix_corpus(
+        [
+            ("en", docs.filter("lang = 'en'"), 1.0),
+            ("es", docs.filter("lang = 'es'"), 0.5),
+        ]
+    )
+    by_src = {r["mix_source"]: r["n"] for r in
+              mixed.groupBy("mix_source").agg(F.count("*").alias("n")).collect()}
+    n_en = docs.filter("lang = 'en'").count()
+    n_es = docs.filter("lang = 'es'").count()
+    assert by_src["en"] == n_en
+    assert 0 < by_src["es"] < n_es
+    assert "mix_source" in mixed.columns
+    with pytest.raises(ValueError):
+        mix_corpus([])
+    from providenciasbigdata_spark.operators.mix import hash_rate_sample
+
+    with pytest.raises(ValueError):
+        hash_rate_sample(docs, 1.5, "doc_id")
