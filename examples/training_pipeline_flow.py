@@ -32,9 +32,22 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="training-pipeline", master="local[4]", shuffle_partitions=4)
 
-    docs = load_table(spark, sf_dir, "documents")
+    raw = load_table(spark, sf_dir, "documents")
+    n_raw = raw.count()
+
+    # -- 0. deterministic source mix (operators/mix.py): per-language
+    #       sources at training weights, reproducible across runs -------
+    from providenciasbigdata_spark.operators.mix import mix_corpus
+
+    docs = mix_corpus(
+        [
+            ("en", raw.filter(F.col("lang") == "en"), 1.0),
+            ("de", raw.filter(F.col("lang") == "de"), 0.5),
+            ("es", raw.filter(F.col("lang") == "es"), 0.5),
+        ]
+    ).drop("mix_source")
     n0 = docs.count()
-    print(f"[0] raw corpus: {n0} docs")
+    print(f"[0] raw corpus: {n_raw} docs -> mixed (en 1.0 / de .5 / es .5): {n0}")
 
     # -- 1. language ID + quality gate (pure Catalyst expressions) --------
     scored = docs.select(
