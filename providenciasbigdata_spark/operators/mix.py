@@ -63,6 +63,33 @@ def hash_rate_sample(
     )
 
 
+def budget_rates(
+    sources: list[tuple[str, DataFrame, float]],
+    budget: int,
+    size_col: str = "n_chars",
+) -> list[tuple[str, DataFrame, float]]:
+    """Turn target WEIGHTS into sampling RATES for a total size budget:
+    source i should contribute ``budget * w_i / sum(w)`` units of
+    ``size_col``, so its rate is that target over its actual total —
+    capped at 1.0 (a source can't contribute more than it has; the
+    shortfall is NOT redistributed, matching how epoch-capped mixes
+    behave). One cheap SUM aggregate per source decides; pass the
+    result straight to ``mix_corpus``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    total_w = sum(w for _, _, w in sources)
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    out = []
+    for name, df, w in sources:
+        have = df.agg(F.coalesce(F.sum(size_col), F.lit(0)).alias("s")).first()["s"]
+        target = budget * (w / total_w)
+        rate = 1.0 if not have else min(1.0, target / float(have))
+        out.append((name, df, rate))
+    return out
+
+
 def mix_corpus(
     sources: list[tuple[str, DataFrame, float]], key_col: str = "doc_id"
 ) -> DataFrame:

@@ -78,3 +78,30 @@ def test_mix_corpus_tags_and_rates(spark):
 
     with pytest.raises(ValueError):
         hash_rate_sample(docs, 1.5, "doc_id")
+
+
+def test_budget_rates_targets_and_caps(spark):
+    from providenciasbigdata_spark.operators.mix import budget_rates, mix_corpus
+
+    docs = load_table(spark, SF001, "documents")
+    en = docs.filter("lang = 'en'")
+    es = docs.filter("lang = 'es'")
+    total_en = en.agg(F.sum("n_chars")).first()[0]
+    budget = int(total_en * 0.6)  # en can only fill 0.3 of budget share? no:
+    rated = budget_rates([("en", en, 1.0), ("es", es, 1.0)], budget)
+    rates = {name: r for name, _, r in rated}
+    # each source targets budget/2 chars; en's rate should be ~0.3
+    assert abs(rates["en"] - (budget / 2) / total_en) < 1e-9
+    # a tiny budget never exceeds 1.0; a huge one caps at 1.0
+    huge = budget_rates([("en", en, 1.0)], budget=10**12)
+    assert huge[0][2] == 1.0
+    # achieved size lands near target (binomial tolerance)
+    mixed = mix_corpus(rated)
+    got = mixed.agg(F.sum("n_chars")).first()[0]
+    assert abs(got - budget) / budget < 0.25
+    import pytest
+
+    with pytest.raises(ValueError):
+        budget_rates([("en", en, 1.0)], budget=0)
+    with pytest.raises(ValueError):
+        budget_rates([("en", en, 0.0)], budget=10)
