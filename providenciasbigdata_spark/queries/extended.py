@@ -176,10 +176,11 @@ WITH per_user AS (
 )
 SELECT COUNT(*) AS n_users,
        COUNT(signup_ts) AS n_signed_up,
-       COALESCE(SUM(CASE WHEN purchase_ts > signup_ts THEN 1 ELSE 0 END), 0) AS n_converted,
-       COALESCE(SUM(CASE WHEN purchase_ts > signup_ts
+       CAST(COALESCE(SUM(CASE WHEN purchase_ts > signup_ts THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_converted,
+       CAST(COALESCE(SUM(CASE WHEN purchase_ts > signup_ts
                           AND purchase_ts <= signup_ts + INTERVAL '7 days'
-                         THEN 1 ELSE 0 END), 0) AS n_converted_7d
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted_7d
 FROM per_user
 """
 
@@ -187,17 +188,20 @@ FROM per_user
 def q_array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the sorted distinct user set per event type —
     collect_set is unordered by contract, so sort_array pins a
-    deterministic, oracle-comparable output."""
+    deterministic output. The array is serialized to a CSV string at
+    the edge: the driver's pandas canonicalizer cannot factorize
+    list-typed cells (r03 harness crash), and a scalar column hashes
+    identically on both sides."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.array_join(F.sort_array(F.collect_set("user_id")), ",").alias("users"),
         F.count("*").alias("n_events"),
     )
 
 
 _ARRAY_AGG_SQL = """
 SELECT event_type,
-       list_sort(list_distinct(array_agg(user_id))) AS users,
+       array_to_string(list_sort(list_distinct(array_agg(user_id))), ',') AS users,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """
@@ -365,7 +369,7 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JOIN_NULL_SAFE_SQL = """
 SELECT COUNT(*) AS n_pairs,
-       SUM(CAST(a.props IS NULL AS BIGINT)) AS n_null_pairs
+       CAST(SUM(CAST(a.props IS NULL AS BIGINT)) AS BIGINT) AS n_null_pairs
 FROM (SELECT * FROM events WHERE event_id < 100) a
 JOIN (SELECT * FROM events WHERE event_id >= 100) b
   ON a.props IS NOT DISTINCT FROM b.props

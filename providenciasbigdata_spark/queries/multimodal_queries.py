@@ -55,7 +55,7 @@ _PAYLOAD_STATS_SQL = """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
            AS modality,
        COUNT(*) AS n_assets,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_distinct_payloads
 FROM documents
 GROUP BY 1

@@ -67,11 +67,53 @@ def _canon(v):
     return str(v)
 
 
+def _dtype_class(dtype) -> str:
+    """Collapse pandas dtypes into the classes the driver's value-hash
+    distinguishes: int64 vs float64 hash differently even when every
+    value is numerically equal (the r03 HUGEINT->float64 red rows), so
+    the local gate must treat a kind mismatch as failure. object /
+    string variants collapse together (both sides stringify the same)."""
+    kind = dtype.kind  # i u f b M m O U S
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind in ("M", "m"):
+        return "datetime"
+    return "object"
+
+
 @pytest.mark.parametrize("name,fn,sql", _WITH_ORACLE, ids=[n for n, _, _ in _WITH_ORACLE])
 def test_oracle_parity(spark, duck01, name, fn, sql):
-    got = fn(spark, SF).toPandas()
+    from pyspark.sql import types as T
+
+    sdf = fn(spark, SF)
+    banned = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+    assert not banned, (
+        f"{name}: oracle-checked queries must not return Array/Map "
+        f"top-level columns {banned} — the driver's pandas canonicalizer "
+        "crashes on unhashable cells (r03 array_agg_users); serialize "
+        "with array_join/to_json on both sides"
+    )
+    got = sdf.toPandas()
     want = duck01.execute(sql).df()
     assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
+    dtype_diffs = {
+        c: (str(got[c].dtype), str(want[c].dtype))
+        for c in sorted(set(got.columns) & set(want.columns))
+        if _dtype_class(got[c].dtype) != _dtype_class(want[c].dtype)
+    }
+    assert not dtype_diffs, (
+        f"{name}: dtype class mismatch (spark, oracle): {dtype_diffs} — "
+        "the driver's value-hash is dtype-sensitive; cast both sides "
+        "(integer SUMs in DuckDB return HUGEINT -> pandas float64: wrap "
+        "in CAST(... AS BIGINT))"
+    )
     gcols, grows = _normalize(got)
     wcols, wrows = _normalize(want)
     assert gcols == wcols, f"{name}: columns {gcols} != oracle {wcols}"
