@@ -44,9 +44,20 @@ def _bucket(key: Column, salt: str) -> Column:
 
 def rate_threshold_hex(rate: float) -> str:
     """The sampling threshold as a 15-hex-digit string; rows whose
-    bucket sorts strictly below it are kept."""
+    bucket sorts strictly below it are kept.
+
+    ``rate >= 1.0`` has NO fixed-width threshold (16^15 needs 16 hex
+    digits, and a 16-digit threshold breaks the lexicographic==numeric
+    invariant: 'f'*15 < '1000000000000000' is False), so it raises —
+    keep-everything is "skip the filter", which ``hash_rate_sample``
+    already short-circuits."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        raise ValueError(
+            "rate >= 1.0 keeps every row and has no 15-hex-digit "
+            "threshold — skip the bucket filter entirely instead"
+        )
     return format(int(rate * (16 ** _HEX_DIGITS)), f"0{_HEX_DIGITS}x")
 
 

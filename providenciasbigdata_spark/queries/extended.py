@@ -266,15 +266,66 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey A
 """
 
 
+_STRAT_RATES = {"O": 0.1, "F": 0.5, "P": 1.0}
+_STRAT_SALT = "strat"
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling: per-status fractions via sampleBy (seeded,
-    deterministic per partition layout), then per-stratum sampled
-    counts vs full counts. Rows-only check: no SQL engine reproduces
-    Spark's per-row Bernoulli draw; the pytest property pins the
-    sampled fraction within binomial tolerance instead."""
+    """Stratified sampling, fully deterministic and oracle-checkable:
+    per-status rates decided by comparing a fixed-width md5 prefix of
+    the key against each stratum's hex threshold (operators.mix
+    pattern) — identical across runs, partitions, task retries, and
+    engines, unlike sampleBy's partition-layout-dependent Bernoulli
+    draw (kept as the rows-only sibling ``sample_stratified_bernoulli``).
+    Map-only filter; one aggregate pass for sampled-vs-total counts."""
+    from providenciasbigdata_spark.operators.mix import rate_threshold_hex
+
     orders = load_table(spark, sf_dir, "orders")
-    fractions = {"O": 0.1, "F": 0.5, "P": 1.0}
-    sampled = orders.sampleBy("o_orderstatus", fractions, seed=42)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(_STRAT_SALT), F.col("o_orderkey").cast("string"))),
+        1, 15,
+    )
+    keep = F.lit(True)  # rate >= 1.0 strata keep every row
+    for status, rate in _STRAT_RATES.items():
+        if rate < 1.0:
+            keep = F.when(
+                F.col("o_orderstatus") == status,
+                bucket < F.lit(rate_threshold_hex(rate)),
+            ).otherwise(keep)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_sampled"),
+    )
+
+
+def _stratified_sql() -> str:
+    from providenciasbigdata_spark.operators.mix import rate_threshold_hex
+
+    arms = " ".join(
+        f"WHEN o_orderstatus = '{s}' THEN "
+        f"(substring(md5('{_STRAT_SALT}' || CAST(o_orderkey AS VARCHAR)), 1, 15)"
+        f" < '{rate_threshold_hex(r)}')"
+        for s, r in _STRAT_RATES.items()
+        if r < 1.0
+    )
+    return f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN (CASE {arms} ELSE TRUE END) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+_STRATIFIED_SQL = _stratified_sql()
+
+
+def q_stratified_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampleBy variant (seeded Bernoulli draw): deterministic only for
+    a fixed partition layout, so rows-only — the pytest property pins
+    the sampled fraction within binomial tolerance instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = orders.sampleBy("o_orderstatus", _STRAT_RATES, seed=42)
     full = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_total"))
     samp = sampled.groupBy("o_orderstatus").agg(F.count("*").alias("n_sampled"))
     return (
@@ -552,7 +603,8 @@ QUERIES = {
     "join_null_safe": (q_join_null_safe, _JOIN_NULL_SAFE_SQL),
     "sample_deterministic_hash": (q_sample_deterministic, _SAMPLE_DET_SQL),
     "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
-    "sample_stratified": (q_stratified_sample, None),
+    "sample_stratified": (q_stratified_sample, _STRATIFIED_SQL),
+    "sample_stratified_bernoulli": (q_stratified_bernoulli, None),
     "udtf_split_sentences": (q_udtf_sentences, None),
     "udaf_geomean": (q_udaf_geomean, _UDAF_GEOMEAN_SQL),
     "udx_arrow_group_quantiles": (q_arrow_group_quantiles, _ARROW_QUANTILES_SQL),
@@ -564,4 +616,16 @@ QUERIES = {
     "unpivot_balances": (q_unpivot_balances, _UNPIVOT_SQL),
     "explode_top_tokens": (q_explode_top_tokens, _EXPLODE_SQL),
     "agg_percentiles": (q_percentiles, _PERCENTILES_SQL),
+}
+
+WHY_NO_ORACLE = {
+    "sample_stratified_bernoulli": (
+        "sampleBy's seeded Bernoulli draw depends on partition layout; no SQL "
+        "engine reproduces it — sampled fraction pinned within binomial "
+        "tolerance in tests/test_extended.py"
+    ),
+    "udtf_split_sentences": (
+        "exercises Spark's Python UDTF lateral-join execution path itself; "
+        "output pinned row-exactly in pytest"
+    ),
 }

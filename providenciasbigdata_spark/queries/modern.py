@@ -539,3 +539,11 @@ QUERIES = {
     "csv_read_agg": (q_csv_read_agg, _CSV_SQL),
     "map_functions": (q_map_functions, _MAP_SQL),
 }
+
+WHY_NO_ORACLE = {
+    "cms_token_estimates": (
+        "Count-Min Sketch estimates are epsilon-approximate by construction; "
+        "overestimate-only bound vs exact counts pinned in "
+        "tests/test_sketch.py"
+    ),
+}

@@ -81,13 +81,34 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Frame sampling is pure arithmetic over the payload length: the fake
+# container is fixed 256-byte chunks, every 2nd kept. n_frames =
+# ceil(len/256); kept = indices 0,2,... => (n_frames+1)//2 frames; all
+# kept frames are 256 bytes except a kept LAST frame (index n_frames-1,
+# kept iff that index is even), which holds the remainder.
+_FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT doc_id AS asset_id, octet_length(encode(text)) AS len
+  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+), f AS (
+  SELECT asset_id, len, (len + 255) // 256 AS n_frames FROM v
+)
+SELECT asset_id,
+       CAST((n_frames + 1) // 2 AS BIGINT) AS n_frames_kept,
+       CAST(CASE WHEN (n_frames - 1) % 2 = 0
+                 THEN 256 * ((n_frames + 1) // 2 - 1) + (len - 256 * (n_frames - 1))
+                 ELSE 256 * ((n_frames + 1) // 2)
+            END AS BIGINT) AS bytes_kept
+FROM f
+"""
+
+
+def _wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container decode, end to end and fully distributed: wrap
     each audio asset's bytes into a valid RIFF/WAVE container (stdlib
     ``wave``, one Arrow batch at a time), then recover sample rate /
     frame count / RMS through the real ``"wav"`` decode backend — no
-    fake decoder anywhere in this path. Rows-only (RMS over PCM isn't
-    SQL-expressible in the oracle); the backend itself is pinned by
+    fake decoder anywhere in this path. The backend itself is pinned by
     tests/test_multimodal.py::test_wav_backend_real_decode."""
     import pandas as pd
 
@@ -118,6 +139,34 @@ def q_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_features(wavs, decode_backend="wav")
 
 
+def q_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the real WAV decode: the container
+    header fields (sample rate pinned at write time, frame count =
+    ceil(payload_len/2) after the odd-byte pad) are exact arithmetic a
+    SQL oracle can reproduce — so the fully distributed decode path IS
+    hash-checked. The PCM-derived RMS lives in the rows-only sibling
+    ``multimodal_wav_rms`` (not SQL-expressible)."""
+    feats = _wav_features(spark, sf_dir)
+    return feats.select(
+        "asset_id", "sample_rate", F.col("n_samples").alias("n_frames")
+    )
+
+
+_WAV_DECODE_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_frames
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+def q_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full real-decode feature set including RMS over the PCM —
+    rows-only (RMS isn't SQL-expressible); pinned by
+    tests/test_multimodal.py on known byte patterns."""
+    return _wav_features(spark, sf_dir)
+
+
 def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-embed every payload, then brute-force cosine top-10 against
     asset 0 — the multimodal->similarity handoff, end to end."""
@@ -132,7 +181,28 @@ QUERIES = {
     "multimodal_payload_stats": (q_payload_stats, _PAYLOAD_STATS_SQL),
     "multimodal_image_features": (q_image_features, None),
     "multimodal_audio_features": (q_audio_features, None),
-    "multimodal_frame_sample": (q_frame_sample, None),
-    "multimodal_wav_decode": (q_wav_decode_features, None),
+    "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
+    "multimodal_wav_decode": (q_wav_decode_features, _WAV_DECODE_SQL),
+    "multimodal_wav_rms": (q_wav_rms, None),
     "multimodal_embed_topk": (q_payload_embed_topk, None),
+}
+
+_FAKE_DECODE = (
+    "deterministic fake decode backend (blake2b-seeded — the container has "
+    "no media libs); not SQL-expressible, value-pinned in "
+    "tests/test_multimodal.py; the real-decode siblings "
+    "multimodal_wav_decode / multimodal_payload_stats are oracle-checked"
+)
+WHY_NO_ORACLE = {
+    "multimodal_image_features": _FAKE_DECODE,
+    "multimodal_audio_features": _FAKE_DECODE,
+    "multimodal_embed_topk": (
+        "blake2b-seeded PCG64 fake embedding — not reproducible in SQL; the "
+        "cosine fold itself is oracle-checked via ann_brute_topk"
+    ),
+    "multimodal_wav_rms": (
+        "RMS over real-decoded PCM isn't SQL-expressible; decode backend "
+        "pinned on known byte patterns in tests/test_multimodal.py; header "
+        "fields oracle-checked via multimodal_wav_decode"
+    ),
 }

@@ -583,3 +583,33 @@ QUERIES = {
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),
 }
+
+_APPROX_MINHASH = (
+    "MinHash signatures are hash-permutation approximations of Jaccard; no "
+    "SQL engine reproduces the permutation family — recall vs exact Jaccard "
+    "pinned in tests/test_dedup.py"
+)
+_APPROX_ANN = (
+    "approximate index (probe subset of partitions/codebooks); recall vs the "
+    "oracle-checked brute-force top-k pinned in tests/test_similarity.py"
+)
+WHY_NO_ORACLE = {
+    "minhash_near_dups": _APPROX_MINHASH,
+    "minhash_near_dups_est": _APPROX_MINHASH,
+    "minhash_incremental": _APPROX_MINHASH,
+    "dedup_near_survivors": _APPROX_MINHASH,
+    "simhash_fingerprints": (
+        "64-bit SimHash fingerprints hash token sets through blake2b bit "
+        "votes — not SQL-expressible; Hamming-neighbor equivalence pinned in "
+        "tests/test_dedup.py"
+    ),
+    "simhash_near_dups": (
+        "SimHash Hamming-ball candidate generation (see simhash_fingerprints); "
+        "pair recall pinned in tests/test_dedup.py"
+    ),
+    "ivf_ann_topk": _APPROX_ANN,
+    "ivf_pq_ann_topk": _APPROX_ANN,
+    "pq_ann_topk": _APPROX_ANN,
+    "srp_lsh_pairs": _APPROX_ANN,
+    "srp_ann_topk": _APPROX_ANN,
+}

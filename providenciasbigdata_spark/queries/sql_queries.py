@@ -328,3 +328,11 @@ QUERIES = {
     "date_functions": (q_date_functions, _DATE_FUNCS_SQL),
     "approx_distinct_users": (q_approx_distinct, None),
 }
+
+WHY_NO_ORACLE = {
+    "approx_distinct_users": (
+        "HyperLogLog++ estimate (approx_count_distinct) — engine-specific "
+        "sketch, no cross-engine value identity; relative error vs exact "
+        "COUNT(DISTINCT) pinned in pytest"
+    ),
+}

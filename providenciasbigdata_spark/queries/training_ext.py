@@ -365,3 +365,11 @@ QUERIES = {
     "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
     "pack_sequences": (q_pack_sequences, _PACK_SQL),
 }
+
+WHY_NO_ORACLE = {
+    "sketch_hll_daily_users": (
+        "per-day HyperLogLog++ registers merged across partitions — "
+        "engine-specific sketch bytes; estimate-vs-exact error bound pinned "
+        "in tests/test_sketch.py"
+    ),
+}
