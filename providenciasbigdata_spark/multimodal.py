@@ -106,6 +106,62 @@ def _pil_image_decode(payload: bytes) -> tuple[int, int, float]:
     return img.size[0], img.size[1], mean_luma
 
 
+def encode_bmp(data: bytes, width: int = 16) -> bytes:
+    """Pack raw bytes into a REAL 24-bpp uncompressed BMP container
+    (bottom-up, BI_RGB): bytes become BGR pixel triples, row-padded to
+    4-byte alignment, zero-filled to a whole ``width x H`` raster with
+    H = ceil(len/ (3*width)) (min 1). Pure stdlib — the test fixture
+    generator for the ``"bmp"`` real-decode backend."""
+    import struct
+
+    row_bytes = width * 3
+    h = max(1, -(-len(data) // row_bytes))
+    raster = data.ljust(row_bytes * h, b"\x00")
+    row_size = (row_bytes + 3) // 4 * 4
+    pad = b"\x00" * (row_size - row_bytes)
+    # bottom-up: file's first stored row is the image's LAST raster row
+    rows = [raster[r * row_bytes : (r + 1) * row_bytes] + pad for r in range(h)]
+    pixel_array = b"".join(reversed(rows))
+    info = struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0,
+                       len(pixel_array), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_array), 0, 0, 54)
+    return file_header + info + pixel_array
+
+
+def _bmp_image_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL BMP decode via struct + numpy (no third-party dep, so this
+    real-image path runs in CI like the WAV audio sibling): validates
+    the BITMAPINFOHEADER, handles bottom-up AND top-down rasters plus
+    4-byte row padding, and computes mean luma with the same ITU-R
+    601-ish integer coefficients PIL's "L" conversion uses
+    (L = (299 R + 587 G + 114 B) / 1000), normalized to [0,1]/6 digits
+    — one contract across fake/pil/bmp backends."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bpp BI_RGB supported, got bpp={bpp}")
+    top_down, h = height < 0, abs(height)
+    row_size = (width * 3 + 3) // 4 * 4
+    rows = [
+        np.frombuffer(payload, np.uint8, width * 3, data_offset + r * row_size)
+        .reshape(width, 3)
+        for r in range(h)
+    ]
+    if not top_down:
+        rows.reverse()
+    arr = np.stack(rows).astype(np.float64)  # BGR triples
+    luma = (299 * arr[..., 2] + 587 * arr[..., 1] + 114 * arr[..., 0]) / 1000.0
+    return width, h, round(float(luma.mean()) / 255.0, 6)
+
+
 def decode_image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -116,12 +172,14 @@ def decode_image_features(
     batches). The per-batch loop touches only the two needed columns —
     column pruning keeps other payload metadata out of the transfer.
 
-    ``decode_backend="pil"`` runs the real Pillow decode (skip-if-
-    absent: NotImplementedError when Pillow isn't installed);
-    ``"fake"`` stays the deterministic CI default."""
+    Backends: ``"fake"`` (deterministic CI default), ``"bmp"`` (REAL
+    stdlib struct+numpy decode — runs everywhere), ``"pil"`` (real,
+    import-gated: NotImplementedError when Pillow isn't installed)."""
     if decode_backend == "pil":
         _require("PIL", "pip install pillow")
         decode = _pil_image_decode
+    elif decode_backend == "bmp":
+        decode = _bmp_image_decode
     elif decode_backend == "fake":
         decode = _fake_image_decode
     else:

@@ -167,6 +167,65 @@ def q_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wav_features(spark, sf_dir)
 
 
+def _bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end and fully distributed (the image
+    sibling of the WAV path): pack each image asset's bytes into a
+    valid 24-bpp BMP container (stdlib struct, one Arrow batch at a
+    time), then recover width / height / mean luma through the real
+    ``"bmp"`` decode backend — no fake decoder anywhere in this path.
+    Backend pinned by tests/test_multimodal.py on known pixel bytes."""
+    import pandas as pd
+
+    assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "image")
+
+    def wrap(batches):
+        for pdf in batches:
+            out = [
+                (aid, multimodal.encode_bmp(bytes(p) if p is not None else b""))
+                for aid, p in zip(pdf["asset_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    bmps = assets.select("asset_id", "payload").mapInPandas(
+        wrap, "asset_id long, payload binary"
+    )
+    return multimodal.decode_image_features(bmps, decode_backend="bmp")
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the real BMP decode: container geometry
+    (width pinned at 16, height = ceil(len/48) rows min 1, container
+    size = 54-byte headers + 48-byte rows) is exact arithmetic a SQL
+    oracle reproduces — so the distributed decode path IS hash-checked.
+    The pixel-derived mean luma lives in the rows-only sibling
+    ``multimodal_bmp_luma``."""
+    return _bmp_features(spark, sf_dir).select(
+        "asset_id", "width", "height", "n_bytes"
+    )
+
+
+_BMP_DECODE_SQL = """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         GREATEST(1, (octet_length(encode(text)) + 47) // 48) AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT asset_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(54 + 48 * h AS BIGINT) AS n_bytes
+FROM v
+"""
+
+
+def q_bmp_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full real-decode feature set including mean luma over the BGR
+    raster — rows-only (per-pixel luma isn't SQL-expressible); pinned
+    on known pixel bytes in tests/test_multimodal.py; geometry fields
+    oracle-checked via multimodal_bmp_decode."""
+    return _bmp_features(spark, sf_dir)
+
+
 def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-embed every payload, then brute-force cosine top-10 against
     asset 0 — the multimodal->similarity handoff, end to end."""
@@ -184,6 +243,8 @@ QUERIES = {
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "multimodal_wav_decode": (q_wav_decode_features, _WAV_DECODE_SQL),
     "multimodal_wav_rms": (q_wav_rms, None),
+    "multimodal_bmp_decode": (q_bmp_decode, _BMP_DECODE_SQL),
+    "multimodal_bmp_luma": (q_bmp_luma, None),
     "multimodal_embed_topk": (q_payload_embed_topk, None),
 }
 
@@ -204,5 +265,10 @@ WHY_NO_ORACLE = {
         "RMS over real-decoded PCM isn't SQL-expressible; decode backend "
         "pinned on known byte patterns in tests/test_multimodal.py; header "
         "fields oracle-checked via multimodal_wav_decode"
+    ),
+    "multimodal_bmp_luma": (
+        "mean luma over the decoded BGR raster isn't SQL-expressible; decode "
+        "backend pinned on known pixel bytes in tests/test_multimodal.py; "
+        "geometry fields oracle-checked via multimodal_bmp_decode"
     ),
 }

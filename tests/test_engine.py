@@ -61,23 +61,25 @@ def test_dedup_and_ann_extensions(engine):
     assert top_approx.count() <= 5
 
 
-def test_registry_order_is_unbiased_hash_shuffle():
-    """The external gate samples the first N registry entries; the
-    registry orders by md5(name) — a DISCLOSED deterministic shuffle,
-    not a curated all-oracle window (round-2 advice). Pin the order to
-    the hash, that it's stable across calls, and that the sampled
-    window now mixes oracle-checked and rows-only entries on equal
-    footing."""
+def test_registry_order_is_oracle_first_hash_shuffle():
+    """The external gate samples the first N registry entries. Round-2
+    advice rejected a hand-curated priority prefix (biased sample);
+    round-3 advice rejected a whole-registry shuffle (hash-uncheckable
+    rows-only entries in the audited window). The settled contract:
+    oracle-backed entries first, rows-only after, each group internally
+    md5(name)-shuffled — deterministic, rotating with additions, and
+    every sampled entry value-hash-verifiable."""
     import hashlib
 
     from providenciasbigdata_spark.queries import all_queries
 
     reg = all_queries()
     names = list(reg.keys())
-    assert names == sorted(names, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+    assert names == sorted(
+        names,
+        key=lambda n: (reg[n][1] is None, hashlib.md5(n.encode()).hexdigest()),
+    )
     assert names == list(all_queries().keys())  # deterministic
-    window = names[:50]
-    with_oracle = [n for n in window if reg[n][1] is not None]
-    rows_only = [n for n in window if reg[n][1] is None]
-    assert len(with_oracle) > 30  # most of the sample stays hash-checked
-    assert rows_only  # but rows-only entries are no longer excluded
+    n_oracle = sum(1 for _fn, sql in reg.values() if sql is not None)
+    assert n_oracle >= 50  # the driver's window stays fully hash-checked
+    assert all(reg[n][1] is not None for n in names[:n_oracle])

@@ -145,3 +145,47 @@ def test_librosa_backend_real_or_gated(spark):
         return
     row = mm.decode_audio_features(df, decode_backend="librosa").first()
     assert row.sample_rate == 8000 and row.n_samples == 800
+
+
+def test_bmp_backend_real_decode(spark):
+    """The stdlib BMP backend is a REAL decoder exercised in CI: a
+    known 2x2 raster round-trips through encode_bmp with exact
+    geometry and the PIL-compatible integer luma."""
+    # 2x2 image, width=2: rows of 6 bytes padded to 8. Pixels (BGR):
+    # white, black / red, blue.
+    raster = bytes([255, 255, 255, 0, 0, 0]) + bytes([0, 0, 255, 255, 0, 0])
+    payload = mm.encode_bmp(raster, width=2)
+    assert payload[:2] == b"BM"
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    row = mm.decode_image_features(df, decode_backend="bmp").first()
+    assert (row.width, row.height) == (2, 2)
+    assert row.n_bytes == 54 + 2 * 8  # headers + two padded rows
+    # luma: white=255, black=0, red=299*255/1000, blue=114*255/1000
+    want = (255.0 + 0.0 + 0.299 * 255 + 0.114 * 255) / 4 / 255.0
+    assert abs(row.mean_luma - want) < 1e-5
+
+
+def test_bmp_roundtrip_padding_and_min_height():
+    """Direct decoder pins: arbitrary byte payloads survive the
+    encode/decode trip with ceil-division geometry; empty payload still
+    yields one zero row; non-BMP bytes are rejected."""
+    import pytest
+
+    for n in (0, 1, 47, 48, 49, 1000):
+        w, h, luma = mm._bmp_image_decode(mm.encode_bmp(b"\x7f" * n))
+        assert w == 16 and h == max(1, -(-n // 48))
+        assert 0.0 <= luma <= 1.0
+    with pytest.raises(ValueError, match="BM"):
+        mm._bmp_image_decode(b"\x89PNG not a bmp")
+
+
+def test_bmp_top_down_raster():
+    """Negative height = top-down row order; luma must agree with the
+    bottom-up encoding of the same raster."""
+    import struct
+
+    raster = bytes(range(48))
+    bottom_up = mm.encode_bmp(raster, width=16)
+    # flip the stored height sign; single-row image so bytes are identical
+    top_down = bottom_up[:22] + struct.pack("<i", -1) + bottom_up[26:]
+    assert mm._bmp_image_decode(top_down) == mm._bmp_image_decode(bottom_up)
