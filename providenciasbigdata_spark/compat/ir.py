@@ -98,7 +98,7 @@ def _field_condition(field: str, value) -> Column:
     return F.col(field) == F.lit(_coerce(field, value))
 
 
-def _query_condition(query: dict) -> Column:
+def _query_condition(query: dict, default_language: str = "none") -> Column:
     conds: list[Column] = []
     for key, value in query.items():
         if key == "$text":
@@ -111,7 +111,7 @@ def _query_condition(query: dict) -> Column:
             # variants stem (the reference collection's language),
             # "none" disables stemming — Mongo's own contract for the
             # option. Other languages raise (no rule tables for them).
-            lang = str(value.get("$language", "none")).lower()
+            lang = str(value.get("$language", default_language)).lower()
             if lang in ("es", "spanish", "español", "espanol"):
                 stem = True
             elif lang == "none":
@@ -122,7 +122,7 @@ def _query_condition(query: dict) -> Column:
         elif key in ("$and", "$or"):
             if not isinstance(value, (list, tuple)) or not value:
                 raise ValueError(f"{key} needs a non-empty list of clauses")
-            sub = [_query_condition(q) for q in value]
+            sub = [_query_condition(q, default_language) for q in value]
             conds.append(reduce(and_ if key == "$and" else or_, sub))
         elif key.startswith("$"):
             raise ValueError(f"unsupported MQL operator: {key}")
@@ -131,7 +131,9 @@ def _query_condition(query: dict) -> Column:
     return reduce(and_, conds) if conds else F.lit(True)
 
 
-def mql_find(rulings: DataFrame, query: dict) -> DataFrame:
+def mql_find(
+    rulings: DataFrame, query: dict, default_language: str = "none"
+) -> DataFrame:
     """``collection.find(query)`` over the rulings view.
 
     Supports the reference's observed filter shapes (equality on
@@ -142,12 +144,23 @@ def mql_find(rulings: DataFrame, query: dict) -> DataFrame:
     explicit ``$and``/``$or`` clause lists (nestable, ``$text``
     allowed inside). Empty query => full scan, like find({}).
 
+    KNOWN DIVERGENCE for verbatim reference queries: a ``$text``
+    clause WITHOUT ``$language`` defaults to UNSTEMMED matching here
+    (the pinned B1 tokenize contract), but Mongo's server-side default
+    follows the text INDEX's language — and the reference collection's
+    Spanish index therefore stems by default, so pasting the
+    reference's own ``{"$text": {"$search": ...}}`` can match fewer
+    documents here. To mirror a Spanish-index collection, pass
+    ``default_language="spanish"`` (the collection-level setting Mongo
+    reads from the index definition); per-query ``$language`` always
+    wins, ``"none"`` disables stemming either way.
+
     The whole filter document compiles to ONE Column predicate pushed
     into a single .filter — equality/range parts reach the parquet
     scan as pushed filters; unsupported operators raise rather than
     silently misread.
     """
-    return rulings.filter(_query_condition(query))
+    return rulings.filter(_query_condition(query, default_language))
 
 
 # ---- Cypher templates ----------------------------------------------------

@@ -20,6 +20,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncator(df_session, checkpoint_dir):
+    """Pick the per-iteration lineage-truncation strategy.
+
+    ``localCheckpoint`` (default) stores blocks in executor storage —
+    measured fastest locally (see pagerank docstring) but NOT
+    fault-tolerant: at cluster scale an executor loss kills the job.
+    Passing ``checkpoint_dir`` (an HDFS/S3/shared path) switches every
+    truncation point to a RELIABLE ``checkpoint`` that survives
+    executor loss — the production setting for long iterative jobs on
+    preemptible fleets.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    df_session.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected view of a directed edge list (deduped)."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -33,6 +50,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation to a fixed point.
 
@@ -45,6 +63,7 @@ def connected_components(
     # materialize the (possibly expensive) edge lineage ONCE — every
     # iteration re-reads it; without this the upstream build (e.g. a
     # pairwise cosine join) re-executes per iteration
+    ckpt = _truncator(edges.sparkSession, checkpoint_dir)
     sym = symmetrize(edges, src, dst).persist()
     labels = (
         sym.select(F.col("u").alias("id"))
@@ -61,7 +80,7 @@ def connected_components(
             labels.union(nbr_labels).groupBy("id").agg(F.min("label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -71,7 +90,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select("id", F.col("label").alias("component")).localCheckpoint(eager=True)
+    out = ckpt(labels.select("id", F.col("label").alias("component")))
     sym.unpersist()
     return out
 
@@ -83,6 +102,7 @@ def bfs_distances(
     dst: str = "dst",
     max_hops: int = 10,
     directed: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Hop distances from one anchor node — frontier-expansion BFS.
     Generalizes the reference's 1-hop page (streamlit_app.py:60-64) and
@@ -99,6 +119,7 @@ def bfs_distances(
         e = symmetrize(edges, src, dst)
     e = e.persist()
     spark = edges.sparkSession
+    ckpt = _truncator(spark, checkpoint_dir)
     visited = spark.createDataFrame([(anchor, 0)], "id string, hops int")
     # fixture node ids are strings ("P-7"); cast to match arbitrary types
     visited = visited.withColumn("id", F.col("id").cast(e.schema["u"].dataType))
@@ -110,13 +131,14 @@ def bfs_distances(
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("hops", F.lit(hop))
-            .localCheckpoint(eager=True)  # truncate lineage per level
         )
+        nxt = ckpt(nxt)  # truncate lineage per level
+
         if nxt.isEmpty():
             break
         visited = visited.union(nxt)
         frontier = nxt.select("id")
-    out = visited.localCheckpoint(eager=True)
+    out = ckpt(visited)
     e.unpersist()
     return out
 
@@ -127,6 +149,8 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Power-iteration PageRank on the directed graph.
 
@@ -146,6 +170,7 @@ def pagerank(
 
     Output: (id, rank); ranks sum to ~1.
     """
+    ckpt = _truncator(edges.sparkSession, checkpoint_dir)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
     nodes = (
         e.select(F.col("u").alias("id")).union(e.select(F.col("v").alias("id")))
@@ -181,7 +206,10 @@ def pagerank(
                 (base + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=True)  # the iteration's ONE job
+        # checkpoint_every=1 by measurement (see docstring); the r02
+        # keyword is still honored for callers that tuned it
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            ranks = ckpt(ranks)  # the iteration's ONE job
     for df in (e, nodes, out_deg):
         df.unpersist()
     return ranks
@@ -194,6 +222,7 @@ def sssp_distances(
     dst: str = "dst",
     weight: str = "w",
     max_hops: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted single-source shortest paths, hop-bounded Bellman-Ford:
     after iteration h, ``d(v)`` is the minimum total weight over paths
@@ -213,6 +242,7 @@ def sssp_distances(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     ).persist()
     spark = edges.sparkSession
+    ckpt = _truncator(spark, checkpoint_dir)
     dist = spark.createDataFrame([(str(anchor), 0.0)], "id string, d double")
     dist = dist.withColumn("id", F.col("id").cast(e.schema["u"].dataType))
     for _ in range(max_hops):
@@ -223,7 +253,7 @@ def sssp_distances(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
         )
+        dist = ckpt(dist)
     e.unpersist()
     return dist

@@ -164,12 +164,13 @@ def build_bm25_index(
 
 
 def bm25_search(
-    index: BM25Index | DataFrame,
-    terms: list[str],
+    index: BM25Index | DataFrame = None,
+    terms: list[str] = None,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 6,
+    term_freqs: DataFrame = None,
 ) -> DataFrame:
     """Okapi BM25 top-k over the term-frequency index.
 
@@ -188,6 +189,20 @@ def bm25_search(
     sort. Ties broken by doc_id ascending for a total order. Empty
     term list or empty index => empty (doc_id, score) frame.
     """
+    if term_freqs is not None:  # deprecated r02 keyword, kept one round
+        import warnings
+
+        if index is not None:
+            raise TypeError("pass either index or term_freqs, not both")
+        warnings.warn(
+            "bm25_search(term_freqs=...) is deprecated; pass the frame (or a "
+            "prebuilt BM25Index) as the first argument `index`",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        index = term_freqs
+    if index is None or terms is None:
+        raise TypeError("bm25_search requires an index (or term_freqs) and terms")
     if isinstance(index, DataFrame):
         doc_lens = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         row = doc_lens.agg(

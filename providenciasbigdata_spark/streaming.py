@@ -56,8 +56,15 @@ def _dec_add(total: Decimal, values) -> Decimal:
     ``cast(double AS DECIMAL(28,10))`` per element: shortest-repr
     decimal parse (same contract as java.lang.Double.toString) then
     HALF_UP quantize to 10 dp."""
+    import math
+
     for v in values:
         if v is None or pd.isna(v):
+            continue
+        # JVM cast(±inf AS DECIMAL) yields NULL and the sum skips it —
+        # mirror that instead of letting Decimal('Infinity').quantize
+        # raise InvalidOperation and kill the stream
+        if not math.isfinite(float(v)):
             continue
         total += Decimal(repr(float(v))).quantize(_Q10, rounding=ROUND_HALF_UP)
     return total

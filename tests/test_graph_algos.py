@@ -129,3 +129,26 @@ def test_pagerank_no_per_iteration_collect(spark):
     assert counts["count"] == 1
     got = {r.id: r.rank for r in pr.collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_reliable_checkpoint_dir_matches_local(spark, toy_edges, tmp_path):
+    """checkpoint_dir switches every truncation point to a reliable
+    checkpoint (survives executor loss at cluster scale) without
+    changing results; checkpoint files actually land in the dir."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    local = {(r.id, round(r.rank, 10)) for r in pagerank(toy_edges, max_iter=3).collect()}
+    reliable = {
+        (r.id, round(r.rank, 10))
+        for r in pagerank(toy_edges, max_iter=3, checkpoint_dir=ckdir).collect()
+    }
+    assert local == reliable
+    assert any(os.scandir(ckdir)), "no checkpoint data written to checkpoint_dir"
+
+    cc_local = {tuple(r) for r in connected_components(toy_edges).collect()}
+    cc_rel = {
+        tuple(r)
+        for r in connected_components(toy_edges, checkpoint_dir=ckdir).collect()
+    }
+    assert cc_local == cc_rel

@@ -215,3 +215,21 @@ def test_cypher_varlen_expansion(spark):
         cypher_run(CYPHER_VARLEN, edges=edges, params={"origen": "P-7"})
     with pytest.raises(ValueError, match="bad hop range"):
         cypher_run(CYPHER_VARLEN.replace("*1..3", "*0..3"), edges=edges, params=params)
+
+
+def test_mql_find_collection_default_language(spark):
+    """A Spanish-text-index collection stems $text by DEFAULT on the
+    server; default_language='spanish' mirrors that for verbatim
+    reference queries, while the engine default stays the pinned
+    unstemmed B1 contract. Per-query $language always wins."""
+    docs = _rulings(spark)
+    q = {"$text": {"$search": "values merges"}}
+    unstemmed = mql_find(docs, q).count()
+    stemmed = mql_find(docs, q, default_language="spanish").count()
+    explicit = mql_find(
+        docs, {"$text": {"$search": "values merges", "$language": "es"}}
+    ).count()
+    assert stemmed == explicit > unstemmed
+    # explicit "none" beats the collection default
+    none_q = {"$text": {"$search": "values merges", "$language": "none"}}
+    assert mql_find(docs, none_q, default_language="spanish").count() == unstemmed

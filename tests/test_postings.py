@@ -149,3 +149,28 @@ def test_bm25_and_search_degenerate_inputs(spark):
     from providenciasbigdata_spark.operators.postings import build_term_freqs
 
     assert bm25_search(build_term_freqs(empty_docs), ["merge"]).collect() == []
+
+
+def test_bm25_search_accepts_deprecated_term_freqs_keyword(spark):
+    """r02 keyword callers keep working for one round (DeprecationWarning),
+    and mixing both spellings raises."""
+    import warnings
+
+    import pytest
+
+    from providenciasbigdata_spark.operators.postings import (
+        bm25_search,
+        build_term_freqs,
+    )
+
+    tfs = build_term_freqs(_rulings(spark))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        old = bm25_search(term_freqs=tfs, terms=["merge"], k=3).collect()
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    new = bm25_search(tfs, ["merge"], k=3).collect()
+    assert [tuple(r) for r in old] == [tuple(r) for r in new]
+    with pytest.raises(TypeError, match="not both"):
+        bm25_search(tfs, ["merge"], term_freqs=tfs)
+    with pytest.raises(TypeError, match="requires"):
+        bm25_search(terms=["merge"])

@@ -393,3 +393,15 @@ def test_upsert_sink_recovers_crash_window(spark, events_dir, tmp_path_factory):
     assert got.count() == want  # prior state restored, merge idempotent
     leftovers = [p for p in os.listdir(target) if p.startswith(("_old_", "_staging_"))]
     assert leftovers == []
+
+
+def test_dec_add_skips_non_finite_like_jvm_cast():
+    """cast(double AS DECIMAL) nulls ±inf on the JVM; the stateful
+    processors' exact-decimal accumulator must mirror that instead of
+    raising InvalidOperation mid-stream."""
+    from decimal import Decimal
+
+    total = streaming._dec_add(
+        Decimal(0), [1.5, float("inf"), float("-inf"), float("nan"), None, 2.5]
+    )
+    assert total == Decimal("4.0")
