@@ -13,9 +13,13 @@ general MQL/Cypher engine:
 
 - MQL: top-level equality on scalar fields, implicit AND across keys,
   ``{"$text": {"$search": s}}`` with B1 OR-of-terms semantics, and
-  (the step beyond) ``$in``, ``$gt/$gte/$lt/$lte`` operator documents
-  and explicit ``$and``/``$or`` clause lists. Unsupported operators
-  raise rather than silently misread.
+  (the step beyond) ``$in``/``$nin``/``$ne``/``$exists``/``$not``,
+  ``$gt/$gte/$lt/$lte`` operator documents, explicit ``$and``/``$or``
+  clause lists, and the pymongo cursor surface
+  (``find(q, projection).sort(...).limit(n)``). Unsupported operators
+  raise rather than silently misread. Missing-field semantics map to
+  NULL in the fixed relational schema ($ne/$nin/$not match nulls, as
+  Mongo matches missing fields).
 - Cypher: the full-node-scan template and the anchored 1-hop SIMILAR
   expansion with an inclusive weight range and ``$param`` binding —
   matched structurally (whitespace-insensitive), parameters bound as
@@ -88,6 +92,39 @@ def _field_condition(field: str, value) -> Column:
                 vals = [_coerce(field, v) for v in operand]
                 # Mongo: $in [] matches nothing
                 conds.append(F.col(field).isin(vals) if vals else F.lit(False))
+            elif op == "$nin":
+                if not isinstance(operand, (list, tuple)):
+                    raise ValueError(f"$nin needs a list, got {operand!r}")
+                vals = [_coerce(field, v) for v in operand]
+                # Mongo: $nin matches missing/null fields too ($in's
+                # complement over ALL documents); [] matches everything
+                conds.append(
+                    (F.col(field).isNull() | ~F.col(field).isin(vals))
+                    if vals
+                    else F.lit(True)
+                )
+            elif op == "$ne":
+                # $ne matches missing/null fields as well
+                conds.append(
+                    F.col(field).isNull()
+                    | (F.col(field) != F.lit(_coerce(field, operand)))
+                )
+            elif op == "$exists":
+                if not isinstance(operand, bool):
+                    raise ValueError(f"$exists needs a bool, got {operand!r}")
+                # fixed relational schema: "missing" maps to NULL
+                conds.append(
+                    F.col(field).isNotNull() if operand else F.col(field).isNull()
+                )
+            elif op == "$not":
+                # $not takes an operator document (Mongo rejects bare
+                # values too) and matches missing fields as well
+                if not isinstance(operand, dict) or not operand:
+                    raise ValueError(
+                        f"$not needs a non-empty operator document, got {operand!r}"
+                    )
+                inner = _field_condition(field, operand)
+                conds.append(F.col(field).isNull() | ~inner)
             elif op in _RANGE_OPS:
                 conds.append(
                     _RANGE_OPS[op](F.col(field), F.lit(_coerce(field, operand)))
@@ -131,8 +168,56 @@ def _query_condition(query: dict, default_language: str = "none") -> Column:
     return reduce(and_, conds) if conds else F.lit(True)
 
 
+def _apply_projection(df: DataFrame, projection: dict) -> DataFrame:
+    """Mongo projection document: ``{"f": 1, ...}`` keeps only the
+    listed fields, ``{"f": 0, ...}`` keeps everything else; mixing
+    include and exclude raises (as Mongo errors), except for ``_id``
+    which is accepted and ignored — the relational view has no
+    surrogate key to suppress (A12 drops it at the source). Output
+    columns keep the VIEW's column order (Mongo returns stored order,
+    not projection order)."""
+    spec = {k: bool(v) for k, v in projection.items() if k != "_id"}
+    if not spec:
+        return df
+    modes = set(spec.values())
+    if len(modes) > 1:
+        raise ValueError(
+            f"cannot mix include and exclude in a projection: {projection!r}"
+        )
+    unknown = spec.keys() - set(df.columns)
+    if unknown:
+        raise ValueError(f"projection references unknown fields: {sorted(unknown)}")
+    if modes == {True}:
+        keep = [c for c in df.columns if c in spec]
+    else:
+        keep = [c for c in df.columns if c not in spec]
+    if not keep:
+        raise ValueError(f"projection excludes every field: {projection!r}")
+    return df.select(*keep)
+
+
+def _apply_sort(df: DataFrame, sort) -> DataFrame:
+    """pymongo ``sort`` spec: ``[("f", 1), ("g", -1)]`` (or a dict in
+    insertion order). BSON comparison places null/missing lowest, so
+    ascending is nulls-first and descending nulls-last — matched
+    exactly with Spark's explicit null-ordering variants."""
+    pairs = list(sort.items()) if isinstance(sort, dict) else list(sort)
+    cols = []
+    for field, direction in pairs:
+        if direction not in (1, -1):
+            raise ValueError(f"sort direction must be 1 or -1, got {direction!r}")
+        col = F.col(field)
+        cols.append(col.asc_nulls_first() if direction == 1 else col.desc_nulls_last())
+    return df.orderBy(*cols)
+
+
 def mql_find(
-    rulings: DataFrame, query: dict, default_language: str = "none"
+    rulings: DataFrame,
+    query: dict,
+    projection: dict | None = None,
+    sort=None,
+    limit: int | None = None,
+    default_language: str = "none",
 ) -> DataFrame:
     """``collection.find(query)`` over the rulings view.
 
@@ -159,8 +244,25 @@ def mql_find(
     into a single .filter — equality/range parts reach the parquet
     scan as pushed filters; unsupported operators raise rather than
     silently misread.
+
+    ``projection`` / ``sort`` / ``limit`` mirror the pymongo cursor
+    surface (``find(q, proj).sort(s).limit(n)``): projection is column
+    pruning that reaches the scan's ReadSchema; sort+limit lowers to
+    TakeOrdered (per-partition heaps — no global sort shuffle); sort
+    WITHOUT limit is presentation-order only, which a distributed
+    frame cannot promise past the next shuffle (B5: unspecified order)
+    — it's applied, but don't rely on it mid-pipeline. ``limit(0)``
+    means no limit and a negative limit applies its magnitude, as
+    pymongo defines.
     """
-    return rulings.filter(_query_condition(query, default_language))
+    out = rulings.filter(_query_condition(query, default_language))
+    if projection is not None:
+        out = _apply_projection(out, projection)
+    if sort is not None:
+        out = _apply_sort(out, sort)
+    if limit:
+        out = out.limit(abs(int(limit)))
+    return out
 
 
 # ---- Cypher templates ----------------------------------------------------
@@ -177,6 +279,32 @@ _NEIGHBORHOOD_RE = re.compile(
     r"WHERE\s+\3\.similitud\s*>=\s*\$(\w+)\s+AND\s+\3\.similitud\s*<=\s*\$(\w+)\s*"
     r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\4\.id\s+AS\s+(\w+)\s*,"
     r"\s*\3\.similitud\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
+# extension: UNDIRECTED anchored 1-hop — `-[r:SIMILAR]-` with no arrow.
+# Cypher matches each relationship once in either orientation, so the
+# result is the union of out-edges and in-edges at the anchor.
+_UNDIRECTED_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*-\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\3\.similitud\s*>=\s*\$(\w+)\s+AND\s+\3\.similitud\s*<=\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\4\.id\s+AS\s+(\w+)\s*,"
+    r"\s*\3\.similitud\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+# extension: MULTI-ANCHOR directed 1-hop — the anchor set arrives as a
+# list parameter (`WHERE a.id IN $ids`), the batched form of the
+# reference's one-anchor page.
+_MULTI_ANCHOR_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\1\.id\s+IN\s+\$(\w+)\s+AND\s+"
+    r"\2\.similitud\s*>=\s*\$(\w+)\s+AND\s+\2\.similitud\s*<=\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\3\.id\s+AS\s+(\w+)\s*,"
+    r"\s*\2\.similitud\s+AS\s+(\w+)\s*$",
     re.IGNORECASE,
 )
 
@@ -212,6 +340,13 @@ def cypher_run(
     BFS over the weight-filtered edge set (one equi-join per level,
     frontier state only), returning each reachable endpoint once at
     its minimum hop count.
+    Template 4 (extension): UNDIRECTED anchored 1-hop
+    (``-[r:SIMILAR]-``, no arrow): each stored relationship touching
+    the anchor matches once, bound anchor-outward — one scan, one
+    filter.
+    Template 5 (extension): multi-anchor directed 1-hop
+    (``WHERE a.id IN $ids``): the batched form of the one-anchor page;
+    the anchor list compiles to a scan-pushed isin, no join.
     """
     params = params or {}
     flat = " ".join(query.split())
@@ -234,6 +369,61 @@ def cypher_run(
         return (
             edges.filter(
                 (F.col("src") == F.lit(params[anchor_p]))
+                & F.col("similitud").between(
+                    float(params[lo_p]), float(params[hi_p])
+                )
+            )
+            .select(
+                F.col("src").alias(out_origen),
+                F.col("dst").alias(out_destino),
+                F.col("similitud").alias(out_sim),
+            )
+        )
+
+    m = _UNDIRECTED_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        anchor_p, lo_p, hi_p = m.group(2), m.group(5), m.group(6)
+        out_origen, out_destino, out_sim = m.group(7), m.group(8), m.group(9)
+        missing = [p for p in (anchor_p, lo_p, hi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        anchor = params[anchor_p]
+        in_range = F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+        # one scan, one filter: each stored relationship touching the
+        # anchor matches once, oriented anchor-outward (Cypher binds a
+        # to the anchor, b to the other endpoint, whatever the arrow)
+        touching = edges.filter(
+            ((F.col("src") == F.lit(anchor)) | (F.col("dst") == F.lit(anchor)))
+            & in_range
+        )
+        other = F.when(F.col("src") == F.lit(anchor), F.col("dst")).otherwise(
+            F.col("src")
+        )
+        return touching.select(
+            F.lit(anchor).alias(out_origen),
+            other.alias(out_destino),
+            F.col("similitud").alias(out_sim),
+        )
+
+    m = _MULTI_ANCHOR_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        anchors_p, lo_p, hi_p = m.group(4), m.group(5), m.group(6)
+        out_origen, out_destino, out_sim = m.group(7), m.group(8), m.group(9)
+        missing = [p for p in (anchors_p, lo_p, hi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        anchors = params[anchors_p]
+        if not isinstance(anchors, (list, tuple)):
+            raise ValueError(f"${anchors_p} must bind a list, got {anchors!r}")
+        # isin over the literal anchor set: scan-pushed, no join — the
+        # batched form of the one-anchor page stays a single-pass filter
+        return (
+            edges.filter(
+                F.col("src").isin(list(anchors))
                 & F.col("similitud").between(
                     float(params[lo_p]), float(params[hi_p])
                 )

@@ -201,6 +201,57 @@ _MQL_OR_TEXT_SQL = (
 )
 
 
+def q_mql_nin_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation operators ($nin / $not-wrapped range / $exists) AND-
+    composed in one filter document (compat.ir). Mongo's missing-field
+    semantics — $nin and $not also match null — are encoded in the
+    compiled predicate; the oracle mirrors the same NULL-aware form."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return _project(
+        mql_find(
+            _rulings(spark, sf_dir),
+            {
+                "tipo": {"$nin": ["src1", "src2"]},
+                "anio": {"$not": {"$lt": 2010}},
+                "texto": {"$exists": True},
+            },
+        )
+    )
+
+
+_MQL_NIN_NOT_SQL = (
+    f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+    f"WHERE (tipo IS NULL OR tipo NOT IN ('src1', 'src2')) "
+    f"AND (anio IS NULL OR NOT (anio < 2010)) "
+    f"AND texto IS NOT NULL"
+)
+
+
+def q_mql_cursor_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pymongo cursor chain find(q, projection).sort(...).limit(n):
+    projection prunes to the scan's ReadSchema, sort+limit lowers to
+    TakeOrdered (per-partition heaps, no global sort). Sort keys
+    (anio desc, providencia asc) form a total order — providencia is
+    unique — so the 12-row head is deterministic and oracle-hashable."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    found = mql_find(
+        _rulings(spark, sf_dir),
+        {"tipo": "src3"},
+        projection={"providencia": 1, "anio": 1},
+        sort=[("anio", -1), ("providencia", 1)],
+        limit=12,
+    )
+    return found.select("providencia", F.col("anio").cast("long").alias("anio"))
+
+
+_MQL_CURSOR_SQL = (
+    f"SELECT providencia, anio FROM ({_RULINGS_SQL}) WHERE tipo = 'src3' "
+    f"ORDER BY anio DESC, providencia ASC LIMIT 12"
+)
+
+
 def q_a7_search_postings_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7's OR-of-terms contract answered from a materialized inverted
     index (operators/postings.py) instead of a corpus scan — the B1
@@ -372,6 +423,82 @@ FROM reach WHERE dst <> 'P-7' GROUP BY dst
 """
 
 
+CYPHER_UNDIRECTED = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]-(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+RETURN a.id AS origen, b.id AS destino, r.similitud AS similitud
+"""
+
+
+def q_cypher_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected anchored 1-hop from the LITERAL no-arrow Cypher
+    template (compat.ir template 4): every stored SIMILAR relationship
+    touching P-7 in [20, 90], bound anchor-outward — out-edges AND
+    in-edges, each relationship once. One scan, one filter; the
+    anchor-touching predicate pushes through the edge build's
+    projection into the pair join."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    return cypher_run(
+        CYPHER_UNDIRECTED, edges=edges,
+        params={"origen": "P-7", "lo": 20.0, "hi": 90.0},
+    )
+
+
+_CYPHER_UNDIRECTED_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id = 7 OR b.vec_id = 7
+)
+SELECT 'P-7' AS origen,
+       CASE WHEN src = 'P-7' THEN dst ELSE src END AS destino,
+       similitud
+FROM e WHERE similitud BETWEEN 20 AND 90
+"""
+
+
+CYPHER_MULTI_ANCHOR = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE a.id IN $origenes AND r.similitud >= $lo AND r.similitud <= $hi
+RETURN a.id AS origen, b.id AS destino, r.similitud AS similitud
+"""
+
+
+def q_cypher_multi_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-anchor directed 1-hop (compat.ir template 5): the anchor
+    LIST binds as one parameter and compiles to a scan-pushed isin —
+    the batched form of the reference's one-anchor page, still a
+    single-pass filter (no join against an anchor table)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    return cypher_run(
+        CYPHER_MULTI_ANCHOR, edges=edges,
+        params={"origenes": ["P-3", "P-7", "P-11"], "lo": 40.0, "hi": 100.0},
+    )
+
+
+_CYPHER_MULTI_ANCHOR_SQL = """
+SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
+       'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+FROM embeddings a
+JOIN embeddings b ON b.vec_id <> a.vec_id
+WHERE a.vec_id IN (3, 7, 11)
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) * 100, 4)
+      BETWEEN 40 AND 100
+"""
+
+
 _A10_SQL = """
 SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
        'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
@@ -440,6 +567,8 @@ QUERIES = {
     "mql_range_anio": (q_mql_range_anio, _MQL_RANGE_SQL),
     "mql_or_text": (q_mql_or_text, _MQL_OR_TEXT_SQL),
     "mql_regex_providencia": (q_mql_regex, _MQL_REGEX_SQL),
+    "mql_nin_not_exists": (q_mql_nin_not, _MQL_NIN_NOT_SQL),
+    "mql_cursor_surface": (q_mql_cursor_surface, _MQL_CURSOR_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
@@ -450,4 +579,6 @@ QUERIES = {
     ),
     "a10_neighborhood": (q_a10_neighborhood, _A10_SQL),
     "cypher_varlen_expansion": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
+    "cypher_undirected_expansion": (q_cypher_undirected, _CYPHER_UNDIRECTED_SQL),
+    "cypher_multi_anchor": (q_cypher_multi_anchor, _CYPHER_MULTI_ANCHOR_SQL),
 }

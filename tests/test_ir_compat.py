@@ -90,8 +90,8 @@ def test_mql_widened_subset(spark):
 def test_mql_rejects_unsupported_operators(spark):
     docs = _rulings(spark)
     for bad in (
-        {"anio": {"$nin": [2005]}},
-        {"tipo": {"$exists": True}},
+        {"anio": {"$type": "int"}},
+        {"tipo": {"$size": 2}},
         {"$nor": [{"tipo": "src3"}]},
         {"$where": "1"},
         {"anio": {}},
@@ -233,3 +233,106 @@ def test_mql_find_collection_default_language(spark):
     # explicit "none" beats the collection default
     none_q = {"$text": {"$search": "values merges", "$language": "none"}}
     assert mql_find(docs, none_q, default_language="spanish").count() == unstemmed
+
+
+def test_mql_negation_operators(spark):
+    """$ne/$nin/$exists/$not with Mongo's missing-field (NULL) matching."""
+    docs = _rulings(spark)
+    total = docs.count()
+    n1 = docs.filter(F.col("tipo") == "src1").count()
+    assert mql_find(docs, {"tipo": {"$ne": "src1"}}).count() == total - n1
+    n13 = mql_find(docs, {"tipo": {"$in": ["src1", "src3"]}}).count()
+    assert mql_find(docs, {"tipo": {"$nin": ["src1", "src3"]}}).count() == total - n13
+    # $nin [] matches everything ($in []'s complement)
+    assert mql_find(docs, {"tipo": {"$nin": []}}).count() == total
+    # fixture has no nulls: $exists true = all, false = none
+    assert mql_find(docs, {"texto": {"$exists": True}}).count() == total
+    assert mql_find(docs, {"texto": {"$exists": False}}).count() == 0
+    # $not inverts an operator document
+    lt = mql_find(docs, {"anio": {"$lt": 2010}}).count()
+    assert mql_find(docs, {"anio": {"$not": {"$lt": 2010}}}).count() == total - lt
+    with pytest.raises(ValueError, match="\\$not"):
+        mql_find(docs, {"anio": {"$not": 2010}})
+    with pytest.raises(ValueError, match="\\$exists"):
+        mql_find(docs, {"anio": {"$exists": 1}})
+
+
+def test_mql_nulls_match_negations(spark):
+    """Null fields behave like Mongo missing fields for $ne/$nin/$not."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", None)], "tipo string, anio int"
+    )
+    assert mql_find(df, {"tipo": {"$ne": "a"}}).count() == 2  # null + 'b'
+    assert mql_find(df, {"tipo": {"$nin": ["a", "b"]}}).count() == 1  # null row
+    assert mql_find(df, {"anio": {"$not": {"$gte": 1}}}).count() == 1  # null anio
+    assert mql_find(df, {"anio": {"$exists": False}}).count() == 1
+
+
+def test_mql_cursor_projection_sort_limit(spark):
+    """find(q, projection).sort(...).limit(n) — the pymongo chain."""
+    docs = _rulings(spark)
+    out = mql_find(
+        docs,
+        {"tipo": "src3"},
+        projection={"providencia": 1, "anio": 1, "_id": 0},
+        sort=[("anio", -1), ("providencia", 1)],
+        limit=5,
+    )
+    assert out.columns == ["providencia", "anio"]  # view order, _id ignored
+    rows = out.collect()
+    assert len(rows) == 5
+    years = [r.anio for r in rows]
+    assert years == sorted(years, reverse=True)
+    # exclusion projection keeps everything else
+    excl = mql_find(docs, {}, projection={"texto": 0, "tokens": 0})
+    assert "texto" not in excl.columns and "providencia" in excl.columns
+    # mixing include+exclude raises (as Mongo errors)
+    with pytest.raises(ValueError, match="mix"):
+        mql_find(docs, {}, projection={"texto": 0, "anio": 1})
+    with pytest.raises(ValueError, match="unknown"):
+        mql_find(docs, {}, projection={"nope": 1})
+    # limit(0) = no limit; negative limit = magnitude (pymongo contract)
+    assert mql_find(docs, {"tipo": "src3"}, limit=0).count() == \
+        mql_find(docs, {"tipo": "src3"}).count()
+    assert mql_find(docs, {"tipo": "src3"}, limit=-3).count() == 3
+
+
+def test_cypher_undirected_template(spark):
+    """No-arrow pattern: each stored relationship touching the anchor
+    matches once, bound anchor-outward; equals out+in edge union."""
+    from providenciasbigdata_spark.queries.compat_queries import CYPHER_UNDIRECTED
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb)
+    got = cypher_run(
+        CYPHER_UNDIRECTED, edges=edges,
+        params={"origen": "P-7", "lo": 20.0, "hi": 90.0},
+    )
+    rng = F.col("similitud").between(20.0, 90.0)
+    out_n = edges.filter((F.col("src") == "P-7") & rng).count()
+    in_n = edges.filter((F.col("dst") == "P-7") & rng).count()
+    assert got.count() == out_n + in_n
+    assert got.filter(F.col("origen") != "P-7").count() == 0
+
+
+def test_cypher_multi_anchor_template(spark):
+    """Anchor list binds as one parameter; result = union of the
+    per-anchor directed expansions; non-list binding raises."""
+    from providenciasbigdata_spark.queries.compat_queries import CYPHER_MULTI_ANCHOR
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb)
+    got = cypher_run(
+        CYPHER_MULTI_ANCHOR, edges=edges,
+        params={"origenes": ["P-3", "P-7"], "lo": 40.0, "hi": 100.0},
+    )
+    per = edges.filter(
+        F.col("src").isin("P-3", "P-7") & F.col("similitud").between(40.0, 100.0)
+    ).count()
+    assert got.count() == per
+    assert {r.origen for r in got.select("origen").distinct().collect()} <= {"P-3", "P-7"}
+    with pytest.raises(ValueError, match="list"):
+        cypher_run(
+            CYPHER_MULTI_ANCHOR, edges=edges,
+            params={"origenes": "P-3", "lo": 40.0, "hi": 100.0},
+        )
