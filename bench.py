@@ -65,6 +65,11 @@ HEADLINE = [
     "mql_or_text",
     "graph_pagerank",
     "multimodal_wav_decode",
+    # round 4 additions
+    "multimodal_bmp_decode",
+    "mql_cursor_surface",
+    "cypher_multi_anchor",
+    "sample_stratified",
 ]
 
 
