@@ -308,3 +308,38 @@ def test_hof_token_stats_no_explode_shuffle(spark, reg):
     plan = plan_of(_run(reg, "array_hof_token_stats", spark))
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # HOFs, not explode
+
+
+def test_mql_cursor_sort_limit_is_take_ordered(spark, reg):
+    """find(q, proj).sort(...).limit(n) must lower to
+    TakeOrderedAndProject (per-partition heaps), never a global sort,
+    and the equality filter must reach the parquet scan."""
+    plan = plan_of(_run(reg, "mql_cursor_surface", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+    assert "PushedFilters" in plan and "source" in plan, plan
+
+
+def test_mql_projection_prunes_scan_schema(spark):
+    """An include-projection must shrink the scan's ReadSchema — texto
+    (the wide column) never leaves the parquet reader."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.compat.ir import mql_find
+    from providenciasbigdata_spark.io import load_table
+
+    docs = rulings_view(load_table(spark, SF, "documents"))
+    out = mql_find(docs, {"tipo": "src3"}, projection={"providencia": 1, "anio": 1})
+    plan = plan_of(out)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "texto" not in read[0] and "text" not in read[0], plan
+
+
+def test_cypher_undirected_single_scan_no_join(spark, reg):
+    """The undirected 1-hop is one filtered pass over the edge frame —
+    no extra join/exchange beyond the edge build itself. Pin: exactly
+    the same number of joins as the directed multi-anchor template
+    (both consume the same pairwise edge build)."""
+    undirected = plan_of(_run(reg, "cypher_undirected_expansion", spark))
+    multi = plan_of(_run(reg, "cypher_multi_anchor", spark))
+    count = lambda p: sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"))
+    assert count(undirected) == count(multi), (undirected, multi)
