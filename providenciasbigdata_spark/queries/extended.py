@@ -141,6 +141,26 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quartiles via percentile_approx (Greenwald-Khanna
+    sketch) — the 100 TB path for agg_percentiles: exact percentiles
+    need the full sorted group in memory, the sketch holds
+    O(accuracy) state per group, merges across partitions, and bounds
+    rank error by n/accuracy. Rows-only: the sketch is engine-specific
+    (DuckDB's approx_quantile uses t-digest — different estimates);
+    rank-error vs the exact quartiles is pinned in pytest."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(1000)
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup -> purchase funnel per user: first-touch timestamps, did
     the purchase follow the signup, and within 7 days? One shuffle
@@ -616,16 +636,22 @@ QUERIES = {
     "unpivot_balances": (q_unpivot_balances, _UNPIVOT_SQL),
     "explode_top_tokens": (q_explode_top_tokens, _EXPLODE_SQL),
     "agg_percentiles": (q_percentiles, _PERCENTILES_SQL),
+    "agg_percentiles_approx": (q_percentiles_approx, None),
 }
 
 WHY_NO_ORACLE = {
     "sample_stratified_bernoulli": (
         "sampleBy's seeded Bernoulli draw depends on partition layout; no SQL "
         "engine reproduces it — sampled fraction pinned within binomial "
-        "tolerance in tests/test_extended.py"
+        "tolerance in tests/test_sampling.py"
     ),
     "udtf_split_sentences": (
         "exercises Spark's Python UDTF lateral-join execution path itself; "
         "output pinned row-exactly in pytest"
+    ),
+    "agg_percentiles_approx": (
+        "Greenwald-Khanna sketch estimates are engine-specific (DuckDB's "
+        "approx_quantile is t-digest — different values); rank error vs the "
+        "exact oracle-checked agg_percentiles pinned in tests/test_sampling.py"
     ),
 }

@@ -105,3 +105,23 @@ def test_budget_rates_targets_and_caps(spark):
         budget_rates([("en", en, 1.0)], budget=0)
     with pytest.raises(ValueError):
         budget_rates([("en", en, 0.0)], budget=10)
+
+
+# ---- approximate percentiles (bounded-state scale path) --------------------
+
+def test_approx_percentiles_rank_error_bound(spark):
+    """percentile_approx(accuracy=1000) guarantees rank error <=
+    n/accuracy: the empirical rank of each estimated quartile must sit
+    within that bound of its target rank (per status group)."""
+    from providenciasbigdata_spark.queries.extended import q_percentiles_approx
+
+    orders = load_table(spark, SF, "orders")
+    approx = {r.o_orderstatus: r for r in q_percentiles_approx(spark, SF).collect()}
+    for status, row in approx.items():
+        grp = orders.filter(F.col("o_orderstatus") == status)
+        n = row.n
+        assert n == grp.count()
+        for q, est in ((0.25, row.p25), (0.5, row.p50), (0.75, row.p75)):
+            rank = grp.filter(F.col("o_totalprice") <= est).count()
+            assert abs(rank - q * n) <= n / 1000 + 1, (status, q, est, rank, n)
+        assert row.p25 <= row.p50 <= row.p75
