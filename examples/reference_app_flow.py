@@ -36,6 +36,22 @@ def main() -> None:
     frame = eng.query_rulings_frame(providencia="P-does-not-exist")
     print(f"[page 1] empty-result sentinel columns: {list(frame.columns)}")
 
+    # -- page 1, literal IR: the pymongo calls the reference makes --------
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    rulings = eng.rulings()
+    found = mql_find(rulings, {"tipo": tipos[0]})
+    print(f"[page 1/IR] collection.find({{'tipo': ...}}): {found.count()} rulings")
+    # cursor surface: projection + sort + limit, as a client would page
+    page = mql_find(
+        rulings,
+        {"tipo": tipos[0]},
+        projection={"providencia": 1, "anio": 1},
+        sort=[("anio", -1), ("providencia", 1)],
+        limit=10,
+    )
+    print(f"[page 1/IR] first page (proj+sort+limit): {page.count()} rows")
+
     # -- page 2: "Filtrar por Similitudes" --------------------------------
     ids = eng.node_ids()
     anchor = ids[7]
