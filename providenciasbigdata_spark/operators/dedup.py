@@ -596,3 +596,44 @@ def embedding_near_dups(
     return pairs.select(
         "left_id", "right_id", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def dedup_embedding(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    scale: float = 1.0,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Semantic (embedding-cluster) dedup, SemDeDup-shaped: cluster the
+    cosine>=threshold near-dup graph into connected components and keep
+    ONE deterministic survivor (min id) per component; isolated vectors
+    are their own singleton components.
+
+    Scale path end to end: candidate pairs come from the tile-blocked
+    exact all-pairs kernel (O(block^2) work/memory per task, corpus
+    never on the driver — swap in srp_lsh_pairs for an approximate
+    candidate step at extreme n), the component fixed point is the
+    iterative min-label propagation (one equi-join + partial-agg
+    shuffle per round), and survivor selection is one aggregate.
+
+    Output: (survivor_id, n_members) — one row per component;
+    n_members-1 rows of the corpus are dropped by this component.
+    """
+    from providenciasbigdata_spark.operators.graph_algos import connected_components
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_blocked
+
+    edges = pairwise_cosine_blocked(
+        embeddings, threshold, id_col=id_col, vec_col=vec_col,
+        scale=scale, block_size=block_size,
+    )
+    comp = connected_components(edges, src="left_id", dst="right_id")
+    labeled = (
+        embeddings.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    return labeled.groupBy("component").agg(
+        F.count("*").alias("n_members")
+    ).select(F.col("component").alias("survivor_id"), "n_members")

@@ -357,6 +357,46 @@ def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over embeddings (SemDeDup shape), FULLY
+    oracle-checked: cosine>=0.30 components (bounded to 150 vectors so
+    the fixed-point loop stays fast at fixture scale) -> one min-id
+    survivor per component + member count. Candidate pairs via the
+    tile-blocked distributed kernel; the oracle reproduces the
+    component fixed point with a recursive reachability CTE (numeric
+    LEAST on raw integer ids — no string-order trap) and singletons via
+    anti-join."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return dedup.dedup_embedding(
+        emb, id_col="vec_id", threshold=30.0, scale=100.0, block_size=512
+    )
+
+
+_DEDUP_EMB_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) * 100, 4) >= 30
+), reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN e s ON r.v = s.u
+), comp AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+), allc AS (
+  SELECT id, component FROM comp
+  UNION ALL
+  SELECT vec_id, vec_id FROM embeddings
+  WHERE vec_id < 150 AND vec_id NOT IN (SELECT id FROM comp)
+)
+SELECT CAST(component AS BIGINT) AS survivor_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM allc GROUP BY component
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-shape exact dedup: batch (doc 200-299) vs the hash index
     of history (doc 0-249); 50 ids overlap and must drop."""
@@ -571,6 +611,7 @@ QUERIES = {
     "minhash_near_dups": (q_minhash_near_dups, None),
     "minhash_near_dups_est": (q_minhash_near_dups_est, None),
     "dedup_near_survivors": (q_dedup_near_survivors, None),
+    "dedup_embedding_survivors": (q_dedup_embedding_survivors, _DEDUP_EMB_SQL),
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
     "minhash_incremental": (q_minhash_incremental, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),

@@ -168,3 +168,29 @@ def test_dedup_near_keeps_min_id_survivor(spark):
         ).collect()
     )
     assert kept == [1, 10]
+
+
+def test_dedup_embedding_survivor_properties(spark):
+    """Semantic-dedup invariants: member counts cover the corpus
+    exactly once; each survivor is the min id of its component; no two
+    survivors are near-dups of each other (else they'd share a
+    component)."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.dedup import (
+        dedup_embedding,
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 80
+    )
+    n = emb.count()
+    surv = dedup_embedding(emb, threshold=30.0, scale=100.0, block_size=64)
+    rows = surv.collect()
+    assert sum(r.n_members for r in rows) == n
+    ids = {r.survivor_id for r in rows}
+    assert len(ids) == len(rows)  # one survivor per component
+    # survivors are pairwise below threshold
+    kept = emb.filter(F.col("vec_id").isin([int(i) for i in ids]))
+    cross = embedding_near_dups(kept, threshold=0.30)
+    assert cross.count() == 0
