@@ -359,14 +359,43 @@ def q_stratified_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF via lateralJoin: per-document sentence rows.
-    Rows-only: the sentence boundary is a lookbehind regex that
-    RE2-based SQL engines can't run; semantics are pinned on synthetic
-    text in tests/test_udx.py."""
+    """Python UDTF via lateralJoin: per-document sentence rows. The
+    REAL Python-UDTF execution path runs on the Spark side; the oracle
+    reproduces the lookbehind split ``(?<=[.!?])\\s+`` (which RE2-based
+    engines can't run directly) with an equivalent replace-then-split:
+    rewrite each punctuation+whitespace boundary to a sentinel char,
+    split on the sentinel, zip-unnest with the element index — so even
+    the non-SQL UDTF surface is hash-checked."""
     from providenciasbigdata_spark.functions.udx import split_sentences
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return split_sentences(docs)
+    out = split_sentences(docs)
+    return out.select(
+        "doc_id",
+        F.col("sentence_id").cast("long").alias("sentence_id"),
+        "sentence",
+        F.col("sentence_chars").cast("long").alias("sentence_chars"),
+    )
+
+
+_UDTF_SENTENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '([.!?])\s+', '\1' || chr(30), 'g') AS s
+  FROM documents WHERE doc_id < 50
+), parts AS (
+  SELECT doc_id, string_split(s, chr(30)) AS p FROM t WHERE s <> ''
+), ex AS (
+  SELECT doc_id,
+         unnest(range(len(p))) AS sentence_id,
+         trim(unnest(p)) AS sentence
+  FROM parts
+)
+SELECT doc_id, CAST(sentence_id AS BIGINT) AS sentence_id, sentence,
+       CAST(length(sentence) AS BIGINT) AS sentence_chars
+FROM ex WHERE sentence <> ''
+"""
 
 
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,7 +654,7 @@ QUERIES = {
     "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
     "sample_stratified": (q_stratified_sample, _STRATIFIED_SQL),
     "sample_stratified_bernoulli": (q_stratified_bernoulli, None),
-    "udtf_split_sentences": (q_udtf_sentences, None),
+    "udtf_split_sentences": (q_udtf_sentences, _UDTF_SENTENCES_SQL),
     "udaf_geomean": (q_udaf_geomean, _UDAF_GEOMEAN_SQL),
     "udx_arrow_group_quantiles": (q_arrow_group_quantiles, _ARROW_QUANTILES_SQL),
     "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),
@@ -644,10 +673,6 @@ WHY_NO_ORACLE = {
         "sampleBy's seeded Bernoulli draw depends on partition layout; no SQL "
         "engine reproduces it — sampled fraction pinned within binomial "
         "tolerance in tests/test_sampling.py"
-    ),
-    "udtf_split_sentences": (
-        "exercises Spark's Python UDTF lateral-join execution path itself; "
-        "output pinned row-exactly in pytest"
     ),
     "agg_percentiles_approx": (
         "Greenwald-Khanna sketch estimates are engine-specific (DuckDB's "
