@@ -86,6 +86,11 @@ def main() -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     near = similarity.pairwise_cosine_blocked(emb, threshold=0.95, block_size=512)
     print(f"[5] embedding near-dup pairs (cos>=0.95): {near.count()}")
+    sem = dedup.dedup_embedding(emb, threshold=0.95, block_size=512)
+    n_comp = sem.count()
+    n_emb = emb.count()
+    print(f"[5] semantic dedup (SemDeDup shape): {n_comp} survivors "
+          f"({n_emb - n_comp} near-dup vectors dropped)")
 
     centroids, iters = similarity.kmeans_centroids(emb, n_clusters=8, max_iter=5)
     qvec = emb.filter(F.col("vec_id") == 0).first().embedding
