@@ -265,6 +265,95 @@ def mql_find(
     return out
 
 
+def _ref_field(spec, what: str) -> str:
+    """'$field' -> field (aggregation field-path reference)."""
+    if not (isinstance(spec, str) and spec.startswith("$") and len(spec) > 1):
+        raise ValueError(f"{what} needs a '$field' reference, got {spec!r}")
+    if "." in spec:
+        raise ValueError(f"nested field paths are unsupported: {spec!r}")
+    return spec[1:]
+
+
+_GROUP_ACCS = {"$sum", "$avg", "$min", "$max"}
+
+
+def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
+    if not isinstance(spec, dict) or "_id" not in spec:
+        raise ValueError(f"$group needs an _id key: {spec!r}")
+    gid = spec["_id"]
+    aggs = []
+    for out, acc in spec.items():
+        if out == "_id":
+            continue
+        if not (isinstance(acc, dict) and len(acc) == 1):
+            raise ValueError(f"$group accumulator must be a single-op dict: {acc!r}")
+        (op, operand), = acc.items()
+        if op not in _GROUP_ACCS:
+            raise ValueError(f"unsupported $group accumulator: {op}")
+        if op == "$sum" and operand == 1:
+            aggs.append(F.count(F.lit(1)).alias(out))
+            continue
+        col = F.col(_ref_field(operand, op))
+        fn = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max}[op]
+        aggs.append(fn(col).alias(out))
+    if not aggs:
+        raise ValueError("$group needs at least one accumulator")
+    if gid is None:
+        return df.agg(*aggs)
+    if isinstance(gid, dict):
+        raise ValueError(
+            "compound $group _id subdocuments are unsupported — group on a "
+            "single '$field' (the relational view has no nested documents)"
+        )
+    return df.groupBy(F.col(_ref_field(gid, "$group _id")).alias("_id")).agg(*aggs)
+
+
+def mql_aggregate(
+    rulings: DataFrame, pipeline: list, default_language: str = "none"
+) -> DataFrame:
+    """``collection.aggregate(pipeline)`` over the rulings view — the
+    facet-counting surface one step beyond the reference's ``find()``
+    calls (the reference computes its facet option lists client-side;
+    a Mongo user would ship exactly this pipeline instead).
+
+    Supported stages, each compiling to its canonical DataFrame op so
+    Catalyst sees ONE declarative plan: ``$match`` (full find() filter
+    grammar, text/$language included), ``$unwind`` (explode),
+    ``$group`` (scalar ``'$field'`` or None ``_id``; ``$sum``/``$avg``/
+    ``$min``/``$max``/``$sum: 1`` accumulators -> hash aggregate with
+    map-side partials), ``$project`` (include/exclude document ->
+    column pruning), ``$sort`` (BSON null ordering), ``$skip``/
+    ``$limit``. Unsupported stages/accumulators raise rather than
+    silently misread. $match-before-$group orders the filter ahead of
+    the shuffle, exactly as Mongo's own pipeline optimizer would.
+    """
+    df = rulings
+    for stage in pipeline:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise ValueError(f"each pipeline stage must be a single-key dict: {stage!r}")
+        (op, spec), = stage.items()
+        if op == "$match":
+            df = df.filter(_query_condition(spec, default_language))
+        elif op == "$unwind":
+            field = _ref_field(spec, "$unwind")
+            df = df.withColumn(field, F.explode(F.col(field)))
+        elif op == "$group":
+            df = _group_stage(df, spec)
+        elif op == "$project":
+            df = _apply_projection(df, spec)
+        elif op == "$sort":
+            df = _apply_sort(df, spec)
+        elif op == "$limit":
+            df = df.limit(int(spec))
+        elif op == "$skip":
+            df = df.offset(int(spec))
+        elif op == "$count":
+            df = df.agg(F.count(F.lit(1)).alias(str(spec)))
+        else:
+            raise ValueError(f"unsupported aggregation stage: {op}")
+    return df
+
+
 # ---- Cypher templates ----------------------------------------------------
 
 _NODE_SCAN_RE = re.compile(

@@ -423,6 +423,57 @@ FROM reach WHERE dst <> 'P-7' GROUP BY dst
 """
 
 
+def q_mql_agg_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collection.aggregate facet counting — the pipeline a Mongo user
+    ships instead of the reference's client-side option lists: one
+    $group with count + avg accumulators, $sort by key. Compiles to a
+    single hash aggregate with map-side partials."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$group": {"_id": "$tipo", "n": {"$sum": 1}, "avg_anio": {"$avg": "$anio"}}},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    return out.select("_id", "n", F.round("avg_anio", 6).alias("avg_anio"))
+
+
+_MQL_AGG_FACET_SQL = (
+    f"SELECT tipo AS _id, CAST(COUNT(*) AS BIGINT) AS n, "
+    f"ROUND(AVG(anio), 6) AS avg_anio "
+    f"FROM ({_RULINGS_SQL}) GROUP BY tipo"
+)
+
+
+def q_mql_agg_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$match -> $unwind -> $group -> $sort -> $limit: the wordcount
+    shape as a literal MQL aggregation pipeline ($match precedes the
+    explode and the shuffle; the tie-broken $sort+$limit lowers to
+    TakeOrdered)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    return mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$match": {"anio": {"$gte": 2010}}},
+            {"$unwind": "$tokens"},
+            {"$group": {"_id": "$tokens", "n": {"$sum": 1}}},
+            {"$sort": {"n": -1, "_id": 1}},
+            {"$limit": 20},
+        ],
+    )
+
+
+_MQL_AGG_TOKENS_SQL = (
+    f"SELECT token AS _id, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    f"SELECT unnest({_TOKENS_SQL.format(col='text')}) AS token "
+    f"FROM documents WHERE 2000 + doc_id % 25 >= 2010"
+    f") GROUP BY token ORDER BY n DESC, _id ASC LIMIT 20"
+)
+
+
 CYPHER_UNDIRECTED = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]-(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -569,6 +620,8 @@ QUERIES = {
     "mql_regex_providencia": (q_mql_regex, _MQL_REGEX_SQL),
     "mql_nin_not_exists": (q_mql_nin_not, _MQL_NIN_NOT_SQL),
     "mql_cursor_surface": (q_mql_cursor_surface, _MQL_CURSOR_SQL),
+    "mql_agg_facet_counts": (q_mql_agg_facet_counts, _MQL_AGG_FACET_SQL),
+    "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),

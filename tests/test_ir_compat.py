@@ -336,3 +336,62 @@ def test_cypher_multi_anchor_template(spark):
             CYPHER_MULTI_ANCHOR, edges=edges,
             params={"origenes": "P-3", "lo": 40.0, "hi": 100.0},
         )
+
+
+def test_mql_aggregate_pipeline(spark):
+    """collection.aggregate stages compile to canonical DataFrame ops;
+    results equal the hand-built equivalents."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = _rulings(spark)
+    # $group with $sum:1 / $avg / $min / $max
+    got = {
+        r._id: r
+        for r in mql_aggregate(
+            docs,
+            [{"$group": {"_id": "$tipo", "n": {"$sum": 1},
+                         "lo": {"$min": "$anio"}, "hi": {"$max": "$anio"}}}],
+        ).collect()
+    }
+    want = {
+        r.tipo: r
+        for r in docs.groupBy("tipo").agg(
+            F.count("*").alias("n"), F.min("anio").alias("lo"), F.max("anio").alias("hi")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k].n, got[k].lo, got[k].hi) == (want[k].n, want[k].lo, want[k].hi)
+
+    # global group (_id: None) + $match ordering
+    tot = mql_aggregate(
+        docs,
+        [{"$match": {"anio": {"$gte": 2010}}},
+         {"$group": {"_id": None, "s": {"$sum": "$anio"}}}],
+    ).first().s
+    assert tot == docs.filter(F.col("anio") >= 2010).agg(F.sum("anio")).first()[0]
+
+    # $unwind explodes; $count stage; $skip pages
+    n_tok = mql_aggregate(docs, [{"$unwind": "$tokens"}, {"$count": "n"}]).first().n
+    assert n_tok == docs.select(F.explode("tokens")).count()
+    base = mql_aggregate(docs, [{"$sort": {"providencia": 1}}, {"$limit": 5}]).collect()
+    paged = mql_aggregate(
+        docs, [{"$sort": {"providencia": 1}}, {"$skip": 2}, {"$limit": 3}]
+    ).collect()
+    assert [r.providencia for r in paged] == [r.providencia for r in base[2:5]]
+
+
+def test_mql_aggregate_rejects_out_of_subset(spark):
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = _rulings(spark)
+    for bad in (
+        [{"$lookup": {}}],
+        [{"$group": {"_id": {"t": "$tipo"}, "n": {"$sum": 1}}}],  # compound _id
+        [{"$group": {"_id": "$tipo"}}],  # no accumulator
+        [{"$group": {"_id": "$tipo", "n": {"$push": "$anio"}}}],
+        [{"$unwind": "tokens"}],  # missing $ prefix
+        [{"$match": {"x": 1}, "$limit": 2}],  # two ops in one stage
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(docs, bad).collect()
