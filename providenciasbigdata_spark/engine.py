@@ -127,13 +127,22 @@ class ProvidenciasEngine:
 
     # -- literal reference IR (compat/ir.py) ------------------------------
 
-    def query_mongo(self, query: dict) -> DataFrame:
+    def query_mongo(self, query: dict, **cursor) -> DataFrame:
         """``collection.find(query)`` with the reference's own MQL
         filter documents (streamlit_app.py:31-32,137-148) — paste the
-        dict, get the DataFrame."""
+        dict, get the DataFrame. Keyword args pass through to the
+        pymongo cursor surface (projection / sort / limit /
+        default_language)."""
         from providenciasbigdata_spark.compat.ir import mql_find
 
-        return mql_find(self.rulings(), query)
+        return mql_find(self.rulings(), query, **cursor)
+
+    def aggregate_mongo(self, pipeline: list, **kwargs) -> DataFrame:
+        """``collection.aggregate(pipeline)`` — the facet-counting
+        surface one step beyond the reference's find() calls."""
+        from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+        return mql_aggregate(self.rulings(), pipeline, **kwargs)
 
     def run_cypher(self, query: str, params: dict | None = None) -> DataFrame:
         """Run the reference's Cypher templates verbatim

@@ -83,3 +83,21 @@ def test_registry_order_is_oracle_first_hash_shuffle():
     n_oracle = sum(1 for _fn, sql in reg.values() if sql is not None)
     assert n_oracle >= 50  # the driver's window stays fully hash-checked
     assert all(reg[n][1] is not None for n in names[:n_oracle])
+
+
+def test_engine_mongo_aggregate_and_cursor(spark):
+    from providenciasbigdata_spark.engine import ProvidenciasEngine
+
+    eng = ProvidenciasEngine(spark, "/root/testdata/sf0.001")
+    counts = eng.aggregate_mongo(
+        [{"$group": {"_id": "$tipo", "n": {"$sum": 1}}}, {"$sort": {"n": -1}}]
+    )
+    assert counts.columns == ["_id", "n"]
+    assert counts.count() == eng.rulings().select("tipo").distinct().count()
+    page = eng.query_mongo(
+        {"tipo": counts.first()._id},
+        projection={"providencia": 1, "anio": 1},
+        sort=[("anio", -1), ("providencia", 1)],
+        limit=5,
+    )
+    assert page.columns == ["providencia", "anio"] and page.count() == 5
