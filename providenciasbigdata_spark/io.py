@@ -102,12 +102,25 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet", **options) ->
 
     parquet/orc: columnar with pushdown (prefer). csv/json: row formats,
     pass an explicit schema at scale (inference = extra full scan).
-    binaryFile: multimodal payloads (SURVEY.md C-X6).
+    binaryFile: multimodal payloads (SURVEY.md C-X6). avro: supported
+    when the external module is deployed (``--packages
+    org.apache.spark:spark-avro_2.13:<spark-version>``); absent, the
+    error names the exact coordinate instead of a bare classpath
+    failure.
     """
     reader = spark.read.format(fmt)
     if options:
         reader = reader.options(**{k: str(v) for k, v in options.items()})
-    return reader.load(path)
+    try:
+        return reader.load(path)
+    except Exception as e:
+        if fmt == "avro" and "Failed to find data source" in str(e):
+            ver = spark.version
+            raise RuntimeError(
+                "the avro data source is an external Spark module; launch "
+                f"with --packages org.apache.spark:spark-avro_2.13:{ver}"
+            ) from e
+        raise
 
 
 def write_partitioned(

@@ -210,3 +210,14 @@ def test_events_tz_aware_micros_vintage(spark, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert [r["us"] for r in got] == epochs
+
+
+def test_avro_reader_reports_missing_module(spark, tmp_path):
+    """avro is an external Spark module this runtime doesn't ship; the
+    generic reader must fail with the exact package coordinate."""
+    import pytest
+
+    from providenciasbigdata_spark.io import read_any
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_any(spark, str(tmp_path), fmt="avro")
