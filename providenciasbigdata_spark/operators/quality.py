@@ -96,3 +96,29 @@ def validate_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def observe_expectations(df: DataFrame, checks: list["Check"], name: str = "quality"):
+    """Attach the expectation aggregates as an OBSERVATION on ``df``:
+    the violation counters are computed as a side effect of whatever
+    action the caller already runs — ZERO extra passes over the data,
+    which at 100 TB is the difference between free metrics and a second
+    full scan (``validate_expectations`` is the standalone-audit twin;
+    this is the in-pipeline twin). Works on batch and streaming frames
+    (Spark's Observation API).
+
+    Returns ``(observed_df, observation)``; after any action on
+    ``observed_df``, ``observation.get`` is a dict of
+    ``{check_name: violation_count}``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        *[
+            F.coalesce(c.violations.cast("bigint"), F.lit(0)).alias(c.name)
+            for c in checks
+        ],
+    )
+    return observed, obs

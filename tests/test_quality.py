@@ -106,3 +106,24 @@ def test_merge_agg_state_sequential_folds(spark):
         for r in partial_agg(full, ["k"], ["v"]).collect()
     }
     assert got == want
+
+
+def test_observe_expectations_zero_extra_pass(spark):
+    """Observation metrics ride the caller's own action: one job, no
+    second scan, same counters as the standalone audit."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators import quality as q
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    checks = [
+        q.not_null("o_orderkey"),
+        q.min_value("o_totalprice", 0.0),
+        q.in_set("o_orderstatus", ["O", "F", "P"]),
+    ]
+    observed, obs = q.observe_expectations(orders, checks)
+    n = observed.count()  # the caller's action; metrics piggyback on it
+    assert n == orders.count()
+    got = obs.get
+    want = {r.check: r.violations for r in q.validate_expectations(orders, checks).collect()}
+    assert got == want
+    assert all(v == 0 for v in got.values())
