@@ -398,6 +398,18 @@ _MULTI_ANCHOR_RE = re.compile(
 )
 
 
+# extension: aggregating RETURN — per-source degree count over the
+# weight-filtered graph (the graph-side facet count; pairs with the
+# MQL aggregation pipeline on the document side).
+_DEGREE_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\2\.similitud\s*>=\s*\$(\w+)\s+AND\s+\2\.similitud\s*<=\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*count\s*\(\s*\2\s*\)\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
 _VARLEN_RE = re.compile(
     r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
     r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\*\s*(\d+)\s*\.\.\s*(\d+)\s*\]\s*->"
@@ -436,6 +448,10 @@ def cypher_run(
     Template 5 (extension): multi-anchor directed 1-hop
     (``WHERE a.id IN $ids``): the batched form of the one-anchor page;
     the anchor list compiles to a scan-pushed isin, no join.
+    Template 6 (extension): aggregating RETURN
+    (``RETURN a.id AS x, count(r) AS y`` over the weight-filtered
+    graph) — per-source degree counts as a filter + two-phase hash
+    aggregate; the graph-side sibling of the MQL ``$group`` pipeline.
     """
     params = params or {}
     flat = " ".join(query.split())
@@ -467,6 +483,24 @@ def cypher_run(
                 F.col("dst").alias(out_destino),
                 F.col("similitud").alias(out_sim),
             )
+        )
+
+    m = _DEGREE_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        lo_p, hi_p = m.group(4), m.group(5)
+        out_id, out_deg = m.group(6), m.group(7)
+        missing = [p for p in (lo_p, hi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        # filter ahead of the shuffle; two-phase count aggregate
+        return (
+            edges.filter(
+                F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+            )
+            .groupBy(F.col("src").alias(out_id))
+            .agg(F.count(F.lit(1)).alias(out_deg))
         )
 
     m = _UNDIRECTED_RE.match(flat)

@@ -550,6 +550,36 @@ WHERE a.vec_id IN (3, 7, 11)
 """
 
 
+CYPHER_DEGREE = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+RETURN a.id AS id, count(r) AS grado
+"""
+
+
+def q_cypher_degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregating-RETURN Cypher (compat.ir template 6): per-node
+    out-degree of the weight-filtered SIMILAR graph — filter ahead of
+    the shuffle, two-phase count aggregate."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    return cypher_run(CYPHER_DEGREE, edges=edges, params={"lo": 30.0, "hi": 100.0})
+
+
+_CYPHER_DEGREE_SQL = """
+SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS id,
+       CAST(COUNT(*) AS BIGINT) AS grado
+FROM embeddings a
+JOIN embeddings b ON b.vec_id <> a.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) * 100, 4)
+      BETWEEN 30 AND 100
+GROUP BY a.vec_id
+"""
+
+
 _A10_SQL = """
 SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
        'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
@@ -634,4 +664,5 @@ QUERIES = {
     "cypher_varlen_expansion": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
     "cypher_undirected_expansion": (q_cypher_undirected, _CYPHER_UNDIRECTED_SQL),
     "cypher_multi_anchor": (q_cypher_multi_anchor, _CYPHER_MULTI_ANCHOR_SQL),
+    "cypher_degree_counts": (q_cypher_degree_counts, _CYPHER_DEGREE_SQL),
 }

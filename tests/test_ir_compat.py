@@ -395,3 +395,23 @@ def test_mql_aggregate_rejects_out_of_subset(spark):
     ):
         with pytest.raises(ValueError):
             mql_aggregate(docs, bad).collect()
+
+
+def test_cypher_degree_template(spark):
+    """Aggregating RETURN: per-source degree of the weight-filtered
+    graph equals the hand-built groupBy count."""
+    from providenciasbigdata_spark.queries.compat_queries import CYPHER_DEGREE
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb)
+    got = cypher_run(CYPHER_DEGREE, edges=edges, params={"lo": 30.0, "hi": 100.0})
+    assert got.columns == ["id", "grado"]
+    want = (
+        edges.filter(F.col("similitud").between(30.0, 100.0))
+        .groupBy("src").count()
+    )
+    assert got.count() == want.count()
+    gm = {r.id: r.grado for r in got.collect()}
+    assert all(gm[r.src] == r["count"] for r in want.collect())
+    with pytest.raises(ValueError, match="unbound"):
+        cypher_run(CYPHER_DEGREE, edges=edges, params={"lo": 30.0})
