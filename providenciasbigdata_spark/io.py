@@ -250,3 +250,32 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """CSV ingest that survives dirty data at scale: explicit schema
+    (inference is an extra full pass), parse mode PERMISSIVE (malformed
+    rows land with NULL fields and the raw line captured in
+    ``corrupt_col`` for quarantine), DROPMALFORMED (silently drop), or
+    FAILFAST (abort on first bad row). The quarantine pattern:
+    ``df.filter(col(corrupt_col).isNotNull())`` routes bad lines to a
+    dead-letter sink while the clean subset flows on — one scan, no
+    pre-validation pass."""
+    full_schema = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema:
+        full_schema = f"{schema}, {corrupt_col} string"
+    reader = (
+        spark.read.schema(full_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.csv(path)

@@ -221,3 +221,52 @@ def test_avro_reader_reports_missing_module(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_any(spark, str(tmp_path), fmt="avro")
+
+
+def test_read_csv_robust_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE mode: malformed lines parse to NULL fields with the
+    raw line captured for quarantine; clean rows flow through; the
+    same file FAILFASTs when asked."""
+    import pytest
+
+    from providenciasbigdata_spark.io import read_csv_robust
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alpha,10.5\n2,beta,not_a_number\n3,gamma,7.25\n")
+    df = read_csv_robust(spark, str(p), "id int, name string, score double").cache()
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score == 10.5 and rows[1]._corrupt_record is None
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    assert clean.count() == 2
+    df.unpersist()
+
+    dropped = read_csv_robust(
+        spark, str(p), "id int, name string, score double", mode="DROPMALFORMED"
+    )
+    # collect, not count(): count() prunes every column so the parser
+    # never sees the malformed field and nothing is dropped — the
+    # documented reason the quarantine pattern beats DROPMALFORMED
+    assert len(dropped.collect()) == 2
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_csv_robust(
+            spark, str(p), "id int, name string, score double", mode="FAILFAST"
+        ).collect()
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: a vintage written without a column and a newer
+    vintage with it read together via mergeSchema — old rows NULL-fill,
+    pruning still works on the union schema."""
+    old = tmp_path / "t" / "v=1"
+    new = tmp_path / "t" / "v=2"
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS name").write.parquet(str(old))
+    spark.range(3, 6).selectExpr(
+        "id", "CAST(id AS STRING) AS name", "id * 2 AS extra"
+    ).write.parquet(str(new))
+    df = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(df.columns) >= {"id", "name", "extra"}
+    assert df.count() == 6
+    assert df.filter(F.col("extra").isNull()).count() == 3  # old vintage NULL-fills
+    assert df.filter(F.col("extra") == 8).count() == 1
