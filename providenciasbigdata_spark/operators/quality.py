@@ -107,18 +107,22 @@ def observe_expectations(df: DataFrame, checks: list["Check"], name: str = "qual
     this is the in-pipeline twin). Works on batch and streaming frames
     (Spark's Observation API).
 
-    Returns ``(observed_df, observation)``; after any action on
-    ``observed_df``, ``observation.get`` is a dict of
+    Batch: returns ``(observed_df, observation)``; after any action on
+    ``observed_df``, ``observation.get`` is
     ``{check_name: violation_count}``.
+    Streaming: the ``Observation`` helper is batch-only, so the named
+    form is used instead — returns ``(observed_df, name)``; read the
+    per-micro-batch counters from
+    ``query.recentProgress[i].observedMetrics[name]`` (or a
+    StreamingQueryListener) and sum across batches.
     """
+    cols = [
+        F.coalesce(c.violations.cast("bigint"), F.lit(0)).alias(c.name)
+        for c in checks
+    ]
+    if df.isStreaming:
+        return df.observe(name, *cols), name
     from pyspark.sql import Observation
 
     obs = Observation(name)
-    observed = df.observe(
-        obs,
-        *[
-            F.coalesce(c.violations.cast("bigint"), F.lit(0)).alias(c.name)
-            for c in checks
-        ],
-    )
-    return observed, obs
+    return df.observe(obs, *cols), obs

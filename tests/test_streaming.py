@@ -405,3 +405,34 @@ def test_dec_add_skips_non_finite_like_jvm_cast():
         Decimal(0), [1.5, float("inf"), float("-inf"), float("nan"), None, 2.5]
     )
     assert total == Decimal("4.0")
+
+
+def test_streaming_observed_quality_metrics(spark, events_dir):
+    """observe_expectations on a STREAMING frame: the violation
+    counters surface per micro-batch in StreamingQueryProgress
+    .observedMetrics — free in-flight data-quality monitoring (no
+    second pass, no extra query), summing to the batch audit."""
+    from providenciasbigdata_spark.operators import quality as q
+
+    checks = [q.not_null("event_id"), q.min_value("value", 0.0)]
+    stream = streaming.events_stream(spark, events_dir, max_files_per_trigger=1)
+    observed, _obs = q.observe_expectations(stream, checks, name="stream_quality")
+    query = (
+        observed.writeStream.format("noop")
+        .queryName("observed_quality")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    totals = {c.name: 0 for c in checks}
+    n_with_metrics = 0
+    for p in query.recentProgress:
+        m = p.observedMetrics.get("stream_quality")
+        if m is not None:
+            n_with_metrics += 1
+            for c in checks:
+                totals[c.name] += m[c.name]
+    assert n_with_metrics >= 1  # at least one reporting micro-batch
+    batch = load_table(spark, SF, "events")
+    want = {r.check: r.violations for r in q.validate_expectations(batch, checks).collect()}
+    assert totals == want
