@@ -127,3 +127,99 @@ def test_stem_preimage_expansion_equivalence(tokens, query_tok):
     pre = set(stem_preimages(term))
     for t in tokens + [query_tok, term]:
         assert (stem_py(t) == term) == (t in pre), (t, term)
+
+
+# ---- MQL filter-document semantics (compat/ir.py) -------------------------
+
+_MQL_ROWS = [
+    ("a", 1), ("a", 5), ("b", 3), ("b", None), (None, 7), (None, None), ("c", 2),
+]
+_VALS = st.sampled_from(["a", "b", "c", "z"])
+_NUMS = st.integers(0, 8)
+
+
+def _leaf():
+    return st.one_of(
+        st.builds(lambda v: {"tipo": v}, _VALS),
+        st.builds(lambda v: {"tipo": {"$ne": v}}, _VALS),
+        st.builds(lambda vs: {"tipo": {"$in": vs}}, st.lists(_VALS, max_size=3)),
+        st.builds(lambda vs: {"tipo": {"$nin": vs}}, st.lists(_VALS, max_size=3)),
+        st.builds(lambda n: {"anio": {"$gt": n}}, _NUMS),
+        st.builds(lambda n, m: {"anio": {"$gte": n, "$lt": m}}, _NUMS, _NUMS),
+        st.builds(lambda n: {"anio": {"$not": {"$lt": n}}}, _NUMS),
+        st.builds(lambda b: {"anio": {"$exists": b}}, st.booleans()),
+    )
+
+
+_QUERY = st.recursive(
+    _leaf(),
+    lambda inner: st.one_of(
+        st.builds(lambda qs: {"$and": qs}, st.lists(inner, min_size=1, max_size=3)),
+        st.builds(lambda qs: {"$or": qs}, st.lists(inner, min_size=1, max_size=3)),
+    ),
+    max_leaves=4,
+)
+
+
+def _model_field(value, spec):
+    """Pure-Python Mongo semantics for one field condition (missing
+    field == None): negations ($ne/$nin/$not) match None; ordered
+    comparisons never match None (BSON type bracketing)."""
+    if not isinstance(spec, dict):
+        return value is not None and value == spec
+    ok = True
+    for op, operand in spec.items():
+        if op == "$ne":
+            ok &= value is None or value != operand
+        elif op == "$in":
+            ok &= value is not None and value in operand
+        elif op == "$nin":
+            ok &= value is None or value not in operand
+        elif op == "$exists":
+            ok &= (value is not None) == operand
+        elif op == "$not":
+            ok &= value is None or not _model_field(value, operand)
+        elif op == "$gt":
+            ok &= value is not None and value > operand
+        elif op == "$gte":
+            ok &= value is not None and value >= operand
+        elif op == "$lt":
+            ok &= value is not None and value < operand
+        elif op == "$lte":
+            ok &= value is not None and value <= operand
+        else:  # pragma: no cover
+            raise AssertionError(op)
+    return ok
+
+
+def _model_match(row, query):
+    for key, value in query.items():
+        if key == "$and":
+            if not all(_model_match(row, q) for q in value):
+                return False
+        elif key == "$or":
+            if not any(_model_match(row, q) for q in value):
+                return False
+        elif not _model_field(row[key], value):
+            return False
+    return True
+
+
+@settings(max_examples=25, deadline=None)
+@given(_QUERY)
+def test_mql_filter_matches_mongo_model(spark, q):
+    """Any filter document from the supported grammar selects exactly
+    the rows a pure-Python Mongo-semantics evaluator selects — NULL
+    (missing-field) behavior of the negation operators included."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    df = spark.createDataFrame(
+        [(i, t, a) for i, (t, a) in enumerate(_MQL_ROWS)],
+        "rid int, tipo string, anio int",
+    )
+    got = {r.rid for r in mql_find(df, q).collect()}
+    want = {
+        i for i, (t, a) in enumerate(_MQL_ROWS)
+        if _model_match({"tipo": t, "anio": a}, q)
+    }
+    assert got == want, q
