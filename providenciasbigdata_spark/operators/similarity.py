@@ -829,3 +829,97 @@ def ivf_pq_topk(
         round_digits=round_digits,
         codes_df=cell_codes,
     )
+
+
+# ---- persisted IVF index (service posture) --------------------------------
+
+class IVFIndex:
+    """A built, ON-DISK IVF index: vectors stored partitioned by
+    cluster + a small centroid table. The ANN analogue of
+    ``BM25Index`` (postings.py): build once, query many, ZERO
+    training/assignment work per query — and because the vector table
+    is hive-partitioned by ``cluster``, every probe is a
+    PARTITION-PRUNED scan (only the probed lists' files are opened),
+    which at 100 TB is the difference between reading nprobe/k_clusters
+    of the corpus and all of it."""
+
+    def __init__(self, spark, path: str, centroids, id_col: str, vec_col: str):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/vectors")
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_clusters: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Train (distributed Lloyd), assign, and persist: vectors land
+    partitioned by cluster, centroids as one tiny parquet. One
+    training pass + one assignment pass + one partitioned write."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    centroids, _iters = kmeans_centroids(
+        embeddings, n_clusters=n_clusters, max_iter=max_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    (
+        embeddings.join(assigned, embeddings[id_col] == assigned.id)
+        .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(f"{out_dir}/vectors")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    return IVFIndex(spark, out_dir, C, id_col, vec_col)
+
+
+def load_ivf_index(
+    spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> IVFIndex:
+    """Open a built index; only the tiny centroid table is read
+    eagerly (k_clusters x dim)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    C = np.asarray([r.centroid for r in rows], dtype=np.float64)
+    return IVFIndex(spark, path, C, id_col, vec_col)
+
+
+def ivf_index_topk(
+    index: IVFIndex,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k against the persisted index: rank centroids on the
+    driver (k_clusters x dim — trivial), scan ONLY the probed cluster
+    partitions (hive partition pruning on the ``cluster`` filter),
+    exact-cosine re-rank, TakeOrdered. No training, no assignment, no
+    full-corpus pass."""
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(index.centroids @ qn))[:nprobe].tolist()
+    cands = index.vectors().filter(F.col("cluster").isin(probes))
+    score = F.round(cosine(F.col(index.vec_col), _vec_lit(q)), round_digits)
+    return (
+        cands.select(F.col(index.id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(index.id_col))
+        .limit(k)
+    )

@@ -233,3 +233,45 @@ def test_ivf_pq_recall_and_exhaustive_exactness(spark):
     }
     recall = len(narrow & set(l2_exact)) / 10
     assert recall >= 0.5, recall
+
+
+def test_ivf_index_persisted_partition_pruned(spark, tmp_path):
+    """Build-once/query-many IVF: probes open ONLY the probed cluster
+    partitions (hive pruning), probe-all equals brute force exactly,
+    and a reloaded index answers identically to the built one."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        load_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "ivf")
+    idx = build_ivf_index(emb, out, n_clusters=8, max_iter=4)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+
+    # partition pruning: the probed scan touches only nprobe cluster
+    # dirs at RUNTIME (inputFiles() reports the unpruned relation, so
+    # ask the executed scan which files it actually read)
+    import numpy as np
+
+    qn = np.asarray(qvec) / np.linalg.norm(qvec)
+    probes = np.argsort(-(idx.centroids @ qn))[:2].tolist()
+    read_files = (
+        idx.vectors().filter(F.col("cluster").isin(probes))
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    clusters_touched = {r.f.split("cluster=")[1].split("/")[0] for r in read_files}
+    assert clusters_touched == {str(p) for p in probes}, clusters_touched
+
+    # probe-all == exact brute force
+    got = ivf_index_topk(idx, qvec, k=5, nprobe=8).collect()
+    want = brute_force_topk(emb, qvec, k=5).collect()
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.score) for r in want]
+
+    # reload answers identically
+    idx2 = load_ivf_index(spark, out)
+    got2 = ivf_index_topk(idx2, qvec, k=5, nprobe=8).collect()
+    assert [(r.vec_id, r.score) for r in got2] == [(r.vec_id, r.score) for r in got]
