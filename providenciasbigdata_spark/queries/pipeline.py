@@ -235,6 +235,33 @@ LIMIT 10
 """
 
 
+def q_ivf_index_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k answered from the PERSISTED IVF index (build once in a
+    fingerprint-keyed staging dir, query many; probes are
+    partition-pruned scans). Probing ALL lists makes the index path
+    exact, so the whole build->persist->load->probe chain is
+    hash-checked against the brute-force oracle — the approximate
+    nprobe<k path is the rows-only `ivf_ann_topk` sibling."""
+    import os
+    import tempfile
+
+    from providenciasbigdata_spark.queries.modern import (
+        _sf_tag,
+        _source_fingerprint,
+    )
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pbd_ivfidx_{_sf_tag(sf_dir)}_{_source_fingerprint(sf_dir, 'embeddings')}",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(out, "vectors", "_SUCCESS")):
+        similarity.build_ivf_index(emb, out, n_clusters=8, max_iter=4)
+    idx = similarity.load_ivf_index(spark, out)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return similarity.ivf_index_topk(idx, [float(x) for x in qvec], k=10, nprobe=8)
+
+
 def q_ann_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -607,6 +634,7 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
     "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
+    "ivf_index_exact_topk": (q_ivf_index_exact_topk, _ANN_BRUTE_SQL),
     "ann_topk_per_query": (q_ann_topk_per_query, _ANN_PER_QUERY_SQL),
     "minhash_near_dups": (q_minhash_near_dups, None),
     "minhash_near_dups_est": (q_minhash_near_dups_est, None),
