@@ -343,3 +343,44 @@ def test_cypher_undirected_single_scan_no_join(spark, reg):
     multi = plan_of(_run(reg, "cypher_multi_anchor", spark))
     count = lambda p: sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"))
     assert count(undirected) == count(multi), (undirected, multi)
+
+
+def test_mql_aggregate_pipeline_plan_shapes(spark, reg):
+    """$group lowers to a two-phase HashAggregate (map-side partials);
+    $sort+$limit after $group lowers to TakeOrdered, not a global
+    sort; the $match filter sits under the aggregate (before the
+    shuffle)."""
+    facet = plan_of(_run(reg, "mql_agg_facet_counts", spark))
+    assert facet.count("HashAggregate") >= 2, facet
+    tokens = plan_of(_run(reg, "mql_agg_top_tokens", spark))
+    assert "TakeOrderedAndProject" in tokens, tokens
+    assert "rangepartitioning" not in tokens.lower(), tokens
+    # the year filter runs pre-explode/pre-shuffle: it appears as a
+    # Filter on the scan side, and the scan pushes the derived column's
+    # inputs only
+    assert "Filter" in tokens, tokens
+
+
+def test_ivf_index_probe_is_partition_pruned_scan(spark, reg):
+    """The persisted-index probe must carry a PartitionFilters entry on
+    cluster — the probe reads file groups, not the corpus."""
+    import numpy as np
+
+    from providenciasbigdata_spark.operators import similarity
+    from providenciasbigdata_spark.io import load_table
+
+    # reuse the staged index the registry query builds
+    _run(reg, "ivf_index_exact_topk", spark)
+    import os, tempfile
+    from providenciasbigdata_spark.queries.modern import _sf_tag, _source_fingerprint
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pbd_ivfidx_{_sf_tag(SF)}_{_source_fingerprint(SF, 'embeddings')}",
+    )
+    idx = similarity.load_ivf_index(spark, out)
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    plan = plan_of(similarity.ivf_index_topk(idx, qvec, k=5, nprobe=2))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cluster" in pf[0], plan
