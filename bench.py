@@ -70,6 +70,9 @@ HEADLINE = [
     "mql_cursor_surface",
     "cypher_multi_anchor",
     "sample_stratified",
+    "mql_agg_facet_counts",
+    "dedup_embedding_survivors",
+    "ivf_index_exact_topk",
 ]
 
 
