@@ -171,13 +171,23 @@ def _query_condition(query: dict, default_language: str = "none") -> Column:
 def _apply_projection(df: DataFrame, projection: dict) -> DataFrame:
     """Mongo projection document: ``{"f": 1, ...}`` keeps only the
     listed fields, ``{"f": 0, ...}`` keeps everything else; mixing
-    include and exclude raises (as Mongo errors), except for ``_id``
-    which is accepted and ignored — the relational view has no
-    surrogate key to suppress (A12 drops it at the source). Output
+    include and exclude raises (as Mongo errors), with Mongo's one
+    exception: ``_id``. When the frame actually HAS an ``_id`` column
+    (a ``$group`` result), include-mode projections keep it implicitly
+    unless ``_id: 0``, and ``{"f": 1, "_id": 0}`` is legal; on the
+    find() view there is no surrogate key to suppress (A12 drops it at
+    the source), so the ``_id`` key is accepted and ignored. Output
     columns keep the VIEW's column order (Mongo returns stored order,
     not projection order)."""
+    has_id = "_id" in df.columns
+    id_setting = projection.get("_id")  # None = unspecified
     spec = {k: bool(v) for k, v in projection.items() if k != "_id"}
     if not spec:
+        if has_id and "_id" in projection and not id_setting:
+            keep = [c for c in df.columns if c != "_id"]
+            if not keep:
+                raise ValueError(f"projection excludes every field: {projection!r}")
+            return df.select(*keep)
         return df
     modes = set(spec.values())
     if len(modes) > 1:
@@ -188,9 +198,11 @@ def _apply_projection(df: DataFrame, projection: dict) -> DataFrame:
     if unknown:
         raise ValueError(f"projection references unknown fields: {sorted(unknown)}")
     if modes == {True}:
-        keep = [c for c in df.columns if c in spec]
+        keep_id = has_id and (id_setting is None or bool(id_setting))
+        keep = [c for c in df.columns if c in spec or (c == "_id" and keep_id)]
     else:
-        keep = [c for c in df.columns if c not in spec]
+        drop_id = has_id and id_setting is not None and not id_setting
+        keep = [c for c in df.columns if c not in spec and not (c == "_id" and drop_id)]
     if not keep:
         raise ValueError(f"projection excludes every field: {projection!r}")
     return df.select(*keep)

@@ -415,3 +415,24 @@ def test_cypher_degree_template(spark):
     assert all(gm[r.src] == r["count"] for r in want.collect())
     with pytest.raises(ValueError, match="unbound"):
         cypher_run(CYPHER_DEGREE, edges=edges, params={"lo": 30.0})
+
+
+def test_mql_project_id_special_casing(spark):
+    """Mongo's _id projection rules over $group output: include-mode
+    keeps _id implicitly, {"f":1,"_id":0} is the one legal mix, and
+    {"_id":0} alone drops just _id; on the find() view (no _id column)
+    the key is accepted and ignored."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = _rulings(spark)
+    grouped = [{"$group": {"_id": "$tipo", "n": {"$sum": 1}}}]
+    assert mql_aggregate(docs, grouped + [{"$project": {"n": 1}}]).columns == ["_id", "n"]
+    assert mql_aggregate(
+        docs, grouped + [{"$project": {"n": 1, "_id": 0}}]
+    ).columns == ["n"]
+    assert mql_aggregate(docs, grouped + [{"$project": {"_id": 0}}]).columns == ["n"]
+    # non-_id include+exclude still raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mix"):
+        mql_aggregate(docs, grouped + [{"$project": {"n": 1, "_id": 0, "x": 0}}])
