@@ -49,14 +49,26 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation to a fixed point.
+    """Connected components by min-label propagation with POINTER
+    JUMPING to a fixed point.
 
     Every node's label converges to the smallest node id in its
-    component (total order on ids = deterministic labels). Converges in
-    O(component diameter) iterations; each iteration shuffles O(edges).
+    component (total order on ids = deterministic labels). Each
+    iteration (a) takes the min label over every node's neighborhood,
+    then (b) pointer-jumps ``label(v) <- label(label(v))`` — the
+    hash-to-min accelerant from the MapReduce-CC literature — so
+    convergence is O(log diameter) rounds instead of O(diameter):
+    a 1000-hop chain resolves in ~10 rounds, not 1000. Each round is
+    two equi-joins + one partial-agg shuffle, all keyed on node id.
+
+    ``checkpoint_every`` defaults to 1 BY MEASUREMENT: the label frame
+    is referenced multiple times per round (neighbor join, jump join,
+    convergence diff), so deferring truncation doubles the plan per
+    round — the same 2^k pathology pagerank documents (24.5s vs 7.9s
+    for the 150-vector fixture graph at every-5).
 
     Output: (id, component).
     """
@@ -77,17 +89,27 @@ def connected_components(
             .select(F.col("u").alias("id"), "label")
         )
         new_labels = (
-            labels.union(nbr_labels).groupBy("id").agg(F.min("label").alias("label"))
+            labels.select("id", "label", F.col("label").alias("_old"))
+            .unionByName(nbr_labels.withColumn("_old", F.lit(None).cast(
+                labels.schema["label"].dataType)))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
+        )
+        # pointer jump: follow the label one more step (labels are node
+        # ids, so every label has a row). Left join + coalesce guards
+        # the iteration-order edge where a label's own row was pruned.
+        jump_map = new_labels.select(
+            F.col("id").alias("label"), F.col("label").alias("_label2")
+        )
+        new_labels = new_labels.join(jump_map, "label", "left").select(
+            "id", F.coalesce("_label2", "label").alias("label"), "_old"
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = ckpt(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # convergence diff rides the SAME materialized frame (the old
+        # label was carried through the aggregate) — no extra join job
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     out = ckpt(labels.select("id", F.col("label").alias("component")))
