@@ -923,3 +923,23 @@ def ivf_index_topk(
         .orderBy(F.desc("score"), F.asc(index.id_col))
         .limit(k)
     )
+
+
+def ivf_index_append(index: IVFIndex, new_embeddings: DataFrame) -> None:
+    """Incremental index maintenance: assign a NEW batch of vectors to
+    the EXISTING centroids (one map-only pass — no retraining, no
+    touch of the resident corpus) and append them into the partitioned
+    layout. The ingest-shape twin of ``dedup_exact_incremental``:
+    steady-state corpora grow by appends; retraining (``build_ivf_
+    index``) is the periodic offline job when centroid drift warrants
+    it. Appended files land inside the matching ``cluster=`` partition
+    directories, so probes stay partition-pruned."""
+    assigned = ivf_assign(
+        new_embeddings, index.centroids, index.id_col, index.vec_col
+    )
+    (
+        new_embeddings.join(assigned, new_embeddings[index.id_col] == assigned.id)
+        .select(F.col(index.id_col), F.col(index.vec_col), F.col("cluster"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(f"{index.path}/vectors")
+    )

@@ -275,3 +275,37 @@ def test_ivf_index_persisted_partition_pruned(spark, tmp_path):
     idx2 = load_ivf_index(spark, out)
     got2 = ivf_index_topk(idx2, qvec, k=5, nprobe=8).collect()
     assert [(r.vec_id, r.score) for r in got2] == [(r.vec_id, r.score) for r in got]
+
+
+def test_ivf_index_append_incremental(spark, tmp_path):
+    """Appending a batch assigns against the existing centroids only
+    (no retrain), lands inside the partitioned layout, and the merged
+    index answers probe-all queries exactly like a brute force over
+    the union corpus."""
+    import numpy as np
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+        load_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter(F.col("vec_id") >= 300)
+    out = str(tmp_path / "ivf_inc")
+    idx = build_ivf_index(base, out, n_clusters=8, max_iter=4)
+    before = np.array(idx.centroids, copy=True)
+    ivf_index_append(idx, batch)
+    assert np.array_equal(before, load_ivf_index(spark, out).centroids)  # no retrain
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+    got = ivf_index_topk(idx, qvec, k=7, nprobe=8).collect()
+    want = brute_force_topk(emb, qvec, k=7).collect()
+    assert [(r.vec_id, r.score) for r in got] == [(r.vec_id, r.score) for r in want]
+    # appended rows are inside cluster= dirs (pruning preserved)
+    n_union = idx.vectors().count()
+    assert n_union == emb.count()
