@@ -376,17 +376,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_dups(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance over SimHash fingerprints.
-
-    Blocking: split the 64-bit fingerprint into ``max_hamming + 1``
-    chunks — any pair within the distance budget must agree on at least
-    one full chunk (pigeonhole), so candidates come from equi-joins on
-    (chunk_id, chunk_value), never a cross join.
-    """
-    chunks = max_hamming + 1
-    width = 64 // chunks
-    exploded = fingerprints.select(
+def _simhash_chunks(fingerprints: DataFrame, chunks: int, width: int) -> DataFrame:
+    """Pigeonhole blocking keys: explode each 64-bit fingerprint into
+    its ``chunks`` fixed-width slices — any pair within the Hamming
+    budget must agree on at least one full slice."""
+    return fingerprints.select(
         "id",
         "simhash",
         F.explode(
@@ -403,6 +397,19 @@ def simhash_near_dups(fingerprints: DataFrame, max_hamming: int = 3) -> DataFram
             )
         ).alias("ch"),
     ).select("id", "simhash", "ch.chunk_id", "ch.chunk_val")
+
+
+def simhash_near_dups(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming + 1``
+    chunks — any pair within the distance budget must agree on at least
+    one full chunk (pigeonhole), so candidates come from equi-joins on
+    (chunk_id, chunk_value), never a cross join.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    exploded = _simhash_chunks(fingerprints, chunks, width)
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(
@@ -422,6 +429,44 @@ def simhash_near_dups(fingerprints: DataFrame, max_hamming: int = 3) -> DataFram
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cands.select(
         "left_id", "right_id", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_incremental(
+    batch_fps: DataFrame, index_fps: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Ingest-shape SimHash near-dup check: a NEW batch of fingerprints
+    against the PREBUILT fingerprint index of resident documents —
+    cross-corpus pairs only, never batch-vs-batch or index-vs-index.
+    The SimHash sibling of ``dedup_exact_incremental`` /
+    ``minhash_incremental``: both sides explode the same pigeonhole
+    chunk keys, candidates come from the (chunk_id, chunk_val)
+    equi-join (O(batch x chunks) shuffle, index side prunable to the
+    batch's key set), exact Hamming verify on collisions.
+
+    Output: (batch_id, index_id, hamming <= max_hamming).
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    a = _simhash_chunks(batch_fps, chunks, width).alias("a")
+    b = _simhash_chunks(index_fps, chunks, width).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val")),
+        )
+        .select(
+            F.col("a.id").alias("batch_id"),
+            F.col("b.id").alias("index_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select(
+        "batch_id", "index_id", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
 
 

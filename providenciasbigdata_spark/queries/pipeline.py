@@ -468,6 +468,16 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Hamming near-dups against the prebuilt SimHash fingerprint
+    index (rows-only: blake2b bit-vote fingerprints aren't
+    SQL-expressible); cross-corpus pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = dedup.simhash(docs.filter(F.col("doc_id") < 250))
+    batch = dedup.simhash(docs.filter(F.col("doc_id") >= 250))
+    return dedup.simhash_incremental(batch, index, max_hamming=3)
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -643,6 +653,7 @@ QUERIES = {
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
     "minhash_incremental": (q_minhash_incremental, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
+    "simhash_incremental": (q_simhash_incremental, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
@@ -675,6 +686,11 @@ WHY_NO_ORACLE = {
     "simhash_near_dups": (
         "SimHash Hamming-ball candidate generation (see simhash_fingerprints); "
         "pair recall pinned in tests/test_dedup.py"
+    ),
+    "simhash_incremental": (
+        "cross-corpus SimHash Hamming check over blake2b bit-vote "
+        "fingerprints — not SQL-expressible; equivalence to the full-corpus "
+        "pair set restricted to cross pairs pinned in tests/test_dedup.py"
     ),
     "ivf_ann_topk": _APPROX_ANN,
     "ivf_pq_ann_topk": _APPROX_ANN,

@@ -194,3 +194,30 @@ def test_dedup_embedding_survivor_properties(spark):
     kept = emb.filter(F.col("vec_id").isin([int(i) for i in ids]))
     cross = embedding_near_dups(kept, threshold=0.30)
     assert cross.count() == 0
+
+
+def test_simhash_incremental_equals_cross_pairs_of_full(spark):
+    """Batch-vs-index incremental SimHash returns exactly the
+    full-corpus near-dup pairs that cross the batch/index boundary —
+    no batch-batch or index-index pairs, none missed."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fps = dedup.simhash(docs).cache()
+    split = 250
+    index = fps.filter(F.col("id") < split)
+    batch = fps.filter(F.col("id") >= split)
+    inc = {
+        (r.batch_id, r.index_id, r.hamming)
+        for r in dedup.simhash_incremental(batch, index, max_hamming=3).collect()
+    }
+    full = dedup.simhash_near_dups(fps, max_hamming=3).collect()
+    cross = {
+        (max(r.left_id, r.right_id), min(r.left_id, r.right_id), r.hamming)
+        for r in full
+        if (r.left_id < split) != (r.right_id < split)
+    }
+    assert inc == cross
+    assert all(b >= split > i for b, i, _ in inc)
+    fps.unpersist()
