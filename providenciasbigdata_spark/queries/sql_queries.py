@@ -315,6 +315,34 @@ FROM customer
 """
 
 
+
+
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/DuckDB shared sugar): every non-
+    aggregate select item becomes a grouping key — the analyst
+    shorthand, resolving to the identical hash-aggregate plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+                   AS total
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+_SQL_GROUP_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY ALL
+"""
+
+
 QUERIES = {
     "sql_recursive_reachability": (q_recursive_reachability, _RECURSIVE_SQL),
     "sql_scalar_udf": (q_sql_scalar_udf, _SQL_SCALAR_UDF_SQL),
@@ -327,6 +355,7 @@ QUERIES = {
     "sql_parameterized": (q_sql_parameterized, _SQL_PARAM_SQL),
     "date_functions": (q_date_functions, _DATE_FUNCS_SQL),
     "approx_distinct_users": (q_approx_distinct, None),
+    "sql_group_by_all": (q_sql_group_by_all, _SQL_GROUP_ALL_SQL),
 }
 
 WHY_NO_ORACLE = {
