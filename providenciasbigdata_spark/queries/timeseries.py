@@ -288,6 +288,20 @@ GROUP BY 1, 2
 """
 
 
+def q_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 z-normalized matches of a rising-ramp pattern among all
+    8-step windows of every user's event-value series (UCR subsequence
+    search, operators/tsmatch.py). Rows-only: the sliding-window
+    z-norm matrix isn't SQL-expressible; pinned against a numpy
+    brute-force model in tests/test_tsmatch.py."""
+    from providenciasbigdata_spark.operators.tsmatch import znorm_pattern_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return znorm_pattern_topk(ev, pattern=list(range(8)), k=10).select(
+        "user_id", F.date_format("start_ts", _TS_FMT).alias("start_ts"), "dist"
+    )
+
+
 QUERIES = {
     "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),
     "timeseries_ohlc_bars": (q_ohlc_bars, _OHLC_SQL),
@@ -295,4 +309,13 @@ QUERIES = {
     "anomaly_value_outliers": (q_value_outliers, _OUTLIERS_SQL),
     "rollup_hypertable": (q_rollup_hypertable, _ROLLUP_HT_SQL),
     "cohort_retention": (q_cohort_retention, _COHORT_SQL),
+    "timeseries_pattern_topk": (q_pattern_topk, None),
+}
+
+WHY_NO_ORACLE = {
+    "timeseries_pattern_topk": (
+        "sliding-window z-normalization (per-window mean/std matrix) isn't "
+        "SQL-expressible; exact agreement with a numpy brute-force model "
+        "pinned in tests/test_tsmatch.py"
+    ),
 }
