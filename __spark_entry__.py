@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from providenciasbigdata_spark.queries import all_queries  # noqa: E402
+from providenciasbigdata_spark.queries import why_no_oracle as _why  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,3 +41,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted => rows-only check."""
     return {name: sql for name, (_fn, sql) in all_queries().items() if sql is not None}
+
+
+def why_no_oracle() -> dict[str, str]:
+    """Machine-readable reason per rows-only query (every queries()
+    entry absent from oracle_sql()): distinguishes "approximation /
+    non-SQL-expressible, property-tested in pytest" from "unverified".
+    Exhaustiveness is pinned by tests/test_registry.py."""
+    return _why()
