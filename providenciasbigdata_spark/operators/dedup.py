@@ -682,3 +682,81 @@ def dedup_embedding(
     return labeled.groupBy("component").agg(
         F.count("*").alias("n_members")
     ).select(F.col("component").alias("survivor_id"), "n_members")
+
+
+# ---- exact duplicated-substring spans ------------------------------------
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring detection at token n-gram resolution
+    (the practical distributed form of suffix-array substring dedup a la
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    n-gram is *duplicated* when its total occurrence count across the
+    corpus reaches ``min_count`` (repeats within one document count).
+    Per document, reports how many n-gram start positions are duplicated
+    and how many token positions fall under at least one duplicated span
+    — the mass substring-dedup would remove.
+
+    Output: (id_col, n_tokens, n_dup_spans, n_covered_tokens,
+    dup_coverage_ratio), one row per input document (zero-counts kept).
+
+    Scale shape: one posexplode over the n-gram array, a two-phase
+    count aggregate on the gram key, a semi-ish equi-join back (only
+    duplicated grams survive the HAVING, so the join's build side is
+    the duplicated vocabulary, not the corpus), then an interval-union
+    count via a bounded explode of n covered positions per span.
+    Nothing is ever O(corpus^2) and no driver collection occurs.
+
+    ``hash_grams=True`` replaces the gram-string join key with
+    xxhash64(gram) — the 100 TB path (8-byte shuffle keys instead of
+    full n-gram strings) at the cost of an astronomically small
+    collision probability; keep it off when value-hash exactness
+    against a string-keyed oracle matters.
+    """
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("toks"))
+    doc_len = toks.select(id_col, F.size("toks").alias("n_tokens"))
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col("toks"), n)).alias("pos", "gram"),
+    )
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64(F.lit(0x5E0A), F.col("gram")))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram").select(id_col, "pos")
+    spans = dup_pos.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
+    covered = (
+        dup_pos.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cov"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("cov").alias("n_covered_tokens"))
+    )
+    return (
+        doc_len.join(spans, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_covered_tokens", F.lit(0)).cast("long").alias("n_covered_tokens"),
+            F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+                )
+            )
+            .alias("dup_coverage_ratio"),
+        )
+    )

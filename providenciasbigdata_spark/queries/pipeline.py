@@ -457,6 +457,55 @@ WHERE rn = 1 AND NOT EXISTS (
 """
 
 
+def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans at 5-gram resolution (the
+    distributed form of suffix-array substring dedup): per document,
+    the number of corpus-duplicated 5-gram start positions and the
+    token positions they cover. String-keyed gram join (hash_grams
+    off) so the value-hash matches the string-keyed oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_stats(docs, n=5, min_count=2)
+
+
+def _span_grams_sql(n: int) -> str:
+    parts = ", ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"list_transform(range(greatest(len(t)-{n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+_DEDUP_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS n_toks, {_span_grams_sql(5)} AS gs FROM toks
+), pos_grams AS (
+  SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS gram FROM grams
+), dup_grams AS (
+  SELECT gram FROM pos_grams GROUP BY gram HAVING COUNT(*) >= 2
+), dup_pos AS (
+  SELECT p.doc_id, p.pos FROM pos_grams p JOIN dup_grams d USING (gram)
+), spans AS (
+  SELECT doc_id, COUNT(*) AS n_spans FROM dup_pos GROUP BY doc_id
+), covered AS (
+  SELECT doc_id, COUNT(DISTINCT cov) AS n_cov
+  FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS cov FROM dup_pos)
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.n_toks AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS n_covered_tokens,
+       CASE WHEN g.n_toks <= 0 THEN 0.0
+            ELSE ROUND(CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / g.n_toks, 6)
+       END AS dup_coverage_ratio
+FROM grams g
+LEFT JOIN spans s USING (doc_id)
+LEFT JOIN covered c USING (doc_id)
+"""
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch near-dups against a prebuilt corpus signature index
     (rows-only: signature-agreement estimate)."""
@@ -651,6 +700,7 @@ QUERIES = {
     "dedup_near_survivors": (q_dedup_near_survivors, None),
     "dedup_embedding_survivors": (q_dedup_embedding_survivors, _DEDUP_EMB_SQL),
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
+    "dedup_span_stats": (q_dedup_span_stats, _DEDUP_SPAN_SQL),
     "minhash_incremental": (q_minhash_incremental, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_incremental": (q_simhash_incremental, None),

@@ -221,3 +221,37 @@ def test_simhash_incremental_equals_cross_pairs_of_full(spark):
     assert inc == cross
     assert all(b >= split > i for b, i, _ in inc)
     fps.unpersist()
+
+
+def test_dup_span_stats_semantics(spark):
+    """Hand-checkable corpus, n=2: doc 30/31 share 'uno dos tres'
+    (duplicated bigrams 'uno dos' + 'dos tres' -> 3 covered tokens);
+    doc 32 repeats a bigram WITHIN itself (intra-doc counts toward
+    min_count); doc 33 is unique; doc 34 is empty."""
+    docs = spark.createDataFrame(
+        [
+            (30, "uno dos tres cuatro"),
+            (31, "cinco uno dos tres"),
+            (32, "seis siete seis siete ocho"),
+            (33, "nueve diez once"),
+            (34, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.dup_span_stats(docs, n=2).collect()
+    }
+    assert out[30]["n_dup_spans"] == 2 and out[30]["n_covered_tokens"] == 3
+    assert out[31]["n_dup_spans"] == 2 and out[31]["n_covered_tokens"] == 3
+    # 'seis siete' occurs twice inside doc 32 (positions 0 and 2):
+    # spans at 0 and 2 cover tokens {0,1,2,3}
+    assert out[32]["n_dup_spans"] == 2 and out[32]["n_covered_tokens"] == 4
+    assert out[33]["n_dup_spans"] == 0 and out[33]["n_covered_tokens"] == 0
+    assert out[34]["n_tokens"] == 0 and out[34]["dup_coverage_ratio"] == 0.0
+    # hashed-key scale path agrees with the string-keyed exact path
+    hashed = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.dup_span_stats(docs, n=2, hash_grams=True).collect()
+    }
+    assert hashed == out
