@@ -95,3 +95,76 @@ def partial_agg(
         *[F.sum(F.col(c).cast("decimal(28,10)")).alias(c) for c in sum_cols],
         F.count("*").cast("bigint").alias(count_col),
     )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_set: dict[str, Column] | None = None,
+    insert_values: dict[str, Column] | None = None,
+    delete_condition: Column | None = None,
+    update_condition: Column | None = None,
+    insert_condition: Column | None = None,
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` semantics as one declarative plan (Spark's
+    SQL MERGE needs a v2/catalog table; this is the same contract for
+    plain DataFrames/parquet):
+
+    - WHEN MATCHED [AND delete_condition] THEN DELETE
+    - WHEN MATCHED [AND update_condition] THEN UPDATE SET update_set
+    - WHEN NOT MATCHED [AND insert_condition] THEN INSERT insert_values
+    - target rows with no source match pass through unchanged.
+
+    Clause order mirrors the standard: delete wins over update for a
+    matched row. ``update_set`` / ``insert_values`` map target column
+    name -> Column over the join (reference sides as ``t.<col>`` /
+    ``s.<col>``); omitted update columns keep the target value, omitted
+    insert columns become NULL. Output schema == target schema (every
+    column cast back to its target type).
+
+    Contract (also ANSI): each target row must match at most one source
+    row — aggregate the source by the keys first, as a multi-match
+    would duplicate the target row rather than raise. One shuffle (the
+    full-outer join on the keys); with a small source AQE will not
+    broadcast a full-outer join, so pre-aggregate the source to keep
+    both shuffled sides tiny.
+    """
+    t = target.withColumn("__t", F.lit(1)).alias("t")
+    s = source.withColumn("__s", F.lit(1)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    source_only = F.col("t.__t").isNull()
+    true_lit = F.lit(True)
+    action = (
+        F.when(matched & (delete_condition if delete_condition is not None else F.lit(False)), "D")
+        .when(matched & (update_condition if update_condition is not None else true_lit)
+              & F.lit(update_set is not None), "U")
+        .when(matched, "K")
+        .when(source_only & (insert_condition if insert_condition is not None else true_lit)
+              & F.lit(insert_values is not None), "I")
+        .when(source_only, "X")
+        .otherwise("K")  # target-only
+    )
+    joined = joined.withColumn("__action", action).filter(
+        ~F.col("__action").isin("D", "X")
+    )
+    out_cols = []
+    for field in target.schema.fields:
+        name = field.name
+        keep = F.col(f"t.{name}")
+        upd = (update_set or {}).get(name, keep)
+        ins = (insert_values or {}).get(name, F.lit(None))
+        out_cols.append(
+            F.when(F.col("__action") == "U", upd)
+            .when(F.col("__action") == "I", ins)
+            .otherwise(keep)
+            .cast(field.dataType)
+            .alias(name)
+        )
+    return joined.select(*out_cols)

@@ -865,8 +865,79 @@ GROUP BY o_orderstatus
 """
 
 
+def q_merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO over plain DataFrames (operators.cdc.merge_into):
+    even-keyed customers are the target table, 1995 order revenue per
+    customer is the (pre-aggregated, unique-keyed) source. Matched
+    customers with >400k delta are deleted, other matches add the delta
+    to their balance, odd-keyed spenders insert as new rows, untouched
+    customers pass through. Exact DECIMAL arithmetic end to end; one
+    full-outer shuffle join."""
+    from providenciasbigdata_spark.operators.cdc import merge_into
+
+    target = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("decimal(28,10)").alias("bal"),
+        )
+    )
+    source = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("delta"))
+    )
+    merged = merge_into(
+        target,
+        source,
+        keys=["c_custkey"],
+        update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+        insert_values={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_name": F.lit("merged-insert"),
+            "bal": F.col("s.delta"),
+        },
+        delete_condition=F.col("s.delta") > 400000,
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("bal").cast("double"), 2).alias("bal"),
+    )
+
+
+_MERGE_SQL = """
+WITH tgt AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(28,10)) AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+), src AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS delta
+  FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'merged-insert'
+            ELSE t.c_name END AS c_name,
+       ROUND(CAST(CASE WHEN t.c_custkey IS NULL THEN s.delta
+                       WHEN s.c_custkey IS NULL THEN t.bal
+                       ELSE t.bal + s.delta END AS DOUBLE), 2) AS bal
+FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+           AND s.delta > 400000)
+"""
+
+
 QUERIES = {
     "incremental_daily_revenue": (q_incremental_daily_revenue, _INCR_SQL),
+    "merge_into_customers": (q_merge_into_customers, _MERGE_SQL),
     "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),
     "cdc_latest_user_value": (q_cdc_latest_user_value, _CDC_LATEST_SQL),
     "join_market_share": (q_market_share, _Q8_SQL),

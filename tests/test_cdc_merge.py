@@ -1,0 +1,65 @@
+"""MERGE INTO semantics pins (operators.cdc.merge_into): clause
+precedence (delete beats update), pass-through of unmatched target
+rows, NULL-key rows never match, schema stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.operators.cdc import merge_into
+
+
+def _frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "nk", 40.0)],
+        "k long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(1, 100.0), (3, 5.0), (9, 7.0), (None, 99.0)],
+        "k long, delta double",
+    )
+    return target, source
+
+
+def test_merge_clause_precedence_and_passthrough(spark):
+    target, source = _frames(spark)
+    out = merge_into(
+        target,
+        source,
+        keys=["k"],
+        update_set={"v": F.col("t.v") + F.col("s.delta")},
+        insert_values={"k": F.col("s.k"), "name": F.lit("new"), "v": F.col("s.delta")},
+        delete_condition=F.col("s.delta") > 50,  # k=1 deleted, k=3 updated
+    )
+    rows = {(r["k"], r["name"]): r["v"] for r in out.collect()}
+    assert (1, "a") not in rows                       # matched + delete wins
+    assert rows[(3, "c")] == 35.0                     # matched -> update
+    assert rows[(2, "b")] == 20.0                     # target-only passthrough
+    assert rows[(9, "new")] == 7.0                    # source-only -> insert
+    # NULL keys never match (ANSI ON-predicate): target NULL row passes
+    # through untouched; source NULL row inserts as a fresh row.
+    assert rows[(None, "nk")] == 40.0
+    assert rows[(None, "new")] == 99.0
+    assert out.columns == target.columns
+    assert out.schema == target.schema
+
+
+def test_merge_no_insert_clause_drops_unmatched_source(spark):
+    target, source = _frames(spark)
+    out = merge_into(
+        target, source, keys=["k"],
+        update_set={"v": F.col("t.v") + F.col("s.delta")},
+    )
+    keys = {(r["k"], r["name"]) for r in out.collect()}
+    assert (9, "new") not in keys and len(keys) == 4
+
+
+def test_merge_update_condition_keeps_nonqualifying_match(spark):
+    target, source = _frames(spark)
+    out = merge_into(
+        target, source, keys=["k"],
+        update_set={"v": F.col("t.v") + F.col("s.delta")},
+        update_condition=F.col("s.delta") < 50,  # k=1 match doesn't qualify
+    )
+    rows = {r["k"]: r["v"] for r in out.filter(F.col("k").isNotNull()).collect()}
+    assert rows[1] == 10.0 and rows[3] == 35.0
