@@ -302,8 +302,50 @@ JOIN sims e3 ON e3.x = e1.x AND e3.y = e2.y
 """
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-anchored personalized PageRank (teleport mass on P-27/P-58):
+    proximity ranking over the bounded similarity graph — the
+    recommendation primitive. Symmetric graph -> no dangling mass, so
+    the oracle unrolls the 5 iterations as chained CTEs with the
+    seed-concentrated teleport term."""
+    from providenciasbigdata_spark.operators.graph_algos import personalized_pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return personalized_pagerank(edges, seeds=["P-27", "P-58"], max_iter=5).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
+def _ppr_sql(iters: int = 5, damping: float = 0.85) -> str:
+    tele = "CASE WHEN nodes.id IN ('P-27', 'P-58') THEN 0.5 ELSE 0.0 END"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""pr{k} AS (
+  SELECT nodes.id,
+         CAST({1 - damping} AS DOUBLE) * {tele}
+           + CAST({damping} AS DOUBLE) * COALESCE(s.inflow, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS id, SUM(p.rank / d.deg) AS inflow
+    FROM e JOIN pr{k - 1} p ON p.id = e.u JOIN deg d ON d.u = e.u
+    GROUP BY e.v) s ON s.id = nodes.id)"""
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT u, v FROM ({_SYM_EDGES_150_SQL})),
+nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+pr0 AS (SELECT id, CASE WHEN id IN ('P-27', 'P-58') THEN 0.5 ELSE 0.0 END AS rank
+        FROM nodes),
+{chained}
+SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
+"""
+
+
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
+    "graph_personalized_pagerank": (q_personalized_pagerank, _ppr_sql()),
     "graph_triangle_count": (q_triangle_count, _TRIANGLE_SQL),
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),
     "graph_degree_histogram_blocked": (q_degree_histogram_blocked, _DEGREE_SQL),

@@ -152,3 +152,27 @@ def test_reliable_checkpoint_dir_matches_local(spark, toy_edges, tmp_path):
         for r in connected_components(toy_edges, checkpoint_dir=ckdir).collect()
     }
     assert cc_local == cc_rel
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """Two disjoint triangles; seeds in one of them. All rank mass must
+    stay in the seed triangle (the other component gets exact 0), sum
+    to ~1, and the seed itself must outrank its non-seed neighbors."""
+    from providenciasbigdata_spark.operators.graph_algos import personalized_pagerank
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(
+        tri + [(d, s) for s, d in tri], "src string, dst string"
+    )
+    ranks = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds=["a"], max_iter=20).collect()
+    }
+    assert ranks["x"] == 0.0 and ranks["y"] == 0.0 and ranks["z"] == 0.0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["a"] > ranks["b"] > 0 and abs(ranks["b"] - ranks["c"]) < 1e-12
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds=[])
