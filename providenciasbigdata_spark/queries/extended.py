@@ -501,6 +501,35 @@ LIMIT 64
 """
 
 
+def q_sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-style FIXED-SIZE per-stratum sample, deterministically:
+    the 8 smallest-md5(key) customers per market segment — exactly what
+    per-group reservoir sampling yields, but with no RNG state, so the
+    sample is reproducible across engines, runs, retries, and
+    partitionings (the property classic reservoir sampling loses under
+    Spark task retry). One window keyed on the stratum; rank-k over a
+    hash order stays a per-partition heap at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    w = Window.partitionBy("c_mktsegment").orderBy(h.asc())
+    return (
+        cust.select("c_mktsegment", "c_custkey", h.alias("__h"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 8)
+        .select("c_mktsegment", "c_custkey")
+    )
+
+
+_SAMPLE_STRATUM_SQL = """
+SELECT c_mktsegment, c_custkey FROM (
+  SELECT c_mktsegment, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(CAST(c_custkey AS VARCHAR))) AS rn
+  FROM customer)
+WHERE rn <= 8
+"""
+
+
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-statistic + moment aggregates per group: exact interpolated
     median, sample stddev, Pearson correlation. Median is Spark's exact
@@ -651,6 +680,7 @@ QUERIES = {
     "setops_bag_semantics": (q_setops_bag, _SETOPS_BAG_SQL),
     "join_null_safe": (q_join_null_safe, _JOIN_NULL_SAFE_SQL),
     "sample_deterministic_hash": (q_sample_deterministic, _SAMPLE_DET_SQL),
+    "sample_fixed_per_stratum": (q_sample_fixed_per_stratum, _SAMPLE_STRATUM_SQL),
     "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
     "sample_stratified": (q_stratified_sample, _STRATIFIED_SQL),
     "sample_stratified_bernoulli": (q_stratified_bernoulli, None),
