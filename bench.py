@@ -73,6 +73,11 @@ HEADLINE = [
     "mql_agg_facet_counts",
     "dedup_embedding_survivors",
     "ivf_index_exact_topk",
+    # round 4, second session
+    "merge_into_customers",
+    "dedup_span_stats",
+    "graph_personalized_pagerank",
+    "sample_fixed_per_stratum",
 ]
 
 

@@ -118,6 +118,40 @@ def search_and(postings: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def search_fuzzy(
+    postings: DataFrame,
+    terms: list[str],
+    max_edits: int = 1,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Lucene-style fuzzy term search answered from the index alone:
+    each query term expands to every DICTIONARY token within
+    ``max_edits`` Levenshtein edits that shares its first
+    ``prefix_len`` characters (part of the match contract, as in
+    Lucene's FuzzyQuery prefix — and the equi-key that lets Catalyst
+    hash-join the broadcast term list against the vocabulary instead
+    of nested-looping it); matches are the union of the expanded
+    terms' postings.
+
+    Work is VOCABULARY-sized, never corpus-sized: the expansion scans
+    the dictionary once (Spark's threshold-bounded levenshtein bails
+    out early per pair), and docs come from index postings. Output:
+    (doc_id), distinct.
+    """
+    if not terms:
+        return postings.sparkSession.createDataFrame([], _EMPTY_HITS_SCHEMA)
+    q = postings.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(terms))], "q string"
+    )
+    p = max(prefix_len, 0)
+    matched = postings.join(
+        F.broadcast(q),
+        (F.substring("token", 1, p) == F.substring("q", 1, p))
+        & (F.levenshtein(F.col("token"), F.col("q"), max_edits) >= 0),
+    )
+    return matched.select(F.explode("postings").alias("doc_id")).distinct()
+
+
 def build_term_freqs(
     docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:

@@ -309,6 +309,35 @@ _POSTINGS_OR_SQL = (
     f"['merge', 'window'])) > 0"
 )
 
+def q_a7_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy $text extension: misspelled query terms ('mergee',
+    'windw') expand against the index DICTIONARY to every token within
+    1 Levenshtein edit sharing the first character (the Lucene
+    FuzzyQuery contract), then match via posting union — typo-tolerant
+    search with vocabulary-sized expansion work and zero corpus scan."""
+    from providenciasbigdata_spark.operators.postings import build_postings, search_fuzzy
+
+    idx = build_postings(_rulings(spark, sf_dir))
+    return search_fuzzy(idx, ["mergee", "windw"], max_edits=1).orderBy("doc_id")
+
+
+_FUZZY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL.format(col='text')} AS t FROM documents
+), dict AS (
+  SELECT DISTINCT unnest(t) AS token FROM toks
+), q(term) AS (VALUES ('mergee'), ('windw')),
+expanded AS (
+  SELECT DISTINCT token FROM dict JOIN q
+    ON substr(token, 1, 1) = substr(term, 1, 1)
+   AND levenshtein(token, term) <= 1
+)
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+WHERE tok IN (SELECT token FROM expanded)
+"""
+
+
 _POSTINGS_AND_SQL = (
     f"SELECT doc_id FROM ({_RULINGS_SQL}) WHERE "
     f"len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['merge'])) > 0 AND "
@@ -655,6 +684,7 @@ QUERIES = {
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
+    "a7_search_fuzzy": (q_a7_search_fuzzy, _FUZZY_SQL),
     "a7_search_bm25": (q_a7_search_bm25, _BM25_SQL),
     "a9_list_nodes": (
         q_a9_list_nodes,

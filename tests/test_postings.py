@@ -174,3 +174,23 @@ def test_bm25_search_accepts_deprecated_term_freqs_keyword(spark):
         bm25_search(tfs, ["merge"], term_freqs=tfs)
     with pytest.raises(TypeError, match="requires"):
         bm25_search(terms=["merge"])
+
+
+def test_search_fuzzy_expansion_contract(spark):
+    """Typo within 1 edit sharing the first char matches; a first-char
+    mismatch does NOT (the Lucene prefix contract); exact terms still
+    match themselves; empty terms match nothing."""
+    from providenciasbigdata_spark.operators.postings import build_postings, search_fuzzy
+
+    docs = spark.createDataFrame(
+        [(1, ["merge", "sort"]), (2, ["merged"]), (3, ["purge"]), (4, ["window"])],
+        "doc_id long, tokens array<string>",
+    )
+    idx = build_postings(docs)
+    hits = {r.doc_id for r in search_fuzzy(idx, ["merge"], max_edits=1).collect()}
+    # 'merge' exact, 'merged' one edit; 'purge' is 2 edits AND fails the
+    # first-char prefix; 'window' unrelated
+    assert hits == {1, 2}
+    assert search_fuzzy(idx, [], max_edits=1).count() == 0
+    # max_edits=0 degenerates to exact lookup
+    assert {r.doc_id for r in search_fuzzy(idx, ["merge"], max_edits=0).collect()} == {1}
