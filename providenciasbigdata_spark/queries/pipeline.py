@@ -681,8 +681,26 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_lsh_topk(emb, qvec, dim=64, k=10, n_bits=8, tables=8)
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators.bpe): 12 merge
+    rules learned from the documents corpus — one corpus-scale word-
+    frequency pass, then one vocabulary-sized arg-max job per merge.
+    Rows-only: the iterative arg-max is not SQL-expressible; the loop
+    is pinned EQUAL to a pure-Python reference BPE trainer over the
+    full fixture corpus in tests/test_bpe.py."""
+    from providenciasbigdata_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=12, min_count=2)
+    rows = [(i + 1, l, r, l + r) for i, (l, r) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, merged string"
+    )
+
+
 QUERIES = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
+    "bpe_train_merges": (q_bpe_train_merges, None),
     "text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
@@ -724,6 +742,11 @@ _APPROX_ANN = (
     "oracle-checked brute-force top-k pinned in tests/test_similarity.py"
 )
 WHY_NO_ORACLE = {
+    "bpe_train_merges": (
+        "iterative corpus arg-max (the BPE merge loop) is not "
+        "SQL-expressible; pinned EQUAL to a pure-Python reference BPE "
+        "trainer on the full fixture corpus in tests/test_bpe.py"
+    ),
     "minhash_near_dups": _APPROX_MINHASH,
     "minhash_near_dups_est": _APPROX_MINHASH,
     "minhash_incremental": _APPROX_MINHASH,
