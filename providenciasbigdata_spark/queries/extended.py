@@ -501,6 +501,63 @@ LIMIT 64
 """
 
 
+def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 conditional/boolean aggregate surface: count_if,
+    bool_and, bool_or, plus FILTER-style conditional sums — all
+    deterministic (unlike any_value/mode) and identical in Spark and
+    DuckDB. One two-phase hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+    )
+
+
+_COND_AGG_SQL = """
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+           AS n_urgent
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + lead-with-default analytic windows: 3rd-cheapest
+    order price per customer (NULL for customers with fewer) and the
+    next price with a -1 sentinel default. Deterministic total order
+    inside each partition (price, then key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.nth_value("o_totalprice", 3).over(wall).alias("third_price"),
+            F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price"),
+        )
+    )
+
+
+_NTH_VALUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       nth_value(o_totalprice, 3) OVER
+         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_price,
+       COALESCE(lead(o_totalprice, 1) OVER
+         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), -1.0)
+         AS next_price
+FROM orders WHERE o_custkey < 200
+"""
+
+
 def q_sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reservoir-style FIXED-SIZE per-stratum sample, deterministically:
     the 8 smallest-md5(key) customers per market segment — exactly what
@@ -681,6 +738,8 @@ QUERIES = {
     "join_null_safe": (q_join_null_safe, _JOIN_NULL_SAFE_SQL),
     "sample_deterministic_hash": (q_sample_deterministic, _SAMPLE_DET_SQL),
     "sample_fixed_per_stratum": (q_sample_fixed_per_stratum, _SAMPLE_STRATUM_SQL),
+    "agg_conditional_bools": (q_conditional_aggregates, _COND_AGG_SQL),
+    "window_nth_value": (q_window_nth_value, _NTH_VALUE_SQL),
     "window_range_frame": (q_range_frame_trailing, _RANGE_FRAME_SQL),
     "sample_stratified": (q_stratified_sample, _STRATIFIED_SQL),
     "sample_stratified_bernoulli": (q_stratified_bernoulli, None),
