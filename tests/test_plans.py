@@ -384,3 +384,35 @@ def test_ivf_index_probe_is_partition_pruned_scan(spark, reg):
     plan = plan_of(similarity.ivf_index_topk(idx, qvec, k=5, nprobe=2))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cluster" in pf[0], plan
+
+
+def test_merge_into_single_join_no_nested_loop(spark, reg):
+    """MERGE INTO compiles to ONE equi-join (full outer on the keys) —
+    no nested-loop, no cartesian, and exactly one join operator."""
+    import re
+
+    plan = plan_of(_run(reg, "merge_into_customers", spark))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # node-detail headers like "(13) SortMergeJoin" count each join once
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    assert n_joins == 1, plan
+
+
+def test_dup_span_stats_equi_joins_only(spark, reg):
+    """Duplicated-substring detection must stay equi-join shaped (gram
+    key joins) — a nested-loop would be O(corpus^2) at scale. The
+    documents scan must also prune to (doc_id, text)."""
+    plan = plan_of(_run(reg, "dedup_span_stats", spark))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all("embedding" not in l for l in scan_schemas), plan
+
+
+def test_search_fuzzy_dictionary_join_is_hash_join(spark, reg):
+    """The fuzzy-term dictionary expansion joins on the prefix equi-key
+    (levenshtein only as residual filter): Catalyst must plan a hash
+    join with the broadcast term list, not a nested loop over the
+    vocabulary."""
+    plan = plan_of(_run(reg, "a7_search_fuzzy", spark))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
