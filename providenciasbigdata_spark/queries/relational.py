@@ -797,6 +797,59 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_pit_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every click joins the SCD2
+    profile interval valid AT CLICK TIME ([valid_from, valid_to), open
+    current interval matches everything after valid_from) — the
+    warehousing pattern behind feature-store lookups and as-of
+    attribution. Equi-join on user_id with the interval predicate as a
+    residual: per-user interval lists are small, so the shuffle is by
+    user and each task scans its user's handful of intervals. Exact
+    DECIMAL sum of the attributed profile values."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd2 = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("value").alias("profile_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = clicks.join(
+        scd2,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_attributed_clicks"),
+        F.round(
+            F.sum(F.col("profile_value").cast("decimal(28,10)")).cast("double"), 4
+        ).alias("sum_profile_value"),
+    )
+
+
+_PIT_JOIN_SQL = """
+WITH scd2 AS (
+  SELECT user_id AS p_user, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         value AS profile_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed_clicks,
+       ROUND(CAST(SUM(CAST(profile_value AS DECIMAL(28,10))) AS DOUBLE), 4)
+           AS sum_profile_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN scd2 s
+  ON c.user_id = s.p_user AND s.valid_from <= c.ts
+ AND (s.valid_to IS NULL OR c.ts < s.valid_to)
+GROUP BY c.user_id
+"""
+
+
 def q_cdc_latest_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC latest-wins compaction: purchase events upsert a user's
     value, error events delete the user; output the surviving current
@@ -943,6 +996,7 @@ QUERIES = {
     "join_market_share": (q_market_share, _Q8_SQL),
     "agg_product_profit": (q_product_profit, _Q9_SQL),
     "scd2_purchase_history": (q_scd2_purchase_history, _SCD2_SQL),
+    "join_point_in_time": (q_pit_join_clicks, _PIT_JOIN_SQL),
     "join_min_cost_supplier": (q_min_cost_supplier, _MIN_COST_SQL),
     "agg_idle_rich_customers": (q_idle_rich_customers, _IDLE_RICH_SQL),
     "join_nation_volume": (q_nation_volume_shipping, _Q7_SQL),

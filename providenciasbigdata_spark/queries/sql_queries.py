@@ -343,8 +343,29 @@ GROUP BY ALL
 """
 
 
+_NOT_IN_SQL = """
+SELECT c_custkey
+FROM customer
+WHERE NULLIF(c_nationkey, 3) NOT IN
+      (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+  AND c_custkey < 500
+"""
+
+
+def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN anti join — the three-valued-logic corner
+    every naive anti-join rewrite gets wrong: rows whose probe key is
+    NULL must NOT qualify (NULL NOT IN (...) is UNKNOWN, not TRUE).
+    NULLIF plants NULLs on the outer side so the semantics are actually
+    exercised; Catalyst plans the null-aware anti join variant. Same
+    ANSI text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)
+
+
 QUERIES = {
     "sql_recursive_reachability": (q_recursive_reachability, _RECURSIVE_SQL),
+    "sql_not_in_null_aware": (q_not_in_null_aware, _NOT_IN_SQL),
     "sql_scalar_udf": (q_sql_scalar_udf, _SQL_SCALAR_UDF_SQL),
     "sql_table_udf": (q_sql_table_udf, _SQL_TABLE_UDF_SQL),
     "sql_identifier_param": (q_sql_identifier_param, _SQL_IDENTIFIER_SQL),
