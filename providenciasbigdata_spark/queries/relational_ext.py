@@ -490,8 +490,49 @@ FROM big b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
 """
 
 
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction ahead of a shuffle join: the selective
+    dim (one market segment's high-balance customers) is compressed
+    into a packed-word bloom bitmap — built distributively, broadcast
+    as a tiny words table — and fact rows that cannot match are
+    dropped BEFORE the exact join's exchange. No false negatives, and
+    the exact join removes false positives, so the result is exactly
+    the plain join (the oracle). The final join is hinted shuffle_hash
+    to model the production case the operator exists for: a dim whose
+    ROWS are too big to broadcast but whose KEY SET fits a bloom.
+    """
+    from providenciasbigdata_spark.operators.bloomjoin import bloom_prefilter_join
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+        .select("c_custkey")
+        .hint("shuffle_hash")
+    )
+    fact = load_table(spark, sf_dir, "orders")
+    joined = bloom_prefilter_join(fact, dim, "o_custkey", "c_custkey", n_bits=1 << 16)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("sum_totalprice"),
+        )
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_forecast_revenue": (q_forecast_revenue, _Q6_SQL),
+    "join_bloom_prefilter": (q_bloom_prefilter_join, _BLOOM_JOIN_SQL),
     "join_full_outer_spenders": (q_full_outer_join, _FULL_OUTER_SQL),
     "agg_order_priority_late": (q_order_priority_late, _Q4_SQL),
     "join_returned_items": (q_returned_items, _Q10_SQL),
