@@ -760,3 +760,78 @@ def dup_span_stats(
             .alias("dup_coverage_ratio"),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    hash_chunks: bool = False,
+) -> DataFrame:
+    """Paragraph-level exact dedup with document REWRITE (the Dolma /
+    RefinedWeb curation step): split every document into non-overlapping
+    ``chunk_tokens``-token paragraphs, keep only the corpus-wide FIRST
+    occurrence of each distinct paragraph (first = lowest (id, position)
+    — deterministic across runs and partitionings), and reassemble each
+    document from its surviving paragraphs in original order.
+
+    Output: (id_col, n_chunks, kept_chunks, new_text), one row per
+    input document — documents whose every paragraph appeared earlier
+    elsewhere survive with ``new_text = ''``, so downstream length
+    filters can drop them explicitly rather than silently.
+
+    Scale shape: one shuffle keyed by the paragraph (or its xxhash64
+    when ``hash_chunks=True`` — 8-byte keys for the 100 TB run at an
+    astronomically small collision risk), a per-key row_number instead
+    of a self-join, then one groupBy(id) to reassemble. The rebuild
+    sorts each document's surviving (position, paragraph) pairs with
+    array_sort AFTER collect_list — order is deterministic even though
+    collect_list itself is not.
+    """
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
+    nch = toks.withColumn(
+        "nc", F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("long")
+    )
+    chunk_arr = F.when(
+        F.col("nc") > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("nc") - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), (i * chunk_tokens + 1).cast("int"), chunk_tokens),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = nch.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    key = (
+        F.xxhash64(F.lit(0x9A7A), F.col("chunk")) if hash_chunks else F.col("chunk")
+    )
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc(), F.col("idx").asc())
+    winners = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = winners.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        nch.select(id_col, F.col("nc").alias("n_chunks"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).cast("long").alias("kept_chunks"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

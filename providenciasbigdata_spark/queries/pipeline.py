@@ -324,6 +324,41 @@ FROM sized,
 """
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup + document rewrite (Dolma-style):
+    20-token paragraphs, first occurrence wins, documents reassembled
+    from survivors. String-keyed here so the oracle hash-verifies the
+    rewritten text; hash_chunks=True is the pinned-equal scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_paragraphs(docs, chunk_tokens=20)
+
+
+_DEDUP_PARA_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), nch AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / 20.0) AS BIGINT) AS nc FROM toks
+), chunks AS (
+  SELECT doc_id, i AS idx, array_to_string(t[(i*20 + 1):(i*20 + 20)], ' ') AS chunk
+  FROM nch, UNNEST(range(nc)) AS u(i)
+), winners AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM chunks
+), rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+         string_agg(chunk, ' ' ORDER BY idx) AS new_text
+  FROM winners WHERE rn = 1 GROUP BY doc_id
+)
+SELECT n.doc_id,
+       n.nc AS n_chunks,
+       CAST(COALESCE(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       COALESCE(r.new_text, '') AS new_text
+FROM nch n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF for the first 20 docs: tf = term count / doc
     length, idf = ln(N / doc-frequency). Document frequency and N come
@@ -719,6 +754,7 @@ QUERIES = {
     "dedup_embedding_survivors": (q_dedup_embedding_survivors, _DEDUP_EMB_SQL),
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
     "dedup_span_stats": (q_dedup_span_stats, _DEDUP_SPAN_SQL),
+    "dedup_paragraph_rewrite": (q_dedup_paragraphs, _DEDUP_PARA_SQL),
     "minhash_incremental": (q_minhash_incremental, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_incremental": (q_simhash_incremental, None),

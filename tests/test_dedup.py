@@ -255,3 +255,69 @@ def test_dup_span_stats_semantics(spark):
         for r in dedup.dup_span_stats(docs, n=2, hash_grams=True).collect()
     }
     assert hashed == out
+
+
+# ---- paragraph-level dedup + rewrite ------------------------------------
+
+def test_dedup_paragraphs_first_occurrence_and_rewrite(spark):
+    from providenciasbigdata_spark.operators.dedup import dedup_paragraphs
+
+    p1 = " ".join(f"a{i}" for i in range(20))
+    p2 = " ".join(f"b{i}" for i in range(20))
+    p3 = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),     # defines p1, p2
+            (2, f"{p2} {p3}"),     # p2 duplicated -> dropped, keeps p3
+            (3, f"{p1} {p2}"),     # fully duplicated -> empty rewrite
+            (4, ""),               # empty doc survives with 0 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, chunk_tokens=20).collect()}
+    assert out[1].new_text == f"{p1} {p2}" and out[1].kept_chunks == 2
+    assert out[2].new_text == p3 and out[2].kept_chunks == 1
+    assert out[3].new_text == "" and out[3].kept_chunks == 0 and out[3].n_chunks == 2
+    assert out[4].new_text == "" and out[4].n_chunks == 0
+
+
+def test_dedup_paragraphs_each_distinct_chunk_kept_exactly_once(spark, sf_dir):
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.dedup import dedup_paragraphs
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_paragraphs(docs, chunk_tokens=20)
+    # total surviving chunks == number of DISTINCT paragraphs in the corpus
+    kept_total = out.agg(F.sum("kept_chunks")).first()[0]
+    from providenciasbigdata_spark.compat.documents import tokenize
+
+    toks = docs.select(tokenize(F.col("text")).alias("t")).filter(F.size("t") > 0)
+    distinct_chunks = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.ceil(F.size("t") / 20).cast("long") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), (i * 20 + 1).cast("int"), 20), " "
+                    ),
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_chunks
+
+
+def test_dedup_paragraphs_hash_path_equals_string_path(spark, sf_dir):
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(dedup_paragraphs(docs, chunk_tokens=20).collect())
+    b = sorted(dedup_paragraphs(docs, chunk_tokens=20, hash_chunks=True).collect())
+    assert a == b
