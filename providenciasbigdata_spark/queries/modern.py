@@ -525,8 +525,63 @@ FROM (
 """
 
 
+def q_approx_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``approx_top_k`` sketch aggregate. Sized so the sketch
+    is EXACT and therefore oracle-checkable: maxItemsTracked (10000)
+    exceeds the event_type domain (5), so no counter is ever evicted
+    and the merged counts equal the plain GROUP BY — the same
+    "approximate operator, exact at this configuration" posture as
+    ivf_index_exact_topk. k = the full domain, so no top-k tie
+    boundary exists either."""
+    events = load_table(spark, sf_dir, "events")
+    sk = events.agg(
+        F.expr("approx_top_k(event_type, 5, 10000)").alias("topk")
+    )
+    return sk.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").cast("long").alias("n_events"),
+    )
+
+
+_APPROX_TOPK_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native deterministic ``mode`` aggregate (Spark 3.4+): each
+    user's most frequent event_type, ties broken toward the LOWEST
+    value (deterministic=True's contract — verified, not assumed).
+    The oracle reproduces the tie rule with a row_number over
+    (count DESC, value ASC)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.mode("event_type", True).alias("modal_event"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+_MODE_SQL = """
+WITH counted AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM counted
+), totals AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+)
+SELECT t.user_id, r.event_type AS modal_event, t.n_events
+FROM totals t JOIN ranked r ON t.user_id = r.user_id AND r.rn = 1
+"""
+
+
 QUERIES = {
     "mongodump_facet_anio": (q_mongodump_facet_anio, _MONGODUMP_SQL),
+    "agg_approx_topk_events": (q_approx_topk_events, _APPROX_TOPK_SQL),
+    "agg_mode_event_type": (q_mode_event_type, _MODE_SQL),
     "variant_props_stats": (q_variant_props_stats, _VARIANT_SQL),
     "stream_user_totals_live": (q_stream_user_totals_live, _STREAM_LIVE_SQL),
     "cms_token_estimates": (q_cms_token_estimates, None),

@@ -324,6 +324,69 @@ FROM sized,
 """
 
 
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals, chosen for EXACT cross-engine
+    arithmetic: type/token ratio and Gini diversity 1 - sum(cnt^2)/n^2
+    are rational in the integer token counts (BIGINT sums, one final
+    double division), unlike Shannon entropy — Spark's and DuckDB's
+    libm ``ln`` disagree by 1 ulp on ~1% of integer inputs (measured),
+    so an entropy column could not be value-hash-checked. Two-phase
+    aggregate per doc; empty docs kept with zeroed signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode_outer(tokenize(F.col("text"))).alias("tok"))
+    per = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("tok").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.count("tok").cast("long").alias("n_types"),
+            F.coalesce(F.sum(F.col("cnt") * F.col("cnt")), F.lit(0))
+            .cast("long")
+            .alias("sum_sq"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_types") / F.col("n_tokens"), 6))
+        .alias("type_token_ratio"),
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.col("sum_sq") / (F.col("n_tokens") * F.col("n_tokens")),
+                6,
+            )
+        )
+        .alias("gini_diversity"),
+    )
+
+
+_DIVERSITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), counted AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+), per AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM counted GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_types, 0) AS BIGINT) AS n_types,
+       CASE WHEN COALESCE(p.n_tokens, 0) <= 0 THEN 0.0
+            ELSE ROUND(CAST(p.n_types AS DOUBLE) / p.n_tokens, 6) END AS type_token_ratio,
+       CASE WHEN COALESCE(p.n_tokens, 0) <= 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(p.sum_sq AS DOUBLE) / (CAST(p.n_tokens AS DOUBLE) * p.n_tokens), 6) END AS gini_diversity
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph dedup + document rewrite (Dolma-style):
     20-token paragraphs, first occurrence wins, documents reassembled
@@ -740,6 +803,7 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "text_tfidf": (q_tfidf_top_terms, _TFIDF_SQL),
+    "text_token_diversity": (q_token_diversity, _DIVERSITY_SQL),
     "curate_pipeline": (q_curate, _curate_sql()),
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
     "dedup_exact_survivors": (q_dedup_exact_survivors, _DEDUP_EXACT_SQL),
