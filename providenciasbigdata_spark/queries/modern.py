@@ -525,6 +525,54 @@ FROM (
 """
 
 
+def _staged_log_lines(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as Apache-access-log-style text lines once per
+    (sf, fixture vintage) — gives the registry an oracle-checked
+    ``spark.read.text`` + regexp parse path (the raw-log ingest shape
+    every production pipeline starts from)."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pbd_textlog_{_sf_tag(sf_dir)}_{_source_fingerprint(sf_dir, 'events')}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            F.format_string(
+                'user%d - [%s] "GET /%s" 200',
+                F.col("user_id"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                F.col("event_type"),
+            ).alias("value")
+        ).write.mode("overwrite").text(out)
+    return out
+
+
+def q_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-text scan path: read the staged log lines with
+    ``spark.read.text`` and recover structure with one regexp_extract
+    per field (JVM regex, codegen'd — the whole parse+aggregate is a
+    single scan stage). The oracle computes the same aggregate from
+    the original events table, so what is verified is the text
+    round-trip + parse, not just the aggregate."""
+    lines = spark.read.text(_staged_log_lines(spark, sf_dir))
+    pat = r'^user(\d+) - \[[^\]]+\] "GET /(\w+)" 200$'
+    parsed = lines.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 2).alias("event_type"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_TEXT_LOG_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_approx_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``approx_top_k`` sketch aggregate. Sized so the sketch
     is EXACT and therefore oracle-checkable: maxItemsTracked (10000)
@@ -581,6 +629,7 @@ FROM totals t JOIN ranked r ON t.user_id = r.user_id AND r.rn = 1
 QUERIES = {
     "mongodump_facet_anio": (q_mongodump_facet_anio, _MONGODUMP_SQL),
     "agg_approx_topk_events": (q_approx_topk_events, _APPROX_TOPK_SQL),
+    "text_log_parse": (q_text_log_parse, _TEXT_LOG_SQL),
     "agg_mode_event_type": (q_mode_event_type, _MODE_SQL),
     "variant_props_stats": (q_variant_props_stats, _VARIANT_SQL),
     "stream_user_totals_live": (q_stream_user_totals_live, _STREAM_LIVE_SQL),
