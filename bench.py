@@ -78,6 +78,11 @@ HEADLINE = [
     "dedup_span_stats",
     "graph_personalized_pagerank",
     "sample_fixed_per_stratum",
+    # round 4, third session
+    "join_bloom_prefilter",
+    "dedup_paragraph_rewrite",
+    "text_token_diversity",
+    "text_log_parse",
 ]
 
 

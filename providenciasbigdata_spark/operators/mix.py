@@ -117,3 +117,38 @@ def mix_corpus(
         for name, df, rate in sources
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res in its exponential-clocks form): each row draws a
+    uniform u from the same fixed-width md5 bucket ``hash_rate_sample``
+    uses (no rand() — identical across runs, partitions, retries, and
+    engines), races an exponential clock ``-ln(u) / w``, and the k
+    smallest clocks win. Inclusion probability is proportional-to-
+    weight without replacement; a row's clock depends only on
+    (salt, key, weight), so the sample is reproducible and auditable.
+
+    Rows with weight <= 0 or NULL never win (excluded up front).
+    The plan is a TakeOrdered top-k — per-partition heaps, no global
+    sort, no shuffle of the losers; at 100 TB this is a map-side pass
+    plus a k-row reduce.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    bucket = _bucket(F.col(key_col), salt)
+    u = (F.conv(bucket, 16, 10).cast("long") + F.lit(0.5)) / F.lit(float(16 ** _HEX_DIGITS))
+    clock = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__clock", clock)
+        .orderBy(F.col("__clock").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__clock")
+    )

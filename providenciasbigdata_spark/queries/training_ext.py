@@ -355,8 +355,35 @@ def _mix_sql() -> str:
     return " UNION ALL ".join(branches)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional document sampling (longer
+    documents proportionally likelier, without replacement) — the
+    training-mix primitive for quality- or length-weighted corpus
+    draws. The exponential-clock keys derive from md5 buckets both
+    engines compute identically, so the selected SET is exact and
+    oracle-checked; the clock itself (a double) stays internal."""
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "n_chars", k=30).select(
+        "doc_id", "n_chars", "lang"
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars, lang,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+             / 1152921504606846976.0) / n_chars AS clock
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, lang FROM keyed ORDER BY clock ASC, doc_id ASC LIMIT 30
+"""
+
+
 QUERIES = {
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
+    "sample_weighted_by_length": (q_weighted_sample, _WEIGHTED_SAMPLE_SQL),
     "sketch_hll_daily_users": (q_hll_daily_users, None),
     "quality_expectations": (q_quality_expectations, _EXPECTATIONS_SQL),
     "text_repetition": (q_text_repetition, _REPETITION_SQL),

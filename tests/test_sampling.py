@@ -125,3 +125,77 @@ def test_approx_percentiles_rank_error_bound(spark):
             rank = grp.filter(F.col("o_totalprice") <= est).count()
             assert abs(rank - q * n) <= n / 1000 + 1, (status, q, est, rank, n)
         assert row.p25 <= row.p50 <= row.p75
+
+
+# ---- deterministic weighted sampling (Efraimidis-Spirakis) ---------------
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    import hashlib
+    import math
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        r.doc_id for r in weighted_sample_topk(docs, "n_chars", k=25).collect()
+    )
+    rows = docs.select("doc_id", "n_chars").collect()
+    def clock(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(16**15)
+        return -math.log(u) / w
+    want = sorted(
+        doc_id
+        for doc_id, _ in sorted(
+            ((r.doc_id, clock(r.doc_id, r.n_chars)) for r in rows if r.n_chars and r.n_chars > 0),
+            key=lambda t: (t[1], t[0]),
+        )[:25]
+    )
+    assert got == want
+
+
+def test_weighted_sample_deterministic_under_repartition(spark, sf_dir):
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in weighted_sample_topk(docs, "n_chars", k=20).collect())
+    b = sorted(
+        r.doc_id
+        for r in weighted_sample_topk(docs.repartition(13), "n_chars", k=20).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_huge_weight_dominates_and_nonpositive_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(1e12))
+        .when(F.col("id") == 8, F.lit(0.0))
+        .when(F.col("id") == 9, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    kept = {r.doc_id for r in weighted_sample_topk(df, "w", k=10).collect()}
+    assert 7 in kept          # ~1e12x the weight -> certain inclusion
+    assert 8 not in kept and 9 not in kept
+
+
+def test_weighted_sample_plan_is_takeordered(spark, sf_dir):
+    import contextlib
+    import io
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        weighted_sample_topk(docs, "n_chars", k=25).explain("simple")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
