@@ -302,6 +302,29 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def q_json_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan path, explicit schema (same no-inference rule
+    as CSV: schema inference is an extra full pass at scale). The
+    oracle computes from the original table — the JSONL round-trip is
+    what's verified. Completes the source-format matrix:
+    parquet / ORC / CSV / JSONL / raw text / binaryFile (+ avro
+    import-gated on the external module)."""
+    js = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(_staged_format(spark, sf_dir, "json"))
+    )
+    return js.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.max("n_name").alias("last_name"),
+    )
+
+
+_JSON_READ_SQL = """
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations, MAX(n_name) AS last_name
+FROM nation GROUP BY n_regionkey
+"""
+
+
 # ---- map-type column operations -----------------------------------------
 
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,6 +664,7 @@ QUERIES = {
     "xml_orders_agg": (q_xml_orders_agg, _XML_SQL),
     "orc_read_agg": (q_orc_read_agg, _ORC_SQL),
     "csv_read_agg": (q_csv_read_agg, _CSV_SQL),
+    "json_read_agg": (q_json_read_agg, _JSON_READ_SQL),
     "map_functions": (q_map_functions, _MAP_SQL),
 }
 
