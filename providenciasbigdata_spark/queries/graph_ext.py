@@ -343,8 +343,45 @@ SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
 """
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness per node of the bounded similarity graph via h-index
+    iteration (operators.graph_algos.kcore_decomposition). The oracle
+    unrolls the SAME iteration as chained CTEs: because the h sequence
+    is monotone and its fixed point unique, any round count >= the
+    rounds-to-convergence yields the identical table — 40 rounds is a
+    wide margin over the fixture graph's observed convergence, and
+    each round is a join+aggregate over <= 150 nodes."""
+    from providenciasbigdata_spark.operators.graph_algos import kcore_decomposition
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return kcore_decomposition(edges)
+
+
+def _kcore_sql(rounds: int = 40) -> str:
+    hidx = "CAST(len(list_filter(list_sort(list(d.h), 'DESC'), (x,i) -> x >= i)) AS BIGINT)"
+    ctes = []
+    prev = "deg"
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: inlined, the 40-deep nested chain sends the
+        # optimizer exponential (measured: >200s inline vs 0.1s materialized)
+        ctes.append(
+            f"h{r} AS MATERIALIZED (SELECT s.u, {hidx} AS h "
+            f"FROM sym s JOIN {prev} d ON s.v = d.u GROUP BY s.u)"
+        )
+        prev = f"h{r}"
+    chained = ",\n".join(ctes)
+    return f"""
+WITH sym AS MATERIALIZED ({_SYM_EDGES_150_SQL}),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS h FROM sym GROUP BY u),
+{chained}
+SELECT u AS id, h AS core FROM {prev}
+"""
+
+
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
+    "graph_kcore": (q_kcore, _kcore_sql()),
     "graph_personalized_pagerank": (q_personalized_pagerank, _ppr_sql()),
     "graph_triangle_count": (q_triangle_count, _TRIANGLE_SQL),
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),

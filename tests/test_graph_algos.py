@@ -176,3 +176,64 @@ def test_personalized_pagerank_seed_locality(spark):
 
     with pytest.raises(ValueError):
         personalized_pagerank(edges, seeds=[])
+
+
+# ---- k-core decomposition (h-index iteration) ----------------------------
+
+def _ref_coreness(edge_list):
+    """Sequential peeling reference: repeatedly remove nodes with
+    degree <= k; a node removed at threshold k has core number k."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edge_list:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {n: len(a) for n, a in adj.items()}
+    alive = set(adj)
+    core = {}
+    k = 0
+    while alive:
+        queue = [n for n in alive if deg[n] <= k]
+        while queue:
+            n = queue.pop()
+            if n not in alive:
+                continue
+            core[n] = k
+            alive.discard(n)
+            for w in adj[n]:
+                if w in alive:
+                    deg[w] -= 1
+                    if deg[w] <= k:
+                        queue.append(w)
+        k += 1
+    return core
+
+
+def test_kcore_matches_peeling_reference_on_fixture_graph(spark):
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.graph_algos import kcore_decomposition
+    from providenciasbigdata_spark.queries.graph_ext import build_similarity_edges
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        F.col("vec_id") < 150
+    )
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= 30)
+    got = {r.id: r.core for r in kcore_decomposition(edges).collect()}
+    ref = _ref_coreness(
+        [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
+    )
+    assert got == ref
+
+
+def test_kcore_known_small_graph(spark):
+    from providenciasbigdata_spark.operators.graph_algos import kcore_decomposition
+
+    # triangle {1,2,3} (core 2) with a pendant 4-5 path (core 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    got = {r.id: r.core for r in kcore_decomposition(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
