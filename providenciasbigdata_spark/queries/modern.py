@@ -96,6 +96,36 @@ GROUP BY 1
 """
 
 
+def q_stream_mongodump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mongodump source consumed as a STREAM (Spark 4 Python
+    SimpleDataSourceStreamReader): the dump directory is an
+    append-only spool, offsets are consumed-file counts, and an
+    availableNow drain through a complete-mode aggregate must equal
+    the batch facet counts — the custom-source flavor of the
+    registry's stream/batch parity statements. Replay determinism
+    (readBetweenOffsets over immutable files) is pinned in
+    tests/test_modern.py."""
+    from providenciasbigdata_spark import streaming as st
+
+    datasources.register(spark)
+    dump_dir = _ensure_dump(spark, sf_dir)
+    stream = (
+        spark.readStream.format(datasources.FORMAT_NAME)
+        .schema("_id string, providencia string, tipo string, anio int, texto string")
+        .load(dump_dir)
+    )
+    agg = stream.groupBy("tipo").agg(F.count("*").cast("long").alias("n_docs"))
+    return st.run_available_now(
+        agg, f"mongodump_stream_{_sf_tag(sf_dir)}", output_mode="complete"
+    )
+
+
+_STREAM_MONGODUMP_SQL = """
+SELECT source AS tipo, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
 # ---- VARIANT semi-structured access -------------------------------------
 
 def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +681,7 @@ FROM totals t JOIN ranked r ON t.user_id = r.user_id AND r.rn = 1
 
 QUERIES = {
     "mongodump_facet_anio": (q_mongodump_facet_anio, _MONGODUMP_SQL),
+    "stream_mongodump_ingest": (q_stream_mongodump_ingest, _STREAM_MONGODUMP_SQL),
     "agg_approx_topk_events": (q_approx_topk_events, _APPROX_TOPK_SQL),
     "text_log_parse": (q_text_log_parse, _TEXT_LOG_SQL),
     "agg_mode_event_type": (q_mode_event_type, _MODE_SQL),

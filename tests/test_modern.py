@@ -253,3 +253,78 @@ def test_mongodump_fresh_load_per_query_is_isolated(spark):
     assert n_all == 500
     assert n_src3 > 0 and n_src5 > 0
     assert n_src3 + n_src5 < n_all
+
+
+# ---- mongodump streaming source (SimpleDataSourceStreamReader) -----------
+
+def test_mongodump_stream_offsets_and_replay(spark, tmp_path):
+    # spark: StructType.fromDDL needs an active session
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from providenciasbigdata_spark.datasources import MongoDumpStreamReader
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+
+    def write_file(name, docs):
+        with open(spool / name, "w") as fh:
+            for d in docs:
+                fh.write(_json.dumps(d) + "\n")
+
+    write_file("part-000.json", [{"_id": {"$oid": "a" * 24}, "tipo": "x",
+                                  "anio": {"$numberInt": "2001"}}])
+    write_file("part-001.json", [{"_id": {"$oid": "b" * 24}, "tipo": "y",
+                                  "anio": {"$numberInt": "2002"}}])
+
+    schema = StructType.fromDDL("_id string, tipo string, anio int")
+    r = MongoDumpStreamReader(schema, {"path": str(spool)})
+
+    start = r.initialOffset()
+    assert start == {"n_files": 0}
+    rows1, off1 = r.read(start)
+    assert off1 == {"n_files": 2} and len(rows1) == 2
+    assert rows1[0] == ("a" * 24, "x", 2001)
+
+    # nothing new -> empty batch, offset unchanged
+    rows_empty, off_same = r.read(off1)
+    assert rows_empty == [] and off_same == off1
+
+    # append a file -> next batch sees ONLY the new rows
+    write_file("part-002.json", [{"_id": {"$oid": "c" * 24}, "tipo": "z",
+                                  "anio": {"$numberInt": "2003"}}])
+    rows2, off2 = r.read(off1)
+    assert off2 == {"n_files": 3}
+    assert rows2 == [("c" * 24, "z", 2003)]
+
+    # deterministic replay of an arbitrary committed range
+    assert list(r.readBetweenOffsets(start, off1)) == rows1
+    assert list(r.readBetweenOffsets(off1, off2)) == rows2
+
+
+def test_mongodump_stream_drain_equals_batch_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark import datasources, streaming as st
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.io import load_table
+
+    datasources.register(spark)
+    out = str(tmp_path / "dump")
+    docs = rulings_view(load_table(spark, "/root/testdata/sf0.001", "documents")).select(
+        "doc_id", "providencia", "tipo", "anio", "texto"
+    )
+    datasources.export_mongodump(docs, out)
+
+    ddl = "_id string, providencia string, tipo string, anio int, texto string"
+    streamed = st.run_available_now(
+        spark.readStream.format(datasources.FORMAT_NAME).schema(ddl).load(out)
+        .groupBy("anio").agg(F.count("*").cast("long").alias("n")),
+        "mongodump_stream_parity_test",
+    )
+    batch = (
+        spark.read.format(datasources.FORMAT_NAME).schema(ddl).load(out)
+        .groupBy("anio").agg(F.count("*").cast("long").alias("n"))
+    )
+    assert sorted(streamed.collect()) == sorted(batch.collect())
