@@ -66,10 +66,32 @@ def main() -> None:
     n2 = exact.count()
     print(f"[2] exact dedup: {n2} docs ({n1 - n2} dropped)")
 
+    # -- 2b. paragraph-level dedup + rewrite (Dolma-style) ----------------
+    rewritten = dedup.dedup_paragraphs(exact, chunk_tokens=20)
+    dropped_paras = rewritten.agg(
+        F.sum(F.col("n_chunks") - F.col("kept_chunks")).alias("d")
+    ).first().d
+    exact = exact.drop("text").join(
+        rewritten.filter(F.col("kept_chunks") > 0).select(
+            "doc_id", F.col("new_text").alias("text")
+        ),
+        "doc_id",
+    )
+    print(f"[2b] paragraph dedup: {dropped_paras} duplicated paragraphs removed")
+
     # -- 3. fuzzy dedup: MinHash LSH -> verify -> transitive clusters -----
     fuzzy = dedup.dedup_near(exact, threshold=0.5)
     n3 = fuzzy.count()
     print(f"[3] fuzzy dedup (jaccard>=0.5 clusters): {n3} docs ({n2 - n3} dropped)")
+
+    # -- 3b. length-weighted deterministic subsample (epoch mix draw) -----
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+
+    drawn = weighted_sample_topk(
+        fuzzy.withColumn("n_chars", F.length("text")), "n_chars", k=max(1, n3 // 2)
+    )
+    print(f"[3b] weighted draw (longer docs likelier): {drawn.count()} of {n3}")
+    fuzzy = drawn.drop("n_chars")
 
     # -- 4. chunking: 64-token windows, 16 overlap ------------------------
     chunks = (
