@@ -943,3 +943,110 @@ def ivf_index_append(index: IVFIndex, new_embeddings: DataFrame) -> None:
         .write.mode("append").partitionBy("cluster")
         .parquet(f"{index.path}/vectors")
     )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed PCA fit over the embedding column — the standard
+    dim-reduction step ahead of ANN indexing / semantic dedup (and the
+    rotation PQ variants like OPQ start from).
+
+    ONE corpus pass: each Arrow batch emits a single moment row
+    (count, sum vector, flattened X^T X Gram partial); the reduce side
+    aggregates O(batches) tiny rows via posexplode + SUM — for d=64
+    that is 64 + 4096 scalars per batch, NEVER the corpus. The d x d
+    covariance assembles on the driver (bounded by dimension, not
+    data) and np.linalg.eigh factors it — LAPACK on a 64x64 matrix,
+    the only non-Spark step, independent of corpus size.
+
+    Determinism: eigenvectors are sign-ambiguous, so each component is
+    oriented to make its largest-|loading| coordinate positive (ties
+    to the lowest index); eigh's ascending eigenvalues are reversed to
+    variance-descending order.
+
+    Returns (mean [d], components [n_components x d],
+    explained_variance_ratio [n_components]) as numpy arrays.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        for b in batches:
+            X = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    part = embeddings.select(vec_col).mapInPandas(
+        moments, "n long, s array<double>, g array<double>"
+    )
+    srows = (
+        part.select("n", F.posexplode("s").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("n").alias("n"), F.sum("x").alias("sx"))
+        .collect()
+    )
+    grows = (
+        part.select(F.posexplode("g").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("x").alias("gx"))
+        .collect()
+    )
+    d = len(srows)
+    n = int(srows[0].n)
+    s = np.zeros(d)
+    for r in srows:
+        s[r.pos] = r.sx
+    G = np.zeros(d * d)
+    for r in grows:
+        G[r.pos] = r.gx
+    G = G.reshape(d, d)
+    mean = s / n
+    cov = (G - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # [n_components x d]
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(evals.sum())
+    evr = (evals[order] / total_var) if total_var > 0 else np.zeros(len(order))
+    return mean, comps, evr
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project the corpus onto fitted components: (X - mean) @ W^T as
+    an Arrow-batched matmul (mean/W ride the closure — k x d floats,
+    not data). Output (id_col, out_col array<double>). Map-only: no
+    shuffle, composes with any downstream index build."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)
+
+    def proj(batches):
+        for b in batches:
+            X = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            P = (X - mu) @ W.T
+            yield pd.DataFrame({id_col: b[id_col], out_col: list(map(list, P))})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        proj, f"{id_col} long, {out_col} array<double>"
+    )

@@ -422,6 +422,21 @@ FROM nch n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
 """
 
 
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA fit (one corpus pass of moment partials; d x d
+    covariance + LAPACK eigh on the driver — bounded by dimension,
+    not data): top-8 explained-variance ratios of the embedding
+    corpus. Rows-only: the eigendecomposition is not SQL-expressible;
+    the fit is pinned against numpy PCA on the collected fixture in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, evr = similarity.pca_fit(emb, n_components=8)
+    return spark.createDataFrame(
+        [(i, round(float(v), 6)) for i, v in enumerate(evr)],
+        "component long, explained_variance_ratio double",
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF for the first 20 docs: tf = term count / doc
     length, idf = ln(N / doc-frequency). Document frequency and N come
@@ -828,6 +843,7 @@ QUERIES = {
     "ivf_pq_ann_topk": (q_ivf_pq_ann_topk, None),
     "pq_ann_topk": (q_pq_ann_topk, None),
     "embedding_quantize_int8": (q_quantize_int8, _QUANTIZE_SQL),
+    "embedding_pca_variance": (q_embedding_pca_variance, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),
 }
@@ -842,6 +858,12 @@ _APPROX_ANN = (
     "oracle-checked brute-force top-k pinned in tests/test_similarity.py"
 )
 WHY_NO_ORACLE = {
+    "embedding_pca_variance": (
+        "covariance eigendecomposition (driver-side LAPACK on the d x d "
+        "matrix) is not SQL-expressible; the distributed moment pass and "
+        "fit are pinned EQUAL (atol 1e-8) to numpy PCA on the collected "
+        "fixture corpus in tests/test_similarity.py"
+    ),
     "bpe_train_merges": (
         "iterative corpus arg-max (the BPE merge loop) is not "
         "SQL-expressible; pinned EQUAL to a pure-Python reference BPE "

@@ -309,3 +309,50 @@ def test_ivf_index_append_incremental(spark, tmp_path):
     # appended rows are inside cluster= dirs (pruning preserved)
     n_union = idx.vectors().count()
     assert n_union == emb.count()
+
+
+# ---- distributed PCA ------------------------------------------------------
+
+def test_pca_fit_matches_numpy_reference(spark):
+    import numpy as np
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.similarity import pca_fit
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps, evr = pca_fit(emb, n_components=6)
+
+    X = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.orderBy("vec_id").collect()]
+    )
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:6]
+    ref = evecs[:, order].T
+    for i in range(6):  # same sign convention
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    ref_evr = evals[order] / evals.sum()
+
+    assert np.allclose(mean, mu, atol=1e-8)
+    assert np.allclose(evr, ref_evr, atol=1e-8)
+    assert np.allclose(comps, ref, atol=1e-6)
+    # orthonormal components, variance-descending
+    assert np.allclose(comps @ comps.T, np.eye(6), atol=1e-8)
+    assert all(evr[i] >= evr[i + 1] - 1e-12 for i in range(5))
+
+
+def test_pca_project_matches_closed_form(spark):
+    import numpy as np
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps, _ = pca_fit(emb, n_components=4)
+    got = {r.vec_id: np.array(r.pca) for r in pca_project(emb, mean, comps).collect()}
+    for r in emb.limit(20).collect():
+        want = (np.asarray(r.embedding, dtype=np.float64) - mean) @ comps.T
+        assert np.allclose(got[r.vec_id], want, atol=1e-10)
