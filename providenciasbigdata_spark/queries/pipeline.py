@@ -422,6 +422,70 @@ FROM nch n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
 """
 
 
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009 — the
+    fixed-width, vocabulary-free text vectorizer): token -> bucket in
+    [0, 64) from its md5 prefix, signed +/-1 by the next hex digit;
+    per-document signed counts per bucket. Both engines derive the
+    SAME buckets/signs from md5 hex, so the sparse vector's integer
+    invariants (nnz, l1 mass, squared l2 norm) are EXACT and
+    hash-checked — no float featurization drift. Two-phase aggregate:
+    (doc, bucket) partial sums, then per-doc fold; empty docs kept
+    with zeroed signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode_outer(tokenize(F.col("text"))).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bucketed = toks.select(
+        "doc_id",
+        F.when(
+            F.col("tok").isNotNull(),
+            F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 64,
+        ).alias("bucket"),
+        F.when(F.col("tok").isNull(), F.lit(0))
+        .when(F.substring(h, 7, 1).isin(*"01234567"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    entries = bucketed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("val")
+    )
+    return entries.groupBy("doc_id").agg(
+        F.count(F.when((F.col("val") != 0) & F.col("bucket").isNotNull(), 1))
+        .cast("long")
+        .alias("nnz"),
+        F.coalesce(F.sum(F.abs("val")), F.lit(0)).cast("long").alias("l1_mass"),
+        F.coalesce(F.sum(F.col("val") * F.col("val")), F.lit(0))
+        .cast("long")
+        .alias("norm_sq"),
+    )
+
+
+_FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), bucketed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS bucket,
+         CASE WHEN strpos('01234567', substr(md5(tok), 7, 1)) > 0 THEN 1 ELSE -1 END AS sign
+  FROM toks
+), entries AS (
+  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val
+  FROM bucketed GROUP BY doc_id, bucket
+), per AS (
+  SELECT doc_id,
+         CAST(COUNT(CASE WHEN val <> 0 THEN 1 END) AS BIGINT) AS nnz,
+         CAST(SUM(ABS(val)) AS BIGINT) AS l1_mass,
+         CAST(SUM(val * val) AS BIGINT) AS norm_sq
+  FROM entries GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.nnz, 0) AS BIGINT) AS nnz,
+       CAST(COALESCE(p.l1_mass, 0) AS BIGINT) AS l1_mass,
+       CAST(COALESCE(p.norm_sq, 0) AS BIGINT) AS norm_sq
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
 def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA fit (one corpus pass of moment partials; d x d
     covariance + LAPACK eigh on the driver — bounded by dimension,
@@ -819,6 +883,7 @@ QUERIES = {
     "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "text_tfidf": (q_tfidf_top_terms, _TFIDF_SQL),
     "text_token_diversity": (q_token_diversity, _DIVERSITY_SQL),
+    "text_feature_hashing": (q_feature_hashing, _FEATURE_HASH_SQL),
     "curate_pipeline": (q_curate, _curate_sql()),
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
     "dedup_exact_survivors": (q_dedup_exact_survivors, _DEDUP_EXACT_SQL),
