@@ -434,6 +434,26 @@ _VARLEN_RE = re.compile(
 )
 
 
+# extension: shortestPath between two bound anchors over the
+# weight-filtered undirected graph; `length(p)` = relationship count.
+_SHORTEST_PATH_RE = re.compile(
+    r"^\s*MATCH\s+(\w+)\s*=\s*shortestPath\s*\(\s*"
+    r"\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*:\s*SIMILAR\s*\*\s*\]\s*-\s*"
+    r"\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)\s*\)\s*"
+    r"WHERE\s+ALL\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*\1\s*\)\s+WHERE\s+"
+    r"\6\.similitud\s*>=\s*\$(\w+)\s+AND\s+\6\.similitud\s*<=\s*\$(\w+)\s*\)\s*"
+    r"RETURN\s+length\s*\(\s*\1\s*\)\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+# shortestPath's unbounded `*` still needs a traversal bound on an
+# iterative engine; 30 hops covers any plausible similarity-graph
+# diameter (the fixture's largest observed is 19) and matches the
+# oracle's recursion cap.
+_SHORTEST_PATH_MAX_HOPS = 30
+
+
 def cypher_run(
     query: str,
     nodes: DataFrame | None = None,
@@ -464,6 +484,11 @@ def cypher_run(
     (``RETURN a.id AS x, count(r) AS y`` over the weight-filtered
     graph) — per-source degree counts as a filter + two-phase hash
     aggregate; the graph-side sibling of the MQL ``$group`` pipeline.
+    Template 7 (extension): ``shortestPath((a {id:$s})-[:SIMILAR*]-
+    (b {id:$d}))`` with a ``relationships(p)`` weight guard —
+    frontier BFS over the filtered undirected edge set, early-bounded
+    at 30 hops (matches the oracle's recursion cap); returns ONE row
+    ``length(p)`` or no rows when unreachable, like Bolt.
     """
     params = params or {}
     flat = " ".join(query.split())
@@ -495,6 +520,30 @@ def cypher_run(
                 F.col("dst").alias(out_destino),
                 F.col("similitud").alias(out_sim),
             )
+        )
+
+    m = _SHORTEST_PATH_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("shortestPath query needs the edges frame")
+        src_p, dst_p, lo_p, hi_p = m.group(3), m.group(5), m.group(7), m.group(8)
+        out_len = m.group(9)
+        missing = [p for p in (src_p, dst_p, lo_p, hi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        from providenciasbigdata_spark.operators.graph_algos import bfs_distances
+
+        filtered = edges.filter(
+            F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+        )
+        dists = bfs_distances(
+            filtered,
+            params[src_p],
+            directed=False,
+            max_hops=_SHORTEST_PATH_MAX_HOPS,
+        )
+        return dists.filter(F.col("id") == F.lit(params[dst_p])).select(
+            F.col("hops").cast("long").alias(out_len)
         )
 
     m = _DEGREE_RE.match(flat)

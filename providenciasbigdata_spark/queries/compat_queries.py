@@ -452,6 +452,49 @@ FROM reach WHERE dst <> 'P-7' GROUP BY dst
 """
 
 
+CYPHER_SHORTEST = """
+MATCH p = shortestPath((a:Providencia {id: $origen})-[:SIMILAR*]-(b:Providencia {id: $destino}))
+WHERE all(x IN relationships(p) WHERE x.similitud >= $lo AND x.similitud <= $hi)
+RETURN length(p) AS saltos
+"""
+
+
+def q_cypher_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath between two bound anchors, from the LITERAL Cypher
+    template through compat.ir (template 7): frontier BFS over the
+    weight-filtered undirected similarity graph, one row with the
+    relationship count (or none if unreachable). The oracle is a
+    cycle-safe min-hop recursive CTE with the same 30-hop cap; the
+    cosine edge set is symmetric, so its directed recursion IS the
+    undirected traversal."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    return cypher_run(
+        CYPHER_SHORTEST, edges=edges,
+        params={"origen": "P-7", "destino": "P-259", "lo": 30.0, "hi": 100.0},
+    )
+
+
+_CYPHER_SHORTEST_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) * 100, 4)
+        BETWEEN 30 AND 100
+), reach(id, hop) AS (
+  SELECT 'P-7', 0
+  UNION
+  SELECT e.dst, r.hop + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.hop < 30
+)
+SELECT CAST(MIN(hop) AS BIGINT) AS saltos
+FROM reach WHERE id = 'P-259' GROUP BY id
+"""
+
+
 def q_mql_agg_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collection.aggregate facet counting — the pipeline a Mongo user
     ships instead of the reference's client-side option lists: one
@@ -692,6 +735,7 @@ QUERIES = {
     ),
     "a10_neighborhood": (q_a10_neighborhood, _A10_SQL),
     "cypher_varlen_expansion": (q_cypher_varlen, _CYPHER_VARLEN_SQL),
+    "cypher_shortest_path": (q_cypher_shortest_path, _CYPHER_SHORTEST_SQL),
     "cypher_undirected_expansion": (q_cypher_undirected, _CYPHER_UNDIRECTED_SQL),
     "cypher_multi_anchor": (q_cypher_multi_anchor, _CYPHER_MULTI_ANCHOR_SQL),
     "cypher_degree_counts": (q_cypher_degree_counts, _CYPHER_DEGREE_SQL),

@@ -436,3 +436,26 @@ def test_mql_project_id_special_casing(spark):
 
     with _pytest.raises(ValueError, match="mix"):
         mql_aggregate(docs, grouped + [{"$project": {"n": 1, "_id": 0, "x": 0}}])
+
+
+def test_cypher_shortest_path_template(spark):
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    edges = spark.createDataFrame(
+        [("P-1", "P-2", 50.0), ("P-2", "P-3", 50.0), ("P-3", "P-4", 10.0),
+         ("P-9", "P-8", 50.0)],
+        "src string, dst string, similitud double",
+    )
+    q = """
+    MATCH p = shortestPath((a:Providencia {id: $s})-[:SIMILAR*]-(b:Providencia {id: $d}))
+    WHERE all(x IN relationships(p) WHERE x.similitud >= $lo AND x.similitud <= $hi)
+    RETURN length(p) AS hops
+    """
+    # undirected: P-3 reachable from P-1 in 2 hops through stored edges
+    got = cypher_run(q, edges=edges, params={"s": "P-1", "d": "P-3", "lo": 30.0, "hi": 100.0}).collect()
+    assert [r.hops for r in got] == [2]
+    # the weight guard prunes the P-3 -> P-4 edge: unreachable -> NO rows
+    assert cypher_run(q, edges=edges, params={"s": "P-1", "d": "P-4", "lo": 30.0, "hi": 100.0}).count() == 0
+    # same node: zero-length path
+    got0 = cypher_run(q, edges=edges, params={"s": "P-2", "d": "P-2", "lo": 30.0, "hi": 100.0}).collect()
+    assert [r.hops for r in got0] == [0]
