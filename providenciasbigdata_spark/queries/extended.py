@@ -730,7 +730,53 @@ FROM events
 GROUP BY event_type
 """
 
+_PROFILE_COLS = (
+    "o_orderkey o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority"
+).split()
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the ANALYZE/stats-collection shape):
+    row count + per-column null and EXACT distinct counts for every
+    orders column, computed in a SINGLE aggregate over a single scan —
+    Catalyst rewrites the multi-column COUNT(DISTINCT) into one Expand
+    + two-phase aggregate (one shuffle, data widened x columns), which
+    is the exact-stats trade; the 100 TB default swaps
+    approx_count_distinct into the same shape. The wide result row is
+    unpivoted to one row per column with stack()."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, "
+    f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    f"CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
+    "profile_table_stats": (q_profile_table, _PROFILE_SQL),
     "agg_robust_stats": (q_robust_stats, _ROBUST_STATS_SQL),
     "agg_price_histogram": (q_price_histogram, _HISTOGRAM_SQL),
     "join_fuzzy_name_pairs": (q_fuzzy_name_pairs, _FUZZY_SQL),

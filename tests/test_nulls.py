@@ -86,3 +86,38 @@ def test_search_text_null_rows_never_match(spark):
         _docs(spark).withColumn("tokens", tokenize(F.col("text"))), "normal"
     )
     assert [r.doc_id for r in hits.collect()] == [5]
+
+
+def test_dedup_paragraphs_null_text(spark):
+    from providenciasbigdata_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, " ".join(f"w{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, chunk_tokens=20).collect()}
+    # null text: no chunks derivable (n_chunks mirrors the null token
+    # array on both engines), nothing kept, empty rewrite
+    assert out[1].kept_chunks == 0 and out[1].new_text == ""
+    assert out[2].n_chunks == 2 and out[2].kept_chunks == 2
+
+
+def test_weighted_sample_all_nonpositive_weights_empty(spark):
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(0.0).alias("w"))
+    assert weighted_sample_topk(df, "w", k=3).count() == 0
+
+
+def test_feature_hashing_null_and_empty_docs(spark):
+    from providenciasbigdata_spark.queries.pipeline import q_feature_hashing  # noqa: F401
+    # covered end-to-end by the oracle (LEFT JOIN zero-fill on both
+    # engines); here: the underlying expressions tolerate null text
+    from providenciasbigdata_spark.compat.documents import tokenize
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    toks = df.select("doc_id", F.explode_outer(tokenize(F.col("text"))).alias("tok"))
+    assert toks.count() == 2  # one NULL-token row per degenerate doc

@@ -416,3 +416,14 @@ def test_search_fuzzy_dictionary_join_is_hash_join(spark, reg):
     plan = plan_of(_run(reg, "a7_search_fuzzy", spark))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_profile_table_single_scan_plan(spark):
+    # the whole multi-column exact profile must ride ONE scan of the
+    # table (Expand + two-phase aggregate), not one scan per column
+    from providenciasbigdata_spark.queries.extended import q_profile_table
+
+    plan = plan_of(q_profile_table(spark, SF), "simple")
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l or "FileScan" in l]
+    assert len(scan_lines) == 1, plan
+    assert "Expand" in plan, plan
