@@ -734,18 +734,27 @@ def dup_span_stats(
         .select("gram")
     )
     dup_pos = grams.join(dup_grams, "gram").select(id_col, "pos")
-    spans = dup_pos.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
-    covered = (
-        dup_pos.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cov"),
-        )
+    # interval-union coverage WITHOUT materializing covered positions:
+    # spans sorted by start; each [pos, pos+n-1] contributes n tokens
+    # when disjoint from its predecessor, else only the non-overlapped
+    # tail (pos - prev_pos, capped at n). One window + one aggregate on
+    # the same key (exchange reused) replaces the former n-fold
+    # position explode + countDistinct — O(spans) rows instead of
+    # O(spans*n), and no distinct-hash state per token position.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.least(
+        F.lit(n), F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(n))
+    )
+    stats = (
+        dup_pos.withColumn("__c", contrib)
         .groupBy(id_col)
-        .agg(F.countDistinct("cov").alias("n_covered_tokens"))
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("__c").alias("n_covered_tokens"),
+        )
     )
     return (
-        doc_len.join(spans, id_col, "left")
-        .join(covered, id_col, "left")
+        doc_len.join(stats, id_col, "left")
         .select(
             id_col,
             F.col("n_tokens").cast("long").alias("n_tokens"),
