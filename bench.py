@@ -83,6 +83,8 @@ HEADLINE = [
     "dedup_paragraph_rewrite",
     "text_token_diversity",
     "text_log_parse",
+    "text_feature_hashing",
+    "sample_weighted_by_length",
 ]
 
 

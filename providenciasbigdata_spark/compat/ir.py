@@ -541,6 +541,7 @@ def cypher_run(
             params[src_p],
             directed=False,
             max_hops=_SHORTEST_PATH_MAX_HOPS,
+            target=params[dst_p],
         )
         return dists.filter(F.col("id") == F.lit(params[dst_p])).select(
             F.col("hops").cast("long").alias(out_len)

@@ -153,6 +153,7 @@ def bfs_distances(
     max_hops: int = 10,
     directed: bool = True,
     checkpoint_dir: str | None = None,
+    target=None,
 ) -> DataFrame:
     """Hop distances from one anchor node — frontier-expansion BFS.
     Generalizes the reference's 1-hop page (streamlit_app.py:60-64) and
@@ -161,8 +162,18 @@ def bfs_distances(
     against the edge list (frontier sizes are graph-width-bounded) and
     anti-joins the visited set, so every node is expanded once.
 
+    ``target``: stop expanding as soon as this node is reached (its
+    minimum hop count is final the level it first appears — BFS level
+    order), the shortestPath(a, b) case: levels beyond the target's
+    are pure waste, so the saving is (cap - target_hops) levels — e.g.
+    a 7-hop target under a 30-hop cap skips 23 join rounds; a target
+    outside the component saves nothing (the frontier must drain to
+    prove unreachability). The check rides the level's already-
+    materialized frontier; all-distances callers just omit it.
+
     Output: (id, hops) for every node reachable within ``max_hops``
-    (anchor included at 0).
+    (anchor included at 0); with ``target``, complete only up to the
+    target's level.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
@@ -188,6 +199,8 @@ def bfs_distances(
             break
         visited = visited.union(nxt)
         frontier = nxt.select("id")
+        if target is not None and not nxt.filter(F.col("id") == F.lit(target)).isEmpty():
+            break
     out = ckpt(visited)
     e.unpersist()
     return out
