@@ -280,6 +280,34 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 """
 
 
+def q_setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    multiplicities, the semantics `exceptAll`/`intersectAll` added
+    that plain EXCEPT/INTERSECT can't express: a custkey with 5 orders
+    over 200k of which 2 are over 400k survives EXCEPT ALL 3 times.
+    Both engines implement the ANSI bag semantics; the count aggregate
+    on top makes the multiplicity itself the checked value."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    huge = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        big.exceptAll(huge)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("multiplicity"))
+    )
+
+
+_SETOPS_MULTISET_SQL = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+GROUP BY o_custkey
+"""
+
+
 # ---- distinct aggregates ----------------------------------------------
 
 def q_agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,6 +1056,7 @@ QUERIES = {
         "COUNT(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
     ),
     "setops_custkeys": (q_setops_custkeys, _SETOPS_SQL),
+    "setops_multiset": (q_setops_multiset, _SETOPS_MULTISET_SQL),
     "agg_distinct_counts": (
         q_agg_distinct_counts,
         "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, "

@@ -363,7 +363,33 @@ def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NOT_IN_SQL)
 
 
+# one SQL text, two engines: Spark >= 3.5 and DuckDB share the ANSI
+# LATERAL correlated-subquery grammar (incl. ORDER BY + LIMIT inside)
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9500) c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) o
+"""
+
+
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the SQL-standard per-row top-k
+    (each rich customer's 2 priciest orders). Catalyst decorrelates
+    the LIMIT-ed lateral into a window-rank over one join, so the
+    plan is the same shuffle-once shape as the DataFrame
+    row_number formulation, written in portable ANSI SQL. The oracle
+    runs the IDENTICAL text on DuckDB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 QUERIES = {
+    "sql_lateral_topk": (q_sql_lateral_topk, _LATERAL_SQL),
     "sql_recursive_reachability": (q_recursive_reachability, _RECURSIVE_SQL),
     "sql_not_in_null_aware": (q_not_in_null_aware, _NOT_IN_SQL),
     "sql_scalar_udf": (q_sql_scalar_udf, _SQL_SCALAR_UDF_SQL),
