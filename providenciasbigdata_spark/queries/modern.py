@@ -626,6 +626,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar functions (Spark 4 runs with ANSI
+    ON, so plain division/cast THROW on bad input; try_divide /
+    try_cast are the non-poisoning forms a pipeline uses on dirty
+    data). Per order-priority: how many rows had a zero divisor
+    (try_divide -> NULL instead of an exception killing the stage) and
+    how many priority strings survive a numeric try_cast (none — the
+    fixture's '1-URGENT' style never parses; the count pins NULL, not
+    crash). DuckDB twins: NULLIF-guarded division and TRY_CAST."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.try_divide(F.col("o_totalprice"), (F.col("o_custkey") % 3))
+            .isNull()
+            .cast("long")
+        ).alias("n_zero_div"),
+        F.sum(
+            F.expr("try_cast(o_orderpriority AS int)").isNotNull().cast("long")
+        ).alias("n_numeric_prio"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+_TRY_FUNCS_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN (o_totalprice / NULLIF(o_custkey % 3, 0)) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_div,
+       CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_prio,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_approx_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``approx_top_k`` sketch aggregate. Sized so the sketch
     is EXACT and therefore oracle-checkable: maxItemsTracked (10000)
@@ -685,6 +717,7 @@ QUERIES = {
     "agg_approx_topk_events": (q_approx_topk_events, _APPROX_TOPK_SQL),
     "text_log_parse": (q_text_log_parse, _TEXT_LOG_SQL),
     "agg_mode_event_type": (q_mode_event_type, _MODE_SQL),
+    "scalar_try_functions": (q_try_functions, _TRY_FUNCS_SQL),
     "variant_props_stats": (q_variant_props_stats, _VARIANT_SQL),
     "stream_user_totals_live": (q_stream_user_totals_live, _STREAM_LIVE_SQL),
     "cms_token_estimates": (q_cms_token_estimates, None),
