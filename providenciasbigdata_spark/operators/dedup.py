@@ -771,6 +771,91 @@ def dup_span_stats(
     )
 
 
+def _doc_paragraphs(df, id_col, text_col, chunk_tokens):
+    """Shared chunking step: (id, idx, chunk) rows of non-overlapping
+    ``chunk_tokens``-token paragraphs, plus the per-doc frame carrying
+    the paragraph count ``nc`` (NULL text -> NULL nc, no chunks)."""
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
+    nch = toks.withColumn(
+        "nc", F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("long")
+    )
+    chunk_arr = F.when(
+        F.col("nc") > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("nc") - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), (i * chunk_tokens + 1).cast("int"), chunk_tokens),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = nch.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    return chunks, nch
+
+
+def paragraph_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Distinct paragraphs of a corpus — the historical index
+    ``dedup_paragraphs_incremental`` anti-joins new batches against
+    (one string — or, in production, one xxhash64 — per distinct
+    paragraph, never the corpus)."""
+    chunks, _ = _doc_paragraphs(df, id_col, text_col, chunk_tokens)
+    return chunks.select("chunk").distinct()
+
+
+def dedup_paragraphs_incremental(
+    new_df: DataFrame,
+    seen_paragraphs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Incremental ingest twin of ``dedup_paragraphs``: rewrite an
+    incoming batch against a historical paragraph index — a paragraph
+    survives iff it is absent from the index AND is the batch's first
+    occurrence. Same output contract (id, n_chunks, kept_chunks,
+    new_text); the survivors' paragraphs can append straight into the
+    index. Anti-join + window shuffle only the BATCH; the index side
+    is the distinct-paragraph set, not the corpus.
+    """
+    chunks, nch = _doc_paragraphs(new_df, id_col, text_col, chunk_tokens)
+    fresh = chunks.join(
+        seen_paragraphs.select("chunk"), "chunk", "left_anti"
+    )
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col).asc(), F.col("idx").asc())
+    winners = (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = winners.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        nch.select(id_col, F.col("nc").alias("n_chunks"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).cast("long").alias("kept_chunks"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -779,7 +864,9 @@ def dedup_paragraphs(
     hash_chunks: bool = False,
 ) -> DataFrame:
     """Paragraph-level exact dedup with document REWRITE (the Dolma /
-    RefinedWeb curation step): split every document into non-overlapping
+    RefinedWeb curation step; ``_doc_paragraphs`` is the shared
+    chunking step, ``dedup_paragraphs_incremental`` the ingest twin):
+    split every document into non-overlapping
     ``chunk_tokens``-token paragraphs, keep only the corpus-wide FIRST
     occurrence of each distinct paragraph (first = lowest (id, position)
     — deterministic across runs and partitionings), and reassemble each
@@ -798,23 +885,7 @@ def dedup_paragraphs(
     array_sort AFTER collect_list — order is deterministic even though
     collect_list itself is not.
     """
-    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
-    nch = toks.withColumn(
-        "nc", F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("long")
-    )
-    chunk_arr = F.when(
-        F.col("nc") > 0,
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.col("nc") - 1),
-            lambda i: F.array_join(
-                F.slice(F.col("t"), (i * chunk_tokens + 1).cast("int"), chunk_tokens),
-                " ",
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    chunks = nch.select(
-        F.col(id_col), F.posexplode(chunk_arr).alias("idx", "chunk")
-    )
+    chunks, nch = _doc_paragraphs(df, id_col, text_col, chunk_tokens)
     key = (
         F.xxhash64(F.lit(0x9A7A), F.col("chunk")) if hash_chunks else F.col("chunk")
     )

@@ -501,6 +501,51 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_paragraphs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup at ingest: the first half of the
+    corpus (doc_id < 250) is the historical paragraph index, the
+    second half arrives as a batch and is rewritten against it —
+    index-absent AND batch-first paragraphs survive. Only the batch
+    shuffles; the history participates as its distinct-paragraph set."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    idx = dedup.paragraph_index(history, chunk_tokens=20)
+    return dedup.dedup_paragraphs_incremental(batch, idx, chunk_tokens=20)
+
+
+_DEDUP_PARA_INCR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), nch AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / 20.0) AS BIGINT) AS nc FROM toks
+), chunks AS (
+  SELECT doc_id, i AS idx, array_to_string(t[(i*20 + 1):(i*20 + 20)], ' ') AS chunk
+  FROM nch, UNNEST(range(nc)) AS u(i)
+), seen AS (
+  SELECT DISTINCT chunk FROM chunks WHERE doc_id < 250
+), fresh AS (
+  SELECT c.* FROM chunks c LEFT JOIN seen s ON c.chunk = s.chunk
+  WHERE c.doc_id >= 250 AND s.chunk IS NULL
+), winners AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM fresh
+), rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+         string_agg(chunk, ' ' ORDER BY idx) AS new_text
+  FROM winners WHERE rn = 1 GROUP BY doc_id
+)
+SELECT n.doc_id,
+       n.nc AS n_chunks,
+       CAST(COALESCE(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       COALESCE(r.new_text, '') AS new_text
+FROM nch n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
+WHERE n.doc_id >= 250
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF for the first 20 docs: tf = term count / doc
     length, idf = ln(N / doc-frequency). Document frequency and N come
@@ -899,6 +944,7 @@ QUERIES = {
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
     "dedup_span_stats": (q_dedup_span_stats, _DEDUP_SPAN_SQL),
     "dedup_paragraph_rewrite": (q_dedup_paragraphs, _DEDUP_PARA_SQL),
+    "dedup_paragraph_incremental": (q_dedup_paragraphs_incremental, _DEDUP_PARA_INCR_SQL),
     "minhash_incremental": (q_minhash_incremental, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),
     "simhash_incremental": (q_simhash_incremental, None),

@@ -321,3 +321,36 @@ def test_dedup_paragraphs_hash_path_equals_string_path(spark, sf_dir):
     a = sorted(dedup_paragraphs(docs, chunk_tokens=20).collect())
     b = sorted(dedup_paragraphs(docs, chunk_tokens=20, hash_chunks=True).collect())
     assert a == b
+
+
+def test_dedup_paragraphs_incremental_semantics(spark):
+    from providenciasbigdata_spark.operators.dedup import (
+        dedup_paragraphs_incremental,
+        paragraph_index,
+    )
+
+    p1 = " ".join(f"a{i}" for i in range(20))
+    p2 = " ".join(f"b{i}" for i in range(20))
+    p3 = " ".join(f"c{i}" for i in range(20))
+    history = spark.createDataFrame([(1, f"{p1}")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, f"{p1} {p2}"),    # p1 already indexed -> dropped; p2 fresh
+         (11, f"{p2} {p3}")],   # p2 loses to doc 10 (batch-first); p3 fresh
+        "doc_id long, text string",
+    )
+    idx = paragraph_index(history)
+    out = {r.doc_id: r for r in dedup_paragraphs_incremental(batch, idx).collect()}
+    assert out[10].new_text == p2 and out[10].kept_chunks == 1
+    assert out[11].new_text == p3 and out[11].kept_chunks == 1
+    # full-rewrite consistency: history + batch through the batch op ==
+    # batch through the incremental op, for batch docs
+    from providenciasbigdata_spark.operators.dedup import dedup_paragraphs
+
+    full = {
+        r.doc_id: r
+        for r in dedup_paragraphs(history.union(batch)).collect()
+        if r.doc_id >= 10
+    }
+    assert {k: (v.kept_chunks, v.new_text) for k, v in out.items()} == {
+        k: (v.kept_chunks, v.new_text) for k, v in full.items()
+    }
