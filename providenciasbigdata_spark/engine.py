@@ -201,6 +201,31 @@ class ProvidenciasEngine:
     def events_stream(self, events_dir: str, **kwargs) -> DataFrame:
         return streaming.events_stream(self.spark, events_dir, **kwargs)
 
+    def rulings_stream(self, dump_dir: str | None = None) -> DataFrame:
+        """The collection as a STREAM: tail a mongoexport dump spool
+        through the streaming Python DataSource (datasources.
+        MongoDumpStreamReader — consumed-file offsets, deterministic
+        replay). Pass ``dump_dir``, or construct the engine with
+        ``from_mongodump`` and omit it. Returns a streaming DataFrame
+        with the collection schema; compose any batch transform that
+        streaming supports on top."""
+        target = dump_dir or self._dump_dir
+        if target is None:
+            raise ValueError(
+                "rulings_stream needs a dump_dir (or an engine built "
+                "with from_mongodump)"
+            )
+        from providenciasbigdata_spark import datasources
+
+        datasources.register(self.spark)
+        return (
+            self.spark.readStream.format(datasources.FORMAT_NAME)
+            .schema(
+                "_id string, providencia string, tipo string, anio int, texto string"
+            )
+            .load(target)
+        )
+
     def media_features(self, assets: DataFrame, modality: str = "image") -> DataFrame:
         if modality == "image":
             return multimodal.decode_image_features(assets)

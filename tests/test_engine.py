@@ -101,3 +101,36 @@ def test_engine_mongo_aggregate_and_cursor(spark):
         limit=5,
     )
     assert page.columns == ["providencia", "anio"] and page.count() == 5
+
+
+def test_rulings_stream_drains_to_collection_counts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark import datasources, streaming as st
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.engine import ProvidenciasEngine
+    from providenciasbigdata_spark.io import load_table
+
+    out = str(tmp_path / "dump")
+    docs = rulings_view(load_table(spark, "/root/testdata/sf0.001", "documents")).select(
+        "doc_id", "providencia", "tipo", "anio", "texto"
+    )
+    datasources.export_mongodump(docs, out)
+
+    eng = ProvidenciasEngine.from_mongodump(spark, out)
+    streamed = st.run_available_now(
+        eng.rulings_stream().groupBy("tipo").agg(F.count("*").cast("long").alias("n")),
+        "engine_rulings_stream_test",
+    )
+    want = sorted((r.tipo, r.n) for r in docs.groupBy("tipo").agg(F.count("*").cast("long").alias("n")).collect())
+    assert sorted((r.tipo, r.n) for r in streamed.collect()) == want
+
+
+def test_rulings_stream_requires_dump_dir(spark):
+    import pytest as _pytest
+
+    from providenciasbigdata_spark.engine import ProvidenciasEngine
+
+    eng = ProvidenciasEngine(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="dump_dir"):
+        eng.rulings_stream()
