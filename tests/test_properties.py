@@ -223,3 +223,48 @@ def test_mql_filter_matches_mongo_model(spark, q):
         if _model_match({"tipo": t, "anio": a}, q)
     }
     assert got == want, q
+
+
+# ---- paragraph dedup vs a pure-Python reference --------------------------
+
+@st.composite
+def _corpora(draw):
+    # small word alphabet forces cross-doc paragraph collisions
+    words = [f"w{i}" for i in range(6)]
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(min_value=0, max_value=17))
+        docs.append((i, " ".join(draw(st.sampled_from(words)) for _ in range(n_words))))
+    return docs
+
+
+@settings(max_examples=15, deadline=None)
+@given(_corpora())
+def test_dedup_paragraphs_matches_python_model(docs):
+    from providenciasbigdata_spark.operators.dedup import dedup_paragraphs
+    from providenciasbigdata_spark.session import get_spark
+
+    chunk = 4
+    spark = get_spark(app_name="pbd-tests", master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.kept_chunks, r.new_text)
+        for r in dedup_paragraphs(df, chunk_tokens=chunk).collect()
+    }
+
+    # reference model: first occurrence in (doc_id, idx) order wins
+    seen = set()
+    want = {}
+    for doc_id, text in sorted(docs):
+        toks = text.split()
+        paras = [
+            " ".join(toks[i : i + chunk]) for i in range(0, len(toks), chunk)
+        ]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[doc_id] = (len(paras), len(kept), " ".join(kept))
+    assert got == want
