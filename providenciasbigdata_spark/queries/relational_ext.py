@@ -530,8 +530,89 @@ GROUP BY o_orderpriority
 """
 
 
+# ---- derived partsupp: the fixture lacks TPC-H's partsupp table, so it
+# is SYNTHESIZED deterministically from part x {0..3} with pure integer
+# arithmetic both engines evaluate identically (verified bit-equal) —
+# unlocking the partsupp-dependent shapes Q11/Q16. The supplier count
+# arrives as a scalar subquery, so the same text runs at any sf.
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 7 + t.i * 13) % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey,
+         CAST((p_partkey * 5 + t.i * 11) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         ROUND(((p_partkey * 31 + t.i * 17) % 100000) / 100.0 + 1.0, 2) AS ps_supplycost
+  FROM part CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(i)
+)
+"""
+
+# TPC-H Q11 shape (important stock identification): per-part inventory
+# value for one nation's suppliers, kept when above a fraction of that
+# nation's total. Group-level decimal-exact sums; the threshold compare
+# happens in DOUBLE on identically-derived values on both engines.
+_Q11_SQL = f"""
+WITH {_PARTSUPP_CTE},
+national AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost AS DECIMAL(28,10)) * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT ps_partkey, ROUND(CAST(SUM(v) AS DOUBLE), 2) AS part_value
+FROM national
+GROUP BY ps_partkey
+HAVING CAST(SUM(v) AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.002 FROM national)
+ORDER BY part_value DESC, ps_partkey ASC
+LIMIT 50
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 over the derived partsupp (docstring at _PARTSUPP_CTE).
+    One SQL text runs on both engines; Catalyst plans the supplier/
+    nation dims as broadcasts and the HAVING threshold as a scalar
+    subquery over the reused `national` aggregate."""
+    from providenciasbigdata_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# TPC-H Q16 shape (parts/supplier relationship): supplier counts per
+# (brand, type, size) bucket, excluding one brand, one type prefix, and
+# "complained-about" suppliers — the fixture lacks comment text, so the
+# stand-in predicate is s_acctbal < 0 (same NOT IN anti-join structure).
+_Q16_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 11, 17, 23, 27, 33, 43, 9)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 60
+"""
+
+
+def q_supplier_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 over the derived partsupp: distinct-supplier counts by
+    part bucket with a NOT IN supplier exclusion (anti join; the NULL-
+    free subquery keeps it a plain anti join, cf. sql_not_in_null_aware
+    for the null-aware variant)."""
+    from providenciasbigdata_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
 QUERIES = {
     "agg_forecast_revenue": (q_forecast_revenue, _Q6_SQL),
+    "join_important_stock": (q_important_stock, _Q11_SQL),
+    "agg_supplier_part_buckets": (q_supplier_part_buckets, _Q16_SQL),
     "join_bloom_prefilter": (q_bloom_prefilter_join, _BLOOM_JOIN_SQL),
     "join_full_outer_spenders": (q_full_outer_join, _FULL_OUTER_SQL),
     "agg_order_priority_late": (q_order_priority_late, _Q4_SQL),
