@@ -7,8 +7,11 @@ the join/subquery structure (the part that exercises the engine) is
 preserved; the missing column is replaced by a same-shaped predicate on
 an existing column. Each docstring notes the substitution.
 
-Shapes covered here: Q4, Q6, Q10, Q12, Q13, Q14, Q15, Q17, Q18, Q21.
-(Q1/Q2/Q3/Q5/Q7/Q8/Q9/Q19/Q22 live in ``relational.py``.)
+Shapes covered here: Q4, Q6, Q10, Q12, Q13, Q14, Q15, Q17, Q18, Q21, plus
+Q11/Q16/Q20 over a deterministically DERIVED partsupp (_PARTSUPP_CTE —
+pure integer arithmetic both engines evaluate bit-equally, so the
+partsupp-dependent shapes become oracle-checkable without a fixture
+table). (Q1/Q2/Q3/Q5/Q7/Q8/Q9/Q19/Q22 live in ``relational.py``.)
 
 Determinism rules are the same as ``relational.py``: decimal sums →
 rounded double, BIGINT casts for counts, total-order tiebreaks on
@@ -598,6 +601,44 @@ LIMIT 60
 """
 
 
+# TPC-H Q20 shape (potential part promotion): suppliers in one nation
+# holding MORE stock of some part than half of what they shipped of it
+# in 1996 — semi join through the derived partsupp against a shipped-
+# quantity aggregate. Exact decimal SUM; the half-compare runs in
+# DOUBLE on identically-derived values.
+_Q20_SQL = f"""
+WITH {_PARTSUPP_CTE},
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT ps_suppkey
+    FROM partsupp JOIN shipped
+      ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE ps_availqty > 0.5 * qty
+  )
+ORDER BY s_suppkey ASC
+"""
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 over the derived partsupp: the IN-subquery lowers to a
+    left-semi join; shipped quantities pre-aggregate BEFORE the join so
+    the semi probe is (part, supplier)-grained, not line-grained."""
+    from providenciasbigdata_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
 def q_supplier_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 over the derived partsupp: distinct-supplier counts by
     part bucket with a NOT IN supplier exclusion (anti join; the NULL-
@@ -613,6 +654,7 @@ QUERIES = {
     "agg_forecast_revenue": (q_forecast_revenue, _Q6_SQL),
     "join_important_stock": (q_important_stock, _Q11_SQL),
     "agg_supplier_part_buckets": (q_supplier_part_buckets, _Q16_SQL),
+    "join_excess_stock_suppliers": (q_excess_stock_suppliers, _Q20_SQL),
     "join_bloom_prefilter": (q_bloom_prefilter_join, _BLOOM_JOIN_SQL),
     "join_full_outer_spenders": (q_full_outer_join, _FULL_OUTER_SQL),
     "agg_order_priority_late": (q_order_priority_late, _Q4_SQL),
