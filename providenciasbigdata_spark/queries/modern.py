@@ -626,6 +626,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q_pandas_api_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third API surface: pandas-on-Spark (``pyspark.pandas``) —
+    the same engine reached through the pandas idiom, distributed
+    under the hood (groupby compiles to the identical two-phase hash
+    aggregate the DataFrame API plans). Aggregates chosen exact
+    (count / min / max — no float summation), so the result value-hash
+    matches the SQL oracle like any other entry."""
+    import pyspark.pandas as ps
+
+    pdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = (
+        pdf.groupby("o_orderpriority")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+_PANDAS_API_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode error-safe scalar functions (Spark 4 runs with ANSI
     ON, so plain division/cast THROW on bad input; try_divide /
@@ -718,6 +755,7 @@ QUERIES = {
     "text_log_parse": (q_text_log_parse, _TEXT_LOG_SQL),
     "agg_mode_event_type": (q_mode_event_type, _MODE_SQL),
     "scalar_try_functions": (q_try_functions, _TRY_FUNCS_SQL),
+    "pandas_api_order_stats": (q_pandas_api_order_stats, _PANDAS_API_SQL),
     "variant_props_stats": (q_variant_props_stats, _VARIANT_SQL),
     "stream_user_totals_live": (q_stream_user_totals_live, _STREAM_LIVE_SQL),
     "cms_token_estimates": (q_cms_token_estimates, None),
