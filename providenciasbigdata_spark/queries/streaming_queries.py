@@ -145,6 +145,25 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_purchase_click_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.purchase_then_click_full_outer(
+        load_table(spark, sf_dir, "events"), within="30 minutes"
+    )
+
+
+_PURCHASE_CLICK_FULL_SQL = """
+SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       date_diff('second', p.ts, c.ts) AS gap_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts
+ AND c.ts <= p.ts + INTERVAL '30 minutes'
+"""
+
+
 def q_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment: events x customer
     mktsegment (user_id keys into c_custkey on the fixtures)."""
@@ -216,6 +235,7 @@ QUERIES = {
     "stream_enrich_segments": (q_enrich_segments, _ENRICH_SQL),
     "stream_purchase_click_join": (q_purchase_click_join, _PURCHASE_CLICK_SQL),
     "stream_purchase_click_outer": (q_purchase_click_outer, _PURCHASE_CLICK_OUTER_SQL),
+    "stream_purchase_click_full_outer": (q_purchase_click_full_outer, _PURCHASE_CLICK_FULL_SQL),
     "stream_sliding_counts": (q_sliding, _SLIDING_SQL),
     "stream_session_windows": (q_sessions, _SESSIONS_SQL),
     "stream_dedup_events": (q_dedup_events, _DEDUP_EVENTS_SQL),

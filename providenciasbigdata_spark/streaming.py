@@ -304,6 +304,48 @@ def purchase_then_click_outer(
     )
 
 
+def purchase_then_click_full_outer(
+    events: DataFrame, within: str = "30 minutes", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join (Spark 3.1+): every
+    purchase AND every click appears — unmatched purchases carry NULL
+    click columns, clicks that follow no purchase carry NULL purchase
+    columns. Both directions of NULL emission wait for the watermark
+    to close the corresponding interval; matched rows stream eagerly.
+    Completes the streaming join-type matrix next to the inner and
+    left-outer forms above.
+
+    Output: (user_id, purchase_id nullable, click_id nullable,
+    gap_seconds nullable), user_id coalesced across sides."""
+    purchases = _maybe_watermark(
+        events.filter(F.col("event_type") == "purchase"), watermark
+    ).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = _maybe_watermark(
+        events.filter(F.col("event_type") == "click"), watermark
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.p_user_id == clicks.c_user_id)
+        & (clicks.c_ts > purchases.p_ts)
+        & (clicks.c_ts <= purchases.p_ts + F.expr(f"INTERVAL {within}")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("p_user_id", "c_user_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_seconds"),
+    )
+
+
 def enrich_with_profile(events: DataFrame, profiles: DataFrame) -> DataFrame:
     """Stream-static enrichment: left-join the (possibly streaming)
     events against a STATIC profile dimension and aggregate value per

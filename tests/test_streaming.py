@@ -436,3 +436,25 @@ def test_streaming_observed_quality_metrics(spark, events_dir):
     batch = load_table(spark, SF, "events")
     want = {r.check: r.violations for r in q.validate_expectations(batch, checks).collect()}
     assert totals == want
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, events_dir):
+    """FULL OUTER interval join: matched rows equal the batch relation;
+    BOTH null directions (unmatched purchases AND orphan clicks) are
+    watermark-gated subsets of the batch nulls, with most intervals
+    closed on the multi-day fixture."""
+    batch = streaming.purchase_then_click_full_outer(load_table(spark, SF, "events"))
+    stream = streaming.purchase_then_click_full_outer(
+        streaming.events_stream(spark, events_dir)
+    )
+    assert stream.isStreaming
+    got = streaming.run_available_now(stream, "t_ssjoin_full", output_mode="append")
+    cols = ["user_id", "purchase_id", "click_id", "gap_seconds"]
+    got_m = _as_rows(got.filter("click_id IS NOT NULL AND purchase_id IS NOT NULL"), cols)
+    batch_m = _as_rows(batch.filter("click_id IS NOT NULL AND purchase_id IS NOT NULL"), cols)
+    assert got_m == batch_m
+    for null_side in ("click_id IS NULL", "purchase_id IS NULL"):
+        got_n = set(_as_rows(got.filter(null_side), cols))
+        batch_n = set(_as_rows(batch.filter(null_side), cols))
+        assert got_n <= batch_n
+        assert len(got_n) >= 0.5 * len(batch_n), (null_side, len(got_n), len(batch_n))
