@@ -433,12 +433,11 @@ def kcore_decomposition(
     )
     bidir = ckpt(bidir)  # read every round: truncate the upstream build once
     h = bidir.groupBy("u").agg(F.count("*").cast("long").alias("h"))
-    prev_sum = None
-    for i in range(max_iter):
+    def one_round(hcur):
         nbr = bidir.join(
-            h.select(F.col("u").alias("v"), F.col("h").alias("nh")), "v"
+            hcur.select(F.col("u").alias("v"), F.col("h").alias("nh")), "v"
         ).select("u", "nh")
-        h = nbr.groupBy("u").agg(
+        return nbr.groupBy("u").agg(
             F.size(
                 F.filter(
                     F.sort_array(F.collect_list("nh"), asc=False),
@@ -448,7 +447,17 @@ def kcore_decomposition(
             .cast("long")
             .alias("h")
         )
-        if (i + 1) % checkpoint_every == 0:
+
+    # two rounds per materializing job: unlike CC's star() (which reads
+    # its input twice — lazy chaining there explodes recompute, see
+    # STATUS), each h-round consumes h exactly ONCE, so chaining two
+    # rounds only deepens the plan linearly and halves the action
+    # count. Convergence still detected (fixed point is stable under
+    # further rounds); overshoot is at most one cheap extra round.
+    prev_sum = None
+    for i in range(0, max_iter, 2):
+        h = one_round(one_round(h))
+        if (i + 2) % checkpoint_every == 0 or checkpoint_every == 1:
             h = ckpt(h, eager=False)
         s = h.agg(F.sum("h")).first()[0]
         if s == prev_sum:
