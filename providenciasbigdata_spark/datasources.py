@@ -175,7 +175,9 @@ class MongoDumpStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         files = _list_dump_files(self.path)
-        n0, n1 = int(start["n_files"]), len(files)
+        # a spool must be append-only; if files vanished, hold the
+        # offset (never rewind — the runtime treats offsets as monotone)
+        n0, n1 = int(start["n_files"]), max(len(files), int(start["n_files"]))
         # a LIST, not a generator: the runtime pickles the prefetched
         # batch into its offset cache for failure replay
         rows = [

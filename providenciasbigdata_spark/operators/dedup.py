@@ -775,6 +775,8 @@ def _doc_paragraphs(df, id_col, text_col, chunk_tokens):
     """Shared chunking step: (id, idx, chunk) rows of non-overlapping
     ``chunk_tokens``-token paragraphs, plus the per-doc frame carrying
     the paragraph count ``nc`` (NULL text -> NULL nc, no chunks)."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
     toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
     nch = toks.withColumn(
         "nc", F.ceil(F.size("t") / F.lit(chunk_tokens)).cast("long")

@@ -1000,6 +1000,8 @@ def pca_fit(
         .agg(F.sum("x").alias("gx"))
         .collect()
     )
+    if not srows:
+        raise ValueError("pca_fit needs a non-empty embedding corpus")
     d = len(srows)
     n = int(srows[0].n)
     s = np.zeros(d)

@@ -121,3 +121,19 @@ def test_feature_hashing_null_and_empty_docs(spark):
     df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
     toks = df.select("doc_id", F.explode_outer(tokenize(F.col("text"))).alias("tok"))
     assert toks.count() == 2  # one NULL-token row per degenerate doc
+
+
+def test_new_operator_input_guards(spark):
+    import pytest as _pytest
+
+    from providenciasbigdata_spark.operators.dedup import dedup_paragraphs
+    from providenciasbigdata_spark.operators.mix import weighted_sample_topk
+    from providenciasbigdata_spark.operators.bloomjoin import bloom_build
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        dedup_paragraphs(df, chunk_tokens=0)
+    with _pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_topk(df.withColumn("w", df.doc_id), "w", k=0)
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(df, "doc_id", n_bits=100)
