@@ -69,6 +69,37 @@ def geo_mean_udaf():
     return geo_mean
 
 
+class _SplitFixed:
+    """POLYMORPHIC UDTF (Spark 4 analyze-time schema): splits a
+    delimited code into exactly ``n`` columns, where the OUTPUT SCHEMA
+    itself (part0..part{n-1}) is derived at plan time from the
+    constant ``n`` argument by ``analyze`` — the dynamic-arity surface
+    a fixed returnType UDTF can't express. Missing parts pad NULL,
+    extras are dropped, so the arity contract is total."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None or not isinstance(n.value, int) or n.value <= 0:
+            raise ValueError("split_fixed(n) needs a positive constant int")
+        return AnalyzeResult(
+            StructType(
+                [StructField(f"part{i}", StringType()) for i in range(n.value)]
+            )
+        )
+
+    def eval(self, text, n):  # noqa: D102 — UDTF contract method
+        parts = (text or "").split("-")
+        yield tuple((parts + [None] * n)[:n])
+
+
+@functools.lru_cache(maxsize=1)
+def split_fixed_udtf():
+    return udtf(_SplitFixed)
+
+
 def split_sentences(df, text_col: str = "text", id_col: str = "doc_id"):
     """Lateral-join the UDTF against a document frame: one output row
     per sentence, document columns carried through."""

@@ -358,6 +358,37 @@ def q_stratified_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema
+    (part0..part2) is computed at PLAN TIME by the UDTF's analyze()
+    from the constant arity argument — a surface no fixed-returnType
+    UDTF or SQL function has. Each ruling id is recast as a 3-field
+    code ('SENT-<anio>-<doc_id>') and split back through the UDTF; the
+    oracle reproduces the split with split_part, so the analyze-time
+    path is value-hash-checked end to end."""
+    from providenciasbigdata_spark.functions.udx import split_fixed_udtf
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    codes = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "-", F.lit("SENT"), (F.lit(2000) + F.col("doc_id") % 25), F.col("doc_id")
+        ).alias("code"),
+    )
+    return codes.lateralJoin(
+        split_fixed_udtf()(F.col("code").outer(), F.lit(3))
+    ).select("doc_id", "part0", "part1", "part2")
+
+
+_UDTF_POLY_SQL = """
+SELECT doc_id,
+       'SENT' AS part0,
+       CAST(2000 + doc_id % 25 AS VARCHAR) AS part1,
+       CAST(doc_id AS VARCHAR) AS part2
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via lateralJoin: per-document sentence rows. The
     REAL Python-UDTF execution path runs on the Spark side; the oracle
@@ -790,6 +821,7 @@ QUERIES = {
     "sample_stratified": (q_stratified_sample, _STRATIFIED_SQL),
     "sample_stratified_bernoulli": (q_stratified_bernoulli, None),
     "udtf_split_sentences": (q_udtf_sentences, _UDTF_SENTENCES_SQL),
+    "udtf_polymorphic_split": (q_udtf_polymorphic_split, _UDTF_POLY_SQL),
     "udaf_geomean": (q_udaf_geomean, _UDAF_GEOMEAN_SQL),
     "udx_arrow_group_quantiles": (q_arrow_group_quantiles, _ARROW_QUANTILES_SQL),
     "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),

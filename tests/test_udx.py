@@ -39,3 +39,34 @@ def test_geo_mean_matches_hand_computed(spark):
     got = df.groupBy("k").agg(geo_mean_udaf()(F.col("v")).alias("gm")).first().gm
     expected = math.exp(sum(math.log(v) for v in vals) / len(vals))
     assert abs(got - expected) < 1e-12
+
+
+def test_polymorphic_udtf_analyze_schema_and_padding(spark):
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.functions.udx import split_fixed_udtf
+
+    df = spark.createDataFrame([("A-B-C-D",), ("A",), (None,)], "code string")
+    out = df.lateralJoin(split_fixed_udtf()(F.col("code").outer(), F.lit(3)))
+    # analyze() derived exactly 3 part columns from the constant arg
+    assert [c for c in out.columns if c.startswith("part")] == ["part0", "part1", "part2"]
+    rows = {r.code: (r.part0, r.part1, r.part2) for r in out.collect()}
+    assert rows["A-B-C-D"] == ("A", "B", "C")      # extras dropped
+    assert rows["A"] == ("A", None, None)          # short padded
+    assert rows[None] == ("", None, None)          # null -> empty first part
+
+    wider = df.lateralJoin(split_fixed_udtf()(F.col("code").outer(), F.lit(5)))
+    assert [c for c in wider.columns if c.startswith("part")] == [
+        "part0", "part1", "part2", "part3", "part4",
+    ]
+
+
+def test_polymorphic_udtf_rejects_bad_arity(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.functions.udx import split_fixed_udtf
+
+    df = spark.createDataFrame([("A-B",)], "code string")
+    with _pytest.raises(Exception, match="positive constant int"):
+        df.lateralJoin(split_fixed_udtf()(F.col("code").outer(), F.lit(0))).collect()
