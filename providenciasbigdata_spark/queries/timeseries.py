@@ -302,7 +302,38 @@ def q_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-week bucketing (ISO Monday weeks — both engines'
+    date_trunc('week') agree, verified): weekly order count + exact
+    decimal revenue per status. The calendar sibling of the
+    hour/day-bucket hypertable rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_WEEKLY_REVENUE_SQL = """
+SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "timeseries_weekly_revenue": (q_weekly_revenue, _WEEKLY_REVENUE_SQL),
     "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),
     "timeseries_ohlc_bars": (q_ohlc_bars, _OHLC_SQL),
     "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
