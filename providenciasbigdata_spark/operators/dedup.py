@@ -650,29 +650,90 @@ def dedup_embedding(
     threshold: float = 0.95,
     scale: float = 1.0,
     block_size: int = 4096,
+    candidates: str = "auto",
+    exact_max_rows: int = 20_000,
+    n_clusters: int = 16,
+    srp_bits: int = 12,
+    srp_tables: int = 4,
 ) -> DataFrame:
     """Semantic (embedding-cluster) dedup, SemDeDup-shaped: cluster the
     cosine>=threshold near-dup graph into connected components and keep
     ONE deterministic survivor (min id) per component; isolated vectors
     are their own singleton components.
 
-    Scale path end to end: candidate pairs come from the tile-blocked
-    exact all-pairs kernel (O(block^2) work/memory per task, corpus
-    never on the driver — swap in srp_lsh_pairs for an approximate
-    candidate step at extreme n), the component fixed point is the
-    iterative min-label propagation (one equi-join + partial-agg
-    shuffle per round), and survivor selection is one aggregate.
+    ``candidates`` picks the pair-generation strategy — the knob that
+    decides whether total compute is quadratic in corpus size:
+
+    - ``"exact"``: tile-blocked exact all-pairs kernel. O(block^2)
+      work/memory per task and nothing on the driver, but TOTAL compute
+      is O(n^2) — correct answer, scale-killer default at training-set
+      corpus sizes (100x data => 10^4x compute).
+    - ``"cluster"``: the canonical SemDeDup recipe — k-means first,
+      exact cosine only within each cluster; O(n^2/k) total for
+      balanced clusters. Misses only cross-cluster pairs (precision
+      1.0; recall pinned vs exact in tests).
+    - ``"srp"``: SRP-LSH bucketed candidates, exact-cosine verified.
+      O(n*tables) shuffle; recall grows with tables.
+    - ``"auto"`` (default): exact at or below ``exact_max_rows``
+      (one count(*), answered from file footers), cluster-blocked
+      above — small/fixture corpora keep the fully-verifiable exact
+      path, large corpora never pay quadratic compute by default.
+
+    The component fixed point is star-contraction CC (O(log^2 n)
+    rounds), and survivor selection is one aggregate, regardless of
+    strategy.
 
     Output: (survivor_id, n_members) — one row per component;
     n_members-1 rows of the corpus are dropped by this component.
     """
     from providenciasbigdata_spark.operators.graph_algos import connected_components
-    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_blocked
-
-    edges = pairwise_cosine_blocked(
-        embeddings, threshold, id_col=id_col, vec_col=vec_col,
-        scale=scale, block_size=block_size,
+    from providenciasbigdata_spark.operators.similarity import (
+        cluster_blocked_pairs,
+        pairwise_cosine_blocked,
+        srp_lsh_pairs,
     )
+
+    if candidates == "auto":
+        candidates = "exact" if embeddings.count() <= exact_max_rows else "cluster"
+    if candidates == "exact":
+        edges = pairwise_cosine_blocked(
+            embeddings, threshold, id_col=id_col, vec_col=vec_col,
+            scale=scale, block_size=block_size,
+        )
+    elif candidates == "cluster":
+        edges = cluster_blocked_pairs(
+            embeddings, threshold, id_col=id_col, vec_col=vec_col,
+            scale=scale, n_clusters=n_clusters, row_chunk=block_size,
+        )
+    elif candidates == "srp":
+        from providenciasbigdata_spark.compat.graph import dot, l2_norm
+
+        dim = len(embeddings.select(vec_col).first()[0])
+        cand = srp_lsh_pairs(
+            embeddings, dim, n_bits=srp_bits, tables=srp_tables, id_col=id_col
+        )
+        vecs = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+        cand = (
+            cand.join(vecs.withColumnRenamed("id", "left_id")
+                      .withColumnRenamed("v", "va").withColumnRenamed("nrm", "na"),
+                      "left_id")
+            .join(vecs.withColumnRenamed("id", "right_id")
+                  .withColumnRenamed("v", "vb").withColumnRenamed("nrm", "nb"),
+                  "right_id")
+        )
+        cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                      * F.lit(float(scale)), 4)
+        edges = cand.select(
+            "left_id", "right_id", cos.alias("cosine")
+        ).filter(F.col("cosine") >= threshold)
+    else:
+        raise ValueError(
+            f"candidates must be one of 'auto'|'exact'|'cluster'|'srp', got {candidates!r}"
+        )
     comp = connected_components(edges, src="left_id", dst="right_id")
     labeled = (
         embeddings.select(F.col(id_col).alias("id"))

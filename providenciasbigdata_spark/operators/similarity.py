@@ -494,6 +494,82 @@ def ivf_assign(
     )
 
 
+def cluster_blocked_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    scale: float = 1.0,
+    n_clusters: int = 16,
+    kmeans_iter: int = 8,
+    row_chunk: int = 4096,
+) -> DataFrame:
+    """Cluster-blocked near-dup candidate pairs — the canonical SemDeDup
+    recipe (Abbas et al. 2023): k-means the corpus first, then compute
+    exact cosine only WITHIN each cluster. Total compute drops from
+    O(n^2) to O(sum_c n_c^2) ~ O(n^2 / k) for balanced clusters, and
+    the quality loss is exactly the cross-cluster pairs — which SemDeDup
+    *defines* away (semantic duplicates land in the same cluster by
+    construction of the clustering objective).
+
+    Scale shape: centroids are k x dim driver-side numpy (trivial);
+    assignment is one Arrow map pass; the per-cluster kernel packs each
+    cluster into one row (collect_list) and BLAS-es it in row chunks,
+    so score-matrix memory is O(row_chunk x n_c) and the only join in
+    the plan is the equi-join of ids to cluster labels — no cartesian,
+    no all-pairs tile join. Per-task memory is O(n_c x dim): balanced
+    clusters hold n/k rows, so pick n_clusters such that n/k vectors
+    fit one task (skew guard: a pathological mega-cluster degrades to
+    the exact kernel's cost for that cluster only, never cross-cluster).
+
+    Output: (left_id, right_id, cosine), left_id < right_id, for
+    within-cluster pairs with round(cosine*scale) >= threshold. One
+    direction only (undirected consumers — connected_components —
+    symmetrize internally); precision vs the exact kernel is 1.0 (every
+    emitted pair is exact-verified), recall misses only cross-cluster
+    pairs (pinned on the fixture in tests/test_similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    C, _ = kmeans_centroids(
+        embeddings, n_clusters=n_clusters, max_iter=kmeans_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).join(assigned, "id")
+    packed = vecs.groupBy("cluster").agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray([r["id"] for r in row.rows], dtype=np.int64)
+                M = np.vstack([r["vec"] for r in row.rows]).astype(np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                n = len(ids)
+                for lo in range(0, n, row_chunk):
+                    hi = min(lo + row_chunk, n)
+                    S = np.round(Mn[lo:hi] @ Mn.T * scale, round_digits)
+                    # strict upper triangle in ID order: left < right
+                    mask = (S >= threshold) & (ids[lo:hi, None] < ids[None, :])
+                    idx = np.argwhere(mask)
+                    yield pd.DataFrame(
+                        {
+                            "left_id": ids[lo + idx[:, 0]],
+                            "right_id": ids[idx[:, 1]],
+                            "cosine": S[idx[:, 0], idx[:, 1]],
+                        }
+                    )
+
+    return packed.mapInPandas(kernel, "left_id long, right_id long, cosine double")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec,

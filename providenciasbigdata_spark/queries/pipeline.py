@@ -646,6 +646,21 @@ FROM allc GROUP BY component
 """
 
 
+def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the SCALE-DEFAULT candidate strategy: k-means
+    cluster-blocked pairs (candidates='cluster') instead of the exact
+    O(n^2) kernel — total compute O(n^2/k), the plan a 100 TB corpus
+    would actually run. Rows-only: the k-means partition is not
+    SQL-expressible; survivor-set agreement and pair recall vs the
+    exact oracle-checked path are pinned in tests/test_dedup.py, and
+    the plan is pinned cartesian-free in tests/test_plans.py."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return dedup.dedup_embedding(
+        emb, id_col="vec_id", threshold=30.0, scale=100.0,
+        candidates="cluster", n_clusters=8,
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-shape exact dedup: batch (doc 200-299) vs the hash index
     of history (doc 0-249); 50 ids overlap and must drop."""
@@ -941,6 +956,7 @@ QUERIES = {
     "minhash_near_dups_est": (q_minhash_near_dups_est, None),
     "dedup_near_survivors": (q_dedup_near_survivors, None),
     "dedup_embedding_survivors": (q_dedup_embedding_survivors, _DEDUP_EMB_SQL),
+    "dedup_embedding_blocked": (q_dedup_embedding_blocked, None),
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
     "dedup_span_stats": (q_dedup_span_stats, _DEDUP_SPAN_SQL),
     "dedup_paragraph_rewrite": (q_dedup_paragraphs, _DEDUP_PARA_SQL),
@@ -997,6 +1013,12 @@ WHY_NO_ORACLE = {
         "cross-corpus SimHash Hamming check over blake2b bit-vote "
         "fingerprints — not SQL-expressible; equivalence to the full-corpus "
         "pair set restricted to cross pairs pinned in tests/test_dedup.py"
+    ),
+    "dedup_embedding_blocked": (
+        "cluster-blocked (k-means) candidate generation is an approximation "
+        "whose partition is not SQL-expressible; survivor agreement + pair "
+        "recall vs the oracle-checked exact path pinned in "
+        "tests/test_dedup.py"
     ),
     "ivf_ann_topk": _APPROX_ANN,
     "ivf_pq_ann_topk": _APPROX_ANN,

@@ -4,6 +4,7 @@ corpora with injected near-duplicates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from providenciasbigdata_spark.io import load_table
@@ -194,6 +195,112 @@ def test_dedup_embedding_survivor_properties(spark):
     kept = emb.filter(F.col("vec_id").isin([int(i) for i in ids]))
     cross = embedding_near_dups(kept, threshold=0.30)
     assert cross.count() == 0
+
+
+def test_cluster_blocked_pairs_precision_and_recall(spark):
+    """Cluster-blocked SemDeDup candidates vs the exact kernel on the
+    fixture: precision is 1.0 by construction (every emitted pair is
+    exact-verified within its cluster), recall loses only cross-cluster
+    pairs. The fixture's embeddings are near-random, the adversarial
+    case for cluster blocking at a LOW threshold (0.30) — recall still
+    holds >= 0.5 at k=4; at realistic near-dup thresholds duplicates
+    are near-identical vectors and co-cluster by construction (pinned
+    in test_dedup_embedding_cluster_agrees_on_clustered_corpus)."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.similarity import (
+        cluster_blocked_pairs,
+        pairwise_cosine_blocked,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 150
+    )
+    exact = {
+        (r.left_id, r.right_id)
+        for r in pairwise_cosine_blocked(
+            emb, 30.0, scale=100.0, block_size=64
+        ).collect()
+        if r.left_id < r.right_id
+    }
+    got = {
+        (r.left_id, r.right_id)
+        for r in cluster_blocked_pairs(
+            emb, 30.0, scale=100.0, n_clusters=4
+        ).collect()
+    }
+    assert got <= exact  # precision 1.0: no false pairs, ever
+    assert len(got & exact) / len(exact) >= 0.5
+
+
+def test_dedup_embedding_cluster_agrees_on_clustered_corpus(spark):
+    """On a corpus whose duplicates ARE semantic clusters (the SemDeDup
+    premise: 3 tight groups around distinct centers + isolated points),
+    the cluster-blocked strategy reproduces the exact path's survivor
+    set exactly — the quadratic-compute default buys nothing."""
+    import numpy as np
+
+    from providenciasbigdata_spark.operators.dedup import dedup_embedding
+
+    rng = np.random.default_rng(7)
+    rows = []
+    centers = rng.normal(size=(3, 16))
+    vid = 0
+    for c in centers:
+        for _ in range(12):  # near-identical members per group
+            rows.append((vid, (c + rng.normal(scale=0.01, size=16)).tolist()))
+            vid += 1
+    for _ in range(6):  # isolated singletons
+        rows.append((vid, rng.normal(size=16).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.survivor_id, r.n_members)
+        for r in dedup_embedding(
+            emb, threshold=95.0, scale=100.0, candidates="exact", block_size=16
+        ).collect()
+    }
+    clustered = {
+        (r.survivor_id, r.n_members)
+        for r in dedup_embedding(
+            emb, threshold=95.0, scale=100.0, candidates="cluster", n_clusters=4
+        ).collect()
+    }
+    assert clustered == exact
+    # srp strategy: exact-verified candidates, same survivor set here
+    srp = {
+        (r.survivor_id, r.n_members)
+        for r in dedup_embedding(
+            emb, threshold=95.0, scale=100.0, candidates="srp",
+            srp_bits=4, srp_tables=8,
+        ).collect()
+    }
+    assert srp == exact
+
+
+def test_dedup_embedding_auto_dispatch_and_bad_strategy(spark):
+    """auto == exact at/below the row threshold (bit-identical result);
+    unknown strategy raises."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.dedup import dedup_embedding
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 60
+    )
+    auto = {
+        tuple(r)
+        for r in dedup_embedding(
+            emb, threshold=30.0, scale=100.0, block_size=64
+        ).collect()
+    }
+    exact = {
+        tuple(r)
+        for r in dedup_embedding(
+            emb, threshold=30.0, scale=100.0, block_size=64, candidates="exact"
+        ).collect()
+    }
+    assert auto == exact
+    with pytest.raises(ValueError, match="candidates"):
+        dedup_embedding(emb, candidates="nope").collect()
 
 
 def test_simhash_incremental_equals_cross_pairs_of_full(spark):

@@ -74,7 +74,15 @@ def test_agg_is_two_phase(spark, reg):
 
 
 def test_lsh_banding_never_cartesian(spark, reg):
-    for name in ("minhash_near_dups", "simhash_near_dups", "srp_lsh_pairs"):
+    for name in (
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "srp_lsh_pairs",
+        # the scale-default SemDeDup path: k-means blocked candidates —
+        # the only joins are equi-joins (ids x cluster labels), never an
+        # all-pairs tile join
+        "dedup_embedding_blocked",
+    ):
         plan = plan_of(_run(reg, name, spark))
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
