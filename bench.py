@@ -88,6 +88,34 @@ HEADLINE = [
 ]
 
 
+def _probe(spark) -> float:
+    """Host-calibration probe: a FIXED synthetic Catalyst-only job
+    (range -> hash-mod keys -> two-phase agg) touching no input files,
+    so its wall time moves ONLY with host speed, never with plan or
+    data changes. Recorded as ``probe_sec`` so round-over-round bench
+    deltas can be separated arithmetically into host drift
+    (probe ratio) vs plan drift (query ratio / probe ratio) — r04
+    burned a full judge re-run proving a 1.60x 'regression' was the
+    container slowing down.
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(50_000_000)
+        .select(
+            (F.col("id") * 2654435761 % 8192).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.avg("v").alias("a"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -112,7 +140,9 @@ def main() -> None:
     # burst; full passes put a query's attempts minutes apart, so the
     # min recovers the true plan cost unless a burst recurs all 3 times.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    probe_sec = float("inf")
     for _pass in range(3):
+        probe_sec = min(probe_sec, _probe(spark))
         for name in HEADLINE:
             fn, _sql = registry[name]
             t0 = time.perf_counter()
@@ -137,6 +167,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "probe_sec": round(probe_sec, 3),
     }))
 
 

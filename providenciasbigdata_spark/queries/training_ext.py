@@ -142,22 +142,32 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the corpus side stays a map-only scan + broadcast hash
     join + partial aggregate: no all-to-all shuffle of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode_outer(
-            F.array_distinct(shingles(tokenize(F.col("text")), 5))
-        ).alias("gram"),
-    )
+    gram_arr = F.array_distinct(shingles(tokenize(F.col("text")), 5))
+    # two INDEPENDENT pre-filtered scans: the bench side explodes only
+    # the ~1% eval docs and the corpus side does zero bench work — a
+    # shared unfiltered gram lineage made the corpus-scale explode run
+    # twice (once per side) and rebuilt the broadcast with it. Grams
+    # are hashed to LONG (xxhash64) before the distinct+broadcast:
+    # ~6-10x smaller than 5-gram strings, which is what keeps the
+    # broadcast trivially memory-safe as the eval suite grows (a
+    # 64-bit collision would need ~2^32 distinct bench grams to be
+    # likely; contamination screening tolerates that long before then).
     bench = (
-        grams.filter(F.col("doc_id") % 97 == 0)
-        .select("gram")
-        .where(F.col("gram").isNotNull())
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(gram_arr).alias("gram"))
+        .select(F.xxhash64("gram").alias("g"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode_outer(gram_arr).alias("gram"))
+        # xxhash64(NULL) is the seed constant, not NULL — guard so the
+        # no-gram sentinel can never collide into a bench hash
+        .withColumn("g", F.when(F.col("gram").isNotNull(), F.xxhash64("gram")))
+    )
     return (
-        corpus.join(F.broadcast(bench), "gram", "left")
+        corpus.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("gram").alias("n_grams"),
