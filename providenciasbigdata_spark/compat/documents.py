@@ -103,17 +103,43 @@ def text_match_condition(
     stem: bool = False,
     has_stems_col: bool = False,
 ) -> Column:
-    """The B1 OR-of-terms text predicate as a composable Column — the
+    """Mongo ``$text.$search`` matching as ONE composable Column — the
     building block ``search_text`` filters on, and what compat.ir uses
-    to place ``$text`` inside ``$and``/``$or`` compositions."""
-    import re
-    import unicodedata
+    to place ``$text`` inside ``$and``/``$or`` compositions.
 
-    folded = unicodedata.normalize("NFKD", query.lower())
-    folded = "".join(c for c in folded if not unicodedata.combining(c))
-    terms = [t for t in re.split(r"\W+", folded) if t]
-    if not terms:
+    Full Mongo $search grammar (MongoDB text-search docs; reference
+    accepts all of it through streamlit_app.py:147):
+
+    - bare terms: logical OR (the original B1 contract);
+    - ``"quoted phrases"``: every phrase must appear as a contiguous
+      TOKEN SEQUENCE (not a raw substring — "the cat" must not match
+      "the category"); when any phrase is present, Mongo matches on
+      the phrases alone and bare terms only influence relevance, so
+      the match condition here is AND-of-phrases;
+    - ``-negated`` terms: documents containing them are excluded; a
+      query with no positive part (only negations / empty) matches
+      nothing, as in Mongo.
+
+    Stemming (``stem=True``) applies to bare and negated terms — via
+    the stems column or exact preimage expansion — never to phrases:
+    Mongo matches phrases against the raw (folded) token stream.
+
+    The phrase predicate stays JVM-side with the same single-scan
+    shape: ``' '||concat_ws(' ',tokens)||' ' CONTAINS ' p q '`` —
+    space-padding makes substring == token-sequence equality.
+    """
+    import re
+
+    terms, phrases, negated = parse_search_query(query)
+    # a phrase that folds to zero tokens (pure punctuation) cannot
+    # constrain anything — drop it before deciding if a positive
+    # part exists at all
+    phrase_toks = [
+        ptoks for p in phrases if (ptoks := [t for t in re.split(r"\W+", p) if t])
+    ]
+    if not terms and not phrase_toks:
         return F.lit(False)
+    doc_side = F.col(tokens_col)
     if stem:
         from providenciasbigdata_spark.compat.stemming import (
             stem_preimages,
@@ -122,6 +148,7 @@ def text_match_condition(
 
         if has_stems_col:
             terms = [stem_py(t) for t in terms]
+            negated = [stem_py(t) for t in negated]
             doc_side = F.col("stems")
         else:
             # no materialized stems: expand the QUERY side to the exact
@@ -130,10 +157,19 @@ def text_match_condition(
             # by construction (stemming.stem_preimages), same plan
             # shape as the unstemmed search (plain token overlap)
             terms = sorted({p for t in terms for p in stem_preimages(stem_py(t))})
-            doc_side = F.col(tokens_col)
+            negated = sorted({p for t in negated for p in stem_preimages(stem_py(t))})
+    if phrase_toks:
+        padded = F.concat(F.lit(" "), F.concat_ws(" ", F.col(tokens_col)), F.lit(" "))
+        cond = F.lit(True)
+        for ptoks in phrase_toks:
+            cond = cond & padded.contains(" " + " ".join(ptoks) + " ")
     else:
-        doc_side = F.col(tokens_col)
-    return F.arrays_overlap(doc_side, F.array(*[F.lit(t) for t in terms]))
+        cond = F.arrays_overlap(doc_side, F.array(*[F.lit(t) for t in terms]))
+    if negated:
+        cond = cond & ~F.arrays_overlap(
+            doc_side, F.array(*[F.lit(t) for t in negated])
+        )
+    return cond
 
 
 def search_text(
@@ -190,29 +226,21 @@ def parse_search_query(query: str) -> tuple[list[str], list[str], list[str]]:
 def search_text_extended(
     df: DataFrame, query: str, text_col: str = "texto", tokens_col: str = "tokens"
 ) -> DataFrame:
-    """B1 extension: the parts of Mongo's $text contract the compat
-    search (v1) documents as out of scope — quoted phrases and -term
-    negation (stemming stays out: index-config-dependent, unobservable
-    from the reference repo).
+    """Mongo's full ``$search`` grammar — quoted phrases and -term
+    negation — over the compat search surface. Since round 5 this is
+    just ``search_text`` without stemming: the full grammar lives in
+    ``text_match_condition`` itself (so the MQL ``$text`` path gets it
+    too); this wrapper is kept for API stability. ``text_col`` is
+    unused (phrases match the token SEQUENCE, not a raw substring) and
+    retained only for signature compatibility.
 
-    match = (ANY bare term present OR no bare terms)
-            AND every quoted phrase a substring (fold case+accents)
+    match = (every quoted phrase present as a contiguous token run,
+             bare terms ignored for matching — Mongo's phrase rule;
+             else ANY bare term present)
             AND no negated term present
     """
-    terms, phrases, negated = parse_search_query(query)
-    if not terms and not phrases:
-        return df.filter(F.lit(False))
-    cond = F.lit(True)
-    if terms:
-        cond = F.arrays_overlap(F.col(tokens_col), F.array(*[F.lit(t) for t in terms]))
-    folded_text = unaccent(F.lower(F.col(text_col)))
-    for p in phrases:
-        cond = cond & folded_text.contains(p)
-    if negated:
-        cond = cond & ~F.arrays_overlap(
-            F.col(tokens_col), F.array(*[F.lit(t) for t in negated])
-        )
-    return df.filter(cond)
+    del text_col  # phrases are token-sequence matches; see docstring
+    return df.filter(text_match_condition(query, tokens_col))
 
 
 def search_text_ranked(

@@ -111,10 +111,28 @@ def q_a7_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a7_search_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # phrase must appear, 'merge' OR 'window' may, 'error' must not
+    # Mongo $search grammar: the quoted phrase must appear as a token
+    # run (bare terms only affect relevance once a phrase is present —
+    # Mongo's phrase rule), 'error' must not appear
     return _project(
         search_text_extended(_rulings(spark, sf_dir), 'merge window -error "the"')
     )
+
+
+def q_a7_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo quoted-phrase search through the plain $text surface
+    (text_match_condition handles the grammar): contiguous TOKEN
+    SEQUENCE match — space-padded concat_ws makes substring equality
+    equal token-run equality, so "table hash" cannot match
+    "table hashing" or a doc with the words in other positions."""
+    return _project(search_text(_rulings(spark, sf_dir), '"table hash"'))
+
+
+def q_a7_search_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo -term negation through the plain $text surface: docs
+    matching 'merge' minus any containing 'window'. A negation-only
+    query matches nothing (Mongo contract, pinned in pytest)."""
+    return _project(search_text(_rulings(spark, sf_dir), "merge -window"))
 
 
 def q_a7_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,9 +722,19 @@ QUERIES = {
     "a7_search_extended": (
         q_a7_search_extended,
         f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
-        f"WHERE len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['merge', 'window'])) > 0 "
-        f"AND contains(strip_accents(lower(texto)), 'the') "
+        f"WHERE contains(' ' || array_to_string({_TOKENS_SQL.format(col='texto')}, ' ') || ' ', ' the ') "
         f"AND NOT len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['error'])) > 0",
+    ),
+    "a7_search_phrase": (
+        q_a7_search_phrase,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+        f"WHERE contains(' ' || array_to_string({_TOKENS_SQL.format(col='texto')}, ' ') || ' ', ' table hash ')",
+    ),
+    "a7_search_negation": (
+        q_a7_search_negation,
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+        f"WHERE len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['merge'])) > 0 "
+        f"AND NOT len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['window'])) > 0",
     ),
     "a7_search_ranked": (
         q_a7_search_ranked,

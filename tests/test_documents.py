@@ -71,6 +71,46 @@ def test_search_text_or_of_terms_case_accent_insensitive(spark, sf_dir):
         assert search_text(df, accented).count() == hits_one.count()
 
 
+def test_search_phrase_token_sequence_not_substring(spark):
+    """Mongo phrase rule: "the cat" matches the contiguous token run
+    only — not "the category" (raw-substring would), not scattered
+    words; with a phrase present, bare terms do not constrain the
+    match; negation still subtracts."""
+    rows = [
+        (1, "the cat sat down"),
+        (2, "the category is wrong"),
+        (3, "cat and the dog"),
+        (4, "the cat ran away window"),
+    ]
+    df = rulings_view(
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("source", F.lit("s"))
+    )
+    got = {r.doc_id for r in search_text(df, '"the cat"').collect()}
+    assert got == {1, 4}
+    # bare term 'category' does not widen a phrase query (Mongo rule)
+    got = {r.doc_id for r in search_text(df, 'category "the cat"').collect()}
+    assert got == {1, 4}
+    # negation composes with phrases
+    got = {r.doc_id for r in search_text(df, '"the cat" -window').collect()}
+    assert got == {1}
+
+
+def test_search_negation_and_positive_requirement(spark):
+    """-term excludes; a query with no positive part (only negations,
+    or empty) matches nothing — the Mongo $search contract."""
+    rows = [(1, "merge sort fast"), (2, "merge window slow"), (3, "hash join")]
+    df = rulings_view(
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("source", F.lit("s"))
+    )
+    assert {r.doc_id for r in search_text(df, "merge -window").collect()} == {1}
+    assert search_text(df, "-window").count() == 0
+    assert search_text(df, "").count() == 0
+    # accent/case folding applies to negated terms too
+    assert {r.doc_id for r in search_text(df, "merge -WÍNDOW").collect()} == {1}
+
+
 def test_empty_sentinel(spark, sf_dir):
     df = _rulings(spark, sf_dir)
     out = to_result_frame(query_cascade(df, providencia="P-nope"))

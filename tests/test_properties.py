@@ -129,6 +129,59 @@ def test_stem_preimage_expansion_equivalence(tokens, query_tok):
         assert (stem_py(t) == term) == (t in pre), (t, term)
 
 
+# ---- Mongo $search grammar (compat/documents.py) --------------------------
+
+_VOCAB = ["merge", "window", "hash", "tablá", "agg"]
+
+_SEARCH_PIECE = st.one_of(
+    st.sampled_from(_VOCAB),                                   # bare term
+    st.sampled_from(_VOCAB).map(lambda w: f"-{w}"),            # negation
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=2)  # phrase
+    .map(lambda ws: '"' + " ".join(ws) + '"'),
+)
+_SEARCH_QUERY = st.lists(_SEARCH_PIECE, max_size=4).map(" ".join)
+_DOC_TOKENS = st.lists(
+    st.sampled_from([w.replace("á", "a") for w in _VOCAB] + ["other"]),
+    max_size=6,
+)
+
+
+def _search_model(tokens: list[str], query: str) -> bool:
+    """Pure-Python Mongo $search semantics (phrases = contiguous token
+    runs and override bare terms; negation subtracts; no positive part
+    matches nothing) — the spec text_match_condition must agree with."""
+    from providenciasbigdata_spark.compat.documents import parse_search_query
+
+    terms, phrases, negated = parse_search_query(query)
+    phrase_toks = [
+        pt for p in phrases if (pt := [t for t in re.split(r"\W+", p) if t])
+    ]
+    if not terms and not phrase_toks:
+        return False
+    if phrase_toks:
+        pos = all(
+            any(tokens[i:i + len(pt)] == pt for i in range(len(tokens) - len(pt) + 1))
+            for pt in phrase_toks
+        )
+    else:
+        pos = any(t in tokens for t in terms)
+    return pos and not any(t in tokens for t in negated)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_DOC_TOKENS, min_size=1, max_size=5), _SEARCH_QUERY)
+def test_search_grammar_matches_mongo_model(spark, docs, query):
+    from providenciasbigdata_spark.compat.documents import text_match_condition
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "rid int, text string",
+    ).select("rid", tx.tokenize(F.col("text")).alias("tokens"))
+    got = {r.rid for r in df.filter(text_match_condition(query)).collect()}
+    want = {i for i, toks in enumerate(docs) if _search_model(toks, query)}
+    assert got == want, (query, docs)
+
+
 # ---- MQL filter-document semantics (compat/ir.py) -------------------------
 
 _MQL_ROWS = [
