@@ -434,6 +434,28 @@ _VARLEN_RE = re.compile(
 )
 
 
+# extension: anchored directed 1-hop with a NODE-PROPERTY predicate on
+# the expanded node (`AND b.anio >= $y`) — the first template that
+# requires a real edges JOIN nodes plan (every earlier template reads
+# edge attributes only; SURVEY A10's "generalized pattern match" note).
+_NODE_PRED_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\3\.similitud\s*>=\s*\$(\w+)\s+AND\s+\3\.similitud\s*<=\s*\$(\w+)\s+AND\s+"
+    r"\4\.(\w+)\s*(>=|<=|>|<|=)\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\4\.id\s+AS\s+(\w+)\s*,"
+    r"\s*\3\.similitud\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+_NODE_PRED_OPS = {
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    "=": lambda c, v: c == v,
+}
+
 # extension: shortestPath between two bound anchors over the
 # weight-filtered undirected graph; `length(p)` = relationship count.
 _SHORTEST_PATH_RE = re.compile(
@@ -489,6 +511,11 @@ def cypher_run(
     frontier BFS over the filtered undirected edge set, early-bounded
     at 30 hops (matches the oracle's recursion cap); returns ONE row
     ``length(p)`` or no rows when unreachable, like Bolt.
+    Template 8 (extension): anchored directed 1-hop with a NODE
+    property predicate on the expanded node (``AND b.anio >= $y``) —
+    the first template needing an edges-to-nodes join; executed as
+    the tiny anchored hit set BROADCAST against the property-filtered
+    nodes scan (zero shuffle of the corpus-sized side).
     """
     params = params or {}
     flat = " ".join(query.split())
@@ -515,6 +542,43 @@ def cypher_run(
                     float(params[lo_p]), float(params[hi_p])
                 )
             )
+            .select(
+                F.col("src").alias(out_origen),
+                F.col("dst").alias(out_destino),
+                F.col("similitud").alias(out_sim),
+            )
+        )
+
+    m = _NODE_PRED_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        if nodes is None:
+            raise ValueError("node-property predicate needs the nodes frame")
+        anchor_p, lo_p, hi_p = m.group(2), m.group(5), m.group(6)
+        prop, op, prop_p = m.group(7), m.group(8), m.group(9)
+        out_origen, out_destino, out_sim = m.group(10), m.group(11), m.group(12)
+        missing = [p for p in (anchor_p, lo_p, hi_p, prop_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        if prop == "id" or prop not in nodes.columns:
+            raise ValueError(
+                f"unknown node property {prop!r}; nodes frame has {nodes.columns}"
+            )
+        hits = edges.filter(
+            (F.col("src") == F.lit(params[anchor_p]))
+            & F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+        ).select("src", "dst", "similitud")
+        pred = _NODE_PRED_OPS[op](F.col(prop), F.lit(params[prop_p]))
+        # join direction for 100 TB: the anchored+weight-filtered hit
+        # set is a handful of rows, the nodes table is corpus-sized —
+        # broadcast the HITS and stream the nodes scan through one
+        # BroadcastHashJoin (zero shuffle of either input; pinned in
+        # tests/test_plans.py)
+        return (
+            nodes.filter(pred)
+            .select(F.col("id").alias("dst"))
+            .join(F.broadcast(hits), "dst")
             .select(
                 F.col("src").alias(out_origen),
                 F.col("dst").alias(out_destino),

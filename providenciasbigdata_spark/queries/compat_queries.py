@@ -640,6 +640,53 @@ WHERE a.vec_id IN (3, 7, 11)
 """
 
 
+CYPHER_NODE_PRED = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi AND b.anio >= $y
+RETURN a.id AS origen, b.id AS destino, r.similitud AS similitud
+"""
+
+
+def q_cypher_node_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-property-predicate Cypher (compat.ir template 8): P-7's
+    weight-filtered neighbors restricted to rulings with anio >= 2010
+    — the first template exercising a real edges-to-nodes join. The
+    anchored hit set (a handful of rows) is broadcast against the
+    property-filtered nodes scan: the corpus-sized side never
+    shuffles (BroadcastHashJoin pinned in tests/test_plans.py)."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
+        F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
+    )
+    return cypher_run(
+        CYPHER_NODE_PRED, nodes=nodes, edges=edges,
+        params={"origen": "P-7", "lo": 20.0, "hi": 90.0, "y": 2010},
+    )
+
+
+_CYPHER_NODE_PRED_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id = 7
+), n AS (
+  SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id,
+         CAST(2000 + doc_id % 25 AS BIGINT) AS anio
+  FROM documents
+)
+SELECT e.origen, e.destino, e.similitud
+FROM e JOIN n ON n.id = e.destino
+WHERE e.similitud BETWEEN 20 AND 90 AND n.anio >= 2010
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -767,4 +814,5 @@ QUERIES = {
     "cypher_undirected_expansion": (q_cypher_undirected, _CYPHER_UNDIRECTED_SQL),
     "cypher_multi_anchor": (q_cypher_multi_anchor, _CYPHER_MULTI_ANCHOR_SQL),
     "cypher_degree_counts": (q_cypher_degree_counts, _CYPHER_DEGREE_SQL),
+    "cypher_node_predicate": (q_cypher_node_predicate, _CYPHER_NODE_PRED_SQL),
 }

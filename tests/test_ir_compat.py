@@ -169,6 +169,40 @@ def test_cypher_rejects_out_of_subset(spark):
         cypher_run(CYPHER_NEIGHBORHOOD, edges=nodes, params={})
 
 
+def test_cypher_node_predicate_template(spark):
+    """Template 8: node-property predicate on the expanded node —
+    result == the plain 1-hop result restricted to destinations whose
+    node row passes the predicate; unknown property and missing nodes
+    frame raise."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.queries.compat_queries import CYPHER_NODE_PRED
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb)
+    nodes = rulings_view(load_table(spark, SF, "documents")).select(
+        F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
+    )
+    params = {"origen": "P-7", "lo": 20.0, "hi": 90.0, "y": 2010}
+    got = cypher_run(CYPHER_NODE_PRED, nodes=nodes, edges=edges, params=params)
+    assert got.columns == ["origen", "destino", "similitud"]
+    plain = cypher_run(
+        CYPHER_NEIGHBORHOOD,
+        edges=edges,
+        params={"providencia": "P-7", "rango_min": 20.0, "rango_max": 90.0},
+    )
+    ok_ids = {r.id for r in nodes.filter(F.col("anio") >= 2010).collect()}
+    want = {r.destino for r in plain.collect() if r.destino in ok_ids}
+    assert {r.destino for r in got.collect()} == want
+    assert 0 < len(want) < plain.count()  # predicate actually filters
+    with pytest.raises(ValueError, match="nodes frame"):
+        cypher_run(CYPHER_NODE_PRED, edges=edges, params=params)
+    with pytest.raises(ValueError, match="unknown node property"):
+        cypher_run(
+            CYPHER_NODE_PRED.replace("b.anio", "b.nope"),
+            nodes=nodes, edges=edges, params=params,
+        )
+
+
 def test_engine_facade_accepts_literal_ir(spark):
     from providenciasbigdata_spark.engine import ProvidenciasEngine
 

@@ -113,6 +113,14 @@ def test_sessionize_single_exchange(spark, reg):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_cypher_node_predicate_broadcasts_hits(spark, reg):
+    """Template 8's edges-to-nodes join must broadcast the TINY
+    anchored hit set — the corpus-sized nodes scan never shuffles."""
+    plan = plan_of(_run(reg, "cypher_node_predicate", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_min_cost_supplier_broadcasts(spark, reg):
     plan = plan_of(_run(reg, "join_min_cost_supplier", spark))
     assert "BroadcastHashJoin" in plan, plan
