@@ -146,10 +146,16 @@ class MongoDumpReader(DataSourceReader):
 class MongoDumpStreamReader(SimpleDataSourceStreamReader):
     """Streaming twin of the batch reader: the dump directory as an
     append-only SPOOL (the shape a `mongoexport --collection` cron or
-    a CDC-to-file relay produces). The offset is simply "how many
-    files of the sorted listing have been consumed" — new files sort
-    after consumed ones because exporters write monotonic part names;
-    each micro-batch picks up every not-yet-consumed file.
+    a CDC-to-file relay produces). The offset is "how many files of
+    the sorted listing have been consumed" PLUS the basename of the
+    last consumed file: new files are expected to sort after consumed
+    ones (exporters write monotonic part names), and the recorded
+    basename makes that assumption CHECKED instead of silent — a file
+    that sorts into the consumed prefix (classic unpadded numeric
+    suffix: 'part-10' < 'part-9') would shift every index, re-reading
+    consumed files and permanently skipping the newcomer; the prefix
+    check raises loudly instead, preserving the exactly-once /
+    deterministic-replay contract.
 
     ``readBetweenOffsets`` re-reads exactly the files in [start, end)
     — dump files are immutable once written, so replay after a
@@ -171,10 +177,30 @@ class MongoDumpStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("mongodump stream source requires a path")
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"n_files": 0, "last": ""}
+
+    @staticmethod
+    def _check_prefix(files: list[str], offset: dict) -> None:
+        """The first n_files of the current listing must still end at
+        the recorded last-consumed basename — else a new file sorted
+        INTO the consumed prefix and every count-based slice is off by
+        one or more. (Offsets from pre-round-5 checkpoints carry no
+        'last' and skip the check.)"""
+        n, last = int(offset["n_files"]), offset.get("last", "")
+        if not last or n == 0:
+            return
+        got = os.path.basename(files[n - 1]) if n <= len(files) else None
+        if got != last:
+            raise ValueError(
+                f"mongodump spool is not append-only: consumed prefix ended at "
+                f"{last!r} but listing[{n - 1}] is now {got!r} — a new file "
+                f"sorts before already-consumed names (unpadded suffix?); "
+                f"refusing to silently re-read/skip"
+            )
 
     def read(self, start: dict):
         files = _list_dump_files(self.path)
+        self._check_prefix(files, start)
         # a spool must be append-only; if files vanished, hold the
         # offset (never rewind — the runtime treats offsets as monotone)
         n0, n1 = int(start["n_files"]), max(len(files), int(start["n_files"]))
@@ -183,10 +209,13 @@ class MongoDumpStreamReader(SimpleDataSourceStreamReader):
         rows = [
             row for p in files[n0:n1] for row in _iter_dump_lines(p, self.fields)
         ]
-        return rows, {"n_files": n1}
+        last = os.path.basename(files[n1 - 1]) if 0 < n1 <= len(files) else start.get("last", "")
+        return rows, {"n_files": n1, "last": last}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_dump_files(self.path)
+        self._check_prefix(files, start)
+        self._check_prefix(files, end)
         for p in files[int(start["n_files"]) : int(end["n_files"])]:
             yield from _iter_dump_lines(p, self.fields)
 

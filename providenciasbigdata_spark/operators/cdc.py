@@ -106,6 +106,7 @@ def merge_into(
     delete_condition: Column | None = None,
     update_condition: Column | None = None,
     insert_condition: Column | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """ANSI ``MERGE INTO`` semantics as one declarative plan (Spark's
     SQL MERGE needs a v2/catalog table; this is the same contract for
@@ -124,12 +125,40 @@ def merge_into(
     column cast back to its target type).
 
     Contract (also ANSI): each target row must match at most one source
-    row — aggregate the source by the keys first, as a multi-match
-    would duplicate the target row rather than raise. One shuffle (the
+    row. ``strict=True`` (default) enforces it with one source-side
+    aggregate before the merge and raises on the first duplicated key
+    — ANSI/Spark MERGE INTO errors on multi-match, and silently
+    duplicating target rows is the worst failure mode of a merge.
+    Pass ``strict=False`` to skip the validation pass when the source
+    is already key-unique by construction (e.g. the output of
+    ``latest_per_key``). One shuffle for the merge itself (the
     full-outer join on the keys); with a small source AQE will not
     broadcast a full-outer join, so pre-aggregate the source to keep
     both shuffled sides tiny.
     """
+    if strict:
+        # NULL-key source rows can never match a target row (the join
+        # condition is null-rejecting), so duplicates among them are
+        # harmless — exclude them from the uniqueness check
+        non_null = F.lit(True)
+        for k in keys:
+            non_null = non_null & F.col(k).isNotNull()
+        dup = (
+            source.filter(non_null)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            kv = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"MERGE source has {dup[0]['__n']} rows for key {kv} — ANSI "
+                f"MERGE requires at most one source match per target row; "
+                f"pre-aggregate the source or pass strict=False if this is "
+                f"intentional"
+            )
     t = target.withColumn("__t", F.lit(1)).alias("t")
     s = source.withColumn("__s", F.lit(1)).alias("s")
     cond = None

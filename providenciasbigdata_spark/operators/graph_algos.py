@@ -195,11 +195,20 @@ def bfs_distances(
         )
         nxt = ckpt(nxt)  # truncate lineage per level
 
-        if nxt.isEmpty():
+        # ONE action per level: frontier size and target hits ride the
+        # same aggregate over the just-materialized checkpoint (the
+        # separate filter+isEmpty probe re-ran a second job per hop)
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("id") == F.lit(target), 1)
+            ).alias("t") if target is not None else F.lit(0).alias("t"),
+        ).first()
+        if stats["n"] == 0:
             break
         visited = visited.union(nxt)
         frontier = nxt.select("id")
-        if target is not None and not nxt.filter(F.col("id") == F.lit(target)).isEmpty():
+        if target is not None and stats["t"] > 0:
             break
     out = ckpt(visited)
     e.unpersist()

@@ -54,6 +54,31 @@ def test_merge_no_insert_clause_drops_unmatched_source(spark):
     assert (9, "new") not in keys and len(keys) == 4
 
 
+def test_merge_strict_rejects_multi_match_source(spark):
+    """ANSI MERGE errors on a source with >1 row per key; strict=True
+    (default) reproduces that loudly instead of silently duplicating
+    target rows. NULL-key duplicates are exempt (they never match);
+    strict=False restores the documented duplicate-rows behavior."""
+    import pytest
+
+    target = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    dup_source = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (None, 9.0), (None, 8.0)], "k long, delta double"
+    )
+    with pytest.raises(ValueError, match="at most one source match"):
+        merge_into(target, dup_source, keys=["k"],
+                   update_set={"v": F.col("s.delta")})
+    # null-key dups alone pass strict
+    null_only = dup_source.filter(F.col("k").isNull())
+    out = merge_into(target, null_only, keys=["k"],
+                     update_set={"v": F.col("s.delta")})
+    assert out.count() == 1
+    # strict=False: documented divergence — target row duplicated
+    out = merge_into(target, dup_source, keys=["k"],
+                     update_set={"v": F.col("s.delta")}, strict=False)
+    assert out.filter(F.col("k") == 1).count() == 2
+
+
 def test_merge_update_condition_keeps_nonqualifying_match(spark):
     target, source = _frames(spark)
     out = merge_into(

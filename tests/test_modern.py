@@ -282,9 +282,9 @@ def test_mongodump_stream_offsets_and_replay(spark, tmp_path):
     r = MongoDumpStreamReader(schema, {"path": str(spool)})
 
     start = r.initialOffset()
-    assert start == {"n_files": 0}
+    assert start == {"n_files": 0, "last": ""}
     rows1, off1 = r.read(start)
-    assert off1 == {"n_files": 2} and len(rows1) == 2
+    assert off1 == {"n_files": 2, "last": "part-001.json"} and len(rows1) == 2
     assert rows1[0] == ("a" * 24, "x", 2001)
 
     # nothing new -> empty batch, offset unchanged
@@ -295,12 +295,52 @@ def test_mongodump_stream_offsets_and_replay(spark, tmp_path):
     write_file("part-002.json", [{"_id": {"$oid": "c" * 24}, "tipo": "z",
                                   "anio": {"$numberInt": "2003"}}])
     rows2, off2 = r.read(off1)
-    assert off2 == {"n_files": 3}
+    assert off2 == {"n_files": 3, "last": "part-002.json"}
     assert rows2 == [("c" * 24, "z", 2003)]
 
     # deterministic replay of an arbitrary committed range
     assert list(r.readBetweenOffsets(start, off1)) == rows1
     assert list(r.readBetweenOffsets(off1, off2)) == rows2
+
+    # pre-round-5 checkpoint offsets (no 'last') still work
+    rows_legacy, off_legacy = r.read({"n_files": 2})
+    assert rows_legacy == rows2 and off_legacy["n_files"] == 3
+
+
+def test_mongodump_stream_detects_non_monotone_spool(spark, tmp_path):
+    """A file that sorts BEFORE already-consumed names (unpadded
+    numeric suffix) must raise loudly, not silently re-read consumed
+    files and skip the newcomer."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from providenciasbigdata_spark.datasources import MongoDumpStreamReader
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+
+    def write_file(name, docs):
+        with open(spool / name, "w") as fh:
+            for d in docs:
+                fh.write(_json.dumps(d) + "\n")
+
+    write_file("part-9.json", [{"_id": {"$oid": "a" * 24}, "tipo": "x",
+                                "anio": {"$numberInt": "2001"}}])
+    schema = StructType.fromDDL("_id string, tipo string, anio int")
+    r = MongoDumpStreamReader(schema, {"path": str(spool)})
+    rows1, off1 = r.read(r.initialOffset())
+    assert len(rows1) == 1 and off1["last"] == "part-9.json"
+
+    # 'part-10.json' < 'part-9.json' lexicographically — sorts into
+    # the consumed prefix
+    write_file("part-10.json", [{"_id": {"$oid": "b" * 24}, "tipo": "y",
+                                 "anio": {"$numberInt": "2002"}}])
+    with pytest.raises(ValueError, match="not append-only"):
+        r.read(off1)
+    with pytest.raises(ValueError, match="not append-only"):
+        list(r.readBetweenOffsets(r.initialOffset(), off1))
 
 
 def test_mongodump_stream_drain_equals_batch_read(spark, tmp_path):
