@@ -422,6 +422,42 @@ def user_running_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
+class UserTotalsProcessor:
+    """The ``transformWithStateInPandas`` stateful processor behind
+    ``user_running_totals_tws``, hoisted to module scope so its logic
+    is CI-testable WITHOUT the protobuf state-server runtime: the
+    class only touches the handle/state surface it is given, so a
+    fake ValueState drives the exact code the Spark runtime would
+    (tests/test_modern.py exercises both paths — live streaming where
+    protobuf exists, direct-drive elsewhere).
+
+    Subclasses StatefulProcessor lazily (init/handleInputRows/close
+    match that ABC's contract) — composition keeps the import
+    optional-runtime-safe.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", _RUNNING_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total_s = self._state.get() if self._state.exists() else (0, "0")
+        total = Decimal(total_s)
+        for pdf in rows:
+            n += len(pdf)
+            total = _dec_add(total, pdf["value"])
+        self._state.update((n, str(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [_dec_round6(total)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def user_running_totals_tws(events: DataFrame) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` twin of
     ``user_running_totals``: same per-user running (n_events,
@@ -441,29 +477,11 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
             _dec_sum6("value").alias("total_value"),
         )
 
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.streaming import StatefulProcessor
 
-    class _Totals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("totals", _RUNNING_STATE_SCHEMA)
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, total_s = self._state.get() if self._state.exists() else (0, "0")
-            total = Decimal(total_s)
-            for pdf in rows:
-                n += len(pdf)
-                total = _dec_add(total, pdf["value"])
-            self._state.update((n, str(total)))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [_dec_round6(total)],
-                }
-            )
-
-        def close(self) -> None:
-            pass
+    class _Totals(UserTotalsProcessor, StatefulProcessor):
+        """UserTotalsProcessor logic + the runtime ABC (imported only
+        here so module import never needs the streaming runtime)."""
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_Totals(),

@@ -1,0 +1,16 @@
+"""CI execution of the documented example flows — an example that
+doesn't run is documentation of nothing. Each example's assertions are
+its own proof (batch-then-increment == full-rebuild, etc.); the test
+just drives them in-process on the shared session."""
+
+from __future__ import annotations
+
+
+def test_incremental_ingest_flow_runs_end_to_end(spark, tmp_path):
+    """Two successive batches through every incremental family (exact
+    hash index, paragraph index, MinHash signatures, SimHash
+    fingerprints, IVF append) — the example asserts increment ==
+    rebuild at every step."""
+    from examples.incremental_ingest_flow import run
+
+    run(spark, "/root/testdata/sf0.001", str(tmp_path))

@@ -110,12 +110,83 @@ def test_live_stream_equals_batch(spark):
         assert abs(g["total_value"] - w["total_value"]) < 1e-6
 
 
+class _FakeValueState:
+    """Minimal ValueState double: the exists/get/update surface the
+    processor touches — lets CI drive the tws processor's exact code
+    where the protobuf state-server runtime is absent."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
 def test_tws_stream_equals_batch(spark):
-    """transformWithStateInPandas variant of the same parity — only
-    runnable where its protobuf state-protocol runtime exists."""
+    """transformWithStateInPandas parity, ALWAYS exercised: where the
+    protobuf state-protocol runtime exists, as a real availableNow
+    streaming run; elsewhere, by driving UserTotalsProcessor's exact
+    handleInputRows code through a fake state handle over multiple
+    simulated micro-batches — same assertion either way: final emitted
+    state per user == the batch aggregate. (The fake-handle branch
+    tests OUR processor logic; Spark's own runtime is not our claim.)"""
     if not has_tws_runtime():
-        pytest.skip("google.protobuf not available: transformWithState "
-                    "state-server protocol cannot start in this runtime")
+        import pandas as pd
+
+        from providenciasbigdata_spark.streaming import UserTotalsProcessor
+
+        events = (
+            load_table(spark, SF, "events")
+            .select("user_id", "value")
+            .toPandas()
+            .sort_index()
+        )
+        proc = UserTotalsProcessor()
+        final = {}
+        for uid, g in events.groupby("user_id"):
+            proc.init(_FakeHandle())  # fresh state per key, like the runtime
+            # split each user's rows into 2 micro-batches to prove the
+            # running state accumulates across handleInputRows calls
+            half = max(1, len(g) // 2)
+            for chunk in (g.iloc[:half], g.iloc[half:]):
+                if chunk.empty:
+                    continue
+                out = list(proc.handleInputRows((uid,), [chunk], None))
+                assert len(out) == 1 and isinstance(out[0], pd.DataFrame)
+                final[uid] = (
+                    int(out[0]["n_events"][0]), float(out[0]["total_value"][0])
+                )
+            proc.close()
+        want = {
+            w["user_id"]: (w["n_events"], w["total_value"])
+            for w in load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+            .collect()
+        }
+        assert final.keys() == want.keys()
+        for uid, (n, total) in final.items():
+            assert n == want[uid][0]
+            assert abs(total - want[uid][1]) < 1e-6, uid
+        return
+
     import tempfile as _tf
 
     from providenciasbigdata_spark import streaming as st

@@ -277,6 +277,50 @@ def test_ivf_index_persisted_partition_pruned(spark, tmp_path):
     assert [(r.vec_id, r.score) for r in got2] == [(r.vec_id, r.score) for r in got]
 
 
+def test_ivf_index_pruning_scales_with_nprobe_not_index_size(spark, tmp_path):
+    """At partition count (64 clusters): the probe scan's work is
+    bounded by n_probe, NOT by index size — PartitionFilters carries
+    the cluster predicate in the plan, and the files actually read
+    come from at most n_probe cluster directories however many the
+    index has. This is the property that makes the persisted index a
+    pruned scan at 100 TB."""
+    import numpy as np
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.similarity import build_ivf_index
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "ivf64")
+    idx = build_ivf_index(emb, out, n_clusters=64, max_iter=2)
+
+    import os
+
+    n_dirs = len([d for d in os.listdir(f"{out}/vectors") if d.startswith("cluster=")])
+    assert n_dirs >= 48  # the index really is wide
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+    qn = np.asarray(qvec) / np.linalg.norm(qvec)
+    ranked = np.argsort(-(idx.centroids @ qn)).tolist()
+
+    touched = {}
+    for nprobe in (1, 4):
+        probes = ranked[:nprobe]
+        scan = idx.vectors().filter(F.col("cluster").isin(probes))
+        # static plan proof: the predicate reaches PartitionFilters
+        plan = scan._sc._jvm.PythonSQLUtils.explainString(
+            scan._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200], plan
+        # runtime proof: files read come only from probed cluster dirs
+        files = scan.select(F.input_file_name().alias("f")).distinct().collect()
+        dirs = {r.f.split("cluster=")[1].split("/")[0] for r in files}
+        assert dirs <= {str(p) for p in probes}
+        touched[nprobe] = len(dirs)
+    # scanned partition-dir count follows n_probe, never index width
+    assert touched[1] <= 1 and touched[4] <= 4
+    assert touched[4] < n_dirs / 4
+
+
 def test_ivf_index_append_incremental(spark, tmp_path):
     """Appending a batch assigns against the existing centroids only
     (no retrain), lands inside the partitioned layout, and the merged
