@@ -125,6 +125,37 @@ def _field_condition(field: str, value) -> Column:
                     )
                 inner = _field_condition(field, operand)
                 conds.append(F.col(field).isNull() | ~inner)
+            elif op == "$all":
+                # array field must contain EVERY listed value; Mongo:
+                # $all [] matches nothing. NULL array -> NULL -> no
+                # match (Mongo: missing field doesn't match $all)
+                if not isinstance(operand, (list, tuple)):
+                    raise ValueError(f"$all needs a list, got {operand!r}")
+                conds.append(
+                    reduce(
+                        and_,
+                        [F.array_contains(F.col(field), F.lit(v)) for v in operand],
+                    )
+                    if operand
+                    else F.lit(False)
+                )
+            elif op == "$size":
+                # exact element count; size(NULL) is NULL under
+                # non-legacy semantics so missing arrays never match
+                if not isinstance(operand, int) or isinstance(operand, bool):
+                    raise ValueError(f"$size needs an integer, got {operand!r}")
+                conds.append(F.size(F.col(field)) == F.lit(operand))
+            elif op == "$elemMatch":
+                # ANY element satisfies the whole operator document
+                # (scalar operators only; subdocument matching is out
+                # of scope for the fixed relational schema)
+                if not isinstance(operand, dict) or not operand:
+                    raise ValueError(
+                        f"$elemMatch needs a non-empty operator document, got {operand!r}"
+                    )
+                conds.append(
+                    F.exists(F.col(field), lambda e: _elem_condition(e, operand))
+                )
             elif op in _RANGE_OPS:
                 conds.append(
                     _RANGE_OPS[op](F.col(field), F.lit(_coerce(field, operand)))
@@ -133,6 +164,30 @@ def _field_condition(field: str, value) -> Column:
                 raise ValueError(f"unsupported MQL operator {op} for {field!r}")
         return reduce(and_, conds)
     return F.col(field) == F.lit(_coerce(field, value))
+
+
+def _elem_condition(e: Column, spec: dict) -> Column:
+    """The $elemMatch element predicate: every operator in ``spec``
+    applied to one array element (Mongo ANDs them)."""
+    conds = []
+    for op, operand in spec.items():
+        if op == "$eq":
+            conds.append(e == F.lit(operand))
+        elif op == "$ne":
+            conds.append(e != F.lit(operand))
+        elif op == "$in":
+            if not isinstance(operand, (list, tuple)):
+                raise ValueError(f"$elemMatch $in needs a list, got {operand!r}")
+            conds.append(
+                reduce(or_, [e == F.lit(v) for v in operand])
+                if operand
+                else F.lit(False)
+            )
+        elif op in _RANGE_OPS:
+            conds.append(_RANGE_OPS[op](e, F.lit(operand)))
+        else:
+            raise ValueError(f"unsupported $elemMatch operator: {op}")
+    return reduce(and_, conds)
 
 
 def _query_condition(query: dict, default_language: str = "none") -> Column:
@@ -456,6 +511,20 @@ _NODE_PRED_OPS = {
     "=": lambda c, v: c == v,
 }
 
+# extension: anchored TWO-EDGE motif — the first multi-relationship
+# pattern: (a {id})-[r1:SIMILAR]->(b)-[r2:SIMILAR]->(c) with separate
+# weight guards per relationship.
+_TWO_HOP_MOTIF_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\3\.similitud\s*>=\s*\$(\w+)\s+AND\s+\3\.similitud\s*<=\s*\$(\w+)\s+AND\s+"
+    r"\5\.similitud\s*>=\s*\$(\w+)\s+AND\s+\5\.similitud\s*<=\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\4\.id\s+AS\s+(\w+)\s*,"
+    r"\s*\6\.id\s+AS\s+(\w+)\s*,\s*\5\.similitud\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
 # extension: shortestPath between two bound anchors over the
 # weight-filtered undirected graph; `length(p)` = relationship count.
 _SHORTEST_PATH_RE = re.compile(
@@ -516,6 +585,13 @@ def cypher_run(
     the first template needing an edges-to-nodes join; executed as
     the tiny anchored hit set BROADCAST against the property-filtered
     nodes scan (zero shuffle of the corpus-sized side).
+    Template 9 (extension): anchored two-edge motif
+    ``(a {id})-[r1]->(b)-[r2]->(c)`` with separate weight guards —
+    the first multi-relationship pattern; the anchored first hop
+    broadcasts into one pass over the edge scan. Cypher's
+    relationship-uniqueness rule (r1 != r2) holds structurally
+    (self-loop-free edges), node revisits (c = a) allowed, as Cypher
+    defines.
     """
     params = params or {}
     flat = " ".join(query.split())
@@ -545,6 +621,44 @@ def cypher_run(
             .select(
                 F.col("src").alias(out_origen),
                 F.col("dst").alias(out_destino),
+                F.col("similitud").alias(out_sim),
+            )
+        )
+
+    m = _TWO_HOP_MOTIF_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        anchor_p = m.group(2)
+        lo1_p, hi1_p, lo2_p, hi2_p = m.group(7), m.group(8), m.group(9), m.group(10)
+        out_a, out_b, out_c, out_sim = (
+            m.group(11), m.group(12), m.group(13), m.group(14)
+        )
+        missing = [
+            p for p in (anchor_p, lo1_p, hi1_p, lo2_p, hi2_p) if p not in params
+        ]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        # Cypher relationship uniqueness (r1 != r2) is free here: the
+        # edge list has src != dst, so (a,b) == (b,c) is impossible;
+        # node REVISITS (c == a) are allowed, as Cypher defines. Plan:
+        # the anchored r1 hit set is a handful of rows — broadcast it
+        # into one pass over the edge scan (no shuffle of the edges).
+        hop1 = edges.filter(
+            (F.col("src") == F.lit(params[anchor_p]))
+            & F.col("similitud").between(
+                float(params[lo1_p]), float(params[hi1_p])
+            )
+        ).select(F.col("src").alias("_a"), F.col("dst").alias("_b"))
+        hop2 = edges.filter(
+            F.col("similitud").between(float(params[lo2_p]), float(params[hi2_p]))
+        )
+        return (
+            hop2.join(F.broadcast(hop1), hop2["src"] == F.col("_b"))
+            .select(
+                F.col("_a").alias(out_a),
+                F.col("_b").alias(out_b),
+                F.col("dst").alias(out_c),
                 F.col("similitud").alias(out_sim),
             )
         )

@@ -219,6 +219,37 @@ _MQL_OR_TEXT_SQL = (
 )
 
 
+def q_mql_array_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo ARRAY operators over the tokens column (compat.ir):
+    ``$all`` (contains every listed value) AND-composed with an
+    ``$elemMatch`` range on element values — both compile to JVM
+    higher-order array predicates (array_contains / exists), single
+    scan, no explode."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return _project(
+        mql_find(
+            _rulings(spark, sf_dir),
+            {
+                "tokens": {
+                    "$all": ["merge", "window"],
+                    "$elemMatch": {"$gte": "zz"},
+                },
+                "anio": {"$gte": 2010},
+            },
+        )
+    )
+
+
+_MQL_ARRAY_SQL = (
+    f"SELECT {_RESULT_COLS} FROM ("
+    f"SELECT *, {_TOKENS_SQL.format(col='texto')} AS toks FROM ({_RULINGS_SQL})) "
+    f"WHERE list_has_all(toks, ['merge', 'window']) "
+    f"AND len(list_filter(toks, x -> x >= 'zz')) > 0 "
+    f"AND anio >= 2010"
+)
+
+
 def q_mql_nin_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negation operators ($nin / $not-wrapped range / $exists) AND-
     composed in one filter document (compat.ir). Mongo's missing-field
@@ -687,6 +718,46 @@ WHERE e.similitud BETWEEN 20 AND 90 AND n.anio >= 2010
 """
 
 
+CYPHER_TWO_HOP_MOTIF = """
+MATCH (a:Providencia {id: $origen})-[r1:SIMILAR]->(b:Providencia)-[r2:SIMILAR]->(c:Providencia)
+WHERE r1.similitud >= $lo1 AND r1.similitud <= $hi1 AND r2.similitud >= $lo2 AND r2.similitud <= $hi2
+RETURN a.id AS origen, b.id AS intermedio, c.id AS destino, r2.similitud AS similitud
+"""
+
+
+def q_cypher_two_hop_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-edge motif Cypher (compat.ir template 9): P-7's strong
+    neighbors' strong neighbors, each hop under its own weight guard.
+    The anchored first hop broadcasts into ONE pass over the edge scan
+    — no shuffle of the corpus-sized side; node revisits (c = a) kept,
+    per Cypher's node-reuse rule."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    return cypher_run(
+        CYPHER_TWO_HOP_MOTIF, edges=edges,
+        params={"origen": "P-7", "lo1": 30.0, "hi1": 100.0,
+                "lo2": 32.0, "hi2": 100.0},
+    )
+
+
+_CYPHER_TWO_HOP_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+)
+SELECT h1.src AS origen, h1.dst AS intermedio, h2.dst AS destino,
+       h2.similitud AS similitud
+FROM e h1 JOIN e h2 ON h2.src = h1.dst
+WHERE h1.src = 'P-7' AND h1.similitud BETWEEN 30 AND 100
+  AND h2.similitud BETWEEN 32 AND 100
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -796,6 +867,7 @@ QUERIES = {
     "mql_or_text": (q_mql_or_text, _MQL_OR_TEXT_SQL),
     "mql_regex_providencia": (q_mql_regex, _MQL_REGEX_SQL),
     "mql_nin_not_exists": (q_mql_nin_not, _MQL_NIN_NOT_SQL),
+    "mql_array_operators": (q_mql_array_operators, _MQL_ARRAY_SQL),
     "mql_cursor_surface": (q_mql_cursor_surface, _MQL_CURSOR_SQL),
     "mql_agg_facet_counts": (q_mql_agg_facet_counts, _MQL_AGG_FACET_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
@@ -815,4 +887,5 @@ QUERIES = {
     "cypher_multi_anchor": (q_cypher_multi_anchor, _CYPHER_MULTI_ANCHOR_SQL),
     "cypher_degree_counts": (q_cypher_degree_counts, _CYPHER_DEGREE_SQL),
     "cypher_node_predicate": (q_cypher_node_predicate, _CYPHER_NODE_PRED_SQL),
+    "cypher_two_hop_motif": (q_cypher_two_hop_motif, _CYPHER_TWO_HOP_SQL),
 }

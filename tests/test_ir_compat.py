@@ -169,6 +169,38 @@ def test_cypher_rejects_out_of_subset(spark):
         cypher_run(CYPHER_NEIGHBORHOOD, edges=nodes, params={})
 
 
+def test_mql_array_operators_semantics(spark):
+    """$all / $size / $elemMatch over an array column, Mongo rules:
+    $all [] matches nothing; $size is the exact element count and a
+    NULL array never matches; $elemMatch ANDs its operators over ANY
+    single element."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),
+            (2, ["a"]),
+            (3, ["b", "c"]),
+            (4, None),
+        ],
+        "rid int, tags array<string>",
+    )
+
+    def ids(q):
+        return {r.rid for r in mql_find(df, q).collect()}
+
+    assert ids({"tags": {"$all": ["a", "b"]}}) == {1}
+    assert ids({"tags": {"$all": []}}) == set()
+    assert ids({"tags": {"$size": 1}}) == {2}
+    assert ids({"tags": {"$size": 0}}) == set()
+    assert ids({"tags": {"$elemMatch": {"$gte": "b", "$lt": "c"}}}) == {1, 3}
+    assert ids({"tags": {"$elemMatch": {"$in": ["a", "z"]}}}) == {1, 2}
+    with pytest.raises(ValueError, match="elemMatch"):
+        mql_find(df, {"tags": {"$elemMatch": {}}})
+    with pytest.raises(ValueError, match="size"):
+        mql_find(df, {"tags": {"$size": "3"}})
+
+
 def test_cypher_node_predicate_template(spark):
     """Template 8: node-property predicate on the expanded node —
     result == the plain 1-hop result restricted to destinations whose
@@ -201,6 +233,41 @@ def test_cypher_node_predicate_template(spark):
             CYPHER_NODE_PRED.replace("b.anio", "b.nope"),
             nodes=nodes, edges=edges, params=params,
         )
+
+
+def test_cypher_two_hop_motif_template(spark):
+    """Template 9: (a{id})-[r1]->(b)-[r2]->(c) == manual composition of
+    two 1-hop expansions; c may revisit a (Cypher node-reuse rule)."""
+    from providenciasbigdata_spark.queries.compat_queries import (
+        CYPHER_TWO_HOP_MOTIF,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb)
+    params = {"origen": "P-7", "lo1": 30.0, "hi1": 100.0,
+              "lo2": 32.0, "hi2": 100.0}
+    got = cypher_run(CYPHER_TWO_HOP_MOTIF, edges=edges, params=params)
+    assert got.columns == ["origen", "intermedio", "destino", "similitud"]
+    mids = {
+        r.destino
+        for r in cypher_run(
+            CYPHER_NEIGHBORHOOD, edges=edges,
+            params={"providencia": "P-7", "rango_min": 30.0, "rango_max": 100.0},
+        ).collect()
+    }
+    want = {
+        (m, r.dst)
+        for m in mids
+        for r in edges.filter(
+            (F.col("src") == m) & F.col("similitud").between(32.0, 100.0)
+        ).collect()
+    }
+    rows = got.collect()
+    assert {(r.intermedio, r.destino) for r in rows} == want and want
+    # Cypher allows revisiting the anchor node as c
+    assert any(r.destino == "P-7" for r in rows) or not any(
+        d == "P-7" for _, d in want
+    )
 
 
 def test_engine_facade_accepts_literal_ir(spark):
