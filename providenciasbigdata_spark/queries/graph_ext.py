@@ -379,8 +379,60 @@ SELECT u AS id, h AS core FROM {prev}
 """
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a DIRECTED similarity graph
+    (bounded to 120 vectors): forward edges at cosine>=25 (low id ->
+    high id), back edges only at >=32 — so mutual >=32 pairs form
+    2-cycles and the asymmetric band forms DAG links between SCCs.
+    Spark runs the trim/color/backward algorithm
+    (operators.graph_algos.strongly_connected_components); the oracle
+    is literal mutual reachability (recursive CTE closure joined with
+    its transpose), component = MIN mutually-reachable id."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+    from providenciasbigdata_spark.operators.similarity import (
+        pairwise_cosine_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    pairs = pairwise_cosine_blocked(emb, threshold=25.0, scale=100.0, block_size=512)
+    directed = pairs.filter(
+        ((F.col("left_id") < F.col("right_id")) & (F.col("cosine") >= 25.0))
+        | ((F.col("left_id") > F.col("right_id")) & (F.col("cosine") >= 32.0))
+    ).select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    return strongly_connected_components(directed).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+_SCC_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v, {_COS_SQL.format(a='a', b='b')} AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 120 AND b.vec_id < 120
+), d AS MATERIALIZED (
+  SELECT u, v FROM pairs WHERE (u < v AND s >= 25) OR (u > v AND s >= 32)
+), reach(u, v) AS (
+  SELECT u, v FROM d
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN d e ON e.u = r.v
+), nodes AS (SELECT DISTINCT u AS id FROM d UNION SELECT DISTINCT v FROM d),
+mutual AS (
+  SELECT r1.u AS x, r1.v AS y
+  FROM reach r1 JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u
+)
+SELECT CAST(n.id AS BIGINT) AS id,
+       CAST(LEAST(n.id, COALESCE(MIN(m.y), n.id)) AS BIGINT) AS component
+FROM nodes n LEFT JOIN mutual m ON m.x = n.id
+GROUP BY n.id
+"""
+
+
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
+    "graph_scc": (q_graph_scc, _SCC_SQL),
     "graph_kcore": (q_kcore, _kcore_sql()),
     "graph_personalized_pagerank": (q_personalized_pagerank, _ppr_sql()),
     "graph_triangle_count": (q_triangle_count, _TRIANGLE_SQL),

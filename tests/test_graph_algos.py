@@ -237,3 +237,38 @@ def test_kcore_known_small_graph(spark):
     )
     got = {r.id: r.core for r in kcore_decomposition(edges).collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_scc_known_graph(spark):
+    """SCC on a hand-built digraph: a 3-cycle, a 2-cycle fed by the
+    3-cycle, and trim-resolved singletons (source, sink, isolated
+    pair) — labels are the SCC's min id."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 4), (7, 8)],
+        "src long, dst long",
+    )
+    got = {r.id: r.component for r in strongly_connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8}
+
+
+def test_scc_directed_vs_undirected_cc(spark):
+    """On a graph whose every edge is mutual, SCC == CC; dropping one
+    back edge must split that 2-cycle into singletons while leaving
+    the rest intact."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        connected_components,
+        strongly_connected_components,
+    )
+
+    mutual = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    e = spark.createDataFrame(mutual, "src long, dst long")
+    scc = {r.id: r.component for r in strongly_connected_components(e).collect()}
+    cc = {r.id: r.component for r in connected_components(e).collect()}
+    assert scc == cc == {1: 1, 2: 1, 3: 1}
+    broken = e.filter(~((F.col("src") == 3) & (F.col("dst") == 2)))
+    scc2 = {r.id: r.component for r in strongly_connected_components(broken).collect()}
+    assert scc2 == {1: 1, 2: 1, 3: 3}
