@@ -678,6 +678,101 @@ FROM s
 """
 
 
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step STRICTLY-ORDERED funnel (view -> click -> purchase):
+    step N counts users whose earliest qualifying step-N event falls
+    strictly after their step-(N-1) anchor — the sequential-dependency
+    shape the first-touch funnel (q_funnel) can't express. Each step is
+    one filtered aggregate joined to the previous anchor set; anchors
+    shrink monotonically, so joins 2 and 3 broadcast the surviving-user
+    side at scale and the events scan is reread, never shuffled on the
+    full corpus."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.lit(1).cast("long").alias("step_no"),
+               F.lit("view").alias("step"),
+               F.count("*").cast("long").alias("n_users"))
+        .unionByName(
+            s2.agg(F.lit(2).cast("long").alias("step_no"),
+                   F.lit("click").alias("step"),
+                   F.count("*").cast("long").alias("n_users")))
+        .unionByName(
+            s3.agg(F.lit(3).cast("long").alias("step_no"),
+                   F.lit("purchase").alias("step"),
+                   F.count("*").cast("long").alias("n_users")))
+    )
+
+
+_FUNNEL_ORDERED_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
+def q_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: ntile(8) over the total
+    order (price, orderkey — the tie-break makes bucket assignment
+    deterministic and engine-portable), then per-bucket count/min/max.
+    The optimizer-statistics shape (equi-depth histograms are what
+    ANALYZE builds); complements the fixed-width q_price_histogram.
+    One global sort + one partial agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.ntile(8).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HIST_EQUI_DEPTH_SQL = """
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 4) AS lo, ROUND(MAX(o_totalprice), 4) AS hi
+FROM (
+  SELECT CAST(NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket,
+         o_totalprice
+  FROM orders
+) GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin histogram of order totals — binning via an explicit
     floor formula (identical arithmetic on both engines; no reliance on
@@ -826,6 +921,8 @@ QUERIES = {
     "udx_arrow_group_quantiles": (q_arrow_group_quantiles, _ARROW_QUANTILES_SQL),
     "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),
     "funnel_signup_purchase": (q_funnel, _FUNNEL_SQL),
+    "funnel_ordered_steps": (q_funnel_ordered, _FUNNEL_ORDERED_SQL),
+    "hist_equi_depth": (q_hist_equi_depth, _HIST_EQUI_DEPTH_SQL),
     "array_agg_users": (q_array_agg_users, _ARRAY_AGG_SQL),
     "skew_topk_per_supplier": (q_skew_topk, _SKEW_TOPK_SQL),
     "skew_distinct_count": (q_skew_distinct_count, _SKEW_DISTINCT_SQL),

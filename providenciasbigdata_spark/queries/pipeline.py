@@ -324,6 +324,56 @@ FROM sized,
 """
 
 
+def q_common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-ADAPTIVE quality signal: fraction of each document's
+    tokens that belong to the corpus's top-100 vocabulary (count desc,
+    token asc tie-break — a total order both engines reproduce). The
+    corpus-derived generalization of the static stopword-density
+    signal in q_text_quality; integer-ratio arithmetic, so the oracle
+    hash-matches exactly. Plan: one explode + count for the vocab
+    (tiny, broadcast), one map-side join over the corpus tokens, one
+    partial agg — no corpus-wide shuffle beyond the vocab count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+        .select("tok")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(top), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*"), 6
+            ).alias("common_ratio"),
+        )
+    )
+
+
+_COMMON_TOKEN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), top AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT 100
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(top.tok) AS BIGINT) AS n_common,
+       ROUND(CAST(COUNT(top.tok) AS DOUBLE) / COUNT(*), 6) AS common_ratio
+FROM toks t LEFT JOIN top ON top.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
 def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity quality signals, chosen for EXACT cross-engine
     arithmetic: type/token ratio and Gini diversity 1 - sum(cnt^2)/n^2
@@ -943,6 +993,7 @@ QUERIES = {
     "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "text_tfidf": (q_tfidf_top_terms, _TFIDF_SQL),
     "text_token_diversity": (q_token_diversity, _DIVERSITY_SQL),
+    "text_common_token_ratio": (q_common_token_ratio, _COMMON_TOKEN_SQL),
     "text_feature_hashing": (q_feature_hashing, _FEATURE_HASH_SQL),
     "curate_pipeline": (q_curate, _curate_sql()),
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
