@@ -85,6 +85,15 @@ HEADLINE = [
     "text_log_parse",
     "text_feature_hashing",
     "sample_weighted_by_length",
+    # round 5 additions
+    "dedup_embedding_blocked",
+    "a7_search_phrase",
+    "cypher_node_predicate",
+    "cypher_two_hop_motif",
+    "graph_scc",
+    "funnel_ordered_steps",
+    "hist_equi_depth",
+    "text_common_token_ratio",
 ]
 
 

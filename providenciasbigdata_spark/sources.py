@@ -144,3 +144,136 @@ def read_neo4j_edges(
     return edges_from_neo4j(
         _load_or_raise(reader, "org.neo4j.spark.DataSource", NEO4J_PACKAGE)
     )
+
+
+# ---- JDBC (relational stores) ------------------------------------------
+
+# driver coordinates for the common engines — the hint ConnectorUnavailable
+# prints; the JDBC *format* is built into Spark, only the driver jar is
+# deployment-specific.
+JDBC_DRIVERS = {
+    "postgresql": "org.postgresql:postgresql:42.7.3",
+    "mysql": "com.mysql:mysql-connector-j:8.4.0",
+    "sqlserver": "com.microsoft.sqlserver:mssql-jdbc:12.6.1.jre11",
+    "oracle": "com.oracle.database.jdbc:ojdbc11:23.4.0.24.05",
+}
+
+_PASSWORD_RE = re.compile(r"(?i)(password=)[^&;\s]+")
+
+
+def redact_jdbc_url(url: str) -> str:
+    """JDBC URLs carry credentials two ways — userinfo
+    (``//user:pass@host``) and query params (``?password=...``);
+    strip both before the URL can reach an error message or log."""
+    return _PASSWORD_RE.sub(r"\1***", redact_uri(url))
+
+
+def jdbc_partition_predicates(
+    partition_column: str, lower_bound: int, upper_bound: int, num_partitions: int
+) -> list[str]:
+    """The explicit partition plan for a parallel JDBC read: N
+    non-overlapping predicates over ``partition_column``, handed to
+    ``spark.read.jdbc(..., predicates=...)`` so each executor issues
+    one bounded query. Contract (matching Spark's own JDBCRelation
+    column-partitioning semantics): the FIRST slice is open below and
+    claims NULLs, the LAST is open above — rows outside
+    [lower_bound, upper_bound) are still read exactly once; the bounds
+    only shape the split, never filter.
+
+    Explicit predicates beat the partitionColumn option when the
+    column is skewed: the caller can pass quantile boundaries instead
+    of the uniform stride this helper derives.
+    """
+    if num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if lower_bound >= upper_bound:
+        raise ValueError(
+            f"lower_bound must be < upper_bound, got [{lower_bound}, {upper_bound})"
+        )
+    if num_partitions == 1:
+        return ["1=1"]
+    span = upper_bound - lower_bound
+    bounds = [
+        lower_bound + (span * i) // num_partitions for i in range(1, num_partitions)
+    ]
+    c = partition_column
+    preds = [f"{c} < {bounds[0]} OR {c} IS NULL"]
+    for lo, hi in zip(bounds, bounds[1:]):
+        preds.append(f"{c} >= {lo} AND {c} < {hi}")
+    preds.append(f"{c} >= {bounds[-1]}")
+    return preds
+
+
+def jdbc_reader_options(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    fetchsize: int = 10_000,
+    push_down_predicate: bool = True,
+) -> dict[str, str]:
+    """Option map for ``spark.read.format("jdbc")``: credentials are
+    OPTIONS (never embedded in the URL, so logs showing the URL stay
+    clean), ``fetchsize`` sizes the cursor batches (the driver default
+    of 10 rows is the classic JDBC throughput killer), and predicate
+    pushdown stays on so Catalyst filters become WHERE clauses on the
+    remote engine."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "fetchsize": str(fetchsize),
+        "pushDownPredicate": "true" if push_down_predicate else "false",
+    }
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """Parallel JDBC read: with partition bounds, N executor-side
+    bounded queries via the explicit predicate plan
+    (``jdbc_partition_predicates``); without, one connection (the
+    correct shape only for small dimension tables). Driver-jar absence
+    raises ``ConnectorUnavailable`` with the package hint for the
+    URL's engine."""
+    opts = jdbc_reader_options(url, table, user, password, fetchsize)
+    reader = spark.read.format("jdbc").options(**opts)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
+        preds = jdbc_partition_predicates(
+            partition_column, lower_bound, upper_bound, num_partitions
+        )
+        # one load per predicate union-ed would serialize planning;
+        # Spark's predicate API does this in one relation:
+        props = {"user": user, "password": password, "fetchsize": str(fetchsize)}
+        try:
+            return spark.read.jdbc(url, table, predicates=preds, properties=props)
+        except Exception as e:
+            _raise_jdbc_unavailable(url, e)
+    try:
+        return reader.load()
+    except Exception as e:
+        _raise_jdbc_unavailable(url, e)
+
+
+def _raise_jdbc_unavailable(url: str, e: Exception):
+    msg = str(e)
+    if "No suitable driver" in msg or "ClassNotFoundException" in msg:
+        engine = url.split(":")[1] if url.count(":") >= 2 else ""
+        pkg = JDBC_DRIVERS.get(engine, "<your engine's JDBC driver>")
+        raise ConnectorUnavailable(
+            f"no JDBC driver for {redact_jdbc_url(url)!r}; launch with "
+            f"--packages {pkg}"
+        ) from e
+    raise
