@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -332,3 +332,42 @@ def embed_payload(
         return pd.Series(out)
 
     return df.select(id_col, _embed(F.col(payload_col)).alias("embedding"))
+
+
+def le_uint(col: Column, offset: int, nbytes: int) -> Column:
+    """Little-endian unsigned integer read from a binary column — PURE
+    Catalyst (substring -> hex -> byte-swap via string slices -> conv),
+    no Python stage. ``offset`` is 0-based into the payload.
+
+    This is what makes header-level metadata a pushdown-friendly scan
+    expression at 100 TB: modality routing, size filters, and geometry
+    stats can prune assets BEFORE any Arrow decode batch is formed.
+    """
+    h = F.hex(F.substring(col, offset + 1, nbytes))
+    swapped = F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
+    return F.conv(swapped, 16, 10).cast("long")
+
+
+def bmp_header_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """BMP container metadata WITHOUT decoding: magic check, file size,
+    pixel-array offset, width/height/bpp straight from the 54-byte
+    BITMAPINFOHEADER — every field a JVM expression over the binary
+    column (``le_uint``). Columns appended: ``bmp_ok`` (magic 'BM'),
+    ``file_size``, ``data_offset``, ``width``, ``height``, ``bpp``.
+
+    The header-vs-decode split is the multimodal scale pattern: a
+    corpus-wide geometry histogram or a "drop non-24bpp" filter runs
+    as a plain scan; only surviving assets reach the (Python, Arrow)
+    decode stage."""
+    p = F.col(payload_col)
+    return df.select(
+        "*",
+        (F.substring(p, 1, 2) == F.lit(b"BM")).alias("bmp_ok"),
+        le_uint(p, 2, 4).alias("file_size"),
+        le_uint(p, 10, 4).alias("data_offset"),
+        le_uint(p, 18, 4).alias("width"),
+        le_uint(p, 22, 4).alias("height"),
+        le_uint(p, 28, 2).alias("bpp"),
+    )

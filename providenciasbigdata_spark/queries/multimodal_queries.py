@@ -167,13 +167,10 @@ def q_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wav_features(spark, sf_dir)
 
 
-def _bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, end to end and fully distributed (the image
-    sibling of the WAV path): pack each image asset's bytes into a
-    valid 24-bpp BMP container (stdlib struct, one Arrow batch at a
-    time), then recover width / height / mean luma through the real
-    ``"bmp"`` decode backend — no fake decoder anywhere in this path.
-    Backend pinned by tests/test_multimodal.py on known pixel bytes."""
+def _bmp_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid 24-bpp BMP containers for every image asset (stdlib
+    struct, one Arrow batch at a time) — the staged fixture both the
+    real-decode path and the JVM header-introspection path read."""
     import pandas as pd
 
     assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "image")
@@ -186,10 +183,20 @@ def _bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
 
-    bmps = assets.select("asset_id", "payload").mapInPandas(
+    return assets.select("asset_id", "payload").mapInPandas(
         wrap, "asset_id long, payload binary"
     )
-    return multimodal.decode_image_features(bmps, decode_backend="bmp")
+
+
+def _bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end and fully distributed (the image
+    sibling of the WAV path): the staged containers recovered through
+    the real ``"bmp"`` decode backend — no fake decoder anywhere in
+    this path. Backend pinned by tests/test_multimodal.py on known
+    pixel bytes."""
+    return multimodal.decode_image_features(
+        _bmp_containers(spark, sf_dir), decode_backend="bmp"
+    )
 
 
 def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +233,37 @@ def q_bmp_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bmp_features(spark, sf_dir)
 
 
+def q_bmp_header_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container metadata WITHOUT decode: width/height/bpp/file size
+    read from the BMP header by PURE Catalyst expressions
+    (multimodal.le_uint: substring -> hex -> byte-swap -> conv). The
+    only Python stage in the plan is the fixture wrap that builds the
+    containers (pinned in tests/test_plans.py); at 100 TB this is the
+    scan-level pruning pass that runs BEFORE any Arrow decode batch.
+    Oracle: the encode_bmp geometry arithmetic (width 16, height
+    ceil(len/48) min 1, size = 54 + 48*height, bpp 24)."""
+    bmps = _bmp_containers(spark, sf_dir)
+    return multimodal.bmp_header_meta(bmps).filter(F.col("bmp_ok")).select(
+        "asset_id", "width", "height", "bpp", "file_size", "data_offset"
+    )
+
+
+_BMP_HEADER_SQL = """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         GREATEST(1, (octet_length(encode(text)) + 47) // 48) AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT asset_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bpp,
+       CAST(54 + 48 * h AS BIGINT) AS file_size,
+       CAST(54 AS BIGINT) AS data_offset
+FROM v
+"""
+
+
 def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-embed every payload, then brute-force cosine top-10 against
     asset 0 — the multimodal->similarity handoff, end to end."""
@@ -244,6 +282,7 @@ QUERIES = {
     "multimodal_wav_decode": (q_wav_decode_features, _WAV_DECODE_SQL),
     "multimodal_wav_rms": (q_wav_rms, None),
     "multimodal_bmp_decode": (q_bmp_decode, _BMP_DECODE_SQL),
+    "multimodal_bmp_header_jvm": (q_bmp_header_jvm, _BMP_HEADER_SQL),
     "multimodal_bmp_luma": (q_bmp_luma, None),
     "multimodal_embed_topk": (q_payload_embed_topk, None),
 }

@@ -443,3 +443,38 @@ def test_profile_table_single_scan_plan(spark):
     scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l or "FileScan" in l]
     assert len(scan_lines) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_aqe_runtime_partition_coalesce(spark, reg):
+    """AQE evidence, not just config: after execution, the adaptive
+    plan shows the shuffle read COALESCED below the static
+    spark.sql.shuffle.partitions — the runtime re-plan that keeps
+    thousands of configured partitions from becoming thousands of
+    tiny tasks when a stage's output is small. (Config flags alone
+    prove nothing; this pins the executed plan.)"""
+    df = _run(reg, "agg_pricing_summary", spark)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in executed, executed
+    assert "coalesced" in executed, executed
+
+
+def test_aqe_skew_join_config_active(spark):
+    """The session pins AQE skew-join splitting ON — at 100 TB a hot
+    key splits into subpartitions at runtime instead of stalling one
+    task. (The fixture can't produce a skewed-enough join to trigger
+    the rewrite; the salting operator in operators/skew.py is the
+    explicit fallback and is oracle-checked.)"""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_bmp_header_extraction_is_jvm_only(spark, reg):
+    """Header introspection must add ZERO Python stages: the only
+    MapInPandas in the plan is the fixture wrap that builds the BMP
+    containers — le_uint's substring/hex/conv chain stays Catalyst.
+    (The 100 TB property: metadata pruning runs before any Arrow
+    decode batch exists.)"""
+    plan = plan_of(_run(reg, "multimodal_bmp_header_jvm", spark))
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
