@@ -197,3 +197,53 @@ def merge_into(
             .alias(name)
         )
     return joined.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Corpus snapshot diff — the ingest-side complement of MERGE:
+    given two versions of a table, classify every key as ``added``
+    (new only), ``removed`` (old only), or ``changed`` (both sides,
+    any compared column differs); unchanged keys are dropped. The
+    refresh planner's input: ``added``+``changed`` feed the
+    incremental dedup/index family, ``removed`` feeds index eviction.
+
+    One full-outer equi-join on the keys; comparison is a null-safe
+    md5 over the concatenated compared columns (computed map-side per
+    side, so the join carries one 32-char digest instead of the row
+    payload — at 100 TB the shuffle moves keys + digests only).
+
+    Output: (*keys, change) with change in {'added','removed','changed'}.
+    """
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in old.columns if c not in keys
+    ]
+    missing = [c for c in cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns absent from a side: {missing}")
+
+    def digest(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+            )
+        )
+        return df.select(*keys, h.alias(alias))
+
+    o = digest(old, "_ho")
+    n = digest(new, "_hn")
+    joined = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), "added")
+        .when(F.col("_hn").isNull(), "removed")
+        .when(F.col("_ho") != F.col("_hn"), "changed")
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

@@ -152,3 +152,36 @@ def weighted_sample_topk(
         .limit(k)
         .drop("__clock")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs and ``rand()`` cannot give reproducibly:
+    the md5 bucket of (salt || key) lands each row in exactly one
+    split by fixed hex thresholds, identical across runs, partitions,
+    retries, and engines. Distinct salts produce independent splits
+    (re-splitting an updated corpus keeps old rows' assignments —
+    the property that prevents eval contamination on refresh).
+
+    Appends a ``split`` column ('train' | 'val' | 'test'); map-only,
+    zero shuffles.
+    """
+    if not (0.0 < train < 1.0 and 0.0 < val < 1.0 and train + val < 1.0):
+        raise ValueError(
+            f"need 0 < train, val and train + val < 1, got {train}, {val}"
+        )
+    b = _bucket(F.col(key_col), salt)
+    t_train = rate_threshold_hex(train)
+    t_val = rate_threshold_hex(train + val)
+    return df.withColumn(
+        "split",
+        F.when(b < F.lit(t_train), "train")
+        .when(b < F.lit(t_val), "val")
+        .otherwise("test"),
+    )

@@ -391,8 +391,82 @@ SELECT doc_id, n_chars, lang FROM keyed ORDER BY clock ASC, doc_id ASC LIMIT 30
 """
 
 
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (operators.mix):
+    md5-bucket assignment is identical across runs, partitions,
+    retries, AND engines — so the per-split document and token totals
+    hash-check exactly. Map-only; the one shuffle is the final 3-row
+    summary aggregate."""
+    from providenciasbigdata_spark.operators.mix import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id", train=0.8, val=0.1)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def _split_sql() -> str:
+    from providenciasbigdata_spark.operators.mix import rate_threshold_hex
+
+    t_train, t_val = rate_threshold_hex(0.8), rate_threshold_hex(0.9)
+    return f"""
+SELECT CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) < '{t_train}'
+            THEN 'train'
+            WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) < '{t_val}'
+            THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators.cdc.snapshot_diff): v0 = docs
+    0..399, v1 = docs 100.. with every 50th text amended — classify
+    added / removed / changed keys. The join carries keys + one md5
+    digest per side (computed map-side), never the row payload."""
+    from providenciasbigdata_spark.operators.cdc import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, keys=["doc_id"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(COALESCE(text, chr(0))) AS h FROM documents WHERE doc_id < 400
+), new AS (
+  SELECT doc_id,
+         md5(COALESCE(CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END,
+                      chr(0))) AS h
+  FROM documents WHERE doc_id >= 100
+)
+SELECT doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' END AS change
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+WHERE (CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' END) IS NOT NULL
+"""
+
+
 QUERIES = {
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
+    "split_train_val_test": (q_split_train_val_test, _split_sql()),
+    "snapshot_diff_changes": (q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "sample_weighted_by_length": (q_weighted_sample, _WEIGHTED_SAMPLE_SQL),
     "sketch_hll_daily_users": (q_hll_daily_users, None),
     "quality_expectations": (q_quality_expectations, _EXPECTATIONS_SQL),

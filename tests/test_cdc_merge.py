@@ -88,3 +88,46 @@ def test_merge_update_condition_keeps_nonqualifying_match(spark):
     )
     rows = {r["k"]: r["v"] for r in out.filter(F.col("k").isNotNull()).collect()}
     assert rows[1] == 10.0 and rows[3] == 35.0
+
+
+def test_snapshot_diff_classification_and_validation(spark):
+    from providenciasbigdata_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 9.0), (4, "d", 4.0)], "k long, s string, v double"
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    # restricting compare_cols hides the v change
+    got2 = {r.k: r.change
+            for r in snapshot_diff(old, new, keys=["k"], compare_cols=["s"]).collect()}
+    assert got2 == {1: "removed", 4: "added"}
+    import pytest
+    with pytest.raises(ValueError, match="absent"):
+        snapshot_diff(old, new.drop("v"), keys=["k"])
+
+
+def test_train_val_test_split_deterministic_partition(spark):
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.mix import train_val_test_split
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = train_val_test_split(docs).select("doc_id", "split")
+    b = train_val_test_split(docs.repartition(7)).select("doc_id", "split")
+    # identical across partitionings; every row in exactly one split
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = dict(
+        (r.split, r.n) for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    n = docs.count()
+    assert set(counts) == {"train", "val", "test"} and sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.08
+    # independent salt -> a different (re-drawn) assignment
+    c = train_val_test_split(docs, salt="other").select("doc_id", "split")
+    assert c.exceptAll(a).count() > 0
+    import pytest
+    with pytest.raises(ValueError, match="train"):
+        train_val_test_split(docs, train=0.9, val=0.2)
