@@ -271,3 +271,43 @@ def bm25_search(
         .agg(F.round(F.sum("s"), round_digits).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def postings_append(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Incremental inverted-index maintenance — the postings sibling of
+    ``ivf_index_append``/``dedup_exact_incremental``: tokenize and
+    posting-ize ONLY the new batch, then merge per token (array concat
+    + re-sort, df sums). Pinned EQUAL to a full rebuild over
+    history ∪ batch in tests/test_postings.py.
+
+    Contract: batch doc ids are NEW (an id present in the resident
+    index would duplicate inside its postings array — re-ingest flows
+    should route through ``snapshot_diff`` first and evict changed
+    docs). The merge joins index ⋈ batch-postings on token: with the
+    index stored bucketed by token the resident side never re-shuffles
+    and the join cost is O(batch vocabulary), not O(index).
+    """
+    batch = build_postings(new_docs, id_col, tokens_col)
+    o = index.select(
+        "token", F.col("postings").alias("po"), F.col("df").alias("dfo")
+    )
+    n = batch.select(
+        "token", F.col("postings").alias("pn"), F.col("df").alias("dfn")
+    )
+    return o.join(n, "token", "full_outer").select(
+        "token",
+        F.sort_array(
+            F.concat(
+                F.coalesce("po", F.array().cast("array<long>")),
+                F.coalesce("pn", F.array().cast("array<long>")),
+            )
+        ).alias("postings"),
+        (F.coalesce("dfo", F.lit(0)) + F.coalesce("dfn", F.lit(0)))
+        .cast("bigint")
+        .alias("df"),
+    )

@@ -374,6 +374,38 @@ GROUP BY t.doc_id
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the CCNet/KenLM-style filter, one
+    model order down so it trains in ONE aggregate): corpus unigram
+    probabilities with add-alpha smoothing, then per-doc cross-entropy
+    -mean(ln p(token)) and perplexity exp(ce). Low-perplexity docs are
+    stereotypical; high are noise — both tails get dropped in real
+    curation. The vocab log-prob table broadcasts (it is the corpus
+    vocabulary, not the corpus); the scoring pass is map-side join +
+    partial agg. Rows-only: F30 measured 1-ulp ln() divergence between
+    engines, so log-space scores can't value-hash; pinned against
+    pure-numpy on the collected fixture in tests/test_text.py."""
+    alpha = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # one tiny action: N (total tokens) and V (vocab size)
+    row = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v")).first()
+    denom = float(row["n"]) + alpha * (float(row["v"]) + 1.0)
+    logp = counts.select(
+        "tok", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+        )
+    )
+
+
 def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity quality signals, chosen for EXACT cross-engine
     arithmetic: type/token ratio and Gini diversity 1 - sum(cnt^2)/n^2
@@ -994,6 +1026,7 @@ QUERIES = {
     "text_tfidf": (q_tfidf_top_terms, _TFIDF_SQL),
     "text_token_diversity": (q_token_diversity, _DIVERSITY_SQL),
     "text_common_token_ratio": (q_common_token_ratio, _COMMON_TOKEN_SQL),
+    "text_lm_perplexity": (q_lm_perplexity, None),
     "text_feature_hashing": (q_feature_hashing, _FEATURE_HASH_SQL),
     "curate_pipeline": (q_curate, _curate_sql()),
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
@@ -1036,6 +1069,12 @@ _APPROX_ANN = (
     "oracle-checked brute-force top-k pinned in tests/test_similarity.py"
 )
 WHY_NO_ORACLE = {
+    "text_lm_perplexity": (
+        "log-space scores: engines' ln() differ by 1 ulp (measured, see "
+        "F30), so cross-entropy/perplexity can't value-hash; pinned EQUAL "
+        "(atol 1e-9) to a pure-numpy unigram LM over the collected fixture "
+        "corpus in tests/test_text.py"
+    ),
     "embedding_pca_variance": (
         "covariance eigendecomposition (driver-side LAPACK on the d x d "
         "matrix) is not SQL-expressible; the distributed moment pass and "

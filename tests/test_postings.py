@@ -194,3 +194,32 @@ def test_search_fuzzy_expansion_contract(spark):
     assert search_fuzzy(idx, [], max_edits=1).count() == 0
     # max_edits=0 degenerates to exact lookup
     assert {r.doc_id for r in search_fuzzy(idx, ["merge"], max_edits=0).collect()} == {1}
+
+
+def test_postings_append_equals_full_rebuild(spark):
+    """Incremental index maintenance: resident index + new-batch merge
+    must equal the from-scratch index over history ∪ batch, token for
+    token, posting for posting."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.postings import (
+        build_postings,
+        postings_append,
+    )
+
+    docs = rulings_view(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    old = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    incremental = postings_append(build_postings(old), batch)
+    rebuilt = build_postings(docs)
+    mism = (
+        incremental.alias("i")
+        .join(rebuilt.alias("r"), "token", "full_outer")
+        .filter(
+            ~F.col("i.postings").eqNullSafe(F.col("r.postings"))
+            | ~F.col("i.df").eqNullSafe(F.col("r.df"))
+        )
+        .count()
+    )
+    assert mism == 0
+    assert incremental.count() == rebuilt.count() > 0

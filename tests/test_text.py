@@ -109,3 +109,46 @@ def test_chunk_spans_degenerate(spark):
         tx.chunk_spans(tx.tokenize(F.col("text")), 6, 0).alias("c")
     ).first().c
     assert [c.n_tokens for c in exact] == [6, 6]
+
+
+def test_lm_perplexity_matches_numpy_reference(spark):
+    """The distributed unigram-LM scorer == a pure-numpy reference LM
+    trained on the identical token stream (same smoothing, same
+    arithmetic shape), doc for doc."""
+    import math
+    import re
+    import unicodedata
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.queries.pipeline import q_lm_perplexity
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_tokens, r.cross_entropy, r.perplexity)
+        for r in q_lm_perplexity(spark, sf).collect()
+    }
+
+    def toks(s):
+        folded = unicodedata.normalize("NFKD", s.lower())
+        folded = "".join(c for c in folded if not unicodedata.combining(c))
+        return [t for t in re.split(r"\W+", folded) if t]
+
+    docs = {
+        r.doc_id: toks(r.text)
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    counts: dict[str, int] = {}
+    for ts in docs.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    n, v, alpha = sum(counts.values()), len(counts), 0.5
+    denom = n + alpha * (v + 1)
+    assert got.keys() == {d for d, ts in docs.items() if ts}
+    for doc_id, ts in docs.items():
+        if not ts:
+            continue
+        ce = -sum(math.log((counts[t] + alpha) / denom) for t in ts) / len(ts)
+        nt, gce, gppl = got[doc_id]
+        assert nt == len(ts)
+        assert abs(gce - round(ce, 6)) <= 1e-9, doc_id
+        assert abs(gppl - round(math.exp(ce), 4)) <= 1e-3, doc_id
