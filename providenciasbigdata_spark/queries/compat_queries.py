@@ -727,13 +727,25 @@ RETURN a.id AS origen, b.id AS intermedio, c.id AS destino, r2.similitud AS simi
 
 def q_cypher_two_hop_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-edge motif Cypher (compat.ir template 9): P-7's strong
-    neighbors' strong neighbors, each hop under its own weight guard.
-    The anchored first hop broadcasts into ONE pass over the edge scan
-    — no shuffle of the corpus-sized side; node revisits (c = a) kept,
-    per Cypher's node-reuse rule."""
+    neighbors' strong neighbors, each hop under its own weight guard;
+    node revisits (c = a) kept, per Cypher's node-reuse rule. The
+    graph is BOUNDED to 1000 vectors: the template receives a generic
+    edges frame, and hop 2's weight filter cannot prune the all-pairs
+    cosine enumeration behind it (unlike graph_two_hop, which builds
+    only the |mids| x n pairs it needs) — an unbounded edge build is
+    O(n^2) compute at bench SF for a fixture-semantics query. Within
+    the bound, the anchored first hop broadcasts into one pass over
+    the edge scan."""
     from providenciasbigdata_spark.compat.ir import cypher_run
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # repartition before the pair build: the bounded slice otherwise
+    # collapses to one input split and the O(n^2) cosine join runs as
+    # a single task
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .repartition(16)
+    )
     edges = build_similarity_edges(emb)
     return cypher_run(
         CYPHER_TWO_HOP_MOTIF, edges=edges,
@@ -749,6 +761,7 @@ WITH e AS (
          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
   FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
 )
 SELECT h1.src AS origen, h1.dst AS intermedio, h2.dst AS destino,
        h2.similitud AS similitud

@@ -251,8 +251,18 @@ def test_scc_known_graph(spark):
         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 4), (7, 8)],
         "src long, dst long",
     )
-    got = {r.id: r.component for r in strongly_connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8}
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8}
+    # the DISTRIBUTED trim/color/backward path (cutover forced off) ...
+    got = {
+        r.id: r.component
+        for r in strongly_connected_components(edges, small_cutover=0).collect()
+    }
+    assert got == want
+    # ... and the sub-cutover Tarjan finisher agree exactly
+    got_seq = {
+        r.id: r.component for r in strongly_connected_components(edges).collect()
+    }
+    assert got_seq == want
 
 
 def test_scc_directed_vs_undirected_cc(spark):
@@ -266,9 +276,15 @@ def test_scc_directed_vs_undirected_cc(spark):
 
     mutual = [(1, 2), (2, 1), (2, 3), (3, 2)]
     e = spark.createDataFrame(mutual, "src long, dst long")
-    scc = {r.id: r.component for r in strongly_connected_components(e).collect()}
+    scc = {
+        r.id: r.component
+        for r in strongly_connected_components(e, small_cutover=0).collect()
+    }
     cc = {r.id: r.component for r in connected_components(e).collect()}
     assert scc == cc == {1: 1, 2: 1, 3: 1}
     broken = e.filter(~((F.col("src") == 3) & (F.col("dst") == 2)))
-    scc2 = {r.id: r.component for r in strongly_connected_components(broken).collect()}
+    scc2 = {
+        r.id: r.component
+        for r in strongly_connected_components(broken, small_cutover=0).collect()
+    }
     assert scc2 == {1: 1, 2: 1, 3: 3}
