@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 def packed_positions(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     size_col: str,
     capacity: int,
     n_partitions: int = 32,
@@ -33,19 +33,22 @@ def packed_positions(
     """Add ``cum_before`` / ``bin_id`` / ``bin_offset`` columns.
 
     ``cum_before`` = total size of all items strictly before this one in
-    ``order_col`` order (exact, independent of partitioning);
+    ``order_col`` order (exact, independent of partitioning; pass a
+    LIST of columns for a composite order — multi-column range
+    partitioning is native, unlike struct columns);
     ``bin_id`` = cum_before // capacity; ``bin_offset`` = cum_before %
     capacity.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
-    part = df.repartitionByRange(n_partitions, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    part = df.repartitionByRange(
+        n_partitions, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
     # phase 1: running sum within each range partition (parallel)
     w_in = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     part = part.withColumn(

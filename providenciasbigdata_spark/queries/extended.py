@@ -741,17 +741,31 @@ SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 
 
 def q_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram of order totals: ntile(8) over the total
-    order (price, orderkey — the tie-break makes bucket assignment
-    deterministic and engine-portable), then per-bucket count/min/max.
-    The optimizer-statistics shape (equi-depth histograms are what
-    ANALYZE builds); complements the fixed-width q_price_histogram.
-    One global sort + one partial agg."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    """Equi-DEPTH histogram of order totals — the optimizer-statistics
+    shape (what ANALYZE builds); complements the fixed-width
+    q_price_histogram. Deliberately NOT a global-window ntile: a
+    ``Window.orderBy`` with no partitionBy funnels the table through
+    ONE task. Instead the exact global rank comes from the two-phase
+    distributed prefix sum (operators.pack.packed_positions with unit
+    sizes: range partitioning + per-partition offsets broadcast —
+    every stage parallel), and bucket = rank*8 div n in exact integer
+    arithmetic. Deterministic total order via the (price, orderkey)
+    tie-break; bucket sizes differ by at most 1."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    from providenciasbigdata_spark.operators.pack import packed_positions
+
+    ranked = packed_positions(
+        orders.withColumn("_one", F.lit(1)),
+        order_col=["o_totalprice", "o_orderkey"],
+        size_col="_one",
+        capacity=1,
+    )
+    total = orders.agg(F.count("*").alias("_n"))
     return (
-        orders.select("o_orderkey", "o_totalprice")
-        .withColumn("bucket", F.ntile(8).over(w).cast("long"))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", F.expr("(cum_before * 8) div _n"))
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
@@ -766,7 +780,8 @@ _HIST_EQUI_DEPTH_SQL = """
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(MIN(o_totalprice), 4) AS lo, ROUND(MAX(o_totalprice), 4) AS hi
 FROM (
-  SELECT CAST(NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket,
+  SELECT ((ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 8)
+           // (SELECT COUNT(*) FROM orders) AS bucket,
          o_totalprice
   FROM orders
 ) GROUP BY bucket ORDER BY bucket

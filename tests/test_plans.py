@@ -478,3 +478,12 @@ def test_bmp_header_extraction_is_jvm_only(spark, reg):
     plan = plan_of(_run(reg, "multimodal_bmp_header_jvm", spark))
     assert plan.count("MapInPandas (") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_hist_equi_depth_is_distributed_rank(spark, reg):
+    """The equi-depth histogram must NOT be a global-window ntile (one
+    task sorting the table): the rank comes from range partitioning +
+    broadcast per-partition offsets — same contract as pack_sequences."""
+    plan = plan_of(_run(reg, "hist_equi_depth", spark))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
