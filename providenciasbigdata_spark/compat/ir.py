@@ -376,7 +376,10 @@ def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def mql_aggregate(
-    rulings: DataFrame, pipeline: list, default_language: str = "none"
+    rulings: DataFrame,
+    pipeline: list,
+    default_language: str = "none",
+    collections: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """``collection.aggregate(pipeline)`` over the rulings view — the
     facet-counting surface one step beyond the reference's ``find()``
@@ -393,6 +396,17 @@ def mql_aggregate(
     ``$limit``. Unsupported stages/accumulators raise rather than
     silently misread. $match-before-$group orders the filter ahead of
     the shuffle, exactly as Mongo's own pipeline optimizer would.
+
+    Round-5 stages: ``$sortByCount`` (group+count+desc sort with an
+    ``_id`` ascending tie-break — Mongo leaves ties unordered, a total
+    order keeps the result engine-reproducible) and ``$lookup``
+    (equality form: left outer equi-join against another collection,
+    matches embedded as an ARRAY field — the foreign side is
+    pre-grouped into one array row per key, so the join carries one
+    row per (local, key) instead of exploding, and the array is
+    sort_array-ed for determinism where Mongo's "natural order" is
+    storage-dependent). ``$lookup.from`` resolves by name in the
+    ``collections`` dict (the session's collection namespace).
     """
     df = rulings
     for stage in pipeline:
@@ -416,9 +430,48 @@ def mql_aggregate(
             df = df.offset(int(spec))
         elif op == "$count":
             df = df.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$sortByCount":
+            field = _ref_field(spec, "$sortByCount")
+            df = (
+                df.groupBy(F.col(field).alias("_id"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+                .orderBy(F.desc("count"), F.asc("_id"))
+            )
+        elif op == "$lookup":
+            df = _lookup_stage(df, spec, collections or {})
         else:
             raise ValueError(f"unsupported aggregation stage: {op}")
     return df
+
+
+def _lookup_stage(df: DataFrame, spec, collections: dict) -> DataFrame:
+    """The equality form of ``$lookup``: for each local row, embed the
+    array of foreign documents whose ``foreignField`` equals the local
+    row's ``localField`` (empty array on no match — Mongo's contract,
+    NOT a NULL)."""
+    required = {"from", "localField", "foreignField", "as"}
+    if not (isinstance(spec, dict) and required <= set(spec)):
+        raise ValueError(f"$lookup needs {sorted(required)}, got {spec!r}")
+    name = spec["from"]
+    if name not in collections:
+        raise ValueError(
+            f"$lookup from unknown collection {name!r}; pass it in collections="
+        )
+    foreign = collections[name]
+    lf, ff, out = spec["localField"], spec["foreignField"], spec["as"]
+    if out in df.columns:
+        raise ValueError(f"$lookup 'as' field {out!r} collides with a local column")
+    grouped = foreign.groupBy(F.col(ff).alias("__k")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*[F.col(c) for c in foreign.columns]))
+        ).alias(out)
+    )
+    empty = F.array().cast(grouped.schema[out].dataType)
+    return (
+        df.join(grouped, df[lf] == grouped["__k"], "left")
+        .drop("__k")
+        .withColumn(out, F.coalesce(F.col(out), empty))
+    )
 
 
 # ---- Cypher templates ----------------------------------------------------
@@ -511,6 +564,18 @@ _NODE_PRED_OPS = {
     "=": lambda c, v: c == v,
 }
 
+# extension: OPTIONAL MATCH — anchored 1-hop that preserves the anchor
+# row with NULLs when nothing matches (Cypher's left-join construct).
+_OPTIONAL_MATCH_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)\s*"
+    r"OPTIONAL\s+MATCH\s*\(\s*\1\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\3\.similitud\s*>=\s*\$(\w+)\s+AND\s+\3\.similitud\s*<=\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\4\.id\s+AS\s+(\w+)\s*,"
+    r"\s*\3\.similitud\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
 # extension: anchored TWO-EDGE motif — the first multi-relationship
 # pattern: (a {id})-[r1:SIMILAR]->(b)-[r2:SIMILAR]->(c) with separate
 # weight guards per relationship.
@@ -585,6 +650,11 @@ def cypher_run(
     the first template needing an edges-to-nodes join; executed as
     the tiny anchored hit set BROADCAST against the property-filtered
     nodes scan (zero shuffle of the corpus-sized side).
+    Template 10 (extension): ``OPTIONAL MATCH`` anchored 1-hop —
+    Cypher's left-join construct: the anchor row survives with NULL
+    destino/similitud when no relationship qualifies; the WHERE
+    filters the optional pattern before null-preservation, and the
+    anchor must exist in the nodes frame to bind at all.
     Template 9 (extension): anchored two-edge motif
     ``(a {id})-[r1]->(b)-[r2]->(c)`` with separate weight guards —
     the first multi-relationship pattern; the anchored first hop
@@ -620,6 +690,38 @@ def cypher_run(
             )
             .select(
                 F.col("src").alias(out_origen),
+                F.col("dst").alias(out_destino),
+                F.col("similitud").alias(out_sim),
+            )
+        )
+
+    m = _OPTIONAL_MATCH_RE.match(flat)
+    if m:
+        if nodes is None or edges is None:
+            raise ValueError("OPTIONAL MATCH needs both nodes and edges frames")
+        anchor_p, lo_p, hi_p = m.group(2), m.group(5), m.group(6)
+        out_origen, out_destino, out_sim = m.group(7), m.group(8), m.group(9)
+        missing = [p for p in (anchor_p, lo_p, hi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        anchor = params[anchor_p]
+        # Cypher: MATCH (a {id}) binds only if the node EXISTS (0 rows
+        # otherwise); OPTIONAL MATCH then left-joins the expansion —
+        # the WHERE belongs to the optional pattern, so it filters the
+        # hits BEFORE null-preservation, never the anchor row
+        anchor_row = nodes.filter(F.col("id") == F.lit(anchor)).select(
+            F.col("id").alias("_aid")
+        )
+        hits = edges.filter(
+            (F.col("src") == F.lit(anchor))
+            & F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+        )
+        return (
+            anchor_row.join(
+                F.broadcast(hits), anchor_row["_aid"] == hits["src"], "left"
+            )
+            .select(
+                F.col("_aid").alias(out_origen),
                 F.col("dst").alias(out_destino),
                 F.col("similitud").alias(out_sim),
             )

@@ -568,6 +568,65 @@ _MQL_AGG_FACET_SQL = (
 )
 
 
+def q_mql_agg_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$sortByCount — Mongo's one-stage facet ranking (group + count +
+    desc sort). Ties get an ``_id`` ascending tie-break for an
+    engine-reproducible total order (Mongo leaves ties unordered)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    return mql_aggregate(_rulings(spark, sf_dir), [{"$sortByCount": "$tipo"}])
+
+
+_MQL_SORT_BY_COUNT_SQL = (
+    f"SELECT tipo AS _id, CAST(COUNT(*) AS BIGINT) AS count "
+    f"FROM ({_RULINGS_SQL}) GROUP BY tipo ORDER BY count DESC, _id ASC"
+)
+
+
+def q_mql_agg_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$lookup (Mongo's join): post-2010 rulings enriched with a
+    per-tipo stats collection; 'src1' is deliberately absent from the
+    foreign side, so its rulings carry the EMPTY-ARRAY no-match
+    contract (n_matches 0, NULL stat) rather than disappearing. Plan:
+    the foreign side pre-groups into one array row per key, then a
+    left equi-join — no match explosion."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir)
+    stats = (
+        r.filter(F.col("tipo") != "src1")
+        .groupBy("tipo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    out = mql_aggregate(
+        r,
+        [
+            {"$match": {"anio": {"$gte": 2010}}},
+            {"$lookup": {"from": "tipo_stats", "localField": "tipo",
+                         "foreignField": "tipo", "as": "stats"}},
+        ],
+        collections={"tipo_stats": stats},
+    )
+    return out.select(
+        "providencia",
+        "tipo",
+        F.size("stats").cast("long").alias("n_matches"),
+        F.try_element_at("stats", F.lit(1))["n_docs"].cast("long").alias("tipo_n_docs"),
+    )
+
+
+_MQL_LOOKUP_SQL = f"""
+WITH r AS ({_RULINGS_SQL}),
+s AS (SELECT tipo, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM r WHERE tipo <> 'src1' GROUP BY tipo)
+SELECT r.providencia, r.tipo,
+       CAST(CASE WHEN s.tipo IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_matches,
+       CAST(s.n_docs AS BIGINT) AS tipo_n_docs
+FROM r LEFT JOIN s ON s.tipo = r.tipo
+WHERE r.anio >= 2010
+"""
+
+
 def q_mql_agg_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$match -> $unwind -> $group -> $sort -> $limit: the wordcount
     shape as a literal MQL aggregation pipeline ($match precedes the
@@ -771,6 +830,50 @@ WHERE h1.src = 'P-7' AND h1.similitud BETWEEN 30 AND 100
 """
 
 
+CYPHER_OPTIONAL = """
+MATCH (a:Providencia {id: $origen})
+OPTIONAL MATCH (a)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+RETURN a.id AS origen, b.id AS destino, r.similitud AS similitud
+"""
+
+
+def q_cypher_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH Cypher (compat.ir template 10): P-7's neighbors
+    in a weight band chosen to be EMPTY on these fixtures (>= 60; the
+    similarity graph tops out ~35) — the result is the anchor row with
+    NULL destino/similitud, Cypher's left-join contract, instead of
+    zero rows. The with-matches branch is pinned equal to the plain
+    1-hop template in tests/test_ir_compat.py."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+    nodes = nodes_view(load_table(spark, sf_dir, "documents"))
+    return cypher_run(
+        CYPHER_OPTIONAL, nodes=nodes, edges=edges,
+        params={"origen": "P-7", "lo": 60.0, "hi": 100.0},
+    )
+
+
+_CYPHER_OPTIONAL_SQL = """
+WITH n AS (
+  SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id FROM documents
+), e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id = 7
+)
+SELECT n.id AS origen, e.dst AS destino, e.similitud AS similitud
+FROM n LEFT JOIN e ON e.src = n.id AND e.similitud BETWEEN 60 AND 100
+WHERE n.id = 'P-7'
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -883,6 +986,8 @@ QUERIES = {
     "mql_array_operators": (q_mql_array_operators, _MQL_ARRAY_SQL),
     "mql_cursor_surface": (q_mql_cursor_surface, _MQL_CURSOR_SQL),
     "mql_agg_facet_counts": (q_mql_agg_facet_counts, _MQL_AGG_FACET_SQL),
+    "mql_agg_sort_by_count": (q_mql_agg_sort_by_count, _MQL_SORT_BY_COUNT_SQL),
+    "mql_agg_lookup": (q_mql_agg_lookup, _MQL_LOOKUP_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
@@ -901,4 +1006,5 @@ QUERIES = {
     "cypher_degree_counts": (q_cypher_degree_counts, _CYPHER_DEGREE_SQL),
     "cypher_node_predicate": (q_cypher_node_predicate, _CYPHER_NODE_PRED_SQL),
     "cypher_two_hop_motif": (q_cypher_two_hop_motif, _CYPHER_TWO_HOP_SQL),
+    "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
 }

@@ -560,3 +560,71 @@ def test_cypher_shortest_path_template(spark):
     # same node: zero-length path
     got0 = cypher_run(q, edges=edges, params={"s": "P-2", "d": "P-2", "lo": 30.0, "hi": 100.0}).collect()
     assert [r.hops for r in got0] == [0]
+
+
+def test_mql_lookup_semantics(spark):
+    """$lookup embeds matches as an ARRAY: empty array (not NULL) on
+    no match, all foreign columns as struct fields; bad specs raise."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    local = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, tag string"
+    )
+    foreign = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 20)], "tag string, v long"
+    )
+    out = mql_aggregate(
+        local,
+        [{"$lookup": {"from": "f", "localField": "tag",
+                      "foreignField": "tag", "as": "hits"}}],
+        collections={"f": foreign},
+    ).collect()
+    rows = {r.k: r.hits for r in out}
+    assert [h["v"] for h in rows[1]] == [10, 11]  # sorted, both matches
+    assert [h["v"] for h in rows[2]] == [20]
+    assert rows[3] == []  # Mongo: empty array, never NULL
+    with pytest.raises(ValueError, match="unknown collection"):
+        mql_aggregate(local, [{"$lookup": {"from": "nope", "localField": "tag",
+                                           "foreignField": "tag", "as": "x"}}])
+    with pytest.raises(ValueError, match="lookup needs"):
+        mql_aggregate(local, [{"$lookup": {"from": "f"}}], collections={"f": foreign})
+    with pytest.raises(ValueError, match="collides"):
+        mql_aggregate(local, [{"$lookup": {"from": "f", "localField": "tag",
+                                           "foreignField": "tag", "as": "tag"}}],
+                      collections={"f": foreign})
+
+
+def test_cypher_optional_match_template(spark):
+    """Template 10: with matches == the plain 1-hop template; with an
+    empty weight band the anchor row survives with NULLs; a
+    nonexistent anchor binds nothing (0 rows)."""
+    from providenciasbigdata_spark.queries.compat_queries import CYPHER_OPTIONAL
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+    nodes = nodes_view(load_table(spark, SF, "documents"))
+    with_matches = cypher_run(
+        CYPHER_OPTIONAL, nodes=nodes, edges=edges,
+        params={"origen": "P-7", "lo": 20.0, "hi": 90.0},
+    )
+    plain = cypher_run(
+        CYPHER_NEIGHBORHOOD, edges=edges,
+        params={"providencia": "P-7", "rango_min": 20.0, "rango_max": 90.0},
+    )
+    assert sorted((r.destino, r.similitud) for r in with_matches.collect()) == \
+        sorted((r.destino, r.similitud) for r in plain.collect())
+    empty_band = cypher_run(
+        CYPHER_OPTIONAL, nodes=nodes, edges=edges,
+        params={"origen": "P-7", "lo": 99.0, "hi": 100.0},
+    ).collect()
+    assert len(empty_band) == 1
+    assert empty_band[0].origen == "P-7"
+    assert empty_band[0].destino is None and empty_band[0].similitud is None
+    ghost = cypher_run(
+        CYPHER_OPTIONAL, nodes=nodes, edges=edges,
+        params={"origen": "P-999999", "lo": 0.0, "hi": 100.0},
+    )
+    assert ghost.count() == 0
+    with pytest.raises(ValueError, match="nodes and edges"):
+        cypher_run(CYPHER_OPTIONAL, edges=edges,
+                   params={"origen": "P-7", "lo": 0.0, "hi": 1.0})
