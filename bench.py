@@ -94,6 +94,11 @@ HEADLINE = [
     "funnel_ordered_steps",
     "hist_equi_depth",
     "text_common_token_ratio",
+    "snapshot_diff_changes",
+    "split_train_val_test",
+    "mql_agg_lookup",
+    "text_lm_perplexity",
+    "multimodal_bmp_header_jvm",
 ]
 
 
