@@ -375,6 +375,19 @@ def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
     return df.groupBy(F.col(_ref_field(gid, "$group _id")).alias("_id")).agg(*aggs)
 
 
+def mql_count_documents(
+    rulings: DataFrame, query: dict, default_language: str = "none"
+) -> DataFrame:
+    """``collection.countDocuments(filter)`` — the pymongo count
+    surface (estimatedDocumentCount == countDocuments({}) here: the
+    relational store has no metadata shortcut to diverge from). One
+    filter + one COUNT aggregate; returns a 1-row (n) frame so the
+    result composes like any query."""
+    return rulings.filter(_query_condition(query, default_language)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 def mql_aggregate(
     rulings: DataFrame,
     pipeline: list,

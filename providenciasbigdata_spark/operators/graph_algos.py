@@ -739,3 +739,55 @@ def _tarjan_scc(edge_list):
                 for w in scc:
                     comp[w] = m
     return comp
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), determinized: every node starts as its own label;
+    each round every node adopts the most frequent label among its
+    (undirected) neighbors, ties broken by SMALLEST label, isolated
+    nodes keep their own. Classic LPA updates asynchronously in random
+    order — irreproducible on a distributed engine — so this is the
+    synchronous variant with a FIXED round count: deterministic across
+    runs/partitionings/engines (the oracle unrolls the identical
+    rounds as SQL CTEs), at the cost of the known oscillation mode on
+    bipartite-ish structures, which a fixed round budget tolerates by
+    fiat. Each round is one join + one count aggregate + one
+    row_number window, all keyed on node id.
+
+    Output: (id, community), community = the converged label.
+    """
+    from pyspark.sql import Window
+
+    ckpt = _truncator(edges.sparkSession, checkpoint_dir)
+    sym = ckpt(symmetrize(edges, src, dst))
+    nodes = ckpt(sym.select(F.col("u").alias("id")).distinct())
+    labels = nodes.withColumn("lbl", F.col("id"))
+    for _r in range(n_rounds):
+        counts = (
+            sym.join(
+                labels.select(F.col("id").alias("v"), F.col("lbl").alias("nlbl")),
+                "v",
+            )
+            .groupBy("u", "nlbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("nlbl"))
+        winners = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("id"), F.col("nlbl").alias("new_lbl"))
+        )
+        labels = ckpt(
+            labels.join(winners, "id", "left").select(
+                "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+            ),
+            eager=False,
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -568,6 +568,23 @@ _MQL_AGG_FACET_SQL = (
 )
 
 
+def q_mql_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collection.countDocuments(filter) — filter + one COUNT; the
+    pymongo count surface over the compiled find() grammar."""
+    from providenciasbigdata_spark.compat.ir import mql_count_documents
+
+    return mql_count_documents(
+        _rulings(spark, sf_dir),
+        {"anio": {"$gte": 2005, "$lt": 2015}, "tipo": {"$nin": ["src2"]}},
+    )
+
+
+_MQL_COUNT_SQL = (
+    f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_RULINGS_SQL}) "
+    f"WHERE anio >= 2005 AND anio < 2015 AND (tipo IS NULL OR tipo NOT IN ('src2'))"
+)
+
+
 def q_mql_agg_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$sortByCount — Mongo's one-stage facet ranking (group + count +
     desc sort). Ties get an ``_id`` ascending tie-break for an
@@ -986,6 +1003,7 @@ QUERIES = {
     "mql_array_operators": (q_mql_array_operators, _MQL_ARRAY_SQL),
     "mql_cursor_surface": (q_mql_cursor_surface, _MQL_CURSOR_SQL),
     "mql_agg_facet_counts": (q_mql_agg_facet_counts, _MQL_AGG_FACET_SQL),
+    "mql_count_documents": (q_mql_count_documents, _MQL_COUNT_SQL),
     "mql_agg_sort_by_count": (q_mql_agg_sort_by_count, _MQL_SORT_BY_COUNT_SQL),
     "mql_agg_lookup": (q_mql_agg_lookup, _MQL_LOOKUP_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),

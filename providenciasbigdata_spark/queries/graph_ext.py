@@ -343,6 +343,46 @@ SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the bounded similarity graph:
+    deterministic synchronous label propagation, 4 fixed rounds
+    (operators.graph_algos.label_propagation). The oracle unrolls the
+    IDENTICAL rounds as chained CTEs (count + row_number tie-break per
+    node per round), so the full iterative semantics — not just the
+    final partition shape — is value-hash-checked."""
+    from providenciasbigdata_spark.operators.graph_algos import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return label_propagation(edges, n_rounds=4)
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""lp{k} AS (
+  SELECT l.id, COALESCE(w.new_lbl, l.lbl) AS lbl
+  FROM lp{k - 1} l LEFT JOIN (
+    SELECT u AS id, nlbl AS new_lbl FROM (
+      SELECT e.u, p.lbl AS nlbl,
+             ROW_NUMBER() OVER (PARTITION BY e.u
+                                ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+      FROM e JOIN lp{k - 1} p ON p.id = e.v
+      GROUP BY e.u, p.lbl
+    ) WHERE rn = 1
+  ) w ON w.id = l.id)"""
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT u, v FROM ({_SYM_EDGES_150_SQL})),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+lp0 AS (SELECT id, id AS lbl FROM nodes),
+{chained}
+SELECT id, lbl AS community FROM lp{rounds}
+"""
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreness per node of the bounded similarity graph via h-index
     iteration (operators.graph_algos.kcore_decomposition). The oracle
@@ -434,6 +474,7 @@ QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
     "graph_scc": (q_graph_scc, _SCC_SQL),
     "graph_kcore": (q_kcore, _kcore_sql()),
+    "graph_label_propagation": (q_label_propagation, _lpa_sql()),
     "graph_personalized_pagerank": (q_personalized_pagerank, _ppr_sql()),
     "graph_triangle_count": (q_triangle_count, _TRIANGLE_SQL),
     "graph_degree_histogram": (q_degree_histogram, _DEGREE_SQL),

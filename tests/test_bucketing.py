@@ -77,3 +77,29 @@ def test_bucket_pruning_on_key_equality(bucketed):
     plan = _plan(one)
     # bucket pruning: only 1 of 8 buckets selected at the scan
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_anio_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The A6 production layout claim (SURVEY §2.2): rulings stored
+    partitioned by anio turn the year facet into partition PRUNING —
+    the filter lands in PartitionFilters and only that year's
+    directory is read. (Same mechanism the persisted IVF index proves
+    at cluster= granularity.)"""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.io import load_table
+
+    out = str(tmp_path / "rulings_by_anio")
+    rulings_view(load_table(spark, "/root/testdata/sf0.001", "documents")).drop(
+        "tokens"
+    ).write.partitionBy("anio").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("anio") == 2003)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "anio" in plan.split("PartitionFilters")[1][:200], plan
+    files = df.select(F.input_file_name().alias("f")).distinct().collect()
+    dirs = {r.f.split("anio=")[1].split("/")[0] for r in files}
+    assert dirs == {"2003"}
+    assert df.count() > 0

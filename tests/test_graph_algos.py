@@ -288,3 +288,28 @@ def test_scc_directed_vs_undirected_cc(spark):
         for r in strongly_connected_components(broken, small_cutover=0).collect()
     }
     assert scc2 == {1: 1, 2: 1, 3: 3}
+
+
+def test_label_propagation_known_communities(spark):
+    """Two 4-cliques joined by one bridge edge: LPA converges to two
+    communities labeled by each clique's min id. The isolated PAIR is
+    the canonical synchronous-LPA oscillator (each node adopts the
+    other's label every round, period 2) — the documented mode the
+    fixed round budget tolerates; labels stay within the pair."""
+    from providenciasbigdata_spark.operators.graph_algos import label_propagation
+
+    clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    clique2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [(4, 10), (20, 21)], "src long, dst long"
+    )
+    got = {r.id: r.community for r in label_propagation(edges, n_rounds=6).collect()}
+    assert {got[i] for i in (1, 2, 3)} == {1}
+    assert {got[i] for i in (11, 12, 13)} == {10}
+    assert {got[20], got[21]} <= {20, 21}  # oscillator: labels stay in-pair
+    # deterministic under repartitioning
+    got2 = {
+        r.id: r.community
+        for r in label_propagation(edges.repartition(7), n_rounds=6).collect()
+    }
+    assert got2 == got
