@@ -103,3 +103,26 @@ def salted_distinct_count(
         F.count_distinct("__v").alias("__c")
     )
     return per_shard.groupBy(key).agg(F.sum("__c").alias("n_distinct"))
+
+
+def skew_report(df: DataFrame, key: str | Column) -> DataFrame:
+    """One-row key-skew diagnosis — the measurement that decides
+    between a plain join/agg, AQE skew splitting, and explicit salting
+    (``salted_join``/``two_phase_topk``): per-key counts reduced to
+    n_keys, total, max/median/p99 key count, and skew_ratio =
+    max/mean. A ratio near 1 means balanced tasks; >> 1 means one key
+    will own a straggler task at scale. Two aggregates over one scan;
+    the second runs over one row per key, not the data.
+
+    Exact percentiles over the per-key counts (the count table is
+    bounded by key cardinality, the thing being diagnosed).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_n"),
+        F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_n"),
+        F.round(F.max("n") / (F.sum("n") / F.count(F.lit(1))), 6).alias("skew_ratio"),
+    )

@@ -740,6 +740,27 @@ SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis for lineitem.l_suppkey (operators.skew.
+    skew_report): the one-row measurement that justifies (or rules
+    out) salting before a join/agg on the key."""
+    from providenciasbigdata_spark.operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+_SKEW_REPORT_SQL = """
+WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       ROUND(quantile_cont(n, 0.5), 4) AS p50_n,
+       ROUND(quantile_cont(n, 0.99), 4) AS p99_n,
+       ROUND(MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+FROM c
+"""
+
+
 def q_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram of order totals — the optimizer-statistics
     shape (what ANALYZE builds); complements the fixed-width
@@ -938,6 +959,7 @@ QUERIES = {
     "funnel_signup_purchase": (q_funnel, _FUNNEL_SQL),
     "funnel_ordered_steps": (q_funnel_ordered, _FUNNEL_ORDERED_SQL),
     "hist_equi_depth": (q_hist_equi_depth, _HIST_EQUI_DEPTH_SQL),
+    "skew_report_lineitem": (q_skew_report, _SKEW_REPORT_SQL),
     "array_agg_users": (q_array_agg_users, _ARRAY_AGG_SQL),
     "skew_topk_per_supplier": (q_skew_topk, _SKEW_TOPK_SQL),
     "skew_distinct_count": (q_skew_distinct_count, _SKEW_DISTINCT_SQL),

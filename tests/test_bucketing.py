@@ -103,3 +103,72 @@ def test_anio_partitioned_layout_prunes_partitions(spark, tmp_path):
     dirs = {r.f.split("anio=")[1].split("/")[0] for r in files}
     assert dirs == {"2003"}
     assert df.count() > 0
+
+
+def test_morton_key_matches_reference(spark):
+    from providenciasbigdata_spark.functions.layout import morton_key, morton_key_py
+
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 9), (1023, 4095), (2**21 - 1, 7)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", morton_key(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r.z == morton_key_py(r.x, r.y), (r.x, r.y)
+    import pytest
+    with pytest.raises(ValueError, match="bits"):
+        morton_key(F.col("x"), F.col("y"), bits=40)
+
+
+def test_zorder_layout_shrinks_both_dimensions(spark, tmp_path):
+    """The measured claim behind Z-ordering: write orders range-
+    partitioned by the Morton key of (custkey-bucket, price-bucket)
+    and the per-file min/max SPAN of BOTH dimensions shrinks well
+    below a single-column sort's — i.e. a filter on EITHER column can
+    skip most files, which is what footer-based file pruning consumes
+    at 100 TB."""
+    from providenciasbigdata_spark.functions.layout import morton_key
+    from providenciasbigdata_spark.io import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    xq = (F.col("o_custkey") / 8).cast("long")
+    yq = (F.col("o_totalprice") / 2000).cast("long")
+    n_files = 16
+
+    def spans(df, order_col):
+        out = str(tmp_path / f"layout_{order_col._jc.toString()[:8]}")
+        (
+            df.withColumn("_k", order_col)
+            .repartitionByRange(n_files, F.col("_k"))
+            .sortWithinPartitions("_k")
+            .write.mode("overwrite").parquet(out)
+        )
+        per_file = (
+            spark.read.parquet(out)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("cspan"),
+                (F.max("o_totalprice") - F.min("o_totalprice")).alias("pspan"),
+            )
+            .agg(F.avg("cspan").alias("c"), F.avg("pspan").alias("p"))
+            .first()
+        )
+        return per_file["c"], per_file["p"]
+
+    glob_c, glob_p = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")),
+        (F.max("o_totalprice") - F.min("o_totalprice")),
+    ).first()
+
+    c_single, p_single = spans(orders, F.col("o_custkey"))
+    c_z, p_z = spans(orders, morton_key(xq, yq))
+
+    # single-column sort: tight on custkey, but price spans ~everything
+    assert c_single < glob_c / 4
+    assert p_single > glob_p * 0.8
+    # z-order: BOTH dimensions shrink meaningfully below global span
+    assert c_z < glob_c * 0.6, (c_z, glob_c)
+    assert p_z < glob_p * 0.6, (p_z, glob_p)
+    # and the price dimension is far tighter than the single-col layout
+    assert p_z < p_single * 0.75
