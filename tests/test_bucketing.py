@@ -105,18 +105,39 @@ def test_anio_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert df.count() > 0
 
 
-def test_morton_key_matches_reference(spark):
-    from providenciasbigdata_spark.functions.layout import morton_key, morton_key_py
+def test_zorder_key_matches_python_reference(spark):
+    """io.zorder_key == a pure-Python Morton over the same width_bucket
+    quantization (bit j of column i at position j*n + i), and the
+    64-bit overflow guard raises."""
+    from providenciasbigdata_spark.io import zorder_key
 
-    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 9), (1023, 4095), (2**21 - 1, 7)]
+    bits = 8
+    lo, hi = 0.0, 1000.0
+    rows = [(0, 0), (1000, 0), (0, 1000), (123, 456), (999, 1), (500, 500)]
+
+    def wb(v):
+        # width_bucket(v, lo, hi, nb) semantics, minus 1 (as zorder_key)
+        nb = (1 << bits) - 1
+        if v >= hi:
+            return nb
+        return int((v - lo) / (hi - lo) * nb)
+
+    def ref(x, y):
+        bx, by = wb(x), wb(y)
+        out = 0
+        for j in range(bits):
+            out |= ((bx >> j) & 1) << (j * 2)
+            out |= ((by >> j) & 1) << (j * 2 + 1)
+        return out
+
     df = spark.createDataFrame(rows, "x long, y long").withColumn(
-        "z", morton_key(F.col("x"), F.col("y"))
+        "z", zorder_key(["x", "y"], [lo, lo], [hi, hi], bits_per_col=bits)
     )
     for r in df.collect():
-        assert r.z == morton_key_py(r.x, r.y), (r.x, r.y)
+        assert r.z == ref(r.x, r.y), (r.x, r.y, r.z)
     import pytest
-    with pytest.raises(ValueError, match="bits"):
-        morton_key(F.col("x"), F.col("y"), bits=40)
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_key(["x", "y"], [0, 0], [1, 1], bits_per_col=32)
 
 
 def test_zorder_layout_shrinks_both_dimensions(spark, tmp_path):
@@ -126,18 +147,25 @@ def test_zorder_layout_shrinks_both_dimensions(spark, tmp_path):
     below a single-column sort's — i.e. a filter on EITHER column can
     skip most files, which is what footer-based file pruning consumes
     at 100 TB."""
-    from providenciasbigdata_spark.functions.layout import morton_key
-    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.io import load_table, zorder_key
 
     orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    xq = (F.col("o_custkey") / 8).cast("long")
-    yq = (F.col("o_totalprice") / 2000).cast("long")
+    bounds = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    zcol = zorder_key(
+        ["o_custkey", "o_totalprice"],
+        [bounds[0], bounds[2]], [bounds[1], bounds[3]], bits_per_col=12,
+    )
     n_files = 16
+    tag = [0]
 
     def spans(df, order_col):
-        out = str(tmp_path / f"layout_{order_col._jc.toString()[:8]}")
+        tag[0] += 1
+        out = str(tmp_path / f"layout_{tag[0]}")
         (
             df.withColumn("_k", order_col)
             .repartitionByRange(n_files, F.col("_k"))
@@ -162,7 +190,7 @@ def test_zorder_layout_shrinks_both_dimensions(spark, tmp_path):
     ).first()
 
     c_single, p_single = spans(orders, F.col("o_custkey"))
-    c_z, p_z = spans(orders, morton_key(xq, yq))
+    c_z, p_z = spans(orders, zcol)
 
     # single-column sort: tight on custkey, but price spans ~everything
     assert c_single < glob_c / 4

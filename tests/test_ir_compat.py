@@ -91,7 +91,8 @@ def test_mql_rejects_unsupported_operators(spark):
     docs = _rulings(spark)
     for bad in (
         {"anio": {"$type": "int"}},
-        {"tipo": {"$size": 2}},
+        {"tipo": {"$mod": [2, 0]}},
+        {"tipo": {"$size": "2"}},  # $size itself is supported; non-int operand raises
         {"$nor": [{"tipo": "src3"}]},
         {"$where": "1"},
         {"anio": {}},
