@@ -279,3 +279,47 @@ def read_csv_robust(
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.csv(path)
+
+
+def collect_file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Build a per-FILE statistics manifest (file, n_rows, min/max per
+    column) — the Iceberg/Delta manifest idea as a plain DataFrame:
+    one scan amortized across every later pruned read. Engines with
+    footer access get this for free; building it as a job keeps the
+    result a first-class table you can store, join, and re-derive
+    after compaction."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Manifest-driven file skipping: read ONLY the files whose
+    [min, max] range for ``col`` overlaps [lo, hi], then apply the
+    exact predicate (files still hold non-qualifying rows). Results
+    are pinned EQUAL to the full scan + filter; the point is the file
+    list — on a clustered layout (write_zordered / a sorted write) the
+    overlap set is a small fraction of the table, and the driver holds
+    only the manifest rows, never data.
+    """
+    from pyspark.sql import functions as F
+
+    hits = [
+        r["file"]
+        for r in stats.filter(
+            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        ).collect()
+    ]
+    base = spark.read.parquet(*hits) if hits else spark.read.parquet(path).limit(0)
+    return base.filter(F.col(col).between(F.lit(lo), F.lit(hi)))

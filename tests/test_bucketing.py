@@ -200,3 +200,40 @@ def test_zorder_layout_shrinks_both_dimensions(spark, tmp_path):
     assert p_z < glob_p * 0.6, (p_z, glob_p)
     # and the price dimension is far tighter than the single-col layout
     assert p_z < p_single * 0.75
+
+
+def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    """The read half of data skipping: on a z-ordered layout the
+    manifest-driven pruned read touches a MINORITY of files for a
+    narrow predicate on either clustered column, and returns exactly
+    the full-scan answer."""
+    from providenciasbigdata_spark.io import (
+        collect_file_stats,
+        load_table,
+        pruned_read,
+        write_zordered,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_z")
+    write_zordered(orders, out, ["o_custkey", "o_totalprice"], n_files=16)
+    stats = collect_file_stats(spark, out, ["o_custkey", "o_totalprice"]).cache()
+    n_files = stats.count()
+    assert n_files >= 12  # layout really split
+
+    for col, lo, hi in (("o_totalprice", 100000.0, 120000.0), ("o_custkey", 50, 120)):
+        got = pruned_read(spark, out, stats, col, lo, hi)
+        touched = {r.f for r in got.select(F.input_file_name().alias("f")).distinct().collect()}
+        assert len(touched) <= n_files / 2, (col, len(touched), n_files)
+        want = sorted(
+            r.o_orderkey
+            for r in spark.read.parquet(out)
+            .filter(F.col(col).between(lo, hi))
+            .collect()
+        )
+        assert sorted(r.o_orderkey for r in got.collect()) == want and want
+    # empty overlap -> empty frame, schema intact
+    nothing = pruned_read(spark, out, stats, "o_totalprice", -10.0, -5.0)
+    assert nothing.count() == 0 and "o_custkey" in nothing.columns
