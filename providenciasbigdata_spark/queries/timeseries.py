@@ -302,6 +302,35 @@ def q_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling MEDIAN over the trailing 5 events — the robust
+    smoother rolling AVG isn't (one outlier drags a mean for the whole
+    window). Exact continuous-interpolation percentile as a window
+    aggregate over a bounded ROWS frame: state per window is 5 values,
+    so the shuffle is one hash partition by user and the frame never
+    grows with history. Total order via (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5D)").over(w), 6).alias("med5"),
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+SELECT user_id, event_id,
+       ROUND(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+FROM events WHERE user_id < 50
+"""
+
+
 def q_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-week bucketing (ISO Monday weeks — both engines'
     date_trunc('week') agree, verified): weekly order count + exact
@@ -336,6 +365,7 @@ QUERIES = {
     "timeseries_weekly_revenue": (q_weekly_revenue, _WEEKLY_REVENUE_SQL),
     "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),
     "timeseries_ohlc_bars": (q_ohlc_bars, _OHLC_SQL),
+    "timeseries_rolling_median": (q_rolling_median, _ROLLING_MEDIAN_SQL),
     "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
     "anomaly_value_outliers": (q_value_outliers, _OUTLIERS_SQL),
     "rollup_hypertable": (q_rollup_hypertable, _ROLLUP_HT_SQL),
