@@ -577,6 +577,31 @@ _NODE_PRED_OPS = {
     "=": lambda c, v: c == v,
 }
 
+# extension: aggregating WITH + post-aggregate WHERE (Cypher's HAVING):
+# per-source degree over the weight-filtered graph, keeping only
+# sources above a bound.
+_WITH_HAVING_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\2\.similitud\s*>=\s*\$(\w+)\s+AND\s+\2\.similitud\s*<=\s*\$(\w+)\s*"
+    r"WITH\s+\1\.id\s+AS\s+(\w+)\s*,\s*count\s*\(\s*\2\s*\)\s+AS\s+(\w+)\s*"
+    r"WHERE\s+\7\s*>=\s*\$(\w+)\s*"
+    r"RETURN\s+\6\s*,\s*\7\s*$",
+    re.IGNORECASE,
+)
+
+# extension: RETURN ... ORDER BY r.similitud DESC LIMIT $k on the
+# anchored 1-hop — the top-k neighbors page; lowers to TakeOrdered.
+_TOPK_NEIGHBORS_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\3\.similitud\s*>=\s*\$(\w+)\s+AND\s+\3\.similitud\s*<=\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\4\.id\s+AS\s+(\w+)\s*,"
+    r"\s*\3\.similitud\s+AS\s+(\w+)\s*"
+    r"ORDER\s+BY\s+\3\.similitud\s+DESC\s*,\s*\4\.id\s+ASC\s+LIMIT\s+\$(\w+)\s*$",
+    re.IGNORECASE,
+)
+
 # extension: OPTIONAL MATCH — anchored 1-hop that preserves the anchor
 # row with NULLs when nothing matches (Cypher's left-join construct).
 _OPTIONAL_MATCH_RE = re.compile(
@@ -663,6 +688,14 @@ def cypher_run(
     the first template needing an edges-to-nodes join; executed as
     the tiny anchored hit set BROADCAST against the property-filtered
     nodes scan (zero shuffle of the corpus-sized side).
+    Template 11 (extension): aggregating ``WITH ... WHERE`` — Cypher's
+    HAVING: per-source degree over the weight-filtered graph, kept
+    only above a bound; the post-aggregate predicate rides the same
+    hash aggregate.
+    Template 12 (extension): ``RETURN ... ORDER BY r.similitud DESC
+    LIMIT $k`` on the anchored 1-hop — the top-k neighbors page;
+    lowers to TakeOrderedAndProject (per-partition heaps, no global
+    sort), destino ascending as the tie-break for a total order.
     Template 10 (extension): ``OPTIONAL MATCH`` anchored 1-hop —
     Cypher's left-join construct: the anchor row survives with NULL
     destino/similitud when no relationship qualifies; the WHERE
@@ -706,6 +739,54 @@ def cypher_run(
                 F.col("dst").alias(out_destino),
                 F.col("similitud").alias(out_sim),
             )
+        )
+
+    m = _WITH_HAVING_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        lo_p, hi_p, min_p = m.group(4), m.group(5), m.group(8)
+        out_id, out_deg = m.group(6), m.group(7)
+        missing = [p for p in (lo_p, hi_p, min_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        # filter -> two-phase count aggregate -> HAVING; the post-
+        # aggregate WHERE rides the same hash aggregate, no extra pass
+        return (
+            edges.filter(
+                F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+            )
+            .groupBy(F.col("src").alias(out_id))
+            .agg(F.count(F.lit(1)).alias(out_deg))
+            .filter(F.col(out_deg) >= int(params[min_p]))
+        )
+
+    m = _TOPK_NEIGHBORS_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        anchor_p, lo_p, hi_p = m.group(2), m.group(5), m.group(6)
+        out_origen, out_destino, out_sim = m.group(7), m.group(8), m.group(9)
+        k_p = m.group(10)
+        missing = [p for p in (anchor_p, lo_p, hi_p, k_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        # anchored filter + orderBy+limit => TakeOrderedAndProject
+        # (per-partition heaps), never a global sort
+        return (
+            edges.filter(
+                (F.col("src") == F.lit(params[anchor_p]))
+                & F.col("similitud").between(
+                    float(params[lo_p]), float(params[hi_p])
+                )
+            )
+            .select(
+                F.col("src").alias(out_origen),
+                F.col("dst").alias(out_destino),
+                F.col("similitud").alias(out_sim),
+            )
+            .orderBy(F.desc(out_sim), F.asc(out_destino))
+            .limit(int(params[k_p]))
         )
 
     m = _OPTIONAL_MATCH_RE.match(flat)

@@ -891,6 +891,76 @@ WHERE n.id = 'P-7'
 """
 
 
+CYPHER_WITH_HAVING = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+WITH a.id AS id, count(r) AS grado
+WHERE grado >= $min_grado
+RETURN id, grado
+"""
+
+
+def q_cypher_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregating WITH + post-aggregate WHERE (compat.ir template 11)
+    — Cypher's HAVING: nodes whose weight-filtered out-degree clears a
+    bound; the predicate rides the same two-phase hash aggregate."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    return cypher_run(
+        CYPHER_WITH_HAVING, edges=edges,
+        params={"lo": 30.0, "hi": 100.0, "min_grado": 2},
+    )
+
+
+_CYPHER_WITH_HAVING_SQL = """
+SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS id, CAST(COUNT(*) AS BIGINT) AS grado
+FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) * 100, 4)
+      BETWEEN 30 AND 100
+GROUP BY a.vec_id
+HAVING COUNT(*) >= 2
+"""
+
+
+CYPHER_TOPK = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+RETURN a.id AS origen, b.id AS destino, r.similitud AS similitud
+ORDER BY r.similitud DESC, b.id ASC LIMIT $k
+"""
+
+
+def q_cypher_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT Cypher (compat.ir template 12): P-7's top-5
+    strongest neighbors — lowers to TakeOrderedAndProject (pinned in
+    tests/test_plans.py), the plan that never globally sorts."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+    return cypher_run(
+        CYPHER_TOPK, edges=edges,
+        params={"origen": "P-7", "lo": 0.0, "hi": 100.0, "k": 5},
+    )
+
+
+_CYPHER_TOPK_SQL = """
+SELECT 'P-7' AS origen,
+       'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+WHERE a.vec_id = 7
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) * 100, 4)
+      BETWEEN 0 AND 100
+ORDER BY similitud DESC, destino ASC LIMIT 5
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -1025,4 +1095,6 @@ QUERIES = {
     "cypher_node_predicate": (q_cypher_node_predicate, _CYPHER_NODE_PRED_SQL),
     "cypher_two_hop_motif": (q_cypher_two_hop_motif, _CYPHER_TWO_HOP_SQL),
     "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
+    "cypher_with_having": (q_cypher_with_having, _CYPHER_WITH_HAVING_SQL),
+    "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),
 }

@@ -487,3 +487,9 @@ def test_hist_equi_depth_is_distributed_rank(spark, reg):
     plan = plan_of(_run(reg, "hist_equi_depth", spark))
     assert "rangepartitioning" in plan.lower(), plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_cypher_topk_is_take_ordered(spark, reg):
+    plan = plan_of(_run(reg, "cypher_topk_neighbors", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
