@@ -663,3 +663,31 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_available_now_with_progress(
+    transformed: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """``run_available_now`` + the per-micro-batch progress records —
+    the observability surface a production stream is operated by:
+    state rows, watermark advance, and ``numRowsDroppedByWatermark``
+    (the only evidence late data was discarded; the result table is
+    silent about it). Returns (result_df, [progress dicts])."""
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return transformed.sparkSession.table(query_name), list(q.recentProgress)
+
+
+def dropped_by_watermark(progress: list) -> int:
+    """Total late rows discarded across a run's micro-batches."""
+    return sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+    )

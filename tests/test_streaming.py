@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from providenciasbigdata_spark import streaming
 from providenciasbigdata_spark.io import load_table
 
@@ -458,3 +460,56 @@ def test_stream_stream_full_outer_join_matches_batch(spark, events_dir):
         batch_n = set(_as_rows(batch.filter(null_side), cols))
         assert got_n <= batch_n
         assert len(got_n) >= 0.5 * len(batch_n), (null_side, len(got_n), len(batch_n))
+
+
+def test_watermark_late_drop_is_observable(spark, tmp_path):
+    """Late-data accounting across a RESTART: a file arriving entirely
+    behind the checkpoint-restored watermark is dropped by
+    dropDuplicatesWithinWatermark and the drop is visible in
+    numRowsDroppedByWatermark — the operational evidence the sink
+    itself never shows. Empirical pin recorded here: WITHIN one
+    availableNow run the watermark starts at the run's initial value
+    and does NOT filter later micro-batches (measured: update-mode agg,
+    append-mode agg, dropDuplicates, and dropDuplicatesWithinWatermark
+    all admit a second-batch late file in-run — drops fire only once
+    the watermark is restored from the checkpoint on the next run)."""
+    from providenciasbigdata_spark.streaming import dropped_by_watermark
+
+    src = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    recent = spark.createDataFrame(
+        [(i, f"2024-01-02 1{i % 10}:00:00") for i in range(20)],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(100 + i, "2024-01-01 00:00:00") for i in range(5)],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    recent.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(src)
+        dd = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+    p1 = run()
+    assert dropped_by_watermark(p1) == 0
+    late.coalesce(1).write.mode("append").parquet(src)
+    p2 = run()
+    assert dropped_by_watermark(p2) == 5
+    # the late rows never reached the sink
+    got = spark.read.parquet(sink)
+    assert got.count() == 20
+    assert got.filter(F.col("ts") < "2024-01-02").count() == 0
