@@ -10,7 +10,7 @@ tests/test_dedup.py / tests/test_similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from providenciasbigdata_spark.functions.text import (
@@ -371,6 +371,70 @@ SELECT t.doc_id,
        ROUND(CAST(COUNT(top.tok) AS DOUBLE) / COUNT(*), 6) AS common_ratio
 FROM toks t LEFT JOIN top ON top.tok = t.tok
 GROUP BY t.doc_id
+"""
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling, c-TF-IDF shape (BERTopic's class-TF-IDF with
+    exact integer arithmetic instead of log-IDF): for each source
+    group, the top-3 tokens most over-represented vs the corpus —
+    distinctiveness = (count in group / group tokens) over
+    (count in corpus / corpus tokens), expressed as one exact rational
+    per candidate and ranked with a deterministic tie-break. Tokens
+    must appear >= 5 times in the group (rare-token noise gate). Two
+    aggregates over one exploded scan + a broadcast of the tiny corpus
+    totals; the same query labels k-means clusters by joining the
+    assignment instead of `source`."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    grp = toks.groupBy("source", "tok").agg(F.count("*").alias("gc"))
+    grp_tot = toks.groupBy("source").agg(F.count("*").alias("gt"))
+    corp = toks.groupBy("tok").agg(F.count("*").alias("cc"))
+    tot = toks.agg(F.count("*").alias("ct"))
+    scored = (
+        grp.join(F.broadcast(grp_tot), "source")
+        .join(corp, "tok")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("gc") >= 5)
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("gc") / F.col("gt")) / (F.col("cc") / F.col("ct")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lift"), F.desc("gc"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "rnk", "tok", "lift")
+    )
+
+
+_DISTINCTIVE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKENS}) AS tok FROM documents
+), grp AS (
+  SELECT source, tok, COUNT(*) AS gc FROM toks GROUP BY source, tok
+), gt AS (SELECT source, COUNT(*) AS gt FROM toks GROUP BY source),
+corp AS (SELECT tok, COUNT(*) AS cc FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS ct FROM toks),
+scored AS (
+  SELECT g.source, g.tok, g.gc,
+         ROUND((CAST(g.gc AS DOUBLE) / gt.gt) / (CAST(c.cc AS DOUBLE) / tot.ct), 6)
+           AS lift
+  FROM grp g JOIN gt USING (source) JOIN corp c USING (tok), tot
+  WHERE g.gc >= 5
+)
+SELECT source, rnk, tok, lift FROM (
+  SELECT source, tok, lift,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY lift DESC, gc DESC, tok ASC) AS BIGINT)
+           AS rnk
+  FROM scored
+) WHERE rnk <= 3
 """
 
 
@@ -1027,6 +1091,7 @@ QUERIES = {
     "text_token_diversity": (q_token_diversity, _DIVERSITY_SQL),
     "text_common_token_ratio": (q_common_token_ratio, _COMMON_TOKEN_SQL),
     "text_lm_perplexity": (q_lm_perplexity, None),
+    "text_distinctive_terms": (q_distinctive_terms, _DISTINCTIVE_SQL),
     "text_feature_hashing": (q_feature_hashing, _FEATURE_HASH_SQL),
     "curate_pipeline": (q_curate, _curate_sql()),
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
