@@ -99,6 +99,11 @@ HEADLINE = [
     "mql_agg_lookup",
     "text_lm_perplexity",
     "multimodal_bmp_header_jvm",
+    "graph_label_propagation",
+    "text_distinctive_terms",
+    "cypher_topk_neighbors",
+    "timeseries_rolling_median",
+    "mql_agg_sort_by_count",
 ]
 
 

@@ -444,9 +444,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilities with add-alpha smoothing, then per-doc cross-entropy
     -mean(ln p(token)) and perplexity exp(ce). Low-perplexity docs are
     stereotypical; high are noise — both tails get dropped in real
-    curation. The vocab log-prob table broadcasts (it is the corpus
-    vocabulary, not the corpus); the scoring pass is map-side join +
-    partial agg. Rows-only: F30 measured 1-ulp ln() divergence between
+    curation. The vocab log-prob table joins on token (AQE broadcasts
+    it while it fits; at training-corpus vocabulary sizes it becomes a
+    shuffle join on the token key — never forced); scoring is one
+    join + partial agg. Rows-only: F30 measured 1-ulp ln() divergence between
     engines, so log-space scores can't value-hash; pinned against
     pure-numpy on the collected fixture in tests/test_text.py."""
     alpha = 0.5
@@ -459,8 +460,11 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     logp = counts.select(
         "tok", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("lp")
     )
+    # no broadcast HINT: the vocabulary is corpus-scale at 100 TB
+    # (unlike the top-100 table in q_common_token_ratio) — AQE
+    # broadcasts it when it fits and shuffle-joins when it doesn't
     return (
-        toks.join(F.broadcast(logp), "tok")
+        toks.join(logp, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
