@@ -653,6 +653,7 @@ def dedup_embedding(
     candidates: str = "auto",
     exact_max_rows: int = 20_000,
     n_clusters: int = 16,
+    kmeans_iter: int = 8,
     srp_bits: int = 12,
     srp_tables: int = 4,
 ) -> DataFrame:
@@ -703,7 +704,8 @@ def dedup_embedding(
     elif candidates == "cluster":
         edges = cluster_blocked_pairs(
             embeddings, threshold, id_col=id_col, vec_col=vec_col,
-            scale=scale, n_clusters=n_clusters, row_chunk=block_size,
+            scale=scale, n_clusters=n_clusters, kmeans_iter=kmeans_iter,
+            row_chunk=block_size,
         )
     elif candidates == "srp":
         from providenciasbigdata_spark.compat.graph import dot, l2_norm

@@ -808,6 +808,10 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_embedding(
         emb, id_col="vec_id", threshold=30.0, scale=100.0,
         candidates="cluster", n_clusters=8,
+        # 4 Lloyd rounds: candidate quality is insensitive past early
+        # rounds on the 150-vector fixture and each round is a full
+        # map+reduce+broadcast cycle (bench: ~5.2s -> ~3s)
+        kmeans_iter=4,
     )
 
 
