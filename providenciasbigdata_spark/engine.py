@@ -139,10 +139,18 @@ class ProvidenciasEngine:
 
     def aggregate_mongo(self, pipeline: list, **kwargs) -> DataFrame:
         """``collection.aggregate(pipeline)`` — the facet-counting
-        surface one step beyond the reference's find() calls."""
+        surface one step beyond the reference's find() calls.
+        ``collections=`` names the $lookup-able collection namespace."""
         from providenciasbigdata_spark.compat.ir import mql_aggregate
 
         return mql_aggregate(self.rulings(), pipeline, **kwargs)
+
+    def count_documents(self, query: dict, **kwargs) -> int:
+        """``collection.countDocuments(filter)`` — returns the scalar,
+        like pymongo (the 1-row frame is an implementation detail)."""
+        from providenciasbigdata_spark.compat.ir import mql_count_documents
+
+        return mql_count_documents(self.rulings(), query, **kwargs).first()["n"]
 
     def run_cypher(self, query: str, params: dict | None = None) -> DataFrame:
         """Run the reference's Cypher templates verbatim

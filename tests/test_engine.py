@@ -134,3 +134,9 @@ def test_rulings_stream_requires_dump_dir(spark):
     eng = ProvidenciasEngine(spark, "/root/testdata/sf0.001")
     with _pytest.raises(ValueError, match="dump_dir"):
         eng.rulings_stream()
+
+
+def test_engine_count_documents(engine):
+    n_all = engine.count_documents({})
+    n_some = engine.count_documents({"anio": {"$gte": 2010}})
+    assert 0 < n_some < n_all
