@@ -33,6 +33,11 @@ def main() -> None:
     frame = eng.query_rulings_frame(texto="merge window")
     print(f"[page 1] text search 'merge window': {len(frame)} rulings")
 
+    # full Mongo $search grammar through the same box (round 5): a
+    # quoted phrase is a contiguous token run; -term subtracts
+    frame = eng.query_rulings_frame(texto='"table hash" -error')
+    print(f"[page 1] phrase+negation '\"table hash\" -error': {len(frame)} rulings")
+
     frame = eng.query_rulings_frame(providencia="P-does-not-exist")
     print(f"[page 1] empty-result sentinel columns: {list(frame.columns)}")
 
