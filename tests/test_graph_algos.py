@@ -313,3 +313,52 @@ def test_label_propagation_known_communities(spark):
         for r in label_propagation(edges.repartition(7), n_rounds=6).collect()
     }
     assert got2 == got
+
+
+def test_scc_random_digraphs_match_tarjan(spark):
+    """Randomized agreement: on random sparse digraphs the DISTRIBUTED
+    trim/color/backward path (cutover forced off) and the sequential
+    Tarjan finisher produce identical labels — and both equal a
+    from-first-principles mutual-reachability model."""
+    import itertools
+    import random
+
+    from providenciasbigdata_spark.operators.graph_algos import (
+        _tarjan_scc,
+        strongly_connected_components,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randint(6, 10)
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n, 2 * n))
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        # model: mutual reachability closure
+        reach = {u: {u} for u in range(n)}
+        changed = True
+        while changed:
+            changed = False
+            for u, v in edges:
+                new = reach[v] - reach[u]
+                if new:
+                    reach[u] |= new
+                    changed = True
+        nodes = {u for e in edges for u in e}
+        want = {}
+        for u in sorted(nodes):
+            scc = {v for v in nodes if v in reach[u] and u in reach[v]} | {u}
+            want[u] = min(scc)
+        assert _tarjan_scc(edges) == want, (trial, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.id: r.component
+            for r in strongly_connected_components(df, small_cutover=0).collect()
+        }
+        assert got == want, (trial, edges)

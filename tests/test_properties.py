@@ -321,3 +321,62 @@ def test_dedup_paragraphs_matches_python_model(docs):
                 kept.append(p)
         want[doc_id] = (len(paras), len(kept), " ".join(kept))
     assert got == want
+
+
+# ---- MQL array-operator semantics vs the model -----------------------------
+
+_TAG_ROWS = [
+    ["a"], ["a", "b"], ["b", "c", "c"], [], None, ["c"], ["a", "b", "c"],
+]
+_TAG_VALS = st.sampled_from(["a", "b", "c", "z"])
+
+_ARRAY_QUERY = st.one_of(
+    st.builds(lambda vs: {"tags": {"$all": vs}}, st.lists(_TAG_VALS, max_size=3)),
+    st.builds(lambda n: {"tags": {"$size": n}}, st.integers(0, 4)),
+    st.builds(
+        lambda lo, hi: {"tags": {"$elemMatch": {"$gte": lo, "$lt": hi}}},
+        _TAG_VALS, _TAG_VALS,
+    ),
+    st.builds(lambda vs: {"tags": {"$elemMatch": {"$in": vs}}},
+              st.lists(_TAG_VALS, max_size=3)),
+)
+
+
+def _array_model(tags, spec):
+    (op, operand), = spec.items()
+    if tags is None:
+        return False
+    if op == "$all":
+        return bool(operand) and all(v in tags for v in operand)
+    if op == "$size":
+        return len(tags) == operand
+    if op == "$elemMatch":
+        def elem_ok(e):
+            ok = True
+            for o, v in operand.items():
+                if o == "$gte":
+                    ok &= e >= v
+                elif o == "$lt":
+                    ok &= e < v
+                elif o == "$in":
+                    ok &= e in v
+            return ok
+        return any(elem_ok(e) for e in tags)
+    raise AssertionError(op)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_ARRAY_QUERY)
+def test_mql_array_operators_match_model(spark, q):
+    """$all/$size/$elemMatch select exactly what a pure-Python Mongo
+    array-semantics model selects — NULL arrays never match, $all []
+    matches nothing, duplicates count toward $size."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TAG_ROWS)],
+        "rid int, tags array<string>",
+    )
+    got = {r.rid for r in mql_find(df, q).collect()}
+    want = {i for i, t in enumerate(_TAG_ROWS) if _array_model(t, q["tags"])}
+    assert got == want, q
