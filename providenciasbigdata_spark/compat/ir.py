@@ -341,13 +341,16 @@ def _ref_field(spec, what: str) -> str:
     return spec[1:]
 
 
-_GROUP_ACCS = {"$sum", "$avg", "$min", "$max"}
+_GROUP_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet"}
 
 
-def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
-    if not isinstance(spec, dict) or "_id" not in spec:
-        raise ValueError(f"$group needs an _id key: {spec!r}")
-    gid = spec["_id"]
+def _group_aggs(spec: dict) -> list[Column]:
+    """Compile a $group/$bucket ``output`` accumulator document into
+    aggregate Columns. ``$push``/``$addToSet`` determinism pin: Mongo's
+    $push preserves pipeline document order, which is UNSPECIFIED
+    without a preceding $sort (B5) — we sort the collected array by
+    value instead, so the result is engine-reproducible; $addToSet is
+    unordered in Mongo, sorted here for the same reason."""
     aggs = []
     for out, acc in spec.items():
         if out == "_id":
@@ -361,10 +364,25 @@ def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
             aggs.append(F.count(F.lit(1)).alias(out))
             continue
         col = F.col(_ref_field(operand, op))
-        fn = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max}[op]
+        fn = {
+            "$sum": F.sum,
+            "$avg": F.avg,
+            "$min": F.min,
+            "$max": F.max,
+            "$push": lambda c: F.sort_array(F.collect_list(c)),
+            "$addToSet": lambda c: F.sort_array(F.collect_set(c)),
+        }[op]
         aggs.append(fn(col).alias(out))
     if not aggs:
         raise ValueError("$group needs at least one accumulator")
+    return aggs
+
+
+def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
+    if not isinstance(spec, dict) or "_id" not in spec:
+        raise ValueError(f"$group needs an _id key: {spec!r}")
+    gid = spec["_id"]
+    aggs = _group_aggs(spec)
     if gid is None:
         return df.agg(*aggs)
     if isinstance(gid, dict):
@@ -373,6 +391,139 @@ def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
             "single '$field' (the relational view has no nested documents)"
         )
     return df.groupBy(F.col(_ref_field(gid, "$group _id")).alias("_id")).agg(*aggs)
+
+
+# aggregation-EXPRESSION grammar ($addFields/$set/$bucket groupBy): the
+# compact arithmetic/string/conditional core a Mongo user reaches for
+# first. Every form compiles to ONE Catalyst expression tree (JVM-side,
+# codegen'd); unsupported operators raise rather than silently misread.
+_EXPR_CMP = {
+    "$eq": Column.__eq__,
+    "$ne": Column.__ne__,
+    "$gt": Column.__gt__,
+    "$gte": Column.__ge__,
+    "$lt": Column.__lt__,
+    "$lte": Column.__le__,
+}
+
+
+def _expr_args(args, op: str, n: int | None = None) -> list:
+    if not isinstance(args, (list, tuple)):
+        args = [args]
+    if n is not None and len(args) != n:
+        raise ValueError(f"{op} takes exactly {n} arguments, got {len(args)}")
+    if not args:
+        raise ValueError(f"{op} needs at least one argument")
+    return list(args)
+
+
+def _agg_expr(spec) -> Column:
+    """Mongo aggregation expression -> Column. Bare ``'$field'`` strings
+    are field paths, every other scalar is a literal (Mongo's contract;
+    ``{"$literal": v}`` forces a leading-$ string literal). In-stage
+    references see the ORIGINAL document (enforced by the caller using
+    ``withColumns``, which binds all new fields simultaneously)."""
+    if isinstance(spec, str):
+        if spec.startswith("$"):
+            return F.col(_ref_field(spec, "expression"))
+        return F.lit(spec)
+    if spec is None or isinstance(spec, (bool, int, float)):
+        return F.lit(spec)
+    if isinstance(spec, dict) and len(spec) == 1:
+        (op, args), = spec.items()
+        if op == "$literal":
+            return F.lit(args)
+        if op in ("$add", "$multiply", "$concat"):
+            cols = [_agg_expr(a) for a in _expr_args(args, op)]
+            if op == "$concat":
+                return F.concat(*cols)
+            fn = Column.__add__ if op == "$add" else Column.__mul__
+            return reduce(fn, cols)
+        if op in ("$subtract", "$divide", "$mod"):
+            a, b = (_agg_expr(x) for x in _expr_args(args, op, 2))
+            fn = {
+                "$subtract": Column.__sub__,
+                "$divide": Column.__truediv__,
+                "$mod": Column.__mod__,  # sign follows the dividend, as BSON
+            }[op]
+            return fn(a, b)
+        if op in ("$toLower", "$toUpper", "$strLenCP"):
+            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            return {"$toLower": F.lower, "$toUpper": F.upper, "$strLenCP": F.length}[
+                op
+            ](a)
+        if op == "$ifNull":
+            return F.coalesce(*(_agg_expr(x) for x in _expr_args(args, op, 2)))
+        if op == "$cond":
+            if isinstance(args, dict):
+                args = [args.get("if"), args.get("then"), args.get("else")]
+            c, t, e = (_agg_expr(x) for x in _expr_args(args, op, 3))
+            return F.when(c, t).otherwise(e)
+        if op in _EXPR_CMP:
+            a, b = (_agg_expr(x) for x in _expr_args(args, op, 2))
+            return _EXPR_CMP[op](a, b)
+        raise ValueError(f"unsupported aggregation expression operator: {op}")
+    raise ValueError(f"unsupported aggregation expression: {spec!r}")
+
+
+def _bucket_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """``$bucket``: assign each document to the half-open interval
+    ``[boundaries[i], boundaries[i+1])`` of its groupBy value; ``_id``
+    is the interval's lower boundary. Out-of-range (or NULL) values go
+    to the ``default`` bucket; exactly as Mongo, a document that fits
+    no bucket when no default is given is an ERROR — pinned by an
+    ``assert_true`` in the when-chain's otherwise branch (CASE branches
+    evaluate lazily, so it fires only for an out-of-range row; a
+    detached check column would be pruned away by Catalyst before it
+    could fire). Fails the job rather than silently dropping rows."""
+    if not (isinstance(spec, dict) and "groupBy" in spec and "boundaries" in spec):
+        raise ValueError(f"$bucket needs groupBy and boundaries: {spec!r}")
+    bounds = list(spec["boundaries"])
+    if len(bounds) < 2 or any(bounds[i] >= bounds[i + 1] for i in range(len(bounds) - 1)):
+        raise ValueError(f"$bucket boundaries must be strictly ascending: {bounds!r}")
+    gb = _agg_expr(spec["groupBy"])
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (gb >= F.lit(lo)) & (gb < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+    if "default" in spec:
+        bucket = bucket.otherwise(F.lit(spec["default"]))
+    else:
+        bucket = bucket.otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.lit("$bucket: value outside boundaries and no default"),
+            )
+        )
+    out_spec = spec.get("output", {"count": {"$sum": 1}})
+    return df.groupBy(bucket.alias("_id")).agg(*_group_aggs(out_spec))
+
+
+def _facet_stage(
+    df: DataFrame, spec: dict, default_language: str, collections: dict
+) -> DataFrame:
+    """``$facet``: run each named sub-pipeline over the SAME input and
+    emit ONE document whose fields are the facet result arrays. Each
+    array is collected as sorted array<struct> so the single output row
+    is engine-reproducible (Mongo's array order follows each facet's
+    own pipeline order — unspecified without a $sort). The input plan
+    is re-evaluated once per facet (cache the input upstream if it is
+    expensive); nested $facet raises, as in Mongo."""
+    if not (isinstance(spec, dict) and spec):
+        raise ValueError(f"$facet needs a non-empty facet document: {spec!r}")
+    packed = []
+    for name, sub in spec.items():
+        if any(isinstance(s, dict) and "$facet" in s for s in sub):
+            raise ValueError("$facet cannot be nested inside $facet")
+        r = mql_aggregate(df, sub, default_language, collections)
+        packed.append(
+            r.agg(
+                F.sort_array(
+                    F.collect_list(F.struct(*[F.col(c) for c in r.columns]))
+                ).alias(name)
+            )
+        )
+    return reduce(DataFrame.crossJoin, packed)
 
 
 def mql_count_documents(
@@ -420,6 +571,19 @@ def mql_aggregate(
     sort_array-ed for determinism where Mongo's "natural order" is
     storage-dependent). ``$lookup.from`` resolves by name in the
     ``collections`` dict (the session's collection namespace).
+
+    Round-5 second-session stages: ``$addFields``/``$set`` (the
+    aggregation-expression grammar of ``_agg_expr``, bound
+    simultaneously via ``withColumns`` so in-stage references see the
+    original document — Mongo's contract), ``$bucket`` (half-open
+    boundary intervals; Mongo's no-default-out-of-range ERROR pinned
+    via a scan-riding assert), ``$unionWith`` (optional inner pipeline;
+    columns missing on one side surface as NULL, matching Mongo's
+    missing-field reads), ``$facet`` (named sub-pipelines over the same
+    input -> one row of sorted result arrays), and ``$push``/
+    ``$addToSet`` group accumulators (value-sorted for engine
+    reproducibility — Mongo's $push order is pipeline order, which is
+    unspecified without $sort).
     """
     df = rulings
     for stage in pipeline:
@@ -452,6 +616,29 @@ def mql_aggregate(
             )
         elif op == "$lookup":
             df = _lookup_stage(df, spec, collections or {})
+        elif op in ("$addFields", "$set"):
+            if not (isinstance(spec, dict) and spec):
+                raise ValueError(f"{op} needs a non-empty field document: {spec!r}")
+            df = df.withColumns({out: _agg_expr(e) for out, e in spec.items()})
+        elif op == "$bucket":
+            df = _bucket_stage(df, spec)
+        elif op == "$unionWith":
+            if isinstance(spec, str):
+                name, sub = spec, []
+            elif isinstance(spec, dict) and "coll" in spec:
+                name, sub = spec["coll"], spec.get("pipeline", [])
+            else:
+                raise ValueError(f"$unionWith needs a coll name: {spec!r}")
+            if not collections or name not in collections:
+                raise ValueError(
+                    f"$unionWith unknown collection {name!r}; pass it in collections="
+                )
+            other = mql_aggregate(
+                collections[name], sub, default_language, collections
+            )
+            df = df.unionByName(other, allowMissingColumns=True)
+        elif op == "$facet":
+            df = _facet_stage(df, spec, default_language, collections or {})
         else:
             raise ValueError(f"unsupported aggregation stage: {op}")
     return df

@@ -671,6 +671,192 @@ _MQL_AGG_TOKENS_SQL = (
 )
 
 
+def q_mql_agg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucket: five-year bucket histogram over anio with a default
+    bucket catching 2020+ — half-open [lo, hi) intervals, _id = lower
+    boundary, Mongo's out-of-range contract exercised by the default.
+    Lowers to one when-chain + one hash aggregate (a single scan)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$bucket": {
+                "groupBy": "$anio",
+                "boundaries": [2000, 2005, 2010, 2015, 2020],
+                "default": -1,
+                "output": {"n": {"$sum": 1}, "max_anio": {"$max": "$anio"}},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("max_anio").cast("long").alias("max_anio"),
+    )
+
+
+_MQL_BUCKET_SQL = f"""
+SELECT CAST(b AS BIGINT) AS _id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(anio) AS BIGINT) AS max_anio
+FROM (SELECT anio,
+             CASE WHEN anio >= 2000 AND anio < 2005 THEN 2000
+                  WHEN anio >= 2005 AND anio < 2010 THEN 2005
+                  WHEN anio >= 2010 AND anio < 2015 THEN 2010
+                  WHEN anio >= 2015 AND anio < 2020 THEN 2015
+                  ELSE -1 END AS b
+      FROM ({_RULINGS_SQL}))
+GROUP BY b
+"""
+
+
+def q_mql_agg_add_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$addFields computed columns (the aggregation-expression grammar:
+    integer decade arithmetic, $cond era labels, $strLenCP over
+    $ifNull) feeding $group accumulators that reference the ADDED
+    fields. All expressions stay JVM-side Catalyst — exact integer and
+    string ops both engines evaluate identically."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$addFields": {
+                "decade": {"$subtract": ["$anio", {"$mod": ["$anio", 10]}]},
+                "era": {"$cond": [{"$gte": ["$anio", 2010]}, "modern", "classic"]},
+                "tlen": {"$strLenCP": {"$ifNull": ["$texto", ""]}},
+            }},
+            {"$group": {"_id": "$era", "n": {"$sum": 1},
+                        "chars": {"$sum": "$tlen"},
+                        "first_decade": {"$min": "$decade"}}},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    return out.select(
+        "_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("chars").cast("long").alias("chars"),
+        F.col("first_decade").cast("long").alias("first_decade"),
+    )
+
+
+_MQL_ADD_FIELDS_SQL = f"""
+SELECT era AS _id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(tlen) AS BIGINT) AS chars,
+       CAST(MIN(decade) AS BIGINT) AS first_decade
+FROM (SELECT CASE WHEN anio >= 2010 THEN 'modern' ELSE 'classic' END AS era,
+             anio - anio % 10 AS decade,
+             length(COALESCE(texto, '')) AS tlen
+      FROM ({_RULINGS_SQL}))
+GROUP BY era
+"""
+
+
+def q_mql_agg_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$unionWith with an inner pipeline: current rulings (2020+)
+    unioned with a filtered archive slice (<2003), then $sortByCount —
+    two scans unioned ahead of one aggregate, exactly the plan Mongo's
+    own stage describes."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir)
+    return mql_aggregate(
+        r,
+        [
+            {"$match": {"anio": {"$gte": 2020}}},
+            {"$unionWith": {"coll": "archive",
+                            "pipeline": [{"$match": {"anio": {"$lt": 2003}}}]}},
+            {"$sortByCount": "$tipo"},
+        ],
+        collections={"archive": r},
+    )
+
+
+_MQL_UNION_WITH_SQL = f"""
+SELECT tipo AS _id, CAST(COUNT(*) AS BIGINT) AS count
+FROM (SELECT tipo FROM ({_RULINGS_SQL}) WHERE anio >= 2020
+      UNION ALL
+      SELECT tipo FROM ({_RULINGS_SQL}) WHERE anio < 2003)
+GROUP BY tipo ORDER BY count DESC, _id ASC
+"""
+
+
+def q_mql_agg_push_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$push/$addToSet group accumulators (value-sorted — Mongo's $push
+    order is pipeline order, unspecified without $sort; the sort makes
+    the arrays engine-reproducible). Arrays serialize to CSV at the
+    query edge (the parity harness hashes scalar columns only)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$match": {"anio": {"$gte": 2015}}},
+            {"$group": {"_id": "$anio",
+                        "tipos": {"$addToSet": "$tipo"},
+                        "provs": {"$push": "$providencia"}}},
+        ],
+    )
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.array_join("tipos", ",").alias("tipos_csv"),
+        F.size("provs").cast("long").alias("n_provs"),
+        F.element_at("provs", 1).alias("first_prov"),
+    )
+
+
+_MQL_PUSH_SETS_SQL = f"""
+SELECT CAST(anio AS BIGINT) AS _id,
+       array_to_string(list_sort(list_distinct(list(tipo))), ',') AS tipos_csv,
+       CAST(COUNT(providencia) AS BIGINT) AS n_provs,
+       MIN(providencia) AS first_prov
+FROM ({_RULINGS_SQL}) WHERE anio >= 2015 GROUP BY anio
+"""
+
+
+def q_mql_agg_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$facet: two named sub-pipelines (tipo ranking, decade counts)
+    over the same matched input, emitted as ONE row of result arrays —
+    Mongo's multi-facet dashboard shape. Each facet array is sorted
+    array<struct>, serialized to a CSV scalar at the query edge."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$match": {"anio": {"$gte": 2010}}},
+            {"$facet": {
+                "by_tipo": [{"$sortByCount": "$tipo"}],
+                "by_decade": [
+                    {"$addFields": {"decade": {"$subtract": ["$anio", {"$mod": ["$anio", 10]}]}}},
+                    {"$group": {"_id": "$decade", "n": {"$sum": 1}}},
+                ],
+            }},
+        ],
+    )
+    return out.select(
+        F.array_join(
+            F.transform("by_tipo", lambda s: F.concat_ws(":", s["_id"], s["count"])),
+            ",",
+        ).alias("by_tipo"),
+        F.array_join(
+            F.transform("by_decade", lambda s: F.concat_ws(":", s["_id"], s["n"])),
+            ",",
+        ).alias("by_decade"),
+    )
+
+
+_MQL_FACET_SQL = f"""
+WITH r AS (SELECT * FROM ({_RULINGS_SQL}) WHERE anio >= 2010)
+SELECT
+  (SELECT string_agg(_id || ':' || CAST(count AS VARCHAR), ',' ORDER BY _id, count)
+   FROM (SELECT tipo AS _id, CAST(COUNT(*) AS BIGINT) AS count FROM r GROUP BY tipo)) AS by_tipo,
+  (SELECT string_agg(CAST(_id AS VARCHAR) || ':' || CAST(n AS VARCHAR), ',' ORDER BY _id, n)
+   FROM (SELECT anio - anio % 10 AS _id, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1)) AS by_decade
+"""
+
+
 CYPHER_UNDIRECTED = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]-(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -1077,6 +1263,11 @@ QUERIES = {
     "mql_agg_sort_by_count": (q_mql_agg_sort_by_count, _MQL_SORT_BY_COUNT_SQL),
     "mql_agg_lookup": (q_mql_agg_lookup, _MQL_LOOKUP_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
+    "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),
+    "mql_agg_add_fields": (q_mql_agg_add_fields, _MQL_ADD_FIELDS_SQL),
+    "mql_agg_union_with": (q_mql_agg_union_with, _MQL_UNION_WITH_SQL),
+    "mql_agg_push_sets": (q_mql_agg_push_sets, _MQL_PUSH_SETS_SQL),
+    "mql_agg_facet": (q_mql_agg_facet, _MQL_FACET_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),

@@ -491,12 +491,86 @@ def test_mql_aggregate_rejects_out_of_subset(spark):
         [{"$lookup": {}}],
         [{"$group": {"_id": {"t": "$tipo"}, "n": {"$sum": 1}}}],  # compound _id
         [{"$group": {"_id": "$tipo"}}],  # no accumulator
-        [{"$group": {"_id": "$tipo", "n": {"$push": "$anio"}}}],
+        [{"$group": {"_id": "$tipo", "n": {"$stdDevPop": "$anio"}}}],
         [{"$unwind": "tokens"}],  # missing $ prefix
         [{"$match": {"x": 1}, "$limit": 2}],  # two ops in one stage
+        [{"$bucket": {"groupBy": "$anio", "boundaries": [2010, 2000]}}],  # not ascending
+        [{"$addFields": {}}],  # empty field document
+        [{"$addFields": {"x": {"$sqrt": "$anio"}}}],  # unsupported expr op
+        [{"$unionWith": {"coll": "nowhere"}}],  # unknown collection
+        [{"$facet": {"a": [{"$facet": {"b": [{"$count": "n"}]}}]}}],  # nested $facet
     ):
         with pytest.raises(ValueError):
             mql_aggregate(docs, bad).collect()
+
+
+def test_mql_aggregate_round5_stages(spark):
+    """$addFields/$set, $bucket, $unionWith, $facet, $push/$addToSet —
+    the round-5 second-session pipeline stages, edge rules pinned."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = _rulings(spark)
+
+    # $addFields binds simultaneously: an expression referencing a field
+    # REPLACED in the same stage sees the ORIGINAL value (Mongo's contract)
+    row = mql_aggregate(
+        docs,
+        [
+            {"$match": {"providencia": "P-7"}},
+            {"$set": {"anio2": {"$add": ["$anio", 1]},
+                      "anio": {"$subtract": ["$anio", "$anio"]}}},
+        ],
+    ).first()
+    base = docs.filter(F.col("providencia") == "P-7").first()
+    assert row.anio2 == base.anio + 1
+    assert row.anio == 0
+
+    # $bucket: default catches everything outside [2000, 2010)
+    got = {
+        r._id: r["count"]
+        for r in mql_aggregate(
+            docs,
+            [{"$bucket": {"groupBy": "$anio",
+                          "boundaries": [2000, 2010], "default": -1}}],
+        ).collect()
+    }
+    lo = docs.filter((F.col("anio") >= 2000) & (F.col("anio") < 2010)).count()
+    assert got == {2000: lo, -1: docs.count() - lo}
+
+    # no default + out-of-range value = runtime ERROR (Mongo's contract),
+    # not a silent drop
+    with pytest.raises(Exception, match="outside boundaries"):
+        mql_aggregate(
+            docs,
+            [{"$bucket": {"groupBy": "$anio", "boundaries": [2000, 2010]}}],
+        ).collect()
+
+    # $push / $addToSet arrays are value-sorted (engine-reproducible)
+    row = mql_aggregate(
+        docs,
+        [{"$group": {"_id": None, "t": {"$addToSet": "$tipo"},
+                     "p": {"$push": "$tipo"}}}],
+    ).first()
+    assert list(row.t) == sorted(set(row.t)) and len(row.t) == len(set(row.t))
+    assert list(row.p) == sorted(row.p) and len(row.p) == docs.count()
+
+    # $unionWith (shorthand string form): columns missing on one side
+    # surface as NULL, like Mongo's missing-field reads
+    slim = docs.select("providencia", "tipo")
+    extra = slim.withColumn("only_here", F.lit(1))
+    out = mql_aggregate(slim, [{"$unionWith": "x"}], collections={"x": extra})
+    assert out.count() == 2 * slim.count()
+    assert out.filter(F.col("only_here").isNull()).count() == slim.count()
+
+    # $facet: one row, each facet a sorted result array
+    fac = mql_aggregate(
+        docs,
+        [{"$facet": {"a": [{"$count": "n"}], "b": [{"$sortByCount": "$tipo"}]}}],
+    )
+    assert fac.count() == 1
+    one = fac.first()
+    assert one.a[0].n == docs.count()
+    assert [s._id for s in one.b] == sorted(s._id for s in one.b)
 
 
 def test_cypher_degree_template(spark):
