@@ -162,6 +162,122 @@ def _bmp_image_decode(payload: bytes) -> tuple[int, int, float]:
     return width, h, round(float(luma.mean()) / 255.0, 6)
 
 
+def encode_png(data: bytes, width: int = 16) -> bytes:
+    """Pack raw bytes into a REAL 8-bit grayscale PNG (color type 0):
+    one filter-0 scanline per row, zero-filled to a whole
+    ``width x H`` raster with H = ceil(len/width) (min 1), zlib IDAT,
+    CRC-correct chunks. Pure stdlib — the fixture generator for the
+    ``"png"`` real-decode backend (the third real image/audio codec
+    path alongside BMP and WAV)."""
+    import struct
+    import zlib
+
+    h = max(1, -(-len(data) // width))
+    raster = data.ljust(width * h, b"\x00")
+    raw = b"".join(
+        b"\x00" + raster[r * width : (r + 1) * width] for r in range(h)
+    )
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(ft: int, cur, prev):
+    """One scanline of PNG filter reconstruction (spec §4.5.4, bpp=1
+    for 8-bit grayscale). Sub/Average/Paeth carry a left-neighbor
+    dependency, so they run as a per-byte loop; None (0) and Up (2)
+    vectorize."""
+    import numpy as np
+
+    if ft == 0:
+        return cur.copy()
+    if ft == 2:
+        return ((cur.astype(np.int32) + prev) % 256).astype(np.uint8)
+    out = np.empty_like(cur)
+    for i in range(len(cur)):
+        a = int(out[i - 1]) if i else 0
+        b = int(prev[i])
+        c = int(prev[i - 1]) if i else 0
+        if ft == 1:  # Sub
+            v = cur[i] + a
+        elif ft == 3:  # Average
+            v = cur[i] + (a + b) // 2
+        elif ft == 4:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = cur[i] + pred
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[i] = v % 256
+    return out
+
+
+def _png_image_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL PNG decode via struct + zlib + numpy (no third-party dep —
+    runs in CI like the BMP and WAV siblings): chunk walk with CRC
+    verification, IHDR parse, multi-IDAT concatenation, inflate, and
+    full filter reconstruction (types 0-4) for 8-bit grayscale. Mean
+    luma is the raster mean normalized to [0,1]/6 digits — the same
+    contract as every other image backend."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, idat = 8, []
+    w = h = bit_depth = color_type = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if bit_depth != 8 or color_type != 0:
+        raise ValueError(
+            f"only 8-bit grayscale PNG supported, got depth={bit_depth} "
+            f"color_type={color_type}"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w + 1
+    if len(raw) != stride * h:
+        raise ValueError("PNG raster size mismatch")
+    rows = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        cur = np.frombuffer(line, np.uint8, w, 1)
+        rows[r] = _png_unfilter_row(line[0], cur, prev)
+        prev = rows[r]
+    mean_luma = round(float(rows.mean()) / 255.0, 6) if rows.size else 0.0
+    return int(w), int(h), mean_luma
+
+
 def decode_image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -172,14 +288,16 @@ def decode_image_features(
     batches). The per-batch loop touches only the two needed columns —
     column pruning keeps other payload metadata out of the transfer.
 
-    Backends: ``"fake"`` (deterministic CI default), ``"bmp"`` (REAL
-    stdlib struct+numpy decode — runs everywhere), ``"pil"`` (real,
+    Backends: ``"fake"`` (deterministic CI default), ``"bmp"`` and
+    ``"png"`` (REAL stdlib decodes — run everywhere), ``"pil"`` (real,
     import-gated: NotImplementedError when Pillow isn't installed)."""
     if decode_backend == "pil":
         _require("PIL", "pip install pillow")
         decode = _pil_image_decode
     elif decode_backend == "bmp":
         decode = _bmp_image_decode
+    elif decode_backend == "png":
+        decode = _png_image_decode
     elif decode_backend == "fake":
         decode = _fake_image_decode
     else:
@@ -370,4 +488,59 @@ def bmp_header_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         le_uint(p, 18, 4).alias("width"),
         le_uint(p, 22, 4).alias("height"),
         le_uint(p, 28, 2).alias("bpp"),
+    )
+
+
+def be_uint(col: Column, offset: int, nbytes: int) -> Column:
+    """Big-endian unsigned integer read from a binary column — the
+    network-byte-order sibling of ``le_uint`` (PNG/JPEG/FLAC headers):
+    hex of the substring IS the big-endian digits, so no byte swap."""
+    return F.conv(F.hex(F.substring(col, offset + 1, nbytes)), 16, 10).cast("long")
+
+
+def png_header_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """PNG container metadata WITHOUT decoding: signature + IHDR-tag
+    check, width/height (big-endian at 16/20), bit depth and color
+    type — every field a JVM expression (``be_uint``). Columns
+    appended: ``png_ok``, ``width``, ``height``, ``bit_depth``,
+    ``color_type``. Same scale posture as ``bmp_header_meta``: the
+    geometry filter runs as a plain scan; only surviving assets reach
+    the Arrow decode stage."""
+    p = F.col(payload_col)
+    return df.select(
+        "*",
+        (
+            (F.substring(p, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
+            & (F.substring(p, 13, 4) == F.lit(b"IHDR"))
+        ).alias("png_ok"),
+        be_uint(p, 16, 4).alias("width"),
+        be_uint(p, 20, 4).alias("height"),
+        be_uint(p, 24, 1).alias("bit_depth"),
+        be_uint(p, 25, 1).alias("color_type"),
+    )
+
+
+def wav_header_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Canonical 44-byte RIFF/WAVE header metadata WITHOUT decoding
+    (the layout stdlib ``wave`` writes: fmt chunk at 12, data chunk at
+    36): RIFF/WAVE/fmt/data tag checks plus audio format, channel
+    count, sample rate, bits per sample, and data-chunk byte size —
+    every field a ``le_uint`` JVM expression. ``n_frames`` derives as
+    data_size / block_align downstream; non-canonical chunk layouts
+    (LIST/INFO before data) fail the ``wav_ok`` check rather than
+    misread."""
+    p = F.col(payload_col)
+    return df.select(
+        "*",
+        (
+            (F.substring(p, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(p, 9, 4) == F.lit(b"WAVE"))
+            & (F.substring(p, 13, 4) == F.lit(b"fmt "))
+            & (F.substring(p, 37, 4) == F.lit(b"data"))
+        ).alias("wav_ok"),
+        le_uint(p, 20, 2).alias("audio_format"),
+        le_uint(p, 22, 2).alias("channels"),
+        le_uint(p, 24, 4).alias("sample_rate"),
+        le_uint(p, 34, 2).alias("bits_per_sample"),
+        le_uint(p, 40, 4).alias("data_size"),
     )

@@ -103,13 +103,10 @@ FROM f
 """
 
 
-def _wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container decode, end to end and fully distributed: wrap
-    each audio asset's bytes into a valid RIFF/WAVE container (stdlib
-    ``wave``, one Arrow batch at a time), then recover sample rate /
-    frame count / RMS through the real ``"wav"`` decode backend — no
-    fake decoder anywhere in this path. The backend itself is pinned by
-    tests/test_multimodal.py::test_wav_backend_real_decode."""
+def _wav_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid RIFF/WAVE containers for every audio asset (stdlib
+    ``wave``, one Arrow batch at a time) — the staged fixture both the
+    real-decode path and the JVM header-introspection path read."""
     import pandas as pd
 
     assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "audio")
@@ -133,10 +130,43 @@ def _wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((aid, buf.getvalue()))
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
 
-    wavs = assets.select("asset_id", "payload").mapInPandas(
+    return assets.select("asset_id", "payload").mapInPandas(
         wrap, "asset_id long, payload binary"
     )
-    return multimodal.decode_audio_features(wavs, decode_backend="wav")
+
+
+def _wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode, end to end and fully distributed: the
+    staged RIFF/WAVE containers recovered through the real ``"wav"``
+    decode backend — no fake decoder anywhere in this path. The backend
+    itself is pinned by tests/test_multimodal.py."""
+    return multimodal.decode_audio_features(
+        _wav_containers(spark, sf_dir), decode_backend="wav"
+    )
+
+
+def q_wav_header_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE header metadata WITHOUT decode: audio format, channel
+    count, sample rate, bits, data-chunk size — all ``le_uint`` JVM
+    expressions over the binary column (the audio sibling of
+    multimodal_bmp_header_jvm). Oracle: the container-write arithmetic
+    (PCM 16-bit mono at 16 kHz; data bytes = odd-padded payload)."""
+    wavs = _wav_containers(spark, sf_dir)
+    return multimodal.wav_header_meta(wavs).filter(F.col("wav_ok")).select(
+        "asset_id", "audio_format", "channels", "sample_rate",
+        "bits_per_sample", "data_size",
+    )
+
+
+_WAV_HEADER_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(1 AS BIGINT) AS audio_format,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(16 AS BIGINT) AS bits_per_sample,
+       CAST(2 * ((octet_length(encode(text)) + 1) // 2) AS BIGINT) AS data_size
+FROM documents WHERE doc_id % 3 = 1
+"""
 
 
 def q_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +294,81 @@ FROM v
 """
 
 
+def _png_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid 8-bit grayscale PNG containers for every video-modality
+    asset (so the three real codecs cover all three modalities):
+    stdlib zlib encode, one Arrow batch at a time."""
+    import pandas as pd
+
+    assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "video")
+
+    def wrap(batches):
+        for pdf in batches:
+            out = [
+                (aid, multimodal.encode_png(bytes(p) if p is not None else b""))
+                for aid, p in zip(pdf["asset_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        wrap, "asset_id long, payload binary"
+    )
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the real PNG decode (CRC-verified chunk
+    walk, inflate, filter reconstruction): container geometry (width
+    pinned at 16, height = ceil(len/16) rows min 1) is exact arithmetic
+    a SQL oracle reproduces — so the distributed decode path IS
+    hash-checked. Compressed container size and pixel-derived luma live
+    in the rows-only sibling ``multimodal_png_luma`` (zlib output size
+    isn't SQL-expressible)."""
+    feats = multimodal.decode_image_features(
+        _png_containers(spark, sf_dir), decode_backend="png"
+    )
+    return feats.select("asset_id", "width", "height")
+
+
+_PNG_DECODE_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(GREATEST(1, (octet_length(encode(text)) + 15) // 16) AS BIGINT) AS height
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def q_png_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full real PNG decode feature set including mean luma over the
+    reconstructed raster — rows-only (the luma rides zlib-compressed
+    filtered scanlines; not SQL-expressible); decode backend pinned on
+    known bytes and ALL five filter types in tests/test_multimodal.py;
+    geometry oracle-checked via multimodal_png_decode."""
+    return multimodal.decode_image_features(
+        _png_containers(spark, sf_dir), decode_backend="png"
+    )
+
+
+def q_png_header_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG container metadata WITHOUT decode: width/height (big-endian
+    IHDR fields via ``be_uint`` — no byte swap, hex IS the number),
+    bit depth, color type; signature + IHDR-tag checked. The
+    network-byte-order sibling of multimodal_bmp_header_jvm."""
+    pngs = _png_containers(spark, sf_dir)
+    return multimodal.png_header_meta(pngs).filter(F.col("png_ok")).select(
+        "asset_id", "width", "height", "bit_depth", "color_type"
+    )
+
+
+_PNG_HEADER_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(GREATEST(1, (octet_length(encode(text)) + 15) // 16) AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(0 AS BIGINT) AS color_type
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-embed every payload, then brute-force cosine top-10 against
     asset 0 — the multimodal->similarity handoff, end to end."""
@@ -284,6 +389,10 @@ QUERIES = {
     "multimodal_bmp_decode": (q_bmp_decode, _BMP_DECODE_SQL),
     "multimodal_bmp_header_jvm": (q_bmp_header_jvm, _BMP_HEADER_SQL),
     "multimodal_bmp_luma": (q_bmp_luma, None),
+    "multimodal_png_decode": (q_png_decode, _PNG_DECODE_SQL),
+    "multimodal_png_header_jvm": (q_png_header_jvm, _PNG_HEADER_SQL),
+    "multimodal_png_luma": (q_png_luma, None),
+    "multimodal_wav_header_jvm": (q_wav_header_jvm, _WAV_HEADER_SQL),
     "multimodal_embed_topk": (q_payload_embed_topk, None),
 }
 
@@ -309,5 +418,11 @@ WHY_NO_ORACLE = {
         "mean luma over the decoded BGR raster isn't SQL-expressible; decode "
         "backend pinned on known pixel bytes in tests/test_multimodal.py; "
         "geometry fields oracle-checked via multimodal_bmp_decode"
+    ),
+    "multimodal_png_luma": (
+        "mean luma and container size ride zlib-compressed filtered "
+        "scanlines — not SQL-expressible; decode backend pinned on known "
+        "bytes and all five PNG filter types in tests/test_multimodal.py; "
+        "geometry fields oracle-checked via multimodal_png_decode"
     ),
 }

@@ -189,3 +189,138 @@ def test_bmp_top_down_raster():
     # flip the stored height sign; single-row image so bytes are identical
     top_down = bottom_up[:22] + struct.pack("<i", -1) + bottom_up[26:]
     assert mm._bmp_image_decode(top_down) == mm._bmp_image_decode(bottom_up)
+
+
+def test_png_backend_real_decode(spark):
+    """The stdlib PNG backend is a REAL decoder exercised in CI: CRC
+    verification, inflate, and geometry through the distributed
+    mapInPandas path on a known raster."""
+    raster = bytes([0, 64, 128, 255])  # 2x2 grayscale, width=2
+    payload = mm.encode_png(raster, width=2)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    row = mm.decode_image_features(df, decode_backend="png").first()
+    assert (row.width, row.height) == (2, 2)
+    assert row.n_bytes == len(payload)
+    assert abs(row.mean_luma - (0 + 64 + 128 + 255) / 4 / 255.0) < 1e-5
+
+
+def test_png_roundtrip_padding_and_min_height():
+    import pytest
+
+    for n in (0, 1, 15, 16, 17, 1000):
+        w, h, luma = mm._png_image_decode(mm.encode_png(b"\x7f" * n))
+        assert w == 16 and h == max(1, -(-n // 16))
+        assert 0.0 <= luma <= 1.0
+    with pytest.raises(ValueError, match="signature"):
+        mm._png_image_decode(b"BM not a png")
+
+
+def test_png_crc_verification():
+    """A corrupted IDAT byte fails the chunk CRC check — the decoder
+    verifies integrity instead of trusting the container."""
+    import pytest
+
+    payload = bytearray(mm.encode_png(bytes(range(32))))
+    idat = payload.index(b"IDAT")
+    payload[idat + 6] ^= 0xFF  # flip a byte inside the IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        mm._png_image_decode(bytes(payload))
+
+
+def test_png_all_filter_types_reconstruct():
+    """Full filter coverage: hand-build a PNG whose five scanlines use
+    filter types 0..4 (encoding each line per the spec against the
+    RECONSTRUCTED previous row), decode, and require the original
+    raster back — the decoder really implements Sub/Up/Average/Paeth,
+    not just the encoder's filter-0 subset."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    w, h = 9, 5
+    raster = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        cur = raster[r].astype(int)
+        ft = r % 5
+        line = []
+        for i in range(w):
+            a = int(cur[i - 1]) if i else 0  # reconstructed left = original
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i else 0
+            if ft == 0:
+                v = cur[i]
+            elif ft == 1:
+                v = cur[i] - a
+            elif ft == 2:
+                v = cur[i] - b
+            elif ft == 3:
+                v = cur[i] - (a + b) // 2
+            else:
+                v = cur[i] - paeth(a, b, c)
+            line.append(v % 256)
+        raw += bytes([ft]) + bytes(line)
+        prev = raster[r]
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got_w, got_h, luma = mm._png_image_decode(payload)
+    assert (got_w, got_h) == (w, h)
+    assert abs(luma - round(float(raster.mean()) / 255.0, 6)) < 1e-9
+
+
+def test_be_uint_and_header_meta(spark):
+    """be_uint reads big-endian fields exactly (vs struct); the PNG and
+    WAV header-meta frames recover every header field JVM-side."""
+    import io
+    import struct
+    import wave
+
+    png = mm.encode_png(bytes(range(100)), width=10)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(44100)
+        wv.writeframes(b"\x01\x02\x03\x04" * 25)
+    wav = buf.getvalue()
+
+    pdf = spark.createDataFrame([(1, png)], "asset_id long, payload binary")
+    prow = mm.png_header_meta(pdf).first()
+    assert prow.png_ok
+    assert (prow.width, prow.height) == (10, 10)
+    assert (prow.bit_depth, prow.color_type) == (8, 0)
+
+    wdf = spark.createDataFrame([(2, wav)], "asset_id long, payload binary")
+    wrow = mm.wav_header_meta(wdf).first()
+    assert wrow.wav_ok
+    assert (wrow.audio_format, wrow.channels) == (1, 2)
+    assert wrow.sample_rate == 44100
+    assert wrow.bits_per_sample == 16
+    assert wrow.data_size == struct.unpack_from("<I", wav, 40)[0] == 100
+
+    # a non-canonical container fails wav_ok instead of misreading
+    bad = spark.createDataFrame(
+        [(3, b"RIFF1234WAVEJUNK" + bytes(40))], "asset_id long, payload binary"
+    )
+    assert mm.wav_header_meta(bad).first().wav_ok is False
