@@ -14,6 +14,8 @@ smallest frame. ``report=True`` adds a per-stage row-count audit
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,3 +80,88 @@ def curate_report(docs: DataFrame, **kwargs) -> dict[str, int]:
         "after_quality": after_q,
         "final": final,
     }
+
+
+# the eight stop words Gopher's "stop word" rule checks for (Rae et al.
+# 2021, table A1); presence of >= 2 DISTINCT ones is our pinned reading
+# ("contain at least two of the following stop words")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality-filter rule bundle (Rae et al. 2021 §A1.1 —
+    the heuristic gate most open-data pipelines start from), computed
+    with EXACT integer arithmetic so every flag is value-hash
+    verifiable cross-engine: each ratio bound becomes a cross-
+    multiplied integer comparison (``words/lines < 0.9`` is
+    ``10*bullets < 9*lines``), never a float division.
+
+    Per-document boolean flags appended:
+
+    - ``flag_word_count``: 50 <= whitespace-word count <= 100_000
+    - ``flag_mean_word_len``: mean word length in [3, 10] (as
+      ``3*n_words <= non-ws chars <= 10*n_words``)
+    - ``flag_bullet``: < 90% of non-blank lines start with a bullet
+      ('-', '*', '•'); vacuously true with no lines
+    - ``flag_ellipsis``: < 30% of non-blank lines end with '...'/'…'
+    - ``flag_symbol``: (# count + non-overlapping '...' count) /
+      n_words < 0.1
+    - ``flag_alpha``: > 80% of words contain an alphabetic character
+    - ``flag_stopwords``: >= 2 distinct GOPHER_STOPWORDS present
+    - ``pass_gopher``: AND of all seven
+
+    Everything is one Catalyst projection over one scan — map-only, no
+    UDF, no shuffle; at 100 TB this is the same cost as reading the
+    text column once. NULL text behaves as empty (fails word count,
+    so ``pass_gopher`` is false)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    non_ws = F.length(F.regexp_replace(t, r"\s", ""))
+    lines = F.filter(
+        F.split(t, "\n"), lambda ln: F.length(F.trim(ln)) > F.lit(0)
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.startswith(F.ltrim(ln), F.lit("-"))
+            | F.startswith(F.ltrim(ln), F.lit("*"))
+            | F.startswith(F.ltrim(ln), F.lit("•")),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.endswith(F.rtrim(ln), F.lit("..."))
+            | F.endswith(F.rtrim(ln), F.lit("…")),
+        )
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_dots = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "flag_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "flag_mean_word_len": (n_words > 0)
+        & (non_ws >= 3 * n_words)
+        & (non_ws <= 10 * n_words),
+        "flag_bullet": (n_lines == 0) | (10 * n_bullet < 9 * n_lines),
+        "flag_ellipsis": (n_lines == 0) | (10 * n_ellipsis < 3 * n_lines),
+        "flag_symbol": 10 * (n_hash + n_dots) < n_words,
+        "flag_alpha": 5 * n_alpha > 4 * n_words,
+        "flag_stopwords": stop_hits >= 2,
+    }
+    out = docs.withColumns(flags)
+    return out.withColumn(
+        "pass_gopher", reduce(lambda a, b: a & b, [F.col(c) for c in flags])
+    )

@@ -463,8 +463,67 @@ WHERE (CASE WHEN o.h IS NULL THEN 'added'
 """
 
 
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule bundle (Rae et al. 2021): seven heuristic
+    flags + the combined gate, every ratio bound a cross-multiplied
+    INTEGER comparison so the whole rule set is exact cross-engine.
+    One map-only projection over one scan."""
+    from providenciasbigdata_spark.operators.curate import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_quality_flags(docs)
+    return out.select(
+        "doc_id", "flag_word_count", "flag_mean_word_len", "flag_bullet",
+        "flag_ellipsis", "flag_symbol", "flag_alpha", "flag_stopwords",
+        "pass_gopher",
+    )
+
+
+_GOPHER_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(COALESCE(text, ''), '\s+'), w -> w <> '') AS words,
+         length(regexp_replace(COALESCE(text, ''), '\s', '', 'g')) AS non_ws,
+         list_filter(string_split(COALESCE(text, ''), chr(10)), l -> length(trim(l)) > 0) AS lines,
+         length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '#', '')) AS n_hash,
+         (length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '...', ''))) // 3 AS n_dots
+  FROM documents
+), c AS (
+  SELECT doc_id, non_ws, n_hash, n_dots,
+         len(words) AS n_words,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                                  OR starts_with(ltrim(l), '*')
+                                  OR starts_with(ltrim(l), '•'))) AS n_bullet,
+         len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                                  OR ends_with(rtrim(l), '…'))) AS n_ellipsis,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM m
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+       n_words > 0 AND non_ws >= 3 * n_words AND non_ws <= 10 * n_words AS flag_mean_word_len,
+       n_lines = 0 OR 10 * n_bullet < 9 * n_lines AS flag_bullet,
+       n_lines = 0 OR 10 * n_ellipsis < 3 * n_lines AS flag_ellipsis,
+       10 * (n_hash + n_dots) < n_words AS flag_symbol,
+       5 * n_alpha > 4 * n_words AS flag_alpha,
+       stop_hits >= 2 AS flag_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+       AND (n_words > 0 AND non_ws >= 3 * n_words AND non_ws <= 10 * n_words)
+       AND (n_lines = 0 OR 10 * n_bullet < 9 * n_lines)
+       AND (n_lines = 0 OR 10 * n_ellipsis < 3 * n_lines)
+       AND (10 * (n_hash + n_dots) < n_words)
+       AND (5 * n_alpha > 4 * n_words)
+       AND (stop_hits >= 2) AS pass_gopher
+FROM c
+"""
+
+
 QUERIES = {
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
+    "curate_gopher_flags": (q_gopher_flags, _GOPHER_SQL),
     "split_train_val_test": (q_split_train_val_test, _split_sql()),
     "snapshot_diff_changes": (q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "sample_weighted_by_length": (q_weighted_sample, _WEIGHTED_SAMPLE_SQL),

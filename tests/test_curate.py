@@ -32,3 +32,35 @@ def test_curate_no_language_filter(spark):
 def test_curate_report_counts(spark):
     rep = curate_report(_docs(spark), languages=["en", "es"], min_quality=0.3)
     assert rep == {"input": 6, "after_language": 3, "after_quality": 3, "final": 2}
+
+
+def test_gopher_flags_rule_pins(spark):
+    """Each Gopher rule trips on a purpose-built document; a healthy
+    50+-word prose doc passes the whole gate."""
+    from providenciasbigdata_spark.operators.curate import gopher_quality_flags
+
+    good = "the quick brown fox and the lazy dog have agreed that " * 6
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dots = "the " * 60 + "... " * 20
+    symbols = "the " * 60 + "# " * 20
+    numbers = " ".join(str(i) for i in range(60)) + " the of and that"
+    short = "the of and"
+    long_words = ("pneumonoultramicroscopics " * 60) + "the of and that"
+    rows = [
+        (1, good), (2, bullets), (3, dots), (4, symbols),
+        (5, numbers), (6, short), (7, long_words), (8, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+
+    assert got[1].pass_gopher
+    assert not got[2].flag_bullet          # 100% bullet lines
+    assert not got[3].flag_ellipsis or not got[3].flag_symbol
+    assert not got[4].flag_symbol          # '#' ratio 20/80 >= 0.1
+    assert not got[5].flag_alpha           # numbers dominate
+    assert not got[6].flag_word_count      # 3 words < 50
+    assert not got[7].flag_mean_word_len   # mean word length > 10
+    assert not got[8].flag_word_count and not got[8].pass_gopher  # null text
+    # stopword rule: >= 2 DISTINCT stopwords present
+    assert got[1].flag_stopwords and got[5].flag_stopwords
+    assert not got[2].flag_stopwords  # bullet items carry none
