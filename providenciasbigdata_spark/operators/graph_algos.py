@@ -791,3 +791,67 @@ def label_propagation(
             eager=False,
         )
     return labels.select("id", F.col("lbl").alias("community"))
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over the UNDIRECTED
+    graph (Liben-Nowell & Kleinberg 2003): for every NON-ADJACENT node
+    pair sharing >= ``min_common`` neighbors, emit
+    ``(a, b, n_common, n_union, jaccard)`` with ``a < b``,
+    ``n_union = deg(a) + deg(b) - n_common`` and
+    ``jaccard = n_common / n_union``.
+
+    Everything but the final score is exact integer arithmetic; the
+    score itself is ONE IEEE division of two integers — correctly
+    rounded, so bit-identical across engines (oracle-checkable without
+    decimal gymnastics).
+
+    Plan shape: symmetrize + distinct (one shuffle), wedge self-join on
+    the shared-neighbor key (one shuffle on node id), count per pair,
+    anti-join against the edge set to drop already-adjacent pairs, two
+    degree joins. Scale note: a degree-d hub emits d^2 wedge pairs —
+    the canonical skew; AQE's skew-join split handles moderate hubs,
+    and for power-law graphs cap neighborhoods upstream (drop nodes
+    with deg > cap from the WEDGE side only, the standard
+    approximation) before calling this."""
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .union(edges.select(v.alias("u"), u.alias("v")))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    t1 = und.select(F.col("u").alias("n"), F.col("v").alias("a"))
+    t2 = und.select(F.col("u").alias("n"), F.col("v").alias("b"))
+    pairs = (
+        t1.join(t2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    nonadj = pairs.join(adj, ["a", "b"], "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    return (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("da") + F.col("db") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -470,8 +470,42 @@ GROUP BY n.id
 """
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the bounded similitud>=30 graph:
+    non-adjacent pairs ranked by shared-neighbor overlap. Integer
+    common/union counts are exact; the score is one int/int IEEE
+    division (correctly rounded -> engine-identical)."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        link_prediction_jaccard,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return link_prediction_jaccard(edges, min_common=2)
+
+
+_LINK_PRED_SQL = f"""
+WITH sym AS MATERIALIZED ({_SYM_EDGES_150_SQL}),
+und AS (SELECT DISTINCT u, v FROM sym),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+pairs AS (
+  SELECT t1.v AS a, t2.v AS b, COUNT(*) AS n_common
+  FROM und t1 JOIN und t2 ON t1.u = t2.u AND t1.v < t2.v
+  GROUP BY t1.v, t2.v
+  HAVING COUNT(*) >= 2),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = p.a AND e.v = p.b))
+SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(da.d + db.d - n_common AS BIGINT) AS n_union,
+       CAST(n_common AS DOUBLE) / CAST(da.d + db.d - n_common AS DOUBLE) AS jaccard
+FROM nonadj JOIN deg da ON da.u = nonadj.a JOIN deg db ON db.u = nonadj.b
+"""
+
+
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
+    "graph_link_prediction": (q_link_prediction, _LINK_PRED_SQL),
     "graph_scc": (q_graph_scc, _SCC_SQL),
     "graph_kcore": (q_kcore, _kcore_sql()),
     "graph_label_propagation": (q_label_propagation, _lpa_sql()),

@@ -362,3 +362,31 @@ def test_scc_random_digraphs_match_tarjan(spark):
             for r in strongly_connected_components(df, small_cutover=0).collect()
         }
         assert got == want, (trial, edges)
+
+
+def test_link_prediction_jaccard_known_graph(spark):
+    """Path a-b-c-d plus hub h connected to a,c: hand-checked common
+    neighbors, union sizes, and one-division scores; adjacent pairs
+    are excluded; direction of input edges is irrelevant."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        link_prediction_jaccard,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("h", "a"), ("c", "h")],
+        "src string, dst string",
+    )
+    got = {(r.a, r.b): r for r in link_prediction_jaccard(edges).collect()}
+    # neighbors: a={b,h}, b={a,c}, c={b,d,h}, d={c}, h={a,c}
+    # non-adjacent pairs with common>=1: (a,c) via b+h, (b,d) via c,
+    # (b,h) via a+c, (d,h) via c
+    assert set(got) == {("a", "c"), ("b", "d"), ("b", "h"), ("d", "h")}
+    ac = got[("a", "c")]
+    assert (ac.n_common, ac.n_union) == (2, 3)  # {b,h}; 2+3-2
+    assert abs(ac.jaccard - 2 / 3) < 1e-15
+    bd = got[("b", "d")]
+    assert (bd.n_common, bd.n_union) == (1, 2)
+    assert got[("b", "h")].n_common == 2 and got[("d", "h")].n_common == 1
+    # min_common filters
+    strict = link_prediction_jaccard(edges, min_common=2)
+    assert {(r.a, r.b) for r in strict.collect()} == {("a", "c"), ("b", "h")}
