@@ -228,8 +228,65 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_purchase_click_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.purchase_with_click_semi(
+        load_table(spark, sf_dir, "events"), within="30 minutes"
+    )
+
+
+_PURCHASE_CLICK_SEMI_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+WHERE EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL '30 minutes')
+"""
+
+
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.session_windows_dynamic(load_table(spark, sf_dir, "events"))
+
+
+# Dynamic-gap sessionization = interval union: each event opens
+# [ts, ts + gap(event)); a new session starts when ts exceeds the
+# running MAX of previous interval ends (boundary-INCLUSIVE merge, as
+# the static-gap pin); session_end = MAX(ts + gap) within the island.
+_SESSIONS_DYNAMIC_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         ts + CASE WHEN event_type = 'purchase'
+                   THEN INTERVAL '60 minutes' ELSE INTERVAL '30 minutes' END AS w_end
+  FROM events
+), marked AS (
+  SELECT user_id, ts, event_type, w_end,
+         CASE WHEN prev_max_end IS NULL OR ts > prev_max_end THEN 1 ELSE 0 END AS is_new
+  FROM (
+    SELECT user_id, ts, event_type, w_end,
+           MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts, w_end
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+    FROM g
+  )
+), islands AS (
+  SELECT user_id, ts, event_type, w_end,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, w_end) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(w_end) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "stream_ohlc_windows": (q_ohlc_windows, _OHLC_WINDOWS_SQL),
+    "stream_purchase_click_semi": (q_purchase_click_semi, _PURCHASE_CLICK_SEMI_SQL),
+    "stream_session_dynamic_gap": (q_session_dynamic_gap, _SESSIONS_DYNAMIC_SQL),
     "stream_tumbling_counts": (q_tumbling, _TUMBLING_SQL),
     "stream_route_documents": (q_route_documents, _route_documents_sql()),
     "stream_enrich_segments": (q_enrich_segments, _ENRICH_SQL),

@@ -304,6 +304,72 @@ def purchase_then_click_outer(
     )
 
 
+def purchase_with_click_semi(
+    events: DataFrame, within: str = "30 minutes", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join (completes the join
+    matrix: inner / left outer / full outer / semi): purchases that
+    were followed by AT LEAST ONE click from the same user within the
+    window — each purchase once, no click columns. Unlike the outer
+    variants, a semi row can stream out as soon as its FIRST match
+    arrives (nothing to retract); unmatched purchases simply never
+    emit, so no watermark-trailing NULL pass exists on this path.
+    State stays bounded by the same interval + watermark horizon.
+
+    Output: (user_id, purchase_id, p_ts)."""
+    purchases = _maybe_watermark(
+        events.filter(F.col("event_type") == "purchase"), watermark
+    ).select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = _maybe_watermark(
+        events.filter(F.col("event_type") == "click"), watermark
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.c_ts > purchases.p_ts)
+        & (clicks.c_ts <= purchases.p_ts + F.expr(f"INTERVAL {within}")),
+        "left_semi",
+    )
+
+
+def session_windows_dynamic(
+    events: DataFrame, watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (Spark's
+    session_window accepts a gap EXPRESSION): purchases hold the
+    session open 60 minutes, every other event 30 — the
+    checkout-intent shape. Merge semantics become interval-union:
+    event windows [ts, ts+gap(event)) merge while they overlap, so the
+    session end is MAX(ts + gap) over its events (not last + constant
+    gap). Same state-store merge machinery as the static-gap form.
+
+    Output: (user_id, session_start, session_end, n_events,
+    n_purchases)."""
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        _maybe_watermark(events, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+
+
 def purchase_then_click_full_outer(
     events: DataFrame, within: str = "30 minutes", watermark: str | None = "1 hour"
 ) -> DataFrame:

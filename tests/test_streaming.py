@@ -51,6 +51,11 @@ def _as_rows(df, cols):
             ["window_start", "window_end", "event_type", "open", "high", "low", "close", "n"],
             "complete",
         ),
+        (
+            streaming.session_windows_dynamic,
+            ["user_id", "session_start", "session_end", "n_events", "n_purchases"],
+            "complete",
+        ),
     ],
 )
 def test_stream_matches_batch(spark, events_dir, fn, cols, output_mode):
@@ -103,6 +108,23 @@ def test_user_running_totals_stateful(spark, events_dir):
     batch = streaming.user_running_totals(load_table(spark, SF, "events"))
     cols = ["user_id", "n_events", "total_value"]
     assert _as_rows(final, cols) == _as_rows(batch, cols)
+
+
+def test_stream_stream_semi_join_matches_batch(spark, events_dir):
+    """LEFT SEMI stream-stream join: converted purchases stream out
+    once each; the availableNow drain equals the batch relation."""
+    batch = streaming.purchase_with_click_semi(load_table(spark, SF, "events"))
+    stream = streaming.purchase_with_click_semi(
+        streaming.events_stream(spark, events_dir)
+    )
+    assert stream.isStreaming
+    got = streaming.run_available_now(stream, "t_ssjoin_semi", output_mode="append")
+    cols = ["user_id", "purchase_id", "p_ts"]
+    assert _as_rows(got, cols) == _as_rows(batch, cols)
+    # semi = distinct purchases of the inner join, and each appears once
+    inner = streaming.purchase_then_click(load_table(spark, SF, "events"))
+    assert got.count() == inner.select("purchase_id").distinct().count()
+    assert got.count() == got.select("purchase_id").distinct().count()
 
 
 def test_stream_stream_join_matches_batch(spark, events_dir):
