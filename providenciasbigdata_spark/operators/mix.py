@@ -101,6 +101,49 @@ def budget_rates(
     return out
 
 
+def temperature_rates(
+    sources: list[tuple[str, DataFrame]],
+    budget: int,
+    temperature: float = 2.0,
+    size_col: str = "n_chars",
+) -> list[tuple[str, DataFrame, float]]:
+    """Temperature-flattened mixing rates — the multilingual-LLM
+    standard (XLM-R / mT5 exponential smoothing): sampling share
+    p_i ∝ size_i^(1/T), so low-resource sources are up-weighted
+    relative to natural (T=1) sampling and T -> inf approaches a
+    uniform per-source budget. One SUM per source measures sizes; the
+    flattening runs driver-side in a FIXED left-to-right evaluation
+    order (((w1 + w2) + w3)...), every step an IEEE-correctly-rounded
+    op (sqrt for T=2, the common case), so a SQL oracle can replay the
+    rate computation bit-identically. Returns ``(name, df, rate)``
+    triples for ``mix_corpus``; an empty source gets rate 1.0 (nothing
+    to sample), and rates cap at 1.0 as in ``budget_rates``."""
+    import math
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    sizes = [
+        float(
+            df.agg(F.coalesce(F.sum(size_col), F.lit(0)).alias("s")).first()["s"]
+        )
+        for _, df in sources
+    ]
+    inv_t = 1.0 / temperature
+    ws = [
+        math.sqrt(s) if inv_t == 0.5 else math.pow(s, inv_t) for s in sizes
+    ]
+    tot = 0.0
+    for w in ws:
+        tot = tot + w
+    out = []
+    for (name, df), s, w in zip(sources, sizes, ws):
+        rate = 1.0 if s == 0.0 else min(1.0, budget * (w / tot) / s)
+        out.append((name, df, rate))
+    return out
+
+
 def mix_corpus(
     sources: list[tuple[str, DataFrame, float]], key_col: str = "doc_id"
 ) -> DataFrame:

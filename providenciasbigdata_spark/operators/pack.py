@@ -68,3 +68,92 @@ def packed_positions(
         .withColumn("bin_id", (F.col("cum_before") / capacity).cast("long"))
         .withColumn("bin_offset", (F.col("cum_before") % capacity).cast("long"))
     )
+
+
+def pack_first_fit(
+    df: DataFrame,
+    size_col: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """First-fit-DECREASING bin packing, sharded for scale — the
+    no-split alternative to ``packed_positions``' concat-and-slice:
+    each item lands whole in one bin (no document straddles a context
+    boundary), at the cost of some slack per bin. FFD's guarantee
+    (<= 11/9 OPT + 6/9 bins, Dósa 2007) holds per shard; sharding by
+    ``xxhash64(id) % n_shards`` adds at most (n_shards - 1) partially
+    filled bins versus global FFD — negligible when every shard holds
+    many bins, which is exactly the 100 TB regime. The greedy scan is
+    inherently sequential, so it runs per shard inside ONE
+    applyInPandas kernel; Spark's only shuffle is the shard
+    repartition.
+
+    Deterministic: shard assignment is a hash, in-shard order is
+    (size DESC, id ASC), bins are scanned first-fit — no RNG, no
+    partition-order dependence; re-runs and retries produce the same
+    packing. Items with ``size > capacity`` (or NULL/non-positive)
+    raise — they can never be placed.
+
+    Output: one row per item — (``id_col``, ``size_col``, ``shard``,
+    ``bin_id`` [globally unique: shard * 2^32 + in-shard bin index],
+    ``bin_offset`` [fill level before placement]).
+    """
+    import pandas as pd
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(size_col).cast("long").alias("size"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    cap = int(capacity)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["size", "id"], ascending=[False, True])
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        fills: list[int] = []  # current fill per open bin
+        bin_ids, offsets = [], []
+        for sz in pdf["size"]:
+            if sz is None or sz <= 0 or sz > cap:
+                raise ValueError(
+                    f"pack_first_fit: item size {sz} not in (0, {cap}]"
+                )
+            sz = int(sz)
+            for j, fill in enumerate(fills):
+                if fill + sz <= cap:
+                    bin_ids.append(j)
+                    offsets.append(fill)
+                    fills[j] = fill + sz
+                    break
+            else:
+                bin_ids.append(len(fills))
+                offsets.append(0)
+                fills.append(sz)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].values,
+                "size": pdf["size"].values,
+                "shard": pdf["shard"].values,
+                "bin_id": [shard * (2**32) + b for b in bin_ids],
+                "bin_offset": offsets,
+            }
+        )
+
+    out = base.groupBy("shard").applyInPandas(
+        kernel, "id long, size long, shard int, bin_id long, bin_offset long"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("size").alias(size_col),
+        "shard",
+        "bin_id",
+        "bin_offset",
+    )

@@ -211,6 +211,17 @@ WHERE g.doc_id % 97 <> 0
 
 # ---- sequence packing ---------------------------------------------------
 
+def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing of whole documents into 2048-char
+    bins (no document straddles a context boundary — the no-split
+    sibling of pack_sequences), sharded FFD via one applyInPandas
+    kernel per shard."""
+    from providenciasbigdata_spark.operators.pack import pack_first_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_first_fit(docs, "n_chars", capacity=2048, n_shards=8)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-slice packing of the token stream (doc order) into
     512-token context windows: each doc's start bin + offset, via the
@@ -350,6 +361,54 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_RATES = [("en", 0.8), ("es", 0.5), ("fr", 0.25)]
+
+_MIX_LANGS = ["en", "es", "fr"]
+_MIX_BUDGET = 20_000  # target total n_chars across the tempered mix
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened training mix (T=2: share ∝ sqrt(corpus
+    size) — low-resource languages up-weighted vs natural sampling):
+    rates derive from per-language totals in a fixed IEEE evaluation
+    order, so the oracle replays the whole rate computation (sqrt,
+    adds, divides — each correctly rounded) bit-identically and the
+    EXACT sampled row set hash-checks."""
+    from providenciasbigdata_spark.operators.mix import (
+        mix_corpus,
+        temperature_rates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [(lang, docs.filter(F.col("lang") == lang)) for lang in _MIX_LANGS]
+    rated = temperature_rates(sources, budget=_MIX_BUDGET, temperature=2.0)
+    return mix_corpus(rated).select("doc_id", "mix_source", "n_chars")
+
+
+def _mix_temperature_sql() -> str:
+    sub = {
+        lang: f"(SELECT CAST(COALESCE(SUM(n_chars), 0) AS DOUBLE) "
+        f"FROM documents WHERE lang = '{lang}')"
+        for lang in _MIX_LANGS
+    }
+    tot = " + ".join(f"sqrt(s_{lang})" for lang in _MIX_LANGS)
+    sizes = ", ".join(f"{sub[lang]} AS s_{lang}" for lang in _MIX_LANGS)
+    ths = ", ".join(
+        f"CAST(floor(LEAST(1.0, {float(_MIX_BUDGET)} * (sqrt(s_{lang}) / tot) "
+        f"/ s_{lang}) * 1152921504606846976.0) AS BIGINT) AS th_{lang}"
+        for lang in _MIX_LANGS
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT d.doc_id, '{lang}' AS mix_source, d.n_chars "
+        f"FROM documents d, t WHERE d.lang = '{lang}' AND "
+        f"('0x' || substr(md5('{lang}' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        f"< t.th_{lang}"
+        for lang in _MIX_LANGS
+    )
+    return (
+        f"WITH s AS (SELECT {sizes}), "
+        f"r AS (SELECT *, {tot} AS tot FROM s), "
+        f"t AS (SELECT {ths} FROM r) {branches}"
+    )
 
 
 def _mix_sql() -> str:
@@ -523,6 +582,7 @@ FROM c
 
 QUERIES = {
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
+    "training_mix_temperature": (q_mix_temperature, _mix_temperature_sql()),
     "curate_gopher_flags": (q_gopher_flags, _GOPHER_SQL),
     "split_train_val_test": (q_split_train_val_test, _split_sql()),
     "snapshot_diff_changes": (q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
@@ -534,9 +594,15 @@ QUERIES = {
     "text_pii_scan": (q_text_pii_scan, _PII_SQL),
     "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
     "pack_sequences": (q_pack_sequences, _PACK_SQL),
+    "pack_first_fit_bins": (q_pack_first_fit, None),
 }
 
 WHY_NO_ORACLE = {
+    "pack_first_fit_bins": (
+        "first-fit-decreasing is a sequential greedy per shard — not "
+        "SQL-expressible; pinned EQUAL to a pure-Python reference FFD and "
+        "capacity/offset/determinism invariants in tests/test_training_ext.py"
+    ),
     "sketch_hll_daily_users": (
         "per-day HyperLogLog++ registers merged across partitions — "
         "engine-specific sketch bytes; estimate-vs-exact error bound pinned "

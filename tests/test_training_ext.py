@@ -163,3 +163,63 @@ def test_mg_candidates_no_false_negatives(spark):
     c = Counter(vals)
     hh = {v for v, n in c.items() if n > len(vals) / 25}
     assert hh <= cands
+
+
+def test_pack_first_fit_matches_reference_and_invariants(spark):
+    """Single-shard FFD equals a pure-Python reference exactly; bins
+    never overflow; offsets are consistent prefix fills; oversize
+    items raise; the packing is deterministic across runs."""
+    import pytest
+
+    from providenciasbigdata_spark.operators.pack import pack_first_fit
+
+    sizes = [500, 300, 300, 200, 200, 200, 100, 100, 50, 450, 350, 250]
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    cap = 512
+
+    got = pack_first_fit(df, "n_chars", capacity=cap, n_shards=1)
+    res = {r.doc_id: (r.bin_id, r.bin_offset) for r in got.collect()}
+
+    # pure-Python FFD over the same (size desc, id asc) order
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    fills, want = [], {}
+    for i in order:
+        for j, f in enumerate(fills):
+            if f + sizes[i] <= cap:
+                want[i] = (j, f)
+                fills[j] = f + sizes[i]
+                break
+        else:
+            want[i] = (len(fills), 0)
+            fills.append(sizes[i])
+    assert res == want
+
+    # invariants on the sharded path over the fixture table
+    from providenciasbigdata_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    packed = pack_first_fit(docs, "n_chars", capacity=2048, n_shards=4)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_chars").alias("fill"), F.count("*").alias("n")
+    )
+    assert per_bin.filter(F.col("fill") > 2048).count() == 0
+    # every item exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # offset + size <= capacity per item
+    assert packed.filter(F.col("bin_offset") + F.col("n_chars") > 2048).count() == 0
+    # determinism
+    again = pack_first_fit(docs, "n_chars", capacity=2048, n_shards=4)
+    a = sorted((r.doc_id, r.bin_id, r.bin_offset) for r in packed.collect())
+    b = sorted((r.doc_id, r.bin_id, r.bin_offset) for r in again.collect())
+    assert a == b
+    # bins used within 2x the volume lower bound (sanity efficiency)
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    n_bins = per_bin.count()
+    assert n_bins <= 2 * (-(-total // 2048)) + 4
+
+    # oversize raises
+    bad = spark.createDataFrame([(1, 5000)], "doc_id long, n_chars long")
+    with pytest.raises(Exception, match="not in"):
+        pack_first_fit(bad, "n_chars", capacity=2048).collect()
