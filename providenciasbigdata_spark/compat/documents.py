@@ -243,6 +243,24 @@ def search_text_extended(
     return df.filter(text_match_condition(query, tokens_col))
 
 
+def text_score_column(query: str, tokens_col: str = "tokens") -> Column:
+    """Relevance score for ``{"$meta": "textScore"}`` projections: the
+    number of DISTINCT positive bare terms present — the same B6
+    contract ``search_text_ranked`` ranks by (phrases and negations
+    gate the match but do not add to the score). DOCUMENTED
+    DIVERGENCE: Mongo's own textScore is an index-weighted tf sum
+    whose weights live in the text-index definition — unobservable
+    from the reference repo — so we pin the deterministic
+    token-overlap score instead."""
+    terms, _phrases, _negated = parse_search_query(query)
+    if not terms:
+        return F.lit(0).cast("long")
+    qarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+    return F.size(
+        F.array_intersect(F.array_distinct(F.col(tokens_col)), qarr)
+    ).cast("long")
+
+
 def search_text_ranked(
     df: DataFrame, query: str, k: int | None = None, tokens_col: str = "tokens"
 ) -> DataFrame:

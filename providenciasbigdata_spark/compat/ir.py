@@ -321,15 +321,76 @@ def mql_find(
     — it's applied, but don't rely on it mid-pipeline. ``limit(0)``
     means no limit and a negative limit applies its magnitude, as
     pymongo defines.
+
+    Ranked text search rides the same surface via
+    ``{"score": {"$meta": "textScore"}}`` projection entries and
+    ``("score", {"$meta": "textScore"})`` sort pairs (descending
+    relevance, Mongo's meta-sort convention). As in Mongo, $meta is
+    projection-mode NEUTRAL: alone it returns every stored field plus
+    the score; combined with includes/excludes it adds the score to
+    whichever mode is active. Requires a top-level ``$text`` clause
+    (Mongo's own error posture). A meta SORT field that is not also
+    projected is computed transiently and dropped from the result.
+    Score contract: distinct-positive-term overlap
+    (compat.documents.text_score_column — a pinned divergence from
+    Mongo's index-weighted tf score, which is unobservable index
+    config).
     """
+    from providenciasbigdata_spark.compat.documents import text_score_column
+
     out = rulings.filter(_query_condition(query, default_language))
-    if projection is not None:
+
+    def _is_meta(v) -> bool:
+        if isinstance(v, dict):
+            if v != {"$meta": "textScore"}:
+                raise ValueError(f"unsupported projection/sort expression: {v!r}")
+            return True
+        return False
+
+    metas = [k for k, v in (projection or {}).items() if _is_meta(v)]
+    sort_pairs = (
+        (list(sort.items()) if isinstance(sort, dict) else list(sort))
+        if sort is not None
+        else []
+    )
+    sort_metas = [f for f, d in sort_pairs if _is_meta(d)]
+    if metas or sort_metas:
+        tc = query.get("$text") if isinstance(query, dict) else None
+        if not (isinstance(tc, dict) and "$search" in tc):
+            raise ValueError(
+                '{"$meta": "textScore"} requires a top-level $text clause'
+            )
+        score = text_score_column(tc["$search"])
+        clash = [f for f in {*metas, *sort_metas} if f in out.columns]
+        if clash:
+            raise ValueError(f"$meta field collides with a stored field: {clash}")
+        hidden = [f for f in sort_metas if f not in metas]
+        scored = out.withColumns({name: score for name in {*metas, *hidden}})
+        rest = {k: v for k, v in (projection or {}).items() if k not in metas}
+        kept = _apply_projection(out, rest).columns if rest else out.columns
+        out = scored.select(*kept, *metas, *hidden)
+    elif projection is not None:
         out = _apply_projection(out, projection)
-    if sort is not None:
-        out = _apply_sort(out, sort)
+        hidden = []
+    else:
+        hidden = []
+    if sort_pairs:
+        cols = []
+        for field, direction in sort_pairs:
+            if isinstance(direction, dict):  # validated above: meta sort
+                cols.append(F.col(field).desc())
+            elif direction == 1:
+                cols.append(F.col(field).asc_nulls_first())
+            elif direction == -1:
+                cols.append(F.col(field).desc_nulls_last())
+            else:
+                raise ValueError(
+                    f"sort direction must be 1, -1 or a $meta doc, got {direction!r}"
+                )
+        out = out.orderBy(*cols)
     if limit:
         out = out.limit(abs(int(limit)))
-    return out
+    return out.drop(*hidden) if hidden else out
 
 
 def _ref_field(spec, what: str) -> str:

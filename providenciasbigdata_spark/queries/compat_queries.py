@@ -671,6 +671,32 @@ _MQL_AGG_TOKENS_SQL = (
 )
 
 
+def q_mql_text_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked text search through the LITERAL pymongo cursor surface:
+    find({"$text": ...}, {"score": {"$meta": "textScore"}})
+    .sort([("score", {"$meta": "textScore"}), ...]).limit(k) — the
+    $meta projection/sort pair a Mongo user writes for relevance
+    ranking. Score = distinct-term overlap (pinned divergence from the
+    index-weighted tf score); sort+limit lowers to TakeOrdered."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return mql_find(
+        _rulings(spark, sf_dir),
+        {"$text": {"$search": "table hash join"}},
+        projection={"providencia": 1, "score": {"$meta": "textScore"}},
+        sort=[("score", {"$meta": "textScore"}), ("providencia", 1)],
+        limit=12,
+    )
+
+
+_MQL_TEXT_SCORE_SQL = (
+    f"SELECT providencia, CAST(len(list_intersect(list_distinct("
+    f"{_TOKENS_SQL.format(col='text')}), ['table', 'hash', 'join'])) AS BIGINT) AS score "
+    f"FROM (SELECT 'P-' || CAST(doc_id AS VARCHAR) AS providencia, text FROM documents) "
+    f"WHERE score > 0 ORDER BY score DESC, providencia ASC LIMIT 12"
+)
+
+
 def q_mql_agg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$bucket: five-year bucket histogram over anio with a default
     bucket catching 2020+ — half-open [lo, hi) intervals, _id = lower
@@ -1258,6 +1284,7 @@ QUERIES = {
     "mql_nin_not_exists": (q_mql_nin_not, _MQL_NIN_NOT_SQL),
     "mql_array_operators": (q_mql_array_operators, _MQL_ARRAY_SQL),
     "mql_cursor_surface": (q_mql_cursor_surface, _MQL_CURSOR_SQL),
+    "mql_text_score_cursor": (q_mql_text_score, _MQL_TEXT_SCORE_SQL),
     "mql_agg_facet_counts": (q_mql_agg_facet_counts, _MQL_AGG_FACET_SQL),
     "mql_count_documents": (q_mql_count_documents, _MQL_COUNT_SQL),
     "mql_agg_sort_by_count": (q_mql_agg_sort_by_count, _MQL_SORT_BY_COUNT_SQL),

@@ -703,3 +703,49 @@ def test_cypher_optional_match_template(spark):
     with pytest.raises(ValueError, match="nodes and edges"):
         cypher_run(CYPHER_OPTIONAL, edges=edges,
                    params={"origen": "P-7", "lo": 0.0, "hi": 1.0})
+
+
+def test_mql_meta_text_score(spark):
+    """$meta textScore through the cursor surface: projection-mode
+    neutrality, transient sort fields, and the error posture."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    docs = _rulings(spark)
+    q = {"$text": {"$search": "merge window"}}
+
+    # meta alone: ALL stored fields + score (projection-mode neutral)
+    alone = mql_find(docs, q, projection={"score": {"$meta": "textScore"}})
+    assert alone.columns == docs.columns + ["score"]
+    assert alone.filter(F.col("score") <= 0).count() == 0
+
+    # include-mode + meta
+    inc = mql_find(
+        docs, q,
+        projection={"providencia": 1, "score": {"$meta": "textScore"}},
+        sort=[("score", {"$meta": "textScore"}), ("providencia", 1)],
+        limit=5,
+    )
+    assert inc.columns == ["providencia", "score"]
+    rows = inc.collect()
+    assert len(rows) <= 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)  # meta sort = desc
+
+    # exclude-mode + meta keeps the non-excluded fields plus score
+    exc = mql_find(docs, q, projection={"texto": 0, "score": {"$meta": "textScore"}})
+    assert "texto" not in exc.columns and "score" in exc.columns
+
+    # sort-by-meta WITHOUT projection: transient column, dropped
+    srt = mql_find(docs, q, sort=[("relevance", {"$meta": "textScore"})], limit=3)
+    assert "relevance" not in srt.columns
+    assert srt.count() <= 3
+
+    # error posture
+    import pytest
+
+    with pytest.raises(ValueError, match="top-level .text"):
+        mql_find(docs, {"tipo": "src1"}, projection={"s": {"$meta": "textScore"}})
+    with pytest.raises(ValueError, match="collides"):
+        mql_find(docs, q, projection={"texto": {"$meta": "textScore"}})
+    with pytest.raises(ValueError, match="unsupported"):
+        mql_find(docs, q, projection={"s": {"$meta": "indexKey"}})
