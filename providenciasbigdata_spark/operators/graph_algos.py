@@ -51,6 +51,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     edge contraction (Kiveris et al., "Connected Components in
@@ -74,9 +75,19 @@ def connected_components(
     accepted as set equality (collision odds < 2^-120; ``max_iter``
     bounds the loop regardless).
 
+    Small-subproblem cutover (the same FW-BW-style finisher
+    ``strongly_connected_components`` uses): when the normalized edge
+    set fits the driver (``small_cutover`` edges, ~3 MB at the
+    default) the fixed point resolves with sequential union-find
+    instead — a fixed-point loop over a tiny edge set pays per-round
+    scheduling + plan-analysis latency for sub-millisecond compute.
+    Labels are identical by construction (min id of each component);
+    the distributed loop stays pytest-pinned via ``small_cutover=0``.
+
     Output: (id, component), one row per node incident to an edge.
     """
-    ckpt = _truncator(edges.sparkSession, checkpoint_dir)
+    spark = edges.sparkSession
+    ckpt = _truncator(spark, checkpoint_dir)
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         # (node=u, neighbor=v) in both directions; m(u) = min(N(u)+{u})
@@ -116,6 +127,17 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if small_cutover and cur.count() <= small_cutover:
+        comp = _union_find_cc([(r["u"], r["v"]) for r in cur.collect()])
+        labels = spark.createDataFrame(
+            sorted(comp.items()),
+            schema=cur.select(
+                F.col("u").alias("id"), F.col("u").alias("component")
+            ).schema,
+        )
+        return nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
     prev_sig = None
     for i in range(max_iter):
         cur = star(star(cur, large=True), large=False)
@@ -855,3 +877,40 @@ def link_prediction_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def _union_find_cc(edge_list):
+    """Sequential union-find (path-halving + union-by-size) for the
+    small-subproblem finisher of ``connected_components``: returns
+    {node: min id of its component} for every node in ``edge_list`` —
+    the same labels the star-contraction fixed point produces."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            parent[root] = parent[parent[root]]
+            root = parent[root]
+        return root
+
+    for a, b in edge_list:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    members: dict = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    out = {}
+    for nodes in members.values():
+        label = min(nodes)
+        for n in nodes:
+            out[n] = label
+    return out

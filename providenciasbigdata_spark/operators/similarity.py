@@ -392,6 +392,7 @@ def kmeans_centroids(
     max_iter: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    small_cutover: int = 50_000,
 ):
     """Lloyd's k-means over the embedding column, spherical variant
     (cosine assignment) — the coarse quantizer for IVF search.
@@ -403,12 +404,42 @@ def kmeans_centroids(
     driver-side numpy) are re-broadcast each iteration — the only data
     that ever leaves the executors.
 
+    Small-subproblem cutover (the SCC/CC finisher pattern applied to
+    training): at or below ``small_cutover`` rows the corpus is
+    collected ONCE (<= ~25 MB at dim 64) and the SAME Lloyd updates
+    run driver-side in numpy — each distributed iteration otherwise
+    pays a Python-worker pass + exchange + collect of scheduling
+    latency for sub-millisecond math. Assignment/update arithmetic is
+    identical; only double-addition order differs (the distributed
+    reduce was never bit-order-deterministic either, and every
+    consumer pins results through recall/agreement, not centroid
+    bits). The distributed loop stays pytest-pinned via
+    ``small_cutover=0``.
+
     Init is deterministic: the ``n_clusters`` lowest-id vectors.
 
     Returns (centroids: np.ndarray [k x dim], used_iters: int).
     """
     import numpy as np
     import pandas as pd
+
+    if small_cutover and embeddings.count() <= small_cutover:
+        rows = embeddings.select(id_col, vec_col).orderBy(id_col).collect()
+        X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = Xn[:n_clusters].copy()
+        for it in range(max_iter):
+            a = np.argmax(Xn @ C.T, axis=1)
+            newC = C.copy()
+            for c in np.unique(a):
+                m = a == c
+                s = Xn[m].sum(axis=0)
+                newC[c] = s / np.linalg.norm(s)
+            shift = float(np.abs(newC - C).max())
+            C = newC
+            if shift < 1e-6:
+                return C, it + 1
+        return C, max_iter
 
     init = (
         embeddings.select(id_col, vec_col)

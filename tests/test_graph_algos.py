@@ -23,14 +23,23 @@ def toy_edges(spark):
 
 
 def test_connected_components_exact(spark, toy_edges):
-    got = {r.id: r.component for r in connected_components(toy_edges).collect()}
+    # distributed star-contraction loop, pytest-forced past the cutover
+    got = {
+        r.id: r.component
+        for r in connected_components(toy_edges, small_cutover=0).collect()
+    }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f", "g": "f"}
+    # the union-find finisher (default path at fixture scale) agrees
+    fin = {r.id: r.component for r in connected_components(toy_edges).collect()}
+    assert fin == got
 
 
 def test_connected_components_on_similarity_graph(spark):
     emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 150)
     edges = build_similarity_edges(emb).filter(F.col("similitud") >= 30)
-    comp = connected_components(edges)
+    # the diameter-19 fixture component: keep the distributed loop
+    # exercised on a non-toy graph
+    comp = connected_components(edges, small_cutover=0)
     # every edge's endpoints share a component (the defining property)
     joined = (
         edges.join(comp.withColumnRenamed("id", "src").withColumnRenamed("component", "c1"), "src")
@@ -146,10 +155,14 @@ def test_reliable_checkpoint_dir_matches_local(spark, toy_edges, tmp_path):
     assert local == reliable
     assert any(os.scandir(ckdir)), "no checkpoint data written to checkpoint_dir"
 
-    cc_local = {tuple(r) for r in connected_components(toy_edges).collect()}
+    cc_local = {
+        tuple(r) for r in connected_components(toy_edges, small_cutover=0).collect()
+    }
     cc_rel = {
         tuple(r)
-        for r in connected_components(toy_edges, checkpoint_dir=ckdir).collect()
+        for r in connected_components(
+            toy_edges, checkpoint_dir=ckdir, small_cutover=0
+        ).collect()
     }
     assert cc_local == cc_rel
 

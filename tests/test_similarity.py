@@ -86,11 +86,19 @@ def test_blocked_pairwise_single_block_degenerate(spark, sf_dir):
 
 def test_kmeans_converges_and_partitions(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    C, iters = similarity.kmeans_centroids(emb, n_clusters=8, max_iter=10)
+    # distributed Lloyd loop, pytest-forced past the driver cutover
+    C, iters = similarity.kmeans_centroids(
+        emb, n_clusters=8, max_iter=10, small_cutover=0
+    )
     assert C.shape == (8, 64) and 1 <= iters <= 10
     import numpy as np
 
     assert np.allclose(np.linalg.norm(C, axis=1), 1.0)  # spherical
+    # driver-cutover path: identical math, same fixed point up to the
+    # double-addition order of the partial sums
+    Cd, _ = similarity.kmeans_centroids(emb, n_clusters=8, max_iter=10)
+    assert Cd.shape == C.shape
+    assert np.allclose(Cd, C, atol=1e-8)
     assigned = similarity.ivf_assign(emb, C)
     n = emb.count()
     assert assigned.count() == n
