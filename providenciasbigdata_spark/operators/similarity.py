@@ -643,12 +643,20 @@ def pq_train(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    small_cutover: int = 50_000,
 ):
     """Train product-quantization codebooks: split each vector into
     ``m`` contiguous subvectors and run L2 Lloyd's k-means per
     subspace — all ``m`` subspace updates happen in the SAME pass over
     the corpus (each Arrow batch emits per-(subspace, cluster) partial
     sums), so an iteration costs one scan regardless of ``m``.
+
+    Same small-subproblem cutover as ``kmeans_centroids``: at or below
+    ``small_cutover`` rows the corpus is collected once (id order) and
+    the identical per-subspace Lloyd updates run driver-side — the
+    distributed loop otherwise pays a Python-worker pass + exchange +
+    collect per iteration for sub-millisecond math. Distributed path
+    pytest-pinned via ``small_cutover=0``.
 
     Deterministic init: the ``n_codes`` lowest-id vectors, sliced.
     Returns np.ndarray [m, n_codes, dim//m].
@@ -665,6 +673,25 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     C = np.stack([X0[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)])
+
+    if small_cutover and embeddings.count() <= small_cutover:
+        rows = embeddings.select(id_col, vec_col).orderBy(id_col).collect()
+        X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+        for _ in range(max_iter):
+            newC = C.copy()
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d = -2 * Xs @ C[s].T + (C[s] ** 2).sum(axis=1)[None, :]
+                a = np.argmin(d, axis=1)
+                for c in np.unique(a):
+                    msk = a == c
+                    newC[s, c] = Xs[msk].sum(axis=0) / msk.sum()
+            shift = float(np.abs(newC - C).max())
+            C = newC
+            if shift < 1e-6:
+                break
+        return C
+
     sc = embeddings.sparkSession.sparkContext
     # persist the projected vectors once: every Lloyd iteration scans
     # them, and re-reading (+ re-decoding) the parquet per iteration

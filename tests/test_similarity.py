@@ -130,9 +130,15 @@ def test_srp_buckets_deterministic(spark, sf_dir):
 
 
 def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    C = similarity.pq_train(emb, m=4, n_codes=16, max_iter=3)
+    # distributed per-subspace Lloyd, pytest-forced past the cutover
+    C = similarity.pq_train(emb, m=4, n_codes=16, max_iter=3, small_cutover=0)
     assert C.shape == (4, 16, 16)
+    # driver-cutover path reaches the same codebooks (same update math)
+    Cd = similarity.pq_train(emb, m=4, n_codes=16, max_iter=3)
+    assert np.allclose(Cd, C, atol=1e-8)
     codes = similarity.pq_encode(emb, C)
     rows = {r.id: tuple(r.codes) for r in codes.collect()}
     assert len(rows) == emb.count()
