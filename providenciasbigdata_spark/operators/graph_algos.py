@@ -914,3 +914,38 @@ def _union_find_cc(edge_list):
         for n in nodes:
             out[n] = label
     return out
+
+
+def scc_condensation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **scc_kwargs,
+) -> DataFrame:
+    """Condensation (quotient DAG) of a directed graph: one node per
+    strongly connected component, an edge (A, B) whenever any original
+    edge crosses from a node of A to a node of B — acyclic by the
+    definition of SCC, which makes it the structure that gives a
+    cyclic graph a topological order (dependency resolution, deadlock
+    analysis, stratified evaluation).
+
+    Plan: one SCC run (``strongly_connected_components``; its FW-BW
+    cutover applies), then two label joins on the edge endpoints and a
+    count aggregate — the joins key on node id, the same partitioning
+    the SCC loop used. Component labels are min-id, so condensation
+    node names are deterministic.
+
+    Output: (src_comp, dst_comp, n_edges) — distinct crossing
+    component pairs with the number of original edges collapsed onto
+    each."""
+    comp = strongly_connected_components(edges, src=src, dst=dst, **scc_kwargs)
+    cu = comp.select(F.col("id").alias(src), F.col("component").alias("src_comp"))
+    cv = comp.select(F.col("id").alias(dst), F.col("component").alias("dst_comp"))
+    return (
+        edges.select(src, dst)
+        .join(cu, src)
+        .join(cv, dst)
+        .filter(F.col("src_comp") != F.col("dst_comp"))
+        .groupBy("src_comp", "dst_comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

@@ -447,7 +447,7 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCC_SQL = f"""
+_SCC_CTES = f"""
 WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT a.vec_id AS u, b.vec_id AS v, {_COS_SQL.format(a='a', b='b')} AS s
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
@@ -462,11 +462,52 @@ WITH RECURSIVE pairs AS MATERIALIZED (
 mutual AS (
   SELECT r1.u AS x, r1.v AS y
   FROM reach r1 JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u
-)
-SELECT CAST(n.id AS BIGINT) AS id,
-       CAST(LEAST(n.id, COALESCE(MIN(m.y), n.id)) AS BIGINT) AS component
-FROM nodes n LEFT JOIN mutual m ON m.x = n.id
-GROUP BY n.id
+), comp AS MATERIALIZED (
+  SELECT n.id, LEAST(n.id, COALESCE(MIN(m.y), n.id)) AS component
+  FROM nodes n LEFT JOIN mutual m ON m.x = n.id
+  GROUP BY n.id
+)"""
+
+_SCC_SQL = f"""{_SCC_CTES}
+SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component
+FROM comp
+"""
+
+
+def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the directed SCC fixture graph: distinct
+    (src_component, dst_component) pairs with collapsed-edge counts —
+    the quotient structure that admits a topological order. Oracle
+    reuses the mutual-reachability SCC closure and joins it onto the
+    edge list."""
+    from providenciasbigdata_spark.operators.graph_algos import scc_condensation
+    from providenciasbigdata_spark.operators.similarity import (
+        pairwise_cosine_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    pairs = pairwise_cosine_blocked(emb, threshold=25.0, scale=100.0, block_size=512)
+    directed = pairs.filter(
+        ((F.col("left_id") < F.col("right_id")) & (F.col("cosine") >= 25.0))
+        | ((F.col("left_id") > F.col("right_id")) & (F.col("cosine") >= 32.0))
+    ).select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    out = scc_condensation(directed)
+    return out.select(
+        F.col("src_comp").cast("long").alias("src_comp"),
+        F.col("dst_comp").cast("long").alias("dst_comp"),
+        "n_edges",
+    )
+
+
+_SCC_CONDENSATION_SQL = f"""{_SCC_CTES}
+SELECT CAST(cu.component AS BIGINT) AS src_comp,
+       CAST(cv.component AS BIGINT) AS dst_comp,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM d
+JOIN comp cu ON cu.id = d.u
+JOIN comp cv ON cv.id = d.v
+WHERE cu.component <> cv.component
+GROUP BY cu.component, cv.component
 """
 
 
@@ -507,6 +548,7 @@ QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
     "graph_link_prediction": (q_link_prediction, _LINK_PRED_SQL),
     "graph_scc": (q_graph_scc, _SCC_SQL),
+    "graph_scc_condensation": (q_scc_condensation, _SCC_CONDENSATION_SQL),
     "graph_kcore": (q_kcore, _kcore_sql()),
     "graph_label_propagation": (q_label_propagation, _lpa_sql()),
     "graph_personalized_pagerank": (q_personalized_pagerank, _ppr_sql()),

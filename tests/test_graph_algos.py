@@ -403,3 +403,32 @@ def test_link_prediction_jaccard_known_graph(spark):
     # min_common filters
     strict = link_prediction_jaccard(edges, min_common=2)
     assert {(r.a, r.b) for r in strict.collect()} == {("a", "c"), ("b", "h")}
+
+
+def test_scc_condensation_known_digraph(spark):
+    """Two 2-cycles bridged by one-way edges: condensation = 3 nodes
+    in a path, acyclic, with collapsed-edge counts."""
+    from providenciasbigdata_spark.operators.graph_algos import scc_condensation
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # SCC {a,b} -> label a
+            ("c", "d"), ("d", "c"),          # SCC {c,d} -> label c
+            ("a", "c"), ("b", "c"),          # two crossings A -> C
+            ("d", "e"),                      # C -> singleton e
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r.src_comp, r.dst_comp): r.n_edges
+        for r in scc_condensation(edges, small_cutover=10**6).collect()
+    }
+    assert got == {("a", "c"): 2, ("c", "e"): 1}
+    # acyclic: no pair appears in both directions
+    assert all((b, a) not in got for a, b in got)
+    # distributed SCC path agrees
+    dist = {
+        (r.src_comp, r.dst_comp): r.n_edges
+        for r in scc_condensation(edges, small_cutover=0).collect()
+    }
+    assert dist == got
