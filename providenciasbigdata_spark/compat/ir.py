@@ -850,6 +850,21 @@ _TOPK_NEIGHBORS_RE = re.compile(
     re.IGNORECASE,
 )
 
+# extension (template 13): UNANCHORED global top-k relationship scan —
+# the "strongest similarities in the whole graph" dashboard query; the
+# first template with no bound anchor at all. Ties get the full
+# (a.id, b.id) ascending tie-break so the k-set is a total order.
+_GLOBAL_TOPK_RE = re.compile(
+    r"^\s*MATCH\s*\(\s*(\w+)\s*:\s*Providencia\s*\)"
+    r"\s*-\s*\[\s*(\w+)\s*:\s*SIMILAR\s*\]\s*->\s*\(\s*(\w+)\s*:\s*Providencia\s*\)\s*"
+    r"WHERE\s+\2\.similitud\s*>=\s*\$(\w+)\s*"
+    r"RETURN\s+\1\.id\s+AS\s+(\w+)\s*,\s*\3\.id\s+AS\s+(\w+)\s*,"
+    r"\s*\2\.similitud\s+AS\s+(\w+)\s*"
+    r"ORDER\s+BY\s+\2\.similitud\s+DESC\s*,\s*\1\.id\s+ASC\s*,\s*\3\.id\s+ASC"
+    r"\s+LIMIT\s+\$(\w+)\s*$",
+    re.IGNORECASE,
+)
+
 # extension: OPTIONAL MATCH — anchored 1-hop that preserves the anchor
 # row with NULLs when nothing matches (Cypher's left-join construct).
 _OPTIONAL_MATCH_RE = re.compile(
@@ -1034,6 +1049,28 @@ def cypher_run(
                 F.col("similitud").alias(out_sim),
             )
             .orderBy(F.desc(out_sim), F.asc(out_destino))
+            .limit(int(params[k_p]))
+        )
+
+    m = _GLOBAL_TOPK_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+        lo_p, k_p = m.group(4), m.group(8)
+        out_origen, out_destino, out_sim = m.group(5), m.group(6), m.group(7)
+        missing = [p for p in (lo_p, k_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        # full relationship scan + orderBy+limit => TakeOrdered (per-
+        # partition heaps over the filtered scan; no anchor, no join)
+        return (
+            edges.filter(F.col("similitud") >= float(params[lo_p]))
+            .select(
+                F.col("src").alias(out_origen),
+                F.col("dst").alias(out_destino),
+                F.col("similitud").alias(out_sim),
+            )
+            .orderBy(F.desc(out_sim), F.asc(out_origen), F.asc(out_destino))
             .limit(int(params[k_p]))
         )
 

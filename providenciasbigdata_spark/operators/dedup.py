@@ -980,3 +980,51 @@ def dedup_paragraphs(
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
     )
+
+
+def dedup_paragraphs_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """WITHIN-document repetition removal — the in-doc step Gopher-
+    style curation runs before corpus-wide dedup (boilerplate headers,
+    chorus lines, copy-paste loops): a paragraph survives iff it is
+    the first occurrence inside its OWN document; copies in other
+    documents are untouched (that cross-doc question belongs to
+    ``dedup_paragraphs``).
+
+    Same chunking and output contract as the corpus-wide op
+    (id, n_chunks, kept_chunks, new_text). Scale note: the window
+    partitions by (doc id, paragraph) — the doc id in the key means a
+    corpus-frequent boilerplate paragraph never concentrates on one
+    task, unlike the corpus-wide op where that skew is inherent to the
+    semantics."""
+    chunks, nch = _doc_paragraphs(df, id_col, text_col, chunk_tokens)
+    w = Window.partitionBy(id_col, "chunk").orderBy(F.col("idx").asc())
+    winners = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = winners.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        nch.select(id_col, F.col("nc").alias("n_chunks"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).cast("long").alias("kept_chunks"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

@@ -1186,3 +1186,4 @@ def pca_project(
     return embeddings.select(id_col, vec_col).mapInPandas(
         proj, f"{id_col} long, {out_col} array<double>"
     )
+

@@ -1173,6 +1173,40 @@ ORDER BY similitud DESC, destino ASC LIMIT 5
 """
 
 
+CYPHER_GLOBAL_TOPK = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN a.id AS origen, b.id AS destino, r.similitud AS similitud
+ORDER BY r.similitud DESC, a.id ASC, b.id ASC LIMIT $k
+"""
+
+
+def q_cypher_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNANCHORED global top-k (compat.ir template 13): the strongest
+    SIMILAR relationships in the whole (bounded) graph — the first
+    template with no bound anchor; a full relationship scan whose
+    ORDER BY + LIMIT still lowers to TakeOrdered per-partition heaps,
+    never a global sort."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    edges = build_similarity_edges(emb)
+    return cypher_run(CYPHER_GLOBAL_TOPK, edges=edges, params={"lo": 40.0, "k": 25})
+
+
+_CYPHER_GLOBAL_TOPK_SQL = """
+SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
+       'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) * 100, 4) >= 40
+ORDER BY similitud DESC, origen ASC, destino ASC LIMIT 25
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -1315,4 +1349,5 @@ QUERIES = {
     "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
     "cypher_with_having": (q_cypher_with_having, _CYPHER_WITH_HAVING_SQL),
     "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),
+    "cypher_global_topk": (q_cypher_global_topk, _CYPHER_GLOBAL_TOPK_SQL),
 }

@@ -572,6 +572,41 @@ FROM nch n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
 """
 
 
+def q_dedup_paragraphs_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal (in-doc first-occurrence
+    wins; other documents untouched) — the Gopher-style in-doc step;
+    window keys include the doc id so corpus-frequent boilerplate
+    never skews one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_paragraphs_within_doc(docs, chunk_tokens=20)
+
+
+_DEDUP_PARA_WITHIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+), nch AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / 20.0) AS BIGINT) AS nc FROM toks
+), chunks AS (
+  SELECT doc_id, i AS idx, array_to_string(t[(i*20 + 1):(i*20 + 20)], ' ') AS chunk
+  FROM nch, UNNEST(range(nc)) AS u(i)
+), winners AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY idx) AS rn
+  FROM chunks
+), rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+         string_agg(chunk, ' ' ORDER BY idx) AS new_text
+  FROM winners WHERE rn = 1 GROUP BY doc_id
+)
+SELECT n.doc_id,
+       n.nc AS n_chunks,
+       CAST(COALESCE(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       COALESCE(r.new_text, '') AS new_text
+FROM nch n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
+"""
+
+
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization (Weinberger et al. 2009 — the
     fixed-width, vocabulary-free text vectorizer): token -> bucket in
@@ -1117,6 +1152,7 @@ QUERIES = {
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
     "dedup_span_stats": (q_dedup_span_stats, _DEDUP_SPAN_SQL),
     "dedup_paragraph_rewrite": (q_dedup_paragraphs, _DEDUP_PARA_SQL),
+    "dedup_paragraph_within_doc": (q_dedup_paragraphs_within, _DEDUP_PARA_WITHIN_SQL),
     "dedup_paragraph_incremental": (q_dedup_paragraphs_incremental, _DEDUP_PARA_INCR_SQL),
     "minhash_incremental": (q_minhash_incremental, None),
     "simhash_fingerprints": (q_simhash_fingerprints, None),

@@ -461,3 +461,20 @@ def test_dedup_paragraphs_incremental_semantics(spark):
     assert {k: (v.kept_chunks, v.new_text) for k, v in out.items()} == {
         k: (v.kept_chunks, v.new_text) for k, v in full.items()
     }
+
+
+def test_dedup_paragraphs_within_doc_scope(spark):
+    """In-doc repetition collapses; the SAME paragraph in another
+    document is untouched (cross-doc dedup is a different op)."""
+    para = " ".join(f"w{i}" for i in range(20))  # exactly one 20-token chunk
+    other = " ".join(f"x{i}" for i in range(20))
+    rows = [
+        (1, f"{para} {para} {other}"),  # repeated chunk inside doc 1
+        (2, para),                       # same chunk, different doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dedup_paragraphs_within_doc(df).collect()}
+    assert (got[1].n_chunks, got[1].kept_chunks) == (3, 2)
+    assert got[1].new_text == f"{para} {other}"
+    assert (got[2].n_chunks, got[2].kept_chunks) == (1, 1)
+    assert got[2].new_text == para  # untouched despite doc 1's copy
