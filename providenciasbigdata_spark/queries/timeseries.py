@@ -257,6 +257,101 @@ FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
 """
 
 
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to the dense hourly grid with LINEAR interpolation
+    between known points (the gapfill ``interpolate`` sibling of
+    locf): prev/next known (value, hour) via ignorenulls window edges,
+    then ``prev + (next - prev) * gap_frac``. Every arithmetic step is
+    a correctly-rounded IEEE op evaluated in the same order on both
+    engines (int-second gaps -> one division -> one mul -> one add),
+    rounded to 6 digits at the edge. Spine rows before/after the known
+    range fall back to the nearest known value."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & (F.col("event_type") == "purchase")
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.max_by("value", "event_id").cast("double").alias("obs_value"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs = F.col("obs_value")
+    known_h = F.when(obs.isNotNull(), F.col("hour"))
+    prev_v = F.last(obs, ignorenulls=True).over(wp)
+    prev_h = F.last(known_h, ignorenulls=True).over(wp)
+    next_v = F.first(obs, ignorenulls=True).over(wn)
+    next_h = F.first(known_h, ignorenulls=True).over(wn)
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp(prev_h)).cast("double")
+        / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)).cast("double")
+    )
+    interp = (
+        F.when(obs.isNotNull(), obs)
+        .when(prev_v.isNotNull() & next_v.isNotNull(), prev_v + (next_v - prev_v) * frac)
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    # round() ties are REAL here: 2-decimal values x rational hour
+    # fracs produce exact .5 cases at the 6th digit, where Spark
+    # rounds HALF_UP and DuckDB's double round is half-even (measured:
+    # 132.9781875). floor-scaled micro-units are tie-free.
+    return joined.select(
+        "user_id",
+        "hour",
+        F.floor(interp * F.lit(1000000.0)).cast("long").alias("interp_micro"),
+    )
+
+
+_INTERPOLATE_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(max_by(value, event_id) AS DOUBLE) AS obs_value
+  FROM events WHERE user_id < 20 AND event_type = 'purchase'
+  GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+edges AS (
+  SELECT s.user_id, s.hour, h.obs_value,
+         last_value(h.obs_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN h.obs_value IS NOT NULL THEN s.hour END IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(h.obs_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN h.obs_value IS NOT NULL THEN s.hour END IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour)
+SELECT user_id, hour,
+       CAST(floor((CASE
+         WHEN obs_value IS NOT NULL THEN obs_value
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           prev_v + (next_v - prev_v)
+           * (CAST(date_diff('second', prev_h, hour) AS DOUBLE)
+              / CAST(date_diff('second', prev_h, next_h) AS DOUBLE))
+         ELSE COALESCE(prev_v, next_v) END) * 1000000.0) AS BIGINT) AS interp_micro
+FROM edges
+"""
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC bars per event type — the financial-rollup shape:
     first/last are ``min_by``/``max_by`` on a composite (ts, event_id)
@@ -364,6 +459,7 @@ GROUP BY 1, 2
 QUERIES = {
     "timeseries_weekly_revenue": (q_weekly_revenue, _WEEKLY_REVENUE_SQL),
     "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),
+    "timeseries_resample_interpolate": (q_resample_interpolate, _INTERPOLATE_SQL),
     "timeseries_ohlc_bars": (q_ohlc_bars, _OHLC_SQL),
     "timeseries_rolling_median": (q_rolling_median, _ROLLING_MEDIAN_SQL),
     "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
