@@ -47,10 +47,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -223,6 +225,92 @@ class MongoDumpStreamReader(SimpleDataSourceStreamReader):
         pass  # files are immutable; nothing to clean up
 
 
+class _WrittenFile(WriterCommitMessage):
+    """One staged file per task; the driver's commit publishes them."""
+
+    def __init__(self, staged: str, final: str):
+        self.staged = staged
+        self.final = final
+
+
+def _wrap_value(v, dtype):
+    """Inverse of ``_unwrap``: plain Python value -> Extended-JSON
+    wrapper chosen by the DECLARED field type (the reader unwraps the
+    same wrappers, so write -> read is identity on the typed view)."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.LongType):
+        return {"$numberLong": str(int(v))}
+    if isinstance(dtype, T.IntegerType):
+        return {"$numberInt": str(int(v))}
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return {"$numberDouble": repr(float(v))}
+    if isinstance(dtype, T.TimestampType):
+        return {"$date": v.isoformat()}
+    return v
+
+
+class MongoDumpWriter(DataSourceWriter):
+    """Batch write path of the mongodump format (Spark 4 Python
+    DataSource writer API) — the dump directory becomes a SINK, not
+    just a source, with the standard two-phase commit:
+
+    1. each task serializes its partition to a STAGED file
+       (``_staging/part-<pid>-<uuid>``) and returns a commit message;
+    2. the driver's ``commit`` — which runs only if every task
+       succeeded — atomically renames staged files into place (and in
+       overwrite mode clears prior part files first); ``abort``
+       deletes the stage. A crashed job therefore never leaves a
+       half-written dump visible to readers, the same contract
+       FileOutputCommitter gives parquet.
+
+    The path must be shared storage on a real cluster (same
+    requirement as every file sink). Serialization wraps values by the
+    DECLARED schema type (``_wrap_value``), so a write->read round
+    trip through the reader's ``_unwrap`` is the identity."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mongodump writer needs a path")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.json"
+        staged = os.path.join(stage_dir, name)
+        fields = [(f.name, f.dataType) for f in self.schema.fields]
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                doc = {n: _wrap_value(row[n], t) for n, t in fields}
+                fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
+        return _WrittenFile(staged, os.path.join(self.path, name))
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in _list_dump_files(self.path):
+                os.remove(f)
+        for m in messages:
+            os.replace(m.staged, m.final)
+        stage_dir = os.path.join(self.path, "_staging")
+        if os.path.isdir(stage_dir) and not os.listdir(stage_dir):
+            os.rmdir(stage_dir)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class MongoDumpDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -239,6 +327,9 @@ class MongoDumpDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> MongoDumpStreamReader:
         return MongoDumpStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> MongoDumpWriter:
+        return MongoDumpWriter(schema, self.options, overwrite)
 
 
 def register(spark: SparkSession) -> None:

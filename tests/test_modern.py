@@ -439,3 +439,56 @@ def test_mongodump_stream_drain_equals_batch_read(spark, tmp_path):
         .groupBy("anio").agg(F.count("*").cast("long").alias("n"))
     )
     assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_mongodump_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """The Spark 4 Python DataSource WRITE path: df.write.format
+    ('mongodump') stages per-task files and publishes them atomically
+    on commit; write -> read through the reader's unwrapping is the
+    identity on the typed view; overwrite replaces prior content; the
+    staging dir never leaks into the readable listing."""
+    import os
+
+    datasources.register(spark)
+    out = str(tmp_path / "dump_out")
+    docs = rulings_view(load_table(spark, SF, "documents")).select(
+        "providencia", "tipo", F.col("anio").cast("int").alias("anio"), "texto"
+    )
+    docs.repartition(3).write.format("mongodump").mode("append").save(out)
+    assert not os.path.isdir(os.path.join(out, "_staging")) or not os.listdir(
+        os.path.join(out, "_staging")
+    )
+    back = (
+        spark.read.format("mongodump")
+        .schema("providencia string, tipo string, anio int, texto string")
+        .load(out)
+    )
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+
+    # overwrite with a filtered subset replaces, not appends
+    subset = docs.filter(F.col("anio") >= 2010)
+    subset.write.format("mongodump").mode("overwrite").save(out)
+    back2 = (
+        spark.read.format("mongodump")
+        .schema("providencia string, tipo string, anio int, texto string")
+        .load(out)
+    )
+    assert back2.count() == subset.count()
+    assert back2.filter(F.col("anio") < 2010).count() == 0
+
+    # typed wrappers round-trip: long / double / timestamp
+    typed = spark.createDataFrame(
+        [(1, 2.5, "x")], "k long, v double, s string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 12:30:00")))
+    tdir = str(tmp_path / "typed_out")
+    typed.write.format("mongodump").mode("append").save(tdir)
+    tback = (
+        spark.read.format("mongodump")
+        .schema("k long, v double, s string, ts timestamp")
+        .load(tdir)
+    )
+    row = tback.first()
+    assert (row.k, row.v, row.s) == (1, 2.5, "x")
+    assert row.ts == typed.first().ts
