@@ -228,3 +228,89 @@ def train_val_test_split(
         .when(b < F.lit(t_val), "val")
         .otherwise("test"),
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every candidate document by how much more likely its hashed
+    n-gram bag is under a TARGET distribution than under the source —
+    ``log w(x) = sum_b c_b(x) * (ln p_target[b] - ln p_source[b])``
+    with add-one smoothing, over unigram+bigram features hashed into
+    ``n_buckets`` buckets (the md5 bucket both engines/references can
+    replay). Feed the weights to ``weighted_sample_topk`` (importance
+    RESAMPLING) to build a target-like corpus from raw data.
+
+    Plan shape: two tiny bucket-model aggregates (n_buckets rows each,
+    from one explode per corpus), broadcast-joined onto the per-doc
+    bucket counts, one sum per doc — the corpus is never shuffled
+    whole, and the model tables are O(n_buckets) regardless of scale.
+    Log-space scoring is float (1-ulp ln() divergence across engines —
+    the F30 finding), so the op is numpy-pinned, not oracle-checked.
+
+    Output: (id_col, n_feats long, log_weight double).
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+
+    from providenciasbigdata_spark.functions.text import tokenize
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = tokenize(F.col(text_col))
+        uni = toks
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                      F.element_at(toks, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(uni, bi)
+        return df.select(
+            F.col(id_col),
+            F.explode(grams).alias("gram"),
+        ).select(
+            F.col(id_col),
+            F.pmod(
+                F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    def model(df: DataFrame, name: str) -> DataFrame:
+        counts = feats(df).groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        total = counts.agg(F.sum("c")).first()[0] or 0
+        # ln((c_b + 1) / (total + B)) — add-one smoothing; absent
+        # buckets contribute ln(1 / (total + B)) via the fill below
+        return counts.select(
+            "bucket",
+            F.log((F.col("c") + 1) / F.lit(float(total + n_buckets))).alias(name),
+        ), float(total + n_buckets)
+
+    tgt, tgt_denom = model(target, "lp_t")
+    src, src_denom = model(docs, "lp_s")
+    delta = (
+        tgt.join(src, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.coalesce("lp_t", F.log(F.lit(1.0 / tgt_denom)))
+                - F.coalesce("lp_s", F.log(F.lit(1.0 / src_denom)))
+            ).alias("delta"),
+        )
+    )
+    doc_counts = feats(docs).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scored = doc_counts.join(F.broadcast(delta), "bucket").groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_feats"),
+        F.sum(F.col("c") * F.col("delta")).alias("log_weight"),
+    )
+    return scored

@@ -522,6 +522,24 @@ WHERE (CASE WHEN o.h IS NULL THEN 'added'
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document
+    scored by hashed-ngram likelihood ratio against an English target
+    slice — the data-selection op that turns raw crawl into a
+    target-like training mix (feed to weighted_sample_topk for the
+    resampling step). Rows-only: log-space scoring inherits the
+    cross-engine 1-ulp ln() divergence (F30); numpy-pinned in
+    tests/test_training_ext.py."""
+    from providenciasbigdata_spark.operators.mix import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_log_weights(docs, target, n_buckets=4096)
+    return out.select(
+        "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
 def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule bundle (Rae et al. 2021): seven heuristic
     flags + the combined gate, every ratio bound a cross-multiplied
@@ -595,9 +613,15 @@ QUERIES = {
     "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
     "pack_sequences": (q_pack_sequences, _PACK_SQL),
     "pack_first_fit_bins": (q_pack_first_fit, None),
+    "dsir_importance_weights": (q_dsir_weights, None),
 }
 
 WHY_NO_ORACLE = {
+    "dsir_importance_weights": (
+        "log-likelihood-ratio scoring inherits the 1-ulp cross-engine ln() "
+        "divergence (the F30 finding); pinned against a pure-numpy DSIR "
+        "reference on identical md5 buckets in tests/test_training_ext.py"
+    ),
     "pack_first_fit_bins": (
         "first-fit-decreasing is a sequential greedy per shard — not "
         "SQL-expressible; pinned EQUAL to a pure-Python reference FFD and "

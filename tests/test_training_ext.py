@@ -223,3 +223,64 @@ def test_pack_first_fit_matches_reference_and_invariants(spark):
     bad = spark.createDataFrame([(1, 5000)], "doc_id long, n_chars long")
     with pytest.raises(Exception, match="not in"):
         pack_first_fit(bad, "n_chars", capacity=2048).collect()
+
+
+def test_dsir_weights_match_numpy_reference(spark):
+    """The distributed DSIR scorer == a pure-Python/numpy reference on
+    the identical tokenizer, md5 buckets, and add-one smoothing; the
+    English target slice must up-weight English docs on average."""
+    import math
+    import re
+    import unicodedata
+    from hashlib import md5 as _md5
+
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.mix import dsir_log_weights
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    B = 512
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_log_weights(docs, target, n_buckets=B).collect()
+    }
+
+    def toks(s):
+        folded = unicodedata.normalize("NFKD", s.lower())
+        folded = "".join(c for c in folded if not unicodedata.combining(c))
+        return [t for t in re.split(r"\W+", folded) if t]
+
+    def buckets(text):
+        ts = toks(text)
+        grams = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        return [int(_md5(g.encode()).hexdigest()[:15], 16) % B for g in grams]
+
+    rows = docs.select("doc_id", "text", "lang").collect()
+    src_counts: dict[int, int] = {}
+    tgt_counts: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        bs = buckets(r.text or "")
+        per_doc[r.doc_id] = bs
+        for b in bs:
+            src_counts[b] = src_counts.get(b, 0) + 1
+            if r.lang == "en":
+                tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    s_tot = sum(src_counts.values()) + B
+    t_tot = sum(tgt_counts.values()) + B
+    for r in rows:
+        bs = per_doc[r.doc_id]
+        want = sum(
+            math.log((tgt_counts.get(b, 0) + 1) / t_tot)
+            - math.log((src_counts.get(b, 0) + 1) / s_tot)
+            for b in bs
+        )
+        n, logw = got[r.doc_id]
+        assert n == len(bs)
+        assert abs(logw - want) < 1e-6 * max(1.0, abs(want)), r.doc_id
+
+    langs = {r.doc_id: r.lang for r in rows}
+    en = [got[d][1] for d in got if langs[d] == "en"]
+    other = [got[d][1] for d in got if langs[d] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
