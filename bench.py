@@ -104,6 +104,23 @@ HEADLINE = [
     "cypher_topk_neighbors",
     "timeseries_rolling_median",
     "mql_agg_sort_by_count",
+    # round 5, second session
+    "mql_agg_bucket",
+    "mql_agg_facet",
+    "mql_text_score_cursor",
+    "multimodal_png_decode",
+    "multimodal_wav_header_jvm",
+    "curate_gopher_flags",
+    "graph_link_prediction",
+    "graph_scc_condensation",
+    "stream_purchase_click_semi",
+    "stream_session_dynamic_gap",
+    "training_mix_temperature",
+    "pack_first_fit_bins",
+    "dedup_paragraph_within_doc",
+    "timeseries_resample_interpolate",
+    "dsir_importance_weights",
+    "cypher_global_topk",
 ]
 
 
