@@ -61,6 +61,21 @@ def main() -> None:
     n1 = kept.count()
     print(f"[1] lang=en & quality>=0.5: {n1} docs")
 
+    # -- 1b. Gopher rule audit + DSIR target-likeness scores --------------
+    from providenciasbigdata_spark.operators.curate import gopher_quality_flags
+    from providenciasbigdata_spark.operators.mix import dsir_log_weights
+
+    flags = gopher_quality_flags(docs)
+    n_gopher = flags.filter(F.col("pass_gopher")).count()
+    print(f"[1b] gopher rule gate would keep {n_gopher} of {n0} "
+          "(audit only here — the fixture docs are short)")
+    dsir = dsir_log_weights(
+        docs, raw.filter(F.col("lang") == "en"), n_buckets=1024
+    )
+    top_dsir = dsir.orderBy(F.desc("log_weight")).limit(3).collect()
+    print(f"[1b] DSIR most-target-like docs: "
+          f"{[(r.doc_id, round(r.log_weight, 2)) for r in top_dsir]}")
+
     # -- 2. exact dedup (content fingerprint, min-id survivor) ------------
     exact = dedup.dedup_exact(kept.select("doc_id", "text"))
     n2 = exact.count()
@@ -103,6 +118,20 @@ def main() -> None:
         F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_tokens")
     ).first()
     print(f"[4] chunked: {stats.n_chunks} chunks, {stats.n_tokens} tokens")
+
+    # -- 4b. whole-document context packing (sharded FFD, no straddling) --
+    from providenciasbigdata_spark.operators.pack import pack_first_fit
+
+    packed = pack_first_fit(
+        fuzzy.withColumn("n_chars", F.length("text")),
+        "n_chars", capacity=2048, n_shards=2,
+    )
+    pk = packed.agg(
+        F.count_distinct("bin_id").alias("bins"),
+        F.sum("n_chars").alias("fill"),
+    ).first()
+    print(f"[4b] FFD packed into {pk.bins} bins of 2048 "
+          f"(fill {pk.fill}, lower bound {-(-pk.fill // 2048)})")
 
     # -- 5. embedding near-dup pruning + IVF ANN probe --------------------
     emb = load_table(spark, sf_dir, "embeddings")

