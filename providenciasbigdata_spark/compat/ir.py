@@ -447,11 +447,23 @@ def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
     if gid is None:
         return df.agg(*aggs)
     if isinstance(gid, dict):
-        raise ValueError(
-            "compound $group _id subdocuments are unsupported — group on a "
-            "single '$field' (the relational view has no nested documents)"
+        # compound _id subdocument: {"y": "$anio", "t": "$tipo"} ->
+        # group on every key expression, emit _id as ONE struct column
+        # (the document shape Mongo returns); expressions come from
+        # the same _agg_expr grammar $addFields uses
+        if not gid:
+            raise ValueError("compound $group _id must be a non-empty document")
+        keys = {k: _agg_expr(e) for k, e in gid.items()}
+        grouped = df.groupBy(
+            *[c.alias(f"__gk_{k}") for k, c in keys.items()]
+        ).agg(*aggs)
+        return grouped.select(
+            F.struct(
+                *[F.col(f"__gk_{k}").alias(k) for k in keys]
+            ).alias("_id"),
+            *[c for c in grouped.columns if not c.startswith("__gk_")],
         )
-    return df.groupBy(F.col(_ref_field(gid, "$group _id")).alias("_id")).agg(*aggs)
+    return df.groupBy(_agg_expr(gid).alias("_id")).agg(*aggs)
 
 
 # aggregation-EXPRESSION grammar ($addFields/$set/$bucket groupBy): the
@@ -585,6 +597,21 @@ def _facet_stage(
             )
         )
     return reduce(DataFrame.crossJoin, packed)
+
+
+def mql_distinct(
+    rulings: DataFrame, field: str, query: dict | None = None,
+    default_language: str = "none",
+) -> DataFrame:
+    """``collection.distinct(field, filter)`` — the full pymongo
+    distinct surface (the reference calls the no-filter form at
+    streamlit_app.py:26-27 / A2; the filter argument is the first
+    extension a faceted-search user reaches for: "distinct years
+    WITHIN the current tipo facet"). Filter grammar = the whole
+    find() grammar. One pushed predicate + one hash-distinct; sorted
+    ascending like the reference's client-side ``sorted()``."""
+    out = rulings.filter(_query_condition(query or {}, default_language))
+    return out.select(field).distinct().orderBy(field)
 
 
 def mql_count_documents(

@@ -26,61 +26,114 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row whose ``on``
-    value is <= the left's (``strict=True`` => strictly <), optionally
-    per ``by`` key group. pandas' ``merge_asof`` / DuckDB's ASOF JOIN
-    semantics, expressed as pure DataFrame ops:
+    """For each left row, attach ONE right row by temporal proximity —
+    pandas' ``merge_asof`` / DuckDB's ASOF JOIN semantics with the full
+    direction matrix, expressed as pure DataFrame ops:
 
-        1. tag both sides, union them aligned on (by, on, payload)
-        2. window per ``by`` ordered by (on, side-tag): last non-null
-           right payload seen so far = the as-of match
-        3. keep left rows
+    - ``direction="backward"`` (default): most recent right row with
+      ``on`` <= the left's (``strict=True`` => strictly <);
+    - ``"forward"``: earliest right row with ``on`` >= the left's
+      (strict => strictly >);
+    - ``"nearest"``: the closer of the two candidates; exact ties
+      prefer BACKWARD (pandas' rule). ``on`` must be castable to
+      double for the distance compare (numerics and timestamps are).
 
-    Right rows sort BEFORE left rows at equal ``on`` when inclusive
-    (so an equal-timestamp right row matches), AFTER when strict.
-    If several right rows share (by, on), the one with the greatest
-    ``on`` (then latest in tag order) wins — deterministic given unique
-    (by, on) on the right; document ties as unspecified otherwise.
+    Mechanism: tag both sides, union aligned on (by, on, payload),
+    then a cumulative window per ``by`` — ascending for backward
+    (last right payload seen so far), descending for forward (the
+    same "last seen" over the reversed order = first following) —
+    keeps left rows. Side tags order right rows before left at equal
+    ``on`` when inclusive, after when strict, in EITHER direction.
+    If several right rows share (by, on), the winner is deterministic
+    given unique (by, on) on the right; ties otherwise unspecified.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest: {direction}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by_cols]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    # hidden payload: the matched right row's own `on`, needed for the
+    # nearest distance compare (and harmless otherwise)
+    carry = list(right_cols) + ["__on"]
 
     l_tag = left.withColumn("__side", F.lit(1 if not strict else 0))
     for c in right_cols:
         l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l_tag = l_tag.withColumn("__r___on", F.lit(None).cast(right.schema[on].dataType))
     r_tag = right.select(
         *by_cols,
         F.col(on),
         F.lit(0 if not strict else 1).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(on).alias("__r___on"),
     )
     left_payload = [c for c in left.columns if c not in by_cols and c != on]
     for c in left_payload:
         r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l_tag.select(
-        *by_cols, on, "__side", *[f"__r_{c}" for c in right_cols], *left_payload
-    ).unionByName(
-        r_tag.select(*by_cols, on, "__side", *[f"__r_{c}" for c in right_cols], *left_payload)
-    )
+    cols = [*by_cols, on, "__side", *[f"__r_{c}" for c in carry], *left_payload]
+    unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
-    w = (
-        Window.partitionBy(*by_cols).orderBy(F.col(on).asc(), F.col("__side").asc())
-        if by_cols
-        else Window.orderBy(F.col(on).asc(), F.col("__side").asc())
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    filled = unioned.select(
-        *by_cols,
-        on,
-        "__side",
-        *left_payload,
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_names[c])
-            for c in right_cols
-        ],
-    )
+    def cum_window(descending: bool):
+        order = [
+            F.col(on).desc() if descending else F.col(on).asc(),
+            F.col("__side").asc(),
+        ]
+        base = (
+            Window.partitionBy(*by_cols).orderBy(*order)
+            if by_cols
+            else Window.orderBy(*order)
+        )
+        return base.rowsBetween(Window.unboundedPreceding, 0)
+
+    if direction in ("backward", "forward"):
+        w = cum_window(descending=direction == "forward")
+        filled = unioned.select(
+            *by_cols,
+            on,
+            "__side",
+            *left_payload,
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_names[c])
+                for c in right_cols
+            ],
+        )
+    else:  # nearest: both passes, pick the closer (ties -> backward)
+        wb, wf = cum_window(False), cum_window(True)
+        picked = unioned.select(
+            *by_cols,
+            on,
+            "__side",
+            *left_payload,
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in carry
+            ],
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in carry
+            ],
+        )
+        here = F.col(on).cast("double")
+        d_back = here - F.col("__b___on").cast("double")
+        d_fwd = F.col("__f___on").cast("double") - here
+        use_back = F.col("__f___on").isNull() | (
+            F.col("__b___on").isNotNull() & (d_back <= d_fwd)
+        )
+        filled = picked.select(
+            *by_cols,
+            on,
+            "__side",
+            *left_payload,
+            *[
+                F.when(use_back, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(out_names[c])
+                for c in right_cols
+            ],
+        )
     is_left = F.col("__side") == (1 if not strict else 0)
     return filled.filter(is_left).drop("__side")
 

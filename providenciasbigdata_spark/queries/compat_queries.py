@@ -697,6 +697,56 @@ _MQL_TEXT_SCORE_SQL = (
 )
 
 
+def q_mql_distinct_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collection.distinct(field, filter) — the A2 facet scan with the
+    pymongo filter argument ('distinct years within the src3 facet'):
+    pushed predicate + hash distinct + ascending sort."""
+    from providenciasbigdata_spark.compat.ir import mql_distinct
+
+    return mql_distinct(
+        _rulings(spark, sf_dir), "anio", {"tipo": "src3", "anio": {"$gte": 2010}}
+    )
+
+
+_MQL_DISTINCT_SQL = (
+    f"SELECT DISTINCT anio FROM ({_RULINGS_SQL}) "
+    f"WHERE tipo = 'src3' AND anio >= 2010 ORDER BY anio"
+)
+
+
+def q_mql_agg_group_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound $group _id subdocument ({tipo, decade expression}) —
+    the multi-dimensional facet shape; _id comes back as one struct
+    column (Mongo's document shape), unpacked to scalars at the query
+    edge for the hash compare."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$group": {
+                "_id": {"t": "$tipo",
+                        "d": {"$subtract": ["$anio", {"$mod": ["$anio", 10]}]}},
+                "n": {"$sum": 1},
+                "hi": {"$max": "$anio"},
+            }},
+        ],
+    )
+    return out.select(
+        F.col("_id.t").alias("t"),
+        F.col("_id.d").cast("long").alias("d"),
+        F.col("n").cast("long").alias("n"),
+        F.col("hi").cast("long").alias("hi"),
+    )
+
+
+_MQL_GROUP_COMPOUND_SQL = f"""
+SELECT tipo AS t, CAST(anio - anio % 10 AS BIGINT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(anio) AS BIGINT) AS hi
+FROM ({_RULINGS_SQL}) GROUP BY tipo, anio - anio % 10
+"""
+
+
 def q_mql_agg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$bucket: five-year bucket histogram over anio with a default
     bucket catching 2020+ — half-open [lo, hi) intervals, _id = lower
@@ -1325,6 +1375,8 @@ QUERIES = {
     "mql_agg_lookup": (q_mql_agg_lookup, _MQL_LOOKUP_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),
+    "mql_distinct_filtered": (q_mql_distinct_filtered, _MQL_DISTINCT_SQL),
+    "mql_agg_group_compound": (q_mql_agg_group_compound, _MQL_GROUP_COMPOUND_SQL),
     "mql_agg_add_fields": (q_mql_agg_add_fields, _MQL_ADD_FIELDS_SQL),
     "mql_agg_union_with": (q_mql_agg_union_with, _MQL_UNION_WITH_SQL),
     "mql_agg_push_sets": (q_mql_agg_push_sets, _MQL_PUSH_SETS_SQL),

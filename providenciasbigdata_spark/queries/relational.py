@@ -430,6 +430,74 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q_asof_forward_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event tagged with the user's NEXT
+    purchase timestamp (>= its own) — the 'time until conversion'
+    primitive; descending cumulative window over the same union plan
+    as backward. DuckDB's ASOF only walks backward, so the oracle uses
+    the reversed inequality form it does support."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.unix_micros("ts").alias("purchase_us")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_us"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "purchase_us")
+
+
+_ASOF_FWD_SQL = """
+SELECT e.event_id, e.user_id, epoch_us(p.ts) AS purchase_us
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: the closest purchase in either direction,
+    exact ties preferring backward (pandas' rule) — both cumulative
+    windows over one union, one pick expression. Oracle: correlated
+    min-distance subqueries with the same tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.unix_micros("ts").alias("purchase_us")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_us"],
+        direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "purchase_us")
+
+
+_ASOF_NEAREST_SQL = """
+WITH p AS (SELECT user_id, ts, epoch_us(ts) AS purchase_us
+           FROM events WHERE event_type = 'purchase'),
+b AS (SELECT e.event_id, e.user_id, e.ts, MAX(p.purchase_us) AS back_us
+      FROM events e LEFT JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts
+      GROUP BY 1, 2, 3),
+f AS (SELECT e.event_id, MIN(p.purchase_us) AS fwd_us
+      FROM events e LEFT JOIN p ON p.user_id = e.user_id AND p.ts >= e.ts
+      GROUP BY 1)
+SELECT b.event_id, b.user_id,
+       CASE WHEN f.fwd_us IS NULL THEN b.back_us
+            WHEN b.back_us IS NULL THEN f.fwd_us
+            WHEN epoch_us(b.ts) - b.back_us <= f.fwd_us - epoch_us(b.ts)
+              THEN b.back_us
+            ELSE f.fwd_us END AS purchase_us
+FROM b JOIN f USING (event_id)
+"""
+
+
 # ---- range join (bucketized; plain theta-join as oracle) ---------------
 
 def q_range_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,5 +1140,7 @@ QUERIES = {
     "json_events_agg": (q_json_events_agg, _JSON_SQL),
     "pivot_status": (q_pivot_status, _PIVOT_SQL),
     "asof_last_purchase": (q_asof_last_purchase, _ASOF_SQL),
+    "asof_forward_purchase": (q_asof_forward_purchase, _ASOF_FWD_SQL),
+    "asof_nearest_purchase": (q_asof_nearest_purchase, _ASOF_NEAREST_SQL),
     "range_clicks_after_purchase": (q_range_clicks_after_purchase, _RANGE_SQL),
 }

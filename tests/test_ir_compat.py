@@ -489,7 +489,7 @@ def test_mql_aggregate_rejects_out_of_subset(spark):
     docs = _rulings(spark)
     for bad in (
         [{"$lookup": {}}],
-        [{"$group": {"_id": {"t": "$tipo"}, "n": {"$sum": 1}}}],  # compound _id
+        [{"$group": {"_id": {}, "n": {"$sum": 1}}}],  # empty compound _id
         [{"$group": {"_id": "$tipo"}}],  # no accumulator
         [{"$group": {"_id": "$tipo", "n": {"$stdDevPop": "$anio"}}}],
         [{"$unwind": "tokens"}],  # missing $ prefix

@@ -81,3 +81,38 @@ def test_cdc_merge_upsert_delete_semantics(spark):
     )
     got = {r.k: r.val for r in out.collect()}
     assert got == {1: 1.5, 3: 3.0, 4: 4.0}
+
+
+def test_asof_direction_matrix(spark):
+    """backward/forward/nearest on a hand-built series: known matches,
+    inclusive vs strict boundaries, and the nearest tie -> backward
+    rule (pandas' contract)."""
+    from providenciasbigdata_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10, "a"), ("u", 25, "b"), ("u", 40, "c")],
+        "user string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100), ("u", 20, 200), ("u", 30, 300)],
+        "user string, t long, v long",
+    )
+
+    def got(direction, strict=False):
+        out = asof_join(
+            left, right, on="t", by="user", right_cols=["v"],
+            strict=strict, direction=direction,
+        )
+        return {r.tag: r.v for r in out.collect()}
+
+    assert got("backward") == {"a": 100, "b": 200, "c": 300}
+    assert got("backward", strict=True) == {"a": None, "b": 200, "c": 300}
+    assert got("forward") == {"a": 100, "b": 300, "c": None}
+    assert got("forward", strict=True) == {"a": 200, "b": 300, "c": None}
+    # t=25 is equidistant from 20 and 30 -> tie prefers backward (200)
+    assert got("nearest") == {"a": 100, "b": 200, "c": 300}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="t", direction="sideways")
