@@ -369,6 +369,40 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level exact dedup stats across the video corpus: every
+    256-byte frame (no sampling), counted raw-BYTES-distinct — the
+    multimodal->dedup handoff (duplicate frames across assets are the
+    video analogue of duplicate paragraphs). Compares binary frames
+    directly, no hash: COUNT(DISTINCT binary) is exact on both
+    engines and sidesteps any UTF-8-boundary question."""
+    assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "video")
+    frames = multimodal.sample_frames(assets, every_n=1, frame_bytes=256)
+    return frames.agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.count_distinct("frame_bytes").cast("long").alias("n_distinct_frames"),
+        F.count_distinct("asset_id").cast("long").alias("n_assets"),
+    )
+
+
+_FRAME_DEDUP_SQL = """
+WITH v AS (
+  -- DuckDB has no BLOB substring; slice in the HEX domain instead
+  -- (2 chars/byte — distinct-hex is a bijection onto distinct-bytes)
+  SELECT doc_id AS asset_id, hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) AS len
+  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+), frames AS (
+  SELECT asset_id, substring(payload_hex, i * 512 + 1, 512) AS frame_hex
+  FROM v, UNNEST(range((len + 255) // 256)) AS u(i)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT frame_hex) AS BIGINT) AS n_distinct_frames,
+       CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets
+FROM frames
+"""
+
+
 def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-embed every payload, then brute-force cosine top-10 against
     asset 0 — the multimodal->similarity handoff, end to end."""
@@ -393,6 +427,7 @@ QUERIES = {
     "multimodal_png_header_jvm": (q_png_header_jvm, _PNG_HEADER_SQL),
     "multimodal_png_luma": (q_png_luma, None),
     "multimodal_wav_header_jvm": (q_wav_header_jvm, _WAV_HEADER_SQL),
+    "multimodal_frame_dedup": (q_frame_dedup, _FRAME_DEDUP_SQL),
     "multimodal_embed_topk": (q_payload_embed_topk, None),
 }
 
