@@ -311,3 +311,69 @@ def postings_append(
         .cast("bigint")
         .alias("df"),
     )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """POSITIONAL inverted index: one row per (token, doc) carrying the
+    sorted in-document position list — the index that answers phrase
+    queries without touching the corpus (Lucene's proximity data,
+    flattened). Flat (token, doc) rows rather than one giant nested
+    row per token: at 100 TB the flat layout bucket-partitions by
+    token, joins without exploding, and never builds a single
+    vocabulary-entry row bigger than a task."""
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    return pairs.groupBy("token", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def search_phrase_indexed(
+    positional: DataFrame, phrase: str
+) -> DataFrame:
+    """Phrase search FROM the positional index: a document matches when
+    the phrase's tokens occupy consecutive positions. Each term's
+    per-doc position list is shifted by its phrase offset
+    (``p - i``); the intersection of the shifted lists is exactly the
+    set of phrase START positions, so non-empty == match — the classic
+    positional-merge, as array intersections instead of per-position
+    loops.
+
+    Plan: one index probe (``token IN phrase_terms`` — a pushed filter
+    that prunes a token-bucketed index to the phrase's buckets), one
+    equi-join chain on doc_id (k-1 joins for a k-term phrase, each
+    side already keyed by doc), one JVM array_intersect fold. The
+    corpus itself is never read. Pinned equal to the scan-time phrase
+    path (compat.documents text_match_condition) in tests."""
+    from providenciasbigdata_spark.compat.documents import _fold
+
+    import re
+
+    terms = [t for t in re.split(r"\W+", _fold(phrase)) if t]
+    if not terms:
+        return positional.select(F.col("doc_id")).where(F.lit(False))
+    def shift_by(off: int):
+        # NOTE: a two-parameter lambda (even with a default) makes
+        # F.transform pass the ARRAY INDEX as the second argument —
+        # bind the phrase offset through a closure instead
+        return lambda p: p - F.lit(off)
+
+    sides = []
+    for i, t in enumerate(terms):
+        sides.append(
+            positional.filter(F.col("token") == t).select(
+                "doc_id",
+                F.transform("positions", shift_by(i)).alias(f"__p{i}"),
+            )
+        )
+    joined = sides[0]
+    for nxt in sides[1:]:
+        joined = joined.join(nxt, "doc_id")
+    starts = F.col("__p0")
+    for i in range(1, len(terms)):
+        starts = F.array_intersect(starts, F.col(f"__p{i}"))
+    return joined.filter(F.size(starts) > 0).select("doc_id")

@@ -128,6 +128,29 @@ def q_a7_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _project(search_text(_rulings(spark, sf_dir), '"table hash"'))
 
 
+def q_a7_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME phrase query answered from the POSITIONAL inverted
+    index (S-depth: Lucene-style proximity data): shifted position-
+    list intersections find consecutive runs without any corpus scan.
+    Oracle: the independent scan-time token-run derivation."""
+    from providenciasbigdata_spark.operators.postings import (
+        build_positional_postings,
+        search_phrase_indexed,
+    )
+
+    r = _rulings(spark, sf_dir)
+    idx = build_positional_postings(r)
+    hits = search_phrase_indexed(idx, "table hash")
+    return r.join(hits, "doc_id", "left_semi").select("providencia")
+
+
+_PHRASE_INDEXED_SQL = (
+    f"SELECT 'P-' || CAST(doc_id AS VARCHAR) AS providencia FROM documents "
+    f"WHERE contains(' ' || array_to_string({_TOKENS_SQL.format(col='text')}, ' ') || ' ', "
+    f"' table hash ')"
+)
+
+
 def q_a7_search_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo -term negation through the plain $text surface: docs
     matching 'merge' minus any containing 'window'. A negation-only
@@ -1342,6 +1365,7 @@ QUERIES = {
         f"WHERE contains(' ' || array_to_string({_TOKENS_SQL.format(col='texto')}, ' ') || ' ', ' the ') "
         f"AND NOT len(list_intersect({_TOKENS_SQL.format(col='texto')}, ['error'])) > 0",
     ),
+    "a7_search_phrase_indexed": (q_a7_search_phrase_indexed, _PHRASE_INDEXED_SQL),
     "a7_search_phrase": (
         q_a7_search_phrase,
         f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "

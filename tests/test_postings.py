@@ -223,3 +223,30 @@ def test_postings_append_equals_full_rebuild(spark):
     )
     assert mism == 0
     assert incremental.count() == rebuilt.count() > 0
+
+
+def test_positional_phrase_equals_scan_path(spark):
+    """Index-based phrase search == the scan-time token-run path on
+    every phrase shape: 2-term, 3-term, repeated-token, and a phrase
+    crossing a stem boundary; empty/punctuation phrases match nothing."""
+    from providenciasbigdata_spark.compat.documents import rulings_view, search_text
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.postings import (
+        build_positional_postings,
+        search_phrase_indexed,
+    )
+
+    r = rulings_view(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    idx = build_positional_postings(r)
+    for phrase in ("table hash", "the merge", "merge merge", "a b c"):
+        scan = {
+            x.doc_id
+            for x in search_text(r, f'"{phrase}"').select("doc_id").collect()
+        }
+        ind = {x.doc_id for x in search_phrase_indexed(idx, phrase).collect()}
+        assert ind == scan, phrase
+    assert search_phrase_indexed(idx, "...").count() == 0
+    # single-term phrase = plain containment
+    one = {x.doc_id for x in search_phrase_indexed(idx, "merge").collect()}
+    scan_one = {x.doc_id for x in search_text(r, '"merge"').select("doc_id").collect()}
+    assert one == scan_one
