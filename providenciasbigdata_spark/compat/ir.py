@@ -686,7 +686,30 @@ def mql_aggregate(
         elif op == "$group":
             df = _group_stage(df, spec)
         elif op == "$project":
+            # computed projection fields (Mongo 4.4+ allows aggregation
+            # expressions in $project): compile through _agg_expr, then
+            # treat as inclusions — mixing with excludes still raises
+            # via _apply_projection, matching Mongo
+            computed = {k: v for k, v in spec.items() if isinstance(v, dict)}
+            if computed:
+                df = df.withColumns({k: _agg_expr(v) for k, v in computed.items()})
+                spec = {
+                    **{k: v for k, v in spec.items() if k not in computed},
+                    **{k: 1 for k in computed},
+                }
             df = _apply_projection(df, spec)
+        elif op == "$sample":
+            if not (isinstance(spec, dict) and "size" in spec):
+                raise ValueError(f"$sample needs a size document: {spec!r}")
+            # DIVERGENCE (documented): Mongo's $sample is random; this
+            # engine samples DETERMINISTICALLY by md5 over the row's
+            # string-cast columns — reproducible across runs/retries
+            # and oracle-checkable. Project to engine-stable scalar
+            # columns first (arrays stringify differently per engine).
+            key = F.md5(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+            )
+            df = df.orderBy(key).limit(int(spec["size"]))
         elif op == "$sort":
             df = _apply_sort(df, spec)
         elif op == "$limit":

@@ -770,6 +770,58 @@ FROM ({_RULINGS_SQL}) GROUP BY tipo, anio - anio % 10
 """
 
 
+def q_mql_agg_project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$project with COMPUTED fields (Mongo 4.4+ aggregation
+    expressions inside the projection): decade arithmetic + text
+    length beside a plain include — compiles to one Catalyst
+    projection."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$project": {
+                "providencia": 1,
+                "decade": {"$subtract": ["$anio", {"$mod": ["$anio", 10]}]},
+                "tl": {"$strLenCP": {"$ifNull": ["$texto", ""]}},
+            }},
+        ],
+    )
+    return out.select(
+        "providencia",
+        F.col("decade").cast("long").alias("decade"),
+        F.col("tl").cast("long").alias("tl"),
+    )
+
+
+_MQL_PROJECT_COMPUTED_SQL = f"""
+SELECT providencia, CAST(anio - anio % 10 AS BIGINT) AS decade,
+       CAST(length(COALESCE(texto, '')) AS BIGINT) AS tl
+FROM ({_RULINGS_SQL})
+"""
+
+
+def q_mql_agg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$sample after a scalar $project: DETERMINISTIC md5-order draw
+    (documented divergence from Mongo's randomness — reproducible
+    across runs and engines, so the exact drawn set hash-checks)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    return mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$project": {"providencia": 1, "anio": 1}},
+            {"$sample": {"size": 10}},
+        ],
+    )
+
+
+_MQL_SAMPLE_SQL = f"""
+SELECT providencia, anio FROM ({_RULINGS_SQL})
+ORDER BY md5(concat_ws(chr(31), providencia, CAST(anio AS VARCHAR))) LIMIT 10
+"""
+
+
 def q_mql_agg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$bucket: five-year bucket histogram over anio with a default
     bucket catching 2020+ — half-open [lo, hi) intervals, _id = lower
@@ -1400,6 +1452,8 @@ QUERIES = {
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),
     "mql_distinct_filtered": (q_mql_distinct_filtered, _MQL_DISTINCT_SQL),
+    "mql_agg_project_computed": (q_mql_agg_project_computed, _MQL_PROJECT_COMPUTED_SQL),
+    "mql_agg_sample": (q_mql_agg_sample, _MQL_SAMPLE_SQL),
     "mql_agg_group_compound": (q_mql_agg_group_compound, _MQL_GROUP_COMPOUND_SQL),
     "mql_agg_add_fields": (q_mql_agg_add_fields, _MQL_ADD_FIELDS_SQL),
     "mql_agg_union_with": (q_mql_agg_union_with, _MQL_UNION_WITH_SQL),

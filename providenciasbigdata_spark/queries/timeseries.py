@@ -257,6 +257,47 @@ FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov / path-
+    analysis shape behind 'what do users do after a click'): lead()
+    over each user's (ts, event_id) order pairs every event with its
+    successor; one window + one count aggregate. Transition
+    probability = count / row-total — an int/int IEEE division,
+    engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")).alias("p"),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+FROM counts
+"""
+
+
 def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample to the dense hourly grid with LINEAR interpolation
     between known points (the gapfill ``interpolate`` sibling of
@@ -460,6 +501,7 @@ QUERIES = {
     "timeseries_weekly_revenue": (q_weekly_revenue, _WEEKLY_REVENUE_SQL),
     "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),
     "timeseries_resample_interpolate": (q_resample_interpolate, _INTERPOLATE_SQL),
+    "timeseries_event_transitions": (q_event_transitions, _TRANSITIONS_SQL),
     "timeseries_ohlc_bars": (q_ohlc_bars, _OHLC_SQL),
     "timeseries_rolling_median": (q_rolling_median, _ROLLING_MEDIAN_SQL),
     "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
