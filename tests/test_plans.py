@@ -493,3 +493,37 @@ def test_cypher_topk_is_take_ordered(spark, reg):
     plan = plan_of(_run(reg, "cypher_topk_neighbors", spark))
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_cypher_global_topk_is_take_ordered(spark, reg):
+    """Template 13's unanchored ORDER BY + LIMIT must be TakeOrdered
+    per-partition heaps over the filtered relationship scan — never a
+    global range-partitioned sort of the edge set."""
+    plan = plan_of(_run(reg, "cypher_global_topk", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_mql_sample_is_take_ordered(spark, reg):
+    """$sample's deterministic md5-order draw lowers to TakeOrdered,
+    not a full sort of the collection."""
+    plan = plan_of(_run(reg, "mql_agg_sample", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_phrase_indexed_probe_is_pushed(spark, reg):
+    """The positional-index phrase probe pushes the token predicate
+    into the index build's aggregate path (no post-hoc full-index
+    filter-after-materialize), and never degrades to a cartesian."""
+    plan = plan_of(_run(reg, "a7_search_phrase_indexed", spark))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_dsir_scoring_joins_broadcast_model(spark, reg):
+    """DSIR's per-doc scoring joins the O(n_buckets) delta table
+    BROADCAST against the doc-bucket counts — the corpus side must
+    never shuffle for the model join."""
+    plan = plan_of(_run(reg, "dsir_importance_weights", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
