@@ -102,6 +102,26 @@ def search_or(postings: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def search_prefix(postings: DataFrame, prefix: str) -> DataFrame:
+    """Docs containing any term starting with ``prefix`` (Lucene's
+    PrefixQuery / Mongo's anchored ``^prefix`` regex): a DICTIONARY
+    scan (`startswith` over the vocabulary — millions of rows at 100 TB,
+    never the corpus) unions the matched posting lists. Empty prefix
+    matches nothing (an unanchored wildcard would be a full corpus
+    enumeration — raise the question to the caller instead of doing it
+    silently). Output: (doc_id)."""
+    from providenciasbigdata_spark.compat.documents import _fold
+
+    p = _fold(prefix or "").strip()
+    if not p:
+        return postings.sparkSession.createDataFrame([], _EMPTY_HITS_SCHEMA)
+    return (
+        postings.filter(F.col("token").startswith(p))
+        .select(F.explode("postings").alias("doc_id"))
+        .distinct()
+    )
+
+
 def search_and(postings: DataFrame, terms: list[str]) -> DataFrame:
     """Docs containing ALL terms: posting intersection by term count.
     Output: (doc_id). Empty term list matches nothing."""

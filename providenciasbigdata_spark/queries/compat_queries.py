@@ -335,6 +335,27 @@ def q_a7_search_postings_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_or(idx, ["merge", "window"]).orderBy("doc_id")
 
 
+def q_a7_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search from the inverted index (Lucene PrefixQuery):
+    dictionary startswith scan (vocabulary-sized work) unioning the
+    matched posting lists — 'merg*' finds merge/merged/merging docs
+    without any corpus scan."""
+    from providenciasbigdata_spark.operators.postings import (
+        build_postings,
+        search_prefix,
+    )
+
+    idx = build_postings(_rulings(spark, sf_dir))
+    return search_prefix(idx, "merg").orderBy("doc_id")
+
+
+_PREFIX_SQL = (
+    f"SELECT DISTINCT doc_id FROM ("
+    f"SELECT doc_id, unnest({_TOKENS_SQL.format(col='text')}) AS token FROM documents"
+    f") WHERE token LIKE 'merg%' ORDER BY doc_id"
+)
+
+
 def q_a7_search_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemmed search answered from a STEMMED inverted index, derived
     by stemming the DICTIONARY of the token index (strip expression
@@ -1463,6 +1484,7 @@ QUERIES = {
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),
     "a7_search_fuzzy": (q_a7_search_fuzzy, _FUZZY_SQL),
+    "a7_search_prefix": (q_a7_search_prefix, _PREFIX_SQL),
     "a7_search_bm25": (q_a7_search_bm25, _BM25_SQL),
     "a9_list_nodes": (
         q_a9_list_nodes,
