@@ -245,6 +245,7 @@ def pagerank(
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank on the directed graph.
 
@@ -265,19 +266,40 @@ def pagerank(
     Output: (id, rank); ranks sum to ~1.
     """
     ckpt = _truncator(edges.sparkSession, checkpoint_dir)
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .persist()
+        )
+    else:
+        # WEIGHTED transitions: probability of following an edge is its
+        # weight over the source's total out-weight — the similarity-
+        # graph random walk (heavier SIMILAR edges pull more rank).
+        # Parallel edges collapse by SUM of weights; non-positive
+        # weights are dropped (they carry no transition probability).
+        e = (
+            edges.filter(F.col(weight_col) > 0)
+            .groupBy(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .agg(F.sum(F.col(weight_col).cast("double")).alias("w"))
+            .persist()
+        )
     nodes = (
         e.select(F.col("u").alias("id")).union(e.select(F.col("v").alias("id")))
         .distinct().persist()
     )
     n = nodes.count()
-    out_deg = e.groupBy("u").agg(F.count("*").alias("deg")).persist()
+    out_deg = e.groupBy("u").agg(F.sum("w").alias("deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(max_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("id", "u"), "u")
             .join(out_deg, "u")
-            .select(F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("v").alias("id"),
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )

@@ -253,6 +253,53 @@ SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
 """
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank: transition probability ∝ edge similitud over
+    the source's total out-weight — the similarity-graph random walk
+    (heavier SIMILAR edges pull more rank). Same one-job-per-iteration
+    skeleton; out-degree becomes out-strength. Oracle unrolls the
+    weighted iterations as chained CTEs (symmetric graph, no dangling
+    mass); sum-order noise ~1e-14 under the 6-digit round."""
+    from providenciasbigdata_spark.operators.graph_algos import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return pagerank(edges, max_iter=5, weight_col="similitud").select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_weighted_sql(iters: int = 5, damping: float = 0.85) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""pr{k} AS (
+  SELECT nodes.id,
+         CAST({1 - damping} AS DOUBLE) / (SELECT n FROM nn)
+           + CAST({damping} AS DOUBLE) * COALESCE(s.inflow, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS id, SUM(p.rank * e.w / d.deg) AS inflow
+    FROM e JOIN pr{k - 1} p ON p.id = e.u JOIN deg d ON d.u = e.u
+    GROUP BY e.v) s ON s.id = nodes.id)"""
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS u,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS v,
+         {_COS_SQL.format(a='a', b='b')} AS w
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND {_COS_SQL.format(a='a', b='b')} >= 30),
+nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT u, SUM(w) AS deg FROM e GROUP BY u),
+pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+{chained}
+SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
+"""
+
+
 def q_degree_histogram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram through the blocked all-pairs path at a larger
     block size (operators.similarity.pairwise_cosine_blocked): no
@@ -559,4 +606,5 @@ QUERIES = {
     "graph_bfs_distances": (q_bfs_distances, _BFS_SQL),
     "graph_weighted_sssp": (q_sssp_distances, _SSSP_SQL),
     "graph_pagerank": (q_pagerank, _pagerank_sql()),
+    "graph_pagerank_weighted": (q_pagerank_weighted, _pagerank_weighted_sql()),
 }
