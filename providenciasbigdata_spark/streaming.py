@@ -488,6 +488,75 @@ def user_running_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
+_SESSION_STATE_SCHEMA = "n LONG, start_us LONG, last_us LONG"
+SESSION_GAP_US = 30 * 60 * 1_000_000  # the module's 30-minute gap pin
+
+
+class SessionTimeoutProcessor:
+    """transformWithState processor exercising the TIMER surface: a
+    per-user session accumulates (count, first, last); every input
+    reschedules an event-time timer at ``last + gap``; when the timer
+    fires (watermark passed the gap with no newer event) the session
+    summary emits and state clears. In-stream gap splits emit eagerly
+    without waiting for the timer — the same boundary-inclusive merge
+    rule as ``session_windows`` (an event at exactly last+gap merges).
+
+    Like UserTotalsProcessor, the class only touches the handle
+    surface it is given, so a fake handle (with registerTimer /
+    deleteTimer recording) drives the EXACT code the runtime would —
+    the CI pin asserts the emitted sessions equal the batch
+    ``session_windows`` result on the same events
+    (tests/test_streaming.py). Timestamps ride as epoch-micros longs;
+    output end = last + gap, matching the session_window contract.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+        self._handle = handle
+
+    def _emit(self, key, n, start_us, last_us):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_us": [start_us],
+                "session_end_us": [last_us + SESSION_GAP_US],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        ts_list: list[int] = []
+        for pdf in rows:
+            ts_list.extend(int(t) for t in pdf["ts_us"])
+        ts_list.sort()
+        if self._state.exists():
+            n, start_us, last_us = self._state.get()
+        else:
+            n, start_us, last_us = 0, None, None
+        for t in ts_list:
+            if last_us is not None and t - last_us > SESSION_GAP_US:
+                yield self._emit(key, n, start_us, last_us)
+                n, start_us = 0, None
+            n += 1
+            start_us = t if start_us is None else min(start_us, t)
+            last_us = t if last_us is None else max(last_us, t)
+        self._state.update((n, start_us, last_us))
+        # one live timer per key: reschedule at the new horizon
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer((last_us + SESSION_GAP_US) // 1000)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._state.exists():
+            n, start_us, last_us = self._state.get()
+            if n:
+                yield self._emit(key, n, start_us, last_us)
+        self._state.clear()
+
+    def close(self) -> None:
+        pass
+
+
 class UserTotalsProcessor:
     """The ``transformWithStateInPandas`` stateful processor behind
     ``user_running_totals_tws``, hoisted to module scope so its logic

@@ -535,3 +535,96 @@ def test_watermark_late_drop_is_observable(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 20
     assert got.filter(F.col("ts") < "2024-01-02").count() == 0
+
+
+class _TimerFakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _TimerFakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _TimerFakeValueState())
+
+    def registerTimer(self, ms):
+        self.timers.append(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.remove(ms)
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+def test_session_timeout_processor_matches_batch_sessions(spark):
+    """The TIMER-based stateful-v2 session processor, driven through a
+    fake handle (registerTimer/deleteTimer recorded, expiry simulated
+    at end of stream — availableNow never advances the watermark past
+    the final events, so the timer path is OUR logic to pin): emitted
+    sessions must equal the batch session_windows relation exactly,
+    including in-stream gap splits ACROSS micro-batch boundaries."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 30)
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in streaming.session_windows(ev, watermark=None)
+        .select(
+            "user_id",
+            F.unix_micros("session_start"),
+            F.unix_micros("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+
+    rows = (
+        ev.select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "ts_us"])
+    )
+    got = set()
+    for uid, g in rows.groupby("user_id"):
+        proc = streaming.SessionTimeoutProcessor()
+        handle = _TimerFakeHandle()
+        proc.init(handle)
+        # three micro-batches per user: sessions must survive batch
+        # boundaries and split only on real gaps
+        chunks = [g.iloc[i::3].sort_values("ts_us") for i in range(3)]
+        # feed in time order: interleave back into sorted thirds
+        ordered = g.sort_values("ts_us")
+        n = len(ordered)
+        chunks = [ordered.iloc[: n // 3], ordered.iloc[n // 3 : 2 * n // 3],
+                  ordered.iloc[2 * n // 3 :]]
+        for ch in chunks:
+            if len(ch) == 0:
+                continue
+            for out in proc.handleInputRows((uid,), [ch], None):
+                got.update(map(tuple, out.itertuples(index=False)))
+        assert len(handle.timers) == 1  # exactly one live timer per key
+        for out in proc.handleExpiredTimer((uid,), None, None):
+            got.update(map(tuple, out.itertuples(index=False)))
+        # after expiry the state is cleared: a second fire emits nothing
+        assert list(proc.handleExpiredTimer((uid,), None, None)) == []
+
+    want_shaped = {(u, s, e, n) for u, s, e, n in want}
+    got_shaped = {(u, s, e, n) for u, s, e, n in got}
+    assert got_shaped == want_shaped
