@@ -152,6 +152,16 @@ class ProvidenciasEngine:
 
         return mql_count_documents(self.rulings(), query, **kwargs).first()["n"]
 
+    def distinct(self, field: str, query: dict | None = None, **kwargs) -> list:
+        """``collection.distinct(field, filter)`` — sorted value list,
+        like pymongo (the reference's A2 facet scans are the no-filter
+        form; ``facet_options`` keeps the legacy name)."""
+        from providenciasbigdata_spark.compat.ir import mql_distinct
+
+        return [
+            r[field] for r in mql_distinct(self.rulings(), field, query, **kwargs).collect()
+        ]
+
     def run_cypher(self, query: str, params: dict | None = None) -> DataFrame:
         """Run the reference's Cypher templates verbatim
         (streamlit_app.py:50,60-64) against the derived graph."""

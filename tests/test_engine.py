@@ -140,3 +140,11 @@ def test_engine_count_documents(engine):
     n_all = engine.count_documents({})
     n_some = engine.count_documents({"anio": {"$gte": 2010}})
     assert 0 < n_some < n_all
+
+
+def test_engine_distinct_with_filter(engine):
+    all_years = engine.distinct("anio")
+    assert all_years == sorted(all_years) and len(all_years) > 5
+    within = engine.distinct("anio", {"tipo": "src3", "anio": {"$gte": 2010}})
+    assert within and all(y >= 2010 for y in within)
+    assert set(within) <= set(all_years)
