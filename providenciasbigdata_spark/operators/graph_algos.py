@@ -971,3 +971,90 @@ def scc_condensation(
         .groupBy("src_comp", "dst_comp")
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Hop distances from EVERY seed in ONE frontier loop: frontier and
+    visited set carry (seed, id) pairs, so each iteration expands all
+    seeds' frontiers together — m independent BFS runs collapse into
+    diameter-many join rounds regardless of seed count (the batch-BFS
+    shape behind landmark distance / centrality estimation). Per round:
+    one equi-join on the frontier's node ids + one anti-join against
+    the visited set, both keyed on id — the frontier is graph-width
+    bounded times |seeds|, never the corpus.
+
+    Output: (seed, id, hops) — minimum hop count per (seed, reachable
+    node), including (seed, seed, 0)."""
+    spark = edges.sparkSession
+    ckpt = _truncator(spark, checkpoint_dir)
+    if directed:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    else:
+        e = symmetrize(edges, src, dst)
+    e = ckpt(e)
+    seed_rows = [(s,) for s in seeds]
+    base = spark.createDataFrame(
+        seed_rows, schema=edges.select(F.col(src).alias("seed")).schema
+    )
+    frontier = base.select("seed", F.col("seed").alias("id"), F.lit(0).alias("hops"))
+    visited = ckpt(frontier)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.u)
+            .select("seed", F.col("v").alias("id"), F.lit(hop).alias("hops"))
+            .distinct()
+            .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
+        )
+        nxt = ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        visited = ckpt(visited.union(nxt))
+        frontier = nxt
+    return visited
+
+
+def closeness_from_seeds(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Closeness centrality of the given seed nodes (the landmark
+    subset — exact all-node closeness is all-pairs BFS, which nobody
+    runs at 100 TB; seed/landmark closeness is the production form):
+    ``closeness = n_reached / total_hops`` over each seed's BFS tree,
+    one int/int IEEE division (engine-identical). Seeds reaching
+    nothing get NULL rather than a division error.
+
+    Output: (seed, n_reached, total_hops, closeness)."""
+    d = multi_source_bfs(
+        edges, seeds, src=src, dst=dst, max_hops=max_hops, directed=directed
+    )
+    return (
+        d.filter(F.col("hops") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("hops").cast("long").alias("total_hops"),
+        )
+        .select(
+            "seed",
+            "n_reached",
+            "total_hops",
+            F.when(
+                F.col("total_hops") > 0,
+                F.col("n_reached").cast("double")
+                / F.col("total_hops").cast("double"),
+            ).alias("closeness"),
+        )
+    )

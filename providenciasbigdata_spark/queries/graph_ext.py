@@ -558,6 +558,38 @@ GROUP BY cu.component, cv.component
 """
 
 
+def q_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed/landmark closeness centrality over the bounded similarity
+    graph: ONE multi-source BFS expands all three seeds' frontiers
+    together (diameter-many rounds regardless of seed count);
+    closeness = reached/total_hops, a single int/int IEEE division.
+    Oracle: a recursive multi-seed min-hop CTE with the same hop cap."""
+    from providenciasbigdata_spark.operators.graph_algos import closeness_from_seeds
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return closeness_from_seeds(edges, ["P-7", "P-27", "P-58"], max_hops=6)
+
+
+_CLOSENESS_SQL = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_SYM_EDGES_150_SQL}),
+seeds(seed) AS (VALUES ('P-7'), ('P-27'), ('P-58')),
+reach(seed, id, hops) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT r.seed, e.v, r.hops + 1 FROM reach r JOIN e ON e.u = r.id
+  WHERE r.hops < 6),
+mind AS (SELECT seed, id, MIN(hops) AS d FROM reach GROUP BY seed, id)
+SELECT seed,
+       CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
+       CAST(SUM(d) AS BIGINT) AS total_hops,
+       CASE WHEN SUM(d) > 0
+            THEN CAST(COUNT(*) FILTER (WHERE d > 0) AS DOUBLE)
+                 / CAST(SUM(d) AS DOUBLE) END AS closeness
+FROM mind WHERE d > 0 GROUP BY seed
+"""
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard link prediction over the bounded similitud>=30 graph:
     non-adjacent pairs ranked by shared-neighbor overlap. Integer
@@ -594,6 +626,7 @@ FROM nonadj JOIN deg da ON da.u = nonadj.a JOIN deg db ON db.u = nonadj.b
 QUERIES = {
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
     "graph_link_prediction": (q_link_prediction, _LINK_PRED_SQL),
+    "graph_closeness_seeds": (q_closeness_seeds, _CLOSENESS_SQL),
     "graph_scc": (q_graph_scc, _SCC_SQL),
     "graph_scc_condensation": (q_scc_condensation, _SCC_CONDENSATION_SQL),
     "graph_kcore": (q_kcore, _kcore_sql()),

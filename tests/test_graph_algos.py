@@ -432,3 +432,35 @@ def test_scc_condensation_known_digraph(spark):
         for r in scc_condensation(edges, small_cutover=0).collect()
     }
     assert dist == got
+
+
+def test_multi_source_bfs_equals_per_seed_bfs(spark):
+    """One multi-seed frontier loop == m independent BFS runs, seed by
+    seed; directed flag respected."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        bfs_distances,
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = ["a", "d", "x"]
+    multi = {
+        (r.seed, r.id): r.hops
+        for r in multi_source_bfs(edges, seeds, directed=True, max_hops=5).collect()
+    }
+    for s in seeds:
+        solo = {
+            r.id: r.hops
+            for r in bfs_distances(edges, s, max_hops=5, directed=True).collect()
+        }
+        got = {i: h for (sd, i), h in multi.items() if sd == s}
+        assert got == solo, s
+    # undirected reaches backwards too
+    und = {
+        (r.seed, r.id): r.hops
+        for r in multi_source_bfs(edges, ["d"], directed=False, max_hops=5).collect()
+    }
+    assert und[("d", "a")] == 2  # d-c-a via the shortcut
