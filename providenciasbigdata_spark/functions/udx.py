@@ -146,3 +146,48 @@ def arrow_group_quantiles(
             summarize, schema="key string, n long, q25 double, q50 double, q75 double"
         )
     )
+
+
+class _EventStreaks:
+    """TABLE-ARGUMENT UDTF (Spark 4): consumes a whole partitioned +
+    ordered input relation — ``streaks(TABLE(events) PARTITION BY
+    user_id ORDER BY ts)`` — and emits ONE row per partition: the
+    user's longest run of consecutive same-type events (ties keep the
+    EARLIEST run, so the result is deterministic). ``eval`` sees each
+    row of its partition in order; ``terminate`` fires once per
+    partition — the per-partition-stream contract a plain lateral
+    UDTF can't express."""
+
+    def __init__(self):
+        self._user = None
+        self._cur_type = None
+        self._cur_len = 0
+        self._best_type = None
+        self._best_len = 0
+
+    def _roll(self):
+        if self._cur_len > self._best_len:
+            self._best_len = self._cur_len
+            self._best_type = self._cur_type
+
+    def eval(self, row):  # noqa: D102 — UDTF contract method
+        self._user = row["user_id"]
+        if row["event_type"] == self._cur_type:
+            self._cur_len += 1
+        else:
+            self._roll()
+            self._cur_type = row["event_type"]
+            self._cur_len = 1
+
+    def terminate(self):  # noqa: D102 — UDTF contract method
+        self._roll()
+        if self._user is not None:
+            yield (self._user, self._best_type, self._best_len)
+
+
+@functools.lru_cache(maxsize=1)
+def event_streaks_udtf():
+    return udtf(
+        _EventStreaks,
+        returnType="user_id bigint, event_type string, streak_len bigint",
+    )

@@ -358,6 +358,52 @@ def q_stratified_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-ARGUMENT Python UDTF (Spark 4): the UDTF consumes the
+    whole partitioned + ordered relation — ``event_streaks(
+    TABLE(events) PARTITION BY user_id ORDER BY ts, event_id)`` — and
+    emits each user's longest consecutive same-type run (earliest on
+    ties). Per-partition streaming state the lateral form can't
+    express; the oracle rebuilds the runs as gaps-and-islands SQL."""
+    from providenciasbigdata_spark.functions.udx import event_streaks_udtf
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_streaks_in")
+    spark.udtf.register("event_streaks", event_streaks_udtf())
+    return spark.sql(
+        """
+        SELECT user_id, event_type, streak_len
+        FROM event_streaks(TABLE(events_streaks_in)
+                           PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )
+
+
+_UDTF_STREAKS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), runs AS (
+  SELECT user_id, island, ANY_VALUE(event_type) AS event_type,
+         COUNT(*) AS len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, event_type, CAST(len AS BIGINT) AS streak_len
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, island ASC) AS rn
+      FROM runs)
+WHERE rn = 1
+"""
+
+
 def q_udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLYMORPHIC Python UDTF (Spark 4): the output schema
     (part0..part2) is computed at PLAN TIME by the UDTF's analyze()
@@ -953,6 +999,7 @@ QUERIES = {
     "sample_stratified_bernoulli": (q_stratified_bernoulli, None),
     "udtf_split_sentences": (q_udtf_sentences, _UDTF_SENTENCES_SQL),
     "udtf_polymorphic_split": (q_udtf_polymorphic_split, _UDTF_POLY_SQL),
+    "udtf_event_streaks": (q_udtf_event_streaks, _UDTF_STREAKS_SQL),
     "udaf_geomean": (q_udaf_geomean, _UDAF_GEOMEAN_SQL),
     "udx_arrow_group_quantiles": (q_arrow_group_quantiles, _ARROW_QUANTILES_SQL),
     "window_ranking_functions": (q_ranking_functions, _RANKING_SQL),
