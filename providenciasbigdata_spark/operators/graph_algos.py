@@ -246,6 +246,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     weight_col: str | None = None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Power-iteration PageRank on the directed graph.
 
@@ -290,6 +291,40 @@ def pagerank(
         .distinct().persist()
     )
     n = nodes.count()
+    if small_cutover and e.count() <= small_cutover:
+        # small-subproblem finisher (the SCC/CC/k-means pattern): the
+        # SAME power-iteration arithmetic in numpy — each distributed
+        # iteration otherwise pays a join+agg+broadcast of scheduling
+        # latency for microseconds of math. Summation order differs at
+        # ~1e-15/iteration, far inside the 6-digit round every consumer
+        # applies; the distributed loop stays pytest-forced via
+        # ``small_cutover=0``.
+        import numpy as np
+
+        rows = e.collect()
+        e.unpersist()
+        nodes.unpersist()
+        ids = sorted({r["u"] for r in rows} | {r["v"] for r in rows})
+        ix = {v: i for i, v in enumerate(ids)}
+        usrc = np.array([ix[r["u"]] for r in rows], dtype=np.int64)
+        vdst = np.array([ix[r["v"]] for r in rows], dtype=np.int64)
+        w = np.array([r["w"] for r in rows], dtype=np.float64)
+        deg = np.zeros(n)
+        np.add.at(deg, usrc, w)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(max_iter):
+            contrib = rank[usrc] * w / deg[usrc]
+            inflow = np.bincount(vdst, weights=contrib, minlength=n)
+            dangling = float(rank[deg == 0].sum())
+            base = (1.0 - damping) / n + damping * dangling / n
+            rank = base + damping * inflow
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(zip(ids, [float(x) for x in rank])),
+            schema=edges.select(
+                F.col(src).alias("id"), F.lit(0.0).alias("rank")
+            ).schema,
+        )
     out_deg = e.groupBy("u").agg(F.sum("w").alias("deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(max_iter):
@@ -339,6 +374,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Personalized PageRank: the teleport distribution concentrates on
     ``seeds`` (uniform over the seed set) instead of all nodes, so rank
@@ -360,6 +396,38 @@ def personalized_pagerank(
         e.select(F.col("u").alias("id")).union(e.select(F.col("v").alias("id")))
         .distinct().persist()
     )
+    if small_cutover and e.count() <= small_cutover:
+        # same driver finisher as pagerank's, seed-concentrated teleport
+        # (arithmetic mirrors the Column expressions term for term)
+        import numpy as np
+
+        rows = e.collect()
+        e.unpersist()
+        nodes.unpersist()
+        ids = sorted({r["u"] for r in rows} | {r["v"] for r in rows})
+        ix = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        usrc = np.array([ix[r["u"]] for r in rows], dtype=np.int64)
+        vdst = np.array([ix[r["v"]] for r in rows], dtype=np.int64)
+        deg = np.zeros(n)
+        np.add.at(deg, usrc, 1.0)
+        pvec = np.zeros(n)
+        for s in seeds:
+            if s in ix:
+                pvec[ix[s]] = 1.0 / len(seeds)
+        rank = pvec.copy()
+        for _ in range(max_iter):
+            contrib = rank[usrc] / deg[usrc]
+            inflow = np.bincount(vdst, weights=contrib, minlength=n)
+            dangling = float(rank[deg == 0].sum())
+            rank = (1.0 - damping) * pvec + damping * dangling * pvec + damping * inflow
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(zip(ids, [float(x) for x in rank])),
+            schema=edges.select(
+                F.col(src).alias("id"), F.lit(0.0).alias("rank")
+            ).schema,
+        )
     out_deg = e.groupBy("u").agg(F.count("*").alias("deg")).persist()
     p = F.when(F.col("id").isin(list(seeds)), F.lit(1.0 / len(seeds))).otherwise(
         F.lit(0.0)

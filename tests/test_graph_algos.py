@@ -132,7 +132,7 @@ def test_pagerank_no_per_iteration_collect(spark):
 
     cls.collect, cls.count = banned_collect, counting_count
     try:
-        pr = pagerank(edges, max_iter=7)
+        pr = pagerank(edges, max_iter=7, small_cutover=0)
     finally:
         cls.collect, cls.count = orig_collect, orig_count
     assert counts["count"] == 1
@@ -147,10 +147,14 @@ def test_reliable_checkpoint_dir_matches_local(spark, toy_edges, tmp_path):
     import os
 
     ckdir = str(tmp_path / "ck")
-    local = {(r.id, round(r.rank, 10)) for r in pagerank(toy_edges, max_iter=3).collect()}
+    local = {
+        (r.id, round(r.rank, 10))
+        for r in pagerank(toy_edges, max_iter=3, small_cutover=0).collect()
+    }
     reliable = {
         (r.id, round(r.rank, 10))
-        for r in pagerank(toy_edges, max_iter=3, checkpoint_dir=ckdir).collect()
+        for r in pagerank(toy_edges, max_iter=3, checkpoint_dir=ckdir,
+                          small_cutover=0).collect()
     }
     assert local == reliable
     assert any(os.scandir(ckdir)), "no checkpoint data written to checkpoint_dir"
@@ -464,3 +468,39 @@ def test_multi_source_bfs_equals_per_seed_bfs(spark):
         for r in multi_source_bfs(edges, ["d"], directed=False, max_hops=5).collect()
     }
     assert und[("d", "a")] == 2  # d-c-a via the shortcut
+
+
+def test_pagerank_cutover_agrees_with_distributed(spark, toy_edges):
+    """Driver power-iteration finisher == the distributed loop within
+    the float tolerance every consumer rounds away; weighted variant
+    and personalized variant agree too."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    dist = {r.id: r.rank for r in pagerank(toy_edges, max_iter=5, small_cutover=0).collect()}
+    drv = {r.id: r.rank for r in pagerank(toy_edges, max_iter=5).collect()}
+    assert dist.keys() == drv.keys()
+    assert all(abs(dist[k] - drv[k]) < 1e-12 for k in dist)
+    assert abs(sum(drv.values()) - 1.0) < 1e-9
+
+    we = toy_edges.withColumn("w", (F.length("src") + F.length("dst")).cast("double"))
+    dist_w = {
+        r.id: r.rank
+        for r in pagerank(we, max_iter=5, weight_col="w", small_cutover=0).collect()
+    }
+    drv_w = {r.id: r.rank for r in pagerank(we, max_iter=5, weight_col="w").collect()}
+    assert all(abs(dist_w[k] - drv_w[k]) < 1e-12 for k in dist_w)
+
+    dist_p = {
+        r.id: r.rank
+        for r in personalized_pagerank(
+            toy_edges, seeds=["b"], max_iter=5, small_cutover=0
+        ).collect()
+    }
+    drv_p = {
+        r.id: r.rank
+        for r in personalized_pagerank(toy_edges, seeds=["b"], max_iter=5).collect()
+    }
+    assert all(abs(dist_p[k] - drv_p[k]) < 1e-12 for k in dist_p)
