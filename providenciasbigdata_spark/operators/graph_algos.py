@@ -859,6 +859,7 @@ def label_propagation(
     dst: str = "dst",
     n_rounds: int = 5,
     checkpoint_dir: str | None = None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan
     et al. 2007), determinized: every node starts as its own label;
@@ -879,6 +880,35 @@ def label_propagation(
 
     ckpt = _truncator(edges.sparkSession, checkpoint_dir)
     sym = ckpt(symmetrize(edges, src, dst))
+    if small_cutover and sym.count() <= small_cutover:
+        # driver finisher: the update is pure INTEGER/ordering logic
+        # (most-frequent neighbor label, smallest-label tie, fixed
+        # rounds), so the sequential replay produces IDENTICAL labels —
+        # not merely close ones; distributed loop pytest-forced via
+        # ``small_cutover=0``
+        rows = sym.collect()
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r["u"], []).append(r["v"])
+        labels_py = {n: n for n in adj}
+        for _ in range(n_rounds):
+            nxt = {}
+            for n, neigh in adj.items():
+                counts: dict = {}
+                for v in neigh:
+                    lbl = labels_py[v]
+                    counts[lbl] = counts.get(lbl, 0) + 1
+                nxt[n] = min(
+                    counts, key=lambda c: (-counts[c], c)
+                )
+            labels_py = nxt
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            sorted(labels_py.items()),
+            schema=sym.select(
+                F.col("u").alias("id"), F.col("u").alias("community")
+            ).schema,
+        )
     nodes = ckpt(sym.select(F.col("u").alias("id")).distinct())
     labels = nodes.withColumn("lbl", F.col("id"))
     for _r in range(n_rounds):

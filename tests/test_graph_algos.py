@@ -330,6 +330,13 @@ def test_label_propagation_known_communities(spark):
         for r in label_propagation(edges.repartition(7), n_rounds=6).collect()
     }
     assert got2 == got
+    # the distributed loop (pytest-forced past the driver finisher)
+    # produces IDENTICAL labels — the update is pure integer/order logic
+    dist = {
+        r.id: r.community
+        for r in label_propagation(edges, n_rounds=6, small_cutover=0).collect()
+    }
+    assert dist == got
 
 
 def test_scc_random_digraphs_match_tarjan(spark):
