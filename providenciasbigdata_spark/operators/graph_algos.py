@@ -1156,3 +1156,61 @@ def closeness_from_seeds(
             ).alias("closeness"),
         )
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-truss of the undirected graph (Cohen 2008): the maximal
+    subgraph where every edge participates in >= k-2 triangles — the
+    edge-centric cohesion notion that k-core (node-centric) misses;
+    communities and spam/link farms separate sharply by truss number.
+
+    Fixed-point peeling, set-at-a-time (J. Wang & Cheng, VLDB'12 shape):
+    each round recomputes edge supports with the SAME canonical
+    triangle join the triangle-count query uses (two equi-joins on
+    endpoints, no enumeration of non-triangles) and drops every edge
+    below k-2 SIMULTANEOUSLY — deterministic, no sequential peeling
+    order. Rounds are bounded by the peeling depth (small in
+    practice); each is two joins + one aggregate keyed on endpoints.
+    The k-truss is UNIQUE, so any engine agreeing on the definition
+    agrees on the result (pinned against a pure-Python reference in
+    tests).
+
+    Output: the surviving canonical edge set (u < v), columns (u, v).
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    ckpt = _truncator(edges.sparkSession, checkpoint_dir)
+    und = ckpt(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    n_edges = und.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        bidir = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        n1 = bidir.select(F.col("u").alias("x"), F.col("v").alias("w1"))
+        n2 = bidir.select(F.col("u").alias("y"), F.col("v").alias("w2"))
+        sup = (
+            und.join(n1, und.u == n1.x)
+            .join(n2, (und.v == n2.y) & (F.col("w1") == F.col("w2")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        kept = ckpt(sup.filter(F.col("support") >= k - 2).select("u", "v"))
+        n_kept = kept.count()
+        if n_kept == n_edges:
+            break
+        und, n_edges = kept, n_kept
+    return und if n_edges else und.limit(0)

@@ -641,3 +641,27 @@ QUERIES = {
     "graph_pagerank": (q_pagerank, _pagerank_sql()),
     "graph_pagerank_weighted": (q_pagerank_weighted, _pagerank_weighted_sql()),
 }
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the bounded similarity graph: every surviving edge
+    sits in >= 2 triangles — the edge-centric cohesion core. Rows-only:
+    the fixed-point peeling isn't SQL-expressible; the UNIQUE result is
+    pinned against a pure-Python reference in tests/test_graph_algos.py."""
+    from providenciasbigdata_spark.operators.graph_algos import ktruss
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return ktruss(edges, k=4)
+
+
+QUERIES["graph_ktruss"] = (q_ktruss, None)
+
+WHY_NO_ORACLE = {
+    "graph_ktruss": (
+        "fixed-point edge peeling isn't SQL-expressible (aggregates over a "
+        "recursive relation); the k-truss is UNIQUE and pinned against a "
+        "pure-Python reference on known graphs and the fixture graph in "
+        "tests/test_graph_algos.py"
+    ),
+}

@@ -511,3 +511,54 @@ def test_pagerank_cutover_agrees_with_distributed(spark, toy_edges):
         for r in personalized_pagerank(toy_edges, seeds=["b"], max_iter=5).collect()
     }
     assert all(abs(dist_p[k] - drv_p[k]) < 1e-12 for k in dist_p)
+
+
+def test_ktruss_matches_python_reference(spark):
+    """The set-at-a-time distributed peeling == a pure-Python k-truss
+    on a known graph AND the bounded fixture graph (the truss is
+    unique, so exact set equality)."""
+    import itertools
+
+    import pytest
+
+    from providenciasbigdata_spark.operators.graph_algos import ktruss
+
+    def py_ktruss(edge_list, k):
+        edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        while True:
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            kept = {
+                (a, b) for a, b in edges
+                if len(adj[a] & adj[b]) >= k - 2
+            }
+            if kept == edges:
+                return edges
+            edges = kept
+
+    # 5-clique + pendant triangle + tail: 4-truss = the clique alone
+    clique = list(itertools.combinations(range(5), 2))
+    extra = [(4, 10), (4, 11), (10, 11), (11, 12)]
+    rows = [(a, b) for a, b in clique + extra]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {(r.u, r.v) for r in ktruss(df, k=4).collect()}
+    assert got == py_ktruss(rows, 4) == set(clique)
+    # 3-truss keeps every triangle edge, drops the tail
+    got3 = {(r.u, r.v) for r in ktruss(df, k=3).collect()}
+    assert got3 == py_ktruss(rows, 3) == set(clique) | {(4, 10), (4, 11), (10, 11)}
+    # k high enough that nothing survives -> empty frame, stable schema
+    assert ktruss(df, k=7).count() == 0
+    with pytest.raises(ValueError):
+        ktruss(df, k=2)
+
+    # fixture graph: unique truss == reference
+    from providenciasbigdata_spark.compat.graph import build_similarity_edges
+    from providenciasbigdata_spark.io import load_table
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 120)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= 30)
+    raw = [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
+    got_fx = {(r.u, r.v) for r in ktruss(edges, k=4).collect()}
+    assert got_fx == py_ktruss(raw, 4)
