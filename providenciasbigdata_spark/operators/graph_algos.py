@@ -1182,6 +1182,13 @@ def ktruss(
     agrees on the result (pinned against a pure-Python reference in
     tests).
 
+    Scale note: the wedge join's fan-out is sum(deg^2) — hub-skewed on
+    power-law graphs. The standard mitigation (degree-ordered
+    orientation: enumerate each wedge only from its lowest-degree
+    endpoint) drops that to O(m^1.5); AQE's skew split covers moderate
+    hubs here, and orientation is the upgrade path if supports ever
+    dominate a profile.
+
     Output: the surviving canonical edge set (u < v), columns (u, v).
     """
     if k < 3:
