@@ -14,3 +14,16 @@ def test_incremental_ingest_flow_runs_end_to_end(spark, tmp_path):
     from examples.incremental_ingest_flow import run
 
     run(spark, "/root/testdata/sf0.001", str(tmp_path))
+
+
+def test_search_service_flow_runs_end_to_end(spark, capsys, monkeypatch):
+    """The search-service example (index once, every query shape from
+    prebuilt indexes) runs end to end on the test fixture."""
+    import examples.search_service_flow as flow
+
+    monkeypatch.setattr(flow, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setattr("sys.argv", ["x", "/root/testdata/sf0.001"])
+    flow.main()
+    out = capsys.readouterr().out
+    assert "[bm25] top-5:" in out and "[phrase]" in out and "$meta ranked" in out
