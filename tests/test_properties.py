@@ -380,3 +380,88 @@ def test_mql_array_operators_match_model(spark, q):
     got = {r.rid for r in mql_find(df, q).collect()}
     want = {i for i, t in enumerate(_TAG_ROWS) if _array_model(t, q["tags"])}
     assert got == want, q
+
+
+# ---- MQL aggregation-expression grammar vs a Python model ---------------
+
+_EXPR_ROWS = [
+    {"a": 1, "b": None, "s": "Abc"},
+    {"a": 2, "b": 3, "s": ""},
+    {"a": -4, "b": 7, "s": "xY z"},
+    {"a": 0, "b": 0, "s": None},
+]
+
+_CMP_OPS = ["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"]
+
+
+def _int_exprs():
+    base = st.sampled_from(["$a", "$b"]) | st.integers(-5, 5)
+
+    def extend(children):
+        pair = st.tuples(children, children)
+        return st.one_of(
+            st.builds(lambda ab: {"$add": list(ab)}, pair),
+            st.builds(lambda ab: {"$subtract": list(ab)}, pair),
+            st.builds(lambda ab: {"$multiply": list(ab)}, pair),
+            st.builds(lambda ab: {"$ifNull": list(ab)}, pair),
+            st.builds(
+                lambda op, ab, t, e: {"$cond": [{op: list(ab)}, t, e]},
+                st.sampled_from(_CMP_OPS), pair, children, children,
+            ),
+        )
+
+    return st.recursive(base, extend, max_leaves=6)
+
+
+def _eval_int(expr, row):
+    if isinstance(expr, str) and expr.startswith("$"):
+        return row[expr[1:]]
+    if isinstance(expr, int):
+        return expr
+    (op, args), = expr.items()
+    if op == "$ifNull":
+        a = _eval_int(args[0], row)
+        return a if a is not None else _eval_int(args[1], row)
+    if op == "$cond":
+        cond, then, els = args
+        (cop, cargs), = cond.items()
+        x, y = _eval_int(cargs[0], row), _eval_int(cargs[1], row)
+        if x is None or y is None:
+            truth = None  # NULL comparison -> when() falls through
+        else:
+            truth = {
+                "$eq": x == y, "$ne": x != y, "$gt": x > y,
+                "$gte": x >= y, "$lt": x < y, "$lte": x <= y,
+            }[cop]
+        return _eval_int(then, row) if truth else _eval_int(els, row)
+    vals = [_eval_int(a, row) for a in args]
+    if any(v is None for v in vals):
+        return None
+    if op == "$add":
+        return vals[0] + vals[1]
+    if op == "$subtract":
+        return vals[0] - vals[1]
+    if op == "$multiply":
+        return vals[0] * vals[1]
+    raise AssertionError(op)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_int_exprs())
+def test_agg_expr_matches_python_model(spark, expr):
+    """Any expression from the $addFields integer grammar evaluates on
+    Spark exactly as the pure-Python Mongo-semantics model — NULL
+    propagation through arithmetic, NULL comparisons falling through
+    $cond to the else branch, $ifNull coalescing."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(i, r["a"], r["b"], r["s"]) for i, r in enumerate(_EXPR_ROWS)],
+        "rid int, a long, b long, s string",
+    )
+    got = {
+        r.rid: r.out
+        for r in mql_aggregate(df, [{"$addFields": {"out": expr}}]).collect()
+    }
+    want = {i: _eval_int(expr, r) for i, r in enumerate(_EXPR_ROWS)}
+    assert got == want, expr
