@@ -501,14 +501,51 @@ def ivf_assign(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    jvm_max_k: int = 32,
 ) -> DataFrame:
     """(id, cluster): nearest-centroid (cosine) partition of the corpus
     — the IVF inverted lists. At rest this is what you'd write
-    partitioned by ``cluster`` so probes prune file groups."""
+    partitioned by ``cluster`` so probes prune file groups.
+
+    Two physical paths, same argmax: for k <= ``jvm_max_k`` the k dot
+    products unroll as codegen'd Catalyst folds over literal centroid
+    arrays and the argmax is a greatest-chain — NO Python stage at all
+    (the "stay JVM-side" rule; small-k coarse quantizers are the
+    common case). Larger k switches to the Arrow batch kernel, where
+    one BLAS matmul per batch beats k interpreted folds. Tie rule
+    matches numpy's argmax (FIRST index wins); the two paths can
+    differ only on sub-ulp near-ties (fold vs BLAS summation order) —
+    no consumer depends on exact assignment (recall/pruning pins are
+    assignment-independent)."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
+    k = len(C)
+    if k <= jvm_max_k:
+        # the corpus vector's own norm is a positive constant across
+        # the k candidates, so raw dot products against the unit-norm
+        # centroids (kmeans_centroids normalizes) decide the argmax —
+        # no per-row normalization needed
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dots = [
+            F.aggregate(
+                F.zip_with(v, _vec_lit(C[c]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(k)
+        ]
+        # argmax via array_position(arr, array_max(arr)): O(k) expression
+        # size. A when-chain carrying a running `best` doubles its tree
+        # each step (best appears in the condition AND the otherwise) —
+        # O(2^k) nodes, measured OOM-ing codegen at k=16.
+        arr = F.array(*dots)
+        cluster = F.array_position(arr, F.array_max(arr)) - F.lit(1)
+        return embeddings.select(
+            F.col(id_col).alias("id"), cluster.cast("int").alias("cluster")
+        )
+
     bc = embeddings.sparkSession.sparkContext.broadcast(C)
 
     def assign(batches):

@@ -108,6 +108,24 @@ def test_kmeans_converges_and_partitions(spark, sf_dir):
     emb.unpersist()
 
 
+def test_ivf_assign_jvm_path_matches_arrow(spark, sf_dir):
+    """Small-k JVM greatest-chain path assigns every row to the same
+    cluster as the Arrow BLAS path (ties are sub-ulp and absent on the
+    fixture; both paths implement first-index-wins argmax)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    C, _ = similarity.kmeans_centroids(emb, n_clusters=8, max_iter=5)
+    jvm = {r.id: r.cluster for r in similarity.ivf_assign(emb, C).collect()}
+    arrow = {
+        r.id: r.cluster
+        for r in similarity.ivf_assign(emb, C, jvm_max_k=0).collect()
+    }
+    assert jvm == arrow and len(jvm) == emb.count()
+    # the JVM path really is UDF-free: no Python-eval stage in the plan
+    plan = similarity.ivf_assign(emb, C)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    emb.unpersist()
+
+
 def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").cache()
     qvec = emb.filter(F.col("vec_id") == 0).first().embedding
