@@ -727,6 +727,8 @@ def mql_aggregate(
             )
         elif op == "$lookup":
             df = _lookup_stage(df, spec, collections or {})
+        elif op == "$graphLookup":
+            df = _graph_lookup_stage(df, spec, collections or {}, default_language)
         elif op in ("$addFields", "$set"):
             if not (isinstance(spec, dict) and spec):
                 raise ValueError(f"{op} needs a non-empty field document: {spec!r}")
@@ -781,6 +783,125 @@ def _lookup_stage(df: DataFrame, spec, collections: dict) -> DataFrame:
     return (
         df.join(grouped, df[lf] == grouped["__k"], "left")
         .drop("__k")
+        .withColumn(out, F.coalesce(F.col(out), empty))
+    )
+
+
+def _graph_lookup_stage(
+    df: DataFrame, spec, collections: dict, default_language: str
+) -> DataFrame:
+    """``$graphLookup``: Mongo's recursive traversal stage. For each
+    local document, BFS over ``from``: depth-0 hits are foreign docs
+    whose ``connectToField`` equals the ``startWith`` value; each next
+    level matches foreign docs whose ``connectToField`` appears in the
+    ``connectFromField`` values of the previous level. Every foreign
+    document is visited at most once per start (Mongo's cycle rule),
+    so ``depthField`` carries the MINIMUM depth. ``as`` embeds the
+    reached documents as an array (empty array on no match, never
+    NULL — the `$lookup` contract). ``restrictSearchWithMatch``
+    (find() grammar) prunes the searched collection, all levels
+    included.
+
+    Distributed shape — one traversal per DISTINCT start value, not
+    per local row: locals sharing a startWith value share the BFS
+    (frontier keyed by start value; duplicates rejoin at the end), so
+    the loop's width is the distinct-start count. The doc-to-doc edge
+    set (connectFrom -> connectTo) is materialized ONCE as an
+    equi-join and reused every round — each round is then a single
+    frontier-edges hash join plus an anti-join against the visited
+    set, the same skeleton as operators.graph_algos.multi_source_bfs.
+    Rounds are localCheckpoint-ed (lineage truncation; pass a real
+    collection with unique docs — duplicate foreign rows collapse to
+    one, as they would under Mongo's _id identity, because doc
+    identity here is xxhash64 over all columns).
+
+    Unbounded recursion (no ``maxDepth``) runs to the fixed point,
+    bounded by the foreign graph's diameter, with a 50-round safety
+    cap (mirrors the shortestPath template's bound)."""
+    required = {"from", "startWith", "connectFromField", "connectToField", "as"}
+    if not (isinstance(spec, dict) and required <= set(spec)):
+        raise ValueError(f"$graphLookup needs {sorted(required)}, got {spec!r}")
+    name = spec["from"]
+    if name not in collections:
+        raise ValueError(
+            f"$graphLookup from unknown collection {name!r}; pass it in collections="
+        )
+    foreign = collections[name]
+    cf, ct, out = spec["connectFromField"], spec["connectToField"], spec["as"]
+    if out in df.columns:
+        raise ValueError(f"$graphLookup 'as' field {out!r} collides with a local column")
+    depth_field = spec.get("depthField")
+    max_depth = spec.get("maxDepth")
+    restrict = spec.get("restrictSearchWithMatch")
+    if restrict:
+        foreign = foreign.filter(_query_condition(restrict, default_language))
+
+    from pyspark.sql.types import ArrayType
+
+    # doc identity: xxhash64 over every column (Mongo identity is _id;
+    # a real collection has unique docs, so the hash IS the doc)
+    fkeyed = foreign.withColumn(
+        "__fk", F.xxhash64(*[F.col(c) for c in foreign.columns])
+    )
+    # connectFromField may be an array (Mongo flattens) — explode it
+    cf_vals = (
+        F.explode(F.col(cf))
+        if isinstance(foreign.schema[cf].dataType, ArrayType)
+        else F.col(cf)
+    )
+    # doc-graph edges, built once, reused every round
+    fedges = (
+        fkeyed.select(F.col("__fk").alias("__a"), cf_vals.alias("__v"))
+        .join(
+            fkeyed.select(F.col("__fk").alias("__b"), F.col(ct).alias("__t")),
+            F.col("__v") == F.col("__t"),
+        )
+        .select("__a", "__b")
+        .distinct()
+        .persist()
+    )
+
+    start_expr = _agg_expr(spec["startWith"])
+    starts = df.select(start_expr.alias("__start")).distinct()
+    if isinstance(starts.schema["__start"].dataType, ArrayType):
+        # array startWith (Mongo flattens, then unions traversals per
+        # row) would need a per-row key to rejoin — out of scope v1
+        raise ValueError("$graphLookup startWith must be a scalar expression")
+
+    frontier = (
+        starts.join(fkeyed, starts["__start"] == fkeyed[ct])
+        .select("__start", "__fk")
+        .withColumn("__d", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    depth = 0
+    cap = 50 if max_depth is None else int(max_depth)
+    while depth < cap and not frontier.isEmpty():
+        depth += 1
+        frontier = (
+            frontier.join(fedges, frontier["__fk"] == fedges["__a"])
+            .select("__start", F.col("__b").alias("__fk"))
+            .distinct()
+            .join(visited, ["__start", "__fk"], "left_anti")
+            .withColumn("__d", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    fedges.unpersist()
+
+    doc_cols = [F.col(c) for c in foreign.columns]
+    if depth_field:
+        doc_cols = doc_cols + [F.col("__d").cast("long").alias(depth_field)]
+    grouped = (
+        visited.join(fkeyed, "__fk")
+        .groupBy("__start")
+        .agg(F.sort_array(F.collect_list(F.struct(*doc_cols))).alias(out))
+    )
+    empty = F.array().cast(grouped.schema[out].dataType)
+    return (
+        df.join(grouped, start_expr == grouped["__start"], "left")
+        .drop("__start")
         .withColumn(out, F.coalesce(F.col(out), empty))
     )
 

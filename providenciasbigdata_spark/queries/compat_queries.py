@@ -688,6 +688,83 @@ WHERE r.anio >= 2010
 """
 
 
+def q_mql_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup over the similarity-edge collection: per start
+    node, the edge documents reachable in <= 2 recursion levels
+    (depthField = minimum level, Mongo's visit-once rule), folded to a
+    (id, depth, n_docs) histogram so the embedded arrays never reach
+    the driver compare. Engine side is the shared multi-source-BFS
+    skeleton (one frontier hash join + one anti-join per round over a
+    persisted doc-graph edge set); the oracle replays the recursion as
+    a depth-capped UNION CTE collapsed by MIN(d) per (start, doc)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = pairwise_cosine_blocked(
+        emb, threshold=35.0, scale=100.0, block_size=512
+    ).select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    # the O(n^2 / blocks) edge build would otherwise rerun for every
+    # scan the stage makes of the collection (edge-set self-join, the
+    # level-0 probe, the final doc embed) — same persist rationale as
+    # q_recursive_reachability; the tiny histogram is checkpointed so
+    # the cache releases here, not at session end
+    edges = edges.persist()
+    try:
+        nodes = edges.select(F.col("src").alias("id")).distinct().filter(
+            F.col("id") < 50
+        )
+        out = mql_aggregate(
+            nodes,
+            [
+                {
+                    "$graphLookup": {
+                        "from": "sim_edges",
+                        "startWith": "$id",
+                        "connectFromField": "dst",
+                        "connectToField": "src",
+                        "as": "reach",
+                        "maxDepth": 2,
+                        "depthField": "d",
+                    }
+                }
+            ],
+            collections={"sim_edges": edges},
+        )
+        res = (
+            out.select("id", F.explode("reach").alias("r"))
+            .groupBy(
+                F.col("id").cast("bigint").alias("id"),
+                F.col("r.d").alias("depth"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .orderBy("id", "depth")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        edges.unpersist()
+    return res
+
+
+_MQL_GRAPH_LOOKUP_SQL = """
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) * 100, 4) >= 35),
+starts AS (SELECT DISTINCT src AS id FROM edges WHERE src < 50),
+reach(id, esrc, edst, d) AS (
+  SELECT s.id, e.src, e.dst, 0 FROM starts s JOIN edges e ON e.src = s.id
+  UNION
+  SELECT r.id, e.src, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.edst
+  WHERE r.d < 2),
+mind AS (SELECT id, esrc, edst, MIN(d) AS depth FROM reach GROUP BY id, esrc, edst)
+SELECT CAST(id AS BIGINT) AS id, CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM mind GROUP BY id, depth ORDER BY id, depth
+"""
+
+
 def q_mql_agg_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$match -> $unwind -> $group -> $sort -> $limit: the wordcount
     shape as a literal MQL aggregation pipeline ($match precedes the
@@ -1470,6 +1547,7 @@ QUERIES = {
     "mql_count_documents": (q_mql_count_documents, _MQL_COUNT_SQL),
     "mql_agg_sort_by_count": (q_mql_agg_sort_by_count, _MQL_SORT_BY_COUNT_SQL),
     "mql_agg_lookup": (q_mql_agg_lookup, _MQL_LOOKUP_SQL),
+    "mql_graph_lookup": (q_mql_graph_lookup, _MQL_GRAPH_LOOKUP_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),
     "mql_distinct_filtered": (q_mql_distinct_filtered, _MQL_DISTINCT_SQL),

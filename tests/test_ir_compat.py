@@ -749,3 +749,83 @@ def test_mql_meta_text_score(spark):
         mql_find(docs, q, projection={"texto": {"$meta": "textScore"}})
     with pytest.raises(ValueError, match="unsupported"):
         mql_find(docs, q, projection={"s": {"$meta": "indexKey"}})
+
+
+def test_mql_graph_lookup_semantics(spark):
+    """$graphLookup: BFS over the from-collection with visit-once
+    (min-depth) cycle protection, empty-array no-match, maxDepth
+    bounding (0 = direct matches only), restrictSearchWithMatch
+    pruning every level, and the error posture."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    local = spark.createDataFrame([(1,), (9,)], "id long")
+    # edge docs 1->2, 2->3, 2->4, 3->1 (a cycle back to the start)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (3, 1)], "src long, dst long"
+    )
+    spec = {"from": "e", "startWith": "$id", "connectFromField": "dst",
+            "connectToField": "src", "as": "reach", "depthField": "d"}
+    out = mql_aggregate(
+        local, [{"$graphLookup": spec}], collections={"e": edges}
+    ).collect()
+    rows = {r.id: {(h.src, h.dst): h.d for h in r.reach} for r in out}
+    # unbounded from 1: (1,2)@0, then (2,3),(2,4)@1, then (3,1)@2 —
+    # the cycle edge appears ONCE at its minimum depth, loop terminates
+    assert rows[1] == {(1, 2): 0, (2, 3): 1, (2, 4): 1, (3, 1): 2}
+    assert rows[9] == {}  # no level-0 match -> empty array, never NULL
+
+    capped = mql_aggregate(
+        local, [{"$graphLookup": {**spec, "maxDepth": 0}}],
+        collections={"e": edges},
+    ).collect()
+    assert {r.id: {(h.src, h.dst) for h in r.reach} for r in capped}[1] == {(1, 2)}
+
+    restricted = mql_aggregate(
+        local,
+        [{"$graphLookup": {**spec, "restrictSearchWithMatch": {"dst": {"$lte": 3}}}}],
+        collections={"e": edges},
+    ).collect()
+    # (2,4) filtered out of the searched collection; rest unchanged
+    assert {r.id: {(h.src, h.dst) for h in r.reach} for r in restricted}[1] == {
+        (1, 2), (2, 3), (3, 1)
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown collection"):
+        mql_aggregate(local, [{"$graphLookup": {**spec, "from": "nope"}}])
+    with _pytest.raises(ValueError, match="collides"):
+        mql_aggregate(local, [{"$graphLookup": {**spec, "as": "id"}}],
+                      collections={"e": edges})
+    with _pytest.raises(ValueError, match="graphLookup needs"):
+        mql_aggregate(local, [{"$graphLookup": {"from": "e"}}],
+                      collections={"e": edges})
+
+
+def test_mql_graph_lookup_array_connect_from(spark):
+    """connectFromField may be an ARRAY (Mongo flattens it): each
+    element seeds the next level; scalar startWith only (array
+    startWith raises)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    local = spark.createDataFrame([(1,)], "id long")
+    docs = spark.createDataFrame(
+        [(1, [2, 3]), (2, []), (3, [4]), (4, [])],
+        "node long, nxt array<long>",
+    )
+    spec = {"from": "d", "startWith": "$id", "connectFromField": "nxt",
+            "connectToField": "node", "as": "reach", "depthField": "d"}
+    out = mql_aggregate(
+        local, [{"$graphLookup": spec}], collections={"d": docs}
+    ).collect()
+    assert {h.node: h.d for h in out[0].reach} == {1: 0, 2: 1, 3: 1, 4: 2}
+
+    import pytest as _pytest
+
+    arr_local = spark.createDataFrame([([1, 2],)], "ids array<long>")
+    with _pytest.raises(ValueError, match="scalar"):
+        mql_aggregate(
+            arr_local,
+            [{"$graphLookup": {**spec, "startWith": "$ids"}}],
+            collections={"d": docs},
+        )
