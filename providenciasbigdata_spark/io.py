@@ -323,3 +323,118 @@ def pruned_read(
     ]
     base = spark.read.parquet(*hits) if hits else spark.read.parquet(path).limit(0)
     return base.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    n_bits: int = 8192,
+    seeds: tuple[int, ...] = (0x51ED, 0xC0FFEE, 0xB100D),
+) -> DataFrame:
+    """Per-FILE bloom bitmaps over ``col`` — the point-lookup sibling
+    of collect_file_stats: min/max ranges prune nothing for a
+    high-cardinality column written unsorted (every file's range spans
+    the domain), but a per-file bloom answers "could value v be in
+    this file?" with no false negatives. This is Parquet's own
+    bloom_filter_enabled / Delta's bloom index as a first-class
+    DataFrame you can store, join, and rebuild after compaction.
+
+    One scan: k = len(seeds) hash positions per row (JVM xxhash64,
+    codegen'd), bit_or hash aggregate per (file, word) — map-side
+    combine collapses the probe stream, the shuffle carries at most
+    files x n_bits/64 rows — then one row per file with a sparse
+    word map. Size the filter as usual: ~10 bits/distinct-key with
+    k=3 gives ~1% fpr; fpr only costs extra files READ, never a
+    wrong result (pruned_read_bloom re-applies the exact predicate).
+    """
+    from pyspark.sql import functions as F
+
+    if n_bits % 64 != 0:
+        raise ValueError("n_bits must be a multiple of 64")
+    df = spark.read.parquet(path).where(F.col(col).isNotNull())
+    # hash the STRING form: xxhash64 is type-sensitive (the same value
+    # as INT vs BIGINT hashes differently), and the probe side builds
+    # its literal from a Python value whose Catalyst type need not
+    # match the column's — the string canonicalization makes manifest
+    # and probe agree by construction
+    probes = df.select(
+        F.input_file_name().alias("file"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(col).cast("string"), F.lit(s)),
+                        F.lit(n_bits),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("__pos"),
+    )
+    words = (
+        probes.select(
+            "file",
+            F.shiftright(F.col("__pos"), 6).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias("__m"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("__m").alias("word_bits"))
+    )
+    return words.groupBy("file").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word_idx", "word_bits")))
+        ).alias("words")
+    )
+
+
+def pruned_read_bloom(
+    spark: SparkSession,
+    path: str,
+    blooms: DataFrame,
+    col: str,
+    value,
+    n_bits: int = 8192,
+    seeds: tuple[int, ...] = (0x51ED, 0xC0FFEE, 0xB100D),
+) -> DataFrame:
+    """Bloom-manifest-driven file skipping for an equality probe: read
+    ONLY files whose bloom has every probe bit of ``value`` set, then
+    apply the exact predicate. No false negatives (every file that
+    holds the value is read — bloom contract), so results are pinned
+    EQUAL to the full scan + filter; false positives only add files.
+
+    The probe's hash positions are computed by Catalyst itself (one
+    1-row, zero-scan job) so the driver never re-implements xxhash64
+    — manifest and probe can't drift. The manifest filter runs on the
+    (files-sized) manifest frame; data files outside the hit list are
+    never opened.
+    """
+    from pyspark.sql import functions as F
+
+    pos_row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(value).cast("string"), F.lit(s)), F.lit(n_bits)
+                ).alias(f"p{i}")
+                for i, s in enumerate(seeds)
+            ]
+        )
+        .first()
+    )
+    cond = None
+    for i in range(len(seeds)):
+        p = pos_row[f"p{i}"]
+        # shiftleft, not a Python 1 << b literal: bit 63's mask is the
+        # NEGATIVE long 0x8000...0, which F.lit would reject as overflow
+        bit_ok = (
+            F.coalesce(
+                F.element_at(F.col("words"), F.lit(p >> 6).cast("bigint")), F.lit(0)
+            ).bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), {p % 64})"))
+            != 0
+        )
+        cond = bit_ok if cond is None else (cond & bit_ok)
+    hits = [r["file"] for r in blooms.filter(cond).collect()]
+    base = spark.read.parquet(*hits) if hits else spark.read.parquet(path).limit(0)
+    return base.filter(F.col(col) == F.lit(value))

@@ -623,7 +623,93 @@ FROM nonadj JOIN deg da ON da.u = nonadj.a JOIN deg db ON db.u = nonadj.b
 """
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1)),
+    the closed-wedge fraction — the node-centric density measure
+    completing the triangle-count (global) and k-truss (edge-centric)
+    story. Triangles enumerate ONCE via the canonical x<y<z ordered
+    join (same shape as q_triangle_count, inner-joined instead of
+    semi-joined so each triangle row can credit all three corners via
+    one explode — O(T) rows, no per-node wedge materialization).
+    deg<2 nodes get 0.0 without tripping ANSI divide-by-zero. The
+    coefficient is ONE IEEE division of two exact BIGINTs (2·T exact
+    in double far below 2^53), so both engines produce the identical
+    correctly-rounded double — value-hash-safe without rounding (the
+    graph_link_prediction precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+
+    pairs = pairwise_cosine_matmul(emb, threshold=_HOP_LO, scale=100.0)
+    und = pairs.filter(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").alias("x"), F.col("right_id").alias("y")
+    )
+    e2 = und.select(F.col("x").alias("y2"), F.col("y").alias("z"))
+    e3 = und.select(F.col("x").alias("x3"), F.col("y").alias("z3"))
+    tri = (
+        und.join(e2, und.y == e2.y2)
+        .join(e3, (und.x == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("tri"))
+    )
+    deg = (
+        und.select(F.col("x").alias("id"))
+        .unionAll(und.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    t = F.coalesce(F.col("tri"), F.lit(0)).cast("bigint")
+    return (
+        deg.join(tcnt, "id", "left")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("degree").cast("bigint").alias("degree"),
+            t.alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2.0) * t) / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy("id")
+    )
+
+
+_CLUSTERING_SQL = f"""
+WITH sims AS MATERIALIZED (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a', b='b')} >= 30),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM sims e1
+  JOIN sims e2 ON e1.y = e2.x
+  JOIN sims e3 ON e3.x = e1.x AND e3.y = e2.y),
+tcnt AS (
+  SELECT id, COUNT(*) AS tri FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY id),
+deg AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT x AS id FROM sims UNION ALL SELECT y FROM sims)
+  GROUP BY id)
+SELECT CAST(d.id AS BIGINT) AS id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN (2.0 * COALESCE(t.tri, 0)) / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+ORDER BY id
+"""
+
+
 QUERIES = {
+    "graph_clustering_coefficient": (q_clustering_coefficient, _CLUSTERING_SQL),
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
     "graph_link_prediction": (q_link_prediction, _LINK_PRED_SQL),
     "graph_closeness_seeds": (q_closeness_seeds, _CLOSENESS_SQL),

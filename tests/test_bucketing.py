@@ -237,3 +237,47 @@ def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path)
     # empty overlap -> empty frame, schema intact
     nothing = pruned_read(spark, out, stats, "o_totalprice", -10.0, -5.0)
     assert nothing.count() == 0 and "o_custkey" in nothing.columns
+
+
+def test_bloom_manifest_pruned_read_equality(spark, tmp_path):
+    """Bloom-manifest file skipping for point lookups: on a layout
+    where each orderkey lives in exactly one file, an equality probe
+    reads a minority of files (no false NEGATIVES ever — every file
+    holding the value is in the hit list) and returns exactly the
+    full-scan answer; a value absent from the table prunes to (almost)
+    nothing and returns an empty frame with the schema intact."""
+    from providenciasbigdata_spark.io import (
+        collect_file_blooms,
+        load_table,
+        pruned_read_bloom,
+        write_partitioned,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_files")
+    # range-partition by orderkey -> each key in exactly ONE file, but
+    # files are NOT usable by min/max pruning on custkey (spans domain)
+    orders.repartitionByRange(16, "o_orderkey").write.parquet(out)
+    blooms = collect_file_blooms(spark, out, "o_orderkey", n_bits=1 << 16).cache()
+    n_files = blooms.count()
+    assert n_files >= 12
+
+    some = [r.o_orderkey for r in orders.limit(3).collect()]
+    for key in some:
+        got = pruned_read_bloom(spark, out, blooms, "o_orderkey", key, n_bits=1 << 16)
+        touched = {
+            r.f for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        assert len(touched) == 1  # the one file that holds the key
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(out)
+            .filter(F.col("o_orderkey") == key).collect()
+        )
+        assert sorted(tuple(r) for r in got.collect()) == want and want
+
+    missing = pruned_read_bloom(
+        spark, out, blooms, "o_orderkey", -123456789, n_bits=1 << 16
+    )
+    assert missing.count() == 0 and "o_custkey" in missing.columns
