@@ -126,3 +126,79 @@ def observe_expectations(df: DataFrame, checks: list["Check"], name: str = "qual
 
     obs = Observation(name)
     return df.observe(obs, *cols), obs
+
+
+def ks_statistic(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the standard
+    distribution-drift monitor between a reference sample and a new
+    batch (per-feature drift gates sit next to the expectation checks
+    above in a training-data pipeline).
+
+    D = sup_v |F_a(v) − F_b(v)|. Both ECDFs are right-continuous step
+    functions that only jump at sample points, so the sup is the max
+    over DISTINCT union values of the inclusive-count difference —
+    exact, no binning.
+
+    Scale shape: one union + one per-value hash aggregate collapse the
+    samples to their distinct-value histogram; the global cumulative
+    counts then come from the packed_positions two-phase prefix sum
+    (range-partitioned within-partition window + a broadcast offset
+    table over n_partitions rows — NO single-partition data window),
+    computing BOTH running sums in the same pass. Totals derive from
+    the already-aggregated histogram (no second scan of either input).
+
+    Cross-engine determinism: cum/total is one IEEE division of exact
+    BIGINTs, |·| and max are order-independent — value-hash-safe
+    without rounding (the graph_link_prediction rule). NULLs are
+    excluded from both samples (an ECDF is over values).
+
+    Returns one row: (ks double, n_a bigint, n_b bigint).
+    """
+    from pyspark.sql import Window
+
+    va = a.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    vb = b.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    hist = (
+        va.withColumn("ca", F.lit(1)).withColumn("cb", F.lit(0))
+        .unionAll(vb.withColumn("ca", F.lit(0)).withColumn("cb", F.lit(1)))
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    part = hist.repartitionByRange(32, F.col("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = part.withColumn("_cuma", F.sum("ca").over(w_in).cast("long")).withColumn(
+        "_cumb", F.sum("cb").over(w_in).cast("long")
+    )
+    totals = part.groupBy("_pid").agg(
+        F.sum("ca").alias("_ta"), F.sum("cb").alias("_tb")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ta").over(w_off), F.lit(0)).cast("long").alias("_offa"),
+        F.coalesce(F.sum("_tb").over(w_off), F.lit(0)).cast("long").alias("_offb"),
+    )
+    grand = F.broadcast(
+        totals.agg(
+            F.sum("_ta").cast("long").alias("_na"), F.sum("_tb").cast("long").alias("_nb")
+        )
+    )
+    diff = F.abs(
+        (F.col("_cuma") + F.col("_offa")) / F.col("_na")
+        - (F.col("_cumb") + F.col("_offb")) / F.col("_nb")
+    )
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .crossJoin(grand)
+        .agg(
+            F.max(diff).alias("ks"),
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+        )
+    )

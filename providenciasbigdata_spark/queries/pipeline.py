@@ -775,6 +775,70 @@ WHERE tf.doc_id < 20
 """
 
 
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-5 most distinctive terms per document,
+    ranked by TF-IDF — the per-doc projection of q_tfidf_top_terms'
+    corpus statistics. Ranking uses the ROUNDED score on BOTH engines
+    (the same 6-digit contract text_tfidf value-hashes under) with a
+    token-ascending tie-break, so the rank is a total order computed
+    identically cross-engine. The window partitions by doc_id — per-doc
+    top-k parallelizes over documents, never a global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(doclen, "doc_id")
+        .join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * F.log(F.col("n_docs") / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "rk", "token", "tfidf")
+    )
+
+
+_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY doc_id
+), dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND((tf.cnt / doclen.doc_len) * ln((SELECT COUNT(*) FROM documents)
+                                              / dfreq.doc_freq), 6) AS tfidf
+  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (token)
+  WHERE tf.doc_id < 20
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk,
+       token, tfidf
+FROM scored
+QUALIFY rk <= 5
+"""
+
+
 # ---- approximate families (rows-only; property-tested in pytest) -------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,6 +1195,7 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "text_tfidf": (q_tfidf_top_terms, _TFIDF_SQL),
+    "text_keywords": (q_text_keywords, _KEYWORDS_SQL),
     "text_token_diversity": (q_token_diversity, _DIVERSITY_SQL),
     "text_common_token_ratio": (q_common_token_ratio, _COMMON_TOKEN_SQL),
     "text_lm_perplexity": (q_lm_perplexity, None),

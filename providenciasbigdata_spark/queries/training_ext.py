@@ -598,7 +598,49 @@ FROM c
 """
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate: exact two-sample KS statistic between
+    the order-price distributions of two pipeline 'batches' (urgent vs
+    low priority orders — a stand-in for reference-window vs new-batch
+    feature monitoring). D is the max over distinct union values of
+    the inclusive-ECDF difference; the engine computes the cumulative
+    counts with the two-phase range-partitioned prefix sum (no
+    single-partition data window), the oracle with a plain window —
+    both reduce to one IEEE division per side and an order-independent
+    max, so the double value-hashes exactly."""
+    from providenciasbigdata_spark.operators.quality import ks_statistic
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_totalprice")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_totalprice")
+    return ks_statistic(a, b, "o_totalprice").select(
+        "ks", F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    )
+
+
+_DRIFT_KS_SQL = """
+WITH hist AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS cb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW') AND o_totalprice IS NOT NULL
+  GROUP BY o_totalprice),
+c AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b,
+         (SELECT SUM(ca) FROM hist) AS na,
+         (SELECT SUM(cb) FROM hist) AS nb
+  FROM hist)
+SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)) AS ks,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+FROM c
+"""
+
+
 QUERIES = {
+    "drift_ks_totalprice": (q_drift_ks, _DRIFT_KS_SQL),
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
     "training_mix_temperature": (q_mix_temperature, _mix_temperature_sql()),
     "curate_gopher_flags": (q_gopher_flags, _GOPHER_SQL),

@@ -127,3 +127,24 @@ def test_observe_expectations_zero_extra_pass(spark):
     want = {r.check: r.violations for r in q.validate_expectations(orders, checks).collect()}
     assert got == want
     assert all(v == 0 for v in got.values())
+
+
+def test_ks_statistic_known_values(spark):
+    """KS pins: identical samples -> 0; disjoint ranges -> 1; a hand
+    case checked against the closed-form ECDF sup; NULLs excluded."""
+    from providenciasbigdata_spark.operators.quality import ks_statistic
+
+    a = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4]], "x double")
+    same = ks_statistic(a, a, "x").first()
+    assert same.ks == 0.0 and same.n_a == 4 and same.n_b == 4
+
+    b = spark.createDataFrame([(float(x),) for x in [10, 11]], "x double")
+    assert ks_statistic(a, b, "x").first().ks == 1.0
+
+    # A = {1,2,3,4}, B = {2,2,5}: sup at v=4: |1 - 2/3| = 1/3
+    c = spark.createDataFrame(
+        [(2.0,), (2.0,), (5.0,), (None,)], "x double"
+    )
+    r = ks_statistic(a, c, "x").first()
+    assert r.n_b == 3  # NULL excluded
+    assert abs(r.ks - (1 - 2 / 3)) < 1e-15
