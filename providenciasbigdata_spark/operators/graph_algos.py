@@ -1221,3 +1221,116 @@ def ktruss(
             break
         und, n_edges = kept, n_kept
     return und if n_edges else und.limit(0)
+
+
+def betweenness_from_seeds(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Betweenness centrality contributions from the given seed
+    sources — Brandes' algorithm (2001) with the forward/backward
+    passes expressed as per-level joins, all seeds advancing in one
+    loop (the multi_source_bfs batching). Exact betweenness is
+    all-sources Brandes, which nobody runs at 100 TB; seed-sampled
+    betweenness (Brandes-Pich 2007) is the production estimator, and
+    passing every node as a seed on a bounded subgraph recovers the
+    exact value (how the tests pin against the reference
+    implementation).
+
+    Forward: level frames (seed, id, sigma) where sigma = number of
+    shortest s->v paths, accumulated by a grouped SUM over the
+    frontier's out-edges (one join + one anti-join + one aggregate
+    per level — frontier-sized, never the corpus). Backward: levels
+    replay in reverse, each computing
+    delta(u) = sum_v sigma(u)/sigma(v) * (1 + delta(v)) over the
+    shortest-path-DAG edges into the deeper level (one join + one
+    aggregate per level; the level frames were already checkpointed
+    by the forward pass, so nothing recomputes).
+
+    Returns (id, betweenness): the RAW sum of dependency scores over
+    ORDERED (seed, target) pairs, seeds excluded from their own
+    tally — the undirected unordered-pair convention is this divided
+    by 2 when seeds = all nodes (callers' choice; documented rather
+    than hidden). Floating accumulation: sigma ratios are exact
+    integer divisions, the delta sums are IEEE doubles whose
+    partial-sum order Spark does not fix — rows-only posture, pinned
+    against a pure-Python Brandes in tests.
+    """
+    spark = edges.sparkSession
+    ckpt = _truncator(spark, checkpoint_dir)
+    if directed:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    else:
+        e = symmetrize(edges, src, dst)
+    e = ckpt(e)
+    base = spark.createDataFrame(
+        [(s,) for s in seeds], schema=edges.select(F.col(src).alias("seed")).schema
+    )
+    level = ckpt(
+        base.select("seed", F.col("seed").alias("id"), F.lit(1).cast("long").alias("sigma"))
+    )
+    levels = [level]
+    visited = level.select("seed", "id")
+    for _hop in range(1, max_hops + 1):
+        seen = visited.select(F.col("seed").alias("ws"), F.col("id").alias("wv"))
+        nxt = (
+            level.join(e, level.id == e.u)
+            .join(
+                seen,
+                (F.col("seed") == F.col("ws")) & (F.col("v") == F.col("wv")),
+                "left_anti",
+            )
+            .groupBy("seed", F.col("v").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        visited = ckpt(visited.union(nxt.select("seed", "id")))
+        level = nxt
+        levels.append(level)
+
+    # backward accumulation; deepest level has delta = 0
+    deltas = None  # (seed, id, delta) for the level BELOW the current one
+    contribs = []
+    for d in range(len(levels) - 2, -1, -1):
+        below = levels[d + 1].select(
+            F.col("seed").alias("bs"), F.col("id").alias("bv"),
+            F.col("sigma").alias("bsigma"),
+        )
+        if deltas is not None:
+            below = below.join(
+                deltas.select(
+                    F.col("seed").alias("bs"), F.col("id").alias("bv"), "delta"
+                ),
+                ["bs", "bv"],
+                "left",
+            ).select("bs", "bv", "bsigma", F.coalesce("delta", F.lit(0.0)).alias("bdelta"))
+        else:
+            below = below.select("bs", "bv", "bsigma", F.lit(0.0).alias("bdelta"))
+        cur = levels[d]
+        deltas = ckpt(
+            cur.join(e, cur.id == e.u)
+            .join(below, (cur.seed == F.col("bs")) & (F.col("v") == F.col("bv")))
+            .groupBy("seed", "id")
+            .agg(
+                F.sum(
+                    (F.col("sigma") / F.col("bsigma")) * (F.lit(1.0) + F.col("bdelta"))
+                ).alias("delta")
+            )
+        )
+        if d > 0:  # level 0 is the seed itself: excluded from its own tally
+            contribs.append(deltas)
+    if not contribs:
+        return edges.sparkSession.createDataFrame(
+            [], "id " + dict(edges.dtypes)[src] + ", betweenness double"
+        )
+    out = contribs[0]
+    for c in contribs[1:]:
+        out = out.union(c)
+    return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))

@@ -743,7 +743,34 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["graph_ktruss"] = (q_ktruss, None)
 
+def q_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled betweenness (Brandes-Pich): dependency-score sums
+    from three landmark sources over the bounded similarity graph —
+    the forward sigma pass and backward delta pass each run one
+    join+aggregate per BFS level, all seeds batched in one loop.
+    Rows-only: sigma ratios are exact, but the delta accumulation is
+    an IEEE double SUM whose partial-sum order Spark does not fix;
+    the algorithm is pinned exactly (1e-9) against a pure-Python
+    Brandes in tests/test_graph_algos.py, including the
+    all-nodes-seeded exact-betweenness case."""
+    from providenciasbigdata_spark.operators.graph_algos import betweenness_from_seeds
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    return betweenness_from_seeds(
+        edges, ["P-7", "P-27", "P-58"], max_hops=6
+    ).orderBy("id")
+
+
+QUERIES["graph_betweenness_seeds"] = (q_betweenness_seeds, None)
+
 WHY_NO_ORACLE = {
+    "graph_betweenness_seeds": (
+        "Brandes delta accumulation is an IEEE double SUM whose partial-sum "
+        "order differs between engines; pinned exactly against a pure-Python "
+        "Brandes (hand graph, random graph with all nodes seeded = exact "
+        "betweenness, and seed subsets) in tests/test_graph_algos.py"
+    ),
     "graph_ktruss": (
         "fixed-point edge peeling isn't SQL-expressible (aggregates over a "
         "recursive relation); the k-truss is UNIQUE and pinned against a "

@@ -562,3 +562,76 @@ def test_ktruss_matches_python_reference(spark):
     raw = [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
     got_fx = {(r.u, r.v) for r in ktruss(edges, k=4).collect()}
     assert got_fx == py_ktruss(raw, 4)
+
+
+def test_betweenness_matches_python_brandes(spark):
+    """Distributed per-level Brandes == a pure-Python Brandes (exact
+    ordered-pair dependency sums) on a hand graph and on a random
+    graph with every node as a seed (the exact-betweenness case)."""
+    import random
+    from collections import deque
+
+    from providenciasbigdata_spark.operators.graph_algos import betweenness_from_seeds
+
+    def py_brandes(edge_list, seeds):
+        adj = {}
+        for a, b in edge_list:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        bc = {}
+        for s in seeds:
+            if s not in adj:
+                continue
+            dist = {s: 0}
+            sigma = {s: 1}
+            order = []
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                order.append(u)
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        sigma[v] = 0
+                        q.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+            delta = {u: 0.0 for u in order}
+            for w in reversed(order):
+                for v in adj[w]:
+                    if dist.get(v) == dist[w] + 1:
+                        delta[w] += sigma[w] / sigma[v] * (1 + delta[v])
+                if w != s:
+                    bc[w] = bc.get(w, 0.0) + delta[w]
+        return bc
+
+    # path 0-1-2: node 1 carries both ordered pairs (0,2) and (2,0)
+    path = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {r.id: r.betweenness for r in
+           betweenness_from_seeds(df, [0, 1, 2]).collect()}
+    want = py_brandes(path, [0, 1, 2])
+    assert got.get(1) == want[1] == 2.0
+    for k in set(got) | set(want):
+        assert abs(got.get(k, 0.0) - want.get(k, 0.0)) < 1e-9, k
+
+    # random graph, all nodes seeded -> exact betweenness
+    rng = random.Random(7)
+    nodes = list(range(18))
+    rows = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+    rdf = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.id: r.betweenness for r in
+           betweenness_from_seeds(rdf, nodes).collect()}
+    want = py_brandes(rows, nodes)
+    keys = set(got) | set(want)
+    assert keys
+    for k in keys:
+        assert abs(got.get(k, 0.0) - want.get(k, 0.0)) < 1e-9, (
+            k, got.get(k), want.get(k))
+
+    # seed subset: contributions restricted to those sources
+    sub = betweenness_from_seeds(rdf, [0, 5])
+    wsub = py_brandes(rows, [0, 5])
+    gsub = {r.id: r.betweenness for r in sub.collect()}
+    for k in set(gsub) | set(wsub):
+        assert abs(gsub.get(k, 0.0) - wsub.get(k, 0.0)) < 1e-9, k
