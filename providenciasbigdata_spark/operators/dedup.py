@@ -90,6 +90,90 @@ def jaccard_pairs(
     )
 
 
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo WWW'07, Xiao WWW'08): the scale
+    path for exact set-similarity joins, complementing MinHash-LSH
+    (which trades recall for speed; this trades nothing and still
+    avoids the all-pairs cartesian).
+
+    Theorem: order every set by one global token order; two sets with
+    Jaccard >= t must share at least one token among their first
+    ``|s| - ceil(t*|s|) + 1`` tokens. Ordering by ASCENDING corpus
+    frequency puts the RAREST tokens in the prefix, so the candidate
+    equi-join on prefix tokens fans out minimally (the common tokens
+    that would explode the join live at the suffix end and never key
+    the join). A size filter (t*|b| <= |a|, t*|a| <= |b|) prunes
+    further before verification; exact Jaccard then verifies each
+    candidate with the same rounded expression as jaccard_pairs, so the
+    output == jaccard_pairs(threshold=t) (pinned in tests; the only
+    theoretical divergence is a pair whose TRUE Jaccard sits within
+    5e-7 below t and rounds up — the prefix theorem bounds true
+    similarity, the verify step rounds).
+
+    Plan shape: one vocabulary aggregate, one ordered-set build, one
+    token equi-join over prefixes, one verify join — no cartesian
+    (plan-pinned), no driver-side data.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    toks = F.array_distinct(
+        shingles(tokenize(F.col(text_col)), ngram)
+        if ngram > 1
+        else tokenize(F.col(text_col))
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
+    tokdf = base.select("id", F.explode("__set").alias("tok"))
+    dfreq = tokdf.groupBy("tok").agg(F.count("*").alias("tdf"))
+    ordered = (
+        tokdf.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tdf", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ordset")
+        )
+        .withColumn("len", F.size("ordset"))
+        .withColumn(
+            "plen",
+            (F.col("len") - F.ceil(F.lit(threshold) * F.col("len")) + 1).cast("int"),
+        )
+    )
+    prefixes = ordered.select(
+        "id", "len", F.explode(F.expr("slice(ordset, 1, plen)")).alias("tok")
+    )
+    right = prefixes.select(
+        F.col("id").alias("right_id"), F.col("len").alias("blen"), "tok"
+    )
+    cand = (
+        prefixes.select(F.col("id").alias("left_id"), F.col("len").alias("alen"), "tok")
+        .join(right, "tok")
+        .filter(
+            (F.col("left_id") < F.col("right_id"))
+            & (F.col("alen") >= F.lit(threshold) * F.col("blen"))
+            & (F.col("blen") >= F.lit(threshold) * F.col("alen"))
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("left_id"), F.col("__set").alias("set_a"))
+    b = base.select(F.col("id").alias("right_id"), F.col("__set").alias("set_b"))
+    verified = cand.join(a, "left_id").join(b, "right_id")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return verified.select("left_id", "right_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # ---- MinHash + LSH ------------------------------------------------------
 
 def shingle_sets(

@@ -186,6 +186,32 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-threshold similarity self-join over the FULL
+    corpus via prefix filtering (AllPairs/PPJoin) — no left-side
+    restriction, no cartesian: candidates come from an equi-join on
+    each set's rarest-token prefix, verified exactly. The oracle is
+    the naive all-pairs formulation, so this value-hash ALSO proves
+    the prefix filter loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_join_prefix(docs, ngram=1, threshold=0.6)
+
+
+_JACCARD_PREFIX_SQL = f"""
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / greatest(CAST(len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 1.0), 6)
+           AS jaccard
+FROM (SELECT doc_id, list_distinct({{_TOKENS}}) AS toks FROM documents) a
+JOIN (SELECT doc_id, list_distinct({{_TOKENS}}) AS toks FROM documents) b
+  ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / greatest(CAST(len(a.toks) + len(b.toks)
+                            - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 1.0), 6) >= 0.6
+""".replace("{_TOKENS}", _TOKENS)
+
+
 _JACCARD_SQL = f"""
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
        ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -1205,6 +1231,7 @@ QUERIES = {
     "dedup_stats": (q_dedup_stats, _DEDUP_STATS_SQL),
     "dedup_exact_survivors": (q_dedup_exact_survivors, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
+    "jaccard_join_prefix": (q_jaccard_join_prefix, _JACCARD_PREFIX_SQL),
     "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
     "ivf_index_exact_topk": (q_ivf_index_exact_topk, _ANN_BRUTE_SQL),

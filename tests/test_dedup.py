@@ -478,3 +478,34 @@ def test_dedup_paragraphs_within_doc_scope(spark):
     assert got[1].new_text == f"{para} {other}"
     assert (got[2].n_chunks, got[2].kept_chunks) == (1, 1)
     assert got[2].new_text == para  # untouched despite doc 1's copy
+
+
+def test_jaccard_join_prefix_equals_allpairs(spark, sf_dir):
+    """Prefix-filtered exact similarity join == the all-pairs kernel
+    at the same threshold (exactness is the point — no recall loss),
+    and the plan contains NO cartesian/nested-loop join: candidates
+    come from the prefix-token equi-join only."""
+    from providenciasbigdata_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = dedup.jaccard_join_prefix(docs, threshold=0.5)
+    brute = dedup.jaccard_pairs(docs, ngram=1, threshold=0.5)
+    g = {(r.left_id, r.right_id): r.jaccard for r in got.collect()}
+    w = {(r.left_id, r.right_id): r.jaccard for r in brute.collect()}
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # higher threshold -> subset, still equal to brute
+    got9 = {
+        (r.left_id, r.right_id)
+        for r in dedup.jaccard_join_prefix(docs, threshold=0.9).collect()
+    }
+    w9 = {
+        (r.left_id, r.right_id)
+        for r in dedup.jaccard_pairs(docs, ngram=1, threshold=0.9).collect()
+    }
+    assert got9 == w9
+    assert set(got9) <= set(g)
