@@ -983,7 +983,84 @@ _PROFILE_SQL = " UNION ALL ".join(
 )
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user event-type baskets (the
+    2-itemset slice of market-basket mining): support, confidence and
+    lift for every co-occurring type pair above 2% support. One
+    distinct (user, type) collapse, one self-equi-join on user_id
+    producing ordered pairs (type_a < type_b counts each unordered
+    pair once), then broadcast joins of the tiny per-type and total
+    counts. Ratios are written with IDENTICAL operation order on both
+    engines (double(n_ab)·n_users / (double(n_a)·n_b)) — two exact
+    integer-valued multiplies below 2^53, one correctly-rounded
+    division — so the doubles value-hash unrounded."""
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select("user_id", "event_type").distinct()
+    n_users = ue.agg(F.countDistinct("user_id").alias("n_users"))
+    counts = ue.groupBy("event_type").agg(F.count("*").alias("n"))
+    b = ue.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    pairs = (
+        ue.select("user_id", F.col("event_type").alias("type_a"))
+        .join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(counts.select(F.col("event_type").alias("type_a"),
+                                      F.col("n").alias("n_a"))), "type_a")
+        .join(
+            F.broadcast(counts.select(F.col("event_type").alias("type_b"),
+                                      F.col("n").alias("n_b"))), "type_b")
+        .crossJoin(F.broadcast(n_users))
+    )
+    support = F.col("n_ab").cast("double") / F.col("n_users")
+    confidence = F.col("n_ab").cast("double") / F.col("n_a")
+    lift = (F.col("n_ab").cast("double") * F.col("n_users")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        out.select(
+            "type_a", "type_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            support.alias("support"),
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .filter(F.col("support") >= 0.02)
+        .orderBy("type_a", "type_b")
+    )
+
+
+_ASSOC_SQL = """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ue),
+cnt AS (SELECT event_type, COUNT(*) AS n FROM ue GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       CAST(p.n_ab AS DOUBLE) / t.n_users AS support,
+       CAST(p.n_ab AS DOUBLE) / ca.n AS confidence,
+       (CAST(p.n_ab AS DOUBLE) * t.n_users) / (CAST(ca.n AS DOUBLE) * cb.n) AS lift
+FROM pairs p
+JOIN cnt ca ON ca.event_type = p.type_a
+JOIN cnt cb ON cb.event_type = p.type_b
+CROSS JOIN tot t
+WHERE CAST(p.n_ab AS DOUBLE) / t.n_users >= 0.02
+ORDER BY p.type_a, p.type_b
+"""
+
+
 QUERIES = {
+    "assoc_rules_event_pairs": (q_assoc_rules, _ASSOC_SQL),
     "profile_table_stats": (q_profile_table, _PROFILE_SQL),
     "agg_robust_stats": (q_robust_stats, _ROBUST_STATS_SQL),
     "agg_price_histogram": (q_price_histogram, _HISTOGRAM_SQL),

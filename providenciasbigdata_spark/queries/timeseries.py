@@ -497,7 +497,65 @@ GROUP BY 1, 2
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation + the modified z-score rule (Iglewicz-Hoaglin:
+    0.6745·|x−med|/MAD > 3.5) — the median-based sibling of
+    anomaly_value_outliers' mean/σ z-score, immune to the outliers it
+    hunts. Both medians are exact interpolated percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont``); the outlier test is
+    cross-MULTIPLIED (0.6745·|x−med| > 3.5·MAD) so no division enters
+    the comparison, and the reported med/mad are rounded only at the
+    projection edge. Three passes over events, each a hash aggregate;
+    at scale the first two collapse to one window pass if events are
+    already bucketed by type."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                (F.lit(0.6745) * F.col("adev") > F.lit(3.5) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_SQL = """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM ev GROUP BY event_type),
+dev AS (SELECT ev.event_type, ABS(ev.value - med.med) AS adev, med.med
+        FROM ev JOIN med USING (event_type)),
+mad AS (SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type, med)
+SELECT d.event_type,
+       ROUND(MAX(m.med), 6) AS median_value,
+       ROUND(MAX(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN 0.6745 * d.adev > 3.5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = {
+    "anomaly_mad_outliers": (q_mad_outliers, _MAD_SQL),
     "timeseries_weekly_revenue": (q_weekly_revenue, _WEEKLY_REVENUE_SQL),
     "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),
     "timeseries_resample_interpolate": (q_resample_interpolate, _INTERPOLATE_SQL),
