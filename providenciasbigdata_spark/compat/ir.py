@@ -674,10 +674,12 @@ def mql_aggregate(
     unspecified without $sort).
     """
     df = rulings
-    for stage in pipeline:
+    for idx, stage in enumerate(pipeline):
         if not (isinstance(stage, dict) and len(stage) == 1):
             raise ValueError(f"each pipeline stage must be a single-key dict: {stage!r}")
         (op, spec), = stage.items()
+        if op in ("$out", "$merge") and idx != len(pipeline) - 1:
+            raise ValueError(f"{op} must be the last pipeline stage (Mongo contract)")
         if op == "$match":
             df = df.filter(_query_condition(spec, default_language))
         elif op == "$unwind":
@@ -690,7 +692,13 @@ def mql_aggregate(
             # expressions in $project): compile through _agg_expr, then
             # treat as inclusions — mixing with excludes still raises
             # via _apply_projection, matching Mongo
-            computed = {k: v for k, v in spec.items() if isinstance(v, dict)}
+            # computed = expression documents AND bare '$field' path
+            # strings (Mongo's rename-in-$project form)
+            computed = {
+                k: v
+                for k, v in spec.items()
+                if isinstance(v, dict) or (isinstance(v, str) and v.startswith("$"))
+            }
             if computed:
                 df = df.withColumns({k: _agg_expr(v) for k, v in computed.items()})
                 spec = {
@@ -729,6 +737,23 @@ def mql_aggregate(
             df = _lookup_stage(df, spec, collections or {})
         elif op == "$graphLookup":
             df = _graph_lookup_stage(df, spec, collections or {}, default_language)
+        elif op == "$out":
+            # terminal output stage: the pipeline result REPLACES the
+            # named collection. As a library over DataFrames the engine
+            # returns the collection's NEW STATE instead of mutating a
+            # server-side namespace (the caller owns persistence — pair
+            # with operators.snapshots.snapshot_write for versioned
+            # commits). The name must still resolve so a typo'd target
+            # fails like Mongo's namespace validation would.
+            if not (isinstance(spec, str) and spec):
+                raise ValueError(f"$out needs a collection name: {spec!r}")
+            if not collections or spec not in collections:
+                raise ValueError(
+                    f"$out unknown collection {spec!r}; pass it in collections="
+                )
+            df = df
+        elif op == "$merge":
+            df = _merge_stage(df, spec, collections or {})
         elif op in ("$addFields", "$set"):
             if not (isinstance(spec, dict) and spec):
                 raise ValueError(f"{op} needs a non-empty field document: {spec!r}")
@@ -784,6 +809,89 @@ def _lookup_stage(df: DataFrame, spec, collections: dict) -> DataFrame:
         df.join(grouped, df[lf] == grouped["__k"], "left")
         .drop("__k")
         .withColumn(out, F.coalesce(F.col(out), empty))
+    )
+
+
+def _merge_stage(df: DataFrame, spec, collections: dict) -> DataFrame:
+    """``$merge``: Mongo's merge-into-collection output stage, lowered
+    onto ``operators.cdc.merge_into`` (one equi-join plan; source-key
+    uniqueness enforced, as Mongo errors on duplicate ``on`` values in
+    the results stream). Returns the target collection's NEW STATE
+    (library posture — the caller persists).
+
+    ``whenMatched``: ``merge`` (default — result fields overwrite,
+    target-only fields survive), ``replace`` (whole document replaced;
+    target-only fields become NULL/missing), ``keepExisting``,
+    ``fail``. ``whenNotMatched``: ``insert`` (default), ``discard``,
+    ``fail``. The two ``fail`` modes run one tiny aggregate action
+    each (a count over the keys join) — the compat edge trades a job
+    for Mongo's eager error, exactly like ``$bucket``'s range check.
+    """
+    from providenciasbigdata_spark.operators.cdc import merge_into
+
+    if isinstance(spec, str):
+        spec = {"into": spec}
+    required = {"into"}
+    if not (isinstance(spec, dict) and required <= set(spec)):
+        raise ValueError(f"$merge needs an 'into' collection: {spec!r}")
+    name = spec["into"]
+    if name not in collections:
+        raise ValueError(
+            f"$merge into unknown collection {name!r}; pass it in collections="
+        )
+    target = collections[name]
+    on = spec.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    for k in keys:
+        if k not in df.columns or k not in target.columns:
+            raise ValueError(f"$merge 'on' field {k!r} missing from a side")
+    when_matched = spec.get("whenMatched", "merge")
+    when_not = spec.get("whenNotMatched", "insert")
+    if when_matched not in ("merge", "replace", "keepExisting", "fail"):
+        raise ValueError(f"unsupported whenMatched: {when_matched!r}")
+    if when_not not in ("insert", "discard", "fail"):
+        raise ValueError(f"unsupported whenNotMatched: {when_not!r}")
+
+    # Mongo is schemaless: result-only fields are ADDED to the merged
+    # collection (matched docs gain them, pre-existing unmatched docs
+    # read them as missing/NULL). Extend the target schema up front so
+    # merge_into's cast-to-target-schema contract keeps them.
+    src_only = [c for c in df.columns if c not in target.columns]
+    if src_only:
+        target = target.withColumns(
+            {c: F.lit(None).cast(dict(df.dtypes)[c]) for c in src_only}
+        )
+    src_cols = set(df.columns)
+    tgt_nonkey = [c for c in target.columns if c not in keys]
+    if when_matched == "fail":
+        matched = target.select(*keys).join(df.select(*keys), keys, "left_semi")
+        if not matched.isEmpty():
+            raise ValueError("$merge whenMatched: 'fail' and a result matched")
+    if when_not == "fail":
+        unmatched = df.select(*keys).join(target.select(*keys), keys, "left_anti")
+        if not unmatched.isEmpty():
+            raise ValueError("$merge whenNotMatched: 'fail' and a result did not match")
+    if when_matched in ("merge", "replace"):
+        update_set = {
+            c: (F.col(f"s.{c}") if c in src_cols else
+                (F.lit(None) if when_matched == "replace" else F.col(f"t.{c}")))
+            for c in tgt_nonkey
+        }
+    elif when_matched == "keepExisting":
+        update_set = {c: F.col(f"t.{c}") for c in tgt_nonkey}
+    else:  # fail (already verified no matches): keep target rows as-is
+        update_set = {c: F.col(f"t.{c}") for c in tgt_nonkey}
+    insert_values = {
+        c: (F.col(f"s.{c}") if c in src_cols else F.lit(None))
+        for c in target.columns
+    }
+    return merge_into(
+        target,
+        df,
+        keys=keys,
+        update_set=update_set,
+        insert_values=insert_values,
+        insert_condition=F.lit(when_not == "insert"),
     )
 
 

@@ -688,6 +688,51 @@ WHERE r.anio >= 2010
 """
 
 
+def q_mql_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$merge output stage: post-2010 per-tipo counts merged into a
+    pre-2010 stats collection on tipo — matched tipos gain the n_new
+    field (Mongo's schemaless field addition), pre-2010-only tipos
+    keep n_old with NULL n_new, post-2010-only tipos insert with NULL
+    n_old. Lowered onto cdc.merge_into (one equi-join, strict source
+    keys); the oracle is the equivalent FULL OUTER join."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir)
+    stats = r.filter(F.col("anio") < 2010).groupBy("tipo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_old")
+    )
+    out = mql_aggregate(
+        r,
+        [
+            {"$match": {"anio": {"$gte": 2010}}},
+            {"$group": {"_id": "$tipo", "n_new": {"$sum": 1}}},
+            {"$project": {"tipo": "$_id", "n_new": 1}},
+            {"$merge": {"into": "tipo_stats", "on": "tipo",
+                        "whenMatched": "merge", "whenNotMatched": "insert"}},
+        ],
+        collections={"tipo_stats": stats},
+    )
+    return out.select(
+        "tipo",
+        F.col("n_old").cast("bigint").alias("n_old"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+    ).orderBy("tipo")
+
+
+_MQL_MERGE_SQL = f"""
+WITH r AS ({_RULINGS_SQL}),
+old AS (SELECT tipo, CAST(COUNT(*) AS BIGINT) AS n_old
+        FROM r WHERE anio < 2010 GROUP BY tipo),
+new AS (SELECT tipo, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM r WHERE anio >= 2010 GROUP BY tipo)
+SELECT COALESCE(old.tipo, new.tipo) AS tipo,
+       CAST(old.n_old AS BIGINT) AS n_old,
+       CAST(new.n_new AS BIGINT) AS n_new
+FROM old FULL OUTER JOIN new ON old.tipo = new.tipo
+ORDER BY tipo
+"""
+
+
 def q_mql_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$graphLookup over the similarity-edge collection: per start
     node, the edge documents reachable in <= 2 recursion levels
@@ -1548,6 +1593,7 @@ QUERIES = {
     "mql_agg_sort_by_count": (q_mql_agg_sort_by_count, _MQL_SORT_BY_COUNT_SQL),
     "mql_agg_lookup": (q_mql_agg_lookup, _MQL_LOOKUP_SQL),
     "mql_graph_lookup": (q_mql_graph_lookup, _MQL_GRAPH_LOOKUP_SQL),
+    "mql_agg_merge": (q_mql_agg_merge, _MQL_MERGE_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),
     "mql_distinct_filtered": (q_mql_distinct_filtered, _MQL_DISTINCT_SQL),

@@ -829,3 +829,87 @@ def test_mql_graph_lookup_array_connect_from(spark):
             [{"$graphLookup": {**spec, "startWith": "$ids"}}],
             collections={"d": docs},
         )
+
+
+def test_mql_merge_out_stages(spark):
+    """$merge lowers onto cdc.merge_into with Mongo's whenMatched /
+    whenNotMatched matrix; $out returns the pipeline frame as the new
+    collection state; both must be terminal."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, tag string, extra long"
+    )
+    results = spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "k long, tag string"
+    )
+    colls = {"t": target}
+
+    def run(**merge_spec):
+        out = mql_aggregate(
+            results, [{"$merge": {"into": "t", "on": "k", **merge_spec}}],
+            collections=colls,
+        )
+        return {r.k: (r.tag, r.extra) for r in out.collect()}
+
+    # default merge: result fields overwrite, target-only fields survive
+    assert run() == {1: ("a", 10), 2: ("B2", 20), 3: ("c", None)}
+    # replace: whole doc replaced -> target-only fields null
+    assert run(whenMatched="replace") == {
+        1: ("a", 10), 2: ("B2", None), 3: ("c", None)}
+    # keepExisting + discard: nothing changes at all
+    assert run(whenMatched="keepExisting", whenNotMatched="discard") == {
+        1: ("a", 10), 2: ("b", 20)}
+    # fail modes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="whenMatched"):
+        run(whenMatched="fail")
+    with _pytest.raises(ValueError, match="whenNotMatched"):
+        run(whenNotMatched="fail")
+    only_new = spark.createDataFrame([(9, "z")], "k long, tag string")
+    ok = mql_aggregate(
+        only_new,
+        [{"$merge": {"into": "t", "on": "k", "whenMatched": "fail"}}],
+        collections=colls,
+    )
+    assert {r.k for r in ok.collect()} == {1, 2, 9}
+
+    # $out: terminal, named target must resolve, returns pipeline frame
+    out = mql_aggregate(
+        results, [{"$match": {"k": {"$gte": 3}}}, {"$out": "t"}],
+        collections=colls,
+    )
+    assert [r.k for r in out.collect()] == [3]
+    with _pytest.raises(ValueError, match="unknown collection"):
+        mql_aggregate(results, [{"$out": "nope"}], collections=colls)
+    with _pytest.raises(ValueError, match="last pipeline stage"):
+        mql_aggregate(
+            results, [{"$out": "t"}, {"$limit": 1}], collections=colls
+        )
+    with _pytest.raises(ValueError, match="unsupported whenMatched"):
+        run(whenMatched="pipeline")
+
+
+def test_mql_merge_adds_result_only_fields(spark):
+    """Mongo is schemaless: fields that exist only in the results
+    stream are ADDED by $merge — matched docs gain them, unmatched
+    pre-existing docs read them as NULL, keepExisting docs don't."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    results = spark.createDataFrame([(2, 99), (3, 7)], "k long, score long")
+    out = mql_aggregate(
+        results, [{"$merge": {"into": "t", "on": "k"}}],
+        collections={"t": target},
+    )
+    got = {r.k: (r.tag, r.score) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b", 99), 3: (None, 7)}
+
+    kept = mql_aggregate(
+        results,
+        [{"$merge": {"into": "t", "on": "k", "whenMatched": "keepExisting"}}],
+        collections={"t": target},
+    )
+    gk = {r.k: (r.tag, r.score) for r in kept.collect()}
+    assert gk == {1: ("a", None), 2: ("b", None), 3: (None, 7)}
