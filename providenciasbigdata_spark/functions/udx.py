@@ -191,3 +191,78 @@ def event_streaks_udtf():
         _EventStreaks,
         returnType="user_id bigint, event_type string, streak_len bigint",
     )
+
+
+def cogroup_asof_prices(
+    trades,
+    quotes,
+    key: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+):
+    """Cogrouped ``applyInPandas`` — the two-sided grouped-map UDF
+    surface (``df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas``):
+    each key's partitions from BOTH frames arrive as a pandas pair in
+    one task, the canonical home of per-key merge logic that needs
+    both sides in memory at once. The classic demonstration is the
+    per-key as-of merge (pandas ``merge_asof`` backward): every left
+    event picks the latest right event at-or-before its timestamp.
+
+    Scale shape: one co-partitioned shuffle on the key for both
+    inputs, then embarrassingly parallel per-key pandas work — the
+    same exchange a join would pay, no driver involvement. Use
+    operators.joins.asof_join (pure Catalyst window form) when the
+    logic fits declarative ops; this surface exists for per-key
+    algorithms that DON'T (model scoring per entity, curve fitting,
+    order-book replay).
+
+    Output: (key, ts, value, ref_value) with ref_value = the other
+    side's last value at-or-before ts (NULL when none).
+
+    GOTCHA (pinned in tests/test_udx.py): when both inputs derive
+    from the SAME source plan (the usual case — two filters of one
+    events table), FlatMapCoGroupsInPandas de-duplicates the right
+    side's attributes against the left's expression IDs and the right
+    pandas frame arrives MISSING those columns (observed: ts/value
+    silently absent, no error). Re-aliasing the right side through a
+    subquery alias mints fresh attribute IDs; this function does it
+    defensively for both inputs, so callers can pass two slices of
+    one frame.
+    """
+    import pandas as pd
+
+    trades = trades.alias("__cg_l").select(
+        *[F.col(c).alias(c) for c in trades.columns]
+    )
+    quotes = quotes.alias("__cg_r").select(
+        *[F.col(c).alias(c) for c in quotes.columns]
+    )
+
+    out_schema = (
+        f"{key} long, {time_col} timestamp, {value_col} double, ref_value double"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=[key, time_col, value_col, "ref_value"]
+            )
+        left = left.sort_values(time_col)
+        if right.empty:
+            out = left[[key, time_col, value_col]].copy()
+            out["ref_value"] = None
+            return out
+        right = right.sort_values(time_col)
+        merged = pd.merge_asof(
+            left[[key, time_col, value_col]],
+            right[[time_col, value_col]].rename(columns={value_col: "ref_value"}),
+            on=time_col,
+            direction="backward",
+        )
+        return merged
+
+    return (
+        trades.groupBy(key)
+        .cogroup(quotes.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )

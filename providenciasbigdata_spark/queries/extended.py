@@ -1059,8 +1059,46 @@ ORDER BY p.type_a, p.type_b
 """
 
 
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (two-sided grouped-map UDF): per-user
+    as-of merge — each purchase picks the user's latest click value
+    at-or-before its timestamp, computed by pandas.merge_asof inside
+    one co-partitioned task per key group. The click side is
+    pre-aggregated to one row per (user, ts) — pandas' and DuckDB's
+    as-of TIE rules on duplicate right timestamps differ, so the
+    query removes the tie class rather than pinning either engine's
+    arbitrary pick. Values pass through unchanged (no arithmetic), so
+    the doubles hash exactly; oracle is DuckDB's native ASOF JOIN."""
+    from providenciasbigdata_spark.functions.udx import cogroup_asof_prices
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = cogroup_asof_prices(purchases, clicks)
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "ref_value"
+    ).orderBy("user_id", "ts_us")
+
+
+_COGROUP_ASOF_SQL = """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, MAX(value) AS ref_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.value, c.ref_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, ts_us
+"""
+
+
 QUERIES = {
     "assoc_rules_event_pairs": (q_assoc_rules, _ASSOC_SQL),
+    "udx_cogroup_asof": (q_cogroup_asof, _COGROUP_ASOF_SQL),
     "profile_table_stats": (q_profile_table, _PROFILE_SQL),
     "agg_robust_stats": (q_robust_stats, _ROBUST_STATS_SQL),
     "agg_price_histogram": (q_price_histogram, _HISTOGRAM_SQL),

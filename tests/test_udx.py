@@ -70,3 +70,30 @@ def test_polymorphic_udtf_rejects_bad_arity(spark):
     df = spark.createDataFrame([("A-B",)], "code string")
     with _pytest.raises(Exception, match="positive constant int"):
         df.lateralJoin(split_fixed_udtf()(F.col("code").outer(), F.lit(0))).collect()
+
+
+def test_cogroup_self_source_attribute_dedup_pin(spark):
+    """Spark gotcha pin: cogrouping two slices of ONE source plan
+    de-duplicates right-side attributes against the left's expression
+    IDs — without the defensive re-alias inside cogroup_asof_prices
+    the right pandas frames arrive MISSING ts/value (observed, no
+    error raised). This asserts the defense works end-to-end: the
+    as-of reference values actually materialize."""
+    from providenciasbigdata_spark.functions.udx import cogroup_asof_prices
+
+    base = spark.createDataFrame(
+        [
+            (1, "p", 100.0, 1.0),
+            (1, "c", 50.0, 7.0),
+            (1, "c", 90.0, 9.0),
+            (2, "p", 10.0, 2.0),
+        ],
+        "user_id long, et string, tsd double, value double",
+    ).withColumn("ts", F.timestamp_micros((F.col("tsd") * 1e6).cast("long")))
+    trades = base.filter(F.col("et") == "p").select("user_id", "ts", "value")
+    quotes = base.filter(F.col("et") == "c").select("user_id", "ts", "value")
+    out = {r.user_id: r.ref_value for r in
+           cogroup_asof_prices(trades, quotes).collect()}
+    # user 1: latest click at-or-before t=100 is t=90 -> 9.0
+    assert out[1] == 9.0
+    assert out[2] is None  # no clicks for user 2 -> NULL, row kept
