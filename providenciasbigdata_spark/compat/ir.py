@@ -572,6 +572,75 @@ def _bucket_stage(df: DataFrame, spec: dict) -> DataFrame:
     return df.groupBy(bucket.alias("_id")).agg(*_group_aggs(out_spec))
 
 
+def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """``$bucketAuto``: distribute documents into ``buckets`` groups of
+    near-equal population over the ``groupBy`` value's order. The unit
+    of assignment is the DISTINCT VALUE (documents with equal values
+    can never split across buckets — Mongo's boundaries are values),
+    so the stage aggregates to per-value counts first, derives each
+    value's exact global rank with the two-phase distributed prefix
+    sum (operators.pack.packed_positions — NO single-partition data
+    window; the q_hist_equi_depth lesson), and assigns
+    ``bucket = docs_before * buckets div total`` in exact integer
+    arithmetic. Bucket ``_id`` bounds follow Mongo: ``min`` = first
+    value in the bucket, ``max`` = the NEXT bucket's first value
+    (exclusive), except the LAST bucket whose max is the overall
+    maximum, inclusive. The bounds window runs over at most
+    ``buckets`` rows — driver-scale by construction.
+
+    Output columns: ``min_value``, ``max_value`` (the flattened
+    ``_id``), plus the ``output`` accumulator document (default
+    ``count``). ``granularity`` (preferred-number rounding) is
+    unsupported and raises."""
+    if not (isinstance(spec, dict) and "groupBy" in spec and "buckets" in spec):
+        raise ValueError(f"$bucketAuto needs groupBy and buckets: {spec!r}")
+    if "granularity" in spec:
+        raise ValueError("$bucketAuto granularity is unsupported")
+    n_buckets = int(spec["buckets"])
+    if n_buckets < 1:
+        raise ValueError("$bucketAuto buckets must be >= 1")
+    from pyspark.sql import Window
+
+    from providenciasbigdata_spark.operators.pack import packed_positions
+
+    gb = _agg_expr(spec["groupBy"])
+    tagged = df.withColumn("__v", gb)
+    vals = tagged.groupBy("__v").agg(F.count(F.lit(1)).alias("__cnt"))
+    ranked = packed_positions(vals, order_col="__v", size_col="__cnt", capacity=1)
+    total = vals.agg(F.sum("__cnt").alias("__total"))
+    assign = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "__v",
+            F.expr(f"(cum_before * {n_buckets}) div __total").alias("__bucket"),
+        )
+    )
+    docs = tagged.join(assign, "__v")
+    out_spec = spec.get("output", {"count": {"$sum": 1}})
+    agged = docs.groupBy("__bucket").agg(
+        F.min("__v").alias("min_value"),
+        F.max("__v").alias("__vmax"),
+        *_group_aggs(out_spec),
+    )
+    # bounds over <= n_buckets rows: the single-partition window is
+    # bucket-count-sized, never data-sized
+    w = Window.orderBy("__bucket")
+    return (
+        agged.withColumn(
+            "max_value",
+            F.coalesce(F.lead("min_value").over(w), F.max("__vmax").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )),
+        )
+        .drop("__vmax")
+        .select("min_value", "max_value",
+                *[c for c in agged.columns if c not in ("__bucket", "min_value", "__vmax")])
+        .orderBy("min_value")
+    )
+
+
 def _facet_stage(
     df: DataFrame, spec: dict, default_language: str, collections: dict
 ) -> DataFrame:
@@ -760,6 +829,8 @@ def mql_aggregate(
             df = df.withColumns({out: _agg_expr(e) for out, e in spec.items()})
         elif op == "$bucket":
             df = _bucket_stage(df, spec)
+        elif op == "$bucketAuto":
+            df = _bucket_auto_stage(df, spec)
         elif op == "$unionWith":
             if isinstance(spec, str):
                 name, sub = spec, []

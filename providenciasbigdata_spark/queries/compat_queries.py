@@ -688,6 +688,49 @@ WHERE r.anio >= 2010
 """
 
 
+def q_mql_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucketAuto over anio, 4 near-equal-population buckets: the
+    equi-depth sibling of mql_agg_bucket's explicit boundaries. Unit
+    of assignment is the distinct value (equal years never split);
+    ranks come from the two-phase distributed prefix sum, never a
+    global data window; bounds follow Mongo (max = next min, last
+    inclusive). The oracle replays the same rank/assignment formula
+    with plain window SQL."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [{"$bucketAuto": {"groupBy": "$anio", "buckets": 4}}],
+    )
+    return out.select(
+        F.col("min_value").cast("bigint").alias("min_value"),
+        F.col("max_value").cast("bigint").alias("max_value"),
+        F.col("count").cast("bigint").alias("count"),
+    )
+
+
+_MQL_BUCKET_AUTO_SQL = f"""
+WITH r AS ({_RULINGS_SQL}),
+vals AS (SELECT anio AS v, COUNT(*) AS cnt FROM r GROUP BY anio),
+ranked AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         (SELECT SUM(cnt) FROM vals) AS total
+  FROM vals),
+agged AS (
+  SELECT (cb * 4) // total AS bucket,
+         MIN(v) AS min_value, MAX(v) AS vmax,
+         CAST(SUM(cnt) AS BIGINT) AS count
+  FROM ranked GROUP BY 1)
+SELECT CAST(min_value AS BIGINT) AS min_value,
+       CAST(COALESCE(LEAD(min_value) OVER (ORDER BY bucket),
+                     (SELECT MAX(vmax) FROM agged)) AS BIGINT) AS max_value,
+       count
+FROM agged ORDER BY min_value
+"""
+
+
 def q_mql_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$merge output stage: post-2010 per-tipo counts merged into a
     pre-2010 stats collection on tipo — matched tipos gain the n_new
@@ -1594,6 +1637,7 @@ QUERIES = {
     "mql_agg_lookup": (q_mql_agg_lookup, _MQL_LOOKUP_SQL),
     "mql_graph_lookup": (q_mql_graph_lookup, _MQL_GRAPH_LOOKUP_SQL),
     "mql_agg_merge": (q_mql_agg_merge, _MQL_MERGE_SQL),
+    "mql_agg_bucket_auto": (q_mql_bucket_auto, _MQL_BUCKET_AUTO_SQL),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),
     "mql_distinct_filtered": (q_mql_distinct_filtered, _MQL_DISTINCT_SQL),

@@ -913,3 +913,30 @@ def test_mql_merge_adds_result_only_fields(spark):
     )
     gk = {r.k: (r.tag, r.score) for r in kept.collect()}
     assert gk == {1: ("a", None), 2: ("b", None), 3: (None, 7)}
+
+
+def test_mql_bucket_auto(spark):
+    """$bucketAuto: near-equal populations, equal values NEVER split
+    across buckets, Mongo bound convention (max = next bucket's min;
+    last max inclusive), duplicate-heavy input yields fewer buckets."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame([(v,) for v in range(1, 11)], "x long")
+    out = mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x", "buckets": 4}}])
+    rows = [(r.min_value, r.max_value, r["count"]) for r in out.collect()]
+    assert rows == [(1, 4, 3), (4, 6, 2), (6, 9, 3), (9, 10, 2)]
+    assert sum(r[2] for r in rows) == 10
+
+    skew = spark.createDataFrame([(5,)] * 8 + [(7,), (9,)], "x long")
+    out2 = mql_aggregate(skew, [{"$bucketAuto": {"groupBy": "$x", "buckets": 3}}])
+    rows2 = [(r.min_value, r.max_value, r["count"]) for r in out2.collect()]
+    # the 8 duplicates stay together; only 2 buckets materialize
+    assert rows2 == [(5, 7, 8), (7, 9, 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="granularity"):
+        mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x", "buckets": 2,
+                                            "granularity": "R5"}}])
+    with _pytest.raises(ValueError, match="bucketAuto needs"):
+        mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x"}}])
