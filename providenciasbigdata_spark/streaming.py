@@ -826,3 +826,70 @@ def dropped_by_watermark(progress: list) -> int:
         for p in progress
         for op in (p.get("stateOperators") or [])
     )
+
+
+def versioned_upsert_sink(
+    stream: DataFrame,
+    table_dir: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    checkpoint_dir: str,
+    query_name: str = "versioned_upsert_sink",
+):
+    """Time-traveling upsert sink: ``upsert_sink``'s latest-wins merge,
+    but every micro-batch COMMITS A NEW VERSION through
+    ``operators.snapshots`` instead of swapping one directory in
+    place — the table keeps its history, ``snapshot_read(version=)``
+    answers "what did this say after batch N", and
+    ``cdc.snapshot_diff`` between versions is the change audit.
+
+    Exactly-once posture matches upsert_sink: foreachBatch is
+    at-least-once, so each version records (lineage, batch_id) in its
+    manifest meta and a replayed batch (same lineage, id <= last
+    committed) is skipped — idempotence by manifest, no separate
+    sidecar file. The snapshot commit itself is atomic (manifest
+    os.replace), so a crash mid-commit leaves an invisible orphan
+    version dir, reclaimed by the next batch.
+
+    Retention is the caller's policy: run ``snapshot_vacuum`` on a
+    schedule to bound history. At scale, pair with partitioned
+    version writes exactly as upsert_sink's partition-scoped note.
+    """
+    from providenciasbigdata_spark.operators.cdc import latest_state
+    from providenciasbigdata_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = snapshot_versions(table_dir)
+        applied = -1
+        for v in versions:
+            meta = v.get("meta", {})
+            if meta.get("lineage") == checkpoint_dir:
+                applied = max(applied, meta.get("batch_id", -1))
+        if batch_id <= applied:
+            return  # replay within this lineage: already committed
+        spark_ = batch_df.sparkSession
+        if versions:
+            merged = latest_state(
+                snapshot_read(spark_, table_dir).unionByName(batch_df),
+                keys,
+                order_cols,
+            )
+        else:
+            merged = latest_state(batch_df, keys, order_cols)
+        snapshot_write(
+            merged,
+            table_dir,
+            meta={"lineage": checkpoint_dir, "batch_id": batch_id},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -628,3 +628,73 @@ def test_session_timeout_processor_matches_batch_sessions(spark):
     want_shaped = {(u, s, e, n) for u, s, e, n in want}
     got_shaped = {(u, s, e, n) for u, s, e, n in got}
     assert got_shaped == want_shaped
+
+
+def test_versioned_upsert_sink_time_travel(spark, events_dir, tmp_path_factory):
+    """Every micro-batch commits a snapshot VERSION: version count ==
+    micro-batch count, the latest version equals the batch twin
+    (latest row per user over all data), an early version equals the
+    batch twin over its own prefix of the spool, and a full replay
+    against the same lineage commits nothing new."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    table = str(tmp_path_factory.mktemp("vsink_table"))
+    ckpt = str(tmp_path_factory.mktemp("vsink_ckpt"))
+    # dedicated spool with one file per third of the data (the shared
+    # events_dir fixture may collapse to a single file at this SF)
+    spool = str(tmp_path_factory.mktemp("vsink_spool"))
+    allev0 = load_table(spark, SF, "events")
+    for i in range(3):
+        allev0.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(spool)
+    events_dir = spool
+    stream = streaming.events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = streaming.versioned_upsert_sink(
+        stream, table, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint_dir=ckpt, query_name="t_vupsert",
+    )
+    q.awaitTermination()
+
+    versions = snapshot_versions(table)
+    n_files = len([f for f in os.listdir(events_dir) if f.endswith(".parquet")])
+    assert len(versions) == n_files >= 2
+    assert [v["meta"]["batch_id"] for v in versions] == list(range(n_files))
+
+    def batch_twin(df):
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    allev = load_table(spark, SF, "events")
+    latest = snapshot_read(spark, table)
+    want = batch_twin(allev)
+    assert latest.count() == want.count()
+    key = ["user_id", "event_id"]
+    assert latest.select(key).exceptAll(want.select(key)).count() == 0
+
+    # time travel: version 1 == the twin over the FIRST spool file
+    first_file = min(
+        (f for f in os.listdir(events_dir) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(events_dir, f)),
+    )  # the file source processes oldest-mtime first
+    prefix = spark.read.parquet(os.path.join(events_dir, first_file))
+    v1 = snapshot_read(spark, table, version=1)
+    w1 = batch_twin(prefix)
+    assert v1.count() == w1.count()
+    assert v1.select(key).exceptAll(w1.select(key)).count() == 0
+
+    # replay, same lineage: batch ids already committed -> no new versions
+    q2 = streaming.versioned_upsert_sink(
+        stream, table, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint_dir=ckpt, query_name="t_vupsert2",
+    )
+    q2.awaitTermination()
+    assert len(snapshot_versions(table)) == n_files
