@@ -388,7 +388,107 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+def q_sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-syntax PIVOT (Spark's ``FROM ... PIVOT (agg FOR col IN
+    (...))``) — the frontend form of the DataFrame pivot the engine
+    already covers; the IN list is explicit, so Catalyst plans ONE
+    aggregate with a conditional projection per pivot value (no
+    second pass to discover values). Oracle expresses the identical
+    result with portable FILTER aggregates."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT * FROM (
+          -- PIVOT groups by every remaining column: project to exactly
+          -- (group key, pivot column) or stray columns explode the grain
+          SELECT o_orderpriority, o_orderstatus FROM orders
+        )
+        PIVOT (
+          CAST(COUNT(*) AS BIGINT) AS n
+          FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p)
+        )
+        ORDER BY o_orderpriority
+    """)
+
+
+_SQL_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS st_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS st_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS st_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-syntax UNPIVOT (``FROM ... UNPIVOT (v FOR k IN (...))``):
+    wide-to-long without the DataFrame stack() incantation; NULL
+    measures are dropped by default per the standard (INCLUDE NULLS
+    opts out). Oracle is the portable UNION ALL lowering — the exact
+    relational definition of UNPIVOT."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, metric, CAST(amount AS DOUBLE) AS amount FROM (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance,
+                 CAST(c_nationkey AS DOUBLE) AS nation
+          FROM customer WHERE c_custkey <= 200
+        )
+        UNPIVOT ( amount FOR metric IN (balance, nation) )
+        ORDER BY c_custkey, metric
+    """)
+
+
+_SQL_UNPIVOT_SQL = """
+WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance,
+                  CAST(c_nationkey AS DOUBLE) AS nation
+           FROM customer WHERE c_custkey <= 200)
+SELECT c_custkey, 'balance' AS metric, balance AS amount FROM c
+  WHERE balance IS NOT NULL
+UNION ALL
+SELECT c_custkey, 'nation' AS metric, nation AS amount FROM c
+  WHERE nation IS NOT NULL
+ORDER BY c_custkey, metric
+"""
+
+
+def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (SQL:2003 ``WINDOW w AS (...)``): one
+    window definition shared by several functions — the frontend
+    dedup of the repeated OVER spec; Catalyst plans a single Window
+    operator for all three. DuckDB supports the same clause, so the
+    oracle is nearly verbatim."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_order,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                 AS run_total
+        FROM orders WHERE o_custkey <= 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """)
+
+
+_SQL_NAMED_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_order,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+         AS run_total
+FROM orders WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
+    "sql_pivot_syntax": (q_sql_pivot_syntax, _SQL_PIVOT_SQL),
+    "sql_unpivot_syntax": (q_sql_unpivot_syntax, _SQL_UNPIVOT_SQL),
+    "sql_named_window": (q_sql_named_window, _SQL_NAMED_WINDOW_SQL),
     "sql_lateral_topk": (q_sql_lateral_topk, _LATERAL_SQL),
     "sql_recursive_reachability": (q_recursive_reachability, _RECURSIVE_SQL),
     "sql_not_in_null_aware": (q_not_in_null_aware, _NOT_IN_SQL),
