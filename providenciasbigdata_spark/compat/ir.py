@@ -648,11 +648,21 @@ def _facet_stage(
     emit ONE document whose fields are the facet result arrays. Each
     array is collected as sorted array<struct> so the single output row
     is engine-reproducible (Mongo's array order follows each facet's
-    own pipeline order — unspecified without a $sort). The input plan
-    is re-evaluated once per facet (cache the input upstream if it is
-    expensive); nested $facet raises, as in Mongo."""
+    own pipeline order — unspecified without a $sort). Mongo executes
+    all facets in ONE pass over the input; matching that, the stage
+    input is persisted when more than one facet is declared, so k
+    facets cost one scan of the upstream plan instead of k (verdict-r5
+    item 4; single-scan behavior is accumulator-pinned in
+    tests/test_ir_compat.py). The cache entry is reclaimed by
+    ``spark.catalog.clearCache()`` or executor-memory eviction
+    (MEMORY_AND_DISK spills rather than recomputing mid-job); nested
+    $facet raises, as in Mongo."""
     if not (isinstance(spec, dict) and spec):
         raise ValueError(f"$facet needs a non-empty facet document: {spec!r}")
+    if len(spec) > 1 and df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     packed = []
     for name, sub in spec.items():
         if any(isinstance(s, dict) and "$facet" in s for s in sub):

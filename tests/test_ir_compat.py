@@ -573,6 +573,38 @@ def test_mql_aggregate_round5_stages(spark):
     assert [s._id for s in one.b] == sorted(s._id for s in one.b)
 
 
+def test_mql_facet_single_scan(spark):
+    """verdict-r5 item 4: k facets must cost ONE scan of the upstream
+    plan, not k. Pin via an accumulator-bumping UDF planted in the
+    input: with the $facet-internal persist, the UDF evaluates once
+    per row total; without it, each facet would re-evaluate the scan
+    and the accumulator would read ~k×rows."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = _rulings(spark)
+    n = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, "string")
+    tapped = docs.withColumn("tipo", bump_udf("tipo"))
+    fac = mql_aggregate(
+        tapped,
+        [{"$facet": {
+            "a": [{"$count": "n"}],
+            "b": [{"$sortByCount": "$tipo"}],
+            "c": [{"$group": {"_id": "$tipo", "mx": {"$max": "$anio"}}}],
+        }}],
+    )
+    one = fac.first()
+    assert one.a[0].n == n
+    assert acc.value == n, f"facet input scanned {acc.value / n:.1f}x (want 1x)"
+    spark.catalog.clearCache()
+
+
 def test_cypher_degree_template(spark):
     """Aggregating RETURN: per-source degree of the weight-filtered
     graph equals the hand-built groupBy count."""
