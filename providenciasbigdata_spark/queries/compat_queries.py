@@ -1562,6 +1562,161 @@ WHERE a.vec_id = 7
 """
 
 
+def q_mql_agg_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields (verdict-r5 item 2): per-tipo running sum of
+    anio, document number, a ±2 RANGE window count on doc_id, a
+    $shift lead with default, and a whole-partition (no-window) max —
+    every modern window shape in one stage, all sharing one
+    partition/sort so Catalyst plans a single Window operator."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [{"$setWindowFields": {
+            "partitionBy": "$tipo",
+            "sortBy": {"doc_id": 1},
+            "output": {
+                "cum_anio": {"$sum": "$anio",
+                             "window": {"documents": ["unbounded", "current"]}},
+                "rn": {"$documentNumber": {}},
+                "near_n": {"$sum": 1, "window": {"range": [-2, 2]}},
+                "next_anio": {"$shift": {"output": "$anio", "by": 1, "default": -1}},
+                "max_anio": {"$max": "$anio"},
+            },
+        }}],
+    )
+    return out.select(
+        "providencia", "tipo",
+        F.col("cum_anio").cast("long").alias("cum_anio"),
+        F.col("rn").cast("long").alias("rn"),
+        F.col("near_n").cast("long").alias("near_n"),
+        F.col("next_anio").cast("long").alias("next_anio"),
+        F.col("max_anio").cast("long").alias("max_anio"),
+    )
+
+
+_MQL_WINDOW_FIELDS_SQL = f"""
+SELECT providencia, tipo,
+       CAST(SUM(anio) OVER (PARTITION BY tipo ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_anio,
+       CAST(ROW_NUMBER() OVER (PARTITION BY tipo ORDER BY doc_id) AS BIGINT) AS rn,
+       CAST(COUNT(*) OVER (PARTITION BY tipo ORDER BY doc_id
+            RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS near_n,
+       CAST(COALESCE(LEAD(anio, 1) OVER (PARTITION BY tipo ORDER BY doc_id), -1)
+            AS BIGINT) AS next_anio,
+       CAST(MAX(anio) OVER (PARTITION BY tipo) AS BIGINT) AS max_anio
+FROM ({_RULINGS_SQL})
+"""
+
+
+def q_mql_agg_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$densify (verdict-r5 item 2): thin the rulings to a sparse set
+    of years, then densify anio at step 1 over each tipo partition's
+    own [min, max] — generated rows carry NULL providencia, so the
+    output distinguishes real vs generated years per tipo. Plan: one
+    per-partition min/max aggregate + sequence/explode + left_anti
+    equi-join (gap generation never scans the corpus twice)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$match": {"anio": {"$in": [2001, 2004, 2012, 2019, 2023]}}},
+            {"$densify": {"field": "anio",
+                          "range": {"step": 1, "bounds": "partition"},
+                          "partitionByFields": ["tipo"]}},
+        ],
+    )
+    return (
+        out.groupBy("tipo", F.col("anio").cast("long").alias("anio"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("providencia").cast("long").alias("n_real"),
+        )
+    )
+
+
+_MQL_DENSIFY_SQL = f"""
+WITH r AS (SELECT * FROM ({_RULINGS_SQL})
+           WHERE anio IN (2001, 2004, 2012, 2019, 2023)),
+b AS (SELECT tipo, MIN(anio) AS lo, MAX(anio) AS hi FROM r GROUP BY tipo),
+g AS (SELECT tipo, UNNEST(range(lo, hi)) AS anio FROM b WHERE hi > lo),
+miss AS (SELECT g.tipo, g.anio FROM g ANTI JOIN (SELECT DISTINCT tipo, anio FROM r) e
+         USING (tipo, anio)),
+allr AS (SELECT tipo, anio, providencia FROM r
+         UNION ALL SELECT tipo, anio, NULL AS providencia FROM miss)
+SELECT tipo, CAST(anio AS BIGINT) AS anio,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(providencia) AS BIGINT) AS n_real
+FROM allr GROUP BY tipo, anio
+"""
+
+
+def q_mql_agg_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$fill (verdict-r5 item 2): null out anio on every third ruling,
+    then fill three ways in ONE stage over the original document —
+    locf (last non-null carried forward), linear (interpolated on the
+    doc_id axis, double output, edge nulls preserved), and a constant
+    value fill. The oracle replays the exact window formulas; the
+    linear arithmetic is written in the same evaluation order on both
+    engines so the doubles compare bit-identically."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir).withColumn(
+        "anio_gap",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("anio")),
+    ).withColumn("anio_lin", F.col("anio_gap").cast("double"))
+    out = mql_aggregate(
+        r,
+        [{"$fill": {
+            "partitionBy": "$tipo",
+            "sortBy": {"doc_id": 1},
+            "output": {
+                "anio_gap": {"method": "locf"},
+                "anio_lin": {"method": "linear"},
+                "texto": {"value": "missing"},
+            },
+        }}],
+    )
+    return out.select(
+        "providencia", "tipo",
+        F.col("anio_gap").cast("long").alias("anio_locf"),
+        F.col("anio_lin").alias("anio_lin"),
+    )
+
+
+_MQL_FILL_SQL = f"""
+WITH r AS (SELECT providencia, tipo, doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN NULL ELSE anio END AS anio_gap,
+                  CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE anio END AS DOUBLE) AS v,
+                  CAST(doc_id AS DOUBLE) AS s
+           FROM ({_RULINGS_SQL})),
+w AS (SELECT providencia, tipo, v, s,
+             CAST(COALESCE(anio_gap, LAST_VALUE(anio_gap IGNORE NULLS) OVER (
+                 PARTITION BY tipo ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS anio_locf,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+                 PARTITION BY tipo ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN s END IGNORE NULLS) OVER (
+                 PARTITION BY tipo ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+                 PARTITION BY tipo ORDER BY doc_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN s END IGNORE NULLS) OVER (
+                 PARTITION BY tipo ORDER BY doc_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+      FROM r)
+SELECT providencia, tipo, anio_locf,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (s - ps) / (ns - ps)
+       END AS anio_lin
+FROM w
+"""
+
+
 QUERIES = {
     "a2_distinct_tipo": (
         q_a2_distinct_tipo,
@@ -1648,6 +1803,9 @@ QUERIES = {
     "mql_agg_union_with": (q_mql_agg_union_with, _MQL_UNION_WITH_SQL),
     "mql_agg_push_sets": (q_mql_agg_push_sets, _MQL_PUSH_SETS_SQL),
     "mql_agg_facet": (q_mql_agg_facet, _MQL_FACET_SQL),
+    "mql_agg_window_fields": (q_mql_agg_window_fields, _MQL_WINDOW_FIELDS_SQL),
+    "mql_agg_densify": (q_mql_agg_densify, _MQL_DENSIFY_SQL),
+    "mql_agg_fill": (q_mql_agg_fill, _MQL_FILL_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),
     "a7_search_postings_and": (q_a7_search_postings_and, _POSTINGS_AND_SQL),

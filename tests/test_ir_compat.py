@@ -573,6 +573,97 @@ def test_mql_aggregate_round5_stages(spark):
     assert [s._id for s in one.b] == sorted(s._id for s in one.b)
 
 
+def test_mql_window_densify_fill_stages(spark):
+    """$setWindowFields/$densify/$fill (verdict-r5 item 2): semantic
+    pins the sf-scale oracle queries can't see — error contracts,
+    bounds exclusivity, edge-null preservation."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, None), ("a", 4, 40),
+         ("b", 1, None), ("b", 3, 30), ("b", 6, None)],
+        "tipo string, doc_id int, v int",
+    )
+
+    # --- error contracts (each raises rather than silently misreads)
+    for bad in (
+        # rank family forbids a window / requires sortBy
+        [{"$setWindowFields": {"sortBy": {"doc_id": 1}, "output": {
+            "r": {"$rank": {}, "window": {"documents": [-1, 0]}}}}}],
+        [{"$setWindowFields": {"output": {"r": {"$rank": {}}}}}],
+        # documents window without sortBy; range window with multi sortBy
+        [{"$setWindowFields": {"output": {
+            "s": {"$sum": "$v", "window": {"documents": [-1, 0]}}}}}],
+        [{"$setWindowFields": {"sortBy": {"doc_id": 1, "tipo": 1}, "output": {
+            "s": {"$sum": "$v", "window": {"range": [-1, 1]}}}}}],
+        # range window on a descending sort (Mongo requires ascending)
+        [{"$setWindowFields": {"sortBy": {"doc_id": -1}, "output": {
+            "s": {"$sum": "$v", "window": {"range": [-1, 1]}}}}}],
+        # two functions in one output field
+        [{"$setWindowFields": {"sortBy": {"doc_id": 1}, "output": {
+            "s": {"$sum": "$v", "$avg": "$v"}}}}],
+        # densify: date unit / non-positive step / partition bounds
+        # without partitionByFields / unknown field
+        [{"$densify": {"field": "doc_id",
+                       "range": {"step": 1, "bounds": "full", "unit": "hour"}}}],
+        [{"$densify": {"field": "doc_id", "range": {"step": 0, "bounds": "full"}}}],
+        [{"$densify": {"field": "doc_id", "range": {"step": 1, "bounds": "partition"}}}],
+        [{"$densify": {"field": "nope", "range": {"step": 1, "bounds": "full"}}}],
+        # fill: method without sortBy; linear with descending sortBy;
+        # unknown method; unknown field
+        [{"$fill": {"output": {"v": {"method": "locf"}}}}],
+        [{"$fill": {"sortBy": {"doc_id": -1}, "output": {"v": {"method": "linear"}}}}],
+        [{"$fill": {"sortBy": {"doc_id": 1}, "output": {"v": {"method": "spline"}}}}],
+        [{"$fill": {"sortBy": {"doc_id": 1}, "output": {"nope": {"method": "locf"}}}}],
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(df, bad).collect()
+
+    # --- $shift negative by = lag; default fills partition edges
+    row = {
+        (r.tipo, r.doc_id): r.prev
+        for r in mql_aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$tipo", "sortBy": {"doc_id": 1},
+            "output": {"prev": {"$shift": {"output": "$doc_id", "by": -1,
+                                           "default": 0}}}}}]).collect()
+    }
+    assert row[("a", 1)] == 0 and row[("a", 2)] == 1 and row[("a", 4)] == 2
+
+    # --- densify explicit bounds: [lo, hi) upper-exclusive, existing
+    # points not regenerated, step arithmetic exact
+    got = sorted(
+        r.doc_id
+        for r in mql_aggregate(df.select("doc_id"), [{"$densify": {
+            "field": "doc_id", "range": {"step": 2, "bounds": [0, 9]}}}]).collect()
+    )
+    # existing: 1,1,2,3,4,6; candidates {0,2,4,6,8} minus existing -> {0,8}
+    assert got == [0, 1, 1, 2, 3, 4, 6, 8]
+
+    # --- densify ignores null-field rows (pass through, no bounds effect)
+    withnull = spark.createDataFrame([(1,), (None,), (4,)], "x int")
+    got = sorted(
+        (r.x if r.x is not None else -99)
+        for r in mql_aggregate(withnull, [{"$densify": {
+            "field": "x", "range": {"step": 1, "bounds": "full"}}}]).collect()
+    )
+    assert got == [-99, 1, 2, 3, 4]
+
+    # --- fill: locf leaves leading nulls; linear leaves both edges;
+    # value-fill is simultaneous (original document semantics)
+    out = {
+        (r.tipo, r.doc_id): (r.v, r.lin)
+        for r in mql_aggregate(
+            df.withColumn("lin", F.col("v").cast("double")),
+            [{"$fill": {"partitionBy": "$tipo", "sortBy": {"doc_id": 1},
+                        "output": {"v": {"method": "locf"},
+                                   "lin": {"method": "linear"}}}}],
+        ).collect()
+    }
+    assert out[("b", 1)] == (None, None)          # leading null stays
+    assert out[("a", 2)] == (10, 20.0)            # locf carries, linear interpolates
+    assert out[("b", 6)][0] == 30 and out[("b", 6)][1] is None  # trailing: locf fills, linear doesn't
+
+
 def test_mql_facet_single_scan(spark):
     """verdict-r5 item 4: k facets must cost ONE scan of the upstream
     plan, not k. Pin via an accumulator-bumping UDF planted in the
