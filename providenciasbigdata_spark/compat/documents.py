@@ -100,7 +100,7 @@ def filter_equals(df: DataFrame, field: str, value) -> DataFrame:
 def text_match_condition(
     query: str,
     tokens_col: str = "tokens",
-    stem: bool = False,
+    stem: bool | str = False,
     has_stems_col: bool = False,
 ) -> Column:
     """Mongo ``$text.$search`` matching as ONE composable Column — the
@@ -142,13 +142,21 @@ def text_match_condition(
     doc_side = F.col(tokens_col)
     if stem:
         from providenciasbigdata_spark.compat.stemming import (
+            normalize_language,
             stem_preimages,
             stem_py,
         )
 
-        if has_stems_col:
-            terms = [stem_py(t) for t in terms]
-            negated = [stem_py(t) for t in negated]
+        # stem may be the legacy bool (True = the reference collection's
+        # Spanish) or a language name ("english" = Mongo's own default
+        # text-index language, verdict-r5 item 7)
+        lang = "spanish" if stem is True else normalize_language(stem)
+        if has_stems_col and lang == "spanish":
+            # the materialized ingest-time stems column is Spanish-
+            # stemmed (rulings_view); other languages fall through to
+            # query-side preimage expansion
+            terms = [stem_py(t, lang) for t in terms]
+            negated = [stem_py(t, lang) for t in negated]
             doc_side = F.col("stems")
         else:
             # no materialized stems: expand the QUERY side to the exact
@@ -156,8 +164,12 @@ def text_match_condition(
             # the strip expression on every corpus token — same result
             # by construction (stemming.stem_preimages), same plan
             # shape as the unstemmed search (plain token overlap)
-            terms = sorted({p for t in terms for p in stem_preimages(stem_py(t))})
-            negated = sorted({p for t in negated for p in stem_preimages(stem_py(t))})
+            terms = sorted(
+                {p for t in terms for p in stem_preimages(stem_py(t, lang), lang)}
+            )
+            negated = sorted(
+                {p for t in negated for p in stem_preimages(stem_py(t, lang), lang)}
+            )
     if phrase_toks:
         padded = F.concat(F.lit(" "), F.concat_ws(" ", F.col(tokens_col)), F.lit(" "))
         cond = F.lit(True)
@@ -173,7 +185,7 @@ def text_match_condition(
 
 
 def search_text(
-    df: DataFrame, query: str, tokens_col: str = "tokens", stem: bool = False
+    df: DataFrame, query: str, tokens_col: str = "tokens", stem: bool | str = False
 ) -> DataFrame:
     """A7/B1: keyword search — match ANY query term (OR),
     case/diacritic-insensitively; unranked (SURVEY.md B6).

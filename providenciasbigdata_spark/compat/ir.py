@@ -199,17 +199,14 @@ def _query_condition(query: dict, default_language: str = "none") -> Column:
                 and {"$search"} <= set(value) <= {"$search", "$language"}
             ):
                 raise ValueError(f"unsupported $text form: {value!r}")
-            # $language maps onto the Snowball-lite stemmer: Spanish
-            # variants stem (the reference collection's language),
-            # "none" disables stemming — Mongo's own contract for the
-            # option. Other languages raise (no rule tables for them).
+            # $language maps onto the Snowball-lite stemmers: Spanish
+            # (the reference collection's language) and English
+            # (Mongo's own default text-index language) stem via their
+            # rule tables; "none" disables stemming — Mongo's own
+            # contract for the option. Other languages raise (no rule
+            # tables for them) inside normalize_language.
             lang = str(value.get("$language", default_language)).lower()
-            if lang in ("es", "spanish", "español", "espanol"):
-                stem = True
-            elif lang == "none":
-                stem = False
-            else:
-                raise ValueError(f"unsupported $text $language: {lang!r}")
+            stem: bool | str = False if lang == "none" else lang
             conds.append(text_match_condition(value["$search"], stem=stem))
         elif key in ("$and", "$or"):
             if not isinstance(value, (list, tuple)) or not value:

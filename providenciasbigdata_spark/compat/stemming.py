@@ -1,13 +1,16 @@
-"""Snowball-lite Spanish stemmer for the $text search surface.
+"""Snowball-lite stemmers (Spanish + English) for the $text surface.
 
 The reference's Mongo text index stems per-language server-side
 (reference streamlit_app.py:147 — db `transcripciones` holds Spanish
 legal text), so "providencias" finds documents containing
 "providencia". The compat contract (B1, compat/documents.py) pins the
 unstemmed OR-of-terms match; this module adds the documented stemming
-extension behind ``search_text(..., stem=True)``.
+extension behind ``search_text(..., stem=...)``. Spanish is the
+reference collection's language; ENGLISH is Mongo's own default text
+index language (verdict-r5 item 7), so both rule tables ship.
 
-Design: ONE ordered rule table drives three generated implementations —
+Design: ONE ordered rule table per language drives three generated
+implementations —
 
   * ``stem_py``     — Python, used to fold the query terms client-side;
   * ``stem_col``    — a pure Catalyst Column expression (F.when chain
@@ -20,13 +23,18 @@ Design: ONE ordered rule table drives three generated implementations —
                       checkable.
 
 Because all three are generated from the same table, engine parity is
-by construction (property-tested in tests/test_documents.py).
+by construction (property-tested per language in
+tests/test_properties.py).
 
-This is deliberately NOT full Snowball (no R1/R2/RV regions): a
-longest-first single-suffix strip per step, two steps (plural, then
+This is deliberately NOT full Snowball (no R1/R2/RV regions, no
+doubled-consonant or e-restoration fixups): a longest-first
+single-suffix strip per step, two steps (number/plural, then
 derivational/verbal), each guarded by a minimum remaining stem length.
-Tokens are already lowercased + accent-folded by compat.documents.
-tokenize, so the rules are written accentless ("cion", not "ción").
+What matters for search is CONSISTENCY — inflections of one lemma fold
+to one key on both the query and corpus side — not linguistic beauty
+of the key itself. Tokens are already lowercased + accent-folded by
+compat.documents.tokenize, so rules are written accentless ("cion",
+not "ción").
 """
 
 from __future__ import annotations
@@ -46,7 +54,7 @@ _ES_CONSONANTS = "lrndjzy"
 # None or ("in"|"not_in", chars) constraining the character immediately
 # before the suffix.
 #
-# Step 1 — number (plural):
+# Spanish step 1 — number (plural):
 #   naciones->nacion  veces->vez  papeles->papel  providencias->providencia
 _Guard = tuple[str, str] | None
 _PLURAL_RULES: list[tuple[str, str, int, _Guard]] = [
@@ -57,7 +65,7 @@ _PLURAL_RULES: list[tuple[str, str, int, _Guard]] = [
     ("s", "", 3, ("in", _VOWELS)),  # providencias->providencia, clases->clase
 ]
 
-# Step 2 — derivation/verb endings, applied to the step-1 output:
+# Spanish step 2 — derivation/verb endings, applied to the step-1 output:
 #   pensamiento->pens  transformacion->transform  legalmente->legal
 #   legalidad->legal  estudiando->estudi  providenciar->providenci
 _DERIV_RULES: list[tuple[str, str, int, _Guard]] = [
@@ -76,6 +84,68 @@ _DERIV_RULES: list[tuple[str, str, int, _Guard]] = [
     ("ir", "", 4, None),
 ]
 
+# English step 1 — number (Porter 1a lite):
+#   classes->class  queries->queri  tables->table  (never strips -ss)
+_EN_PLURAL_RULES: list[tuple[str, str, int, _Guard]] = [
+    ("sses", "ss", 1, None),
+    ("ies", "i", 2, None),
+    ("s", "", 3, ("not_in", "s")),
+]
+
+# English step 2 — derivation/verb endings + Porter's 1c/5a folds.
+# The final-e strip ("merge"->"merg") and consonant-y->i
+# ("query"->"queri") exist for CONSISTENCY with the suffix strips:
+# merging/merged/merges/merge all fold to "merg", queries/query to
+# "queri", arrays/array to "array" (vowel guard blocks the y fold).
+_EN_DERIV_RULES: list[tuple[str, str, int, _Guard]] = [
+    ("ization", "", 3, None),   # optimization->optim (= optimize->optim)
+    ("ational", "", 4, None),
+    ("ingly", "", 4, None),     # increasingly->increas (= increasing)
+    ("edly", "", 4, None),      # reportedly->report
+    ("ation", "", 4, None),     # transformation->transform
+    ("ment", "", 3, None),      # government->govern
+    ("ness", "", 3, None),
+    ("able", "", 3, None),
+    ("ible", "", 3, None),
+    ("ful", "", 3, None),       # useful->use
+    ("ity", "", 4, None),       # legality->legal
+    ("ize", "", 3, None),       # optimize->optim
+    ("ing", "", 4, None),       # merging->merg
+    ("ed", "", 4, None),        # merged->merg
+    ("ly", "", 3, None),        # legally->legal
+    ("e", "", 4, None),         # merge->merg (Porter 5a lite)
+    ("y", "i", 3, ("not_in", _VOWELS)),  # query->queri; array unchanged
+]
+
+# language -> (step-1 rules, step-2 rules). Keys are the canonical
+# names; aliases are resolved by normalize_language.
+_RULES: dict[str, tuple[list, list]] = {
+    "spanish": (_PLURAL_RULES, _DERIV_RULES),
+    "english": (_EN_PLURAL_RULES, _EN_DERIV_RULES),
+}
+
+_ALIASES = {
+    "es": "spanish", "spanish": "spanish", "español": "spanish",
+    "espanol": "spanish",
+    "en": "english", "english": "english",
+}
+
+
+def normalize_language(language) -> str:
+    """Mongo ``$language`` value -> canonical rule-table key; unknown
+    languages raise (no rule table — never silently unstemmed)."""
+    key = _ALIASES.get(str(language).lower())
+    if key is None:
+        raise ValueError(
+            f"unsupported stemming language {language!r}; "
+            f"have {sorted(_RULES)}"
+        )
+    return key
+
+
+def _rules_for(language: str) -> tuple[list, list]:
+    return _RULES[normalize_language(language)]
+
 
 def _apply_step_py(token: str, rules) -> str:
     for suffix, repl, min_stem, guard in rules:
@@ -91,9 +161,10 @@ def _apply_step_py(token: str, rules) -> str:
     return token
 
 
-def stem_py(token: str) -> str:
+def stem_py(token: str, language: str = "spanish") -> str:
     """Stem one already-folded (lowercase, accentless) token."""
-    return _apply_step_py(_apply_step_py(token, _PLURAL_RULES), _DERIV_RULES)
+    step1, step2 = _rules_for(language)
+    return _apply_step_py(_apply_step_py(token, step1), step2)
 
 
 def _apply_step_col(t: Column, rules) -> Column:
@@ -114,15 +185,16 @@ def _apply_step_col(t: Column, rules) -> Column:
     return out
 
 
-def stem_col(t: Column) -> Column:
+def stem_col(t: Column, language: str = "spanish") -> Column:
     """The same two-step strip as ``stem_py``, as a pure Catalyst
     expression over one token Column (no UDF)."""
-    return _apply_step_col(_apply_step_col(t, _PLURAL_RULES), _DERIV_RULES)
+    step1, step2 = _rules_for(language)
+    return _apply_step_col(_apply_step_col(t, step1), step2)
 
 
-def stem_tokens(tokens: Column) -> Column:
+def stem_tokens(tokens: Column, language: str = "spanish") -> Column:
     """Element-wise stem of a tokens array Column."""
-    return F.transform(tokens, stem_col)
+    return F.transform(tokens, lambda t: stem_col(t, language))
 
 
 def _apply_step_sql(expr: str, rules) -> str:
@@ -145,7 +217,7 @@ def _apply_step_sql(expr: str, rules) -> str:
     return "CASE " + " ".join(branches) + f" ELSE {expr} END"
 
 
-def stem_preimages(term: str) -> list[str]:
+def stem_preimages(term: str, language: str = "spanish") -> list[str]:
     """EXACT preimage set of a stemmed term: every token T with
     ``stem_py(T) == term``.
 
@@ -164,6 +236,7 @@ def stem_preimages(term: str) -> list[str]:
     shape as the unstemmed B1 search. The sorted output keeps plans
     deterministic.
     """
+    step1_rules, step2_rules = _rules_for(language)
 
     def invert_step(base: str, rules) -> list[str]:
         out = [base]
@@ -176,16 +249,17 @@ def stem_preimages(term: str) -> list[str]:
         return out
 
     candidates = set()
-    for mid in invert_step(term, _DERIV_RULES):
-        candidates.update(invert_step(mid, _PLURAL_RULES))
-    return sorted(t for t in candidates if stem_py(t) == term)
+    for mid in invert_step(term, step2_rules):
+        candidates.update(invert_step(mid, step1_rules))
+    return sorted(t for t in candidates if stem_py(t, language) == term)
 
 
-def stems_sql(list_expr: str, var: str = "t") -> str:
+def stems_sql(list_expr: str, var: str = "t", language: str = "spanish") -> str:
     """DuckDB SQL twin of ``stem_py`` applied element-wise to a token-
     list expression — generated from the SAME rule table, so the oracle
     checks the exact engine semantics. The two steps are two nested
     ``list_transform``s (inlining step 1 into every step-2 operand
     reference would expand the CASE ~50x)."""
-    step1 = f"list_transform({list_expr}, {var} -> {_apply_step_sql(var, _PLURAL_RULES)})"
-    return f"list_transform({step1}, {var} -> {_apply_step_sql(var, _DERIV_RULES)})"
+    step1_rules, step2_rules = _rules_for(language)
+    step1 = f"list_transform({list_expr}, {var} -> {_apply_step_sql(var, step1_rules)})"
+    return f"list_transform({step1}, {var} -> {_apply_step_sql(var, step2_rules)})"

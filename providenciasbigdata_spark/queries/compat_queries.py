@@ -58,6 +58,21 @@ def _stemmed_search_sql() -> str:
     )
 
 
+def _stemmed_search_en_sql() -> str:
+    """Oracle for the ENGLISH-stemmed A7 (verdict-r5 item 7): both the
+    document tokens and the literal query terms stem through the
+    English rule chain generated from the same table the engine uses."""
+    from providenciasbigdata_spark.compat.stemming import stems_sql
+
+    terms = "['merged', 'tables']"
+    return (
+        f"SELECT {_RESULT_COLS} FROM ({_RULINGS_SQL}) "
+        f"WHERE len(list_intersect("
+        f"{stems_sql(_TOKENS_SQL.format(col='texto'), language='english')}, "
+        f"{stems_sql(terms, language='english')})) > 0"
+    )
+
+
 def _rulings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulings_view(load_table(spark, sf_dir, "documents"))
 
@@ -175,6 +190,23 @@ def q_a7_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the unstemmed B1 search. The materialized-stems path is
     exercised by a7_search_postings_stemmed."""
     return _project(search_text(_rulings(spark, sf_dir), "values merges", stem=True))
+
+
+def q_a7_search_stemmed_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 stemmed through the ENGLISH rule table (verdict-r5 item 7) —
+    Mongo's default text-index language. Routed via the $text IR form
+    ``{"$language": "english"}`` so the language OPTION plumbing is on
+    the tested path, not just the search_text kwarg; "merged tables"
+    matches "merge/merging/merges" and "table/tables" documents via
+    exact query-side preimage expansion (plain token-overlap scan)."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    return _project(
+        mql_find(
+            _rulings(spark, sf_dir),
+            {"$text": {"$search": "merged tables", "$language": "english"}},
+        )
+    )
 
 
 # ---- A11+/IR: widened MQL subset (compat.ir) ----------------------------
@@ -1778,6 +1810,7 @@ QUERIES = {
         f"WHERE score > 0 ORDER BY score DESC, providencia ASC LIMIT 15",
     ),
     "a7_search_stemmed": (q_a7_search_stemmed, _stemmed_search_sql()),
+    "a7_search_stemmed_en": (q_a7_search_stemmed_en, _stemmed_search_en_sql()),
     "mql_in_tipo": (q_mql_in_tipo, _MQL_IN_SQL),
     "mql_range_anio": (q_mql_range_anio, _MQL_RANGE_SQL),
     "mql_or_text": (q_mql_or_text, _MQL_OR_TEXT_SQL),

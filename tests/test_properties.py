@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -83,24 +84,43 @@ def test_shingles_count(spark, words):
     assert len(row.sh) == max(0, row.n - 2)
 
 
-# lowercase ascii tokens like the post-tokenize stream the stemmer sees
-_TOKEN = st.text(alphabet=st.sampled_from("abcdefghijklmnñopqrstuvwxyz"), min_size=0, max_size=16)
+# lowercase ascii tokens like the post-tokenize stream the stemmer sees;
+# biased toward rule-table suffixes of BOTH languages so random tokens
+# actually land on suffix boundaries and min-stem edges
+def _all_suffixes():
+    from providenciasbigdata_spark.compat import stemming as sm
+
+    out = [""]
+    for step1, step2 in sm._RULES.values():
+        out.extend(sfx for sfx, _r, _m, _g in step1 + step2)
+    return sorted(set(out))
 
 
+_STEM_PART = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnñopqrstuvwxyz"), min_size=0, max_size=10
+)
+_TOKEN = st.one_of(
+    _STEM_PART,
+    st.tuples(_STEM_PART, st.sampled_from(_all_suffixes())).map(lambda p: p[0] + p[1]),
+)
+
+
+@pytest.mark.parametrize("language", ["spanish", "english"])
 @settings(max_examples=10, deadline=None)
-@given(st.lists(_TOKEN, min_size=1, max_size=20))
-def test_stemmer_three_engine_parity_property(spark, tokens):
+@given(tokens=st.lists(_TOKEN, min_size=1, max_size=20))
+def test_stemmer_three_engine_parity_property(spark, language, tokens):
     """stem_py / stem_col / stems_sql are generated from one rule
-    table; adversarial random tokens (including ones landing exactly on
-    suffix boundaries and min-stem edges) must agree across all three."""
+    table per language; adversarial random tokens (including ones
+    landing exactly on suffix boundaries and min-stem edges) must
+    agree across all three, for BOTH languages."""
     import duckdb
 
     from providenciasbigdata_spark.compat.stemming import stem_py, stem_tokens
 
-    want = [stem_py(t) for t in tokens]
+    want = [stem_py(t, language) for t in tokens]
     got_spark = (
         spark.createDataFrame([(tokens,)], "toks: array<string>")
-        .select(stem_tokens(F.col("toks")).alias("st"))
+        .select(stem_tokens(F.col("toks"), language).alias("st"))
         .first()
         .st
     )
@@ -109,24 +129,25 @@ def test_stemmer_three_engine_parity_property(spark, tokens):
     from providenciasbigdata_spark.compat.stemming import stems_sql
 
     lit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in tokens) + "]"
-    got_duck = duckdb.sql(f"SELECT {stems_sql(lit)} AS st").fetchone()[0]
+    got_duck = duckdb.sql(f"SELECT {stems_sql(lit, language=language)} AS st").fetchone()[0]
     assert got_duck == want
 
 
+@pytest.mark.parametrize("language", ["spanish", "english"])
 @settings(max_examples=10, deadline=None)
-@given(st.lists(_TOKEN, min_size=1, max_size=12), _TOKEN)
-def test_stem_preimage_expansion_equivalence(tokens, query_tok):
-    """Query expansion is an exact inverse: a token matches a stemmed
-    query term iff it is in the term's preimage set."""
+@given(tokens=st.lists(_TOKEN, min_size=1, max_size=12), query_tok=_TOKEN)
+def test_stem_preimage_expansion_equivalence(language, tokens, query_tok):
+    """Query expansion is an exact inverse per language: a token
+    matches a stemmed query term iff it is in the term's preimage set."""
     from providenciasbigdata_spark.compat.stemming import (
         stem_preimages,
         stem_py,
     )
 
-    term = stem_py(query_tok)
-    pre = set(stem_preimages(term))
+    term = stem_py(query_tok, language)
+    pre = set(stem_preimages(term, language))
     for t in tokens + [query_tok, term]:
-        assert (stem_py(t) == term) == (t in pre), (t, term)
+        assert (stem_py(t, language) == term) == (t in pre), (t, term, language)
 
 
 # ---- Mongo $search grammar (compat/documents.py) --------------------------
