@@ -1,0 +1,706 @@
+"""Generic linear-path Cypher compiler (verdict-r5 item 3).
+
+Rounds 1-5 grew 13 regex TEMPLATES in compat/ir.py, one per observed
+query shape. This module replaces template dispatch with one compiler
+for the grammar that actually generalizes them — ANCHORED LINEAR
+PATTERNS, the only Cypher shape the reference emits
+(streamlit_app.py:50, 60-64 are both linear anchored paths):
+
+    MATCH (a[:Label] [{id: $p}]) [-[r:SIMILAR[*lo..hi]]-> | <-[..]- | -[..]-] (b) ...
+    [OPTIONAL MATCH (bound)-[r2:SIMILAR]->(c)]
+    [WHERE conjuncts]            # attaches to the preceding MATCH
+    [WITH items [WHERE having]]
+    RETURN items [ORDER BY ...] [LIMIT $k|int]
+
+Supported WHERE atoms: ``rel.similitud CMP $p|literal``,
+``node.prop CMP $p|literal`` (id anchors push into the edge scan;
+other props join the nodes frame), ``node.id IN $list``, and the
+var-length weight guard ``all(x IN rs WHERE x.similitud >= $lo AND
+x.similitud <= $hi)``. RETURN/WITH items: ``var.prop AS alias``,
+``count(var) AS alias``, ``length(rs) AS alias``, bare aliases after
+WITH. Anything else raises ``CypherUnsupported`` — never a silent
+misread. ``shortestPath`` keeps its dedicated BFS route in compat.ir
+(path-function semantics, not a linear relational chain).
+
+Compilation strategy (the 100 TB shape the templates pinned):
+- Per-hop relationship guards are pushed into that hop's edge-scan
+  filter BEFORE any join (predicate pushdown by construction).
+- An id-anchored first node compiles to ``src == lit`` / ``isin`` on
+  the first hop's scan — no join materializes the anchor.
+- Each subsequent hop joins the (tiny, anchored) accumulated chain
+  BROADCAST into one pass over the filtered edge scan; the corpus-
+  sized side never shuffles. Unanchored chains fall back to Spark's
+  own join selection (AQE).
+- Node-property predicates join the property-filtered nodes scan with
+  the broadcast chain (the template-8 plan, pinned in test_plans.py).
+- An anchored UNDIRECTED first hop stays ONE scan (touching-filter +
+  orient-outward), matching template 4; later undirected hops read
+  the edge frame twice (forward + reversed union).
+- ``ORDER BY ... LIMIT`` lowers to TakeOrderedAndProject; aggregates
+  to two-phase hash aggregates; var-length hops to the hop-bounded
+  frontier BFS (min-hop endpoint semantics, the documented
+  divergence), all exactly as the templates did.
+
+Var-length restrictions (unchanged from the template): the var-length
+relationship must be the pattern's only hop, anchored, with hop_lo>=1.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CypherUnsupported(ValueError):
+    """Query parses outside the linear-anchored-path grammar."""
+
+
+# ---- lexical pieces -------------------------------------------------------
+
+_NODE_PAT = re.compile(
+    r"^\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*id\s*:\s*\$(\w+)\s*\})?\s*\)"
+)
+_REL_PAT = re.compile(
+    r"^(<?)\s*-\s*\[\s*(\w*)\s*(?::\s*(\w+))?\s*"
+    r"(?:(\*)\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-\s*(>?)"
+)
+_CLAUSE_RE = re.compile(
+    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN|ORDER\s+BY|LIMIT)\b", re.I
+)
+_ALL_RE = re.compile(
+    r"^ALL\s*\(\s*(\w+)\s+IN\s+(\w+)\s+WHERE\s+"
+    r"\1\.similitud\s*>=\s*(\$\w+|-?\d+(?:\.\d+)?)\s+AND\s+"
+    r"\1\.similitud\s*<=\s*(\$\w+|-?\d+(?:\.\d+)?)\s*\)$",
+    re.I,
+)
+_VALUE = r"(\$\w+|-?\d+(?:\.\d+)?|'[^']*')"
+_CMP_RE = re.compile(rf"^(\w+)\.(\w+)\s*(>=|<=|<>|>|<|=)\s*{_VALUE}$")
+_BARE_CMP_RE = re.compile(rf"^(\w+)\s*(>=|<=|<>|>|<|=)\s*{_VALUE}$")
+_IN_RE = re.compile(r"^(\w+)\.(\w+)\s+IN\s+(\$\w+)$", re.I)
+_ITEM_PROP_RE = re.compile(r"^(\w+)\.(\w+)\s+AS\s+(\w+)$", re.I)
+_ITEM_COUNT_RE = re.compile(r"^count\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$", re.I)
+_ITEM_LEN_RE = re.compile(r"^length\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$", re.I)
+_ORDER_RE = re.compile(r"^(\w+(?:\.\w+)?)(?:\s+(ASC|DESC))?$", re.I)
+
+_OPS = {
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+}
+
+
+def _extract_all_guards(text: str):
+    """Pull paren-balanced ``ALL(...)`` blocks out before clause/AND
+    splitting (they contain WHERE and AND keywords)."""
+    blocks: list[str] = []
+    out = []
+    i = 0
+    for m in re.finditer(r"\bALL\s*\(", text, re.I):
+        if m.start() < i:
+            continue
+        depth = 0
+        j = m.end() - 1
+        while j < len(text):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise CypherUnsupported("unbalanced parentheses in ALL(...)")
+        out.append(text[i:m.start()])
+        out.append(f" __ALL{len(blocks)}__ ")
+        blocks.append(text[m.start():j + 1])
+        i = j + 1
+    out.append(text[i:])
+    return "".join(out), blocks
+
+
+# ---- parse ---------------------------------------------------------------
+
+def parse(query: str) -> dict:
+    """Flattened query text -> AST dict, or raise CypherUnsupported."""
+    flat = " ".join(query.split())
+    flat, all_blocks = _extract_all_guards(flat)
+
+    marks = list(_CLAUSE_RE.finditer(flat))
+    if not marks or marks[0].start() != 0 or marks[0].group(1).upper() != "MATCH":
+        raise CypherUnsupported("query must start with MATCH")
+    clauses = []
+    for i, m in enumerate(marks):
+        kw = re.sub(r"\s+", " ", m.group(1).upper())
+        end = marks[i + 1].start() if i + 1 < len(marks) else len(flat)
+        clauses.append((kw, flat[m.end():end].strip()))
+
+    ast: dict = {"matches": [], "with": None, "having": [], "return": None,
+                 "order": [], "limit": None}
+
+    def parse_pattern(text: str) -> list:
+        """node (rel node)* -> [node0, (rel1, node1), ...]."""
+        items: list = []
+        m = _NODE_PAT.match(text)
+        if not m:
+            raise CypherUnsupported(f"cannot parse node pattern at: {text[:60]!r}")
+        items.append({"var": m.group(1), "anchor_param": m.group(3)})
+        rest = text[m.end():].strip()
+        while rest:
+            rm = _REL_PAT.match(rest)
+            if not rm:
+                raise CypherUnsupported(f"cannot parse relationship at: {rest[:60]!r}")
+            left, rvar, rtype, star, lo, hi, right = rm.groups()
+            if left and right:
+                raise CypherUnsupported("relationship cannot point both ways")
+            if rtype and rtype.upper() != "SIMILAR":
+                raise CypherUnsupported(f"unknown relationship type {rtype!r}")
+            rel = {
+                "var": rvar or None,
+                "dir": "<" if left else (">" if right else "-"),
+                "varlen": (int(lo), int(hi)) if star else None,
+            }
+            rest = rest[rm.end():].strip()
+            nm = _NODE_PAT.match(rest)
+            if not nm:
+                raise CypherUnsupported(f"cannot parse node pattern at: {rest[:60]!r}")
+            items.append((rel, {"var": nm.group(1), "anchor_param": nm.group(3)}))
+            rest = rest[nm.end():].strip()
+        return items
+
+    def parse_conds(text: str) -> list:
+        conds = []
+        for raw in re.split(r"\s+AND\s+", text, flags=re.I):
+            raw = raw.strip()
+            am = re.fullmatch(r"__ALL(\d+)__", raw)
+            if am:
+                blk = all_blocks[int(am.group(1))]
+                bm = _ALL_RE.match(" ".join(blk.split()))
+                if not bm:
+                    raise CypherUnsupported(f"unsupported ALL(...) guard: {blk[:80]!r}")
+                conds.append(("all", bm.group(2), bm.group(3), bm.group(4)))
+                continue
+            m = _CMP_RE.match(raw)
+            if m:
+                conds.append(("cmp", m.group(1), m.group(2), m.group(3), m.group(4)))
+                continue
+            m = _IN_RE.match(raw)
+            if m:
+                conds.append(("in", m.group(1), m.group(2), m.group(3)))
+                continue
+            m = _BARE_CMP_RE.match(raw)
+            if m:
+                conds.append(("bare", m.group(1), m.group(2), m.group(3)))
+                continue
+            raise CypherUnsupported(f"unsupported WHERE atom: {raw[:80]!r}")
+        return conds
+
+    def parse_items(text: str) -> list:
+        items = []
+        for raw in text.split(","):
+            raw = raw.strip()
+            m = _ITEM_PROP_RE.match(raw)
+            if m:
+                items.append(("prop", m.group(1), m.group(2), m.group(3)))
+                continue
+            m = _ITEM_COUNT_RE.match(raw)
+            if m:
+                items.append(("count", m.group(1), None, m.group(2)))
+                continue
+            m = _ITEM_LEN_RE.match(raw)
+            if m:
+                items.append(("length", m.group(1), None, m.group(2)))
+                continue
+            if re.fullmatch(r"\w+", raw):
+                items.append(("bare", raw, None, raw))
+                continue
+            raise CypherUnsupported(f"unsupported RETURN/WITH item: {raw[:60]!r}")
+        return items
+
+    seen_with = False
+    seen_return = False
+    for kw, body in clauses:
+        if kw in ("MATCH", "OPTIONAL MATCH"):
+            if seen_with or seen_return:
+                raise CypherUnsupported("MATCH after WITH/RETURN is unsupported")
+            ast["matches"].append({
+                "optional": kw.startswith("OPTIONAL"),
+                "pattern": parse_pattern(body),
+                "where": [],
+            })
+        elif kw == "WHERE":
+            conds = parse_conds(body)
+            if seen_with:
+                ast["having"].extend(conds)
+            elif ast["matches"]:
+                ast["matches"][-1]["where"].extend(conds)
+            else:
+                raise CypherUnsupported("WHERE before any MATCH")
+        elif kw == "WITH":
+            if seen_with or seen_return:
+                raise CypherUnsupported("multiple WITH clauses are unsupported")
+            ast["with"] = parse_items(body)
+            seen_with = True
+        elif kw == "RETURN":
+            if seen_return:
+                raise CypherUnsupported("multiple RETURN clauses")
+            ast["return"] = parse_items(body)
+            seen_return = True
+        elif kw == "ORDER BY":
+            if not seen_return:
+                raise CypherUnsupported("ORDER BY before RETURN")
+            for raw in body.split(","):
+                m = _ORDER_RE.match(raw.strip())
+                if not m:
+                    raise CypherUnsupported(f"unsupported ORDER BY item: {raw!r}")
+                ast["order"].append((m.group(1), (m.group(2) or "ASC").upper()))
+        elif kw == "LIMIT":
+            body = body.strip()
+            if re.fullmatch(r"\$\w+|\d+", body):
+                ast["limit"] = body
+            else:
+                raise CypherUnsupported(f"unsupported LIMIT: {body!r}")
+    if ast["return"] is None:
+        raise CypherUnsupported("query has no RETURN clause")
+    if not ast["matches"]:
+        raise CypherUnsupported("query has no MATCH clause")
+    if ast["matches"][0]["optional"]:
+        raise CypherUnsupported("the first MATCH cannot be OPTIONAL")
+    return ast
+
+
+# ---- compile --------------------------------------------------------------
+
+def _collect_params(ast) -> list[str]:
+    names = []
+
+    def val_params(v):
+        if isinstance(v, str) and v.startswith("$"):
+            names.append(v[1:])
+
+    for mc in ast["matches"]:
+        pat = mc["pattern"]
+        for item in pat:
+            node = item if isinstance(item, dict) else item[1]
+            if node.get("anchor_param"):
+                names.append(node["anchor_param"])
+        for c in mc["where"]:
+            if c[0] == "cmp":
+                val_params(c[4])
+            elif c[0] == "in":
+                val_params(c[3])
+            elif c[0] == "all":
+                val_params(c[2]); val_params(c[3])
+            elif c[0] == "bare":
+                val_params(c[3])
+    for c in ast["having"]:
+        if c[0] == "bare":
+            val_params(c[3])
+    if ast["limit"]:
+        val_params(ast["limit"])
+    return names
+
+
+def compile_query(
+    ast: dict,
+    nodes: DataFrame | None,
+    edges: DataFrame | None,
+    params: dict,
+) -> DataFrame:
+    missing = sorted({p for p in _collect_params(ast) if p not in params})
+    if missing:
+        raise ValueError(f"unbound Cypher parameters: {missing}")
+
+    def resolve(v, as_float=False):
+        if isinstance(v, str) and v.startswith("$"):
+            v = params[v[1:]]
+        elif isinstance(v, str) and v.startswith("'"):
+            v = v[1:-1]
+        elif isinstance(v, str):
+            v = float(v) if ("." in v or as_float) else int(v)
+        return float(v) if as_float else v
+
+    # classify per-clause WHERE atoms onto vars
+    rel_guards: dict[str, list] = {}     # rel var -> [(op, value)]
+    all_guards: dict[str, tuple] = {}    # rel var -> (lo, hi)
+    id_eq: dict[str, object] = {}        # node var -> literal id
+    id_in: dict[str, list] = {}          # node var -> id list
+    prop_guards: dict[str, list] = {}    # node var -> [(prop, op, value)]
+
+    node_vars: set[str] = set()
+    rel_vars: set[str] = set()
+    for mc in ast["matches"]:
+        pat = mc["pattern"]
+        first = pat[0]
+        node_vars.add(first["var"])
+        if first.get("anchor_param"):
+            id_eq[first["var"]] = params[first["anchor_param"]]
+        for rel, node in pat[1:]:
+            if rel["var"]:
+                rel_vars.add(rel["var"])
+            node_vars.add(node["var"])
+            if node.get("anchor_param"):
+                id_eq[node["var"]] = params[node["anchor_param"]]
+        for c in mc["where"]:
+            if c[0] == "all":
+                _, rvar, lo, hi = c
+                if rvar not in rel_vars:
+                    raise CypherUnsupported(f"ALL(...) over unknown variable {rvar!r}")
+                all_guards[rvar] = (resolve(lo, as_float=True), resolve(hi, as_float=True))
+            elif c[0] == "cmp":
+                _, var, prop, op, val = c
+                if var in rel_vars:
+                    if prop != "similitud":
+                        raise CypherUnsupported(
+                            f"unknown relationship property {prop!r}"
+                        )
+                    rel_guards.setdefault(var, []).append(
+                        (op, resolve(val, as_float=True))
+                    )
+                elif var in node_vars:
+                    if prop == "id":
+                        if op != "=":
+                            raise CypherUnsupported("node.id supports = and IN only")
+                        id_eq[var] = resolve(val)
+                    else:
+                        prop_guards.setdefault(var, []).append(
+                            (prop, op, resolve(val))
+                        )
+                else:
+                    raise CypherUnsupported(f"unknown variable {var!r} in WHERE")
+            elif c[0] == "in":
+                _, var, prop, val = c
+                if prop != "id" or var not in node_vars:
+                    raise CypherUnsupported(f"IN supported on node.id only: {var}.{prop}")
+                lst = resolve(val)
+                if not isinstance(lst, (list, tuple)):
+                    raise ValueError(f"${val[1:]} must bind a list, got {lst!r}")
+                id_in[var] = list(lst)
+            else:  # bare cmp belongs after WITH
+                raise CypherUnsupported(
+                    "bare comparisons are only supported after WITH"
+                )
+
+    def rel_filter(rvar):
+        cond = F.lit(True)
+        for op, v in rel_guards.get(rvar or "", []):
+            cond = cond & _OPS[op](F.col("similitud"), F.lit(v))
+        return cond
+
+    def node_anchor_cond(var, col):
+        if var in id_eq:
+            return col == F.lit(id_eq[var])
+        if var in id_in:
+            return col.isin(id_in[var])
+        return None
+
+    # ---- build the chain frame -------------------------------------------
+    cols: dict[str, str] = {}   # var -> internal column in `cur`
+    cur: DataFrame | None = None
+    hop_n = 0
+    anchored = False
+    varlen_rel: str | None = None
+
+    for ci, mc in enumerate(ast["matches"]):
+        pat = mc["pattern"]
+        hops = pat[1:]
+        first_var = pat[0]["var"]
+
+        if not hops:
+            # bare node pattern: a nodes scan (first clause only)
+            if cur is not None:
+                raise CypherUnsupported("bare node pattern after the first MATCH")
+            if nodes is None:
+                if len(ast["matches"]) > 1:
+                    raise ValueError(
+                        "this query needs both the nodes and edges frames"
+                    )
+                raise ValueError("node-scan query needs the nodes frame")
+            nf = nodes
+            ac = node_anchor_cond(first_var, F.col("id"))
+            if ac is not None:
+                nf = nf.filter(ac)
+            for prop, op, v in prop_guards.pop(first_var, []):
+                if prop not in nodes.columns:
+                    raise ValueError(
+                        f"unknown node property {prop!r}; nodes frame has {nodes.columns}"
+                    )
+                nf = nf.filter(_OPS[op](F.col(prop), F.lit(v)))
+            cur = nf.select(F.col("id").alias(f"__v_{first_var}"))
+            cols[first_var] = f"__v_{first_var}"
+            anchored = anchored or first_var in id_eq
+            continue
+
+        if edges is None:
+            raise ValueError("expansion query needs the edges frame")
+
+        for hj, (rel, node) in enumerate(hops):
+            hop_n += 1
+            rvar, nvar = rel["var"], node["var"]
+            from_var = pat[0]["var"] if hj == 0 else hops[hj - 1][1]["var"]
+
+            if rel["varlen"] is not None:
+                lo_hop, hi_hop = rel["varlen"]
+                if not 1 <= lo_hop <= hi_hop:
+                    raise ValueError(f"bad hop range *{lo_hop}..{hi_hop}")
+                if cur is not None or len(hops) > 1 or mc["optional"]:
+                    raise CypherUnsupported(
+                        "var-length relationships must be the pattern's only hop"
+                    )
+                if first_var not in id_eq:
+                    raise CypherUnsupported("var-length expansion must be anchored")
+                from providenciasbigdata_spark.operators.graph_algos import (
+                    bfs_distances,
+                )
+
+                anchor = id_eq[first_var]
+                fe = edges
+                if rvar in all_guards:
+                    lo_w, hi_w = all_guards.pop(rvar)
+                    fe = fe.filter(F.col("similitud").between(lo_w, hi_w))
+                fe = fe.filter(rel_filter(rvar))
+                if rel["dir"] == "<":
+                    fe = fe.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst"),
+                        "similitud",
+                    )
+                reached = bfs_distances(
+                    fe, anchor, directed=rel["dir"] != "-", max_hops=hi_hop
+                )
+                cur = reached.filter(F.col("hops").between(lo_hop, hi_hop)).select(
+                    F.lit(anchor).alias(f"__v_{first_var}"),
+                    F.col("id").alias(f"__v_{nvar}"),
+                    F.col("hops").cast("bigint").alias(f"__len_{rvar}"),
+                )
+                cols[first_var] = f"__v_{first_var}"
+                cols[nvar] = f"__v_{nvar}"
+                varlen_rel = rvar
+                anchored = True
+                continue
+
+            wcol = f"__w_{rvar or hop_n}"
+
+            # orient the hop edge frame so it always reads src->dst
+            if rel["dir"] == "<":
+                e = edges.select(
+                    F.col("dst").alias("__hs"), F.col("src").alias("__hd"),
+                    F.col("similitud").alias(wcol),
+                )
+            elif rel["dir"] == ">":
+                e = edges.select(
+                    F.col("src").alias("__hs"), F.col("dst").alias("__hd"),
+                    F.col("similitud").alias(wcol),
+                )
+            else:
+                e = None  # undirected: handled per-case below
+
+            def guarded(df, w=wcol):
+                cond = F.lit(True)
+                for op, v in rel_guards.get(rvar or "", []):
+                    cond = cond & _OPS[op](F.col(w), F.lit(v))
+                return df.filter(cond)
+
+            if cur is None or from_var not in cols:
+                # first hop of the chain (from_var unbound yet)
+                if cur is not None:
+                    raise CypherUnsupported(
+                        f"pattern variable {from_var!r} is not bound"
+                    )
+                ac_val = id_eq.get(from_var)
+                if rel["dir"] == "-":
+                    if ac_val is not None:
+                        # anchored undirected: ONE scan, orient outward
+                        touching = edges.filter(
+                            (F.col("src") == F.lit(ac_val))
+                            | (F.col("dst") == F.lit(ac_val))
+                        )
+                        other = F.when(
+                            F.col("src") == F.lit(ac_val), F.col("dst")
+                        ).otherwise(F.col("src"))
+                        e = touching.select(
+                            F.lit(ac_val).alias("__hs"), other.alias("__hd"),
+                            F.col("similitud").alias(wcol),
+                        )
+                    else:
+                        fw = edges.select(
+                            F.col("src").alias("__hs"), F.col("dst").alias("__hd"),
+                            F.col("similitud").alias(wcol),
+                        )
+                        bw = edges.select(
+                            F.col("dst").alias("__hs"), F.col("src").alias("__hd"),
+                            F.col("similitud").alias(wcol),
+                        )
+                        e = fw.unionByName(bw)
+                else:
+                    ac = node_anchor_cond(from_var, F.col("__hs"))
+                    if ac is not None:
+                        e = e.filter(ac)
+                e = guarded(e)
+                # anchor condition for the directed case already applied;
+                # isin anchors apply here too
+                if rel["dir"] == "-" and from_var in id_in:
+                    e = e.filter(F.col("__hs").isin(id_in[from_var]))
+                cur = e.select(
+                    F.col("__hs").alias(f"__v_{from_var}"),
+                    F.col("__hd").alias(f"__v_{nvar}"),
+                    F.col(wcol).alias(f"__w_{rvar}" if rvar else wcol),
+                )
+                cols[from_var] = f"__v_{from_var}"
+                anchored = anchored or from_var in id_eq
+            else:
+                # subsequent hop: join filtered edge scan with the chain
+                if rel["dir"] == "-":
+                    fw = edges.select(
+                        F.col("src").alias("__hs"), F.col("dst").alias("__hd"),
+                        F.col("similitud").alias(wcol),
+                    )
+                    bw = edges.select(
+                        F.col("dst").alias("__hs"), F.col("src").alias("__hd"),
+                        F.col("similitud").alias(wcol),
+                    )
+                    e = fw.unionByName(bw)
+                e = guarded(e)
+                fv = id_eq.get(from_var)
+                if fv is not None:
+                    e = e.filter(F.col("__hs") == F.lit(fv))
+                if mc["optional"]:
+                    # chain preserved on no-match; the (anchored, hence
+                    # tiny) qualifying hit set broadcasts into the join
+                    cur = cur.join(
+                        F.broadcast(e) if anchored else e,
+                        cur[cols[from_var]] == e["__hs"],
+                        "left",
+                    )
+                else:
+                    # edge scan streams; the anchored chain broadcasts
+                    chain = F.broadcast(cur) if anchored else cur
+                    cur = e.join(chain, e["__hs"] == chain[cols[from_var]], "inner")
+                cur = cur.drop("__hs").withColumnRenamed("__hd", f"__v_{nvar}")
+                if rvar:
+                    cur = cur.withColumnRenamed(wcol, f"__w_{rvar}")
+
+            cols[nvar] = f"__v_{nvar}"
+            if rvar:
+                cols[rvar] = f"__w_{rvar}"
+
+            # node-property predicates on the newly bound node
+            for prop, op, v in prop_guards.pop(nvar, []):
+                if nodes is None:
+                    raise ValueError("node-property predicate needs the nodes frame")
+                if prop == "id" or prop not in nodes.columns:
+                    raise ValueError(
+                        f"unknown node property {prop!r}; nodes frame has {nodes.columns}"
+                    )
+                nf = nodes.filter(_OPS[op](F.col(prop), F.lit(v))).select(
+                    F.col("id").alias("__nid")
+                )
+                # corpus-sized nodes scan streams; tiny chain broadcasts
+                chain = F.broadcast(cur) if anchored else cur
+                cur = nf.join(chain, nf["__nid"] == chain[cols[nvar]]).drop("__nid")
+
+            # id anchor on the newly bound (non-source) node: plain filter
+            ac = node_anchor_cond(nvar, F.col(cols[nvar]))
+            if ac is not None:
+                cur = cur.filter(ac)
+
+    if prop_guards:
+        leftover = sorted(prop_guards)
+        raise CypherUnsupported(f"property predicates on unbound variables: {leftover}")
+
+    # ---- projection / aggregation ----------------------------------------
+    def item_col(kind, var, prop):
+        if kind == "prop":
+            if var in node_vars:
+                if prop != "id":
+                    raise CypherUnsupported(
+                        f"only node.id projections are supported, got {var}.{prop}"
+                    )
+                return F.col(cols[var])
+            if var in rel_vars:
+                if prop != "similitud":
+                    raise CypherUnsupported(
+                        f"unknown relationship property {prop!r}"
+                    )
+                return F.col(cols[var])
+            raise CypherUnsupported(f"unknown variable {var!r}")
+        if kind == "length":
+            if var != varlen_rel:
+                raise CypherUnsupported("length() is supported on the var-length relationship only")
+            return F.col(f"__len_{var}")
+        raise CypherUnsupported(f"unsupported item kind {kind!r}")
+
+    def project(frame: DataFrame, items: list) -> DataFrame:
+        aggs = [(v, a) for k, v, _p, a in items if k == "count"]
+        if aggs:
+            keys = [(k, v, p, a) for k, v, p, a in items if k != "count"]
+            for k, _v, _p, _a in keys:
+                if k == "bare":
+                    raise CypherUnsupported("bare items cannot mix with count()")
+            gb = [item_col(k, v, p).alias(a) for k, v, p, a in keys]
+            agg_cols = []
+            for v, a in aggs:
+                if v in cols:
+                    agg_cols.append(F.count(F.col(cols[v])).alias(a))
+                else:
+                    raise CypherUnsupported(f"count() over unknown variable {v!r}")
+            return frame.groupBy(*gb).agg(*agg_cols)
+        sel = []
+        for k, v, p, a in items:
+            if k == "bare":
+                if v not in frame.columns:
+                    raise CypherUnsupported(f"unknown alias {v!r}")
+                sel.append(F.col(v).alias(a))
+            else:
+                sel.append(item_col(k, v, p).alias(a))
+        return frame.select(*sel)
+
+    out = cur
+    ret_items = ast["return"]
+    if ast["with"] is not None:
+        out = project(out, ast["with"])
+        for c in ast["having"]:
+            if c[0] != "bare":
+                raise CypherUnsupported("post-WITH WHERE supports alias comparisons only")
+            _, alias, op, val = c
+            if alias not in out.columns:
+                raise CypherUnsupported(f"unknown alias {alias!r} in post-WITH WHERE")
+            out = out.filter(_OPS[op](F.col(alias), F.lit(resolve(val))))
+        # RETURN after WITH: bare aliases only
+        sel = []
+        for k, v, _p, a in ret_items:
+            if k != "bare":
+                raise CypherUnsupported("RETURN after WITH supports bare aliases only")
+            if v not in out.columns:
+                raise CypherUnsupported(f"unknown alias {v!r}")
+            sel.append(F.col(v).alias(a))
+        out = out.select(*sel)
+    else:
+        out = project(out, ret_items)
+
+    # ---- ORDER BY / LIMIT --------------------------------------------------
+    if ast["order"]:
+        # resolve each order expression to a RETURNED alias
+        alias_of: dict[str, str] = {}
+        for k, v, p, a in ret_items:
+            alias_of[a] = a
+            if k == "prop":
+                alias_of[f"{v}.{p}"] = a
+            elif k in ("count", "length"):
+                alias_of[f"{k}({v})"] = a
+        order_cols = []
+        for expr, direction in ast["order"]:
+            a = alias_of.get(expr)
+            if a is None:
+                raise CypherUnsupported(
+                    f"ORDER BY expression {expr!r} is not in the RETURN list"
+                )
+            c = F.col(a)
+            order_cols.append(c.desc() if direction == "DESC" else c.asc())
+        out = out.orderBy(*order_cols)
+    if ast["limit"] is not None:
+        out = out.limit(int(resolve(ast["limit"])))
+    return out

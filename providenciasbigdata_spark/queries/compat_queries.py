@@ -1349,6 +1349,64 @@ WHERE e.similitud BETWEEN 20 AND 90 AND n.anio >= 2010
 """
 
 
+CYPHER_GENERIC_3HOP = """
+MATCH (a:Providencia {id: $origen})-[r1:SIMILAR]->(b:Providencia)-[r2:SIMILAR]->(c:Providencia)<-[r3:SIMILAR]-(d:Providencia)
+WHERE r1.similitud >= $lo1 AND r2.similitud >= $lo2 AND r3.similitud >= $lo3 AND d.anio >= $y
+RETURN a.id AS origen, b.id AS paso1, c.id AS paso2, d.id AS fuente, r3.similitud AS similitud
+"""
+
+
+def q_cypher_generic_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic linear-path compiler's showcase (verdict-r5 item 3):
+    a THREE-hop anchored chain no round-1..5 template could express —
+    the third hop REVERSED (``(c)<-[r3]-(d)``: who else points at my
+    2-hop reach), per-hop one-sided weight guards, and a node-property
+    predicate on the final variable. Same bounded-1000 edge build as
+    the two-hop motif (the all-pairs cosine enumeration behind a
+    generic edges frame is O(n^2) at bench SF); within the bound the
+    anchored chain broadcasts through every hop join."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .repartition(16)
+    )
+    edges = build_similarity_edges(emb)
+    nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
+        F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
+    )
+    return cypher_run(
+        CYPHER_GENERIC_3HOP, nodes=nodes, edges=edges,
+        params={"origen": "P-7", "lo1": 30.0, "lo2": 32.0, "lo3": 32.0, "y": 2005},
+    )
+
+
+_CYPHER_GENERIC_3HOP_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), n AS (
+  SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id,
+         CAST(2000 + doc_id % 25 AS BIGINT) AS anio
+  FROM documents
+)
+SELECT h1.src AS origen, h1.dst AS paso1, h2.dst AS paso2,
+       h3.src AS fuente, h3.similitud AS similitud
+FROM e h1
+JOIN e h2 ON h2.src = h1.dst
+JOIN e h3 ON h3.dst = h2.dst
+JOIN n ON n.id = h3.src
+WHERE h1.src = 'P-7' AND h1.similitud >= 30
+  AND h2.similitud >= 32 AND h3.similitud >= 32 AND n.anio >= 2005
+"""
+
+
 CYPHER_TWO_HOP_MOTIF = """
 MATCH (a:Providencia {id: $origen})-[r1:SIMILAR]->(b:Providencia)-[r2:SIMILAR]->(c:Providencia)
 WHERE r1.similitud >= $lo1 AND r1.similitud <= $hi1 AND r2.similitud >= $lo2 AND r2.similitud <= $hi2
@@ -1857,6 +1915,7 @@ QUERIES = {
     "cypher_degree_counts": (q_cypher_degree_counts, _CYPHER_DEGREE_SQL),
     "cypher_node_predicate": (q_cypher_node_predicate, _CYPHER_NODE_PRED_SQL),
     "cypher_two_hop_motif": (q_cypher_two_hop_motif, _CYPHER_TWO_HOP_SQL),
+    "cypher_generic_3hop": (q_cypher_generic_3hop, _CYPHER_GENERIC_3HOP_SQL),
     "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
     "cypher_with_having": (q_cypher_with_having, _CYPHER_WITH_HAVING_SQL),
     "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),

@@ -170,6 +170,41 @@ def test_cypher_rejects_out_of_subset(spark):
         cypher_run(CYPHER_NEIGHBORHOOD, edges=nodes, params={})
 
 
+def test_cypher_generic_compiler_capabilities(spark):
+    """Round-6 generic compiler (compat/cypher.py): shapes beyond the
+    13 templates — reversed hops, 3-hop chains, mixed directions — and
+    the clean-raise contract for out-of-grammar patterns."""
+    emb = load_table(spark, SF, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+
+    # reversed single hop: (a {id})<-[r]-(b) == incoming edges at anchor
+    got = cypher_run(
+        "MATCH (a:Providencia {id: $o})<-[r:SIMILAR]-(b:Providencia) "
+        "WHERE r.similitud >= $lo "
+        "RETURN a.id AS origen, b.id AS fuente, r.similitud AS similitud",
+        edges=edges, params={"o": "P-7", "lo": 20.0},
+    )
+    want = edges.filter((F.col("dst") == "P-7") & (F.col("similitud") >= 20.0))
+    assert got.count() == want.count()
+    assert {r.fuente for r in got.collect()} == {r.src for r in want.collect()}
+
+    # out-of-grammar patterns raise with the parser's reason
+    for bad in (
+        # multiple relationship types
+        "MATCH (a {id:$o})-[r:OTHER]->(b) RETURN a.id AS x, b.id AS y",
+        # var-length not the only hop
+        "MATCH (a {id:$o})-[r:SIMILAR*1..2]->(b)-[s:SIMILAR]->(c) "
+        "RETURN a.id AS x, c.id AS y",
+        # bare variable in RETURN
+        "MATCH (a {id:$o})-[r:SIMILAR]->(b) RETURN a, b",
+        # disconnected second MATCH (unbound from-variable)
+        "MATCH (a {id:$o})-[r:SIMILAR]->(b) MATCH (x)-[s:SIMILAR]->(y) "
+        "RETURN a.id AS p, y.id AS q",
+    ):
+        with pytest.raises(ValueError):
+            cypher_run(bad, edges=edges, params={"o": "P-7"})
+
+
 def test_mql_array_operators_semantics(spark):
     """$all / $size / $elemMatch over an array column, Mongo rules:
     $all [] matches nothing; $size is the exact element count and a
