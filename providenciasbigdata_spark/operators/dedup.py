@@ -90,12 +90,72 @@ def jaccard_pairs(
     )
 
 
+def _jaccard_prefix_rows(
+    df: DataFrame, id_col: str, text_col: str, ngram: int, threshold: float
+) -> DataFrame:
+    """(id, len, tok) prefix rows for the AllPairs/PPJoin candidate
+    join: per-document token sets ordered by ascending corpus
+    frequency (ties by token), truncated to the prefix the Jaccard
+    threshold theorem requires. Shared by ``jaccard_join_prefix`` and
+    ``jaccard_prefix_skew`` so the diagnosed key IS the joined key."""
+    toks = F.array_distinct(
+        shingles(tokenize(F.col(text_col)), ngram)
+        if ngram > 1
+        else tokenize(F.col(text_col))
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
+    tokdf = base.select("id", F.explode("__set").alias("tok"))
+    dfreq = tokdf.groupBy("tok").agg(F.count("*").alias("tdf"))
+    ordered = (
+        tokdf.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tdf", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ordset")
+        )
+        .withColumn("len", F.size("ordset"))
+        .withColumn(
+            "plen",
+            (F.col("len") - F.ceil(F.lit(threshold) * F.col("len")) + 1).cast("int"),
+        )
+    )
+    return ordered.select(
+        "id", "len", F.explode(F.expr("slice(ordset, 1, plen)")).alias("tok")
+    )
+
+
+def jaccard_prefix_skew(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Skew diagnosis for the ``jaccard_join_prefix`` candidate key
+    (verdict-r5 item 6): ``skew_report`` over the ACTUAL prefix-token
+    rows the candidate equi-join will shuffle. Rarest-first prefixes
+    keep this balanced on organic corpora, but a near-duplicate-heavy
+    corpus concentrates identical prefixes on one token (a paragraph
+    duplicated d times contributes d prefix rows per prefix token, and
+    d^2 candidate pairs on ONE key). Run this first at scale; a
+    ``skew_ratio`` >> 1 (or ``max_n`` in the thousands) says to pass
+    ``salt > 1`` to ``jaccard_join_prefix``."""
+    from providenciasbigdata_spark.operators.skew import skew_report
+
+    return skew_report(
+        _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold), "tok"
+    )
+
+
 def jaccard_join_prefix(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
     threshold: float = 0.5,
+    salt: int = 1,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo WWW'07, Xiao WWW'08): the scale
@@ -120,41 +180,52 @@ def jaccard_join_prefix(
     Plan shape: one vocabulary aggregate, one ordered-set build, one
     token equi-join over prefixes, one verify join — no cartesian
     (plan-pinned), no driver-side data.
+
+    Skew (verdict-r5 item 6): on a near-duplicate-heavy corpus the
+    candidate key concentrates — d copies of one paragraph share
+    identical prefixes, so one token carries d rows per side (the d^2
+    candidate pairs are TRUE output, but one task would build them
+    all). ``salt > 1`` splits each hot key's build across ``salt``
+    tasks: the left prefix rows key on (tok, xxhash64(left_id) % salt)
+    and the right side replicates onto every salt value — each
+    left-right pair still meets exactly once, so the output is
+    IDENTICAL (pinned vs salt=1 and vs jaccard_pairs on a hot fixture
+    in tests/test_dedup.py, with a measured partition-spread bound).
+    Cost: the right side shuffles salt x — keep the default 1 for
+    organic corpora and decide with ``jaccard_prefix_skew``.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if not (isinstance(salt, int) and salt >= 1):
+        raise ValueError(f"salt must be an int >= 1, got {salt!r}")
     toks = F.array_distinct(
         shingles(tokenize(F.col(text_col)), ngram)
         if ngram > 1
         else tokenize(F.col(text_col))
     )
     base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
-    tokdf = base.select("id", F.explode("__set").alias("tok"))
-    dfreq = tokdf.groupBy("tok").agg(F.count("*").alias("tdf"))
-    ordered = (
-        tokdf.join(dfreq, "tok")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("tdf", "tok"))),
-                lambda s: s["tok"],
-            ).alias("ordset")
-        )
-        .withColumn("len", F.size("ordset"))
-        .withColumn(
-            "plen",
-            (F.col("len") - F.ceil(F.lit(threshold) * F.col("len")) + 1).cast("int"),
-        )
-    )
-    prefixes = ordered.select(
-        "id", "len", F.explode(F.expr("slice(ordset, 1, plen)")).alias("tok")
+    prefixes = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold)
+    left = prefixes.select(
+        F.col("id").alias("left_id"), F.col("len").alias("alen"), "tok"
     )
     right = prefixes.select(
         F.col("id").alias("right_id"), F.col("len").alias("blen"), "tok"
     )
+    join_keys = ["tok"]
+    if salt > 1:
+        # xxhash64 over the STRING-cast id: type-canonical on both
+        # engines of this repo's parity tests and stable across int/
+        # long id columns (the INT-literal-vs-BIGINT silent-miss trap)
+        left = left.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("left_id").cast("string")), F.lit(salt))
+        )
+        right = right.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(salt - 1).cast("bigint"))),
+        )
+        join_keys = ["tok", "__salt"]
     cand = (
-        prefixes.select(F.col("id").alias("left_id"), F.col("len").alias("alen"), "tok")
-        .join(right, "tok")
+        left.join(right, join_keys)
         .filter(
             (F.col("left_id") < F.col("right_id"))
             & (F.col("alen") >= F.lit(threshold) * F.col("blen"))

@@ -509,3 +509,62 @@ def test_jaccard_join_prefix_equals_allpairs(spark, sf_dir):
     }
     assert got9 == w9
     assert set(got9) <= set(g)
+
+
+def test_jaccard_prefix_salted_skew(spark):
+    """verdict-r5 item 6: a near-duplicate-heavy corpus (one hot
+    paragraph duplicated 200x) concentrates the candidate key on one
+    prefix token. Pins: (a) jaccard_prefix_skew DIAGNOSES it (max_n =
+    the duplicate count, skew_ratio >> 1); (b) salted candidate join
+    output is IDENTICAL to unsalted and to the all-pairs kernel;
+    (c) measured spread — with salt, the hot key's candidate build is
+    split across partitions, bounding the max per-partition share."""
+    from providenciasbigdata_spark.operators import dedup
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, hot) for i in range(200)]
+    rows += [(1000 + i, f"unique document number {i} with its own words {i * 7}")
+             for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+
+    # (a) diagnosis: the hot token carries one prefix row per copy
+    rep = dedup.jaccard_prefix_skew(docs, threshold=0.9).first()
+    assert rep.max_n >= 200, rep
+    assert rep.skew_ratio > 10, rep
+
+    # (b) identical output: salted == unsalted == all-pairs
+    plain = {
+        (r.left_id, r.right_id, r.jaccard)
+        for r in dedup.jaccard_join_prefix(docs, threshold=0.9).collect()
+    }
+    salted = {
+        (r.left_id, r.right_id, r.jaccard)
+        for r in dedup.jaccard_join_prefix(docs, threshold=0.9, salt=8).collect()
+    }
+    brute = {
+        (r.left_id, r.right_id, r.jaccard)
+        for r in dedup.jaccard_pairs(docs, ngram=1, threshold=0.9).collect()
+    }
+    assert salted == plain == brute
+    assert len(salted) == 200 * 199 // 2  # every hot pair is TRUE output
+
+    # (c) measured spread of the candidate-build: group the salted
+    # join keys by their shuffle assignment — no single reducer may
+    # own more than ~(1/salt + slack) of the hot key's rows
+    prefixes = dedup._jaccard_prefix_rows(docs, "doc_id", "text", 1, 0.9)
+    hot_tok = prefixes.groupBy("tok").count().orderBy(F.desc("count")).first().tok
+    salted_keys = (
+        prefixes.filter(F.col("tok") == hot_tok)
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8))
+        )
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in salted_keys]
+    assert len(counts) == 8  # all 8 splits materialize
+    assert max(counts) <= sum(counts) * (1 / 8 + 0.15), counts
+
+    with pytest.raises(ValueError, match="salt"):
+        dedup.jaccard_join_prefix(docs, threshold=0.9, salt=0)
