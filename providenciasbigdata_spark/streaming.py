@@ -835,6 +835,7 @@ def versioned_upsert_sink(
     order_cols: Sequence[str],
     checkpoint_dir: str,
     query_name: str = "versioned_upsert_sink",
+    retain_last: int | None = None,
 ):
     """Time-traveling upsert sink: ``upsert_sink``'s latest-wins merge,
     but every micro-batch COMMITS A NEW VERSION through
@@ -851,16 +852,29 @@ def versioned_upsert_sink(
     os.replace), so a crash mid-commit leaves an invisible orphan
     version dir, reclaimed by the next batch.
 
-    Retention is the caller's policy: run ``snapshot_vacuum`` on a
-    schedule to bound history. At scale, pair with partitioned
-    version writes exactly as upsert_sink's partition-scoped note.
+    Retention (verdict-r5 item 8): a long-running stream otherwise
+    grows one version dir per micro-batch without bound (hundreds of
+    batches = hundreds of dirs). ``retain_last=N`` runs
+    ``snapshot_vacuum(keep_last=N)`` inside foreachBatch after each
+    commit — safe under the sink's own single-writer contract (the
+    vacuumer IS the writer, so no concurrent commit can be swept).
+    Replay idempotence survives vacuuming: the (lineage, batch_id)
+    high-water mark is read from the RETAINED manifest entries, and
+    retained entries are always the newest. ``retain_last=None``
+    keeps everything (the caller owns retention). Bounded dir count +
+    time travel to the retained floor are pinned over a 50-micro-batch
+    drive in tests/test_streaming.py.
     """
     from providenciasbigdata_spark.operators.cdc import latest_state
     from providenciasbigdata_spark.operators.snapshots import (
         snapshot_read,
+        snapshot_vacuum,
         snapshot_versions,
         snapshot_write,
     )
+
+    if retain_last is not None and retain_last < 1:
+        raise ValueError("retain_last must be >= 1 (or None to keep everything)")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         versions = snapshot_versions(table_dir)
@@ -885,6 +899,8 @@ def versioned_upsert_sink(
             table_dir,
             meta={"lineage": checkpoint_dir, "batch_id": batch_id},
         )
+        if retain_last is not None:
+            snapshot_vacuum(table_dir, keep_last=retain_last)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -630,6 +630,94 @@ def test_session_timeout_processor_matches_batch_sessions(spark):
     assert got_shaped == want_shaped
 
 
+def test_versioned_sink_retention_50_batches(spark, tmp_path_factory):
+    """verdict-r5 item 8: a LONG-RUNNING stream (50 micro-batches, one
+    file each) with periodic vacuum inside foreachBatch. Pins: the
+    version-dir count stays bounded at retain_last (never one dir per
+    batch), time travel works exactly down to the retained floor and
+    raises below it, and a same-lineage replay after vacuuming commits
+    nothing (the batch high-water mark survives retention)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from providenciasbigdata_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    n_batches, retain = 50, 5
+    spool = str(tmp_path_factory.mktemp("ret_spool"))
+    table = str(tmp_path_factory.mktemp("ret_table"))
+    ckpt = str(tmp_path_factory.mktemp("ret_ckpt"))
+    base = time.time() - n_batches - 10
+    for i in range(n_batches):
+        path = os.path.join(spool, f"f{i:03d}.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array([i % 7], pa.int64()),
+                      "v": pa.array([i], pa.int64())}),
+            path,
+        )
+        os.utime(path, (base + i, base + i))  # strict mtime order = batch order
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    q = streaming.versioned_upsert_sink(
+        stream, table, keys=["k"], order_cols=["v"],
+        checkpoint_dir=ckpt, query_name="t_retention", retain_last=retain,
+    )
+    q.awaitTermination()
+
+    versions = snapshot_versions(table)
+    assert len(versions) == retain
+    batch_ids = [v["meta"]["batch_id"] for v in versions]
+    assert batch_ids == list(range(n_batches - retain, n_batches))
+    # bounded on-disk footprint: exactly the retained version dirs
+    vdirs = [d for d in os.listdir(table) if d.startswith("v") and
+             os.path.isdir(os.path.join(table, d))]
+    assert len(vdirs) == retain, sorted(vdirs)
+
+    def expected_state(up_to_batch):
+        # state after batch b = latest v per key over rows 0..b
+        st = {}
+        for i in range(up_to_batch + 1):
+            st[i % 7] = i
+        return st
+
+    # latest == full-history upsert state despite 45 vacuumed versions
+    latest = {r.k: r.v for r in snapshot_read(spark, table).collect()}
+    assert latest == expected_state(n_batches - 1)
+
+    # time travel to the retained FLOOR version is exact...
+    floor = versions[0]["version"]
+    floor_batch = versions[0]["meta"]["batch_id"]
+    at_floor = {r.k: r.v for r in snapshot_read(spark, table, version=floor).collect()}
+    assert at_floor == expected_state(floor_batch)
+    # ...and below the floor raises with the available range
+    with pytest.raises(ValueError, match="available"):
+        snapshot_read(spark, table, version=floor - 1)
+
+    # same-lineage replay: high-water mark survived vacuuming
+    q2 = streaming.versioned_upsert_sink(
+        stream, table, keys=["k"], order_cols=["v"],
+        checkpoint_dir=ckpt, query_name="t_retention2", retain_last=retain,
+    )
+    q2.awaitTermination()
+    assert len(snapshot_versions(table)) == retain
+    assert [v["meta"]["batch_id"] for v in snapshot_versions(table)] == batch_ids
+
+    with pytest.raises(ValueError, match="retain_last"):
+        streaming.versioned_upsert_sink(
+            stream, table, keys=["k"], order_cols=["v"],
+            checkpoint_dir=ckpt, retain_last=0,
+        )
+
+
 def test_versioned_upsert_sink_time_travel(spark, events_dir, tmp_path_factory):
     """Every micro-batch commits a snapshot VERSION: version count ==
     micro-batch count, the latest version equals the batch twin
