@@ -33,6 +33,30 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # transformWithStateInPandas shim (verdict-r5 item 5): where
+    # google.protobuf is absent, every Spark PYTHON WORKER must see the
+    # miniproto stand-in for StateMessage_pb2. Workers are fresh
+    # interpreters, so the hook rides PYTHONPATH: the vendor/pythonpath
+    # dir carries a sitecustomize that lazily registers the shim
+    # finder, and the repo root makes the package importable there.
+    # Must happen BEFORE the JVM starts — local-mode workers inherit
+    # the driver JVM's env. No-op (real runtime wins) when protobuf
+    # exists; fail-open everywhere else.
+    from providenciasbigdata_spark.vendor import protoshim
+
+    if protoshim.install():
+        # …/repo_root/providenciasbigdata_spark/vendor/protoshim.py
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(protoshim.__file__)))
+        )
+        entries = [protoshim.pythonpath_dir(), repo_root]
+        existing = os.environ.get("PYTHONPATH", "")
+        merged = [e for e in entries if e not in existing.split(os.pathsep)]
+        if merged:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                merged + ([existing] if existing else [])
+            )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

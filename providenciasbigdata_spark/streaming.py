@@ -557,6 +557,43 @@ class SessionTimeoutProcessor:
         pass
 
 
+_SESSION_TWS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def session_timeouts_tws(events: DataFrame) -> DataFrame:
+    """LIVE wiring for ``SessionTimeoutProcessor`` (round 6): the
+    timer-based session operator through the real
+    ``transformWithStateInPandas`` runtime — event-time mode, zero-
+    delay watermark on ``ts``, per-user grouping. Until round 6 the
+    timer path ran only through the fake-handle drive; with the
+    miniproto shim (vendor/protoshim.py) the REAL runtime executes
+    here: RocksDB-backed ValueState, JVM timer registry, watermark-
+    driven ``handleExpiredTimer`` delivery (exercised across
+    availableNow restarts in tests/test_streaming.py)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Sessions(SessionTimeoutProcessor, StatefulProcessor):
+        """Processor logic + the runtime ABC (imported only here so
+        module import never needs the streaming runtime)."""
+
+    ev = events.select(
+        "user_id", F.col("ts"), F.unix_micros("ts").alias("ts_us")
+    ).withWatermark("ts", "0 seconds")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Sessions(),
+        outputStructType=_SESSION_TWS_OUTPUT,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 class UserTotalsProcessor:
     """The ``transformWithStateInPandas`` stateful processor behind
     ``user_running_totals_tws``, hoisted to module scope so its logic

@@ -572,6 +572,96 @@ class _TimerFakeHandle:
         return list(self.timers)
 
 
+def test_session_timeout_processor_live_timers(spark, tmp_path_factory):
+    """The timer processor through the REAL transformWithStateInPandas
+    runtime (miniproto shim, verdict-r5 item 5): three availableNow
+    runs over one checkpoint drive live event-time TIMER delivery —
+    run 1 ingests the real events (in-stream gap splits emit, horizons
+    registered in the JVM timer registry), runs 2-3 feed only a far-
+    future sentinel user, so the watermark sweeps past every real
+    horizon and ``handleExpiredTimer`` must emit the tail sessions.
+    Union of the three runs' emissions == the batch session_windows
+    relation for the real users, exactly."""
+    from providenciasbigdata_spark.queries.modern import has_tws_runtime
+
+    assert has_tws_runtime()  # real protobuf or the miniproto shim
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spool = str(tmp_path_factory.mktemp("tws_timer_spool"))
+    ckpt = str(tmp_path_factory.mktemp("tws_timer_ckpt"))
+    try:
+        ev = load_table(spark, SF, "events").filter(F.col("user_id") < 12)
+        ev.coalesce(1).write.mode("append").parquet(spool)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+
+        want = {
+            (r[0], r[1], r[2], r[3])
+            for r in streaming.session_windows(ev, watermark=None)
+            .select(
+                "user_id",
+                F.unix_micros("session_start"),
+                F.unix_micros("session_end"),
+                "n_events",
+            )
+            .collect()
+        }
+
+        out_dir = str(tmp_path_factory.mktemp("tws_timer_out"))
+
+        def drain(name):
+            # memory sink cannot RESUME from a checkpoint; a foreachBatch
+            # parquet append can — required for the 3-run restart design
+            stream = streaming.events_stream(spark, spool)
+            q = (
+                streaming.session_timeouts_tws(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _bid: df.write.mode("append").parquet(out_dir)
+                )
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+                for r in spark.read.schema(
+                    "user_id long, session_start_us long, "
+                    "session_end_us long, n_events long"
+                ).parquet(out_dir).collect()
+            }
+
+        got = drain("tws_timer_r1")
+        assert got < want  # gap splits emit some, tail sessions pending
+
+        # sentinel batches: a dummy user far in the future advances the
+        # watermark; real users receive NO input, so only their TIMERS
+        # can emit the remaining sessions
+        import datetime as dt
+
+        for i, name in enumerate(("tws_timer_r2", "tws_timer_r3")):
+            sent = spark.createDataFrame(
+                [(9_999_990 + i, max_ts + dt.timedelta(days=30 + i),
+                  9_999_990, "sentinel", 0.0, "{}")],
+                schema=ev.schema,
+            )
+            sent.coalesce(1).write.mode("append").parquet(spool)
+            got |= drain(name)
+
+        real = {r for r in got if r[0] < 12}
+        assert real == want
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def test_session_timeout_processor_matches_batch_sessions(spark):
     """The TIMER-based stateful-v2 session processor, driven through a
     fake handle (registerTimer/deleteTimer recorded, expiry simulated
