@@ -1053,6 +1053,10 @@ def q_merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal": F.col("s.delta"),
         },
         delete_condition=F.col("s.delta") > 400000,
+        # join-riding multi-match validation (verdict-r5 wrong#3): the
+        # count window shares the merge join's hashpartitioning, so the
+        # G9 guarantee costs no extra pass over the source
+        strict="join",
     )
     return merged.select(
         "c_custkey",

@@ -78,6 +78,29 @@ def test_merge_strict_rejects_multi_match_source(spark):
                      update_set={"v": F.col("s.delta")}, strict=False)
     assert out.filter(F.col("k") == 1).count() == 2
 
+    # strict="join": same guarantee riding the merge job itself —
+    # raises at EXECUTION time naming the duplicated key, costs no
+    # separate validation pass (the count window shares the join's
+    # hashpartitioning)
+    lazy = merge_into(target, dup_source, keys=["k"],
+                      update_set={"v": F.col("s.delta")}, strict="join")
+    with pytest.raises(Exception, match="at most one source match"):
+        lazy.collect()
+    # clean source: strict="join" result == strict=True result
+    clean = dup_source.filter(F.col("k").isNotNull()).limit(1)
+    a = merge_into(target, clean, keys=["k"],
+                   update_set={"v": F.col("s.delta")}, strict="join").collect()
+    b = merge_into(target, clean, keys=["k"],
+                   update_set={"v": F.col("s.delta")}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # null-key dups exempt under "join" too
+    out = merge_into(target, null_only, keys=["k"],
+                     update_set={"v": F.col("s.delta")}, strict="join")
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="strict"):
+        merge_into(target, clean, keys=["k"],
+                   update_set={"v": F.col("s.delta")}, strict="sometimes")
+
 
 def test_merge_update_condition_keeps_nonqualifying_match(spark):
     target, source = _frames(spark)
