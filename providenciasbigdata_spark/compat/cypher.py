@@ -67,7 +67,7 @@ _REL_PAT = re.compile(
     r"(?:(\*)\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-\s*(>?)"
 )
 _CLAUSE_RE = re.compile(
-    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN|ORDER\s+BY|LIMIT)\b", re.I
+    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN|ORDER\s+BY|SKIP|LIMIT)\b", re.I
 )
 _ALL_RE = re.compile(
     r"^ALL\s*\(\s*(\w+)\s+IN\s+(\w+)\s+WHERE\s+"
@@ -140,7 +140,7 @@ def parse(query: str) -> dict:
         clauses.append((kw, flat[m.end():end].strip()))
 
     ast: dict = {"matches": [], "with": None, "having": [], "return": None,
-                 "order": [], "limit": None}
+                 "order": [], "skip": None, "limit": None, "distinct": False}
 
     def parse_pattern(text: str) -> list:
         """node (rel node)* -> [node0, (rel1, node1), ...]."""
@@ -248,6 +248,10 @@ def parse(query: str) -> dict:
         elif kw == "RETURN":
             if seen_return:
                 raise CypherUnsupported("multiple RETURN clauses")
+            dm = re.match(r"DISTINCT\s+", body, re.I)
+            if dm:
+                ast["distinct"] = True
+                body = body[dm.end():]
             ast["return"] = parse_items(body)
             seen_return = True
         elif kw == "ORDER BY":
@@ -258,12 +262,12 @@ def parse(query: str) -> dict:
                 if not m:
                     raise CypherUnsupported(f"unsupported ORDER BY item: {raw!r}")
                 ast["order"].append((m.group(1), (m.group(2) or "ASC").upper()))
-        elif kw == "LIMIT":
+        elif kw in ("LIMIT", "SKIP"):
             body = body.strip()
             if re.fullmatch(r"\$\w+|\d+", body):
-                ast["limit"] = body
+                ast["limit" if kw == "LIMIT" else "skip"] = body
             else:
-                raise CypherUnsupported(f"unsupported LIMIT: {body!r}")
+                raise CypherUnsupported(f"unsupported {kw}: {body!r}")
     if ast["return"] is None:
         raise CypherUnsupported("query has no RETURN clause")
     if not ast["matches"]:
@@ -680,8 +684,12 @@ def compile_query(
         out = out.select(*sel)
     else:
         out = project(out, ret_items)
+    if ast["distinct"]:
+        if any(k == "count" for k, *_ in ret_items):
+            raise CypherUnsupported("RETURN DISTINCT with aggregates is unsupported")
+        out = out.distinct()
 
-    # ---- ORDER BY / LIMIT --------------------------------------------------
+    # ---- ORDER BY / SKIP / LIMIT --------------------------------------------
     if ast["order"]:
         # resolve each order expression to a RETURNED alias
         alias_of: dict[str, str] = {}
@@ -701,6 +709,8 @@ def compile_query(
             c = F.col(a)
             order_cols.append(c.desc() if direction == "DESC" else c.asc())
         out = out.orderBy(*order_cols)
+    if ast["skip"] is not None:
+        out = out.offset(int(resolve(ast["skip"])))
     if ast["limit"] is not None:
         out = out.limit(int(resolve(ast["limit"])))
     return out

@@ -40,6 +40,7 @@ from operator import and_, or_
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from providenciasbigdata_spark.compat.documents import text_match_condition
 
@@ -1157,6 +1158,32 @@ def mql_aggregate(
             df = df.unionByName(other, allowMissingColumns=True)
         elif op == "$facet":
             df = _facet_stage(df, spec, default_language, collections or {})
+        elif op in ("$replaceRoot", "$replaceWith"):
+            # $replaceWith is the shorthand: the spec IS the newRoot
+            root = spec.get("newRoot") if op == "$replaceRoot" else spec
+            if op == "$replaceRoot" and not (isinstance(spec, dict) and "newRoot" in spec):
+                raise ValueError(f"$replaceRoot needs a newRoot: {spec!r}")
+            if isinstance(root, str) and root.startswith("$"):
+                field = _ref_field(root, op)
+                if field not in df.columns:
+                    raise ValueError(f"{op} field {root!r} is not a column")
+                if not isinstance(df.schema[field].dataType, T.StructType):
+                    raise ValueError(
+                        f"{op} newRoot must be a document (struct column), "
+                        f"got {df.schema[field].dataType.simpleString()}"
+                    )
+                df = df.select(f"{field}.*")
+            elif isinstance(root, dict) and root:
+                # literal document of aggregation expressions
+                df = df.select(*[_agg_expr(e).alias(k) for k, e in root.items()])
+            else:
+                raise ValueError(f"{op} newRoot must be '$field' or a document: {root!r}")
+        elif op == "$unset":
+            fields = [spec] if isinstance(spec, str) else list(spec or [])
+            if not fields or not all(isinstance(f_, str) and f_ for f_ in fields):
+                raise ValueError(f"$unset needs a field name or list: {spec!r}")
+            # Mongo: unsetting a missing field is a no-op
+            df = df.drop(*[f_ for f_ in fields if f_ in df.columns])
         elif op == "$setWindowFields":
             df = _set_window_fields_stage(df, spec)
         elif op == "$densify":

@@ -1699,6 +1699,64 @@ FROM ({_RULINGS_SQL})
 """
 
 
+def q_mql_agg_replace_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$replaceRoot (round 6): promote an embedded document to the
+    root — the stage every nested-document consumer uses after a
+    $lookup/unwind. Exercises both forms: a struct column as newRoot,
+    then $replaceWith with a literal expression document (computed
+    fields become the new document). Lowers to plain SELECTs —
+    column pruning reaches the scan."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir).withColumn(
+        "meta", F.struct(F.col("tipo"), F.col("anio").cast("long").alias("anio"))
+    )
+    out = mql_aggregate(
+        r,
+        [
+            {"$replaceRoot": {"newRoot": "$meta"}},
+            {"$replaceWith": {"tipo": "$tipo",
+                              "decada": {"$subtract": ["$anio", {"$mod": ["$anio", 10]}]}}},
+            {"$sortByCount": "$decada"},
+        ],
+    )
+    return out.select(F.col("_id").cast("long").alias("_id"), "count")
+
+
+_MQL_REPLACE_ROOT_SQL = f"""
+SELECT CAST(anio - (anio % 10) AS BIGINT) AS _id,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM ({_RULINGS_SQL})
+GROUP BY _id ORDER BY count DESC, _id ASC
+"""
+
+
+def q_mql_agg_unset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$unset (round 6): Mongo's field-removal stage — drop the text
+    payload before a grouped count (the narrow-before-shuffle shape);
+    unsetting a missing field is a no-op, as in Mongo."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [
+            {"$unset": ["texto", "tokens", "not_a_field"]},
+            {"$group": {"_id": "$tipo", "n": {"$sum": 1},
+                        "max_anio": {"$max": "$anio"}}},
+        ],
+    )
+    return out.select(
+        "_id", F.col("n").cast("long").alias("n"),
+        F.col("max_anio").cast("long").alias("max_anio"),
+    )
+
+
+_MQL_UNSET_SQL = (
+    f"SELECT tipo AS _id, CAST(COUNT(*) AS BIGINT) AS n, "
+    f"CAST(MAX(anio) AS BIGINT) AS max_anio FROM ({_RULINGS_SQL}) GROUP BY tipo"
+)
+
+
 def q_mql_agg_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$densify (verdict-r5 item 2): thin the rulings to a sparse set
     of years, then densify anio at step 1 over each tipo partition's
@@ -1896,6 +1954,8 @@ QUERIES = {
     "mql_agg_facet": (q_mql_agg_facet, _MQL_FACET_SQL),
     "mql_agg_window_fields": (q_mql_agg_window_fields, _MQL_WINDOW_FIELDS_SQL),
     "mql_agg_densify": (q_mql_agg_densify, _MQL_DENSIFY_SQL),
+    "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
+    "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
     "mql_agg_fill": (q_mql_agg_fill, _MQL_FILL_SQL),
     "a7_search_postings_or": (q_a7_search_postings_or, _POSTINGS_OR_SQL),
     "a7_search_postings_stemmed": (q_a7_search_postings_stemmed, _stemmed_postings_sql()),

@@ -188,6 +188,23 @@ def test_cypher_generic_compiler_capabilities(spark):
     assert got.count() == want.count()
     assert {r.fuente for r in got.collect()} == {r.src for r in want.collect()}
 
+    # RETURN DISTINCT + SKIP/LIMIT paging (round-6 grammar widening):
+    # distinct endpoint set, then a deterministic page of it
+    full = cypher_run(
+        "MATCH (a:Providencia {id: $o})-[r:SIMILAR]->(b:Providencia) "
+        "WHERE r.similitud >= $lo RETURN DISTINCT b.id AS destino",
+        edges=edges, params={"o": "P-7", "lo": 20.0},
+    )
+    dsts = sorted(r.destino for r in full.collect())
+    assert len(dsts) == len(set(dsts)) > 3
+    page = cypher_run(
+        "MATCH (a:Providencia {id: $o})-[r:SIMILAR]->(b:Providencia) "
+        "WHERE r.similitud >= $lo RETURN DISTINCT b.id AS destino "
+        "ORDER BY destino ASC SKIP 2 LIMIT 3",
+        edges=edges, params={"o": "P-7", "lo": 20.0},
+    )
+    assert [r.destino for r in page.collect()] == dsts[2:5]
+
     # out-of-grammar patterns raise with the parser's reason
     for bad in (
         # multiple relationship types
