@@ -1,0 +1,158 @@
+"""Distributed quality/domain classifier: logistic regression over
+hashed token features, trained by full-batch gradient descent where
+every iteration is ONE Spark job (round 6).
+
+Why this operator: every serious LLM data pipeline trains lightweight
+classifiers over the corpus itself — fastText-style quality filters
+(GPT-3's WebText-vs-CommonCrawl filter, CCNet, RefinedWeb), domain
+routers, language discriminators. The heavy lifting is featurization
+and the per-epoch gradient over billions of rows, both naturally
+distributed; the model is a dim-sized vector the driver can hold (the
+same driver-holds-centroids contract as k-means in similarity.py).
+
+Design for 100 TB:
+- Featurization is pure Catalyst (tokenize -> xxhash64 -> pmod ->
+  array_distinct): binary presence features, no Python in the scan.
+- One gradient pass = explode(active buckets) + groupBy(bucket) SUM —
+  a single shuffle of (bucket, contribution) pairs; the model update
+  is O(dim) on the driver. ``iters`` jobs total.
+- Gradient contributions are cast to DECIMAL(28,18) before the SUM:
+  exact, order-free accumulation, so training is BIT-DETERMINISTIC
+  across runs and partitionings (float reordering would make every
+  training run a different model). Pinned in tests/test_classifier.py
+  against a pure-numpy twin of the same updates.
+- The margin evaluates JVM-side: the weight vector enters the plan as
+  a literal array, ``aggregate`` folds the active buckets — no UDF.
+
+Scope: binary logistic regression, binary presence features, L2-free
+full-batch GD with a fixed learning rate. That is exactly the
+fastText-quality-filter shape; anything fancier (minibatch, Adam,
+n-gram features) layers on the same two primitives.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.text import tokenize
+
+
+@dataclass
+class LogisticModel:
+    weights: list[float]  # len == dim
+    bias: float
+    dim: int
+    losses: list[float]   # mean log-loss per iteration (pre-update)
+
+
+def hashed_presence_features(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 256,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Binary hashed presence features: the DISTINCT set of
+    pmod(xxhash64(token), dim) bucket ids per row. String-canonical
+    hashing (xxhash64 is type-sensitive); sorted for determinism."""
+    toks = tokenize(F.col(text_col))
+    buckets = F.sort_array(
+        F.array_distinct(
+            F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)).cast("int"))
+        )
+    )
+    return df.withColumn(out_col, buckets)
+
+
+def _margin(weights: list[float], bias: float) -> F.Column:
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    return F.aggregate(
+        F.col("buckets"),
+        F.lit(float(bias)),
+        lambda acc, j: acc + F.element_at(wlit, j + F.lit(1)),
+    )
+
+
+def train_logistic_hashed(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 256,
+    iters: int = 15,
+    lr: float = 0.5,
+) -> LogisticModel:
+    """Full-batch GD: w <- w - lr * X^T (sigmoid(Xw+b) - y) / n, with
+    the gradient computed distributed (one explode+groupBy job per
+    iteration, DECIMAL-exact sums) and applied on the driver.
+
+    ``label_col`` must be 0/1 (int or boolean castable). Deterministic
+    by construction: zero init, exact gradient accumulation, fixed
+    iteration count — two runs produce bit-identical models.
+    """
+    feats = hashed_presence_features(df, text_col, dim).select(
+        F.col(label_col).cast("double").alias("y"), "buckets"
+    )
+    feats = feats.persist()
+    try:
+        n = feats.count()
+        if n == 0:
+            raise ValueError("empty training frame")
+        weights = [0.0] * dim
+        bias = 0.0
+        losses: list[float] = []
+        for _ in range(iters):
+            m = _margin(weights, bias)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+            resid = (p - F.col("y")).alias("r")
+            scored = feats.select(
+                F.col("y"), "buckets", resid,
+                # log-loss of the CURRENT model (pre-update), exact sum
+                (-(
+                    F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+                    + (F.lit(1.0) - F.col("y"))
+                    * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+                )).cast("decimal(28,18)").alias("ll"),
+            )
+            # per-bucket gradient: one explode + one hash aggregate
+            grad_rows = (
+                scored.select(
+                    F.col("r").cast("decimal(28,18)").alias("rd"),
+                    F.explode("buckets").alias("j"),
+                )
+                .groupBy("j")
+                .agg(F.sum("rd").alias("g"))
+                .collect()
+            )
+            grad = [0.0] * dim
+            for r in grad_rows:
+                grad[r.j] = float(r.g)
+            # doc-level sums (bias gradient + loss): unexploded aggregate
+            agg = scored.agg(
+                F.sum(F.col("r").cast("decimal(28,18)")).alias("bg"),
+                F.sum("ll").alias("lt"),
+            ).first()
+            bias_grad = float(agg.bg)
+            losses.append(float(agg.lt) / n)
+            weights = [w - lr * g / n for w, g in zip(weights, grad)]
+            bias = bias - lr * bias_grad / n
+        return LogisticModel(weights=weights, bias=bias, dim=dim, losses=losses)
+    finally:
+        feats.unpersist()
+
+
+def predict_logistic(
+    df: DataFrame,
+    model: LogisticModel,
+    text_col: str = "text",
+    out_col: str = "score",
+) -> DataFrame:
+    """Score rows with a trained model — pure Catalyst (literal weight
+    array + aggregate fold), so scoring 100 TB is a map-only pass."""
+    feats = hashed_presence_features(df, text_col, model.dim)
+    m = _margin(model.weights, model.bias)
+    return feats.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+    ).drop("buckets")

@@ -1214,6 +1214,105 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric INT8 quantization (operators.similarity.
+    quantize_int8) with its reconstruction-quality audit: scale,
+    integer code mass (q_sum / q_l1 — exact BIGINT folds, order-free),
+    and the max absolute reconstruction error (per-element doubles
+    computed by the identical formula both engines, max is
+    order-independent — so every column value-hashes UNROUNDED)."""
+    from providenciasbigdata_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    x = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x"),
+    )
+    joined = q.join(x, "vec_id").filter(F.col("scale") > 0)
+    recon_err = F.zip_with(
+        F.col("x"), F.col("qvec"),
+        lambda v, qq: F.abs(v - qq.cast("double") * F.col("scale")),
+    )
+    return joined.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"),
+            lambda a, v: a + F.abs(v).cast("long"),
+        ).alias("q_l1"),
+        F.array_max(recon_err).alias("max_abs_err"),
+    )
+
+
+_EMBED_QUANT_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, e -> abs(e))) / 127.0 AS scale
+  FROM x
+)
+SELECT vec_id, scale,
+  CAST(list_sum(list_transform(v, e -> CAST(floor(e / scale + 0.5) AS BIGINT)))
+       AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(v, e -> abs(CAST(floor(e / scale + 0.5) AS BIGINT))))
+       AS BIGINT) AS q_l1,
+  list_max(list_transform(v, e -> abs(e - floor(e / scale + 0.5) * scale)))
+       AS max_abs_err
+FROM s WHERE scale > 0
+"""
+
+
+def q_embed_matryoshka_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022 — nested
+    embedding prefixes): how much of each vector's energy the first
+    16 of 64 dims retain — ``norm(v[:16]) / norm(v)``. The decision
+    metric for serving truncated embeddings (memory/latency vs
+    recall). Shape: one posexplode + one grouped DECIMAL(38,18)
+    sum-of-squares per prefix (exact, order-free — float reordering
+    would break the hash), then one sqrt-ratio; at 100 TB this is a
+    single explode-shuffle, no driver math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select(
+        "vec_id", "pos", F.col("val").cast("double").alias("val")
+    )
+    sq = (F.col("val") * F.col("val")).cast("decimal(38,18)")
+    agg = e.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("pos") < 16, sq)).alias("head"),
+        F.sum(sq).alias("total"),
+    )
+    return agg.filter(F.col("total") > 0).select(
+        "vec_id",
+        (
+            F.sqrt(F.col("head").cast("double")) / F.sqrt(F.col("total").cast("double"))
+        ).alias("energy_ratio"),
+    )
+
+
+_EMBED_MATRYOSHKA_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, i - 1 AS pos, v[i] AS val
+  FROM x, UNNEST(range(1, len(v) + 1)) AS t(i)
+), agg AS (
+  SELECT vec_id,
+         SUM(CASE WHEN pos < 16 THEN CAST(val * val AS DECIMAL(38,18)) END) AS head,
+         SUM(CAST(val * val AS DECIMAL(38,18))) AS total
+  FROM e GROUP BY vec_id
+)
+SELECT vec_id,
+       sqrt(CAST(head AS DOUBLE)) / sqrt(CAST(total AS DOUBLE)) AS energy_ratio
+FROM agg WHERE total > 0
+"""
+
+
 QUERIES = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "bpe_train_merges": (q_bpe_train_merges, None),
@@ -1233,6 +1332,8 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
     "jaccard_join_prefix": (q_jaccard_join_prefix, _JACCARD_PREFIX_SQL),
     "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
+    "embed_quantize_int8": (q_embed_quantize_int8, _EMBED_QUANT_SQL),
+    "embed_matryoshka_ratio": (q_embed_matryoshka_ratio, _EMBED_MATRYOSHKA_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
     "ivf_index_exact_topk": (q_ivf_index_exact_topk, _ANN_BRUTE_SQL),
     "ann_topk_per_query": (q_ann_topk_per_query, _ANN_PER_QUERY_SQL),

@@ -639,7 +639,59 @@ FROM c
 """
 
 
+def q_curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style corpus classifier (round 6): logistic regression
+    over hashed token presence features, trained distributed (one
+    explode+groupBy gradient job per iteration, DECIMAL-exact sums →
+    bit-deterministic across runs) — the quality/domain-filter shape
+    of GPT-3/CCNet/RefinedWeb pipelines. The label here is WEAK-LABEL
+    DISTILLATION (the standard bootstrap: rule-based labels, learned
+    generalizer): y = "document mentions a slowness/duplication token",
+    and the trained weights must rediscover exactly those buckets as
+    the most discriminative features (the fixture's lang/source
+    metadata is uncorrelated with its synthetic text, so a metadata
+    label would have no signal by construction; and dim matters — at
+    dim=128 the marker bucket COLLIDES with an always-present token
+    and caps accuracy at prevalence, the textbook hashing-trick
+    failure, so this query runs at dim=512 where every vocab token
+    has a private bucket). Output: the 20 most
+    discriminative hash buckets with their weights, plus a
+    train-accuracy audit row (bucket = -1)."""
+    from providenciasbigdata_spark.functions.text import tokenize
+    from providenciasbigdata_spark.operators.classifier import (
+        predict_logistic,
+        train_logistic_hashed,
+    )
+
+    markers = ["slow", "dup"]
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "label",
+        F.arrays_overlap(
+            tokenize(F.col("text")), F.array(*[F.lit(m) for m in markers])
+        ).cast("int"),
+    )
+    model = train_logistic_hashed(docs, "label", dim=512, iters=20, lr=4.0)
+    scored = predict_logistic(docs, model)
+    acc = (
+        scored.select(
+            ((F.col("score") > 0.5).cast("int") == F.col("label"))
+            .cast("int")
+            .alias("ok")
+        )
+        .agg(F.round(F.avg("ok"), 4))
+        .first()[0]
+    )
+    top = sorted(
+        ((j, w) for j, w in enumerate(model.weights)),
+        key=lambda p: (-abs(p[1]), p[0]),
+    )[:20]
+    rows = [(int(j), round(float(w), 6)) for j, w in top]
+    rows.append((-1, float(acc)))
+    return spark.createDataFrame(rows, "bucket long, weight double")
+
+
 QUERIES = {
+    "curate_quality_classifier": (q_curate_quality_classifier, None),
     "drift_ks_totalprice": (q_drift_ks, _DRIFT_KS_SQL),
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
     "training_mix_temperature": (q_mix_temperature, _mix_temperature_sql()),
@@ -659,6 +711,11 @@ QUERIES = {
 }
 
 WHY_NO_ORACLE = {
+    "curate_quality_classifier": (
+        "iterative gradient-descent optimization is not SQL-expressible; "
+        "the update rule is pinned bit-identical to a pure-numpy twin "
+        "(1e-9) and bit-deterministic across runs in tests/test_classifier.py"
+    ),
     "dsir_importance_weights": (
         "log-likelihood-ratio scoring inherits the 1-ulp cross-engine ln() "
         "divergence (the F30 finding); pinned against a pure-numpy DSIR "
