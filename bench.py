@@ -121,6 +121,17 @@ HEADLINE = [
     "timeseries_resample_interpolate",
     "dsir_importance_weights",
     "cypher_global_topk",
+    # round 6 additions
+    "mql_agg_window_fields",
+    "mql_agg_densify",
+    "mql_agg_fill",
+    "mql_agg_replace_root",
+    "cypher_generic_3hop",
+    "a7_search_stemmed_en",
+    "embedding_quantize_int8",
+    "embed_matryoshka_ratio",
+    "graph_assortativity",
+    "window_ntile_quartiles",
 ]
 
 

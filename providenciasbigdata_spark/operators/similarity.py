@@ -1225,47 +1225,3 @@ def pca_project(
     )
 
 
-
-def quantize_int8(
-    embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Symmetric per-vector INT8 quantization (round 6) — the storage/
-    bandwidth half of an embedding pipeline: 4 bytes/dim float32
-    becomes 1 byte/dim plus one scale, the format ANN systems ship to
-    disk (faiss SQ8 / scann asymmetric hashing's codebook-free cousin).
-
-    q_i = floor(x_i / scale + 0.5) with scale = max|x| / 127 — the
-    floor(+0.5) form (round-half-toward-+inf) instead of ROUND because
-    banker's-rounding ties diverge across engines; floor is bit-exact
-    everywhere, which keeps the whole operator ORACLE-CHECKABLE (the
-    DuckDB twin replays the identical formula). Bounds by
-    construction: |q_i| <= 127, |x_i - q_i*scale| <= scale/2.
-
-    All-JVM: one transform to double, one array_max, element-wise
-    quantize against the MATERIALIZED scale column (a lambda
-    referencing a raw expression re-evaluates it per element — no CSE
-    inside HOFs; binding the column evaluates it once per row). Rows
-    whose vector is all-zero get scale 0 and an all-zero qvec.
-
-    Output: (id, scale double, qvec array<int>).
-    """
-    xd = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
-    )
-    with_scale = xd.withColumn(
-        "scale",
-        F.array_max(F.transform(F.col("__x"), F.abs)) / F.lit(127.0),
-    )
-    q = F.transform(
-        F.col("__x"),
-        lambda v: F.floor(v / F.col("scale") + F.lit(0.5)).cast("int"),
-    )
-    zeros = F.transform(F.col("__x"), lambda v: F.lit(0))
-    return with_scale.select(
-        F.col(id_col),
-        "scale",
-        F.when(F.col("scale") == 0, zeros).otherwise(q).alias("qvec"),
-    )

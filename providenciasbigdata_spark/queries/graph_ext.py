@@ -708,8 +708,86 @@ ORDER BY id
 """
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every edge, both orientations — ONE number
+    telling whether hubs attach to hubs (r>0) or to leaves (r<0), the
+    first summary a graph-shape audit reports. Shape: degree aggregate
+    + one edges⋈degrees⋈degrees join + five EXACT BIGINT sums (degrees
+    and their products are integers, so every moment is exact — no
+    float accumulation order anywhere), then one identical-order
+    double formula — value-hash-safe unrounded."""
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+
+    pairs = pairwise_cosine_matmul(
+        load_table(spark, sf_dir, "embeddings"), threshold=_HOP_LO, scale=100.0
+    )
+    und = pairs.filter(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").alias("x"), F.col("right_id").alias("y")
+    )
+    deg = (
+        und.select(F.col("x").alias("id"))
+        .unionAll(und.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    # both orientations: (dx, dy) and (dy, dx)
+    e = und.join(deg.withColumnRenamed("id", "x").withColumnRenamed("d", "dx"), "x").join(
+        deg.withColumnRenamed("id", "y").withColumnRenamed("d", "dy"), "y"
+    )
+    both = e.select("dx", "dy").unionAll(e.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    s = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_endpoints"),
+        (num / F.sqrt(vx * vy)).alias("assortativity"),
+    )
+
+
+_ASSORTATIVITY_SQL = f"""
+WITH sims AS MATERIALIZED (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {{cos}} >= 30),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT x AS id FROM sims UNION ALL SELECT y FROM sims)
+  GROUP BY id),
+e AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM sims JOIN deg dx ON dx.id = sims.x JOIN deg dy ON dy.id = sims.y),
+oriented AS (
+  SELECT dx, dy FROM e UNION ALL SELECT dy AS dx, dx AS dy FROM e),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM oriented)
+SELECT n AS n_endpoints,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         AS assortativity
+FROM s
+"""
+
+
 QUERIES = {
     "graph_clustering_coefficient": (q_clustering_coefficient, _CLUSTERING_SQL),
+    "graph_assortativity": (
+        q_degree_assortativity,
+        _ASSORTATIVITY_SQL.format(cos=_COS_SQL.format(a="a", b="b")),
+    ),
     "graph_two_hop": (q_two_hop, _TWO_HOP_SQL),
     "graph_link_prediction": (q_link_prediction, _LINK_PRED_SQL),
     "graph_closeness_seeds": (q_closeness_seeds, _CLOSENESS_SQL),

@@ -1129,16 +1129,31 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization summary per vector: the at-rest
     compression step before ANN indexing. Scalar outputs (scale, L1
-    mass, abs-max of the quantized codes) so the oracle compare stays
-    dtype-exact; the codes themselves are pinned by unit tests."""
+    mass, abs-max of the quantized codes, and — round 6 — the max
+    absolute RECONSTRUCTION error |x - q·scale|, the number that
+    decides whether SQ8 is safe for a given recall target) so the
+    oracle compare stays dtype-exact; per-element errors are computed
+    by the identical formula both engines and max is order-free, so
+    max_abs_err value-hashes UNROUNDED. The codes themselves are
+    pinned by unit tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.quantize_int8(emb)
+    x = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x"),
+    )
+    joined = q.join(x, "id")
     qabs = F.transform(F.col("qvec"), F.abs)
-    return q.select(
+    recon_err = F.zip_with(
+        F.col("x"), F.col("qvec"),
+        lambda v, qq: F.abs(v - qq.cast("double") * F.col("scale")),
+    )
+    return joined.select(
         F.col("id").alias("vec_id"),
         "scale",
-        F.aggregate(qabs, F.lit(0), lambda acc, x: acc + x).cast("long").alias("q_l1"),
+        F.aggregate(qabs, F.lit(0), lambda acc, x_: acc + x_).cast("long").alias("q_l1"),
         F.array_max(qabs).cast("long").alias("q_max"),
+        F.array_max(recon_err).alias("max_abs_err"),
     )
 
 
@@ -1150,14 +1165,16 @@ WITH scaled AS (
          CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
 ), q AS (
-  SELECT vec_id, s,
+  SELECT vec_id, s, v,
          CASE WHEN s <= 0 THEN list_transform(v, x -> 0)
               ELSE list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) END AS qv
   FROM scaled
 )
 SELECT vec_id, ROUND(s, 9) AS scale,
        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
-       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max,
+       list_max(list_transform(range(1, len(v) + 1),
+                i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * ROUND(s, 9)))) AS max_abs_err
 FROM q
 """
 
@@ -1212,59 +1229,6 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank long, left string, right string, merged string"
     )
-
-
-def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector symmetric INT8 quantization (operators.similarity.
-    quantize_int8) with its reconstruction-quality audit: scale,
-    integer code mass (q_sum / q_l1 — exact BIGINT folds, order-free),
-    and the max absolute reconstruction error (per-element doubles
-    computed by the identical formula both engines, max is
-    order-independent — so every column value-hashes UNROUNDED)."""
-    from providenciasbigdata_spark.operators.similarity import quantize_int8
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = quantize_int8(emb)
-    x = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x"),
-    )
-    joined = q.join(x, "vec_id").filter(F.col("scale") > 0)
-    recon_err = F.zip_with(
-        F.col("x"), F.col("qvec"),
-        lambda v, qq: F.abs(v - qq.cast("double") * F.col("scale")),
-    )
-    return joined.select(
-        "vec_id",
-        "scale",
-        F.aggregate(
-            F.col("qvec"), F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
-        ).alias("q_sum"),
-        F.aggregate(
-            F.col("qvec"), F.lit(0).cast("long"),
-            lambda a, v: a + F.abs(v).cast("long"),
-        ).alias("q_l1"),
-        F.array_max(recon_err).alias("max_abs_err"),
-    )
-
-
-_EMBED_QUANT_SQL = """
-WITH x AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), s AS (
-  SELECT vec_id, v,
-         list_max(list_transform(v, e -> abs(e))) / 127.0 AS scale
-  FROM x
-)
-SELECT vec_id, scale,
-  CAST(list_sum(list_transform(v, e -> CAST(floor(e / scale + 0.5) AS BIGINT)))
-       AS BIGINT) AS q_sum,
-  CAST(list_sum(list_transform(v, e -> abs(CAST(floor(e / scale + 0.5) AS BIGINT))))
-       AS BIGINT) AS q_l1,
-  list_max(list_transform(v, e -> abs(e - floor(e / scale + 0.5) * scale)))
-       AS max_abs_err
-FROM s WHERE scale > 0
-"""
 
 
 def q_embed_matryoshka_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,7 +1296,6 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
     "jaccard_join_prefix": (q_jaccard_join_prefix, _JACCARD_PREFIX_SQL),
     "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
-    "embed_quantize_int8": (q_embed_quantize_int8, _EMBED_QUANT_SQL),
     "embed_matryoshka_ratio": (q_embed_matryoshka_ratio, _EMBED_MATRYOSHKA_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
     "ivf_index_exact_topk": (q_ivf_index_exact_topk, _ANN_BRUTE_SQL),

@@ -650,7 +650,46 @@ def q_supplier_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q16_SQL)
 
 
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) balance quartiles per market segment — the remaining
+    ranking window function (rank/dense_rank/row_number/percent_rank
+    are covered elsewhere). The tile assignment is deterministic ONLY
+    under a total order, so c_custkey breaks acctbal ties; DuckDB's
+    NTILE uses the identical SQL-standard big-tiles-first split.
+    Per-(segment, quartile): member count + boundary balances."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("q", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", F.col("q").cast("long").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo_bal"),
+            F.max("c_acctbal").cast("double").alias("hi_bal"),
+        )
+    )
+
+
+_NTILE_SQL = """
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal ASC, c_custkey ASC) AS q
+  FROM customer)
+SELECT c_mktsegment, CAST(q AS BIGINT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS lo_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS hi_bal
+FROM t GROUP BY c_mktsegment, q
+"""
+
+
 QUERIES = {
+    "window_ntile_quartiles": (q_window_ntile_quartiles, _NTILE_SQL),
     "agg_forecast_revenue": (q_forecast_revenue, _Q6_SQL),
     "join_important_stock": (q_important_stock, _Q11_SQL),
     "agg_supplier_part_buckets": (q_supplier_part_buckets, _Q16_SQL),

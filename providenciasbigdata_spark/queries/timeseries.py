@@ -554,7 +554,65 @@ ORDER BY d.event_type
 """
 
 
+def q_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per user
+    (round 6): s_t = Σ_{j=0..K-1} α(1−α)^j · x_{t−j} over the event
+    sequence, K=8, α=0.3 — the trend-smoothing primitive (monitoring
+    dashboards, feature pipelines). The infinite-memory recursive EWMA
+    is not SQL-expressible; TRUNCATING the tail (weights below
+    α(1−α)^K ≈ 1.7% dropped, adjust=False semantics) turns it into a
+    dot product of the last K values with PRECOMPUTED weight literals
+    — a collect_list window + one left-to-right aggregate fold, which
+    both engines evaluate in the identical multiply-add order, so the
+    doubles value-hash UNROUNDED. Plan: one per-user window, no UDF,
+    no global sort."""
+    alpha, k = 0.3, 8
+    weights = [alpha * (1 - alpha) ** j for j in range(k)]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").cast("double").alias("x")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(-(k - 1), 0)
+    )
+    # newest-first value list: element i pairs with weight α(1−α)^i
+    vals = F.reverse(F.collect_list("x").over(w))
+    wlit = F.array(*[F.lit(float(wt)) for wt in weights])
+    ewma = F.aggregate(
+        F.zip_with(vals, F.slice(wlit, 1, F.size(vals)), lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda acc, term: acc + term,
+    )
+    return ev.select(
+        "user_id", "event_id", "x", ewma.alias("ewma")
+    ).filter(F.col("user_id") < 50)
+
+
+def _ewma_sql() -> str:
+    alpha, k = 0.3, 8
+    weights = [alpha * (1 - alpha) ** j for j in range(k)]
+    wlist = "[" + ", ".join(repr(float(wt)) for wt in weights) + "]"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x FROM events
+), win AS (
+  SELECT user_id, event_id, x,
+         list_reverse(list(x) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)) AS vals
+  FROM ev)
+SELECT user_id, event_id, x,
+       list_reduce(
+         list_prepend(0.0,
+           list_transform(range(1, len(vals) + 1),
+                          i -> vals[i] * ({wlist})[i])),
+         (acc, term) -> acc + term) AS ewma
+FROM win WHERE user_id < 50
+"""
+
+
 QUERIES = {
+    "timeseries_ewma_truncated": (q_ewma_truncated, _ewma_sql()),
     "anomaly_mad_outliers": (q_mad_outliers, _MAD_SQL),
     "timeseries_weekly_revenue": (q_weekly_revenue, _WEEKLY_REVENUE_SQL),
     "timeseries_resample_ffill": (q_resample_ffill, _RESAMPLE_SQL),

@@ -27,3 +27,16 @@ def test_search_service_flow_runs_end_to_end(spark, capsys, monkeypatch):
     flow.main()
     out = capsys.readouterr().out
     assert "[bm25] top-5:" in out and "[phrase]" in out and "$meta ranked" in out
+
+
+def test_classifier_curation_flow_runs_end_to_end(spark):
+    """Weak-label bootstrap loop (train -> score map-only -> curate):
+    the example asserts generalization, determinism, plan shape, and
+    composition shift itself; the test drives it and sanity-checks the
+    returned audit."""
+    from examples.classifier_curation_flow import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["n_curated"] < out["n_raw"]
+    assert out["held_out_agreement"] >= 0.95
+    assert out["curated_prevalence"] > out["raw_prevalence"]
