@@ -200,6 +200,16 @@ def main() -> None:
             # cache of later ones mid-measurement (minhash 5.3s dirty
             # vs 2.2s isolated)
             spark.catalog.clearCache()
+            # ...and the RDD-level blocks clearCache can NOT reach: the
+            # iterative graph operators localCheckpoint their loop state
+            # (2-3 persistent RDDs per query), which accumulates across
+            # 100+ queries x 3 passes until storage pressure makes later
+            # iterative queries read 4-5x slower (measured: pagerank
+            # 6.9s dirty vs 2.7s clean in the round-6 run). The results
+            # are already materialized at this point, so unpersisting is
+            # safe.
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
         print(
             f"[bench] pass {_pass}: " + ", ".join(f"{n}={timings[n]:.2f}" for n in HEADLINE),
             file=sys.stderr,

@@ -441,6 +441,13 @@ def compile_query(
 
         if edges is None:
             raise ValueError("expansion query needs the edges frame")
+        if mc["optional"] and len(hops) > 1:
+            # Cypher's OPTIONAL MATCH is all-or-nothing per pattern; a
+            # per-hop left-join chain would keep PARTIAL matches, so
+            # multi-hop optional patterns raise instead of misreading
+            raise CypherUnsupported(
+                "OPTIONAL MATCH supports a single relationship pattern"
+            )
 
         for hj, (rel, node) in enumerate(hops):
             hop_n += 1

@@ -861,12 +861,22 @@ def _densify_stage(df: DataFrame, spec) -> DataFrame:
     if not (isinstance(spec, dict) and "field" in spec and isinstance(spec.get("range"), dict)):
         raise ValueError(f"$densify needs field and range: {spec!r}")
     rng = spec["range"]
-    if "unit" in rng:
-        raise ValueError("$densify date units are unsupported (numeric only)")
     if "step" not in rng or "bounds" not in rng:
         raise ValueError(f"$densify range needs step and bounds: {rng!r}")
     step = rng["step"]
-    if not isinstance(step, (int, float)) or isinstance(step, bool) or step <= 0:
+    unit = rng.get("unit")
+    if unit is not None:
+        # date-unit densification (round 6): integer step in a calendar
+        # unit over a timestamp field; candidate points come from
+        # sequence(lo, hi, INTERVAL step unit) with the same
+        # upper-EXCLUSIVE rule as the numeric path
+        units = {"second", "minute", "hour", "day", "week", "month",
+                 "quarter", "year"}
+        if unit not in units:
+            raise ValueError(f"$densify unit must be one of {sorted(units)}: {unit!r}")
+        if not isinstance(step, int) or isinstance(step, bool) or step <= 0:
+            raise ValueError(f"$densify date step must be a positive int: {step!r}")
+    elif not isinstance(step, (int, float)) or isinstance(step, bool) or step <= 0:
         raise ValueError(f"$densify step must be a positive number: {step!r}")
     field = spec["field"]
     if field not in df.columns:
@@ -874,9 +884,15 @@ def _densify_stage(df: DataFrame, spec) -> DataFrame:
     parts = list(spec.get("partitionByFields") or [])
     bounds = rng["bounds"]
     ftype = df.schema[field].dataType
+    if unit is not None and not isinstance(ftype, T.TimestampType):
+        raise ValueError(
+            f"$densify with a unit needs a timestamp field, got {ftype.simpleString()}"
+        )
 
     if isinstance(bounds, (list, tuple)) and len(bounds) == 2:
         lo_c, hi_c = F.lit(bounds[0]), F.lit(bounds[1])
+        if unit is not None:
+            lo_c, hi_c = lo_c.cast("timestamp"), hi_c.cast("timestamp")
         if parts:
             span = df.select(*parts).distinct().select(
                 *parts, lo_c.alias("__lo"), hi_c.alias("__hi")
@@ -900,12 +916,24 @@ def _densify_stage(df: DataFrame, spec) -> DataFrame:
     # candidate points: lo + k*step for k in [0, ceil((hi-lo)/step) - 1]
     # (upper bound exclusive — unobservable for full/partition bounds,
     # where hi is an existing max, exactly as in Mongo)
-    k_max = (F.ceil((F.col("__hi") - F.col("__lo")) / F.lit(step)) - 1).cast("bigint")
-    gen = (
-        span.filter(F.col("__lo").isNotNull() & (F.col("__hi") > F.col("__lo")))
-        .select(*parts, F.col("__lo"), F.explode(F.sequence(F.lit(0).cast("bigint"), k_max)).alias("__k"))
-        .select(*parts, (F.col("__lo") + F.col("__k") * F.lit(step)).cast(ftype).alias(field))
-    )
+    live = span.filter(F.col("__lo").isNotNull() & (F.col("__hi") > F.col("__lo")))
+    if unit is not None:
+        # calendar steps: sequence() is end-INCLUSIVE, so trim to < hi
+        seq = F.sequence(
+            F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {int(step)} {unit}")
+        )
+        gen = (
+            live.select(*parts, F.col("__hi"), F.explode(seq).alias(field))
+            .filter(F.col(field) < F.col("__hi"))
+            .select(*parts, field)
+        )
+    else:
+        k_max = (F.ceil((F.col("__hi") - F.col("__lo")) / F.lit(step)) - 1).cast("bigint")
+        gen = (
+            live
+            .select(*parts, F.col("__lo"), F.explode(F.sequence(F.lit(0).cast("bigint"), k_max)).alias("__k"))
+            .select(*parts, (F.col("__lo") + F.col("__k") * F.lit(step)).cast(ftype).alias(field))
+        )
     existing = df.select(*parts, field).distinct()
     missing = gen.join(existing, on=parts + [field], how="left_anti")
     return df.unionByName(missing, allowMissingColumns=True)

@@ -1800,6 +1800,63 @@ FROM allr GROUP BY tipo, anio
 """
 
 
+def q_mql_agg_densify_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$densify with a DATE UNIT (round 6): per-event-type daily
+    timeline from a sparse set of observed days — step 1 day over each
+    partition's [min, max], generated days carry a NULL 'real' marker.
+    The calendar-interval sibling of mql_agg_densify; candidates come
+    from sequence(lo, hi, INTERVAL 1 DAY), upper-exclusive."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    sparse = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .filter(F.dayofmonth("day").isin(1, 9, 20))
+        .withColumn("real", F.lit(1))
+    )
+    out = mql_aggregate(
+        sparse,
+        [{"$densify": {"field": "day",
+                       "range": {"step": 1, "unit": "day", "bounds": "partition"},
+                       "partitionByFields": ["event_type"]}}],
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count("real").cast("long").alias("n_real"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+_MQL_DENSIFY_TIME_SQL = """
+WITH sparse AS (
+  SELECT DISTINCT event_type, date_trunc('day', ts) AS day FROM events
+), filt AS (
+  SELECT event_type, day, 1 AS real FROM sparse
+  WHERE date_part('day', day) IN (1, 9, 20)
+), b AS (
+  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+  FROM filt GROUP BY event_type
+), g AS (
+  SELECT b.event_type, u.day
+  FROM b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS u(day)
+  WHERE b.hi > b.lo AND u.day < b.hi
+), miss AS (
+  SELECT g.event_type, g.day FROM g
+  ANTI JOIN (SELECT event_type, day FROM filt) e USING (event_type, day)
+), allr AS (
+  SELECT event_type, day, real FROM filt
+  UNION ALL SELECT event_type, day, NULL AS real FROM miss
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(real) AS BIGINT) AS n_real,
+       MIN(day) AS first_day, MAX(day) AS last_day
+FROM allr GROUP BY event_type
+"""
+
+
 def q_mql_agg_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$fill (verdict-r5 item 2): null out anio on every third ruling,
     then fill three ways in ONE stage over the original document —
@@ -1954,6 +2011,7 @@ QUERIES = {
     "mql_agg_facet": (q_mql_agg_facet, _MQL_FACET_SQL),
     "mql_agg_window_fields": (q_mql_agg_window_fields, _MQL_WINDOW_FIELDS_SQL),
     "mql_agg_densify": (q_mql_agg_densify, _MQL_DENSIFY_SQL),
+    "mql_agg_densify_time": (q_mql_agg_densify_time, _MQL_DENSIFY_TIME_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
     "mql_agg_fill": (q_mql_agg_fill, _MQL_FILL_SQL),

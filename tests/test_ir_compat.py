@@ -205,6 +205,26 @@ def test_cypher_generic_compiler_capabilities(spark):
     )
     assert [r.destino for r in page.collect()] == dsts[2:5]
 
+    # MULTIPLE MATCH clauses continuing from a bound variable compile
+    # to the same chain as the single-pattern 2-hop form (needs the
+    # full bounded edge set — the anchored build has no second hops)
+    edges_full = build_similarity_edges(
+        load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 150)
+    )
+    q2 = (
+        "MATCH (a:Providencia {id: $o})-[r1:SIMILAR]->(b:Providencia) "
+        "MATCH (b)-[r2:SIMILAR]->(c:Providencia) "
+        "WHERE r1.similitud >= $lo AND r2.similitud >= $lo "
+        "RETURN a.id AS origen, b.id AS mid, c.id AS destino"
+    )
+    q1 = q2.replace(
+        "(b:Providencia) MATCH (b)", "(b:Providencia)"
+    )
+    p = {"o": "P-7", "lo": 20.0}
+    two_clause = sorted(map(tuple, cypher_run(q2, edges=edges_full, params=p).collect()))
+    one_clause = sorted(map(tuple, cypher_run(q1, edges=edges_full, params=p).collect()))
+    assert two_clause == one_clause and len(two_clause) > 0
+
     # out-of-grammar patterns raise with the parser's reason
     for bad in (
         # multiple relationship types
@@ -220,6 +240,18 @@ def test_cypher_generic_compiler_capabilities(spark):
     ):
         with pytest.raises(ValueError):
             cypher_run(bad, edges=edges, params={"o": "P-7"})
+
+    # multi-hop OPTIONAL MATCH: all-or-nothing semantics would be
+    # violated by a per-hop left-join chain — must raise the specific
+    # guard (nodes provided so the missing-frame check can't mask it)
+    with pytest.raises(ValueError, match="single relationship"):
+        cypher_run(
+            "MATCH (a:Providencia {id:$o}) "
+            "OPTIONAL MATCH (a)-[r:SIMILAR]->(b)-[s:SIMILAR]->(c) "
+            "RETURN a.id AS x, c.id AS y",
+            nodes=nodes_view(load_table(spark, SF, "documents")),
+            edges=edges, params={"o": "P-7"},
+        )
 
 
 def test_mql_array_operators_semantics(spark):
@@ -656,8 +688,14 @@ def test_mql_window_densify_fill_stages(spark):
             "s": {"$sum": "$v", "$avg": "$v"}}}}],
         # densify: date unit / non-positive step / partition bounds
         # without partitionByFields / unknown field
+        # densify units: unknown unit / unit on a non-timestamp field /
+        # float step with a unit
+        [{"$densify": {"field": "doc_id",
+                       "range": {"step": 1, "bounds": "full", "unit": "fortnight"}}}],
         [{"$densify": {"field": "doc_id",
                        "range": {"step": 1, "bounds": "full", "unit": "hour"}}}],
+        [{"$densify": {"field": "doc_id",
+                       "range": {"step": 1.5, "bounds": "full", "unit": "day"}}}],
         [{"$densify": {"field": "doc_id", "range": {"step": 0, "bounds": "full"}}}],
         [{"$densify": {"field": "doc_id", "range": {"step": 1, "bounds": "partition"}}}],
         [{"$densify": {"field": "nope", "range": {"step": 1, "bounds": "full"}}}],
@@ -690,6 +728,23 @@ def test_mql_window_densify_fill_stages(spark):
     )
     # existing: 1,1,2,3,4,6; candidates {0,2,4,6,8} minus existing -> {0,8}
     assert got == [0, 1, 1, 2, 3, 4, 6, 8]
+
+    # --- densify with a DAY unit: calendar candidates, gaps filled,
+    # existing days not regenerated, upper bound exclusive-by-trim
+    import datetime as dt
+
+    tsdf = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1),), (dt.datetime(2024, 3, 4),),
+         (dt.datetime(2024, 3, 5),)],
+        "day timestamp",
+    )
+    got = sorted(
+        r.day.day
+        for r in mql_aggregate(tsdf, [{"$densify": {
+            "field": "day",
+            "range": {"step": 1, "unit": "day", "bounds": "full"}}}]).collect()
+    )
+    assert got == [1, 2, 3, 4, 5]
 
     # --- densify ignores null-field rows (pass through, no bounds effect)
     withnull = spark.createDataFrame([(1,), (None,), (4,)], "x int")
