@@ -1088,7 +1088,55 @@ WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
 """
 
 
+def q_ivm_incremental_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (round 6, operators/ivm.py): the
+    orders⋈lineitem revenue rollup refreshed from a materialized
+    pre-1997 join state plus 1997+ DELTAS on both sides — three
+    delta-broadcast joins instead of re-joining history. The oracle is
+    the FROM-SCRATCH full join, so the value hash IS the proof that
+    (A∪dA)⋈(B∪dB) == A⋈B ∪ dA⋈B ∪ A⋈dB ∪ dA⋈dB on real data.
+    Exact DECIMAL revenue; per-year grain."""
+    from providenciasbigdata_spark.operators.ivm import refresh_join
+
+    cutoff = "1997-01-01"
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderdate"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_shipdate", "l_extendedprice"
+    )
+    old_o, d_o = (
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+    )
+    old_l, d_l = (
+        lineitem.filter(F.col("l_shipdate") < cutoff),
+        lineitem.filter(F.col("l_shipdate") >= cutoff),
+    )
+    old_join = old_o.join(old_l, "okey", "inner")
+    refreshed = refresh_join(old_join, old_o, old_l, d_o, d_l, on=["okey"])
+    return refreshed.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast("double"), 4
+        ).alias("revenue"),
+    )
+
+
+_IVM_JOIN_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4)
+           AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY yr
+"""
+
+
 QUERIES = {
+    "ivm_incremental_join_revenue": (q_ivm_incremental_join_revenue, _IVM_JOIN_SQL),
     "incremental_daily_revenue": (q_incremental_daily_revenue, _INCR_SQL),
     "merge_into_customers": (q_merge_into_customers, _MERGE_SQL),
     "agg_pricing_summary": (q_agg_pricing_summary, _AGG_Q1_SQL),

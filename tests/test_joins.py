@@ -116,3 +116,41 @@ def test_asof_direction_matrix(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="t", direction="sideways")
+
+
+def test_ivm_join_delta_algebra(spark):
+    """operators/ivm.py: refresh == from-scratch join for every split
+    shape (both deltas, one-sided, empty); delta terms broadcast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from providenciasbigdata_spark.operators import ivm
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(40)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(k % 25, f"b{k}") for k in range(60)], "k long, bv string"
+    )
+    full = a.join(b, "k", "inner")
+
+    def split(df, frac_col):
+        return (df.filter(frac_col), df.filter(~frac_col))
+
+    old_a, d_a = split(a, F.col("k") % 3 != 0)
+    old_b, d_b = split(b, F.col("bv").substr(2, 10).cast("long") % 4 != 0)
+    refreshed = ivm.refresh_join(
+        old_a.join(old_b, "k", "inner"), old_a, old_b, d_a, d_b, on=["k"]
+    )
+    assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, full.collect()))
+
+    # one-sided delta
+    r1 = ivm.refresh_join(old_a.join(b, "k"), old_a, b, d_a, None, on=["k"])
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, full.collect()))
+    # no deltas: old state returned verbatim
+    oj = a.join(b, "k")
+    assert ivm.refresh_join(oj, a, b, None, None, on=["k"]) is oj
+    # the delta terms broadcast (the 100 TB contract)
+    d = ivm.join_delta(old_a, old_b, d_a, d_b, on=["k"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
