@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -311,6 +312,82 @@ class MongoDumpWriter(DataSourceWriter):
                 os.remove(m.staged)
 
 
+class MongoDumpStreamWriter(DataSourceStreamWriter):
+    """STREAMING write path (round 6) — the last quadrant of the
+    custom-format matrix (batch read/write and stream read exist
+    above): ``writeStream.format("mongodump")`` lands each micro-batch
+    as dump part files with an exactly-once per-batch commit.
+
+    Protocol (the foreachBatch-free, engine-managed form):
+
+    1. every task stages its rows to ``_staging/`` and returns a
+       commit message — same as the batch writer;
+    2. ``commit(messages, batchId)`` renames staged files to
+       ``part-b<batchId>-<task>.json`` and then atomically publishes a
+       ``_committed_b<batchId>`` marker (os.replace of a staged
+       marker). Replayed batches (restart after the sink committed but
+       before the checkpoint advanced) find the marker, DISCARD their
+       freshly staged files and do nothing — idempotence without a
+       sidecar log, the same (lineage, batch) high-water idea as the
+       versioned upsert sink;
+    3. ``abort`` deletes the stage. A crash mid-commit leaves either
+       no marker (batch replays fully; leftover renamed part files are
+       overwritten by the replay's identical renames) or the marker
+       (replay no-ops) — readers only ever see whole batches once the
+       marker exists... and part files are never half-written because
+       rename is atomic.
+
+    Scale note: one marker + O(tasks) renames per batch, no data
+    rewrite; the dump dir remains readable by the batch reader at any
+    point (SURVEY §2.4 file-formats row)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mongodump stream writer needs a path")
+        self.schema = schema
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        staged = os.path.join(stage_dir, f"task-{pid:05d}-{uuid.uuid4().hex}.json")
+        fields = [(f.name, f.dataType) for f in self.schema.fields]
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                doc = {n: _wrap_value(row[n], t) for n, t in fields}
+                fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
+        return _WrittenFile(staged, staged)  # final name decided at commit
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_committed_b{batch_id:06d}")
+
+    def commit(self, messages, batchId: int) -> None:
+        if os.path.exists(self._marker(batchId)):
+            # replayed batch: already published — discard the re-staged files
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+            return
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-b{batchId:06d}-{i:05d}.json")
+            os.replace(m.staged, final)
+        marker_tmp = os.path.join(self.path, "_staging", f"marker-{batchId}")
+        os.makedirs(os.path.dirname(marker_tmp), exist_ok=True)
+        with open(marker_tmp, "w") as fh:
+            fh.write(str(len(messages)))
+        os.replace(marker_tmp, self._marker(batchId))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class MongoDumpDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -330,6 +407,9 @@ class MongoDumpDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> MongoDumpWriter:
         return MongoDumpWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> MongoDumpStreamWriter:
+        return MongoDumpStreamWriter(schema, self.options)
 
 
 def register(spark: SparkSession) -> None:

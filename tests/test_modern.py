@@ -492,3 +492,76 @@ def test_mongodump_writer_roundtrip_and_overwrite(spark, tmp_path):
     row = tback.first()
     assert (row.k, row.v, row.s) == (1, 2.5, "x")
     assert row.ts == typed.first().ts
+
+
+def test_mongodump_stream_writer_exactly_once(spark, tmp_path):
+    """Round 6: the STREAMING write path — writeStream.format
+    ('mongodump') lands each micro-batch via the per-batch staged-
+    rename + marker commit. Pins: multi-batch drain equals the input
+    exactly; markers exist per batch; a replayed batch (marker present)
+    publishes nothing new; staging never leaks."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    datasources.register(spark)
+    spool = str(tmp_path / "sw_spool")
+    out = str(tmp_path / "sw_out")
+    ckpt = str(tmp_path / "sw_ckpt")
+    os.makedirs(spool)
+    import time as _time
+
+    base = _time.time() - 100
+    for i in range(4):
+        p = os.path.join(spool, f"f{i:02d}.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 10), pa.int64())}), p
+        )
+        os.utime(p, (base + i, base + i))
+
+    def drain(qname):
+        q = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+            .writeStream.format("mongodump")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("sw1")
+    back = spark.read.format("mongodump").schema("k long").load(out)
+    assert sorted(r.k for r in back.collect()) == list(range(40))
+    markers = [f for f in os.listdir(out) if f.startswith("_committed_b")]
+    assert len(markers) == 4  # one commit marker per micro-batch
+    stage = os.path.join(out, "_staging")
+    assert not os.path.isdir(stage) or not os.listdir(stage)
+
+    # same-checkpoint restart: nothing new to process, nothing published
+    before = sorted(os.listdir(out))
+    drain("sw2")
+    assert sorted(os.listdir(out)) == before
+
+    # simulate a replayed batch: run a FRESH checkpoint over the same
+    # spool into the same out dir — batch ids repeat, markers exist, so
+    # commit must discard restaged files instead of duplicating rows
+    drain_fresh_ckpt = str(tmp_path / "sw_ckpt2")
+    q = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+        .writeStream.format("mongodump")
+        .option("path", out)
+        .option("checkpointLocation", drain_fresh_ckpt)
+        .queryName("sw3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back2 = spark.read.format("mongodump").schema("k long").load(out)
+    assert sorted(r.k for r in back2.collect()) == list(range(40))  # no dupes
