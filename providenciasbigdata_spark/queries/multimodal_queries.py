@@ -62,6 +62,34 @@ GROUP BY 1
 """
 
 
+def q_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-class screen over every payload through the mapInArrow
+    surface (multimodal.payload_entropy_arrow — Arrow batches pass to
+    numpy zero-copy, no pandas materialization of binary cells). The
+    hash-compared columns are the exactly-computable ones (byte count
+    and two exact-count ratios — one IEEE division each); the entropy
+    column itself is log2-based (the 1-ulp cross-engine ln/log trap)
+    and is pinned against a pure-Python reference in
+    tests/test_multimodal.py instead."""
+    ent = multimodal.payload_entropy_arrow(
+        assets_frame(spark, sf_dir), id_col="asset_id"
+    )
+    return ent.filter(F.col("n_bytes") > 0).select(
+        "asset_id", "n_bytes", "ascii_ratio", "null_ratio"
+    )
+
+
+_PAYLOAD_ENTROPY_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)
+           / CAST(octet_length(encode(text)) AS DOUBLE) AS ascii_ratio,
+       0.0 AS null_ratio
+FROM documents
+WHERE octet_length(encode(text)) > 0
+"""
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "image")
     return multimodal.decode_image_features(assets)
@@ -415,6 +443,7 @@ def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_payload_stats": (q_payload_stats, _PAYLOAD_STATS_SQL),
+    "multimodal_payload_entropy": (q_payload_entropy, _PAYLOAD_ENTROPY_SQL),
     "multimodal_image_features": (q_image_features, None),
     "multimodal_audio_features": (q_audio_features, None),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),

@@ -324,3 +324,44 @@ def test_be_uint_and_header_meta(spark):
         [(3, b"RIFF1234WAVEJUNK" + bytes(40))], "asset_id long, payload binary"
     )
     assert mm.wav_header_meta(bad).first().wav_ok is False
+
+
+def test_payload_entropy_arrow_matches_reference(spark):
+    """mapInArrow byte screen: entropy/ratios equal a pure-Python
+    reference on crafted payloads (constant bytes -> 0 bits, uniform
+    0..255 -> exactly 8 bits, text, empty, NULL)."""
+    import math
+
+    from providenciasbigdata_spark import multimodal
+
+    rows = [
+        (0, b"\x41" * 100),              # constant: entropy 0
+        (1, bytes(range(256)) * 4),       # uniform: entropy 8
+        (2, b"hello world \x00\x00"),    # mixed text + nulls
+        (3, b""),                        # empty
+        (4, None),                       # null payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.payload_entropy_arrow(df).collect()}
+
+    def ref(b):
+        if not b:
+            return (0, 0.0, 0.0, 0.0)
+        counts = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        n = len(b)
+        ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        ascii_r = sum(1 for x in b if 32 <= x < 127) / n
+        null_r = sum(1 for x in b if x == 0) / n
+        return (n, ent, ascii_r, null_r)
+
+    for doc_id, payload in rows:
+        n, e, a, z = ref(payload or b"")
+        r = got[doc_id]
+        assert r.n_bytes == n
+        assert abs(r.entropy_bits - e) < 1e-12, (doc_id, r.entropy_bits, e)
+        assert abs(r.ascii_ratio - a) < 1e-12
+        assert abs(r.null_ratio - z) < 1e-12
+    assert got[0].entropy_bits == 0.0
+    assert abs(got[1].entropy_bits - 8.0) < 1e-12
