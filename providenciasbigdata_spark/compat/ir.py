@@ -769,6 +769,45 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             new_cols[out] = rank_fn().over(base.orderBy(*sort_cols)).cast("long")
             continue
 
+        if fn in ("$locf", "$linearFill"):
+            # Mongo 5.2+: the gap-filling methods are ALSO window
+            # functions inside $setWindowFields; same semantics as the
+            # $fill stage methods (locf carries last non-null forward;
+            # linearFill interpolates on the sortBy axis, edge nulls
+            # preserved, double output)
+            if win is not None:
+                raise ValueError(f"{fn} does not accept a window (Mongo contract)")
+            if not sort_cols:
+                raise ValueError(f"{fn} requires sortBy")
+            src = _agg_expr(arg)
+            if fn == "$locf":
+                wb = base.orderBy(*sort_cols).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                new_cols[out] = F.coalesce(src, F.last(src, ignorenulls=True).over(wb))
+                continue
+            if len(sort_pairs) != 1 or sort_pairs[0][1] != 1:
+                raise ValueError(
+                    "$linearFill requires a single ascending numeric sortBy field"
+                )
+            s = F.col(sort_pairs[0][0]).cast("double")
+            v = src.cast("double")
+            wb = base.orderBy(*sort_cols).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wf = base.orderBy(*sort_cols).rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+            pv = F.last(v, ignorenulls=True).over(wb)
+            ps = F.last(F.when(v.isNotNull(), s), ignorenulls=True).over(wb)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            ns = F.first(F.when(v.isNotNull(), s), ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) * (s - ps) / (ns - ps)
+            new_cols[out] = F.when(v.isNotNull(), v).otherwise(
+                F.when(pv.isNotNull() & nv.isNotNull(), interp)
+            )
+            continue
+
         if fn == "$shift":
             if win is not None:
                 raise ValueError("$shift does not accept a window (Mongo contract)")

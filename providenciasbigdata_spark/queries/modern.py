@@ -789,7 +789,44 @@ FROM totals t JOIN ranked r ON t.user_id = r.user_id AND r.rn = 1
 """
 
 
+def q_sql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS (round 6): UTF8_LCASE comparison semantics —
+    equality, DISTINCT, and filtering all fold case engine-side, no
+    lower() rewrites. Case variation is injected deterministically
+    (even event_ids upper-cased), then counted three ways: distinct
+    under the case-insensitive collation, distinct case-SENSITIVE
+    (must see both spellings), and a collated equality filter that
+    matches both cases of 'click'. Oracle folds with lower(), which is
+    equivalent for this ASCII domain."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "et_mixed",
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    ci = F.collate(F.col("et_mixed"), "UTF8_LCASE")
+    return ev.agg(
+        F.count_distinct(ci).cast("long").alias("n_types_ci"),
+        F.count_distinct(F.col("et_mixed")).cast("long").alias("n_types_cs"),
+        F.sum((ci == F.lit("click")).cast("int")).cast("long").alias("n_click_ci"),
+    )
+
+
+_COLLATION_SQL = """
+WITH m AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS et_mixed
+  FROM events)
+SELECT CAST(COUNT(DISTINCT lower(et_mixed)) AS BIGINT) AS n_types_ci,
+       CAST(COUNT(DISTINCT et_mixed) AS BIGINT) AS n_types_cs,
+       CAST(SUM(CASE WHEN lower(et_mixed) = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click_ci
+FROM m
+"""
+
+
 QUERIES = {
+    "sql_collation_ci": (q_sql_collation_ci, _COLLATION_SQL),
     "mongodump_facet_anio": (q_mongodump_facet_anio, _MONGODUMP_SQL),
     "stream_mongodump_ingest": (q_stream_mongodump_ingest, _STREAM_MONGODUMP_SQL),
     "agg_approx_topk_events": (q_approx_topk_events, _APPROX_TOPK_SQL),

@@ -709,6 +709,26 @@ def test_mql_window_densify_fill_stages(spark):
         with pytest.raises(ValueError):
             mql_aggregate(df, bad).collect()
 
+    # --- $locf / $linearFill as WINDOW functions (Mongo 5.2 forms):
+    # same semantics as the $fill stage methods
+    out = {
+        (r.tipo, r.doc_id): (r.carried, r.lin)
+        for r in mql_aggregate(
+            df.withColumn("vd", F.col("v").cast("double")),
+            [{"$setWindowFields": {
+                "partitionBy": "$tipo", "sortBy": {"doc_id": 1},
+                "output": {"carried": {"$locf": "$v"},
+                           "lin": {"$linearFill": "$vd"}}}}],
+        ).collect()
+    }
+    assert out[("a", 2)] == (10, 20.0)
+    assert out[("b", 1)] == (None, None)
+    assert out[("b", 6)][0] == 30 and out[("b", 6)][1] is None
+    with pytest.raises(ValueError, match="window"):
+        mql_aggregate(df, [{"$setWindowFields": {
+            "sortBy": {"doc_id": 1},
+            "output": {"c": {"$locf": "$v", "window": {"documents": [-1, 0]}}}}}])
+
     # --- $shift negative by = lag; default fills partition edges
     row = {
         (r.tipo, r.doc_id): r.prev
