@@ -400,7 +400,8 @@ def _ref_field(spec, what: str) -> str:
     return spec[1:]
 
 
-_GROUP_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet"}
+_GROUP_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet", "$count",
+               "$stdDevSamp", "$mergeObjects"}
 
 
 def _group_aggs(spec: dict) -> list[Column]:
@@ -419,6 +420,18 @@ def _group_aggs(spec: dict) -> list[Column]:
         (op, operand), = acc.items()
         if op not in _GROUP_ACCS:
             raise ValueError(f"unsupported $group accumulator: {op}")
+        if op == "$mergeObjects":
+            raise ValueError("$mergeObjects is unsupported (no document-typed columns)")
+        if op == "$stdDevSamp":
+            raise ValueError(
+                "$stdDevSamp is unsupported (cross-engine float moments diverge; "
+                "use the MAD/variance queries in queries/timeseries.py)"
+            )
+        if op == "$count":
+            if operand not in ({}, None):
+                raise ValueError(f"$count takes an empty document: {operand!r}")
+            aggs.append(F.count(F.lit(1)).alias(out))
+            continue
         if op == "$sum" and operand == 1:
             aggs.append(F.count(F.lit(1)).alias(out))
             continue
@@ -523,6 +536,23 @@ def _agg_expr(spec) -> Column:
             return {"$toLower": F.lower, "$toUpper": F.upper, "$strLenCP": F.length}[
                 op
             ](a)
+        if op in ("$abs", "$floor", "$ceil"):
+            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            return {"$abs": F.abs, "$floor": F.floor, "$ceil": F.ceil}[op](a)
+        if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute", "$second"):
+            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            return {
+                "$year": F.year, "$month": F.month, "$dayOfMonth": F.dayofmonth,
+                "$hour": F.hour, "$minute": F.minute, "$second": F.second,
+            }[op](a)
+        if op == "$dateTrunc":
+            if not (isinstance(args, dict) and {"date", "unit"} <= set(args)):
+                raise ValueError(f"$dateTrunc needs date and unit: {args!r}")
+            if set(args) - {"date", "unit"}:
+                raise ValueError(
+                    f"$dateTrunc binSize/timezone are unsupported: {args!r}"
+                )
+            return F.date_trunc(str(args["unit"]), _agg_expr(args["date"]))
         if op == "$ifNull":
             return F.coalesce(*(_agg_expr(x) for x in _expr_args(args, op, 2)))
         if op == "$cond":

@@ -1857,6 +1857,43 @@ FROM allr GROUP BY event_type
 """
 
 
+def q_mql_agg_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 expression/accumulator widening over a non-rulings
+    collection (any DataFrame is a collection): ``$dateTrunc`` +
+    ``$year`` in $addFields, the dedicated ``$count: {}`` accumulator,
+    and timestamp $min/$max — per event type: event count, active
+    distinct-day count, first/last activity day."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        load_table(spark, sf_dir, "events"),
+        [
+            {"$addFields": {"day": {"$dateTrunc": {"date": "$ts", "unit": "day"}},
+                            "yr": {"$year": "$ts"}}},
+            {"$group": {"_id": "$event_type",
+                        "n": {"$count": {}},
+                        "first_day": {"$min": "$day"},
+                        "last_day": {"$max": "$day"},
+                        "min_yr": {"$min": "$yr"}}},
+        ],
+    )
+    return out.select(
+        "_id", F.col("n").cast("long").alias("n"),
+        "first_day", "last_day",
+        F.col("min_yr").cast("long").alias("min_yr"),
+    )
+
+
+_MQL_DATE_OPS_SQL = """
+SELECT event_type AS _id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(date_trunc('day', ts)) AS first_day,
+       MAX(date_trunc('day', ts)) AS last_day,
+       CAST(MIN(year(ts)) AS BIGINT) AS min_yr
+FROM events GROUP BY event_type
+"""
+
+
 def q_mql_agg_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$fill (verdict-r5 item 2): null out anio on every third ruling,
     then fill three ways in ONE stage over the original document —
@@ -2012,6 +2049,7 @@ QUERIES = {
     "mql_agg_window_fields": (q_mql_agg_window_fields, _MQL_WINDOW_FIELDS_SQL),
     "mql_agg_densify": (q_mql_agg_densify, _MQL_DENSIFY_SQL),
     "mql_agg_densify_time": (q_mql_agg_densify_time, _MQL_DENSIFY_TIME_SQL),
+    "mql_agg_date_ops": (q_mql_agg_date_ops, _MQL_DATE_OPS_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
     "mql_agg_fill": (q_mql_agg_fill, _MQL_FILL_SQL),
