@@ -775,6 +775,7 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
     base = Window.partitionBy(*part_cols)
 
     new_cols: dict[str, Column] = {}
+    pre_cols: dict[str, Column] = {}
     for out, odoc in spec["output"].items():
         if not (isinstance(odoc, dict) and odoc):
             raise ValueError(f"$setWindowFields output {out!r} must be a document")
@@ -836,6 +837,60 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             new_cols[out] = F.when(v.isNotNull(), v).otherwise(
                 F.when(pv.isNotNull() & nv.isNotNull(), interp)
             )
+            continue
+
+        if fn in ("$derivative", "$integral"):
+            # Mongo 5.0: rate-of-change and trapezoidal area over the
+            # window, both on the sortBy axis. derivative = (last v -
+            # first v) / (last s - first s); integral = Σ consecutive
+            # trapezoids (v_i + v_{i+1}) * (s_{i+1} - s_i) / 2 — the
+            # latter folds a collect_list window LEFT-TO-RIGHT, the
+            # identical-order evaluation the DuckDB oracle replays
+            # (the EWMA pattern). Numeric sortBy only ("unit" is the
+            # date form — unsupported, raises).
+            if not (isinstance(arg, dict) and "input" in arg):
+                raise ValueError(f"{fn} needs an input: {arg!r}")
+            if arg.get("unit"):
+                raise ValueError(f"{fn} date units are unsupported (numeric sortBy)")
+            if len(sort_pairs) != 1 or sort_pairs[0][1] != 1:
+                raise ValueError(
+                    f"{fn} requires a single ascending numeric sortBy field"
+                )
+            if win is None or "documents" not in win:
+                raise ValueError(f"{fn} requires a documents window here")
+            s = F.col(sort_pairs[0][0]).cast("double")
+            v = _agg_expr(arg["input"]).cast("double")
+            lo_b, hi_b = win["documents"]
+            w = base.orderBy(*sort_cols).rowsBetween(
+                _window_bound(lo_b, Window.unboundedPreceding, fn),
+                _window_bound(hi_b, Window.unboundedFollowing, fn),
+            )
+            if fn == "$derivative":
+                ds = F.last(s).over(w) - F.first(s).over(w)
+                dv = F.last(v).over(w) - F.first(v).over(w)
+                new_cols[out] = F.when(ds != 0, dv / ds)
+                continue
+            # $integral: materialize the window's (s, v) list FIRST —
+            # a HOF lambda referencing the raw window expression would
+            # re-evaluate collect_list per element (no CSE inside HOFs)
+            tmp = f"__w_{out}"
+            pre_cols[tmp] = F.arrays_zip(
+                F.collect_list(s).over(w).alias("s"),
+                F.collect_list(v).over(w).alias("v"),
+            )
+            pc = F.col(tmp)
+            n = F.size(pc)
+            traps = F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: (
+                    F.element_at(pc, i + 1)["v"] + F.element_at(pc, i)["v"]
+                )
+                * (F.element_at(pc, i + 1)["s"] - F.element_at(pc, i)["s"])
+                / F.lit(2.0),
+            )
+            new_cols[out] = F.when(n >= 2, F.aggregate(
+                traps, F.lit(0.0), lambda acc, t: acc + t
+            )).otherwise(F.lit(0.0))
             continue
 
         if fn == "$shift":
@@ -908,6 +963,12 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             }[fn](col)
         else:
             raise ValueError(f"unsupported $setWindowFields function: {fn}")
+    if pre_cols:
+        return (
+            df.withColumns(pre_cols)
+            .withColumns(new_cols)
+            .drop(*pre_cols.keys())
+        )
     return df.withColumns(new_cols)
 
 

@@ -1857,6 +1857,67 @@ FROM allr GROUP BY event_type
 """
 
 
+def q_mql_agg_derivative_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$derivative + $integral window functions (round 6, Mongo 5.0)
+    over per-user event series on the event_id axis: trailing 3-row
+    rate of change and running trapezoidal area. The integral is a
+    LEFT-TO-RIGHT fold of trapezoids over the materialized window list
+    — the oracle replays the identical term order (the EWMA pattern),
+    so the doubles value-hash UNROUNDED."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", F.col("value").cast("double").alias("v"))
+    )
+    out = mql_aggregate(
+        ev,
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"event_id": 1},
+            "output": {
+                "rate": {"$derivative": {"input": "$v"},
+                         "window": {"documents": [-2, 0]}},
+                "area": {"$integral": {"input": "$v"},
+                         "window": {"documents": ["unbounded", "current"]}},
+            },
+        }}],
+    )
+    return out.select("user_id", "event_id", "rate", "area")
+
+
+_MQL_DERIV_INT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id < 30
+), w AS (
+  SELECT user_id, event_id, v,
+         CAST(FIRST_VALUE(event_id) OVER t3 AS DOUBLE) AS fs,
+         CAST(LAST_VALUE(event_id) OVER t3 AS DOUBLE) AS ls,
+         FIRST_VALUE(v) OVER t3 AS fv,
+         LAST_VALUE(v) OVER t3 AS lv,
+         list(CAST(event_id AS DOUBLE)) OVER cum AS ss,
+         list(v) OVER cum AS vs
+  FROM ev
+  WINDOW t3 AS (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         cum AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CASE WHEN ls - fs <> 0 THEN (lv - fv) / (ls - fs) END AS rate,
+       CASE WHEN len(ss) >= 2 THEN
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(range(1, len(ss)),
+                            i -> (vs[i + 1] + vs[i]) * (ss[i + 1] - ss[i]) / 2.0)),
+           (acc, t) -> acc + t)
+       ELSE 0.0 END AS area
+FROM w
+"""
+
+
 def q_mql_agg_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-6 expression/accumulator widening over a non-rulings
     collection (any DataFrame is a collection): ``$dateTrunc`` +
@@ -2050,6 +2111,7 @@ QUERIES = {
     "mql_agg_densify": (q_mql_agg_densify, _MQL_DENSIFY_SQL),
     "mql_agg_densify_time": (q_mql_agg_densify_time, _MQL_DENSIFY_TIME_SQL),
     "mql_agg_date_ops": (q_mql_agg_date_ops, _MQL_DATE_OPS_SQL),
+    "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
     "mql_agg_fill": (q_mql_agg_fill, _MQL_FILL_SQL),
