@@ -41,8 +41,13 @@ Compilation strategy (the 100 TB shape the templates pinned):
   frontier BFS (min-hop endpoint semantics, the documented
   divergence), all exactly as the templates did.
 
-Var-length restrictions (unchanged from the template): the var-length
-relationship must be the pattern's only hop, anchored, with hop_lo>=1.
+Var-length hops (round-6 second session): a chain-OPENING var-length
+hop is a single-seed frontier BFS; a MID-CHAIN one batch-BFSes from
+every value the bound variable takes (multi_source_bfs — the anchored
+chain's endpoint set is driver-sized by construction, so the seeds
+collect is model-sized, not data). Both compose with further hops.
+Restrictions: hop_lo >= 1, the chain must be anchored, and var-length
+inside OPTIONAL MATCH raises.
 """
 
 from __future__ import annotations
@@ -407,7 +412,7 @@ def compile_query(
     cur: DataFrame | None = None
     hop_n = 0
     anchored = False
-    varlen_rel: str | None = None
+    varlen_lens: set[str] = set()
 
     for ci, mc in enumerate(ast["matches"]):
         pat = mc["pattern"]
@@ -458,17 +463,10 @@ def compile_query(
                 lo_hop, hi_hop = rel["varlen"]
                 if not 1 <= lo_hop <= hi_hop:
                     raise ValueError(f"bad hop range *{lo_hop}..{hi_hop}")
-                if cur is not None or len(hops) > 1 or mc["optional"]:
+                if mc["optional"]:
                     raise CypherUnsupported(
-                        "var-length relationships must be the pattern's only hop"
+                        "var-length relationships in OPTIONAL MATCH are unsupported"
                     )
-                if first_var not in id_eq:
-                    raise CypherUnsupported("var-length expansion must be anchored")
-                from providenciasbigdata_spark.operators.graph_algos import (
-                    bfs_distances,
-                )
-
-                anchor = id_eq[first_var]
                 fe = edges
                 if rvar in all_guards:
                     lo_w, hi_w = all_guards.pop(rvar)
@@ -479,18 +477,72 @@ def compile_query(
                         F.col("dst").alias("src"), F.col("src").alias("dst"),
                         "similitud",
                     )
-                reached = bfs_distances(
-                    fe, anchor, directed=rel["dir"] != "-", max_hops=hi_hop
-                )
-                cur = reached.filter(F.col("hops").between(lo_hop, hi_hop)).select(
-                    F.lit(anchor).alias(f"__v_{first_var}"),
-                    F.col("id").alias(f"__v_{nvar}"),
-                    F.col("hops").cast("bigint").alias(f"__len_{rvar}"),
-                )
-                cols[first_var] = f"__v_{first_var}"
+                directed = rel["dir"] != "-"
+
+                if cur is None or from_var not in cols:
+                    # chain-opening var-length hop: single-seed BFS
+                    if cur is not None:
+                        raise CypherUnsupported(
+                            f"pattern variable {from_var!r} is not bound"
+                        )
+                    if from_var not in id_eq:
+                        raise CypherUnsupported(
+                            "var-length expansion must be anchored"
+                        )
+                    from providenciasbigdata_spark.operators.graph_algos import (
+                        bfs_distances,
+                    )
+
+                    anchor = id_eq[from_var]
+                    reached = bfs_distances(
+                        fe, anchor, directed=directed, max_hops=hi_hop
+                    )
+                    cur = reached.filter(
+                        F.col("hops").between(lo_hop, hi_hop)
+                    ).select(
+                        F.lit(anchor).alias(f"__v_{from_var}"),
+                        F.col("id").alias(f"__v_{nvar}"),
+                        F.col("hops").cast("bigint").alias(f"__len_{rvar}"),
+                    )
+                    cols[from_var] = f"__v_{from_var}"
+                    anchored = True
+                else:
+                    # MID-CHAIN var-length hop (round 6): batch-BFS from
+                    # every value the bound variable takes. The chain is
+                    # required to be ANCHORED, so its endpoint set is
+                    # driver-sized by construction — the collect below
+                    # is the seeds list, not data
+                    if not anchored:
+                        raise CypherUnsupported(
+                            "mid-chain var-length expansion requires an "
+                            "anchored chain (unbounded frontier otherwise)"
+                        )
+                    from providenciasbigdata_spark.operators.graph_algos import (
+                        multi_source_bfs,
+                    )
+
+                    seeds = [
+                        r[0]
+                        for r in cur.select(cols[from_var]).distinct().collect()
+                    ]
+                    if not seeds:
+                        seeds = ["__cypher_empty_frontier__"]
+                    reached = multi_source_bfs(
+                        fe, seeds, max_hops=hi_hop, directed=directed
+                    )
+                    hit = reached.filter(
+                        F.col("hops").between(lo_hop, hi_hop)
+                    ).select(
+                        F.col("seed").alias("__bfs_seed"),
+                        F.col("id").alias(f"__v_{nvar}"),
+                        F.col("hops").cast("bigint").alias(f"__len_{rvar}"),
+                    )
+                    cur = cur.join(
+                        hit, cur[cols[from_var]] == hit["__bfs_seed"]
+                    ).drop("__bfs_seed")
                 cols[nvar] = f"__v_{nvar}"
-                varlen_rel = rvar
-                anchored = True
+                if rvar:
+                    varlen_lens.add(rvar)
                 continue
 
             wcol = f"__w_{rvar or hop_n}"
@@ -639,8 +691,8 @@ def compile_query(
                 return F.col(cols[var])
             raise CypherUnsupported(f"unknown variable {var!r}")
         if kind == "length":
-            if var != varlen_rel:
-                raise CypherUnsupported("length() is supported on the var-length relationship only")
+            if var not in varlen_lens:
+                raise CypherUnsupported("length() is supported on var-length relationships only")
             return F.col(f"__len_{var}")
         raise CypherUnsupported(f"unsupported item kind {kind!r}")
 

@@ -225,13 +225,55 @@ def test_cypher_generic_compiler_capabilities(spark):
     one_clause = sorted(map(tuple, cypher_run(q1, edges=edges_full, params=p).collect()))
     assert two_clause == one_clause and len(two_clause) > 0
 
+    # round-6 second session: var-length hops COMPOSE with normal hops
+    # (mid-chain batch-BFS); the saltos==1 slice must equal the manual
+    # two-hop composition
+    ql = (
+        "MATCH (a:Providencia {id: $o})-[r1:SIMILAR]->(b:Providencia)"
+        "-[rs:SIMILAR*1..2]->(c:Providencia) "
+        "WHERE r1.similitud >= $lo "
+        "AND ALL(x IN rs WHERE x.similitud >= $lo AND x.similitud <= 100) "
+        "RETURN a.id AS origen, b.id AS mid, c.id AS destino, "
+        "length(rs) AS saltos"
+    )
+    rows = cypher_run(ql, edges=edges_full, params={"o": "P-7", "lo": 20.0}).collect()
+    assert {r.saltos for r in rows} <= {1, 2} and len(rows) > 0
+    got1 = {(r.origen, r.mid, r.destino) for r in rows if r.saltos == 1}
+    want1 = {
+        tuple(r)
+        for r in cypher_run(
+            "MATCH (a:Providencia {id: $o})-[r1:SIMILAR]->(b:Providencia)"
+            "-[r2:SIMILAR]->(c:Providencia) "
+            "WHERE r1.similitud >= $lo AND r2.similitud >= $lo "
+            "RETURN a.id AS origen, b.id AS mid, c.id AS destino",
+            edges=edges_full, params={"o": "P-7", "lo": 20.0},
+        ).collect()
+    }
+    assert got1 == want1
+    # varlen-then-hop (chain-opening varlen composes forward too)
+    vf = cypher_run(
+        "MATCH (a:Providencia {id: $o})-[rs:SIMILAR*1..2]->(b:Providencia)"
+        "-[r2:SIMILAR]->(c:Providencia) "
+        "WHERE ALL(x IN rs WHERE x.similitud >= $lo AND x.similitud <= 100) "
+        "AND r2.similitud >= $lo "
+        "RETURN b.id AS mid, c.id AS destino, length(rs) AS saltos",
+        edges=edges_full, params={"o": "P-7", "lo": 20.0},
+    )
+    assert vf.count() > 0
+    # unanchored mid-chain varlen still raises (unbounded frontier)
+    with pytest.raises(ValueError, match="anchored"):
+        cypher_run(
+            "MATCH (a:Providencia)-[r1:SIMILAR]->(b:Providencia)"
+            "-[rs:SIMILAR*1..2]->(c:Providencia) "
+            "WHERE r1.similitud >= $lo "
+            "RETURN a.id AS x, c.id AS y",
+            edges=edges_full, params={"lo": 20.0},
+        )
+
     # out-of-grammar patterns raise with the parser's reason
     for bad in (
         # multiple relationship types
         "MATCH (a {id:$o})-[r:OTHER]->(b) RETURN a.id AS x, b.id AS y",
-        # var-length not the only hop
-        "MATCH (a {id:$o})-[r:SIMILAR*1..2]->(b)-[s:SIMILAR]->(c) "
-        "RETURN a.id AS x, c.id AS y",
         # bare variable in RETURN
         "MATCH (a {id:$o})-[r:SIMILAR]->(b) RETURN a, b",
         # disconnected second MATCH (unbound from-variable)
