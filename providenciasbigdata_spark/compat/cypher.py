@@ -675,13 +675,36 @@ def compile_query(
         raise CypherUnsupported(f"property predicates on unbound variables: {leftover}")
 
     # ---- projection / aggregation ----------------------------------------
+    def attach_node_prop(var: str, prop: str) -> str:
+        """RETURN of a non-id node property (round-6 second session):
+        lazily LEFT-join the nodes frame once per (var, prop) — left,
+        because a node id present in the edge set but absent from the
+        nodes frame must project NULL (Cypher reads a missing property
+        as null), and because an OPTIONAL-match null id must survive."""
+        nonlocal cur
+        pcol = f"__p_{var}_{prop}"
+        if pcol in cur.columns:
+            return pcol
+        if nodes is None:
+            raise ValueError("node-property projection needs the nodes frame")
+        if prop not in nodes.columns:
+            raise ValueError(
+                f"unknown node property {prop!r}; nodes frame has {nodes.columns}"
+            )
+        nf = nodes.select(
+            F.col("id").alias(f"__pj_{var}"), F.col(prop).alias(pcol)
+        )
+        joined = cur.join(
+            nf, cur[cols[var]] == nf[f"__pj_{var}"], "left"
+        ).drop(f"__pj_{var}")
+        cur = joined
+        return pcol
+
     def item_col(kind, var, prop):
         if kind == "prop":
             if var in node_vars:
                 if prop != "id":
-                    raise CypherUnsupported(
-                        f"only node.id projections are supported, got {var}.{prop}"
-                    )
+                    return F.col(attach_node_prop(var, prop))
                 return F.col(cols[var])
             if var in rel_vars:
                 if prop != "similitud":
@@ -697,6 +720,13 @@ def compile_query(
         raise CypherUnsupported(f"unsupported item kind {kind!r}")
 
     def project(frame: DataFrame, items: list) -> DataFrame:
+        # attach any non-id node-property columns FIRST (each attach
+        # left-joins the nodes frame onto `cur`), then rebind the frame
+        # so the projection sees them
+        for k, v, p, _a in items:
+            if k == "prop" and v in node_vars and p != "id":
+                attach_node_prop(v, p)
+        frame = cur
         aggs = [(v, a) for k, v, _p, a in items if k == "count"]
         if aggs:
             keys = [(k, v, p, a) for k, v, p, a in items if k != "count"]

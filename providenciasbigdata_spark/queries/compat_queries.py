@@ -1407,6 +1407,51 @@ WHERE h1.src = 'P-7' AND h1.similitud >= 30
 """
 
 
+CYPHER_NODE_PROPS = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN a.id AS origen, b.id AS destino, b.anio AS anio_destino, r.similitud AS similitud
+"""
+
+
+def q_cypher_return_node_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN of a non-id node PROPERTY (round-6 second session):
+    ``b.anio`` in the projection lazily left-joins the nodes frame —
+    Cypher reads a missing property as null, so ids absent from the
+    nodes frame survive with NULL anio rather than dropping rows."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+    nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
+        F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
+    )
+    return cypher_run(
+        CYPHER_NODE_PROPS, nodes=nodes, edges=edges,
+        params={"origen": "P-7", "lo": 20.0},
+    )
+
+
+_CYPHER_NODE_PROPS_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS destino,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id = 7
+), n AS (
+  SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id,
+         CAST(2000 + doc_id % 25 AS BIGINT) AS anio
+  FROM documents
+)
+SELECT e.origen, e.destino, n.anio AS anio_destino, e.similitud
+FROM e LEFT JOIN n ON n.id = e.destino
+WHERE e.similitud >= 20
+"""
+
+
 CYPHER_TWO_HOP_MOTIF = """
 MATCH (a:Providencia {id: $origen})-[r1:SIMILAR]->(b:Providencia)-[r2:SIMILAR]->(c:Providencia)
 WHERE r1.similitud >= $lo1 AND r1.similitud <= $hi1 AND r2.similitud >= $lo2 AND r2.similitud <= $hi2
@@ -2134,6 +2179,7 @@ QUERIES = {
     "cypher_node_predicate": (q_cypher_node_predicate, _CYPHER_NODE_PRED_SQL),
     "cypher_two_hop_motif": (q_cypher_two_hop_motif, _CYPHER_TWO_HOP_SQL),
     "cypher_generic_3hop": (q_cypher_generic_3hop, _CYPHER_GENERIC_3HOP_SQL),
+    "cypher_return_node_props": (q_cypher_return_node_props, _CYPHER_NODE_PROPS_SQL),
     "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
     "cypher_with_having": (q_cypher_with_having, _CYPHER_WITH_HAVING_SQL),
     "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),
