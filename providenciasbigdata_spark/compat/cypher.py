@@ -86,6 +86,9 @@ _BARE_CMP_RE = re.compile(rf"^(\w+)\s*(>=|<=|<>|>|<|=)\s*{_VALUE}$")
 _IN_RE = re.compile(r"^(\w+)\.(\w+)\s+IN\s+(\$\w+)$", re.I)
 _ITEM_PROP_RE = re.compile(r"^(\w+)\.(\w+)\s+AS\s+(\w+)$", re.I)
 _ITEM_COUNT_RE = re.compile(r"^count\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$", re.I)
+_ITEM_AGG_RE = re.compile(
+    r"^(sum|avg|min|max)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)$", re.I
+)
 _ITEM_LEN_RE = re.compile(r"^length\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$", re.I)
 _ORDER_RE = re.compile(r"^(\w+(?:\.\w+)?)(?:\s+(ASC|DESC))?$", re.I)
 
@@ -215,6 +218,12 @@ def parse(query: str) -> dict:
             m = _ITEM_COUNT_RE.match(raw)
             if m:
                 items.append(("count", m.group(1), None, m.group(2)))
+                continue
+            m = _ITEM_AGG_RE.match(raw)
+            if m:
+                items.append(
+                    (f"agg:{m.group(1).lower()}", m.group(2), m.group(3), m.group(4))
+                )
                 continue
             m = _ITEM_LEN_RE.match(raw)
             if m:
@@ -724,22 +733,28 @@ def compile_query(
         # left-joins the nodes frame onto `cur`), then rebind the frame
         # so the projection sees them
         for k, v, p, _a in items:
-            if k == "prop" and v in node_vars and p != "id":
+            if (k == "prop" or k.startswith("agg:")) and v in node_vars and p not in (None, "id"):
                 attach_node_prop(v, p)
         frame = cur
-        aggs = [(v, a) for k, v, _p, a in items if k == "count"]
+        aggs = [(k, v, p, a) for k, v, p, a in items
+                if k == "count" or k.startswith("agg:")]
         if aggs:
-            keys = [(k, v, p, a) for k, v, p, a in items if k != "count"]
+            keys = [(k, v, p, a) for k, v, p, a in items
+                    if not (k == "count" or k.startswith("agg:"))]
             for k, _v, _p, _a in keys:
                 if k == "bare":
-                    raise CypherUnsupported("bare items cannot mix with count()")
+                    raise CypherUnsupported("bare items cannot mix with aggregates")
             gb = [item_col(k, v, p).alias(a) for k, v, p, a in keys]
+            agg_fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             agg_cols = []
-            for v, a in aggs:
-                if v in cols:
+            for k, v, p, a in aggs:
+                if k == "count":
+                    if v not in cols:
+                        raise CypherUnsupported(f"count() over unknown variable {v!r}")
                     agg_cols.append(F.count(F.col(cols[v])).alias(a))
-                else:
-                    raise CypherUnsupported(f"count() over unknown variable {v!r}")
+                    continue
+                # sum/avg/min/max over a property expression
+                agg_cols.append(agg_fns[k[4:]](item_col("prop", v, p)).alias(a))
             return frame.groupBy(*gb).agg(*agg_cols)
         sel = []
         for k, v, p, a in items:

@@ -1407,6 +1407,45 @@ WHERE h1.src = 'P-7' AND h1.similitud >= 30
 """
 
 
+CYPHER_AGG_STATS = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN a.id AS id, count(r) AS grado, min(r.similitud) AS s_min, max(r.similitud) AS s_max
+"""
+
+
+def q_cypher_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregating RETURN beyond count (round-6 second session): per-
+    source degree + weight extrema in one grouped projection. min/max/
+    count are accumulation-order-FREE, so the doubles value-hash
+    unrounded (avg is deliberately excluded from the oracle-checked
+    surface — float partial-sum order differs across engines; it is
+    pinned in pytest instead)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .repartition(16)
+    )
+    edges = build_similarity_edges(emb)
+    return cypher_run(CYPHER_AGG_STATS, edges=edges, params={"lo": 28.0})
+
+
+_CYPHER_AGG_STATS_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS grado,
+       MIN(similitud) AS s_min, MAX(similitud) AS s_max
+FROM e WHERE similitud >= 28 GROUP BY src
+"""
+
+
 CYPHER_NODE_PROPS = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo
@@ -2180,6 +2219,7 @@ QUERIES = {
     "cypher_two_hop_motif": (q_cypher_two_hop_motif, _CYPHER_TWO_HOP_SQL),
     "cypher_generic_3hop": (q_cypher_generic_3hop, _CYPHER_GENERIC_3HOP_SQL),
     "cypher_return_node_props": (q_cypher_return_node_props, _CYPHER_NODE_PROPS_SQL),
+    "cypher_agg_stats": (q_cypher_agg_stats, _CYPHER_AGG_STATS_SQL),
     "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
     "cypher_with_having": (q_cypher_with_having, _CYPHER_WITH_HAVING_SQL),
     "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),

@@ -1232,3 +1232,31 @@ def test_mql_bucket_auto(spark):
                                             "granularity": "R5"}}])
     with _pytest.raises(ValueError, match="bucketAuto needs"):
         mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x"}}])
+
+
+def test_cypher_agg_functions(spark):
+    """Round-6 second session: sum/avg/min/max aggregates in RETURN —
+    grouped per non-aggregate item; avg pinned here against a manual
+    groupBy (float-order excluded from the oracle surface)."""
+    edges = build_similarity_edges(
+        load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 150)
+    )
+    got = cypher_run(
+        "MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia) "
+        "WHERE r.similitud >= $lo "
+        "RETURN a.id AS id, count(r) AS grado, sum(r.similitud) AS total, "
+        "avg(r.similitud) AS media",
+        edges=edges, params={"lo": 25.0},
+    )
+    want = (
+        edges.filter(F.col("similitud") >= 25.0)
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count("*").alias("grado"),
+            F.sum("similitud").alias("total"),
+            F.avg("similitud").alias("media"),
+        )
+    )
+    g = {r.id: (r.grado, round(r.total, 6), round(r.media, 9)) for r in got.collect()}
+    w = {r.id: (r.grado, round(r.total, 6), round(r.media, 9)) for r in want.collect()}
+    assert g == w and len(g) > 0
