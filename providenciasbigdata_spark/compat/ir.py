@@ -401,16 +401,50 @@ def _ref_field(spec, what: str) -> str:
 
 
 _GROUP_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet", "$count",
-               "$stdDevSamp", "$mergeObjects"}
+               "$stdDevSamp", "$stdDevPop", "$mergeObjects"}
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
-def _group_aggs(spec: dict) -> list[Column]:
+def _stddev_acc(op: str, field: str, out: str, df: DataFrame | None) -> Column:
+    """``$stdDevSamp``/``$stdDevPop`` — DETERMINISTIC BY DESIGN on
+    integral columns: Mongo (and Spark's Welford-style
+    ``stddev_samp``) accumulate float moments whose value depends on
+    row order, which a distributed engine does not guarantee. Here the
+    moments n / Σx / Σx² are EXACT 128-bit integer aggregates
+    (DECIMAL(38,0) — order-free), and the closing
+    sqrt((n·Σx² − (Σx)²) / d) is one correctly-rounded IEEE division +
+    sqrt, so the double is reproducible across runs AND engines
+    (value-hash-checkable, the graph_assortativity rule). Non-integral
+    columns fall back to Spark's native float accumulators (true Mongo
+    semantics, order-dependent last-ulp — the rows-only class).
+    Null semantics match Mongo: samp needs ≥2 numeric values else
+    null; pop of a single value is 0.0, of none is null."""
+    col = F.col(field)
+    dtype = dict(df.dtypes).get(field) if df is not None else None
+    if dtype not in _INTEGRAL_TYPES:
+        fn = F.stddev_samp if op == "$stdDevSamp" else F.stddev_pop
+        return fn(col.cast("double")).alias(out)
+    dec = "decimal(20,0)"
+    x = col.cast(dec)
+    n = F.count(col).cast(dec)
+    num = (n * F.sum(x * x) - F.sum(x) * F.sum(x)).cast("double")
+    if op == "$stdDevSamp":
+        den = (n * (n - F.lit(1))).cast("double")
+        return F.when(F.count(col) >= 2, F.sqrt(num / den)).alias(out)
+    den = (n * n).cast("double")
+    return F.when(F.count(col) >= 1, F.sqrt(num / den)).alias(out)
+
+
+def _group_aggs(spec: dict, df: DataFrame | None = None) -> list[Column]:
     """Compile a $group/$bucket ``output`` accumulator document into
     aggregate Columns. ``$push``/``$addToSet`` determinism pin: Mongo's
     $push preserves pipeline document order, which is UNSPECIFIED
     without a preceding $sort (B5) — we sort the collected array by
     value instead, so the result is engine-reproducible; $addToSet is
-    unordered in Mongo, sorted here for the same reason."""
+    unordered in Mongo, sorted here for the same reason. ``df`` (when
+    the caller has it) lets dtype-sensitive accumulators pick their
+    deterministic integral path."""
     aggs = []
     for out, acc in spec.items():
         if out == "_id":
@@ -422,11 +456,9 @@ def _group_aggs(spec: dict) -> list[Column]:
             raise ValueError(f"unsupported $group accumulator: {op}")
         if op == "$mergeObjects":
             raise ValueError("$mergeObjects is unsupported (no document-typed columns)")
-        if op == "$stdDevSamp":
-            raise ValueError(
-                "$stdDevSamp is unsupported (cross-engine float moments diverge; "
-                "use the MAD/variance queries in queries/timeseries.py)"
-            )
+        if op in ("$stdDevSamp", "$stdDevPop"):
+            aggs.append(_stddev_acc(op, _ref_field(operand, op), out, df))
+            continue
         if op == "$count":
             if operand not in ({}, None):
                 raise ValueError(f"$count takes an empty document: {operand!r}")
@@ -454,7 +486,7 @@ def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
     if not isinstance(spec, dict) or "_id" not in spec:
         raise ValueError(f"$group needs an _id key: {spec!r}")
     gid = spec["_id"]
-    aggs = _group_aggs(spec)
+    aggs = _group_aggs(spec, df)
     if gid is None:
         return df.agg(*aggs)
     if isinstance(gid, dict):
@@ -597,7 +629,7 @@ def _bucket_stage(df: DataFrame, spec: dict) -> DataFrame:
             )
         )
     out_spec = spec.get("output", {"count": {"$sum": 1}})
-    return df.groupBy(bucket.alias("_id")).agg(*_group_aggs(out_spec))
+    return df.groupBy(bucket.alias("_id")).agg(*_group_aggs(out_spec, df))
 
 
 def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
@@ -648,7 +680,7 @@ def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
     agged = docs.groupBy("__bucket").agg(
         F.min("__v").alias("min_value"),
         F.max("__v").alias("__vmax"),
-        *_group_aggs(out_spec),
+        *_group_aggs(out_spec, docs),
     )
     # bounds over <= n_buckets rows: the single-partition window is
     # bucket-count-sized, never data-sized

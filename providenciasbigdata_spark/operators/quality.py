@@ -202,3 +202,103 @@ def ks_statistic(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
             F.first("_nb").alias("n_b"),
         )
     )
+
+
+def wasserstein_1(a: DataFrame, b: DataFrame, col: str, exact: bool = True) -> DataFrame:
+    """Exact first Wasserstein (earth-mover) distance between two
+    empirical distributions — the drift monitor that, unlike KS
+    (``ks_statistic`` above), weighs HOW FAR mass moved, not just the
+    largest ECDF gap: W1 = ∫ |F_a(v) − F_b(v)| dv, and for step ECDFs
+    the integral is a finite sum over distinct union values v_i of
+    |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i).
+
+    Scale shape: identical to ``ks_statistic`` — one union + one
+    per-value aggregate collapse both samples to the distinct-value
+    histogram, then the two-phase range-partitioned prefix sum computes
+    both cumulative counts with NO single-partition data window. The
+    one extra ingredient W1 needs over KS is the NEXT distinct value
+    (the gap): within a range partition that is a plain ``lead``; at
+    partition boundaries it is the next non-empty partition's first
+    value, read from the same broadcast per-partition summary table the
+    offsets already ride (n_partitions rows — bounded, so its
+    driver-ordered window is safe by construction, the $bucketAuto
+    rule).
+
+    Cross-engine determinism (``exact=True``, integral values): v is
+    cast to BIGINT and every term |cum_a·n_b − cum_b·n_a| · gap is
+    exact DECIMAL(38,0) integer arithmetic (the oracle's HUGEINT), so
+    the sum is order-free; the ONE double division at the end is
+    correctly rounded on both engines → value-hashes unrounded.
+    Continuous values: pass ``exact=False`` (floating ECDF terms,
+    order-dependent sum — correct, but rows-only territory) or
+    quantize to integer micro-units first (the house floor-form rule).
+
+    Returns one row: (w1 double, n_a bigint, n_b bigint).
+    """
+    from pyspark.sql import Window
+
+    vexpr = F.col(col).cast("long") if exact else F.col(col).cast("double")
+    va = a.select(vexpr.alias("v")).where(F.col("v").isNotNull())
+    vb = b.select(vexpr.alias("v")).where(F.col("v").isNotNull())
+    hist = (
+        va.withColumn("ca", F.lit(1)).withColumn("cb", F.lit(0))
+        .unionAll(vb.withColumn("ca", F.lit(0)).withColumn("cb", F.lit(1)))
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    part = hist.repartitionByRange(32, F.col("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = (
+        part.withColumn("_cuma", F.sum("ca").over(w_in).cast("long"))
+        .withColumn("_cumb", F.sum("cb").over(w_in).cast("long"))
+        .withColumn("_leadv", F.lead("v").over(Window.partitionBy("_pid").orderBy("v")))
+    )
+    summary = part.groupBy("_pid").agg(
+        F.sum("ca").alias("_ta"), F.sum("cb").alias("_tb"), F.min("v").alias("_firstv")
+    )
+    # bounded table: one row per non-empty range partition (<= 32)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_pid = Window.orderBy("_pid")
+    offsets = summary.select(
+        "_pid",
+        F.coalesce(F.sum("_ta").over(w_off), F.lit(0)).cast("long").alias("_offa"),
+        F.coalesce(F.sum("_tb").over(w_off), F.lit(0)).cast("long").alias("_offb"),
+        F.lead("_firstv").over(w_pid).alias("_nextfirst"),
+    )
+    grand = F.broadcast(
+        summary.agg(
+            F.sum("_ta").cast("long").alias("_na"), F.sum("_tb").cast("long").alias("_nb")
+        )
+    )
+    joined = part.join(F.broadcast(offsets), "_pid").crossJoin(grand)
+    cum_a = F.col("_cuma") + F.col("_offa")
+    cum_b = F.col("_cumb") + F.col("_offb")
+    # gap to the NEXT distinct union value; the globally-last value has
+    # none and contributes 0 (the integral ends at the last jump)
+    gap = F.coalesce(F.col("_leadv"), F.col("_nextfirst")) - F.col("v")
+    if exact:
+        dec = "decimal(20,0)"
+        term = F.abs(
+            cum_a.cast(dec) * F.col("_nb").cast(dec)
+            - cum_b.cast(dec) * F.col("_na").cast(dec)
+        ) * F.coalesce(gap, F.lit(0)).cast(dec)
+        w1 = (
+            F.sum(term).cast("double")
+            / F.first((F.col("_na").cast(dec) * F.col("_nb").cast(dec)).cast("double"))
+        ).alias("w1")
+    else:
+        term = F.abs(cum_a / F.col("_na") - cum_b / F.col("_nb")) * F.coalesce(
+            gap, F.lit(0.0)
+        )
+        w1 = F.sum(term).alias("w1")
+    return joined.agg(
+        w1,
+        F.first("_na").alias("n_a"),
+        F.first("_nb").alias("n_b"),
+    )

@@ -2039,6 +2039,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_mql_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$stdDevSamp/$stdDevPop (round 6, previously an explicit
+    unsupported-raise): per-language spread of document lengths. On
+    this integral column the accumulators compile to exact 128-bit
+    moments (n / Σx / Σx² as DECIMAL(38,0) ≡ DuckDB HUGEINT) and ONE
+    correctly-rounded division + sqrt — deterministic across row
+    orders, so the doubles value-hash UNROUNDED (Mongo's own float
+    accumulation is order-dependent; determinism here is a deliberate
+    engine upgrade, kept only where it is exact)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        load_table(spark, sf_dir, "documents"),
+        [
+            {"$group": {"_id": "$lang",
+                        "n": {"$count": {}},
+                        "sd_samp": {"$stdDevSamp": "$n_chars"},
+                        "sd_pop": {"$stdDevPop": "$n_chars"}}},
+        ],
+    )
+    return out.select(
+        "_id", F.col("n").cast("long").alias("n"), "sd_samp", "sd_pop"
+    )
+
+
+_MQL_STDDEV_SQL = """
+SELECT lang AS _id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CASE WHEN COUNT(n_chars) >= 2 THEN
+         sqrt(CAST(COUNT(n_chars) * SUM(CAST(n_chars AS HUGEINT) * n_chars)
+                   - SUM(CAST(n_chars AS HUGEINT)) * SUM(CAST(n_chars AS HUGEINT))
+                   AS DOUBLE)
+              / CAST(COUNT(n_chars) * (COUNT(n_chars) - 1) AS DOUBLE))
+       END AS sd_samp,
+       CASE WHEN COUNT(n_chars) >= 1 THEN
+         sqrt(CAST(COUNT(n_chars) * SUM(CAST(n_chars AS HUGEINT) * n_chars)
+                   - SUM(CAST(n_chars AS HUGEINT)) * SUM(CAST(n_chars AS HUGEINT))
+                   AS DOUBLE)
+              / CAST(COUNT(n_chars) * COUNT(n_chars) AS DOUBLE))
+       END AS sd_pop
+FROM documents GROUP BY lang
+"""
+
+
 def q_mql_agg_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$fill (verdict-r5 item 2): null out anio on every third ruling,
     then fill three ways in ONE stage over the original document —
@@ -2195,6 +2239,7 @@ QUERIES = {
     "mql_agg_densify": (q_mql_agg_densify, _MQL_DENSIFY_SQL),
     "mql_agg_densify_time": (q_mql_agg_densify_time, _MQL_DENSIFY_TIME_SQL),
     "mql_agg_date_ops": (q_mql_agg_date_ops, _MQL_DATE_OPS_SQL),
+    "mql_agg_stddev": (q_mql_agg_stddev, _MQL_STDDEV_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

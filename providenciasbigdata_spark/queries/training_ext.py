@@ -639,6 +639,49 @@ FROM c
 """
 
 
+def q_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) drift between the quantity
+    distributions of returned vs delivered lineitems — the drift gate
+    that weighs HOW FAR mass moved, complementing the KS max-gap above.
+    l_quantity is integer-valued, so every |cum_a·n_b − cum_b·n_a|·gap
+    term is exact 128-bit integer arithmetic on both engines (Spark
+    DECIMAL(38,0), DuckDB HUGEINT) and the single closing division is
+    IEEE-correctly-rounded → the double value-hashes unrounded."""
+    from providenciasbigdata_spark.operators.quality import wasserstein_1
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    b = li.filter(F.col("l_returnflag") == "N").select("l_quantity")
+    return wasserstein_1(a, b, "l_quantity").select(
+        "w1",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    )
+
+
+_DRIFT_W1_SQL = """
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cb
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+  GROUP BY 1),
+c AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b,
+         COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS gap,
+         (SELECT SUM(ca) FROM hist) AS na,
+         (SELECT SUM(cb) FROM hist) AS nb
+  FROM hist)
+SELECT CAST(SUM(ABS(cum_a * nb - cum_b * na) * gap) AS DOUBLE)
+         / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS w1,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b
+FROM c
+"""
+
+
 def q_curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style corpus classifier (round 6): logistic regression
     over hashed token presence features, trained distributed (one
@@ -693,6 +736,7 @@ def q_curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "curate_quality_classifier": (q_curate_quality_classifier, None),
     "drift_ks_totalprice": (q_drift_ks, _DRIFT_KS_SQL),
+    "drift_wasserstein_quantity": (q_drift_w1, _DRIFT_W1_SQL),
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
     "training_mix_temperature": (q_mix_temperature, _mix_temperature_sql()),
     "curate_gopher_flags": (q_gopher_flags, _GOPHER_SQL),

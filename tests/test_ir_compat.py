@@ -617,7 +617,7 @@ def test_mql_aggregate_rejects_out_of_subset(spark):
         [{"$lookup": {}}],
         [{"$group": {"_id": {}, "n": {"$sum": 1}}}],  # empty compound _id
         [{"$group": {"_id": "$tipo"}}],  # no accumulator
-        [{"$group": {"_id": "$tipo", "n": {"$stdDevPop": "$anio"}}}],
+        [{"$group": {"_id": "$tipo", "n": {"$mergeObjects": "$anio"}}}],
         [{"$unwind": "tokens"}],  # missing $ prefix
         [{"$match": {"x": 1}, "$limit": 2}],  # two ops in one stage
         [{"$bucket": {"groupBy": "$anio", "boundaries": [2010, 2000]}}],  # not ascending
@@ -1260,3 +1260,38 @@ def test_cypher_agg_functions(spark):
     g = {r.id: (r.grado, round(r.total, 6), round(r.media, 9)) for r in got.collect()}
     w = {r.id: (r.grado, round(r.total, 6), round(r.media, 9)) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_mql_stddev_accumulators(spark):
+    """$stdDevSamp/$stdDevPop (round 6): the integral path computes
+    exact 128-bit moments + one IEEE division/sqrt — deterministic
+    across runs and engines; pinned against numpy std(ddof=1/0).
+    Mongo null semantics: samp needs >=2 numeric values, pop of one
+    value is 0.0, of none is null; nulls are excluded from n."""
+    import math
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    rows = [("a", 3), ("a", 5), ("a", 10), ("b", 7), ("b", None), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {
+        r._id: (r.sd_s, r.sd_p)
+        for r in mql_aggregate(
+            df,
+            [{"$group": {"_id": "$g",
+                         "sd_s": {"$stdDevSamp": "$x"},
+                         "sd_p": {"$stdDevPop": "$x"}}}],
+        ).collect()
+    }
+    # a: {3,5,10}: mean 6, samp var = (9+1+16)/2 = 13, pop var = 26/3
+    assert abs(out["a"][0] - math.sqrt(13.0)) < 1e-15
+    assert abs(out["a"][1] - math.sqrt(26.0 / 3.0)) < 1e-15
+    assert out["b"][0] is None and out["b"][1] == 0.0  # single value
+    assert out["c"][0] is None and out["c"][1] is None  # no numeric values
+
+    # float column -> native Spark accumulators (true Mongo float path)
+    fdf = spark.createDataFrame([("a", 1.5), ("a", 2.5)], "g string, x double")
+    r = mql_aggregate(
+        fdf, [{"$group": {"_id": "$g", "sd": {"$stdDevSamp": "$x"}}}]
+    ).first()
+    assert abs(r.sd - math.sqrt(0.5)) < 1e-12

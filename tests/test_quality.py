@@ -148,3 +148,36 @@ def test_ks_statistic_known_values(spark):
     r = ks_statistic(a, c, "x").first()
     assert r.n_b == 3  # NULL excluded
     assert abs(r.ks - (1 - 2 / 3)) < 1e-15
+
+
+def test_wasserstein_known_values(spark):
+    """W1 pins: identical samples -> 0; a constant shift of a point
+    mass moves W1 by exactly the shift; a hand case against the
+    closed-form sum over ECDF gaps; scipy cross-check when available;
+    NULLs excluded; single-shared-value edge -> 0 (no gaps)."""
+    from providenciasbigdata_spark.operators.quality import wasserstein_1
+
+    a = spark.createDataFrame([(x,) for x in [1, 2, 3, 4]], "x long")
+    same = wasserstein_1(a, a, "x").first()
+    assert same.w1 == 0.0 and same.n_a == 4 and same.n_b == 4
+
+    # point masses at 0 and 7 -> W1 == shift
+    p0 = spark.createDataFrame([(0,), (0,)], "x long")
+    p7 = spark.createDataFrame([(7,), (7,)], "x long")
+    assert wasserstein_1(p0, p7, "x").first().w1 == 7.0
+
+    # A = {1,2,3,4}, B = {2,2,5}, union values 1,2,3,4,5 (gaps all 1):
+    # |Fa-Fb| at 1..4 = 1/4 + 1/6 + 1/12 + 1/3 -> sum 5/6
+    b = spark.createDataFrame([(2,), (2,), (5,), (None,)], "x long")
+    r = wasserstein_1(a, b, "x").first()
+    assert r.n_b == 3
+    assert abs(r.w1 - 5 / 6) < 1e-15
+    try:
+        from scipy.stats import wasserstein_distance
+
+        assert abs(r.w1 - wasserstein_distance([1, 2, 3, 4], [2, 2, 5])) < 1e-12
+    except ImportError:
+        pass
+
+    only = spark.createDataFrame([(3,), (3,)], "x long")
+    assert wasserstein_1(only, only, "x").first().w1 == 0.0
