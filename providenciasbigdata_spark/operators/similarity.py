@@ -924,6 +924,122 @@ def quantize_int8(
     return bound.select("id", F.round(s, 9).alias("scale"), qvec.alias("qvec"))
 
 
+def binarize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit binary quantization (1 bit per dimension — 32x smaller
+    than float32 at rest, the most aggressive point on the
+    int8/matryoshka compression ladder next door): bit i of word w is
+    set iff x[32w+i] > 0. Words carry 32 bits each inside a BIGINT so
+    no shift ever reaches the sign bit and the packing is reproducible
+    in plain 64-bit SQL (the oracle needs no HUGEINT bit tricks).
+
+    Pure Catalyst — the packing runs inside the scan at 100 TB (one
+    sequence/aggregate fold per word, no UDF). Out-of-range reads for
+    dims not divisible by 32 use ``F.get`` (null -> bit 0), never
+    ANSI-erroring element_at.
+
+    Output: (id, words array<bigint>, n_dims int).
+    """
+    v = F.col(vec_col)
+    nwords = F.ceil(F.size(v) / F.lit(32.0)).cast("int")
+    # shiftleft() takes only a literal bit count, so the per-bit weight
+    # comes from a 32-entry literal power table instead (i is 0..31 by
+    # construction -> element_at never leaves the table, ANSI-safe)
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    words = F.transform(
+        F.sequence(F.lit(0), nwords - 1),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc.bitwiseOR(
+                F.when(
+                    F.get(v, (w * 32 + i).cast("int")) > 0,
+                    F.element_at(pows, (i + 1).cast("int")),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        ),
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        words.alias("words"),
+        F.size(v).alias("n_dims"),
+    )
+
+
+def pack_query_bits(query_vec) -> list[int]:
+    """Driver-side twin of ``binarize_embeddings`` for a single query
+    vector (same sign rule, same 32-bit word layout)."""
+    words = []
+    for w in range(0, (len(query_vec) + 31) // 32):
+        word = 0
+        for i in range(32):
+            j = w * 32 + i
+            if j < len(query_vec) and float(query_vec[j]) > 0:
+                word |= 1 << i
+        words.append(word)
+    return words
+
+
+def hamming_topk(
+    packed: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Exact Hamming top-k over sign-bit fingerprints: distance is
+    Σ_w bit_count(xor(words[w], q[w])) — pure JVM popcount folded over
+    the zipped word arrays, ~50x less arithmetic per candidate than a
+    64-float cosine fold and 32x less data read. Plan shape matches
+    brute_force_topk: scan -> project -> TakeOrderedAndProject (ties
+    broken by id, total order). This is the cheap FIRST PASS of binary
+    ANN serving; compose with ``hamming_rerank_topk`` for the
+    recall-restoring exact rerank of the small pool.
+    """
+    qwords = pack_query_bits(query_vec)
+    qlit = F.array(*[F.lit(int(w)).cast("long") for w in qwords])
+    dist = F.aggregate(
+        F.zip_with(F.col("words"), qlit, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        packed.select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hamming_rerank_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Binary-ANN serving shape: Hamming over packed sign bits selects
+    a ``pool``-sized candidate set (popcount-cheap over the whole
+    corpus), then ONLY the pool is re-scored with exact cosine — the
+    standard two-stage design (binary prefilter + float rerank). The
+    pool ids are a k-sized broadcast, so the rerank join never
+    shuffles the corpus; recall vs brute force is pinned in tests
+    (exact at pool == corpus by construction)."""
+    cand = hamming_topk(binarize_embeddings(embeddings, id_col, vec_col), query_vec, k=pool)
+    pool_rows = embeddings.join(
+        F.broadcast(cand.select(F.col("id").alias(id_col))), id_col
+    )
+    score = F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), round_digits)
+    return (
+        pool_rows.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.6):
     """Optional: pyspark.ml MinHashLSH approxSimilarityJoin over token
     count-vectors — the library alternative to operators.dedup's

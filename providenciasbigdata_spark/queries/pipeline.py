@@ -1126,6 +1126,40 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qvec, C, k=10, nprobe=4)
 
 
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding ANN, first stage: pack every vector
+    to 1 bit/dim (two 32-bit words per 64-dim vector, BIGINT-safe) and
+    take the exact Hamming top-10 for the vec_id=0 probe — JVM popcount
+    over zipped words, TakeOrdered, no shuffle of the corpus. Distances
+    are exact BIGINTs, so the whole pack+distance+top-k chain
+    value-hashes against the SQL twin (the float-rerank second stage is
+    recall-pinned in tests, hamming_rerank_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    packed = similarity.binarize_embeddings(emb)
+    return similarity.hamming_topk(packed, qvec, k=10).select(
+        F.col("id").alias("vec_id"), F.col("dist").cast("long").alias("dist")
+    )
+
+
+_ANN_HAMMING_SQL = """
+WITH words AS (
+  SELECT vec_id,
+         list_transform(range(0, CAST(ceil(len(embedding)/32.0) AS INT)), w ->
+           list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN embedding[32*w + i + 1] > 0
+                  THEN (1::BIGINT << i) ELSE 0::BIGINT END))) AS words
+  FROM embeddings),
+q AS (SELECT words AS qw FROM words WHERE vec_id = 0)
+SELECT w.vec_id,
+       CAST(list_sum(list_transform(range(0, len(w.words)), j ->
+            bit_count(xor(w.words[j+1], qw[j+1])))) AS BIGINT) AS dist
+FROM words w, q
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization summary per vector: the at-rest
     compression step before ANN indexing. Scalar outputs (scale, L1
@@ -1298,6 +1332,7 @@ QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
     "embed_matryoshka_ratio": (q_embed_matryoshka_ratio, _EMBED_MATRYOSHKA_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
+    "ann_hamming_topk": (q_ann_hamming_topk, _ANN_HAMMING_SQL),
     "ivf_index_exact_topk": (q_ivf_index_exact_topk, _ANN_BRUTE_SQL),
     "ann_topk_per_query": (q_ann_topk_per_query, _ANN_PER_QUERY_SQL),
     "minhash_near_dups": (q_minhash_near_dups, None),

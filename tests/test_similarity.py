@@ -432,3 +432,57 @@ def test_pca_project_matches_closed_form(spark):
     for r in emb.limit(20).collect():
         want = (np.asarray(r.embedding, dtype=np.float64) - mean) @ comps.T
         assert np.allclose(got[r.vec_id], want, atol=1e-10)
+
+
+def test_binarize_matches_python_twin(spark, sf_dir):
+    """Engine packing == pack_query_bits on real vectors; word layout
+    is 32 bits/BIGINT (no sign-bit shifts); n_dims carried through."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = {r.id: (r.words, r.n_dims)
+              for r in similarity.binarize_embeddings(emb).limit(2000).collect()}
+    for r in emb.limit(25).collect():
+        want = similarity.pack_query_bits(r.embedding)
+        got, nd = packed[r.vec_id]
+        assert list(got) == want and nd == len(r.embedding)
+        assert all(0 <= w < (1 << 32) for w in got)
+
+
+def test_binarize_ragged_dim(spark):
+    """Dims not divisible by 32: the tail word reads out-of-range
+    positions as unset bits (F.get null path), never an ANSI error."""
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    r = similarity.binarize_embeddings(df).first()
+    assert r.n_dims == 5 and list(r.words) == [0b11001]
+
+
+def test_hamming_topk_matches_popcount_reference(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    rows = emb.collect()
+    q = rows[3].embedding
+    qw = similarity.pack_query_bits(q)
+
+    def ham(vec):
+        w = similarity.pack_query_bits(vec)
+        return sum(bin(a ^ b).count("1") for a, b in zip(w, qw))
+
+    want = sorted(((ham(r.embedding), r.vec_id) for r in rows))[:10]
+    got = similarity.hamming_topk(
+        similarity.binarize_embeddings(emb), q, k=10
+    ).collect()
+    assert [(r.dist, r.id) for r in got] == want
+
+
+def test_hamming_rerank_exact_at_full_pool_and_recall(spark, sf_dir):
+    """pool >= corpus makes the two-stage path EXACT (== brute force);
+    at pool=50 the binary prefilter keeps most of the true top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") == 7).first().embedding
+    brute = similarity.brute_force_topk(emb, q, k=10).collect()
+    full = similarity.hamming_rerank_topk(emb, q, k=10, pool=n).collect()
+    assert [(r.vec_id, r.score) for r in full] == [(r.vec_id, r.score) for r in brute]
+    pooled = similarity.hamming_rerank_topk(emb, q, k=10, pool=50).collect()
+    hit = len({r.vec_id for r in pooled} & {r.vec_id for r in brute})
+    assert hit >= 5, f"binary-prefilter recall@10 collapsed: {hit}/10"
