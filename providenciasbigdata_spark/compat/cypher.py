@@ -85,7 +85,9 @@ _CMP_RE = re.compile(rf"^(\w+)\.(\w+)\s*(>=|<=|<>|>|<|=)\s*{_VALUE}$")
 _BARE_CMP_RE = re.compile(rf"^(\w+)\s*(>=|<=|<>|>|<|=)\s*{_VALUE}$")
 _IN_RE = re.compile(r"^(\w+)\.(\w+)\s+IN\s+(\$\w+)$", re.I)
 _ITEM_PROP_RE = re.compile(r"^(\w+)\.(\w+)\s+AS\s+(\w+)$", re.I)
-_ITEM_COUNT_RE = re.compile(r"^count\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$", re.I)
+_ITEM_COUNT_RE = re.compile(
+    r"^count\s*\(\s*(DISTINCT\s+)?(\w+)(?:\.(\w+))?\s*\)\s+AS\s+(\w+)$", re.I
+)
 _ITEM_AGG_RE = re.compile(
     r"^(sum|avg|min|max)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)$", re.I
 )
@@ -217,7 +219,11 @@ def parse(query: str) -> dict:
                 continue
             m = _ITEM_COUNT_RE.match(raw)
             if m:
-                items.append(("count", m.group(1), None, m.group(2)))
+                # count(v) / count(v.prop) / count(DISTINCT v[.prop])
+                items.append((
+                    "countd" if m.group(1) else "count",
+                    m.group(2), m.group(3), m.group(4),
+                ))
                 continue
             m = _ITEM_AGG_RE.match(raw)
             if m:
@@ -733,14 +739,16 @@ def compile_query(
         # left-joins the nodes frame onto `cur`), then rebind the frame
         # so the projection sees them
         for k, v, p, _a in items:
-            if (k == "prop" or k.startswith("agg:")) and v in node_vars and p not in (None, "id"):
+            if (
+                k in ("prop", "countd", "count") or k.startswith("agg:")
+            ) and v in node_vars and p not in (None, "id"):
                 attach_node_prop(v, p)
         frame = cur
         aggs = [(k, v, p, a) for k, v, p, a in items
-                if k == "count" or k.startswith("agg:")]
+                if k in ("count", "countd") or k.startswith("agg:")]
         if aggs:
             keys = [(k, v, p, a) for k, v, p, a in items
-                    if not (k == "count" or k.startswith("agg:"))]
+                    if not (k in ("count", "countd") or k.startswith("agg:"))]
             for k, _v, _p, _a in keys:
                 if k == "bare":
                     raise CypherUnsupported("bare items cannot mix with aggregates")
@@ -748,10 +756,19 @@ def compile_query(
             agg_fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             agg_cols = []
             for k, v, p, a in aggs:
-                if k == "count":
-                    if v not in cols:
-                        raise CypherUnsupported(f"count() over unknown variable {v!r}")
-                    agg_cols.append(F.count(F.col(cols[v])).alias(a))
+                if k in ("count", "countd"):
+                    if p is None:
+                        if v not in cols:
+                            raise CypherUnsupported(
+                                f"count() over unknown variable {v!r}"
+                            )
+                        target = F.col(cols[v])
+                    else:
+                        # count([DISTINCT] v.prop): non-null property
+                        # occurrences, Cypher's null-skipping contract
+                        target = item_col("prop", v, p)
+                    fn = F.count_distinct if k == "countd" else F.count
+                    agg_cols.append(fn(target).alias(a))
                     continue
                 # sum/avg/min/max over a property expression
                 agg_cols.append(agg_fns[k[4:]](item_col("prop", v, p)).alias(a))
@@ -789,7 +806,7 @@ def compile_query(
     else:
         out = project(out, ret_items)
     if ast["distinct"]:
-        if any(k == "count" for k, *_ in ret_items):
+        if any(k in ("count", "countd") for k, *_ in ret_items):
             raise CypherUnsupported("RETURN DISTINCT with aggregates is unsupported")
         out = out.distinct()
 

@@ -87,6 +87,47 @@ def curate_report(docs: DataFrame, **kwargs) -> dict[str, int]:
 # ("contain at least two of the following stop words")
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# Both patterns are written in the Java ∩ RE2 dialect (the PII-pattern
+# rule, functions/text.py): \xhh-class escapes and literal Unicode
+# chars parse identically in Spark's Java regex and DuckDB's RE2.
+ENCODING_CONTROL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# classic UTF-8-bytes-decoded-as-Latin-1 artifacts: 'Ã'+U+0080..00FF
+# (Ã©/Ã¡/Ã±...), 'â€' (E2 80 xx punctuation), 'Â'+U+00A0..00BF (Â«, Â°)
+ENCODING_MOJIBAKE_PATTERN = (
+    "\u00c3[\u0080-\u00ff]|\u00e2[\u0080\u20ac]|\u00c2[\u00a0-\u00bf]"
+)
+
+
+def encoding_screen(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-health screen — the curation gate that catches broken
+    ingestion BEFORE content-quality rules run (a crawl shard decoded
+    with the wrong charset sails through length/stopword heuristics
+    while being garbage): U+FFFD replacement characters (the decoder
+    already gave up), raw control characters (binary bleed; tab/CR/LF
+    exempt), and double-encoding mojibake marker pairs. All three are
+    exact integer counts (replace-diff and regexp matches), so the
+    screen is map-only, engine-exact, and value-hash-checkable — no
+    floats anywhere.
+
+    Appends (gopher_quality_flags style, so the screens compose):
+    n_replacement, n_control, n_mojibake, pass_encoding.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_repl = (
+        F.length(t) - F.length(F.replace(t, F.lit("\ufffd"), F.lit("")))
+    ).cast("long")
+    n_ctrl = F.regexp_count(t, F.lit(ENCODING_CONTROL_PATTERN)).cast("long")
+    n_moji = F.regexp_count(t, F.lit(ENCODING_MOJIBAKE_PATTERN)).cast("long")
+    return docs.select(
+        "*",
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0)).alias("pass_encoding"),
+    )
+
 
 def gopher_quality_flags(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"

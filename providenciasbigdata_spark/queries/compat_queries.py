@@ -1491,6 +1491,51 @@ WHERE e.similitud >= 20
 """
 
 
+CYPHER_COUNT_DISTINCT = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+RETURN a.id AS origen, count(r) AS n_edges, count(DISTINCT b.anio) AS n_anios
+"""
+
+
+def q_cypher_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``count(DISTINCT b.anio)`` beside a plain ``count(r)`` (round 6):
+    per source node, edge count and the number of DISTINCT years among
+    its weight-filtered neighbors — the aggregate pair needs the
+    node-property left-join (null properties skipped by COUNT, Cypher's
+    rule) and Spark's count_distinct in the same hash aggregate."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb)
+    nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
+        F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
+    )
+    return cypher_run(
+        CYPHER_COUNT_DISTINCT, nodes=nodes, edges=edges,
+        params={"lo": 30.0, "hi": 100.0},
+    )
+
+
+_CYPHER_COUNT_DISTINCT_SQL = """
+WITH e AS (
+  SELECT a.vec_id AS sa, b.vec_id AS vb,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+), n AS (
+  SELECT doc_id, CAST(2000 + doc_id % 25 AS BIGINT) AS anio FROM documents
+)
+SELECT 'P-' || CAST(e.sa AS VARCHAR) AS origen,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT n.anio) AS BIGINT) AS n_anios
+FROM e LEFT JOIN n ON n.doc_id = e.vb
+WHERE e.sim BETWEEN 30 AND 100
+GROUP BY e.sa
+"""
+
+
 CYPHER_TWO_HOP_MOTIF = """
 MATCH (a:Providencia {id: $origen})-[r1:SIMILAR]->(b:Providencia)-[r2:SIMILAR]->(c:Providencia)
 WHERE r1.similitud >= $lo1 AND r1.similitud <= $hi1 AND r2.similitud >= $lo2 AND r2.similitud <= $hi2
@@ -2267,6 +2312,7 @@ QUERIES = {
     "cypher_agg_stats": (q_cypher_agg_stats, _CYPHER_AGG_STATS_SQL),
     "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
     "cypher_with_having": (q_cypher_with_having, _CYPHER_WITH_HAVING_SQL),
+    "cypher_count_distinct": (q_cypher_count_distinct, _CYPHER_COUNT_DISTINCT_SQL),
     "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),
     "cypher_global_topk": (q_cypher_global_topk, _CYPHER_GLOBAL_TOPK_SQL),
 }

@@ -639,6 +639,70 @@ FROM c
 """
 
 
+def q_curate_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health screen (round 6): the fixture corpus is clean,
+    so the query deterministically injects the three corruption
+    classes the screen exists for — a U+FFFD replacement char on every
+    7th doc, a Latin-1 mojibake pair on every 5th, a raw control byte
+    on every 3rd (the oracle replays the identical injection) — then
+    audits per language: docs, failing docs, and the three exact
+    counters. Map-only integer arithmetic end-to-end."""
+    from providenciasbigdata_spark.operators.curate import encoding_screen
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("�")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("Ã©")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        encoding_screen(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum((~F.col("pass_encoding")).cast("long")).cast("long").alias("bad_docs"),
+            F.sum("n_replacement").cast("long").alias("repl"),
+            F.sum("n_control").cast("long").alias("ctrl"),
+            F.sum("n_mojibake").cast("long").alias("moji"),
+        )
+    )
+
+
+_CURATE_ENCODING_SQL = """
+WITH injected AS (
+  SELECT lang,
+         COALESCE(text, '')
+           || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN chr(195) || chr(169) ELSE '' END
+           || CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END AS text
+  FROM documents),
+m AS (
+  SELECT lang,
+         length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+         len(regexp_extract_all(text,
+             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS n_ctrl,
+         len(regexp_extract_all(text,
+             chr(195) || '[' || chr(128) || '-' || chr(255) || ']|'
+             || chr(226) || '[' || chr(128) || chr(8364) || ']|'
+             || chr(194) || '[' || chr(160) || '-' || chr(191) || ']'))
+           AS n_moji
+  FROM injected)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN n_repl + n_ctrl + n_moji > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_docs,
+       CAST(SUM(n_repl) AS BIGINT) AS repl,
+       CAST(SUM(n_ctrl) AS BIGINT) AS ctrl,
+       CAST(SUM(n_moji) AS BIGINT) AS moji
+FROM m GROUP BY lang
+"""
+
+
 def q_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Wasserstein-1 (earth-mover) drift between the quantity
     distributions of returned vs delivered lineitems — the drift gate
@@ -740,6 +804,7 @@ QUERIES = {
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
     "training_mix_temperature": (q_mix_temperature, _mix_temperature_sql()),
     "curate_gopher_flags": (q_gopher_flags, _GOPHER_SQL),
+    "curate_encoding_screen": (q_curate_encoding, _CURATE_ENCODING_SQL),
     "split_train_val_test": (q_split_train_val_test, _split_sql()),
     "snapshot_diff_changes": (q_snapshot_diff, _SNAPSHOT_DIFF_SQL),
     "sample_weighted_by_length": (q_weighted_sample, _WEIGHTED_SAMPLE_SQL),

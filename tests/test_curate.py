@@ -64,3 +64,26 @@ def test_gopher_flags_rule_pins(spark):
     # stopword rule: >= 2 DISTINCT stopwords present
     assert got[1].flag_stopwords and got[5].flag_stopwords
     assert not got[2].flag_stopwords  # bullet items carry none
+
+
+def test_encoding_screen_pins(spark):
+    """Each corruption class counted independently; tab/CR/LF exempt
+    from the control rule; clean text passes; NULL text passes (empty);
+    input columns are preserved (append contract)."""
+    from providenciasbigdata_spark.operators.curate import encoding_screen
+
+    rows = [
+        (1, "clean text\twith\r\nwhitespace"),
+        (2, "bad � twice � here"),
+        (3, "bell \x07 and esc \x1b"),
+        (4, "cafÃ© and â€™quote"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding_screen(df).collect()}
+    assert got[1].pass_encoding and got[5].pass_encoding
+    assert (got[1].n_replacement, got[1].n_control, got[1].n_mojibake) == (0, 0, 0)
+    assert got[2].n_replacement == 2 and not got[2].pass_encoding
+    assert got[3].n_control == 2 and got[3].n_replacement == 0
+    assert got[4].n_mojibake == 2 and not got[4].pass_encoding
+    assert got[2].text is not None  # original columns survive

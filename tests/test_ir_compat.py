@@ -1295,3 +1295,31 @@ def test_mql_stddev_accumulators(spark):
         fdf, [{"$group": {"_id": "$g", "sd": {"$stdDevSamp": "$x"}}}]
     ).first()
     assert abs(r.sd - math.sqrt(0.5)) < 1e-12
+
+
+def test_cypher_count_distinct_and_prop_count(spark):
+    """count(DISTINCT b.anio) collapses duplicate years; count(b.anio)
+    skips null properties (Cypher's null rule); count(r) counts edges."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    edges = spark.createDataFrame(
+        [("A", "x", 50.0), ("A", "y", 60.0), ("A", "z", 70.0), ("B", "x", 55.0)],
+        "src string, dst string, similitud double",
+    )
+    # x and y share a year; z has NO node row -> null property
+    nodes = spark.createDataFrame(
+        [("x", 2001), ("y", 2001), ("A", 1999), ("B", 1998)],
+        "id string, anio long",
+    )
+    got = {
+        r.origen: r
+        for r in cypher_run(
+            "MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia) "
+            "WHERE r.similitud >= $lo "
+            "RETURN a.id AS origen, count(r) AS n_edges, "
+            "count(b.anio) AS n_years, count(DISTINCT b.anio) AS n_distinct",
+            nodes=nodes, edges=edges, params={"lo": 0.0},
+        ).collect()
+    }
+    assert (got["A"].n_edges, got["A"].n_years, got["A"].n_distinct) == (3, 2, 1)
+    assert (got["B"].n_edges, got["B"].n_years, got["B"].n_distinct) == (1, 1, 1)
