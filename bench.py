@@ -132,6 +132,12 @@ HEADLINE = [
     "embed_matryoshka_ratio",
     "graph_assortativity",
     "window_ntile_quartiles",
+    # round 6, fourth session
+    "drift_wasserstein_quantity",
+    "mql_agg_stddev",
+    "ann_hamming_topk",
+    "curate_encoding_screen",
+    "cypher_count_distinct",
 ]
 
 

@@ -595,6 +595,30 @@ def _agg_expr(spec) -> Column:
         if op in _EXPR_CMP:
             a, b = (_agg_expr(x) for x in _expr_args(args, op, 2))
             return _EXPR_CMP[op](a, b)
+        if op == "$switch":
+            # branches evaluate in order; a null case is false (falls
+            # through, F.when's contract too); no matching branch and
+            # no default is a RUNTIME error exactly as Mongo — same
+            # lazily-evaluated assert_true device as $bucket (a
+            # detached check column would be pruned by Catalyst)
+            if not (isinstance(args, dict) and isinstance(args.get("branches"), list)
+                    and args["branches"]):
+                raise ValueError(f"$switch needs a non-empty branches list: {args!r}")
+            if set(args) - {"branches", "default"}:
+                raise ValueError(f"unknown $switch keys: {sorted(set(args) - {'branches', 'default'})}")
+            chain = None
+            for br in args["branches"]:
+                if not (isinstance(br, dict) and {"case", "then"} == set(br)):
+                    raise ValueError(f"$switch branch needs case and then: {br!r}")
+                c, t = _agg_expr(br["case"]), _agg_expr(br["then"])
+                chain = F.when(c, t) if chain is None else chain.when(c, t)
+            if "default" in args:
+                return chain.otherwise(_agg_expr(args["default"]))
+            return chain.otherwise(
+                F.assert_true(
+                    F.lit(False), F.lit("$switch: no branch matched and no default")
+                )
+            )
         raise ValueError(f"unsupported aggregation expression operator: {op}")
     raise ValueError(f"unsupported aggregation expression: {spec!r}")
 

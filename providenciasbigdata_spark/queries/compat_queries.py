@@ -2084,6 +2084,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q_mql_agg_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$switch expression (round 6): tier events by value ranges in
+    $addFields (ordered branches, default arm), then count + value
+    extrema per tier — extrema are order-free doubles so the whole row
+    value-hashes without rounding."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        load_table(spark, sf_dir, "events"),
+        [
+            {"$addFields": {"tier": {"$switch": {
+                "branches": [
+                    {"case": {"$lt": ["$value", 10]}, "then": "low"},
+                    {"case": {"$lt": ["$value", 100]}, "then": "mid"},
+                ],
+                "default": "high",
+            }}}},
+            {"$group": {"_id": "$tier",
+                        "n": {"$count": {}},
+                        "vmin": {"$min": "$value"},
+                        "vmax": {"$max": "$value"}}},
+        ],
+    )
+    return out.select("_id", F.col("n").cast("long").alias("n"), "vmin", "vmax")
+
+
+_MQL_SWITCH_SQL = """
+SELECT CASE WHEN value < 10 THEN 'low'
+            WHEN value < 100 THEN 'mid'
+            ELSE 'high' END AS _id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax
+FROM events GROUP BY 1
+"""
+
+
 def q_mql_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$stdDevSamp/$stdDevPop (round 6, previously an explicit
     unsupported-raise): per-language spread of document lengths. On
@@ -2285,6 +2322,7 @@ QUERIES = {
     "mql_agg_densify_time": (q_mql_agg_densify_time, _MQL_DENSIFY_TIME_SQL),
     "mql_agg_date_ops": (q_mql_agg_date_ops, _MQL_DATE_OPS_SQL),
     "mql_agg_stddev": (q_mql_agg_stddev, _MQL_STDDEV_SQL),
+    "mql_agg_switch": (q_mql_agg_switch, _MQL_SWITCH_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

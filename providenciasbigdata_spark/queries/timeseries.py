@@ -98,6 +98,57 @@ FROM numbered GROUP BY user_id, session_no
 """
 
 
+def q_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` operator in BATCH mode (round
+    6 — the streaming module already drives it under watermarks; this
+    pins the same merge semantics on a plain groupBy): per-user
+    sessions under the 30-min gap, window.end = last event + gap. The
+    merge rule is the one the streaming parity test pinned — an event
+    at EXACTLY last+gap merges — which is also sessionize()'s ``>``
+    rule, so the oracle reuses the gaps-and-islands CTE and adds the
+    gap to the island's max(ts) for session_end."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+    )
+
+
+_BATCH_SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL {SESSION_GAP_S} SECOND,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
 def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical time-bucket rollup per event type: (day, hour)
     detail -> per-day subtotal -> per-type total, one pass via ROLLUP
@@ -621,6 +672,7 @@ QUERIES = {
     "timeseries_ohlc_bars": (q_ohlc_bars, _OHLC_SQL),
     "timeseries_rolling_median": (q_rolling_median, _ROLLING_MEDIAN_SQL),
     "sessionize_events": (q_sessionize_events, _SESSIONIZE_SQL),
+    "batch_session_window": (q_batch_session_window, _BATCH_SESSION_WINDOW_SQL),
     "anomaly_value_outliers": (q_value_outliers, _OUTLIERS_SQL),
     "rollup_hypertable": (q_rollup_hypertable, _ROLLUP_HT_SQL),
     "cohort_retention": (q_cohort_retention, _COHORT_SQL),

@@ -876,3 +876,27 @@ def test_versioned_upsert_sink_time_travel(spark, events_dir, tmp_path_factory):
     )
     q2.awaitTermination()
     assert len(snapshot_versions(table)) == n_files
+
+
+def test_batch_session_window_boundary_rule(spark):
+    """Native session_window in BATCH mode: an event at EXACTLY
+    last+gap merges (one session) — the same rule the streaming parity
+    pinned and the sessionize() islands oracle encodes with '>'."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0), 2.0),   # exactly +gap
+        (1, dt.datetime(2024, 1, 1, 1, 0, 1), 3.0),    # gap+1s -> new
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = (
+        df.groupBy(F.session_window("ts", "1800 seconds").alias("w"), "user_id")
+        .count()
+        .orderBy("w.start")
+        .collect()
+    )
+    assert [r["count"] for r in out] == [2, 1]
+    assert out[0].w.end == dt.datetime(2024, 1, 1, 1, 0, 0)  # last+gap
