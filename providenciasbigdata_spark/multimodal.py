@@ -162,6 +162,72 @@ def _bmp_image_decode(payload: bytes) -> tuple[int, int, float]:
     return width, h, round(float(luma.mean()) / 255.0, 6)
 
 
+def encode_pgm(data: bytes, width: int = 16) -> bytes:
+    """Pack raw bytes into a REAL binary PGM (netpbm P5) container:
+    bytes ARE the 8-bit grayscale raster, zero-filled to a whole
+    ``width x H`` image with H = ceil(len/width) (min 1). Header is the
+    canonical ``P5\\n<w> <h>\\n255\\n`` form, so container size is
+    exact arithmetic (9 + digits(w) + digits(h) + w*h) — the property
+    the oracle checks. Pure stdlib; the fixture generator for
+    the ``"pnm"`` real-decode backend."""
+    h = max(1, -(-len(data) // width))
+    raster = data.ljust(width * h, b"\x00")
+    return f"P5\n{width} {h}\n255\n".encode("ascii") + raster
+
+
+def _pnm_image_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL binary netpbm decode (P5 grayscale / P6 RGB) — the third
+    stdlib raster sibling beside BMP and PNG, CI-run everywhere. The
+    header is ASCII with arbitrary whitespace and ``#`` comments
+    before the raster (the part naive parsers get wrong); samples must
+    be 8-bit (maxval 255). Luma: P5 pixels are already luma; P6 uses
+    the same ITU-R 601 integer coefficients as the other backends —
+    one contract across fake/pil/bmp/png/pnm."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload (missing P5/P6 magic)")
+    i, toks = 2, []
+    while len(toks) < 3:
+        if i >= len(payload):
+            raise ValueError("truncated netpbm header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("unterminated netpbm comment")
+            i = nl + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            try:
+                toks.append(int(payload[i:j]))
+            except ValueError:
+                raise ValueError(f"bad netpbm header token: {payload[i:j]!r}")
+            i = j
+    i += 1  # exactly ONE whitespace byte separates maxval from raster
+    width, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"only 8-bit netpbm supported, got maxval={maxval}")
+    ch = 3 if magic == b"P6" else 1
+    if len(payload) - i < width * h * ch:
+        raise ValueError("truncated netpbm raster")
+    arr = (
+        np.frombuffer(payload, np.uint8, width * h * ch, i)
+        .reshape(h, width, ch)
+        .astype(np.float64)
+    )
+    if ch == 3:
+        luma = (299 * arr[..., 0] + 587 * arr[..., 1] + 114 * arr[..., 2]) / 1000.0
+    else:
+        luma = arr[..., 0]
+    return width, h, round(float(luma.mean()) / 255.0, 6)
+
+
 def encode_png(data: bytes, width: int = 16) -> bytes:
     """Pack raw bytes into a REAL 8-bit grayscale PNG (color type 0):
     one filter-0 scanline per row, zero-filled to a whole
@@ -288,9 +354,10 @@ def decode_image_features(
     batches). The per-batch loop touches only the two needed columns —
     column pruning keeps other payload metadata out of the transfer.
 
-    Backends: ``"fake"`` (deterministic CI default), ``"bmp"`` and
-    ``"png"`` (REAL stdlib decodes — run everywhere), ``"pil"`` (real,
-    import-gated: NotImplementedError when Pillow isn't installed)."""
+    Backends: ``"fake"`` (deterministic CI default), ``"bmp"``,
+    ``"png"`` and ``"pnm"`` (REAL stdlib decodes — run everywhere),
+    ``"pil"`` (real, import-gated: NotImplementedError when Pillow
+    isn't installed)."""
     if decode_backend == "pil":
         _require("PIL", "pip install pillow")
         decode = _pil_image_decode
@@ -298,6 +365,8 @@ def decode_image_features(
         decode = _bmp_image_decode
     elif decode_backend == "png":
         decode = _png_image_decode
+    elif decode_backend == "pnm":
+        decode = _pnm_image_decode
     elif decode_backend == "fake":
         decode = _fake_image_decode
     else:

@@ -441,8 +441,57 @@ def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pgm_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid binary-PGM (netpbm P5) containers for every image asset —
+    the third real raster fixture beside BMP and PNG."""
+    import pandas as pd
+
+    assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "image")
+
+    def wrap(batches):
+        for pdf in batches:
+            out = [
+                (aid, multimodal.encode_pgm(bytes(p) if p is not None else b""))
+                for aid, p in zip(pdf["asset_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        wrap, "asset_id long, payload binary"
+    )
+
+
+def q_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the real netpbm decode (round 6): the
+    ``"pnm"`` backend parses the ASCII header (whitespace + comment
+    grammar) and recovers geometry — width pinned at 16, height =
+    ceil(len/16) min 1, container size = 11 + digits(h) + 16·h (the
+    encode_pgm arithmetic) — all SQL-reproducible, so the distributed
+    header-parse + decode path is hash-checked. P5 luma == raw byte
+    mean, pinned with P6 RGB on known bytes in tests."""
+    feats = multimodal.decode_image_features(
+        _pgm_containers(spark, sf_dir), decode_backend="pnm"
+    )
+    return feats.select("asset_id", "width", "height", "n_bytes")
+
+
+_PGM_DECODE_SQL = """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         GREATEST(1, (octet_length(encode(text)) + 15) // 16) AS h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT asset_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(11 + length(CAST(h AS VARCHAR)) + 16 * h AS BIGINT) AS n_bytes
+FROM v
+"""
+
+
 QUERIES = {
     "multimodal_payload_stats": (q_payload_stats, _PAYLOAD_STATS_SQL),
+    "multimodal_pgm_decode": (q_pgm_decode, _PGM_DECODE_SQL),
     "multimodal_payload_entropy": (q_payload_entropy, _PAYLOAD_ENTROPY_SQL),
     "multimodal_image_features": (q_image_features, None),
     "multimodal_audio_features": (q_audio_features, None),

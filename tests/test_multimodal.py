@@ -365,3 +365,37 @@ def test_payload_entropy_arrow_matches_reference(spark):
         assert abs(r.null_ratio - z) < 1e-12
     assert got[0].entropy_bits == 0.0
     assert abs(got[1].entropy_bits - 8.0) < 1e-12
+
+
+def test_pnm_decode_known_bytes_and_grammar():
+    """P5 luma == raw byte mean; P6 uses the ITU-601 integer weights;
+    header comments + arbitrary whitespace parse; non-255 maxval and
+    truncated rasters raise."""
+    import pytest
+
+    from providenciasbigdata_spark import multimodal as mm
+
+    # P5 2x2: bytes 0,255,0,255 -> mean 127.5/255 = 0.5
+    p5 = b"P5\n2 2\n255\n" + bytes([0, 255, 0, 255])
+    assert mm._pnm_image_decode(p5) == (2, 2, 0.5)
+
+    # comment + multi-whitespace header, same raster
+    p5c = b"P5 # a comment\n #another\n 2\t2\n255\n" + bytes([0, 255, 0, 255])
+    assert mm._pnm_image_decode(p5c) == (2, 2, 0.5)
+
+    # P6 1x1 pure red: luma = 299*255/1000 / 255 = 0.299
+    p6 = b"P6\n1 1\n255\n" + bytes([255, 0, 0])
+    assert mm._pnm_image_decode(p6) == (1, 1, 0.299)
+
+    with pytest.raises(ValueError, match="maxval"):
+        mm._pnm_image_decode(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError, match="truncated netpbm raster"):
+        mm._pnm_image_decode(b"P5\n4 4\n255\n\x00")
+    with pytest.raises(ValueError, match="magic"):
+        mm._pnm_image_decode(b"P3\n1 1\n255\n0 0 0")
+
+    # encode_pgm roundtrip: geometry + zero-fill tail
+    enc = mm.encode_pgm(b"\xff" * 20, width=16)
+    w, h, luma = mm._pnm_image_decode(enc)
+    assert (w, h) == (16, 2)
+    assert luma == round(20 * 1.0 / 32, 6)
