@@ -88,6 +88,12 @@ _ITEM_PROP_RE = re.compile(r"^(\w+)\.(\w+)\s+AS\s+(\w+)$", re.I)
 _ITEM_COUNT_RE = re.compile(
     r"^count\s*\(\s*(DISTINCT\s+)?(\w+)(?:\.(\w+))?\s*\)\s+AS\s+(\w+)$", re.I
 )
+_ITEM_COLLECT_RE = re.compile(
+    r"^collect\s*\(\s*(DISTINCT\s+)?(\w+)(?:\.(\w+))?\s*\)\s+AS\s+(\w+)$", re.I
+)
+
+# item kinds that compile to aggregate functions
+_AGG_KINDS = ("count", "countd", "collect", "collectd")
 _ITEM_AGG_RE = re.compile(
     r"^(sum|avg|min|max)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)$", re.I
 )
@@ -222,6 +228,13 @@ def parse(query: str) -> dict:
                 # count(v) / count(v.prop) / count(DISTINCT v[.prop])
                 items.append((
                     "countd" if m.group(1) else "count",
+                    m.group(2), m.group(3), m.group(4),
+                ))
+                continue
+            m = _ITEM_COLLECT_RE.match(raw)
+            if m:
+                items.append((
+                    "collectd" if m.group(1) else "collect",
                     m.group(2), m.group(3), m.group(4),
                 ))
                 continue
@@ -740,15 +753,15 @@ def compile_query(
         # so the projection sees them
         for k, v, p, _a in items:
             if (
-                k in ("prop", "countd", "count") or k.startswith("agg:")
+                k == "prop" or k in _AGG_KINDS or k.startswith("agg:")
             ) and v in node_vars and p not in (None, "id"):
                 attach_node_prop(v, p)
         frame = cur
         aggs = [(k, v, p, a) for k, v, p, a in items
-                if k in ("count", "countd") or k.startswith("agg:")]
+                if k in _AGG_KINDS or k.startswith("agg:")]
         if aggs:
             keys = [(k, v, p, a) for k, v, p, a in items
-                    if not (k in ("count", "countd") or k.startswith("agg:"))]
+                    if not (k in _AGG_KINDS or k.startswith("agg:"))]
             for k, _v, _p, _a in keys:
                 if k == "bare":
                     raise CypherUnsupported("bare items cannot mix with aggregates")
@@ -756,19 +769,30 @@ def compile_query(
             agg_fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             agg_cols = []
             for k, v, p, a in aggs:
-                if k in ("count", "countd"):
+                if k in _AGG_KINDS:
                     if p is None:
                         if v not in cols:
                             raise CypherUnsupported(
-                                f"count() over unknown variable {v!r}"
+                                f"{k.rstrip('d')}() over unknown variable {v!r}"
                             )
                         target = F.col(cols[v])
                     else:
-                        # count([DISTINCT] v.prop): non-null property
-                        # occurrences, Cypher's null-skipping contract
+                        # [count|collect]([DISTINCT] v.prop): nulls
+                        # skipped, Cypher's contract (Spark's too)
                         target = item_col("prop", v, p)
-                    fn = F.count_distinct if k == "countd" else F.count
-                    agg_cols.append(fn(target).alias(a))
+                    if k == "countd":
+                        agg_cols.append(F.count_distinct(target).alias(a))
+                    elif k == "count":
+                        agg_cols.append(F.count(target).alias(a))
+                    else:
+                        # collect(): Cypher list order is unspecified
+                        # (B5) — sorted for engine reproducibility,
+                        # the $push determinism rule
+                        inner = (
+                            F.collect_set(target) if k == "collectd"
+                            else F.collect_list(target)
+                        )
+                        agg_cols.append(F.sort_array(inner).alias(a))
                     continue
                 # sum/avg/min/max over a property expression
                 agg_cols.append(agg_fns[k[4:]](item_col("prop", v, p)).alias(a))
@@ -806,7 +830,7 @@ def compile_query(
     else:
         out = project(out, ret_items)
     if ast["distinct"]:
-        if any(k in ("count", "countd") for k, *_ in ret_items):
+        if any(k in _AGG_KINDS for k, *_ in ret_items):
             raise CypherUnsupported("RETURN DISTINCT with aggregates is unsupported")
         out = out.distinct()
 

@@ -467,7 +467,11 @@ def _group_aggs(spec: dict, df: DataFrame | None = None) -> list[Column]:
         if op == "$sum" and operand == 1:
             aggs.append(F.count(F.lit(1)).alias(out))
             continue
-        col = F.col(_ref_field(operand, op))
+        # accumulators take '$field' refs or full aggregation
+        # expression documents (Mongo allows either)
+        col = _agg_expr(operand) if isinstance(operand, dict) else F.col(
+            _ref_field(operand, op)
+        )
         fn = {
             "$sum": F.sum,
             "$avg": F.avg,
@@ -1276,8 +1280,31 @@ def mql_aggregate(
         if op == "$match":
             df = df.filter(_query_condition(spec, default_language))
         elif op == "$unwind":
-            field = _ref_field(spec, "$unwind")
-            df = df.withColumn(field, F.explode(F.col(field)))
+            if isinstance(spec, dict):
+                # document form (Mongo 3.2+): path + options
+                extra = set(spec) - {"path", "includeArrayIndex",
+                                     "preserveNullAndEmptyArrays"}
+                if extra or "path" not in spec:
+                    raise ValueError(f"unsupported $unwind document: {spec!r}")
+                field = _ref_field(spec["path"], "$unwind")
+                idx_col = spec.get("includeArrayIndex")
+                preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+                if idx_col is not None and not isinstance(idx_col, str):
+                    raise ValueError("includeArrayIndex needs a field name string")
+                # posexplode emits (pos, value); Mongo's index is a
+                # LONG and is null for the preserved null/empty rows
+                pos_fn = F.posexplode_outer if preserve else F.posexplode
+                exploded = df.select(
+                    "*", pos_fn(F.col(field)).alias("__unwind_pos", "__unwind_val")
+                ).drop(field).withColumnRenamed("__unwind_val", field)
+                if idx_col is not None:
+                    exploded = exploded.withColumn(
+                        idx_col, F.col("__unwind_pos").cast("long")
+                    )
+                df = exploded.drop("__unwind_pos")
+            else:
+                field = _ref_field(spec, "$unwind")
+                df = df.withColumn(field, F.explode(F.col(field)))
         elif op == "$group":
             df = _group_stage(df, spec)
         elif op == "$project":

@@ -1491,6 +1491,46 @@ WHERE e.similitud >= 20
 """
 
 
+CYPHER_COLLECT = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN a.id AS origen, count(r) AS n, collect(b.id) AS vecinos
+"""
+
+
+def q_cypher_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher ``collect()`` (round 6): P-7's qualifying neighbors as a
+    list aggregate. Cypher leaves list order unspecified (B5), so the
+    engine sorts the collected array ($push's determinism rule); the
+    query serializes it to a CSV string — the array-top-level-column
+    lint for oracle-checked entries."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = build_similarity_edges(emb, anchor_vec_id=7)
+    out = cypher_run(
+        CYPHER_COLLECT, edges=edges, params={"origen": "P-7", "lo": 30.0}
+    )
+    return out.select(
+        "origen",
+        F.col("n").cast("long").alias("n"),
+        F.array_join("vecinos", ",").alias("vecinos"),
+    )
+
+
+_CYPHER_COLLECT_SQL = """
+SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       array_to_string(list_sort(list('P-' || CAST(b.vec_id AS VARCHAR))), ',')
+         AS vecinos
+FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+WHERE a.vec_id = 7
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) * 100, 4) >= 30
+GROUP BY a.vec_id
+"""
+
+
 CYPHER_COUNT_DISTINCT = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -2084,6 +2124,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q_mql_unwind_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$unwind document form (round 6): ``includeArrayIndex`` +
+    ``preserveNullAndEmptyArrays`` — every 10th ruling's token array is
+    emptied so the preserve path has real work (the preserved row
+    carries a NULL element and NULL index, Mongo's contract; engine =
+    posexplode_outer). Per year: total rows, indexed rows, max index —
+    all exact integers the oracle derives from token counts."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir).withColumn(
+        "toks",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.array().cast("array<string>")
+        ).otherwise(F.col("tokens")),
+    ).select("doc_id", "anio", "toks")
+    out = mql_aggregate(
+        r,
+        [
+            {"$unwind": {"path": "$toks", "includeArrayIndex": "pos",
+                         "preserveNullAndEmptyArrays": True}},
+            {"$group": {"_id": "$anio",
+                        "n_rows": {"$count": {}},
+                        "n_indexed": {"$sum": {"$cond": [
+                            {"$gte": ["$pos", 0]}, 1, 0]}},
+                        "max_pos": {"$max": "$pos"}}},
+        ],
+    )
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_indexed").cast("long").alias("n_indexed"),
+        F.col("max_pos").cast("long").alias("max_pos"),
+    )
+
+
+_MQL_UNWIND_SQL = f"""
+WITH v AS (
+  SELECT CAST(2000 + doc_id % 25 AS BIGINT) AS anio,
+         CASE WHEN doc_id % 10 = 0 THEN 0
+              ELSE len({_TOKENS_SQL.format(col='text')}) END AS l
+  FROM documents)
+SELECT anio AS _id,
+       CAST(SUM(CASE WHEN l > 0 THEN l ELSE 1 END) AS BIGINT) AS n_rows,
+       CAST(SUM(l) AS BIGINT) AS n_indexed,
+       CAST(MAX(CASE WHEN l > 0 THEN l - 1 END) AS BIGINT) AS max_pos
+FROM v GROUP BY anio
+"""
+
+
 def q_mql_agg_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$switch expression (round 6): tier events by value ranges in
     $addFields (ordered branches, default arm), then count + value
@@ -2323,6 +2412,7 @@ QUERIES = {
     "mql_agg_date_ops": (q_mql_agg_date_ops, _MQL_DATE_OPS_SQL),
     "mql_agg_stddev": (q_mql_agg_stddev, _MQL_STDDEV_SQL),
     "mql_agg_switch": (q_mql_agg_switch, _MQL_SWITCH_SQL),
+    "mql_unwind_indexed": (q_mql_unwind_indexed, _MQL_UNWIND_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
@@ -2351,6 +2441,7 @@ QUERIES = {
     "cypher_optional_match": (q_cypher_optional_match, _CYPHER_OPTIONAL_SQL),
     "cypher_with_having": (q_cypher_with_having, _CYPHER_WITH_HAVING_SQL),
     "cypher_count_distinct": (q_cypher_count_distinct, _CYPHER_COUNT_DISTINCT_SQL),
+    "cypher_collect_neighbors": (q_cypher_collect, _CYPHER_COLLECT_SQL),
     "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),
     "cypher_global_topk": (q_cypher_global_topk, _CYPHER_GLOBAL_TOPK_SQL),
 }

@@ -1323,3 +1323,74 @@ def test_cypher_count_distinct_and_prop_count(spark):
     }
     assert (got["A"].n_edges, got["A"].n_years, got["A"].n_distinct) == (3, 2, 1)
     assert (got["B"].n_edges, got["B"].n_years, got["B"].n_distinct) == (1, 1, 1)
+
+
+def test_mql_unwind_document_form(spark):
+    """$unwind options: includeArrayIndex emits a LONG 0-based index;
+    preserveNullAndEmptyArrays keeps null/empty docs with null element
+    and null index; without preserve they drop; bad options raise.
+    Accumulator expressions ($sum over $cond) also pinned here."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)],
+        "doc_id long, xs array<string>",
+    )
+    kept = mql_aggregate(
+        df,
+        [{"$unwind": {"path": "$xs", "includeArrayIndex": "i",
+                      "preserveNullAndEmptyArrays": True}}],
+    ).collect()
+    by = sorted((r.doc_id, r.xs, r.i) for r in kept)
+    assert by == [(1, "a", 0), (1, "b", 1), (2, None, None), (3, None, None)]
+
+    dropped = mql_aggregate(
+        df, [{"$unwind": {"path": "$xs", "includeArrayIndex": "i"}}]
+    ).collect()
+    assert sorted((r.doc_id, r.xs, r.i) for r in dropped) == [(1, "a", 0), (1, "b", 1)]
+
+    for bad in (
+        {"$unwind": {"path": "$xs", "nope": 1}},
+        {"$unwind": {"includeArrayIndex": "i"}},
+        {"$unwind": {"path": "$xs", "includeArrayIndex": 3}},
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(df, [bad])
+
+    # accumulator expression: conditional count via $sum over $cond
+    agg2 = mql_aggregate(
+        spark.createDataFrame([(1, 5), (2, 20)], "k long, v long"),
+        [{"$group": {"_id": None, "n_big": {"$sum": {"$cond": [
+            {"$gte": ["$v", 10]}, 1, 0]}}}}],
+    ).first()
+    assert agg2.n_big == 1
+
+
+def test_cypher_collect_aggregates(spark):
+    """collect(v.prop) sorts the list (B5 determinism) and skips null
+    properties; collect(DISTINCT ...) dedups; mixing with DISTINCT
+    RETURN still raises."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    edges = spark.createDataFrame(
+        [("A", "x", 50.0), ("A", "y", 60.0), ("A", "z", 70.0)],
+        "src string, dst string, similitud double",
+    )
+    nodes = spark.createDataFrame(
+        [("x", 2001), ("y", 2001)], "id string, anio long"
+    )  # z missing -> null anio, skipped by collect
+    r = cypher_run(
+        "MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia) "
+        "RETURN a.id AS o, collect(b.id) AS ids, collect(b.anio) AS ys, "
+        "collect(DISTINCT b.anio) AS dys",
+        nodes=nodes, edges=edges,
+    ).first()
+    assert list(r.ids) == ["x", "y", "z"]
+    assert list(r.ys) == [2001, 2001] and list(r.dys) == [2001]
+
+    with pytest.raises(ValueError):
+        cypher_run(
+            "MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia) "
+            "RETURN DISTINCT collect(b.id) AS ids",
+            nodes=nodes, edges=edges,
+        )
