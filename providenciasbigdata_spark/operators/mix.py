@@ -101,6 +101,68 @@ def budget_rates(
     return out
 
 
+def epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    weights: dict[str, int],
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget EPOCH planner — the question a training-mix owner
+    actually asks: "at this total budget and these mix shares, how many
+    times does each source repeat?" (repeating data beyond ~4 epochs
+    stops helping — Muennighoff et al. 2023 — so the plan flags the
+    sources whose share demands more repetition than the cap allows;
+    ``budget_rates`` above answers the downsampling side, this answers
+    the upsampling/repeat side).
+
+    Cross-engine determinism: ``weights`` are INTEGER shares (enforced)
+    so share = w/Σw is ONE IEEE division of exact ints; target =
+    budget·share and epochs = target/tokens follow in a fixed order —
+    every output double is correctly rounded from exact inputs and
+    value-hashes unrounded. One aggregate over one scan; the plan
+    itself is group-count-sized.
+
+    Output per group: tokens (bigint), target_tokens (double),
+    epochs (double, null for token-less groups), capped_epochs,
+    needs_cap (epochs > max_epochs).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if not weights or any(not isinstance(w, int) or w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative INTEGER shares")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    w = None
+    for name, share in weights.items():
+        w = F.when(F.col(group_col) == name, F.lit(share)) if w is None else w.when(
+            F.col(group_col) == name, F.lit(share)
+        )
+    w = w.otherwise(F.lit(0))
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).cast("long").alias("tokens")
+    )
+    share = w.cast("double") / F.lit(float(wsum))
+    target = F.lit(float(budget_tokens)) * share
+    epochs = F.when(
+        F.col("tokens") > 0, target / F.col("tokens").cast("double")
+    )
+    # least()/greatest() SKIP nulls in Spark (and DuckDB), so a
+    # token-less group's null epochs must be guarded explicitly or the
+    # cap literal would leak through as its capped value
+    has = F.col("tokens") > 0
+    return per.select(
+        group_col,
+        "tokens",
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        F.when(has, F.least(epochs, F.lit(float(max_epochs)))).alias("capped_epochs"),
+        F.when(has, epochs > F.lit(float(max_epochs))).alias("needs_cap"),
+    )
+
+
 def temperature_rates(
     sources: list[tuple[str, DataFrame]],
     budget: int,

@@ -746,6 +746,55 @@ FROM c
 """
 
 
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch plan (round 6): whitespace-token counts per
+    language, integer mix shares 5:2:1:1:1, 100k-token budget, 4-epoch
+    cap (Muennighoff et al. 2023). Every double derives from exact
+    integers through a fixed op order (share = w/Σw, target =
+    budget·share, epochs = target/tokens) — one correctly-rounded op
+    at a time, so the row value-hashes UNROUNDED."""
+    from providenciasbigdata_spark.operators.mix import epoch_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    )
+    d = docs.select("lang", toks.alias("n_tok"))
+    return epoch_plan(
+        d, "lang", "n_tok",
+        weights={"en": 5, "es": 2, "fr": 1, "de": 1, "zh": 1},
+        budget_tokens=100_000, max_epochs=4.0,
+    )
+
+
+_MIX_EPOCHS_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang),
+p AS (
+  SELECT lang, tokens,
+         CAST(100000 AS DOUBLE) *
+           (CAST(CASE lang WHEN 'en' THEN 5 WHEN 'es' THEN 2 WHEN 'fr' THEN 1
+                           WHEN 'de' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END AS DOUBLE)
+            / CAST(10 AS DOUBLE)) AS target_tokens
+  FROM t),
+e AS (
+  SELECT lang, tokens, target_tokens,
+         CASE WHEN tokens > 0 THEN target_tokens / CAST(tokens AS DOUBLE) END
+           AS epochs
+  FROM p)
+SELECT lang, tokens, target_tokens, epochs,
+       CASE WHEN tokens > 0 THEN LEAST(epochs, 4.0) END AS capped_epochs,
+       CASE WHEN tokens > 0 THEN epochs > 4.0 END AS needs_cap
+FROM e
+"""
+
+
 def q_curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style corpus classifier (round 6): logistic regression
     over hashed token presence features, trained distributed (one
@@ -803,6 +852,7 @@ QUERIES = {
     "drift_wasserstein_quantity": (q_drift_w1, _DRIFT_W1_SQL),
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
     "training_mix_temperature": (q_mix_temperature, _mix_temperature_sql()),
+    "training_mix_epochs": (q_mix_epochs, _MIX_EPOCHS_SQL),
     "curate_gopher_flags": (q_gopher_flags, _GOPHER_SQL),
     "curate_encoding_screen": (q_curate_encoding, _CURATE_ENCODING_SQL),
     "split_train_val_test": (q_split_train_val_test, _split_sql()),

@@ -199,3 +199,36 @@ def test_weighted_sample_plan_is_takeordered(spark, sf_dir):
         weighted_sample_topk(docs, "n_chars", k=25).explain("simple")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_epoch_plan_known_arithmetic(spark):
+    """epoch plan: share/target/epochs from exact ints; cap flag;
+    token-less group -> null epochs (least() null-skip guarded);
+    integer-weight and budget validation raise."""
+    import pytest
+
+    from providenciasbigdata_spark.operators.mix import epoch_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 0)],
+        "src string, n_tok long",
+    )
+    got = {r.src: r for r in epoch_plan(
+        df, "src", "n_tok", {"a": 3, "b": 1}, budget_tokens=1000, max_epochs=4.0
+    ).collect()}
+    # a: tokens 200, target 750, epochs 3.75 (under cap)
+    assert got["a"].tokens == 200 and got["a"].target_tokens == 750.0
+    assert got["a"].epochs == 3.75 and got["a"].needs_cap is False
+    # b: tokens 50, target 250, epochs 5 -> capped at 4
+    assert got["b"].epochs == 5.0 and got["b"].capped_epochs == 4.0
+    assert got["b"].needs_cap is True
+    # c: weight 0 AND zero tokens -> null epochs, null cap fields
+    assert got["c"].tokens == 0 and got["c"].epochs is None
+    assert got["c"].capped_epochs is None and got["c"].needs_cap is None
+
+    with pytest.raises(ValueError):
+        epoch_plan(df, "src", "n_tok", {"a": 1.5}, 1000)
+    with pytest.raises(ValueError):
+        epoch_plan(df, "src", "n_tok", {"a": 1}, 0)
+    with pytest.raises(ValueError):
+        epoch_plan(df, "src", "n_tok", {"a": 0}, 1000)
