@@ -401,7 +401,55 @@ def _ref_field(spec, what: str) -> str:
 
 
 _GROUP_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet", "$count",
-               "$stdDevSamp", "$stdDevPop", "$mergeObjects"}
+               "$stdDevSamp", "$stdDevPop", "$mergeObjects",
+               "$minN", "$maxN", "$topN", "$bottomN"}
+
+
+def _nacc(op: str, operand, out: str) -> Column:
+    """Mongo 5.2/6.0 N-accumulators. ``$minN``/``$maxN``: the n
+    smallest/largest non-null values. ``$topN``/``$bottomN``: the
+    outputs of the n first/last documents under an explicit ``sortBy``
+    (single field, 1/-1) — well-defined without a preceding $sort,
+    unlike $first/$last. Mongo leaves sortBy TIES unordered; we break
+    them by the output value (documented determinism upgrade, the
+    $push rule). Rows where the sort key or output is null are
+    excluded (Mongo would sort nulls lowest — the subset that is
+    engine-reproducible is pinned instead).
+
+    Lowering: collect_list -> sort_array(asc per direction) -> slice n
+    — a bounded-n state per group, no window, no second shuffle.
+    """
+    if not (isinstance(operand, dict) and isinstance(operand.get("n"), int)
+            and operand["n"] > 0):
+        raise ValueError(f"{op} needs an integer n >= 1: {operand!r}")
+    n = operand["n"]
+    if op in ("$minN", "$maxN"):
+        if set(operand) != {"input", "n"}:
+            raise ValueError(f"{op} takes exactly input and n: {operand!r}")
+        val = _agg_expr(operand["input"]) if isinstance(operand["input"], dict) \
+            else F.col(_ref_field(operand["input"], op))
+        arr = F.sort_array(F.collect_list(val), asc=(op == "$minN"))
+        return F.slice(arr, 1, n).alias(out)
+    if set(operand) != {"output", "sortBy", "n"}:
+        raise ValueError(f"{op} takes exactly output, sortBy and n: {operand!r}")
+    sort_by = operand["sortBy"]
+    if not (isinstance(sort_by, dict) and len(sort_by) == 1
+            and list(sort_by.values())[0] in (1, -1)):
+        raise ValueError(f"{op} sortBy must be one {{field: 1|-1}}: {sort_by!r}")
+    (key_f, direction), = sort_by.items()
+    key = F.col(key_f)
+    val = _agg_expr(operand["output"]) if isinstance(operand["output"], dict) \
+        else F.col(_ref_field(operand["output"], op))
+    # $topN takes the first n of the sortBy order; $bottomN the last n
+    # — both PRESENTED in sortBy order (Mongo's contract), so bottomN
+    # slices the reversed sort and flips the slice back
+    asc = (direction == 1) == (op == "$topN")
+    pair = F.when(
+        key.isNotNull() & val.isNotNull(), F.struct(key.alias("k"), val.alias("v"))
+    )
+    arr = F.sort_array(F.collect_list(pair), asc=asc)
+    vals = F.transform(F.slice(arr, 1, n), lambda s: s["v"])
+    return (F.reverse(vals) if op == "$bottomN" else vals).alias(out)
 
 _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
@@ -458,6 +506,9 @@ def _group_aggs(spec: dict, df: DataFrame | None = None) -> list[Column]:
             raise ValueError("$mergeObjects is unsupported (no document-typed columns)")
         if op in ("$stdDevSamp", "$stdDevPop"):
             aggs.append(_stddev_acc(op, _ref_field(operand, op), out, df))
+            continue
+        if op in ("$minN", "$maxN", "$topN", "$bottomN"):
+            aggs.append(_nacc(op, operand, out))
             continue
         if op == "$count":
             if operand not in ({}, None):

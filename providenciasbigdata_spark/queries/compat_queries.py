@@ -2210,6 +2210,52 @@ FROM events GROUP BY 1
 """
 
 
+def q_mql_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 5.2/6.0 N-accumulators (round 6): per event type, the ids
+    of the 3 highest-value events ($topN), the 3 smallest floored
+    values ($minN), and the ids of the 2 lowest-value events presented
+    in the sortBy order ($bottomN). sortBy ties are broken by the
+    output value (documented determinism upgrade), so the CSV
+    serializations hash exactly."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        load_table(spark, sf_dir, "events"),
+        [
+            {"$group": {"_id": "$event_type",
+                        "top_ids": {"$topN": {"output": "$event_id",
+                                              "sortBy": {"value": -1}, "n": 3}},
+                        "low_vals": {"$minN": {"input": {"$floor": "$value"},
+                                               "n": 3}},
+                        "last_ids": {"$bottomN": {"output": "$event_id",
+                                                  "sortBy": {"value": -1},
+                                                  "n": 2}}}},
+        ],
+    )
+    as_csv = lambda c: F.array_join(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("string")), ","
+    ).alias(c)
+    return out.select("_id", as_csv("top_ids"), as_csv("low_vals"), as_csv("last_ids"))
+
+
+_MQL_TOPN_SQL = """
+SELECT event_type AS _id,
+       array_to_string(list_transform(
+         (list(event_id ORDER BY value DESC, event_id DESC)
+            FILTER (value IS NOT NULL AND event_id IS NOT NULL))[1:3],
+         x -> CAST(x AS VARCHAR)), ',') AS top_ids,
+       array_to_string(list_transform(
+         list_sort(list(CAST(floor(value) AS BIGINT))
+            FILTER (value IS NOT NULL))[1:3],
+         x -> CAST(x AS VARCHAR)), ',') AS low_vals,
+       array_to_string(list_transform(
+         list_reverse((list(event_id ORDER BY value ASC, event_id ASC)
+            FILTER (value IS NOT NULL AND event_id IS NOT NULL))[1:2]),
+         x -> CAST(x AS VARCHAR)), ',') AS last_ids
+FROM events GROUP BY event_type
+"""
+
+
 def q_mql_agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$stdDevSamp/$stdDevPop (round 6, previously an explicit
     unsupported-raise): per-language spread of document lengths. On
@@ -2413,6 +2459,7 @@ QUERIES = {
     "mql_agg_stddev": (q_mql_agg_stddev, _MQL_STDDEV_SQL),
     "mql_agg_switch": (q_mql_agg_switch, _MQL_SWITCH_SQL),
     "mql_unwind_indexed": (q_mql_unwind_indexed, _MQL_UNWIND_SQL),
+    "mql_agg_topn": (q_mql_agg_topn, _MQL_TOPN_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

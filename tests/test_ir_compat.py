@@ -1394,3 +1394,40 @@ def test_cypher_collect_aggregates(spark):
             "RETURN DISTINCT collect(b.id) AS ids",
             nodes=nodes, edges=edges,
         )
+
+
+def test_mql_n_accumulators(spark):
+    """$minN/$maxN/$topN/$bottomN: selection, presentation order
+    (bottomN presents in sortBy order), output tie-break, null
+    exclusion, validation raises."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 30.0), ("g", 3, 20.0),
+         ("g", 4, 30.0), ("g", 5, None)],
+        "k string, i long, v double",
+    )
+    r = mql_aggregate(
+        df,
+        [{"$group": {"_id": "$k",
+                     "mins": {"$minN": {"input": "$i", "n": 2}},
+                     "maxs": {"$maxN": {"input": "$i", "n": 2}},
+                     "top": {"$topN": {"output": "$i", "sortBy": {"v": -1}, "n": 3}},
+                     "bot": {"$bottomN": {"output": "$i", "sortBy": {"v": -1}, "n": 2}}}}],
+    ).first()
+    assert list(r.mins) == [1, 2] and list(r.maxs) == [5, 4]
+    # v desc: 30(i=4), 30(i=2), 20(i=3), 10(i=1); tie at 30 -> i desc
+    assert list(r.top) == [4, 2, 3]
+    # bottom 2 of that order, PRESENTED in sortBy order: [3, 1]... the
+    # last two are 20(i=3), 10(i=1) -> presented desc by v: [3, 1]
+    assert list(r.bot) == [3, 1]
+
+    for bad in (
+        {"$minN": {"input": "$i"}},                       # missing n
+        {"$minN": {"input": "$i", "n": 0}},               # n < 1
+        {"$topN": {"output": "$i", "n": 2}},              # missing sortBy
+        {"$topN": {"output": "$i", "sortBy": {"v": 2}, "n": 2}},
+        {"$topN": {"output": "$i", "sortBy": {"v": -1, "i": 1}, "n": 2}},
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(df, [{"$group": {"_id": "$k", "x": bad}}]).collect()
