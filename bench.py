@@ -172,7 +172,18 @@ def _probe(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark(app_name="bench")
+    # Spark's whole-stage-codegen class cache is 100 entries (static
+    # conf) — one entry per generated stage. A 100+ query bench pass
+    # holds ~10x that many codegen units, so by the time a pass loops
+    # back to an iterative query (pagerank: ~20 units/run), every unit
+    # recompiles: measured 4.9s in-bench vs 2.4s isolated-warm for the
+    # SAME plan. Raising the cache turns the bench number back into
+    # execution cost (the thing that scales with data) instead of
+    # compilation cost (fixed, and absent on any long-lived cluster).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "5000"},
+    )
     registry = all_queries()
 
     # Warm JVM + page cache with one cheap pass over each input table,

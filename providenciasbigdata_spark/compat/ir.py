@@ -221,17 +221,75 @@ def _query_condition(query: dict, default_language: str = "none") -> Column:
     return reduce(and_, conds) if conds else F.lit(True)
 
 
+def _slice_expr(col: Column, arg) -> Column:
+    """Projection ``$slice`` (round 6): ``n`` = first n / last |n|
+    elements (0 = empty, Mongo); ``[skip, limit]`` = limit elements
+    after skip (negative skip counts from the end, clamped at the
+    start; skip past the end = empty; limit must be positive). NULL
+    arrays pass through as NULL. All forms are one Catalyst ``slice``
+    with clamped bounds — F.slice errors on start 0, so the
+    empty-array and clamp edges are guarded explicitly."""
+    size = F.size(col)
+    if isinstance(arg, bool) or not isinstance(arg, (int, list)):
+        raise ValueError(f"$slice takes an int or [skip, limit]: {arg!r}")
+    if isinstance(arg, int):
+        if arg >= 0:
+            return F.slice(col, 1, arg)
+        start = F.greatest(F.lit(arg), -size)
+        sliced = F.slice(col, start, -arg)
+        return F.when(size == 0, col).otherwise(sliced)
+    if len(arg) != 2 or any(isinstance(x, bool) or not isinstance(x, int) for x in arg):
+        raise ValueError(f"$slice [skip, limit] needs two ints: {arg!r}")
+    skip, limit = arg
+    if limit <= 0:
+        raise ValueError(f"$slice limit must be positive: {arg!r}")
+    if skip >= 0:
+        return F.slice(col, skip + 1, limit)
+    start = F.greatest(size + F.lit(skip), F.lit(0)) + 1
+    return F.when(size == 0, F.slice(col, 1, limit)).otherwise(
+        F.slice(col, start, limit)
+    )
+
+
 def _apply_projection(df: DataFrame, projection: dict) -> DataFrame:
     """Mongo projection document: ``{"f": 1, ...}`` keeps only the
     listed fields, ``{"f": 0, ...}`` keeps everything else; mixing
     include and exclude raises (as Mongo errors), with Mongo's one
-    exception: ``_id``. When the frame actually HAS an ``_id`` column
+    exception: ``_id``. ``{"f": {"$slice": …}}`` array-slices ``f`` in
+    place and is inclusion-NEUTRAL exactly as Mongo: standalone
+    $slice keeps every field; beside includes the sliced field is
+    included; beside excludes it is sliced in the surviving frame. When the frame actually HAS an ``_id`` column
     (a ``$group`` result), include-mode projections keep it implicitly
     unless ``_id: 0``, and ``{"f": 1, "_id": 0}`` is legal; on the
     find() view there is no surrogate key to suppress (A12 drops it at
     the source), so the ``_id`` key is accepted and ignored. Output
     columns keep the VIEW's column order (Mongo returns stored order,
     not projection order)."""
+    slices = {
+        k: v["$slice"]
+        for k, v in projection.items()
+        if isinstance(v, dict) and set(v) == {"$slice"}
+    }
+    bad_ops = {
+        k: v for k, v in projection.items()
+        if isinstance(v, dict) and set(v) != {"$slice"} and k != "_id"
+    }
+    if bad_ops:
+        raise ValueError(f"unsupported projection operators: {bad_ops!r}")
+    if slices:
+        unknown = slices.keys() - set(df.columns)
+        if unknown:
+            raise ValueError(f"$slice references unknown fields: {sorted(unknown)}")
+        rest = {k: v for k, v in projection.items() if k not in slices}
+        # inclusion-neutrality: beside includes, sliced fields join the
+        # include set; standalone/beside excludes they just slice
+        if any(bool(v) for k, v in rest.items() if k != "_id"):
+            rest = {**rest, **{k: 1 for k in slices}}
+        out = _apply_projection(df, rest) if rest else df
+        return out.withColumns(
+            {k: _slice_expr(F.col(k), arg) for k, arg in slices.items()
+             if k in out.columns}
+        )
     has_id = "_id" in df.columns
     id_setting = projection.get("_id")  # None = unspecified
     spec = {k: bool(v) for k, v in projection.items() if k != "_id"}
@@ -340,6 +398,8 @@ def mql_find(
 
     def _is_meta(v) -> bool:
         if isinstance(v, dict):
+            if set(v) == {"$slice"}:
+                return False  # handled inside _apply_projection
             if v != {"$meta": "textScore"}:
                 raise ValueError(f"unsupported projection/sort expression: {v!r}")
             return True

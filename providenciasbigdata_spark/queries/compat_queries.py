@@ -2210,6 +2210,41 @@ FROM events GROUP BY 1
 """
 
 
+def q_mql_cursor_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection ``$slice`` through find() (round 6): first-3 and
+    last-2 token slices beside an include projection (inclusion
+    neutrality: the sliced fields ride the include set). Serialized to
+    CSV for the hash compare; DuckDB twins are plain list slices over
+    the shared tokenizer expression."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    r = _rulings(spark, sf_dir).withColumn("toks2", F.col("tokens"))
+    out = mql_find(
+        r,
+        {"anio": {"$gte": 2010}},
+        projection={"providencia": 1,
+                    "tokens": {"$slice": 3},
+                    "toks2": {"$slice": -2}},
+    )
+    return out.select(
+        "providencia",
+        F.array_join("tokens", ",").alias("first3"),
+        F.array_join("toks2", ",").alias("last2"),
+    )
+
+
+_MQL_SLICE_SQL = f"""
+WITH t AS (
+  SELECT 'P-' || CAST(doc_id AS VARCHAR) AS providencia,
+         {_TOKENS_SQL.format(col='text')} AS toks
+  FROM documents WHERE 2000 + doc_id % 25 >= 2010)
+SELECT providencia,
+       array_to_string(toks[1:3], ',') AS first3,
+       array_to_string(toks[greatest(len(toks) - 1, 1):len(toks)], ',') AS last2
+FROM t
+"""
+
+
 def q_mql_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo 5.2/6.0 N-accumulators (round 6): per event type, the ids
     of the 3 highest-value events ($topN), the 3 smallest floored
@@ -2460,6 +2495,7 @@ QUERIES = {
     "mql_agg_switch": (q_mql_agg_switch, _MQL_SWITCH_SQL),
     "mql_unwind_indexed": (q_mql_unwind_indexed, _MQL_UNWIND_SQL),
     "mql_agg_topn": (q_mql_agg_topn, _MQL_TOPN_SQL),
+    "mql_cursor_slice": (q_mql_cursor_slice, _MQL_SLICE_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

@@ -1431,3 +1431,50 @@ def test_mql_n_accumulators(spark):
     ):
         with pytest.raises(ValueError):
             mql_aggregate(df, [{"$group": {"_id": "$k", "x": bad}}]).collect()
+
+
+def test_mql_projection_slice(spark):
+    """Projection $slice: first-n / last-n / [skip,limit] / negative
+    skip clamped; 0 = empty; null arrays stay null; inclusion
+    neutrality (standalone keeps all fields, beside includes the
+    sliced field is included); bad forms raise."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"], "x"), (2, [], "y"), (3, None, "z")],
+        "doc_id long, toks array<string>, other string",
+    )
+
+    def got(proj):
+        return {r.doc_id: r for r in mql_find(df, {}, projection=proj).collect()}
+
+    r = got({"toks": {"$slice": 2}})
+    assert list(r[1].toks) == ["a", "b"] and r[1].other == "x"  # all fields kept
+    assert list(r[2].toks) == [] and r[3].toks is None
+
+    assert list(got({"toks": {"$slice": -3}})[1].toks) == ["b", "c", "d"]
+    assert list(got({"toks": {"$slice": -9}})[1].toks) == ["a", "b", "c", "d"]
+    assert list(got({"toks": {"$slice": 0}})[1].toks) == []
+    assert list(got({"toks": {"$slice": [1, 2]}})[1].toks) == ["b", "c"]
+    assert list(got({"toks": {"$slice": [9, 2]}})[1].toks) == []
+    assert list(got({"toks": {"$slice": [-2, 1]}})[1].toks) == ["c"]
+    assert list(got({"toks": {"$slice": [-9, 2]}})[1].toks) == ["a", "b"]  # clamped
+    assert list(got({"toks": {"$slice": [-9, 2]}})[2].toks) == []
+
+    # beside an include: sliced field included, others pruned
+    r = got({"doc_id": 1, "toks": {"$slice": 1}})
+    assert set(r[1].asDict()) == {"doc_id", "toks"}
+    # beside an exclude: slice applies to the surviving frame
+    r = got({"other": 0, "toks": {"$slice": 1}})
+    assert set(r[1].asDict()) == {"doc_id", "toks"} and list(r[1].toks) == ["a"]
+
+    import pytest as _pytest
+    for bad in (
+        {"toks": {"$slice": "2"}},
+        {"toks": {"$slice": [1, 0]}},
+        {"toks": {"$slice": [1]}},
+        {"toks": {"$elemMatch": {}}},
+        {"nope": {"$slice": 1}},
+    ):
+        with _pytest.raises(ValueError):
+            mql_find(df, {}, projection=bad).collect()
