@@ -527,3 +527,24 @@ def test_dsir_scoring_joins_broadcast_model(spark, reg):
     plan = plan_of(_run(reg, "dsir_importance_weights", spark))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hamming_topk_is_take_ordered_scan(spark, reg):
+    """Binary ANN first stage: packing + Hamming distance fuse into the
+    embedding scan's projection and the top-k lowers to TakeOrdered —
+    no global sort, no shuffle of the corpus, no join anywhere."""
+    plan = plan_of(_run(reg, "ann_hamming_topk", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan, plan
+
+
+def test_wasserstein_no_data_sized_single_partition_window(spark, reg):
+    """W1's cumulative counts ride the range-partitioned two-phase
+    prefix sum: every Window over data-sized input is partitioned by
+    _pid; the only global-order windows are over the bounded
+    per-partition summary table (<= 32 rows)."""
+    plan = plan_of(_run(reg, "drift_wasserstein_quantity", spark))
+    # the histogram is range-repartitioned before any window runs
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
