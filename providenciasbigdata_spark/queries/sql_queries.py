@@ -289,6 +289,38 @@ SELECT n_regionkey AS region_key, COUNT(*) AS n FROM nation GROUP BY n_regionkey
 """
 
 
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``EXECUTE IMMEDIATE`` + session VARIABLES (round 6): the
+    dynamic-SQL completion of the A11 binding story — the query TEXT
+    itself arrives at runtime (stored-proc/config-driven shape), its
+    parameters bind by name through USING from a declared session
+    variable, so nothing is ever string-interpolated. The inner
+    statement is planned exactly like the static form (same Catalyst
+    plan, parameter folded as a literal)."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE v_minqty DOUBLE")
+    spark.sql("SET VAR v_minqty = 30.0")
+    stmt = (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS total_qty "
+        "FROM lineitem WHERE l_quantity >= :minq "
+        "GROUP BY l_returnflag"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING v_minqty AS minq",
+        args={"stmt": stmt},
+    )
+
+
+_SQL_EXEC_IMMEDIATE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS total_qty
+FROM lineitem WHERE l_quantity >= 30.0
+GROUP BY l_returnflag
+"""
+
+
 def q_governance_mask_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking at the projection edge via the built-in ``mask``
     expression (upper->X, lower->x, digit->n): the column-level
@@ -495,6 +527,7 @@ QUERIES = {
     "sql_scalar_udf": (q_sql_scalar_udf, _SQL_SCALAR_UDF_SQL),
     "sql_table_udf": (q_sql_table_udf, _SQL_TABLE_UDF_SQL),
     "sql_identifier_param": (q_sql_identifier_param, _SQL_IDENTIFIER_SQL),
+    "sql_execute_immediate": (q_sql_execute_immediate, _SQL_EXEC_IMMEDIATE_SQL),
     "governance_mask_names": (q_governance_mask_names, _MASK_SQL),
     "sql_grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
     "sql_exists_subquery": (q_exists_subquery, _EXISTS_SQL),

@@ -40,3 +40,14 @@ def test_classifier_curation_flow_runs_end_to_end(spark):
     assert out["n_curated"] < out["n_raw"]
     assert out["held_out_agreement"] >= 0.95
     assert out["curated_prevalence"] > out["raw_prevalence"]
+
+
+def test_drift_monitoring_flow_runs_end_to_end(spark):
+    """The per-batch governance gate (contracts -> observed metrics ->
+    KS + W1 drift -> key-skew health) runs end to end; its own
+    assertions (zero violations, self-drift exactly 0, skew_ratio >= 1)
+    are the proof."""
+    from examples.drift_monitoring_flow import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["rows"] > 0 and 0.0 <= out["ks"] <= 1.0 and out["w1"] >= 0.0
