@@ -594,6 +594,67 @@ def session_timeouts_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_FIRST_SEEN_STATE_SCHEMA = "hits LONG"
+_FIRST_SEEN_OUTPUT_SCHEMA = "user_id LONG, n_events LONG"
+
+
+class FirstSeenProcessor:
+    """TTL'd first-seen gate (round 6 — the last unexercised tws state
+    feature): emit a key's row only the FIRST time the key appears
+    within the TTL horizon; once the state's TTL lapses, the key is
+    eligible to emit again. This is the streaming-dedup shape whose
+    state is bounded by WALL TIME instead of a watermark —
+    ``dropDuplicatesWithinWatermark`` needs event time; a
+    processing-time TTL bounds state for feeds with no usable event
+    clock (Spark evaluates TTL on state READ, so expiry needs no
+    timers and no extra maintenance pass).
+
+    TTL requires ``timeMode="ProcessingTime"`` (Spark's rule — TTL is
+    a processing-time concept). Logic is handle-only, so the fake
+    drive tests the suppress/emit paths and the live test drives real
+    RocksDB TTL expiry across availableNow restarts.
+    """
+
+    def __init__(self, ttl_ms: int) -> None:
+        if ttl_ms <= 0:
+            raise ValueError(f"ttl_ms must be positive, got {ttl_ms}")
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._seen = handle.getValueState(
+            "seen", _FIRST_SEEN_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+        if self._seen.exists():  # alive within TTL -> suppress
+            return
+        self._seen.update((1,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+def first_seen_gate_tws(events: DataFrame, ttl_ms: int = 60_000) -> DataFrame:
+    """LIVE wiring for ``FirstSeenProcessor`` through the real
+    transformWithStateInPandas runtime (ProcessingTime mode — the only
+    mode TTL is defined in)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Gate(FirstSeenProcessor, StatefulProcessor):
+        """Processor logic + the runtime ABC (imported lazily)."""
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Gate(ttl_ms),
+        outputStructType=_FIRST_SEEN_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )
+
+
 class UserTotalsProcessor:
     """The ``transformWithStateInPandas`` stateful processor behind
     ``user_running_totals_tws``, hoisted to module scope so its logic

@@ -900,3 +900,104 @@ def test_batch_session_window_boundary_rule(spark):
     )
     assert [r["count"] for r in out] == [2, 1]
     assert out[0].w.end == dt.datetime(2024, 1, 1, 1, 0, 0)  # last+gap
+
+
+class _TTLFakeHandle(_TimerFakeHandle):
+    def __init__(self):
+        super().__init__()
+        self.ttls = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttls[name] = ttlDurationMs
+        return super().getValueState(name, schema)
+
+
+def test_first_seen_gate_logic_fake_drive():
+    """FirstSeenProcessor logic through a fake handle: first batch
+    emits, second suppresses while state exists; TTL forwarded to the
+    state registration; non-positive TTL raises."""
+    import pandas as pd
+    import pytest
+
+    from providenciasbigdata_spark.streaming import FirstSeenProcessor
+
+    with pytest.raises(ValueError):
+        FirstSeenProcessor(0)
+
+    p = FirstSeenProcessor(5_000)
+    h = _TTLFakeHandle()
+    p.init(h)
+    assert h.ttls["seen"] == 5_000
+    batch = [pd.DataFrame({"value": [1.0, 2.0]})]
+    out = list(p.handleInputRows((7,), batch, None))
+    assert len(out) == 1 and out[0].user_id[0] == 7 and out[0].n_events[0] == 2
+    assert list(p.handleInputRows((7,), batch, None)) == []  # suppressed
+    h.states["seen"].clear()  # what TTL expiry looks like to the logic
+    assert len(list(p.handleInputRows((7,), batch, None))) == 1
+
+
+def test_first_seen_gate_ttl_live(spark, tmp_path_factory):
+    """State TTL through the REAL tws runtime (the last unexercised
+    tws feature): within the TTL a replayed key is suppressed; after
+    the TTL lapses (wall clock — ProcessingTime mode) the key emits
+    again. Two independent checkpoints: a 120s TTL pins suppression,
+    a 500ms TTL + 2s sleep pins expiry."""
+    import time as _time
+
+    from providenciasbigdata_spark.queries.modern import has_tws_runtime
+
+    assert has_tws_runtime()
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, SF, "events").filter(F.col("user_id") < 5)
+
+        def drive(ttl_ms, tag):
+            spool = str(tmp_path_factory.mktemp(f"ttl_spool_{tag}"))
+            ckpt = str(tmp_path_factory.mktemp(f"ttl_ckpt_{tag}"))
+            out_dir = str(tmp_path_factory.mktemp(f"ttl_out_{tag}"))
+
+            def run():
+                stream = streaming.events_stream(spark, spool)
+                q = (
+                    streaming.first_seen_gate_tws(stream, ttl_ms=ttl_ms)
+                    .writeStream.foreachBatch(
+                        lambda df, _b: df.write.mode("append").parquet(out_dir)
+                    )
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return (
+                    spark.read.schema("user_id long, n_events long")
+                    .parquet(out_dir)
+                    .count()
+                )
+
+            return spool, run
+
+        # suppression: generous TTL survives the inter-run gap
+        spool, run = drive(120_000, "sup")
+        ev.coalesce(1).write.mode("append").parquet(spool)
+        assert run() == 5  # every user first-seen
+        ev.coalesce(1).write.mode("append").parquet(spool)
+        assert run() == 5  # replayed keys suppressed, no new rows
+
+        # expiry: tiny TTL + a sleep longer than it -> keys re-emit
+        spool, run = drive(500, "exp")
+        ev.coalesce(1).write.mode("append").parquet(spool)
+        assert run() == 5
+        _time.sleep(2.5)
+        ev.coalesce(1).write.mode("append").parquet(spool)
+        assert run() == 10  # expired state: every key first-seen again
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
