@@ -710,6 +710,34 @@ def _agg_expr(spec) -> Column:
         if op in _EXPR_CMP:
             a, b = (_agg_expr(x) for x in _expr_args(args, op, 2))
             return _EXPR_CMP[op](a, b)
+        if op == "$size":
+            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            return F.size(a)
+        if op == "$arrayElemAt":
+            arr, idx = (_agg_expr(x) for x in _expr_args(args, op, 2))
+            # Mongo: negative index counts from the end; out of range
+            # (either side) is missing -> null. F.get is the null-on-
+            # out-of-range accessor (element_at ANSI-errors), so the
+            # negative form rebases onto size+idx (itself null-safe:
+            # still-negative rebased indexes read as null).
+            return F.when(idx >= 0, F.get(arr, idx.cast("int"))).otherwise(
+                F.get(arr, (F.size(arr) + idx).cast("int"))
+            )
+        if op in ("$first", "$last"):
+            (arr,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            pos = F.lit(0) if op == "$first" else F.size(arr) - 1
+            return F.get(arr, pos.cast("int"))
+        if op == "$concatArrays":
+            cols = [_agg_expr(a) for a in _expr_args(args, op)]
+            return F.concat(*cols)
+        if op in ("$toInt", "$toLong", "$toDouble", "$toString"):
+            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            target = {"$toInt": "int", "$toLong": "long",
+                      "$toDouble": "double", "$toString": "string"}[op]
+            # Mongo raises on unconvertible input; ANSI cast does too —
+            # the aligned contract (use $convert onError semantics via
+            # $ifNull over try_* SQL if a soft cast is ever needed)
+            return a.cast(target)
         if op == "$switch":
             # branches evaluate in order; a null case is false (falls
             # through, F.when's contract too); no matching branch and

@@ -2210,6 +2210,59 @@ FROM events GROUP BY 1
 """
 
 
+def q_mql_array_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + conversion expression operators (round 6): per year,
+    token-count mass via ``$size``, lexical extrema of ``$first``/
+    ``$last`` tokens, and a ``$toString`` of a ``$toLong`` conversion
+    chain — all exact values."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir).select("anio", "tokens")
+    out = mql_aggregate(
+        r,
+        [
+            {"$addFields": {
+                "ntok": {"$size": "$tokens"},
+                "first_tok": {"$first": "$tokens"},
+                "last_tok": {"$last": "$tokens"},
+                "second_tok": {"$arrayElemAt": ["$tokens", 1]},
+                "penult_tok": {"$arrayElemAt": ["$tokens", -2]},
+                "year_str": {"$toString": {"$toLong": "$anio"}},
+            }},
+            {"$group": {"_id": "$year_str",
+                        "total_tok": {"$sum": "$ntok"},
+                        "min_first": {"$min": "$first_tok"},
+                        "max_last": {"$max": "$last_tok"},
+                        "n_second": {"$sum": {"$cond": [
+                            {"$eq": ["$second_tok", "the"]}, 1, 0]}},
+                        "min_penult": {"$min": "$penult_tok"}}},
+        ],
+    )
+    return out.select(
+        "_id",
+        F.col("total_tok").cast("long").alias("total_tok"),
+        "min_first", "max_last",
+        F.col("n_second").cast("long").alias("n_second"),
+        "min_penult",
+    )
+
+
+_MQL_ARRAY_EXPR_SQL = f"""
+WITH t AS (
+  SELECT CAST(CAST(2000 + doc_id % 25 AS BIGINT) AS VARCHAR) AS year_str,
+         {_TOKENS_SQL.format(col='text')} AS toks
+  FROM documents)
+SELECT year_str AS _id,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tok,
+       MIN(toks[1]) AS min_first,
+       MAX(toks[len(toks)]) AS max_last,
+       CAST(SUM(CASE WHEN toks[2] = 'the' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_second,
+       MIN(CASE WHEN len(toks) >= 2 THEN toks[len(toks) - 1] END) AS min_penult
+FROM t GROUP BY year_str
+"""
+
+
 def q_mql_cursor_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection ``$slice`` through find() (round 6): first-3 and
     last-2 token slices beside an include projection (inclusion
@@ -2496,6 +2549,7 @@ QUERIES = {
     "mql_unwind_indexed": (q_mql_unwind_indexed, _MQL_UNWIND_SQL),
     "mql_agg_topn": (q_mql_agg_topn, _MQL_TOPN_SQL),
     "mql_cursor_slice": (q_mql_cursor_slice, _MQL_SLICE_SQL),
+    "mql_array_expr": (q_mql_array_expr, _MQL_ARRAY_EXPR_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

@@ -1478,3 +1478,34 @@ def test_mql_projection_slice(spark):
     ):
         with _pytest.raises(ValueError):
             mql_find(df, {}, projection=bad).collect()
+
+
+def test_mql_array_and_conversion_expressions(spark):
+    """$size/$arrayElemAt/$first/$last/$concatArrays/$to* pins:
+    negative and out-of-range indexes read as null (Mongo's missing),
+    empty arrays give null first/last, conversion chain round-trips."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, [])], "doc_id long, xs array<string>"
+    )
+    out = {r.doc_id: r for r in mql_aggregate(
+        df,
+        [{"$addFields": {
+            "n": {"$size": "$xs"},
+            "f": {"$first": "$xs"},
+            "l": {"$last": "$xs"},
+            "e1": {"$arrayElemAt": ["$xs", 1]},
+            "em": {"$arrayElemAt": ["$xs", -1]},
+            "oob": {"$arrayElemAt": ["$xs", 9]},
+            "noob": {"$arrayElemAt": ["$xs", -9]},
+            "cat": {"$concatArrays": ["$xs", "$xs"]},
+            "ds": {"$toString": {"$toLong": {"$toDouble": "$doc_id"}}},
+        }}],
+    ).collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1.n, r1.f, r1.l, r1.e1, r1.em) == (3, "a", "c", "b", "c")
+    assert r1.oob is None and r1.noob is None
+    assert list(r1.cat) == ["a", "b", "c", "a", "b", "c"]
+    assert r1.ds == "1"
+    assert (r2.n, r2.f, r2.l) == (0, None, None)
