@@ -938,10 +938,18 @@ def test_first_seen_gate_logic_fake_drive():
 
 def test_first_seen_gate_ttl_live(spark, tmp_path_factory):
     """State TTL through the REAL tws runtime (the last unexercised
-    tws feature): within the TTL a replayed key is suppressed; after
-    the TTL lapses (wall clock — ProcessingTime mode) the key emits
-    again. Two independent checkpoints: a 120s TTL pins suppression,
-    a 500ms TTL + 2s sleep pins expiry."""
+    tws feature): within the TTL a replayed key is suppressed by live
+    RocksDB state; after the TTL lapses (wall clock — ProcessingTime
+    mode) the key emits again.
+
+    Drive design (measured constraint): tws in ProcessingTime mode
+    never goes idle — after data drains it keeps scheduling "No new
+    data but cleaning up state" micro-batches indefinitely, so
+    availableNow never terminates and processAllAvailable never
+    returns on this build. The test therefore runs ONE continuous
+    query per scenario, polls the checkpoint's commit log for the
+    expected batch count, then stops the query explicitly.
+    """
     import time as _time
 
     from providenciasbigdata_spark.queries.modern import has_tws_runtime
@@ -956,46 +964,62 @@ def test_first_seen_gate_ttl_live(spark, tmp_path_factory):
     try:
         ev = load_table(spark, SF, "events").filter(F.col("user_id") < 5)
 
-        def drive(ttl_ms, tag):
+        def drive(ttl_ms, tag, sleep_between):
             spool = str(tmp_path_factory.mktemp(f"ttl_spool_{tag}"))
             ckpt = str(tmp_path_factory.mktemp(f"ttl_ckpt_{tag}"))
-            out_dir = str(tmp_path_factory.mktemp(f"ttl_out_{tag}"))
+            out = str(tmp_path_factory.mktemp(f"ttl_out_{tag}")) + "/o"
+            ev.coalesce(1).write.mode("append").parquet(spool)
 
-            def run():
-                stream = streaming.events_stream(spark, spool)
-                q = (
-                    streaming.first_seen_gate_tws(stream, ttl_ms=ttl_ms)
-                    .writeStream.foreachBatch(
-                        lambda df, _b: df.write.mode("append").parquet(out_dir)
-                    )
-                    .outputMode("append")
-                    .option("checkpointLocation", ckpt)
-                    .trigger(availableNow=True)
-                    .start()
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(spool)
+            )
+            q = (
+                streaming.first_seen_gate_tws(stream, ttl_ms=ttl_ms)
+                .writeStream.foreachBatch(
+                    lambda df, _b: df.write.mode("append").parquet(out)
                 )
-                q.awaitTermination()
-                return (
-                    spark.read.schema("user_id long, n_events long")
-                    .parquet(out_dir)
-                    .count()
-                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
 
-            return spool, run
+            def wait_input_rows(n, timeout=150):
+                # commit count lies here: ProcessingTime tws inserts
+                # EMPTY cleanup batches between data batches, so the
+                # proof a file was CONSUMED is cumulative numInputRows
+                deadline = _time.time() + timeout
+                while _time.time() < deadline:
+                    seen = sum(p["numInputRows"] for p in q.recentProgress)
+                    if seen >= n:
+                        return True
+                    _time.sleep(1)
+                return False
 
-        # suppression: generous TTL survives the inter-run gap
-        spool, run = drive(120_000, "sup")
-        ev.coalesce(1).write.mode("append").parquet(spool)
-        assert run() == 5  # every user first-seen
-        ev.coalesce(1).write.mode("append").parquet(spool)
-        assert run() == 5  # replayed keys suppressed, no new rows
+            per_file = ev.count()
+            try:
+                assert wait_input_rows(per_file), "first file never consumed"
+                if sleep_between:
+                    _time.sleep(sleep_between)
+                ev.coalesce(1).write.mode("append").parquet(spool)
+                assert wait_input_rows(2 * per_file), "second file never consumed"
+                # the emission for the consumed batch lands via
+                # foreachBatch BEFORE its progress event; one grace
+                # poll protects against fs listing lag anyway
+                _time.sleep(2)
+            finally:
+                q.stop()
+            return (
+                spark.read.schema("user_id long, n_events long")
+                .parquet(out)
+                .count()
+            )
 
-        # expiry: tiny TTL + a sleep longer than it -> keys re-emit
-        spool, run = drive(500, "exp")
-        ev.coalesce(1).write.mode("append").parquet(spool)
-        assert run() == 5
-        _time.sleep(2.5)
-        ev.coalesce(1).write.mode("append").parquet(spool)
-        assert run() == 10  # expired state: every key first-seen again
+        # alive TTL: replayed keys suppressed -> still 5 rows
+        assert drive(600_000, "sup", 0) == 5
+        # lapsed TTL: 6s sleep >> 2s TTL -> every key re-emits -> 10
+        assert drive(2_000, "exp", 6) == 10
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
