@@ -648,13 +648,24 @@ def _expr_args(args, op: str, n: int | None = None) -> list:
     return list(args)
 
 
-def _agg_expr(spec) -> Column:
+def _agg_expr(spec, scope: dict | None = None) -> Column:
     """Mongo aggregation expression -> Column. Bare ``'$field'`` strings
     are field paths, every other scalar is a literal (Mongo's contract;
     ``{"$literal": v}`` forces a leading-$ string literal). In-stage
     references see the ORIGINAL document (enforced by the caller using
-    ``withColumns``, which binds all new fields simultaneously)."""
+    ``withColumns``, which binds all new fields simultaneously).
+
+    ``scope`` carries higher-order lambda variables: inside
+    ``$map``/``$filter``/``$reduce`` bodies, ``"$$this"`` /
+    ``"$$value"`` / ``"$$<as>"`` resolve to the bound lambda Column."""
     if isinstance(spec, str):
+        if spec.startswith("$$"):
+            name = spec[2:]
+            if "." in name:
+                raise ValueError(f"nested paths on lambda variables are unsupported: {spec!r}")
+            if not scope or name not in scope:
+                raise ValueError(f"unbound aggregation variable: {spec!r}")
+            return scope[name]
         if spec.startswith("$"):
             return F.col(_ref_field(spec, "expression"))
         return F.lit(spec)
@@ -665,13 +676,13 @@ def _agg_expr(spec) -> Column:
         if op == "$literal":
             return F.lit(args)
         if op in ("$add", "$multiply", "$concat"):
-            cols = [_agg_expr(a) for a in _expr_args(args, op)]
+            cols = [_agg_expr(a, scope) for a in _expr_args(args, op)]
             if op == "$concat":
                 return F.concat(*cols)
             fn = Column.__add__ if op == "$add" else Column.__mul__
             return reduce(fn, cols)
         if op in ("$subtract", "$divide", "$mod"):
-            a, b = (_agg_expr(x) for x in _expr_args(args, op, 2))
+            a, b = (_agg_expr(x, scope) for x in _expr_args(args, op, 2))
             fn = {
                 "$subtract": Column.__sub__,
                 "$divide": Column.__truediv__,
@@ -679,15 +690,15 @@ def _agg_expr(spec) -> Column:
             }[op]
             return fn(a, b)
         if op in ("$toLower", "$toUpper", "$strLenCP"):
-            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             return {"$toLower": F.lower, "$toUpper": F.upper, "$strLenCP": F.length}[
                 op
             ](a)
         if op in ("$abs", "$floor", "$ceil"):
-            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             return {"$abs": F.abs, "$floor": F.floor, "$ceil": F.ceil}[op](a)
         if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute", "$second"):
-            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             return {
                 "$year": F.year, "$month": F.month, "$dayOfMonth": F.dayofmonth,
                 "$hour": F.hour, "$minute": F.minute, "$second": F.second,
@@ -699,22 +710,22 @@ def _agg_expr(spec) -> Column:
                 raise ValueError(
                     f"$dateTrunc binSize/timezone are unsupported: {args!r}"
                 )
-            return F.date_trunc(str(args["unit"]), _agg_expr(args["date"]))
+            return F.date_trunc(str(args["unit"]), _agg_expr(args["date"], scope))
         if op == "$ifNull":
-            return F.coalesce(*(_agg_expr(x) for x in _expr_args(args, op, 2)))
+            return F.coalesce(*(_agg_expr(x, scope) for x in _expr_args(args, op, 2)))
         if op == "$cond":
             if isinstance(args, dict):
                 args = [args.get("if"), args.get("then"), args.get("else")]
-            c, t, e = (_agg_expr(x) for x in _expr_args(args, op, 3))
+            c, t, e = (_agg_expr(x, scope) for x in _expr_args(args, op, 3))
             return F.when(c, t).otherwise(e)
         if op in _EXPR_CMP:
-            a, b = (_agg_expr(x) for x in _expr_args(args, op, 2))
+            a, b = (_agg_expr(x, scope) for x in _expr_args(args, op, 2))
             return _EXPR_CMP[op](a, b)
         if op == "$size":
-            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             return F.size(a)
         if op == "$arrayElemAt":
-            arr, idx = (_agg_expr(x) for x in _expr_args(args, op, 2))
+            arr, idx = (_agg_expr(x, scope) for x in _expr_args(args, op, 2))
             # Mongo: negative index counts from the end; out of range
             # (either side) is missing -> null. F.get is the null-on-
             # out-of-range accessor (element_at ANSI-errors), so the
@@ -724,20 +735,70 @@ def _agg_expr(spec) -> Column:
                 F.get(arr, (F.size(arr) + idx).cast("int"))
             )
         if op in ("$first", "$last"):
-            (arr,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            (arr,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             pos = F.lit(0) if op == "$first" else F.size(arr) - 1
             return F.get(arr, pos.cast("int"))
         if op == "$concatArrays":
-            cols = [_agg_expr(a) for a in _expr_args(args, op)]
+            cols = [_agg_expr(a, scope) for a in _expr_args(args, op)]
             return F.concat(*cols)
         if op in ("$toInt", "$toLong", "$toDouble", "$toString"):
-            (a,) = (_agg_expr(x) for x in _expr_args(args, op, 1))
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             target = {"$toInt": "int", "$toLong": "long",
                       "$toDouble": "double", "$toString": "string"}[op]
             # Mongo raises on unconvertible input; ANSI cast does too —
             # the aligned contract (use $convert onError semantics via
             # $ifNull over try_* SQL if a soft cast is ever needed)
             return a.cast(target)
+        if op in ("$map", "$filter"):
+            if not (isinstance(args, dict) and "input" in args):
+                raise ValueError(f"{op} needs an input: {args!r}")
+            body_key = "in" if op == "$map" else "cond"
+            extra = set(args) - {"input", "as", body_key}
+            if extra or body_key not in args:
+                raise ValueError(f"unsupported {op} document: {args!r}")
+            var = args.get("as", "this")
+            if not isinstance(var, str) or not var:
+                raise ValueError(f"{op} 'as' must be a variable name: {var!r}")
+            arr = _agg_expr(args["input"], scope)
+            fn = F.transform if op == "$map" else F.filter
+
+            # closure FACTORY, never default args: PySpark reads the
+            # lambda's parameter count to pick the (element[, index])
+            # calling convention, and defaulted params count — a
+            # default-bound body would receive the ARRAY INDEX in its
+            # second slot (the documented HOF trap)
+            def make_body(b, v):
+                def body(x):
+                    return _agg_expr(b, {**(scope or {}), v: x})
+                return body
+
+            return fn(arr, make_body(args[body_key], var))
+        if op == "$reduce":
+            if not (isinstance(args, dict)
+                    and {"input", "initialValue", "in"} == set(args)):
+                raise ValueError(
+                    f"$reduce needs input, initialValue and in: {args!r}"
+                )
+            arr = _agg_expr(args["input"], scope)
+            init = _agg_expr(args["initialValue"], scope)
+            # Catalyst aggregate() requires merge-result type == initial
+            # type EXACTLY; Mongo's numbers are loosely typed, so numeric
+            # initial literals widen to the arithmetic result types
+            # (int -> LONG, float -> DOUBLE) before the fold
+            iv = args["initialValue"]
+            if isinstance(iv, bool):
+                pass
+            elif isinstance(iv, int):
+                init = init.cast("long")
+            elif isinstance(iv, float):
+                init = init.cast("double")
+
+            def make_merge(b):
+                def merge(acc, x):
+                    return _agg_expr(b, {**(scope or {}), "value": acc, "this": x})
+                return merge
+
+            return F.aggregate(arr, init, make_merge(args["in"]))
         if op == "$switch":
             # branches evaluate in order; a null case is false (falls
             # through, F.when's contract too); no matching branch and
@@ -753,10 +814,10 @@ def _agg_expr(spec) -> Column:
             for br in args["branches"]:
                 if not (isinstance(br, dict) and {"case", "then"} == set(br)):
                     raise ValueError(f"$switch branch needs case and then: {br!r}")
-                c, t = _agg_expr(br["case"]), _agg_expr(br["then"])
+                c, t = _agg_expr(br["case"], scope), _agg_expr(br["then"], scope)
                 chain = F.when(c, t) if chain is None else chain.when(c, t)
             if "default" in args:
-                return chain.otherwise(_agg_expr(args["default"]))
+                return chain.otherwise(_agg_expr(args["default"], scope))
             return chain.otherwise(
                 F.assert_true(
                     F.lit(False), F.lit("$switch: no branch matched and no default")

@@ -2210,6 +2210,58 @@ FROM events GROUP BY 1
 """
 
 
+def q_mql_hof_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$map/$filter/$reduce with $$variable scoping (round 6): per
+    year, total characters via a $reduce left fold, count of long
+    tokens via $filter+$size, and the width of the per-doc $map length
+    array — the three Mongo higher-order expressions lowering to
+    Catalyst transform/filter/aggregate (single-param lambdas: the
+    2-param form would receive the array INDEX, the documented trap)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir).select("anio", "tokens")
+    out = mql_aggregate(
+        r,
+        [
+            {"$addFields": {
+                "chars": {"$reduce": {
+                    "input": "$tokens", "initialValue": 0,
+                    "in": {"$add": ["$$value", {"$strLenCP": "$$this"}]}}},
+                "n_long": {"$size": {"$filter": {
+                    "input": "$tokens", "as": "t",
+                    "cond": {"$gte": [{"$strLenCP": "$$t"}, 5]}}}},
+                "n_lens": {"$size": {"$map": {
+                    "input": "$tokens", "in": {"$strLenCP": "$$this"}}}},
+            }},
+            {"$group": {"_id": "$anio",
+                        "total_chars": {"$sum": "$chars"},
+                        "total_long": {"$sum": "$n_long"},
+                        "total_lens": {"$sum": "$n_lens"}}},
+        ],
+    )
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("total_long").cast("long").alias("total_long"),
+        F.col("total_lens").cast("long").alias("total_lens"),
+    )
+
+
+_MQL_HOF_SQL = f"""
+WITH t AS (
+  SELECT CAST(2000 + doc_id % 25 AS BIGINT) AS anio,
+         {_TOKENS_SQL.format(col='text')} AS toks
+  FROM documents)
+SELECT anio AS _id,
+       CAST(SUM(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0))
+            AS BIGINT) AS total_chars,
+       CAST(SUM(len(list_filter(toks, x -> length(x) >= 5))) AS BIGINT)
+         AS total_long,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_lens
+FROM t GROUP BY anio
+"""
+
+
 def q_mql_array_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + conversion expression operators (round 6): per year,
     token-count mass via ``$size``, lexical extrema of ``$first``/
@@ -2550,6 +2602,7 @@ QUERIES = {
     "mql_agg_topn": (q_mql_agg_topn, _MQL_TOPN_SQL),
     "mql_cursor_slice": (q_mql_cursor_slice, _MQL_SLICE_SQL),
     "mql_array_expr": (q_mql_array_expr, _MQL_ARRAY_EXPR_SQL),
+    "mql_hof_expr": (q_mql_hof_expr, _MQL_HOF_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

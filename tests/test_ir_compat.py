@@ -1509,3 +1509,39 @@ def test_mql_array_and_conversion_expressions(spark):
     assert list(r1.cat) == ["a", "b", "c", "a", "b", "c"]
     assert r1.ds == "1"
     assert (r2.n, r2.f, r2.l) == (0, None, None)
+
+
+def test_mql_hof_expressions(spark):
+    """$map/$filter/$reduce: $$this default, named 'as' vars, nested
+    HOFs with shadowed scopes, $$value fold, unbound vars raise."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame([(1, [1, 2, 3, 4])], "doc_id long, xs array<long>")
+    r = mql_aggregate(
+        df,
+        [{"$addFields": {
+            "doubled": {"$map": {"input": "$xs", "in": {"$multiply": ["$$this", 2]}}},
+            "evens": {"$filter": {"input": "$xs", "as": "x",
+                                  "cond": {"$eq": [{"$mod": ["$$x", 2]}, 0]}}},
+            "total": {"$reduce": {"input": "$xs", "initialValue": 0,
+                                  "in": {"$add": ["$$value", "$$this"]}}},
+            "nested": {"$map": {"input": "$xs", "as": "outer",
+                                "in": {"$size": {"$filter": {
+                                    "input": "$xs",
+                                    "cond": {"$lt": ["$$this", "$$outer"]}}}}}},
+        }}],
+    ).first()
+    assert list(r.doubled) == [2, 4, 6, 8]
+    assert list(r.evens) == [2, 4]
+    assert r.total == 10
+    assert list(r.nested) == [0, 1, 2, 3]  # count of xs strictly below each
+
+    for bad in (
+        {"$addFields": {"y": {"$map": {"input": "$xs", "in": "$$nope"}}}},
+        {"$addFields": {"y": {"$reduce": {"input": "$xs", "in": "$$value"}}}},
+        {"$addFields": {"y": {"$map": {"input": "$xs"}}}},
+        {"$addFields": {"y": {"$filter": {"input": "$xs", "cond": True,
+                                          "limit": 2}}}},
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(df, [bad]).collect()
