@@ -749,6 +749,76 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
             # the aligned contract (use $convert onError semantics via
             # $ifNull over try_* SQL if a soft cast is ever needed)
             return a.cast(target)
+        if op == "$let":
+            if not (isinstance(args, dict) and {"vars", "in"} == set(args)
+                    and isinstance(args["vars"], dict) and args["vars"]):
+                raise ValueError(f"$let needs vars and in: {args!r}")
+            # vars evaluate in the OUTER scope (Mongo's rule), then the
+            # body sees outer + new bindings
+            bound = {k: _agg_expr(v, scope) for k, v in args["vars"].items()}
+            return _agg_expr(args["in"], {**(scope or {}), **bound})
+        if op in ("$dateAdd", "$dateDiff"):
+            units = ("year", "quarter", "month", "day", "hour", "minute", "second")
+            if not isinstance(args, dict):
+                raise ValueError(f"{op} needs a document: {args!r}")
+            unit = args.get("unit")
+            if unit not in units:
+                raise ValueError(f"{op} unit must be one of {units}: {unit!r}")
+            if op == "$dateAdd":
+                if set(args) != {"startDate", "unit", "amount"}:
+                    raise ValueError(f"$dateAdd takes startDate/unit/amount: {args!r}")
+                start = _agg_expr(args["startDate"], scope)
+                amount = _agg_expr(args["amount"], scope)
+                return F.timestamp_add(unit.upper(), amount, start)
+            if set(args) != {"startDate", "endDate", "unit"}:
+                raise ValueError(f"$dateDiff takes startDate/endDate/unit: {args!r}")
+            start = _agg_expr(args["startDate"], scope)
+            end = _agg_expr(args["endDate"], scope)
+            # Mongo counts BOUNDARY CROSSINGS (23:59 -> 00:01 is 1 day),
+            # not whole elapsed units: truncate both ends to the unit
+            # first, then the whole-unit diff equals the crossing count
+            return F.timestamp_diff(
+                unit.upper(), F.date_trunc(unit, start), F.date_trunc(unit, end)
+            ).cast("long")
+        if op == "$reverseArray":
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
+            return F.reverse(a)
+        if op == "$indexOfArray":
+            arr, val = (_agg_expr(x, scope) for x in _expr_args(args, op, 2))
+            # Mongo: -1 when absent, null when the array is null;
+            # array_position is 1-based with 0-for-absent, so -1 falls
+            # out of the subtraction
+            return F.when(
+                arr.isNotNull(), (F.array_position(arr, val) - 1).cast("long")
+            )
+        if op == "$range":
+            parts = _expr_args(args, op)
+            if len(parts) not in (2, 3):
+                raise ValueError(f"$range takes [start, end[, step]]: {args!r}")
+            step = parts[2] if len(parts) == 3 else 1
+            if not isinstance(step, int) or step == 0:
+                raise ValueError(f"$range step must be a non-zero int literal: {step!r}")
+            s, e = (_agg_expr(x, scope).cast("long") for x in parts[:2])
+            # Mongo's end is EXCLUSIVE, Spark's sequence() inclusive:
+            # pull the bound one step-sign inward and guard emptiness
+            if step > 0:
+                return F.when(s < e, F.sequence(s, e - 1, F.lit(step))).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            return F.when(s > e, F.sequence(s, e + 1, F.lit(step))).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        if op == "$zip":
+            if not (isinstance(args, dict) and set(args) == {"inputs"}
+                    and isinstance(args["inputs"], list) and len(args["inputs"]) == 2):
+                raise ValueError(f"$zip supports exactly {{inputs: [a, b]}}: {args!r}")
+            a, b = (_agg_expr(x, scope) for x in args["inputs"])
+            # Mongo truncates to the SHORTEST input; zip_with pads to
+            # the longest with nulls — pre-slice both sides
+            n = F.least(F.size(a), F.size(b))
+            return F.zip_with(
+                F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y)
+            )
         if op in ("$map", "$filter"):
             if not (isinstance(args, dict) and "input" in args):
                 raise ValueError(f"{op} needs an input: {args!r}")

@@ -2210,6 +2210,63 @@ FROM events GROUP BY 1
 """
 
 
+def q_mql_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dateAdd/$dateDiff/$let (round 6): per event type, count of
+    events whose 7-day-extended due date clears a mid-window deadline,
+    the total boundary-crossing day age to that deadline ($dateDiff
+    truncates both ends to the unit — Mongo counts crossings, not
+    elapsed wholes), and a $let-scoped floored double sum."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "end_ts", F.lit("2024-01-20 00:00:00").cast("timestamp")
+    )
+    out = mql_aggregate(
+        ev,
+        [
+            {"$addFields": {
+                "due": {"$dateAdd": {"startDate": "$ts", "unit": "day",
+                                     "amount": 7}},
+                "age_d": {"$dateDiff": {"startDate": "$ts",
+                                        "endDate": "$end_ts", "unit": "day"}},
+                "scaled": {"$let": {"vars": {"v2": {"$multiply": ["$value", 2]}},
+                                    "in": {"$floor": "$$v2"}}},
+            }},
+            {"$group": {"_id": "$event_type",
+                        "n": {"$count": {}},
+                        "on_time": {"$sum": {"$cond": [
+                            {"$lte": ["$due", "$end_ts"]}, 1, 0]}},
+                        "total_age": {"$sum": "$age_d"},
+                        "total_scaled": {"$sum": "$scaled"}}},
+        ],
+    )
+    return out.select(
+        "_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("on_time").cast("long").alias("on_time"),
+        F.col("total_age").cast("long").alias("total_age"),
+        F.col("total_scaled").cast("long").alias("total_scaled"),
+    )
+
+
+_MQL_DATE_MATH_SQL = """
+WITH v AS (
+  SELECT event_type,
+         ts + INTERVAL 7 DAY AS due,
+         date_diff('day', date_trunc('day', ts),
+                   date_trunc('day', TIMESTAMP '2024-01-20 00:00:00')) AS age_d,
+         CAST(floor(value * 2) AS BIGINT) AS scaled
+  FROM events)
+SELECT event_type AS _id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN due <= TIMESTAMP '2024-01-20 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+       CAST(SUM(age_d) AS BIGINT) AS total_age,
+       CAST(SUM(scaled) AS BIGINT) AS total_scaled
+FROM v GROUP BY event_type
+"""
+
+
 def q_mql_hof_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$map/$filter/$reduce with $$variable scoping (round 6): per
     year, total characters via a $reduce left fold, count of long
@@ -2603,6 +2660,7 @@ QUERIES = {
     "mql_cursor_slice": (q_mql_cursor_slice, _MQL_SLICE_SQL),
     "mql_array_expr": (q_mql_array_expr, _MQL_ARRAY_EXPR_SQL),
     "mql_hof_expr": (q_mql_hof_expr, _MQL_HOF_SQL),
+    "mql_date_math": (q_mql_date_math, _MQL_DATE_MATH_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

@@ -1545,3 +1545,53 @@ def test_mql_hof_expressions(spark):
     ):
         with pytest.raises(ValueError):
             mql_aggregate(df, [bad]).collect()
+
+
+def test_mql_date_math_and_more_array_ops(spark):
+    """$dateAdd/$dateDiff (boundary-crossing semantics: 23:59 -> 00:01
+    is 1 day), $let scoping, $reverseArray/$indexOfArray/$range/$zip
+    (end-exclusive ranges, shortest-input zip, -1 absent / null-array
+    null index)."""
+    import datetime as dt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 23, 59), dt.datetime(2024, 1, 2, 0, 1),
+          [10, 20, 30], [1, 2], None)],
+        "i long, t0 timestamp, t1 timestamp, a array<long>, b array<long>, "
+        "nil array<long>",
+    )
+    r = mql_aggregate(df, [{"$addFields": {
+        "crossed": {"$dateDiff": {"startDate": "$t0", "endDate": "$t1",
+                                  "unit": "day"}},
+        "elapsed_h": {"$dateDiff": {"startDate": "$t0", "endDate": "$t1",
+                                    "unit": "hour"}},
+        "plus2d": {"$dateAdd": {"startDate": "$t0", "unit": "day", "amount": 2}},
+        "lt": {"$let": {"vars": {"x": 10, "y": {"$add": ["$i", 1]}},
+                        "in": {"$add": ["$$x", "$$y"]}}},
+        "rev": {"$reverseArray": "$a"},
+        "idx": {"$indexOfArray": ["$a", 30]},
+        "absent": {"$indexOfArray": ["$a", 7]},
+        "nil_idx": {"$indexOfArray": ["$nil", 7]},
+        "rng": {"$range": [1, 7, 3]},
+        "z": {"$zip": {"inputs": ["$b", "$a"]}},
+    }}]).first()
+    assert r.crossed == 1          # one midnight crossed
+    assert r.elapsed_h == 1        # 23:00 -> 00:00 boundary
+    assert r.plus2d == dt.datetime(2024, 1, 3, 23, 59)
+    assert r.lt == 12
+    assert list(r.rev) == [30, 20, 10]
+    assert r.idx == 2 and r.absent == -1 and r.nil_idx is None
+    assert list(r.rng) == [1, 4]
+    assert [list(x) for x in r.z] == [[1, 10], [2, 20]]
+
+    for bad in (
+        {"$dateDiff": {"startDate": "$t0", "endDate": "$t1", "unit": "week"}},
+        {"$dateAdd": {"startDate": "$t0", "unit": "day"}},
+        {"$range": [0, 10, 0]},
+        {"$zip": {"inputs": ["$a"]}},
+        {"$let": {"vars": {}, "in": 1}},
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(df, [{"$addFields": {"x": bad}}]).collect()
