@@ -486,3 +486,121 @@ def test_agg_expr_matches_python_model(spark, expr):
     }
     want = {i: _eval_int(expr, r) for i, r in enumerate(_EXPR_ROWS)}
     assert got == want, expr
+
+
+# ---- higher-order expression grammar vs a pure-Python Mongo model -------
+
+_HOF_ROWS = [
+    [1, 2, 3],
+    [],
+    None,
+    [-2, 0, 5, 5],
+    [7],
+]
+
+
+def _hof_scalars(allow_value: bool):
+    leaves = [st.integers(-3, 3).map(lambda i: i), st.just("$$this")]
+    if allow_value:
+        leaves.append(st.just("$$value"))
+    base = st.one_of(*[st.one_of(s if isinstance(s, st.SearchStrategy) else st.just(s)) for s in leaves])
+
+    def extend(children):
+        return st.one_of(
+            st.builds(lambda a, b: {"$add": [a, b]}, children, children),
+            st.builds(lambda a, b: {"$multiply": [a, b]}, children, children),
+        )
+
+    return st.recursive(base, extend, max_leaves=4)
+
+
+def _hof_exprs():
+    body = _hof_scalars(allow_value=False)
+    red_body = _hof_scalars(allow_value=True)
+    mapped = st.builds(
+        lambda b: {"$map": {"input": "$xs", "in": b}}, body
+    )
+    filtered = st.builds(
+        lambda b: {"$filter": {"input": "$xs", "cond": {"$gte": [b, 0]}}}, body
+    )
+    arr = st.one_of(st.just("$xs"), mapped, filtered)
+    reduced = st.builds(
+        lambda a, init, b: {"$reduce": {"input": a, "initialValue": init,
+                                        "in": {"$add": ["$$value", b]}}},
+        arr, st.integers(-2, 2), red_body,
+    )
+    sized = st.builds(lambda a: {"$size": a}, arr)
+    return st.one_of(mapped, filtered, reduced, sized)
+
+
+def _hof_eval(expr, xs, scope=None):
+    scope = scope or {}
+    if expr == "$xs":
+        return xs
+    if isinstance(expr, str) and expr.startswith("$$"):
+        return scope[expr[2:]]
+    if isinstance(expr, int):
+        return expr
+    (op, args), = expr.items()
+    if op == "$add" or op == "$multiply":
+        a = _hof_eval(args[0], xs, scope)
+        b = _hof_eval(args[1], xs, scope)
+        if a is None or b is None:
+            return None
+        return a + b if op == "$add" else a * b
+    if op == "$gte":
+        a = _hof_eval(args[0], xs, scope)
+        b = _hof_eval(args[1], xs, scope)
+        return None if a is None or b is None else a >= b
+    if op == "$size":
+        arr = _hof_eval(args, xs, scope)
+        return None if arr is None else len(arr)
+    if op == "$map":
+        arr = _hof_eval(args["input"], xs, scope)
+        if arr is None:
+            return None
+        return [_hof_eval(args["in"], xs, {**scope, "this": x}) for x in arr]
+    if op == "$filter":
+        arr = _hof_eval(args["input"], xs, scope)
+        if arr is None:
+            return None
+        return [x for x in arr
+                if _hof_eval(args["cond"], xs, {**scope, "this": x}) is True]
+    if op == "$reduce":
+        arr = _hof_eval(args["input"], xs, scope)
+        if arr is None:
+            return None
+        acc = args["initialValue"]
+        for x in arr:
+            acc = _hof_eval(args["in"], xs, {**scope, "value": acc, "this": x})
+        return acc
+    raise AssertionError(op)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_hof_exprs())
+def test_hof_expr_matches_python_model(spark, expr):
+    """Any $map/$filter/$reduce tree from the HOF grammar evaluates on
+    Spark exactly as the pure-Python Mongo model: $$this/$$value
+    scoping, null arrays propagating to null, null cond excluded by
+    $filter, left-fold order in $reduce."""
+    from hypothesis import assume
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    want = {i: _hof_eval(expr, xs) for i, xs in enumerate(_HOF_ROWS)}
+
+    def fits(v):  # unbounded Python ints vs LONG: skip ANSI-overflow trees
+        if isinstance(v, list):
+            return all(fits(x) for x in v)
+        return v is None or isinstance(v, bool) or abs(v) < 2**31
+    assume(all(fits(v) for v in want.values()))
+
+    df = spark.createDataFrame(
+        [(i, xs) for i, xs in enumerate(_HOF_ROWS)], "rid int, xs array<long>"
+    )
+    got = {
+        r.rid: (list(r.out) if isinstance(r.out, list) else r.out)
+        for r in mql_aggregate(df, [{"$addFields": {"out": expr}}]).collect()
+    }
+    assert got == want, expr
