@@ -462,7 +462,31 @@ def _ref_field(spec, what: str) -> str:
 
 _GROUP_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet", "$count",
                "$stdDevSamp", "$stdDevPop", "$mergeObjects",
-               "$minN", "$maxN", "$topN", "$bottomN"}
+               "$minN", "$maxN", "$topN", "$bottomN", "$first", "$last"}
+
+
+def _first_last_acc(op: str, operand, out: str, sort_spec: dict | None) -> Column:
+    """``$first``/``$last`` group accumulators — supported only in the
+    DETERMINISTIC subset: a single-field ±1 ``$sort`` must precede the
+    $group (Mongo's own docs say the result is undefined otherwise; a
+    distributed engine cannot even pretend to preserve arrival order).
+    Compiles to min_by/max_by over the sort key, ties broken by the
+    output value itself (determinism upgrade, the $push rule)."""
+    if not (isinstance(sort_spec, dict) and len(sort_spec) == 1):
+        raise ValueError(
+            f"{op} needs a preceding single-field $sort stage "
+            "(pipeline order is undefined without one)"
+        )
+    (key_f, direction), = sort_spec.items()
+    if direction not in (1, -1):
+        raise ValueError(f"{op} needs a 1/-1 $sort direction, got {direction!r}")
+    val = _agg_expr(operand) if isinstance(operand, dict) else F.col(
+        _ref_field(operand, op)
+    )
+    want_min = (direction == 1) == (op == "$first")
+    fn = F.min_by if want_min else F.max_by
+    key = F.struct(F.col(key_f).alias("k"), val.alias("v"))
+    return fn(val, key).alias(out)
 
 
 def _nacc(op: str, operand, out: str) -> Column:
@@ -544,7 +568,11 @@ def _stddev_acc(op: str, field: str, out: str, df: DataFrame | None) -> Column:
     return F.when(F.count(col) >= 1, F.sqrt(num / den)).alias(out)
 
 
-def _group_aggs(spec: dict, df: DataFrame | None = None) -> list[Column]:
+def _group_aggs(
+    spec: dict,
+    df: DataFrame | None = None,
+    sort_spec: dict | None = None,
+) -> list[Column]:
     """Compile a $group/$bucket ``output`` accumulator document into
     aggregate Columns. ``$push``/``$addToSet`` determinism pin: Mongo's
     $push preserves pipeline document order, which is UNSPECIFIED
@@ -569,6 +597,9 @@ def _group_aggs(spec: dict, df: DataFrame | None = None) -> list[Column]:
             continue
         if op in ("$minN", "$maxN", "$topN", "$bottomN"):
             aggs.append(_nacc(op, operand, out))
+            continue
+        if op in ("$first", "$last"):
+            aggs.append(_first_last_acc(op, operand, out, sort_spec))
             continue
         if op == "$count":
             if operand not in ({}, None):
@@ -597,11 +628,13 @@ def _group_aggs(spec: dict, df: DataFrame | None = None) -> list[Column]:
     return aggs
 
 
-def _group_stage(df: DataFrame, spec: dict) -> DataFrame:
+def _group_stage(
+    df: DataFrame, spec: dict, sort_spec: dict | None = None
+) -> DataFrame:
     if not isinstance(spec, dict) or "_id" not in spec:
         raise ValueError(f"$group needs an _id key: {spec!r}")
     gid = spec["_id"]
-    aggs = _group_aggs(spec, df)
+    aggs = _group_aggs(spec, df, sort_spec)
     if gid is None:
         return df.agg(*aggs)
     if isinstance(gid, dict):
@@ -749,6 +782,32 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
             # the aligned contract (use $convert onError semantics via
             # $ifNull over try_* SQL if a soft cast is ever needed)
             return a.cast(target)
+        if op == "$sortArray":
+            if not (isinstance(args, dict) and set(args) == {"input", "sortBy"}
+                    and args["sortBy"] in (1, -1)):
+                raise ValueError(
+                    f"$sortArray supports {{input, sortBy: 1|-1}} (scalar "
+                    f"elements): {args!r}"
+                )
+            return F.sort_array(
+                _agg_expr(args["input"], scope), asc=(args["sortBy"] == 1)
+            )
+        if op in ("$setUnion", "$setIntersection", "$setDifference"):
+            n = 2 if op == "$setDifference" else None
+            cols = [_agg_expr(a, scope) for a in _expr_args(args, op, n)]
+            if len(cols) != 2:
+                raise ValueError(f"{op} supports exactly two arrays: {args!r}")
+            fn = {"$setUnion": F.array_union,
+                  "$setIntersection": F.array_intersect,
+                  "$setDifference": F.array_except}[op]
+            # Mongo set results are unordered; sorted for engine
+            # reproducibility (B5, the $push rule)
+            return F.sort_array(fn(cols[0], cols[1]))
+        if op == "$setEquals":
+            cols = [_agg_expr(a, scope) for a in _expr_args(args, op, 2)]
+            return (
+                F.size(F.array_except(cols[0], cols[1])) == 0
+            ) & (F.size(F.array_except(cols[1], cols[0])) == 0)
         if op == "$let":
             if not (isinstance(args, dict) and {"vars", "in"} == set(args)
                     and isinstance(args["vars"], dict) and args["vars"]):
@@ -1541,6 +1600,10 @@ def mql_aggregate(
     unspecified without $sort).
     """
     df = rulings
+    # the last $sort seen: $first/$last group accumulators compile to
+    # min_by/max_by over ITS key (the deterministic subset — without a
+    # pipeline sort, Mongo's $first is whatever order the server chose)
+    pipeline_sort: dict | None = None
     for idx, stage in enumerate(pipeline):
         if not (isinstance(stage, dict) and len(stage) == 1):
             raise ValueError(f"each pipeline stage must be a single-key dict: {stage!r}")
@@ -1576,7 +1639,7 @@ def mql_aggregate(
                 field = _ref_field(spec, "$unwind")
                 df = df.withColumn(field, F.explode(F.col(field)))
         elif op == "$group":
-            df = _group_stage(df, spec)
+            df = _group_stage(df, spec, pipeline_sort)
         elif op == "$project":
             # computed projection fields (Mongo 4.4+ allows aggregation
             # expressions in $project): compile through _agg_expr, then
@@ -1610,6 +1673,7 @@ def mql_aggregate(
             df = df.orderBy(key).limit(int(spec["size"]))
         elif op == "$sort":
             df = _apply_sort(df, spec)
+            pipeline_sort = spec if isinstance(spec, dict) else None
         elif op == "$limit":
             df = df.limit(int(spec))
         elif op == "$skip":

@@ -2210,6 +2210,55 @@ FROM events GROUP BY 1
 """
 
 
+def q_mql_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$first/$last group accumulators in the DETERMINISTIC subset
+    (round 6): a single-field $sort precedes the $group, so they
+    compile to min_by/max_by over the sort key — plus the set
+    expression ops ($setUnion sizes as distinct counts, $setEquals
+    order-insensitivity vs $reverseArray)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir).select("doc_id", "providencia", "tipo", "tokens")
+    out = mql_aggregate(
+        r,
+        [
+            {"$addFields": {
+                "n_distinct": {"$size": {"$setUnion": ["$tokens", "$tokens"]}},
+                "order_free": {"$setEquals": ["$tokens",
+                                              {"$reverseArray": "$tokens"}]},
+            }},
+            {"$sort": {"doc_id": 1}},
+            {"$group": {"_id": "$tipo",
+                        "first_p": {"$first": "$providencia"},
+                        "last_p": {"$last": "$providencia"},
+                        "n": {"$count": {}},
+                        "sum_distinct": {"$sum": "$n_distinct"},
+                        "all_order_free": {"$min": "$order_free"}}},
+        ],
+    )
+    return out.select(
+        "_id", "first_p", "last_p",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_distinct").cast("long").alias("sum_distinct"),
+        "all_order_free",
+    )
+
+
+_MQL_FIRST_LAST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source AS tipo,
+         {_TOKENS_SQL.format(col='text')} AS toks
+  FROM documents)
+SELECT tipo AS _id,
+       'P-' || CAST(MIN(doc_id) AS VARCHAR) AS first_p,
+       'P-' || CAST(MAX(doc_id) AS VARCHAR) AS last_p,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_distinct,
+       MIN(TRUE) AS all_order_free
+FROM t GROUP BY tipo
+"""
+
+
 def q_mql_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$dateAdd/$dateDiff/$let (round 6): per event type, count of
     events whose 7-day-extended due date clears a mid-window deadline,
@@ -2661,6 +2710,7 @@ QUERIES = {
     "mql_array_expr": (q_mql_array_expr, _MQL_ARRAY_EXPR_SQL),
     "mql_hof_expr": (q_mql_hof_expr, _MQL_HOF_SQL),
     "mql_date_math": (q_mql_date_math, _MQL_DATE_MATH_SQL),
+    "mql_agg_first_last": (q_mql_first_last, _MQL_FIRST_LAST_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

@@ -1595,3 +1595,44 @@ def test_mql_date_math_and_more_array_ops(spark):
     ):
         with pytest.raises(ValueError):
             mql_aggregate(df, [{"$addFields": {"x": bad}}]).collect()
+
+
+def test_mql_first_last_and_set_ops(spark):
+    """$first/$last: sort-direction matrix (first of desc == max),
+    no-preceding-$sort raises, multi-field sort raises; set ops sorted
+    and dedup'd; $sortArray directions."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [("g", 1, "a"), ("g", 3, "c"), ("g", 2, "b")], "k string, o long, v string"
+    )
+    r = mql_aggregate(
+        df,
+        [{"$sort": {"o": -1}},
+         {"$group": {"_id": "$k", "f": {"$first": "$v"}, "l": {"$last": "$v"}}}],
+    ).first()
+    assert (r.f, r.l) == ("c", "a")  # desc order: first is the max-o doc
+
+    with pytest.raises(ValueError, match="preceding"):
+        mql_aggregate(
+            df, [{"$group": {"_id": "$k", "f": {"$first": "$v"}}}]
+        ).collect()
+    with pytest.raises(ValueError):
+        mql_aggregate(
+            df,
+            [{"$sort": {"o": -1, "v": 1}},
+             {"$group": {"_id": "$k", "f": {"$first": "$v"}}}],
+        ).collect()
+
+    arr = spark.createDataFrame([(1, [3, 1, 2], [2, 9])], "i long, a array<long>, b array<long>")
+    r = mql_aggregate(arr, [{"$addFields": {
+        "s_desc": {"$sortArray": {"input": "$a", "sortBy": -1}},
+        "u": {"$setUnion": ["$a", "$b"]},
+        "i2": {"$setIntersection": ["$a", "$b"]},
+        "d": {"$setDifference": ["$a", "$b"]},
+        "eq": {"$setEquals": ["$a", "$a"]},
+        "neq": {"$setEquals": ["$a", "$b"]},
+    }}]).first()
+    assert list(r.s_desc) == [3, 2, 1]
+    assert list(r.u) == [1, 2, 3, 9] and list(r.i2) == [2] and list(r.d) == [1, 3]
+    assert r.eq is True and r.neq is False
