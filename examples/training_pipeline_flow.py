@@ -49,6 +49,17 @@ def main() -> None:
     n0 = docs.count()
     print(f"[0] raw corpus: {n_raw} docs -> mixed (en 1.0 / de .5 / es .5): {n0}")
 
+    # -- 0b. encoding-health screen: the gate that runs BEFORE content
+    # rules — wrong-charset shards sail through length/stopword
+    # heuristics while being garbage (round 6) -----------------------------
+    from providenciasbigdata_spark.operators.curate import encoding_screen
+
+    enc = encoding_screen(docs)
+    n_enc_bad = enc.filter(~F.col("pass_encoding")).count()
+    docs = enc.filter(F.col("pass_encoding")).select(*docs.columns)
+    print(f"[0b] encoding screen: {n_enc_bad} docs dropped "
+          f"(replacement/control/mojibake)")
+
     # -- 1. language ID + quality gate (pure Catalyst expressions) --------
     scored = docs.select(
         "doc_id", "text", tokenize(F.col("text")).alias("toks")
@@ -107,6 +118,19 @@ def main() -> None:
     )
     print(f"[3b] weighted draw (longer docs likelier): {drawn.count()} of {n3}")
     fuzzy = drawn.drop("n_chars")
+
+    # -- 3c. epoch plan: does the token budget force >4-epoch repeats
+    # of any slice? (round 6; Muennighoff et al. cap) ----------------------
+    from providenciasbigdata_spark.operators.mix import epoch_plan
+
+    plan = epoch_plan(
+        fuzzy.select("lang", F.size(tokenize(F.col("text"))).alias("n_tok")),
+        "lang", "n_tok", weights={"en": 1}, budget_tokens=50_000,
+    ).collect()
+    for row in plan:
+        cap = " (CAPPED)" if row.needs_cap else ""
+        print(f"[3c] epoch plan {row.lang}: {row.tokens} tokens -> "
+              f"{row.epochs:.2f} epochs{cap}")
 
     # -- 4. chunking: 64-token windows, 16 overlap ------------------------
     chunks = (

@@ -1543,11 +1543,17 @@ def q_cypher_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source node, edge count and the number of DISTINCT years among
     its weight-filtered neighbors — the aggregate pair needs the
     node-property left-join (null properties skipped by COUNT, Cypher's
-    rule) and Spark's count_distinct in the same hash aggregate."""
+    rule) and Spark's count_distinct in the same hash aggregate.
+
+    The graph is BOUNDED to 500 vectors (the two-hop-motif rule): a
+    generic unanchored edges frame means an all-pairs O(n²) cosine
+    build behind the aggregate — 4M pairs at bench SF measured 41s for
+    a fixture-semantics query; within the bound the plan is the same
+    shape at a sane cost."""
     from providenciasbigdata_spark.compat.documents import rulings_view
     from providenciasbigdata_spark.compat.ir import cypher_run
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     edges = build_similarity_edges(emb)
     nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
         F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
@@ -1564,6 +1570,7 @@ WITH e AS (
          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) * 100, 4) AS sim
   FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 500 AND b.vec_id < 500
 ), n AS (
   SELECT doc_id, CAST(2000 + doc_id % 25 AS BIGINT) AS anio FROM documents
 )
