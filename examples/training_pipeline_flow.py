@@ -124,7 +124,12 @@ def main() -> None:
     from providenciasbigdata_spark.operators.mix import epoch_plan
 
     plan = epoch_plan(
-        fuzzy.select("lang", F.size(tokenize(F.col("text"))).alias("n_tok")),
+        # everything here is lang=en by the stage-1 gate (the lang
+        # column itself was consumed there)
+        fuzzy.select(
+            F.lit("en").alias("lang"),
+            F.size(tokenize(F.col("text"))).alias("n_tok"),
+        ),
         "lang", "n_tok", weights={"en": 1}, budget_tokens=50_000,
     ).collect()
     for row in plan:
