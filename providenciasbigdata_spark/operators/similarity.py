@@ -1040,6 +1040,83 @@ def hamming_rerank_topk(
     )
 
 
+def quantize_query_int8(query_vec) -> list[int]:
+    """Driver-side twin of ``quantize_int8`` for a single query vector:
+    same absmax/127 scale, same floor(x/s + 0.5) half-up rule — every
+    op is one correctly-rounded IEEE step, so the codes match what the
+    engine (or a SQL twin) computes from the same floats."""
+    import math
+
+    vals = [float(x) for x in query_vec]
+    m = max((abs(x) for x in vals), default=0.0)
+    s = m / 127.0
+    if s <= 0:
+        return [0] * len(vals)
+    return [math.floor(x / s + 0.5) for x in vals]
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact int8 dot-product top-k over SQ8 codes — the serving path
+    where the corpus lives quantized (4x smaller at rest,
+    ``quantize_int8``) and scoring is INTEGER arithmetic: per-vector
+    symmetric quantization preserves each vector's direction up to the
+    rounding step, so the int-dot ranking tracks cosine on the raw
+    floats (recall pinned in tests); the scores themselves are exact
+    BIGINTs (|q| <= 127, 64 dims => |dot| <= ~1e6), which is what
+    makes the whole quantize->score->top-k chain value-hash-checkable,
+    like the Hamming sibling one rung down the compression ladder.
+
+    Plan shape: scan -> project (quantize fused) -> TakeOrdered; no
+    shuffle of the corpus, no join.
+    """
+    q = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    qq = quantize_query_int8(query_vec)
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), qlit, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.select(F.col("id"), dot.alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def int8_rerank_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage int8 serving: the exact-integer code-dot selects a
+    ``pool``-sized candidate set (NOTE: per-vector symmetric scales
+    mean the code-dot ranks by ≈ x·q/absmax(x), not cosine — small-
+    magnitude vectors get boosted, which is why the float rerank
+    stage exists), then only the pool is re-scored with exact cosine.
+    Exact at pool == corpus by construction; recall pinned in tests."""
+    cand = int8_topk(embeddings, query_vec, k=pool, id_col=id_col, vec_col=vec_col)
+    pool_rows = embeddings.join(
+        F.broadcast(cand.select(F.col("id").alias(id_col))), id_col
+    )
+    score = F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), round_digits)
+    return (
+        pool_rows.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ml_minhash_join(df: DataFrame, text_col: str = "text", threshold: float = 0.6):
     """Optional: pyspark.ml MinHashLSH approxSimilarityJoin over token
     count-vectors — the library alternative to operators.dedup's

@@ -1160,6 +1160,42 @@ LIMIT 10
 """
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-code ANN (round 6): exact integer dot-product top-10 for
+    the vec_id=0 probe over SQ8-quantized vectors — the serving path
+    one rung up the compression ladder from Hamming (4x vs 32x at
+    rest). Scores are exact BIGINTs, so quantize -> score -> top-k
+    value-hashes against the SQL twin that re-derives the same codes
+    (absmax/127 scale, floor-half-up) inside DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return similarity.int8_topk(emb, qvec, k=10).select(
+        F.col("id").alias("vec_id"), F.col("dot").cast("long").alias("dot")
+    )
+
+
+_ANN_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127
+           AS sc
+  FROM embeddings),
+qv AS (
+  SELECT vec_id,
+         CASE WHEN sc <= 0 THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+         END AS qvec
+  FROM s),
+probe AS (SELECT qvec AS pv FROM qv WHERE vec_id = 0)
+SELECT qv.vec_id,
+       CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+                                    i -> qvec[i] * pv[i])) AS BIGINT) AS dot
+FROM qv, probe
+ORDER BY dot DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization summary per vector: the at-rest
     compression step before ANN indexing. Scalar outputs (scale, L1
@@ -1333,6 +1369,7 @@ QUERIES = {
     "embed_matryoshka_ratio": (q_embed_matryoshka_ratio, _EMBED_MATRYOSHKA_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
     "ann_hamming_topk": (q_ann_hamming_topk, _ANN_HAMMING_SQL),
+    "ann_int8_topk": (q_ann_int8_topk, _ANN_INT8_SQL),
     "ivf_index_exact_topk": (q_ivf_index_exact_topk, _ANN_BRUTE_SQL),
     "ann_topk_per_query": (q_ann_topk_per_query, _ANN_PER_QUERY_SQL),
     "minhash_near_dups": (q_minhash_near_dups, None),

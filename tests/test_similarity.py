@@ -486,3 +486,42 @@ def test_hamming_rerank_exact_at_full_pool_and_recall(spark, sf_dir):
     pooled = similarity.hamming_rerank_topk(emb, q, k=10, pool=50).collect()
     hit = len({r.vec_id for r in pooled} & {r.vec_id for r in brute})
     assert hit >= 5, f"binary-prefilter recall@10 collapsed: {hit}/10"
+
+
+def test_int8_topk_matches_python_reference(spark, sf_dir):
+    """Engine code-dot == a numpy reference applying the identical
+    quantization rule; query twin quantize_query_int8 agrees with the
+    engine's own qvec for the same stored vector."""
+    import math
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    rows = emb.collect()
+    q = rows[5].embedding
+    qq = similarity.quantize_query_int8(q)
+    engine_q = {r.id: list(r.qvec) for r in similarity.quantize_int8(emb).collect()}
+    assert engine_q[rows[5].vec_id] == qq  # same rule, same codes
+
+    def code(vec):
+        m = max((abs(float(x)) for x in vec), default=0.0)
+        s = m / 127.0
+        return [0] * len(vec) if s <= 0 else [math.floor(float(x) / s + 0.5) for x in vec]
+
+    want = sorted(
+        ((-int(np.dot(code(r.embedding), qq)), r.vec_id) for r in rows)
+    )[:10]
+    got = similarity.int8_topk(emb, q, k=10).collect()
+    assert [(-r.dot, r.id) for r in got] == want
+
+
+def test_int8_rerank_exact_at_full_pool_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") == 7).first().embedding
+    brute = similarity.brute_force_topk(emb, q, k=10).collect()
+    full = similarity.int8_rerank_topk(emb, q, k=10, pool=n).collect()
+    assert [(r.vec_id, r.score) for r in full] == [(r.vec_id, r.score) for r in brute]
+    pooled = similarity.int8_rerank_topk(emb, q, k=10, pool=50).collect()
+    hit = len({r.vec_id for r in pooled} & {r.vec_id for r in brute})
+    assert hit >= 7, f"int8-prefilter recall@10 collapsed: {hit}/10"
