@@ -136,8 +136,16 @@ HEADLINE = [
     "drift_wasserstein_quantity",
     "mql_agg_stddev",
     "ann_hamming_topk",
+    "ann_int8_topk",
     "curate_encoding_screen",
     "cypher_count_distinct",
+    "cypher_collect_neighbors",
+    "mql_agg_topn",
+    "mql_unwind_indexed",
+    "mql_hof_expr",
+    "batch_session_window",
+    "multimodal_pgm_decode",
+    "training_mix_epochs",
 ]
 
 
