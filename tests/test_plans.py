@@ -548,3 +548,13 @@ def test_wasserstein_no_data_sized_single_partition_window(spark, reg):
     # the histogram is range-repartitioned before any window runs
     assert "rangepartitioning" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_int8_topk_is_take_ordered_scan(spark, reg):
+    """Int8-code ANN: quantization + integer dot fuse into the
+    embedding scan's projection; top-k lowers to TakeOrdered — no
+    global sort, no corpus shuffle, no join."""
+    plan = plan_of(_run(reg, "ann_int8_topk", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan, plan
