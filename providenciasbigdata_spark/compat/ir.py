@@ -782,6 +782,39 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
             # the aligned contract (use $convert onError semantics via
             # $ifNull over try_* SQL if a soft cast is ever needed)
             return a.cast(target)
+        if op in ("$trim", "$ltrim", "$rtrim"):
+            if not (isinstance(args, dict) and "input" in args
+                    and set(args) <= {"input", "chars"}):
+                raise ValueError(f"{op} takes {{input[, chars]}}: {args!r}")
+            a = _agg_expr(args["input"], scope)
+            fn = {"$trim": F.trim, "$ltrim": F.ltrim, "$rtrim": F.rtrim}[op]
+            if "chars" not in args:
+                return fn(a)
+            chars = args["chars"]
+            if not isinstance(chars, str) or not chars:
+                raise ValueError(f"{op} chars must be a non-empty string literal")
+            # custom trim set: strip a char-class run from the chosen
+            # end(s) — F.trim has no chars parameter
+            cls = "[" + re.escape(chars) + "]+"
+            if op in ("$trim", "$ltrim"):
+                a = F.regexp_replace(a, "^" + cls, "")
+            if op in ("$trim", "$rtrim"):
+                a = F.regexp_replace(a, cls + "$", "")
+            return a
+        if op == "$split":
+            s, delim = (_agg_expr(x, scope) for x in _expr_args(args, op, 2))
+            if not isinstance(args[1], str) or not args[1]:
+                raise ValueError("$split delimiter must be a non-empty string literal")
+            # Mongo splits on a LITERAL delimiter; F.split takes a regex
+            return F.split(s, re.escape(args[1]))
+        if op == "$substrCP":
+            s, start, length = (_agg_expr(x, scope) for x in _expr_args(args, op, 3))
+            # Mongo is 0-based; substring is 1-based
+            return F.substring(s, start + F.lit(1), length)
+        if op == "$indexOfCP":
+            s, sub = (_agg_expr(x, scope) for x in _expr_args(args, op, 2))
+            # Mongo: -1 when absent (0-based); instr is 1-based, 0-absent
+            return (F.instr(s, sub) - 1).cast("long")
         if op == "$sortArray":
             if not (isinstance(args, dict) and set(args) == {"input", "sortBy"}
                     and args["sortBy"] in (1, -1)):

@@ -2217,6 +2217,58 @@ FROM events GROUP BY 1
 """
 
 
+def q_mql_string_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression operators (round 6): per year, whitespace-
+    split word mass of trimmed texts, first-10-codepoint prefixes'
+    lexical extrema, and 'the'-position statistics — all exact
+    integers/strings ($split splits on a LITERAL delimiter, unlike
+    F.split's regex; $indexOfCP is 0-based with -1 absent)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    r = _rulings(spark, sf_dir).select("anio", "texto")
+    out = mql_aggregate(
+        r,
+        [
+            {"$addFields": {
+                "words": {"$size": {"$split": [{"$trim": {"input": "$texto"}},
+                                               " "]}},
+                "prefix": {"$substrCP": [{"$trim": {"input": "$texto"}}, 0, 10]},
+                "the_pos": {"$indexOfCP": ["$texto", "the "]},
+            }},
+            {"$group": {"_id": "$anio",
+                        "total_words": {"$sum": "$words"},
+                        "min_prefix": {"$min": "$prefix"},
+                        "n_has_the": {"$sum": {"$cond": [
+                            {"$gte": ["$the_pos", 0]}, 1, 0]}},
+                        "max_the_pos": {"$max": "$the_pos"}}},
+        ],
+    )
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("total_words").cast("long").alias("total_words"),
+        "min_prefix",
+        F.col("n_has_the").cast("long").alias("n_has_the"),
+        F.col("max_the_pos").cast("long").alias("max_the_pos"),
+    )
+
+
+_MQL_STRING_SQL = """
+WITH v AS (
+  SELECT CAST(2000 + doc_id % 25 AS BIGINT) AS anio,
+         len(string_split(trim(text), ' ')) AS words,
+         substring(trim(text), 1, 10) AS prefix,
+         CAST(strpos(text, 'the ') - 1 AS BIGINT) AS the_pos
+  FROM documents)
+SELECT anio AS _id,
+       CAST(SUM(words) AS BIGINT) AS total_words,
+       MIN(prefix) AS min_prefix,
+       CAST(SUM(CASE WHEN the_pos >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_has_the,
+       CAST(MAX(the_pos) AS BIGINT) AS max_the_pos
+FROM v GROUP BY anio
+"""
+
+
 def q_mql_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$first/$last group accumulators in the DETERMINISTIC subset
     (round 6): a single-field $sort precedes the $group, so they
@@ -2718,6 +2770,7 @@ QUERIES = {
     "mql_hof_expr": (q_mql_hof_expr, _MQL_HOF_SQL),
     "mql_date_math": (q_mql_date_math, _MQL_DATE_MATH_SQL),
     "mql_agg_first_last": (q_mql_first_last, _MQL_FIRST_LAST_SQL),
+    "mql_string_expr": (q_mql_string_expr, _MQL_STRING_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),

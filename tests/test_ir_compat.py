@@ -1636,3 +1636,36 @@ def test_mql_first_last_and_set_ops(spark):
     assert list(r.s_desc) == [3, 2, 1]
     assert list(r.u) == [1, 2, 3, 9] and list(r.i2) == [2] and list(r.d) == [1, 3]
     assert r.eq is True and r.neq is False
+
+
+def test_mql_string_expressions(spark):
+    """$trim/$ltrim/$rtrim (default whitespace + custom char sets),
+    $split (LITERAL delimiter — regex metachars are plain chars),
+    $substrCP 0-based, $indexOfCP -1-absent; bad forms raise."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame([(1, "  xx a.b.c xx  ")], "i long, s string")
+    r = mql_aggregate(df, [{"$addFields": {
+        "t": {"$trim": {"input": "$s"}},
+        "lt": {"$ltrim": {"input": "$s"}},
+        "rt": {"$rtrim": {"input": "$s"}},
+        "tc": {"$trim": {"input": {"$trim": {"input": "$s"}}, "chars": "x "}},
+        "dots": {"$split": ["$s", "."]},  # literal '.', not regex any
+        "sub": {"$substrCP": ["$s", 5, 5]},
+        "pos": {"$indexOfCP": ["$s", "a.b"]},
+        "neg": {"$indexOfCP": ["$s", "zz"]},
+    }}]).first()
+    assert r.t == "xx a.b.c xx"
+    assert r.lt == "xx a.b.c xx  " and r.rt == "  xx a.b.c xx"
+    assert r.tc == "a.b.c"
+    assert list(r.dots) == ["  xx a", "b", "c xx  "]
+    assert r.sub == "a.b.c" and r.pos == 5 and r.neg == -1
+
+    for bad in (
+        {"$trim": {"chars": "x"}},
+        {"$trim": {"input": "$s", "chars": ""}},
+        {"$split": ["$s", ""]},
+        {"$trim": {"input": "$s", "nope": 1}},
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(df, [{"$addFields": {"x": bad}}]).collect()
