@@ -145,6 +145,15 @@ class ProvidenciasEngine:
 
         return mql_aggregate(self.rulings(), pipeline, **kwargs)
 
+    def find_one(self, query: dict, **cursor) -> dict | None:
+        """``collection.findOne(query)`` — the first matching document
+        as a plain dict, or None (pymongo's contract). Without a
+        ``sort`` kwarg, "first" is UNSPECIFIED in Mongo too (B5); pass
+        ``sort=`` for a deterministic pick. The limit is pushed into
+        the plan (CollectLimit 1), never a full materialization."""
+        row = self.query_mongo(query, **{**cursor, "limit": 1}).first()
+        return row.asDict() if row is not None else None
+
     def count_documents(self, query: dict, **kwargs) -> int:
         """``collection.countDocuments(filter)`` — returns the scalar,
         like pymongo (the 1-row frame is an implementation detail)."""

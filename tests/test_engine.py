@@ -165,3 +165,15 @@ def test_engine_distinct_with_filter(engine):
     within = engine.distinct("anio", {"tipo": "src3", "anio": {"$gte": 2010}})
     assert within and all(y >= 2010 for y in within)
     assert set(within) <= set(all_years)
+
+
+def test_find_one_surface(spark):
+    """findOne: dict-or-None contract; deterministic under sort; the
+    cursor kwargs (projection) pass through."""
+    from providenciasbigdata_spark.engine import ProvidenciasEngine
+
+    eng = ProvidenciasEngine(spark, "/root/testdata/sf0.001")
+    doc = eng.find_one({"anio": 2005}, sort=[("providencia", 1)],
+                       projection={"providencia": 1, "anio": 1})
+    assert set(doc) == {"providencia", "anio"} and doc["anio"] == 2005
+    assert eng.find_one({"providencia": "NOPE"}) is None
