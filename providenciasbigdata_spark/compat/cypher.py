@@ -446,6 +446,15 @@ def compile_query(
         pat = mc["pattern"]
         hops = pat[1:]
         first_var = pat[0]["var"]
+        # Cypher relationship uniqueness (relationship isomorphism) is
+        # per MATCH clause: two explicit hops of one pattern may not
+        # bind the same stored relationship. Multi-hop clauses carry
+        # each hop's stored (src, dst) pair and filter later hops
+        # against every earlier pair. Var-length hops are the min-hop
+        # endpoint device and do not participate (documented
+        # divergence — they don't enumerate paths).
+        clause_pairs: list[tuple[str, str]] = []
+        multi_hop = len(hops) > 1
 
         if not hops:
             # bare node pattern: a nodes scan (first clause only)
@@ -574,17 +583,25 @@ def compile_query(
                 continue
 
             wcol = f"__w_{rvar or hop_n}"
+            # stored endpoints of the matched relationship, orientation-
+            # independent — the uniqueness identity for multi-hop clauses
+            es_k, ed_k = f"__es_{hop_n}", f"__ed_{hop_n}"
+            pair_sel = (
+                [F.col("src").alias(es_k), F.col("dst").alias(ed_k)]
+                if multi_hop
+                else []
+            )
 
             # orient the hop edge frame so it always reads src->dst
             if rel["dir"] == "<":
                 e = edges.select(
                     F.col("dst").alias("__hs"), F.col("src").alias("__hd"),
-                    F.col("similitud").alias(wcol),
+                    F.col("similitud").alias(wcol), *pair_sel,
                 )
             elif rel["dir"] == ">":
                 e = edges.select(
                     F.col("src").alias("__hs"), F.col("dst").alias("__hd"),
-                    F.col("similitud").alias(wcol),
+                    F.col("similitud").alias(wcol), *pair_sel,
                 )
             else:
                 e = None  # undirected: handled per-case below
@@ -614,16 +631,16 @@ def compile_query(
                         ).otherwise(F.col("src"))
                         e = touching.select(
                             F.lit(ac_val).alias("__hs"), other.alias("__hd"),
-                            F.col("similitud").alias(wcol),
+                            F.col("similitud").alias(wcol), *pair_sel,
                         )
                     else:
                         fw = edges.select(
                             F.col("src").alias("__hs"), F.col("dst").alias("__hd"),
-                            F.col("similitud").alias(wcol),
+                            F.col("similitud").alias(wcol), *pair_sel,
                         )
                         bw = edges.select(
                             F.col("dst").alias("__hs"), F.col("src").alias("__hd"),
-                            F.col("similitud").alias(wcol),
+                            F.col("similitud").alias(wcol), *pair_sel,
                         )
                         e = fw.unionByName(bw)
                 else:
@@ -639,7 +656,10 @@ def compile_query(
                     F.col("__hs").alias(f"__v_{from_var}"),
                     F.col("__hd").alias(f"__v_{nvar}"),
                     F.col(wcol).alias(f"__w_{rvar}" if rvar else wcol),
+                    *([F.col(es_k), F.col(ed_k)] if multi_hop else []),
                 )
+                if multi_hop:
+                    clause_pairs.append((es_k, ed_k))
                 cols[from_var] = f"__v_{from_var}"
                 anchored = anchored or from_var in id_eq
             else:
@@ -647,11 +667,11 @@ def compile_query(
                 if rel["dir"] == "-":
                     fw = edges.select(
                         F.col("src").alias("__hs"), F.col("dst").alias("__hd"),
-                        F.col("similitud").alias(wcol),
+                        F.col("similitud").alias(wcol), *pair_sel,
                     )
                     bw = edges.select(
                         F.col("dst").alias("__hs"), F.col("src").alias("__hd"),
-                        F.col("similitud").alias(wcol),
+                        F.col("similitud").alias(wcol), *pair_sel,
                     )
                     e = fw.unionByName(bw)
                 e = guarded(e)
@@ -659,6 +679,29 @@ def compile_query(
                 if fv is not None:
                     e = e.filter(F.col("__hs") == F.lit(fv))
                 if mc["optional"]:
+                    # Cypher filters the OPTIONAL pattern BEFORE
+                    # null-preservation: node predicates / id anchors on
+                    # the optional node prune the hit set pattern-side —
+                    # applying them after the left join would drop anchor
+                    # rows whose optional hop found no QUALIFYING match
+                    # instead of preserving them with NULLs.
+                    for prop, op, v in prop_guards.pop(nvar, []):
+                        if nodes is None:
+                            raise ValueError(
+                                "node-property predicate needs the nodes frame"
+                            )
+                        if prop == "id" or prop not in nodes.columns:
+                            raise ValueError(
+                                f"unknown node property {prop!r}; "
+                                f"nodes frame has {nodes.columns}"
+                            )
+                        nf = nodes.filter(
+                            _OPS[op](F.col(prop), F.lit(v))
+                        ).select(F.col("id").alias("__nid"))
+                        e = e.join(nf, e["__hd"] == nf["__nid"], "semi")
+                    ac = node_anchor_cond(nvar, F.col("__hd"))
+                    if ac is not None:
+                        e = e.filter(ac)
                     # chain preserved on no-match; the (anchored, hence
                     # tiny) qualifying hit set broadcasts into the join
                     cur = cur.join(
@@ -673,6 +716,18 @@ def compile_query(
                 cur = cur.drop("__hs").withColumnRenamed("__hd", f"__v_{nvar}")
                 if rvar:
                     cur = cur.withColumnRenamed(wcol, f"__w_{rvar}")
+                if multi_hop:
+                    # relationship uniqueness: this hop may not rebind a
+                    # stored relationship an earlier hop of this clause
+                    # already bound (Neo4j excludes such rows)
+                    for es_j, ed_j in clause_pairs:
+                        cur = cur.filter(
+                            ~(
+                                (F.col(es_k) == F.col(es_j))
+                                & (F.col(ed_k) == F.col(ed_j))
+                            )
+                        )
+                    clause_pairs.append((es_k, ed_k))
 
             cols[nvar] = f"__v_{nvar}"
             if rvar:
@@ -693,10 +748,13 @@ def compile_query(
                 chain = F.broadcast(cur) if anchored else cur
                 cur = nf.join(chain, nf["__nid"] == chain[cols[nvar]]).drop("__nid")
 
-            # id anchor on the newly bound (non-source) node: plain filter
-            ac = node_anchor_cond(nvar, F.col(cols[nvar]))
-            if ac is not None:
-                cur = cur.filter(ac)
+            # id anchor on the newly bound (non-source) node: plain
+            # filter. Optional hops already consumed it pattern-side —
+            # re-applying here would drop the preserved NULL rows.
+            if not mc["optional"]:
+                ac = node_anchor_cond(nvar, F.col(cols[nvar]))
+                if ac is not None:
+                    cur = cur.filter(ac)
 
     if prop_guards:
         leftover = sorted(prop_guards)

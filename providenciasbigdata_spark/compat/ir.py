@@ -1326,10 +1326,15 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             if not isinstance(n, int) or isinstance(n, bool):
                 raise ValueError(f"$shift by must be an int, got {n!r}")
             src = _agg_expr(arg["output"])
-            default = F.lit(arg.get("default"))
+            # Mongo applies the $shift default ONLY to positions outside
+            # the partition; an in-partition NULL field value stays null.
+            # lead/lag's third argument has exactly that contract
+            # (out-of-bounds only) — a coalesce over the result would
+            # wrongly overwrite in-partition nulls with the default.
+            default = arg.get("default")
             w = base.orderBy(*sort_cols)
-            shifted = F.lead(src, n, None) if n >= 0 else F.lag(src, -n, None)
-            new_cols[out] = F.coalesce(shifted.over(w), default)
+            shifted = F.lead(src, n, default) if n >= 0 else F.lag(src, -n, default)
+            new_cols[out] = shifted.over(w)
             continue
 
         # accumulator family: resolve the frame

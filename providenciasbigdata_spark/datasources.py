@@ -373,13 +373,25 @@ class MongoDumpStreamWriter(DataSourceStreamWriter):
                 if m is not None and os.path.exists(m.staged):
                     os.remove(m.staged)
             return
-        for i, m in enumerate(messages):
+        # A replay may stage FEWER part files than a partially-committed
+        # earlier attempt renamed into place — clear any part files of
+        # this batch first so the replay fully supersedes the partial
+        # attempt (otherwise higher-numbered leftovers would read as
+        # duplicate committed data once the marker lands).
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(self.path, f"part-b{batchId:06d}-*.json")
+        ):
+            os.remove(stale)
+        live = [m for m in messages if m is not None]
+        for i, m in enumerate(live):
             final = os.path.join(self.path, f"part-b{batchId:06d}-{i:05d}.json")
             os.replace(m.staged, final)
         marker_tmp = os.path.join(self.path, "_staging", f"marker-{batchId}")
         os.makedirs(os.path.dirname(marker_tmp), exist_ok=True)
         with open(marker_tmp, "w") as fh:
-            fh.write(str(len(messages)))
+            fh.write(str(len(live)))
         os.replace(marker_tmp, self._marker(batchId))
 
     def abort(self, messages, batchId: int) -> None:

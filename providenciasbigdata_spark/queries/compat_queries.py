@@ -1361,19 +1361,16 @@ def q_cypher_generic_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     a THREE-hop anchored chain no round-1..5 template could express —
     the third hop REVERSED (``(c)<-[r3]-(d)``: who else points at my
     2-hop reach), per-hop one-sided weight guards, and a node-property
-    predicate on the final variable. Same bounded-1000 edge build as
-    the two-hop motif (the all-pairs cosine enumeration behind a
-    generic edges frame is O(n^2) at bench SF); within the bound the
-    anchored chain broadcasts through every hop join."""
+    predicate on the final variable. Edges come from the session-staged
+    bounded-1000 fixture (verdict-r6 item 2): the bench number now
+    times the compiler's hop joins over a parquet scan, not the O(n^2)
+    cosine scaffold; within the bound the anchored chain broadcasts
+    through every hop join."""
     from providenciasbigdata_spark.compat.documents import rulings_view
     from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 1000)
-        .repartition(16)
-    )
-    edges = build_similarity_edges(emb)
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
     nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
         F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
     )
@@ -1404,6 +1401,12 @@ JOIN e h3 ON h3.dst = h2.dst
 JOIN n ON n.id = h3.src
 WHERE h1.src = 'P-7' AND h1.similitud >= 30
   AND h2.similitud >= 32 AND h3.similitud >= 32 AND n.anio >= 2005
+  -- Cypher relationship uniqueness: no hop rebinds an earlier hop's
+  -- stored edge (h3==h2 is reachable here whenever d == b; the other
+  -- two pairs are vacuous given the join keys but kept for parity)
+  AND NOT (h2.src = h1.src AND h2.dst = h1.dst)
+  AND NOT (h3.src = h1.src AND h3.dst = h1.dst)
+  AND NOT (h3.src = h2.src AND h3.dst = h2.dst)
 """
 
 
@@ -1420,15 +1423,11 @@ def q_cypher_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count are accumulation-order-FREE, so the doubles value-hash
     unrounded (avg is deliberately excluded from the oracle-checked
     surface — float partial-sum order differs across engines; it is
-    pinned in pytest instead)."""
+    pinned in pytest instead). Staged bounded-1000 edges fixture."""
     from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 1000)
-        .repartition(16)
-    )
-    edges = build_similarity_edges(emb)
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
     return cypher_run(CYPHER_AGG_STATS, edges=edges, params={"lo": 28.0})
 
 
@@ -1545,16 +1544,16 @@ def q_cypher_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-property left-join (null properties skipped by COUNT, Cypher's
     rule) and Spark's count_distinct in the same hash aggregate.
 
-    The graph is BOUNDED to 500 vectors (the two-hop-motif rule): a
-    generic unanchored edges frame means an all-pairs O(n²) cosine
-    build behind the aggregate — 4M pairs at bench SF measured 41s for
-    a fixture-semantics query; within the bound the plan is the same
-    shape at a sane cost."""
+    Round 7 (verdict-r6 item 2): reads the session-staged bounded-1000
+    edges fixture — the OPERATOR (filter + two-phase hash aggregate +
+    broadcast node join) is what the bench times now, not the O(n^2)
+    cosine scaffold that used to dominate (and which forced the old
+    tighter 500 bound)."""
     from providenciasbigdata_spark.compat.documents import rulings_view
     from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    edges = build_similarity_edges(emb)
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
     nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
         F.col("providencia").alias("id"), F.col("anio").cast("long").alias("anio")
     )
@@ -1570,7 +1569,7 @@ WITH e AS (
          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) * 100, 4) AS sim
   FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-  WHERE a.vec_id < 500 AND b.vec_id < 500
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
 ), n AS (
   SELECT doc_id, CAST(2000 + doc_id % 25 AS BIGINT) AS anio FROM documents
 )
@@ -1633,6 +1632,9 @@ SELECT h1.src AS origen, h1.dst AS intermedio, h2.dst AS destino,
 FROM e h1 JOIN e h2 ON h2.src = h1.dst
 WHERE h1.src = 'P-7' AND h1.similitud BETWEEN 30 AND 100
   AND h2.similitud BETWEEN 32 AND 100
+  -- relationship uniqueness (vacuous for a directed 2-hop over a
+  -- self-loop-free edge set; kept to mirror the compiler's semantics)
+  AND NOT (h2.src = h1.src AND h2.dst = h1.dst)
 """
 
 
@@ -1763,11 +1765,12 @@ def q_cypher_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMILAR relationships in the whole (bounded) graph — the first
     template with no bound anchor; a full relationship scan whose
     ORDER BY + LIMIT still lowers to TakeOrdered per-partition heaps,
-    never a global sort."""
+    never a global sort. Staged bounded-1000 edges fixture (the old
+    300 bound only existed to cap the inline scaffold)."""
     from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    edges = build_similarity_edges(emb)
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
     return cypher_run(CYPHER_GLOBAL_TOPK, edges=edges, params={"lo": 40.0, "k": 25})
 
 
@@ -1777,7 +1780,7 @@ SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS origen,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
 FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-WHERE a.vec_id < 300 AND b.vec_id < 300
+WHERE a.vec_id < 1000 AND b.vec_id < 1000
   AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) * 100, 4) >= 40
 ORDER BY similitud DESC, origen ASC, destino ASC LIMIT 25

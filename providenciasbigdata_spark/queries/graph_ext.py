@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from providenciasbigdata_spark.compat.graph import build_similarity_edges, cosine
 from providenciasbigdata_spark.io import load_table
+from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
 
 _HOP_LO = 30.0  # similitud >= 30 keeps hop fan-out small on the fixtures
 
@@ -124,8 +125,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on both engines)."""
     from providenciasbigdata_spark.operators.graph_algos import connected_components
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return connected_components(edges)
 
 
@@ -159,8 +161,9 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     row set to nodes x hops even through cycles)."""
     from providenciasbigdata_spark.operators.graph_algos import bfs_distances
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return bfs_distances(edges, "P-7", max_hops=4)
 
 
@@ -184,9 +187,8 @@ def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE (identical doubles — see sssp_distances FP note)."""
     from providenciasbigdata_spark.operators.graph_algos import sssp_distances
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     edges = (
-        build_similarity_edges(emb)
+        staged_similarity_edges(spark, sf_dir, 150)
         .filter(F.col("similitud") >= _HOP_LO)
         .withColumn("w", F.lit(100.0) - F.col("similitud"))
     )
@@ -221,8 +223,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences are ~1e-14 — far below the 6-digit round."""
     from providenciasbigdata_spark.operators.graph_algos import pagerank
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return pagerank(edges, max_iter=5).select(
         "id", F.round("rank", 6).alias("rank")
     )
@@ -262,8 +265,9 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass); sum-order noise ~1e-14 under the 6-digit round."""
     from providenciasbigdata_spark.operators.graph_algos import pagerank
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return pagerank(edges, max_iter=5, weight_col="similitud").select(
         "id", F.round("rank", 6).alias("rank")
     )
@@ -357,8 +361,9 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-concentrated teleport term."""
     from providenciasbigdata_spark.operators.graph_algos import personalized_pagerank
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return personalized_pagerank(edges, seeds=["P-27", "P-58"], max_iter=5).select(
         "id", F.round("rank", 6).alias("rank")
     )
@@ -399,8 +404,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     final partition shape — is value-hash-checked."""
     from providenciasbigdata_spark.operators.graph_algos import label_propagation
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return label_propagation(edges, n_rounds=4)
 
 
@@ -440,8 +446,9 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is a join+aggregate over <= 150 nodes."""
     from providenciasbigdata_spark.operators.graph_algos import kcore_decomposition
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return kcore_decomposition(edges)
 
 
@@ -566,8 +573,9 @@ def q_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: a recursive multi-seed min-hop CTE with the same hop cap."""
     from providenciasbigdata_spark.operators.graph_algos import closeness_from_seeds
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return closeness_from_seeds(edges, ["P-7", "P-27", "P-58"], max_hops=6)
 
 
@@ -599,8 +607,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         link_prediction_jaccard,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return link_prediction_jaccard(edges, min_common=2)
 
 
@@ -814,8 +823,9 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against a pure-Python reference in tests/test_graph_algos.py."""
     from providenciasbigdata_spark.operators.graph_algos import ktruss
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return ktruss(edges, k=4)
 
 
@@ -833,8 +843,9 @@ def q_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-nodes-seeded exact-betweenness case."""
     from providenciasbigdata_spark.operators.graph_algos import betweenness_from_seeds
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    edges = build_similarity_edges(emb).filter(F.col("similitud") >= _HOP_LO)
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
     return betweenness_from_seeds(
         edges, ["P-7", "P-27", "P-58"], max_hops=6
     ).orderBy("id")

@@ -781,6 +781,21 @@ def test_mql_window_densify_fill_stages(spark):
     }
     assert row[("a", 1)] == 0 and row[("a", 2)] == 1 and row[("a", 4)] == 2
 
+    # --- $shift default applies ONLY outside the partition (ADVICE r6):
+    # an in-partition NULL field value shifts through as null, never as
+    # the default
+    prev_v = {
+        (r.tipo, r.doc_id): r.pv
+        for r in mql_aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$tipo", "sortBy": {"doc_id": 1},
+            "output": {"pv": {"$shift": {"output": "$v", "by": -1,
+                                         "default": 99}}}}}]).collect()
+    }
+    assert prev_v[("a", 1)] == 99          # out of partition -> default
+    assert prev_v[("a", 2)] == 10
+    assert prev_v[("a", 4)] is None        # in-partition null STAYS null
+    assert prev_v[("b", 3)] is None
+
     # --- densify explicit bounds: [lo, hi) upper-exclusive, existing
     # points not regenerated, step arithmetic exact
     got = sorted(
@@ -959,6 +974,89 @@ def test_mql_lookup_semantics(spark):
         mql_aggregate(local, [{"$lookup": {"from": "f", "localField": "tag",
                                            "foreignField": "tag", "as": "tag"}}],
                       collections={"f": foreign})
+
+
+def test_cypher_optional_node_predicate_preserved(spark):
+    """ADVICE r6: predicates on the OPTIONAL node filter the optional
+    PATTERN before null-preservation — an anchor whose optional hop
+    found no qualifying match survives with NULLs, never drops."""
+    edges = spark.createDataFrame(
+        [("A", "B", 50.0)], "src string, dst string, similitud double"
+    )
+    nodes = spark.createDataFrame(
+        [("A", 2000), ("B", 2010)], "id string, anio bigint"
+    )
+    q = (
+        "MATCH (a:Providencia {id: $o}) "
+        "OPTIONAL MATCH (a)-[r:SIMILAR]->(b:Providencia) "
+        "WHERE b.anio >= $y "
+        "RETURN a.id AS origen, b.id AS destino"
+    )
+    # qualifying match: plain row
+    hit = cypher_run(q, nodes=nodes, edges=edges, params={"o": "A", "y": 2005})
+    assert [tuple(r) for r in hit.collect()] == [("A", "B")]
+    # hop exists but fails the node predicate: anchor preserved w/ NULLs
+    miss = cypher_run(q, nodes=nodes, edges=edges, params={"o": "A", "y": 2020})
+    assert [tuple(r) for r in miss.collect()] == [("A", None)]
+    # id anchor on the optional node behaves the same way
+    qid = (
+        "MATCH (a:Providencia {id: $o}) "
+        "OPTIONAL MATCH (a)-[r:SIMILAR]->(b:Providencia) "
+        "WHERE b.id = $b "
+        "RETURN a.id AS origen, b.id AS destino"
+    )
+    ghost = cypher_run(qid, nodes=nodes, edges=edges, params={"o": "A", "b": "Z"})
+    assert [tuple(r) for r in ghost.collect()] == [("A", None)]
+    bound = cypher_run(qid, nodes=nodes, edges=edges, params={"o": "A", "b": "B"})
+    assert [tuple(r) for r in bound.collect()] == [("A", "B")]
+
+
+def test_cypher_relationship_uniqueness(spark):
+    """ADVICE r6: Cypher's relationship-isomorphism rule — two hops of
+    one MATCH pattern never bind the same STORED relationship. Distinct
+    stored edges between the same endpoints (both directions present)
+    remain independently bindable."""
+    # one stored edge only: the undirected 2-hop cannot walk it back
+    e1 = spark.createDataFrame(
+        [("A", "B", 50.0)], "src string, dst string, similitud double"
+    )
+    q_undir = (
+        "MATCH (a:Providencia {id: $o})-[r1:SIMILAR]-(b:Providencia)"
+        "-[r2:SIMILAR]-(c:Providencia) "
+        "RETURN a.id AS a, b.id AS b, c.id AS c"
+    )
+    assert cypher_run(q_undir, edges=e1, params={"o": "A"}).count() == 0
+    # a second stored edge opens exactly one 2-hop path
+    e2 = spark.createDataFrame(
+        [("A", "B", 50.0), ("B", "C", 60.0)],
+        "src string, dst string, similitud double",
+    )
+    got = [tuple(r) for r in cypher_run(q_undir, edges=e2, params={"o": "A"}).collect()]
+    assert got == [("A", "B", "C")]
+    # the REVERSE stored edge (B, A) is a DIFFERENT relationship:
+    # walking back through it is legal Neo4j — c == a rows return
+    e3 = spark.createDataFrame(
+        [("A", "B", 50.0), ("B", "A", 55.0)],
+        "src string, dst string, similitud double",
+    )
+    back = [
+        tuple(r) for r in cypher_run(q_undir, edges=e3, params={"o": "A"}).collect()
+    ]
+    # hop1=(A,B) then hop2=(B,A), and hop1=(B,A) then hop2=(A,B)
+    assert sorted(back) == [("A", "B", "A"), ("A", "B", "A")]
+    # directed 3-hop with a reversed tail: d == b via the SAME stored
+    # edge as r2 is excluded; a distinct in-edge to c survives
+    e4 = spark.createDataFrame(
+        [("A", "B", 50.0), ("B", "C", 60.0), ("D", "C", 70.0)],
+        "src string, dst string, similitud double",
+    )
+    q3 = (
+        "MATCH (a:Providencia {id: $o})-[r1:SIMILAR]->(b:Providencia)"
+        "-[r2:SIMILAR]->(c:Providencia)<-[r3:SIMILAR]-(d:Providencia) "
+        "RETURN a.id AS a, b.id AS b, c.id AS c, d.id AS d"
+    )
+    rows = [tuple(r) for r in cypher_run(q3, edges=e4, params={"o": "A"}).collect()]
+    assert rows == [("A", "B", "C", "D")]
 
 
 def test_cypher_optional_match_template(spark):

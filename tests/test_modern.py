@@ -565,3 +565,42 @@ def test_mongodump_stream_writer_exactly_once(spark, tmp_path):
     q.awaitTermination()
     back2 = spark.read.format("mongodump").schema("k long").load(out)
     assert sorted(r.k for r in back2.collect()) == list(range(40))  # no dupes
+
+
+def test_mongodump_stream_writer_commit_supersedes_partial(tmp_path):
+    """ADVICE r6: a replayed commit that stages FEWER part files than a
+    partially-committed earlier attempt must fully supersede it — stale
+    higher-numbered part files are removed before the marker lands, and
+    None task messages are skipped."""
+    import os
+    from types import SimpleNamespace
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from providenciasbigdata_spark.datasources import MongoDumpStreamWriter
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    schema = StructType([StructField("k", LongType())])
+    w = MongoDumpStreamWriter(schema, {"path": out})
+
+    def stage(content: str) -> SimpleNamespace:
+        sd = os.path.join(out, "_staging")
+        os.makedirs(sd, exist_ok=True)
+        p = os.path.join(sd, f"task-{content}.json")
+        with open(p, "w") as fh:
+            fh.write('{"k": {"$numberLong": "' + content + '"}}\n')
+        return SimpleNamespace(staged=p)
+
+    # partial earlier attempt: 3 part files renamed into place, crash
+    # BEFORE the marker (simulated by direct renames)
+    for i, c in enumerate(("1", "2", "3")):
+        m = stage(c)
+        os.replace(m.staged, os.path.join(out, f"part-b000007-{i:05d}.json"))
+    # replay stages only 2 files (different partitioning) + a None slot
+    w.commit([stage("8"), None, stage("9")], 7)
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-b000007"))
+    assert parts == ["part-b000007-00000.json", "part-b000007-00001.json"]
+    assert os.path.exists(os.path.join(out, "_committed_b000007"))
+    with open(os.path.join(out, "_committed_b000007")) as fh:
+        assert fh.read() == "2"
