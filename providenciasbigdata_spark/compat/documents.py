@@ -59,8 +59,9 @@ def rulings_view(documents: DataFrame, with_stems: bool = False) -> DataFrame:
     """Project the fixture ``documents`` table into the reference's
     ruling fields (FIXTURES.md §1 pinned mapping) + a ``tokens`` column
     (ingest-time tokenization, SURVEY.md §4.3). ``with_stems=True``
-    additionally materializes the Snowball-lite stemmed tokens
-    (compat.stemming) — the ingest-time shape a stemmed search index
+    additionally materializes the full-Snowball stemmed tokens
+    (compat.stemming → compat.snowball, one pure-Catalyst expression
+    per token) — the ingest-time shape a stemmed search index
     wants at scale (stem once per document, not per query)."""
     out = documents.select(
         F.col("doc_id"),
@@ -121,8 +122,13 @@ def text_match_condition(
       nothing, as in Mongo.
 
     Stemming (``stem=True``) applies to bare and negated terms — via
-    the stems column or exact preimage expansion — never to phrases:
-    Mongo matches phrases against the raw (folded) token stream.
+    the materialized ``stems`` column when present, else by stemming
+    the document tokens on the fly INSIDE the scan predicate (full
+    Snowball as one pure-Catalyst expression, compat/snowball.py) —
+    never to phrases: Mongo matches phrases against the raw (folded)
+    token stream. Both stemmed plans are one scan with a pushed
+    filter; the ingest-time ``stems`` column and the dictionary-
+    stemmed postings index are the scale paths.
 
     The phrase predicate stays JVM-side with the same single-scan
     shape: ``' '||concat_ws(' ',tokens)||' ' CONTAINS ' p q '`` —
@@ -143,33 +149,27 @@ def text_match_condition(
     if stem:
         from providenciasbigdata_spark.compat.stemming import (
             normalize_language,
-            stem_preimages,
             stem_py,
+            stem_tokens,
         )
 
         # stem may be the legacy bool (True = the reference collection's
         # Spanish) or a language name ("english" = Mongo's own default
         # text-index language, verdict-r5 item 7)
         lang = "spanish" if stem is True else normalize_language(stem)
+        terms = [stem_py(t, lang) for t in terms]
+        negated = [stem_py(t, lang) for t in negated]
         if has_stems_col and lang == "spanish":
             # the materialized ingest-time stems column is Spanish-
-            # stemmed (rulings_view); other languages fall through to
-            # query-side preimage expansion
-            terms = [stem_py(t, lang) for t in terms]
-            negated = [stem_py(t, lang) for t in negated]
+            # stemmed (rulings_view); other languages stem on the fly
             doc_side = F.col("stems")
         else:
-            # no materialized stems: expand the QUERY side to the exact
-            # preimage set of each stemmed term instead of evaluating
-            # the strip expression on every corpus token — same result
-            # by construction (stemming.stem_preimages), same plan
-            # shape as the unstemmed search (plain token overlap)
-            terms = sorted(
-                {p for t in terms for p in stem_preimages(stem_py(t, lang), lang)}
-            )
-            negated = sorted(
-                {p for t in negated for p in stem_preimages(stem_py(t, lang), lang)}
-            )
+            # no materialized stems: stem the document tokens inside
+            # the scan predicate — full Snowball is one Catalyst
+            # expression (no UDF), so this is still a single scan with
+            # a pushed filter; it just evaluates the strip per token
+            # instead of reading a precomputed column
+            doc_side = stem_tokens(F.col(tokens_col), lang)
     if phrase_toks:
         padded = F.concat(F.lit(" "), F.concat_ws(" ", F.col(tokens_col)), F.lit(" "))
         cond = F.lit(True)
@@ -199,7 +199,7 @@ def search_text(
     legal text): both the query terms (client-side, Python) and the
     document tokens (Catalyst, via the materialized ``stems`` column
     when present — else a JVM transform on the fly) go through the
-    SAME Snowball-lite rule table (compat.stemming), so
+    SAME full-Snowball algorithm (compat.snowball), so
     "providencias" matches "providencia". The unstemmed contract stays
     the default (B1 pin)."""
     return df.filter(
@@ -311,7 +311,7 @@ def query_cascade(
 
     ``conjunctive=True`` is the documented extension: AND of all
     provided predicates (what a user usually wants). ``stem=True``
-    applies the Spanish Snowball-lite stemmer to the texto match.
+    applies the Spanish full-Snowball stemmer to the texto match.
     """
     if conjunctive:
         out = df

@@ -124,29 +124,29 @@ def test_result_frame_drops_surrogate_key(spark, sf_dir):
     assert not out.empty
 
 
-# ---- Spanish stemming (Snowball-lite, compat.stemming) -------------------
+# ---- Spanish stemming (full Snowball since round 7, compat.snowball) -----
 
-# plural / derivational / verbal forms that must conflate with their base
+# inflected forms and the stem key full Snowball folds them to; the
+# point for search is CONFLATION — every line's family shares one key
+# (tests/test_snowball.py carries the full per-feature vector table)
 _STEM_PINS = [
-    ("providencias", "providencia"),  # the VERDICT r2 motivating case
-    ("providencia", "providencia"),
-    ("clases", "clase"),
-    ("clase", "clase"),
-    ("veces", "vez"),
-    ("vez", "vez"),
+    ("providencias", "provident"),  # the VERDICT r2 motivating case
+    ("providencia", "provident"),
+    ("clases", "clas"),
+    ("clase", "clas"),
     ("papeles", "papel"),
     ("papel", "papel"),
-    ("decisiones", "deci"),
-    ("decision", "deci"),
+    ("decisiones", "decision"),
+    ("decision", "decision"),
     ("legalmente", "legal"),
     ("legalidad", "legal"),
     ("legal", "legal"),
     ("transformaciones", "transform"),
     ("transformacion", "transform"),
-    ("estudiando", "estudi"),
-    ("estudiar", "estudi"),
-    ("ciudades", "ciudad"),
-    ("ciudad", "ciudad"),
+    ("estudiando", "estud"),
+    ("estudiar", "estud"),
+    ("cantando", "cant"),
+    ("cantaremos", "cant"),
 ]
 
 

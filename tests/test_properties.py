@@ -85,23 +85,42 @@ def test_shingles_count(spark, words):
 
 
 # lowercase ascii tokens like the post-tokenize stream the stemmer sees;
-# biased toward rule-table suffixes of BOTH languages so random tokens
-# actually land on suffix boundaries and min-stem edges
+# biased toward full-Snowball table suffixes of BOTH languages —
+# including CONJUGATION-shaped compositions (base + verb suffix
+# [+ attached pronoun] for Spanish, base + -ing/-ed/-ies/-ization
+# ladders for English) — so random tokens land on region boundaries,
+# among-longest-match edges, and the step-0/2a/2b gating
 def _all_suffixes():
-    from providenciasbigdata_spark.compat import stemming as sm
+    from providenciasbigdata_spark.compat import snowball as sb
 
     out = [""]
-    for step1, step2 in sm._RULES.values():
-        out.extend(sfx for sfx, _r, _m, _g in step1 + step2)
+    out.extend(s for grp in sb.ES_STEP1 for s in grp[0])
+    out.extend(sb.ES_STEP2A)
+    out.extend(sb.ES_STEP2B)
+    out.extend(sb.ES_STEP2B_GU)
+    out.extend(s for s, _ in sb.EN_STEP2 + sb.EN_STEP3)
+    out.extend(sb.EN_STEP4)
+    out.extend(["ing", "ed", "ies", "ied", "sses", "s", "eed", "eedly", "y", "li"])
     return sorted(set(out))
+
+
+def _pronouns():
+    from providenciasbigdata_spark.compat import snowball as sb
+
+    return [""] + list(sb.ES_PRONOUNS)
 
 
 _STEM_PART = st.text(
     alphabet=st.sampled_from("abcdefghijklmnñopqrstuvwxyz"), min_size=0, max_size=10
 )
+# conjugation-biased: base ⊕ table suffix ⊕ (sometimes) attached pronoun
 _TOKEN = st.one_of(
     _STEM_PART,
-    st.tuples(_STEM_PART, st.sampled_from(_all_suffixes())).map(lambda p: p[0] + p[1]),
+    st.tuples(
+        _STEM_PART,
+        st.sampled_from(_all_suffixes()),
+        st.sampled_from(_pronouns()),
+    ).map(lambda p: p[0] + p[1] + p[2]),
 )
 
 
@@ -135,19 +154,24 @@ def test_stemmer_three_engine_parity_property(spark, language, tokens):
 
 @pytest.mark.parametrize("language", ["spanish", "english"])
 @settings(max_examples=10, deadline=None)
-@given(tokens=st.lists(_TOKEN, min_size=1, max_size=12), query_tok=_TOKEN)
-def test_stem_preimage_expansion_equivalence(language, tokens, query_tok):
-    """Query expansion is an exact inverse per language: a token
-    matches a stemmed query term iff it is in the term's preimage set."""
-    from providenciasbigdata_spark.compat.stemming import (
-        stem_preimages,
-        stem_py,
-    )
+@given(tokens=st.lists(_TOKEN, min_size=1, max_size=12))
+def test_stem_fold_invariance(language, tokens):
+    """The stem key is a pure function of the FOLDED token (the B1
+    stream the engine actually stores), so raw accented text and
+    pre-folded tokens produce identical keys — what makes the
+    materialized ``stems`` column, the on-the-fly scan predicate, and
+    client-side query-term stemming interchangeable. Keys also never
+    leak the Porter2 consonant-y marking, and they never grow past the
+    input (every Snowball action is a tail strip or a shortening
+    replacement), so a stems column never widens storage."""
+    from providenciasbigdata_spark.compat.snowball import fold
+    from providenciasbigdata_spark.compat.stemming import stem_py
 
-    term = stem_py(query_tok, language)
-    pre = set(stem_preimages(term, language))
-    for t in tokens + [query_tok, term]:
-        assert (stem_py(t, language) == term) == (t in pre), (t, term, language)
+    for t in tokens:
+        key = stem_py(t, language)
+        assert key == stem_py(fold(t), language), (t, key)
+        assert "Y" not in key
+        assert len(key) <= len(fold(t))
 
 
 # ---- Mongo $search grammar (compat/documents.py) --------------------------
