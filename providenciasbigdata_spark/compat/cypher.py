@@ -110,6 +110,220 @@ _OPS = {
 }
 
 
+def _extract_exists_guards(text: str):
+    """Pull brace-balanced ``EXISTS { ... }`` blocks out before clause
+    splitting (their bodies contain MATCH/WHERE keywords). The optional
+    ``NOT`` stays in the surrounding text and is parsed as part of the
+    WHERE atom."""
+    blocks: list[str] = []
+    out = []
+    i = 0
+    for m in re.finditer(r"\bEXISTS\s*\{", text, re.I):
+        if m.start() < i:
+            continue
+        depth = 1
+        j = m.end()
+        while j < len(text) and depth:
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            raise CypherUnsupported("unbalanced braces in EXISTS { ... }")
+        out.append(text[i:m.start()])
+        out.append(f" __EXISTS{len(blocks)}__ ")
+        blocks.append(text[m.end():j - 1].strip())
+        i = j
+    out.append(text[i:])
+    return "".join(out), blocks
+
+
+# ---- computed RETURN/WITH expressions (round 7) ----------------------------
+# arithmetic over node/rel properties, parameters and literals, plus
+# CASE WHEN ... THEN ... [ELSE ...] END — the first shapes a graph user
+# types past plain property projections (verdict-r6 item 4)
+
+_EXPR_TOK = re.compile(
+    r"\s*(?:"
+    r"(?P<kw>CASE|WHEN|THEN|ELSE|END|AND|OR|NOT)\b"
+    r"|(?P<op>>=|<=|<>|[-+*/()><=])"
+    r"|(?P<param>\$\w+)"
+    r"|(?P<num>\d+\.\d+|\d+)"
+    r"|(?P<str>'[^']*')"
+    r"|(?P<prop>\w+\.\w+)"
+    r"|(?P<name>\w+)"
+    r")",
+    re.I,
+)
+
+
+def _tokenize_expr(text: str) -> list[tuple[str, str]]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _EXPR_TOK.match(text, i)
+        if not m or m.end() == i:
+            if text[i:].strip():
+                raise CypherUnsupported(f"cannot tokenize expression at: {text[i:i+30]!r}")
+            break
+        i = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "kw":
+            toks.append(("kw", val.upper()))
+        else:
+            toks.append((kind, val))
+    return toks
+
+
+def _parse_expr(text: str):
+    """Recursive-descent parse of the computed-item grammar ->
+    nested-tuple AST: ('num', v) ('str', s) ('param', name)
+    ('prop', var, prop) ('neg', e) ('bin', op, l, r)
+    ('case', [(cond, val), ...], else_or_None); conditions:
+    ('cmp', op, l, r) ('and'|'or', a, b) ('not', c)."""
+    toks = _tokenize_expr(text)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(kind=None, val=None):
+        nonlocal pos
+        k, v = peek()
+        if k is None or (kind and k != kind) or (val and v != val):
+            raise CypherUnsupported(
+                f"unexpected token {v!r} in expression {text[:60]!r}"
+            )
+        pos += 1
+        return v
+
+    def parse_sum():
+        e = parse_term()
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            op = take("op")
+            e = ("bin", op, e, parse_term())
+        return e
+
+    def parse_term():
+        e = parse_factor()
+        while peek() == ("op", "*") or peek() == ("op", "/"):
+            op = take("op")
+            e = ("bin", op, e, parse_factor())
+        return e
+
+    def parse_factor():
+        k, v = peek()
+        if k == "op" and v == "-":
+            take()
+            return ("neg", parse_factor())
+        if k == "op" and v == "(":
+            take()
+            e = parse_sum()
+            take("op", ")")
+            return e
+        if k == "kw" and v == "CASE":
+            return parse_case()
+        if k == "num":
+            take()
+            return ("num", float(v) if "." in v else int(v))
+        if k == "str":
+            take()
+            return ("str", v[1:-1])
+        if k == "param":
+            take()
+            return ("param", v[1:])
+        if k == "prop":
+            take()
+            var, prop = v.split(".")
+            return ("prop", var, prop)
+        raise CypherUnsupported(f"unexpected {v!r} in expression {text[:60]!r}")
+
+    def parse_cond():
+        def atom():
+            k, v = peek()
+            if k == "kw" and v == "NOT":
+                take()
+                return ("not", atom())
+            if k == "op" and v == "(":
+                # could be a parenthesized condition or value; try cond
+                save = pos
+                take()
+                try:
+                    c = parse_cond()
+                    take("op", ")")
+                    return c
+                except CypherUnsupported:
+                    nonlocal_pos_reset(save)
+            left = parse_sum()
+            k, v = peek()
+            if k != "op" or v not in _OPS:
+                raise CypherUnsupported(
+                    f"expected comparison in CASE condition: {text[:60]!r}"
+                )
+            take()
+            return ("cmp", v, left, parse_sum())
+
+        def nonlocal_pos_reset(save):
+            nonlocal pos
+            pos = save
+
+        c = atom()
+        while peek() in (("kw", "AND"), ("kw", "OR")):
+            op = take("kw").lower()
+            c = (op, c, atom())
+        return c
+
+    def parse_case():
+        take("kw", "CASE")
+        whens = []
+        while peek() == ("kw", "WHEN"):
+            take()
+            c = parse_cond()
+            take("kw", "THEN")
+            whens.append((c, parse_sum()))
+        if not whens:
+            raise CypherUnsupported("CASE needs at least one WHEN")
+        els = None
+        if peek() == ("kw", "ELSE"):
+            take()
+            els = parse_sum()
+        take("kw", "END")
+        return ("case", whens, els)
+
+    e = parse_sum()
+    if pos != len(toks):
+        raise CypherUnsupported(f"trailing tokens in expression {text[:60]!r}")
+    if e[0] in ("num", "str", "param", "prop"):
+        # plain leaves are handled by the dedicated item kinds; routing
+        # them here would weaken their error messages
+        raise CypherUnsupported(f"not a computed expression: {text[:60]!r}")
+    return e
+
+
+def _expr_walk(e, props: list, pars: list):
+    """Collect ('prop', var, prop) leaves and parameter names."""
+    kind = e[0]
+    if kind == "prop":
+        props.append((e[1], e[2]))
+    elif kind == "param":
+        pars.append(e[1])
+    elif kind == "neg" or kind == "not":
+        _expr_walk(e[1], props, pars)
+    elif kind in ("bin", "cmp"):
+        _expr_walk(e[2], props, pars)
+        _expr_walk(e[3], props, pars)
+    elif kind in ("and", "or"):
+        _expr_walk(e[1], props, pars)
+        _expr_walk(e[2], props, pars)
+    elif kind == "case":
+        for c, v in e[1]:
+            _expr_walk(c, props, pars)
+            _expr_walk(v, props, pars)
+        if e[2] is not None:
+            _expr_walk(e[2], props, pars)
+
+
 def _extract_all_guards(text: str):
     """Pull paren-balanced ``ALL(...)`` blocks out before clause/AND
     splitting (they contain WHERE and AND keywords)."""
@@ -141,9 +355,34 @@ def _extract_all_guards(text: str):
 
 # ---- parse ---------------------------------------------------------------
 
+def split_union(query: str) -> tuple[list[str], bool]:
+    """Split a query on top-level ``UNION [ALL]`` (outside quotes and
+    EXISTS braces) -> (parts, is_union_all). Neo4j's rules apply: all
+    separators must agree (mixing UNION and UNION ALL raises), and
+    every part must RETURN the same column names (checked at compile).
+    Per-part ORDER BY/LIMIT order that part only; the union output
+    order is unspecified (B5)."""
+    flat = " ".join(query.split())
+    parts: list[str] = []
+    kinds: list[bool] = []
+    last = 0
+    for m in re.finditer(r"\bUNION(\s+ALL)?\b", flat, re.I):
+        prefix = flat[: m.start()]
+        if prefix.count("'") % 2 or prefix.count("{") != prefix.count("}"):
+            continue  # inside a string literal or an EXISTS block
+        parts.append(flat[last:m.start()].strip())
+        kinds.append(bool(m.group(1)))
+        last = m.end()
+    parts.append(flat[last:].strip())
+    if kinds and len(set(kinds)) > 1:
+        raise CypherUnsupported("mixing UNION and UNION ALL is unsupported")
+    return parts, bool(kinds and kinds[0])
+
+
 def parse(query: str) -> dict:
     """Flattened query text -> AST dict, or raise CypherUnsupported."""
     flat = " ".join(query.split())
+    flat, exists_blocks = _extract_exists_guards(flat)
     flat, all_blocks = _extract_all_guards(flat)
 
     marks = list(_CLAUSE_RE.finditer(flat))
@@ -192,6 +431,12 @@ def parse(query: str) -> dict:
         conds = []
         for raw in re.split(r"\s+AND\s+", text, flags=re.I):
             raw = raw.strip()
+            em = re.fullmatch(r"(NOT\s+)?__EXISTS(\d+)__", raw, re.I)
+            if em:
+                conds.append(
+                    ("exists", bool(em.group(1)), exists_blocks[int(em.group(2))])
+                )
+                continue
             am = re.fullmatch(r"__ALL(\d+)__", raw)
             if am:
                 blk = all_blocks[int(am.group(1))]
@@ -251,7 +496,11 @@ def parse(query: str) -> dict:
             if re.fullmatch(r"\w+", raw):
                 items.append(("bare", raw, None, raw))
                 continue
-            raise CypherUnsupported(f"unsupported RETURN/WITH item: {raw[:60]!r}")
+            # computed expression (round 7): arithmetic / CASE; alias
+            # defaults to the expression text, Neo4j's column-name rule
+            am2 = re.match(r"^(.*\S)\s+AS\s+(\w+)$", raw, re.I)
+            expr_text, alias = (am2.group(1), am2.group(2)) if am2 else (raw, raw)
+            items.append(("expr", _parse_expr(expr_text), None, alias))
         return items
 
     seen_with = False
@@ -334,9 +583,18 @@ def _collect_params(ast) -> list[str]:
                 val_params(c[2]); val_params(c[3])
             elif c[0] == "bare":
                 val_params(c[3])
+            elif c[0] == "exists":
+                names.extend(m.group(1) for m in re.finditer(r"\$(\w+)", c[2]))
     for c in ast["having"]:
         if c[0] == "bare":
             val_params(c[3])
+    for items in (ast["with"] or []), ast["return"] or []:
+        for k, v, _p, _a in items:
+            if k == "expr":
+                props: list = []
+                pars: list = []
+                _expr_walk(v, props, pars)
+                names.extend(pars)
     if ast["limit"]:
         val_params(ast["limit"])
     return names
@@ -367,6 +625,7 @@ def compile_query(
     id_eq: dict[str, object] = {}        # node var -> literal id
     id_in: dict[str, list] = {}          # node var -> id list
     prop_guards: dict[str, list] = {}    # node var -> [(prop, op, value)]
+    exists_guards: list[tuple[bool, str]] = []  # (negated, inner pattern text)
 
     node_vars: set[str] = set()
     rel_vars: set[str] = set()
@@ -417,6 +676,12 @@ def compile_query(
                 if not isinstance(lst, (list, tuple)):
                     raise ValueError(f"${val[1:]} must bind a list, got {lst!r}")
                 id_in[var] = list(lst)
+            elif c[0] == "exists":
+                if mc["optional"]:
+                    raise CypherUnsupported(
+                        "EXISTS {...} inside OPTIONAL MATCH is unsupported"
+                    )
+                exists_guards.append((c[1], c[2]))
             else:  # bare cmp belongs after WITH
                 raise CypherUnsupported(
                     "bare comparisons are only supported after WITH"
@@ -760,6 +1025,54 @@ def compile_query(
         leftover = sorted(prop_guards)
         raise CypherUnsupported(f"property predicates on unbound variables: {leftover}")
 
+    # ---- WHERE [NOT] EXISTS { pattern [WHERE ...] } (round 7) -------------
+    # The subpattern's FIRST node variable must be bound by the outer
+    # chain (Neo4j scoping: outer variables are visible inside the
+    # subquery); all other subpattern variables must be fresh. Each
+    # guard compiles the subpattern as its own (unanchored) chain over
+    # the same frames, projects the bound variable's distinct ids, and
+    # SEMI-joins (ANTI for NOT) the outer chain against that hit set —
+    # existence is a set intersection, never a row-multiplying join,
+    # so outer cardinality is preserved by construction. At scale the
+    # hit set is a filtered edge scan; AQE broadcasts whichever side
+    # is small.
+    for negated, inner in exists_guards:
+        inner_flat = " ".join(inner.split())
+        if not re.match(r"^MATCH\b", inner_flat, re.I):
+            inner_flat = "MATCH " + inner_flat
+        nm = _NODE_PAT.match(inner_flat[5:].lstrip())
+        if not nm:
+            raise CypherUnsupported(
+                f"cannot parse EXISTS pattern at: {inner_flat[:60]!r}"
+            )
+        anchor_var = nm.group(1)
+        if anchor_var not in cols:
+            raise CypherUnsupported(
+                f"EXISTS pattern must start from a bound variable; "
+                f"{anchor_var!r} is not bound"
+            )
+        inner_ast = parse(f"{inner_flat} RETURN {anchor_var}.id AS __ex_id")
+        inner_vars = set()
+        for imc in inner_ast["matches"]:
+            pat = imc["pattern"]
+            inner_vars.add(pat[0]["var"])
+            for rel, node in pat[1:]:
+                inner_vars.add(node["var"])
+                if rel["var"]:
+                    inner_vars.add(rel["var"])
+        clash = (inner_vars - {anchor_var}) & (node_vars | rel_vars)
+        if clash:
+            raise CypherUnsupported(
+                f"EXISTS pattern rebinds outer variables {sorted(clash)}; "
+                "only the first node may reference the outer scope"
+            )
+        sub = compile_query(inner_ast, nodes, edges, params).distinct()
+        cur = cur.join(
+            sub,
+            cur[cols[anchor_var]] == sub["__ex_id"],
+            "left_anti" if negated else "left_semi",
+        )
+
     # ---- projection / aggregation ----------------------------------------
     def attach_node_prop(var: str, prop: str) -> str:
         """RETURN of a non-id node property (round-6 second session):
@@ -805,6 +1118,45 @@ def compile_query(
             return F.col(f"__len_{var}")
         raise CypherUnsupported(f"unsupported item kind {kind!r}")
 
+    def expr_col(e):
+        """Computed RETURN/WITH expression AST -> Column (round 7)."""
+        kind = e[0]
+        if kind == "num" or kind == "str":
+            return F.lit(e[1])
+        if kind == "param":
+            return F.lit(params[e[1]])
+        if kind == "prop":
+            return item_col("prop", e[1], e[2])
+        if kind == "neg":
+            return -expr_col(e[1])
+        if kind == "bin":
+            op, l, r = e[1], expr_col(e[2]), expr_col(e[3])
+            if op == "+":
+                return l + r
+            if op == "-":
+                return l - r
+            if op == "*":
+                return l * r
+            return l / r
+        if kind == "case":
+            out = None
+            for c, v in e[1]:
+                out = (F.when if out is None else out.when)(cond_col(c), expr_col(v))
+            return out.otherwise(expr_col(e[2])) if e[2] is not None else out
+        raise CypherUnsupported(f"unsupported expression node {kind!r}")
+
+    def cond_col(c):
+        kind = c[0]
+        if kind == "cmp":
+            return _OPS[c[1]](expr_col(c[2]), expr_col(c[3]))
+        if kind == "and":
+            return cond_col(c[1]) & cond_col(c[2])
+        if kind == "or":
+            return cond_col(c[1]) | cond_col(c[2])
+        if kind == "not":
+            return ~cond_col(c[1])
+        raise CypherUnsupported(f"unsupported condition node {kind!r}")
+
     def project(frame: DataFrame, items: list) -> DataFrame:
         # attach any non-id node-property columns FIRST (each attach
         # left-joins the nodes frame onto `cur`), then rebind the frame
@@ -814,6 +1166,12 @@ def compile_query(
                 k == "prop" or k in _AGG_KINDS or k.startswith("agg:")
             ) and v in node_vars and p not in (None, "id"):
                 attach_node_prop(v, p)
+            elif k == "expr":
+                props: list = []
+                _expr_walk(v, props, [])
+                for evar, eprop in props:
+                    if evar in node_vars and eprop != "id":
+                        attach_node_prop(evar, eprop)
         frame = cur
         aggs = [(k, v, p, a) for k, v, p, a in items
                 if k in _AGG_KINDS or k.startswith("agg:")]
@@ -823,7 +1181,10 @@ def compile_query(
             for k, _v, _p, _a in keys:
                 if k == "bare":
                     raise CypherUnsupported("bare items cannot mix with aggregates")
-            gb = [item_col(k, v, p).alias(a) for k, v, p, a in keys]
+            gb = [
+                (expr_col(v) if k == "expr" else item_col(k, v, p)).alias(a)
+                for k, v, p, a in keys
+            ]
             agg_fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             agg_cols = []
             for k, v, p, a in aggs:
@@ -861,6 +1222,8 @@ def compile_query(
                 if v not in frame.columns:
                     raise CypherUnsupported(f"unknown alias {v!r}")
                 sel.append(F.col(v).alias(a))
+            elif k == "expr":
+                sel.append(expr_col(v).alias(a))
             else:
                 sel.append(item_col(k, v, p).alias(a))
         return frame.select(*sel)

@@ -200,12 +200,12 @@ def _query_condition(query: dict, default_language: str = "none") -> Column:
                 and {"$search"} <= set(value) <= {"$search", "$language"}
             ):
                 raise ValueError(f"unsupported $text form: {value!r}")
-            # $language maps onto the Snowball-lite stemmers: Spanish
+            # $language maps onto the full Snowball stemmers: Spanish
             # (the reference collection's language) and English
             # (Mongo's own default text-index language) stem via their
             # rule tables; "none" disables stemming — Mongo's own
-            # contract for the option. Other languages raise (no rule
-            # tables for them) inside normalize_language.
+            # contract for the option. Other languages raise (no
+            # algorithm for them) inside normalize_language.
             lang = str(value.get("$language", default_language)).lower()
             stem: bool | str = False if lang == "none" else lang
             conds.append(text_match_condition(value["$search"], stem=stem))
@@ -681,6 +681,102 @@ def _expr_args(args, op: str, n: int | None = None) -> list:
     return list(args)
 
 
+def _doc_or_map_expr(x, scope) -> Column:
+    """Operand of a document-valued operator ($mergeObjects /
+    $objectToArray): a literal subdocument compiles to ``create_map``
+    over its compiled values (one value type per document — Spark's
+    map constraint, raises loudly on mixed types), anything else goes
+    through the expression grammar and must yield a map column."""
+    if isinstance(x, dict) and not (len(x) == 1 and next(iter(x)).startswith("$")):
+        if not x:
+            raise ValueError("$mergeObjects/$objectToArray: empty subdocument operand")
+        pairs: list[Column] = []
+        for k, v in x.items():
+            pairs.append(F.lit(k))
+            pairs.append(_agg_expr(v, scope))
+        return F.create_map(*pairs)
+    return _agg_expr(x, scope)
+
+
+def _regex_find_expr(op: str, args, scope) -> Column:
+    """``$regexFind`` / ``$regexFindAll`` (round 7, verdict-r6 item 6):
+    Mongo's {match, idx, captures} document per match. The regex must
+    be a LITERAL string — the capture-group count is read at compile
+    time (``re.compile(...).groups``) to build the captures array from
+    ``regexp_extract[_all]`` group extractions. ``idx`` is the 0-based
+    match position: for $regexFind via ``regexp_instr``; for
+    $regexFindAll by ordered ``position()`` over the match texts,
+    resuming after each match — exact for every pattern whose match
+    text cannot occur earlier as a non-match (i.e. anything without
+    lookaround/backreference context; documented divergence there).
+    Unmatched optional groups capture '' (Spark/DuckDB) where Mongo
+    returns null — documented."""
+    import re as _re
+
+    if not (
+        isinstance(args, dict)
+        and {"input", "regex"} <= set(args) <= {"input", "regex", "options"}
+    ):
+        raise ValueError(f"{op} needs {{input, regex[, options]}}: {args!r}")
+    rx = args["regex"]
+    if not isinstance(rx, str):
+        raise ValueError(f"{op} regex must be a literal string (got {type(rx).__name__})")
+    opts = str(args.get("options", ""))
+    if set(opts) - set("ims"):
+        raise ValueError(f"{op} supports options i/m/s only: {opts!r}")
+    pattern = (f"(?{opts})" if opts else "") + rx
+    ngroups = _re.compile(rx).groups
+    inp = _agg_expr(args["input"], scope)
+
+    if op == "$regexFind":
+        captures = (
+            F.array(*[F.regexp_extract(inp, pattern, g) for g in range(1, ngroups + 1)])
+            if ngroups
+            else F.array().cast("array<string>")
+        )
+        st = F.struct(
+            F.regexp_substr(inp, F.lit(pattern)).alias("match"),
+            (F.regexp_instr(inp, F.lit(pattern)) - F.lit(1)).cast("int").alias("idx"),
+            captures.alias("captures"),
+        )
+        # no match -> null (missing field in Mongo; $regexFind's contract)
+        return F.when(inp.rlike(pattern), st)
+
+    matches = F.regexp_extract_all(inp, F.lit(pattern), F.lit(0))
+    group_arrs = [
+        F.regexp_extract_all(inp, F.lit(pattern), F.lit(g))
+        for g in range(1, ngroups + 1)
+    ]
+    # sequential positions: matches are non-overlapping and in order,
+    # so locating each text from the previous match's end is exact
+    idxs = F.aggregate(
+        matches,
+        F.struct(
+            F.lit(1).alias("pos"), F.array().cast("array<int>").alias("idxs")
+        ),
+        lambda acc, m: F.struct(
+            (F.position(m, inp, acc["pos"]) + F.length(m)).alias("pos"),
+            F.concat(
+                acc["idxs"],
+                F.array((F.position(m, inp, acc["pos"]) - F.lit(1)).cast("int")),
+            ).alias("idxs"),
+        ),
+        lambda acc: acc["idxs"],
+    )
+    return F.transform(
+        matches,
+        lambda m, i: F.struct(
+            m.alias("match"),
+            F.get(idxs, i).alias("idx"),
+            (
+                F.array(*[F.get(g, i) for g in group_arrs])
+                if ngroups
+                else F.array().cast("array<string>")
+            ).alias("captures"),
+        ),
+    )
+
+
 def _agg_expr(spec, scope: dict | None = None) -> Column:
     """Mongo aggregation expression -> Column. Bare ``'$field'`` strings
     are field paths, every other scalar is a literal (Mongo's contract;
@@ -693,14 +789,25 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
     ``"$$value"`` / ``"$$<as>"`` resolve to the bound lambda Column."""
     if isinstance(spec, str):
         if spec.startswith("$$"):
-            name = spec[2:]
-            if "." in name:
-                raise ValueError(f"nested paths on lambda variables are unsupported: {spec!r}")
+            name, _, path = spec[2:].partition(".")
             if not scope or name not in scope:
                 raise ValueError(f"unbound aggregation variable: {spec!r}")
-            return scope[name]
+            col = scope[name]
+            # $$var.field[.field...]: subdocument access on the bound
+            # lambda value (round 7 — what $objectToArray consumers
+            # write); Column[name] reads struct fields and map keys
+            for part in path.split(".") if path else []:
+                col = col[part]
+            return col
         if spec.startswith("$"):
-            return F.col(_ref_field(spec, "expression"))
+            # '$field' or '$field.sub[.sub...]' (round 7): dotted paths
+            # read struct fields / map keys of document-valued columns
+            # (what $regexFind / $mergeObjects consumers write)
+            name, _, path = spec[1:].partition(".")
+            col = F.col(name)
+            for part in path.split(".") if path else []:
+                col = col[part]
+            return col
         return F.lit(spec)
     if spec is None or isinstance(spec, (bool, int, float)):
         return F.lit(spec)
@@ -900,6 +1007,72 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
             return F.when(s > e, F.sequence(s, e + 1, F.lit(step))).otherwise(
                 F.array().cast("array<bigint>")
             )
+        if op == "$mergeObjects":
+            # documents-as-maps (round 7, verdict-r6 item 6): each
+            # operand is a MAP column or a literal subdocument (compiled
+            # to create_map over its compiled values — Spark requires a
+            # single value type, so heterogeneous literals raise loudly,
+            # the documented representation constraint). Mongo's rule:
+            # later operands overwrite earlier keys, null/missing
+            # operands are ignored. Last-win without depending on the
+            # session's mapKeyDedupPolicy: filter each operand down to
+            # keys NOT present in any LATER operand, then map_concat of
+            # the now-disjoint maps. Null operands propagate null (a
+            # documented divergence: Mongo skips them; a typed empty
+            # map cannot be synthesized without the operand's runtime
+            # type).
+            ops = [
+                _doc_or_map_expr(x, scope) for x in _expr_args(args, op)
+            ]
+            def _not_in_later(later_keys):
+                # closure factory, never default args: PySpark reads
+                # the lambda's parameter count (the documented HOF trap)
+                def body(k, _v):
+                    return ~F.array_contains(later_keys, k)
+
+                return body
+
+            pruned = []
+            for i, m in enumerate(ops):
+                later = ops[i + 1:]
+                if later:
+                    later_keys = (
+                        F.concat(*[F.map_keys(x) for x in later])
+                        if len(later) > 1
+                        else F.map_keys(later[0])
+                    )
+                    m = F.map_filter(m, _not_in_later(later_keys))
+                pruned.append(m)
+            out = pruned[0] if len(pruned) == 1 else F.map_concat(*pruned)
+            return out
+        if op == "$objectToArray":
+            # map -> array<struct<k,v>>; Mongo preserves document field
+            # order, which a map column does not carry — sorted by key
+            # for engine reproducibility (the $push determinism rule)
+            (m,) = (_doc_or_map_expr(x, scope) for x in _expr_args(args, op, 1))
+            entries = F.transform(
+                F.map_entries(m),
+                lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+            )
+            return F.sort_array(entries)
+        if op == "$arrayToObject":
+            # array of {k, v} structs -> map; Mongo keeps the LAST
+            # value of a repeated key. Dedup before map_from_entries so
+            # the result never depends on spark.sql.mapKeyDedupPolicy:
+            # keep an entry only if no LATER entry carries its key.
+            (arr,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
+            deduped = F.filter(
+                arr,
+                lambda e, i: ~F.exists(
+                    F.slice(arr, i + F.lit(2), F.greatest(F.size(arr) - i - 1, F.lit(0))),
+                    lambda x: x["k"] == e["k"],
+                ),
+            )
+            return F.map_from_entries(
+                F.transform(deduped, lambda e: F.struct(e["k"], e["v"]))
+            )
+        if op in ("$regexFind", "$regexFindAll"):
+            return _regex_find_expr(op, args, scope)
         if op == "$zip":
             if not (isinstance(args, dict) and set(args) == {"inputs"}
                     and isinstance(args["inputs"], list) and len(args["inputs"]) == 2):
@@ -2100,6 +2273,27 @@ def cypher_run(
     """
     params = params or {}
     flat = " ".join(query.split())
+
+    # UNION [ALL] (round 7): compile each top-level part independently
+    # (any route, so shortestPath branches compose too), then union.
+    # Cypher requires identical column names across parts; UNION
+    # deduplicates, UNION ALL keeps multiplicity.
+    from providenciasbigdata_spark.compat.cypher import split_union
+
+    parts, is_all = split_union(flat)
+    if len(parts) > 1:
+        frames = [cypher_run(p, nodes=nodes, edges=edges, params=params) for p in parts]
+        names = frames[0].columns
+        for i, f in enumerate(frames[1:], 2):
+            if f.columns != names:
+                raise ValueError(
+                    f"UNION parts must return the same columns: part 1 has "
+                    f"{names}, part {i} has {f.columns}"
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out if is_all else out.distinct()
 
     m = _SHORTEST_PATH_RE.match(flat)
     if m:

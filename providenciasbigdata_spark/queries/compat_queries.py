@@ -182,13 +182,13 @@ def q_a7_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a7_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 + the Spanish-stemmed matching of Mongo's language text index
     (reference streamlit_app.py:147): plural/derived query terms match
-    base document tokens through the shared Snowball-lite rule table
-    (compat.stemming) — "values merges" finds documents containing
-    "value" or "merge". Runs the query-EXPANSION plan (no stems
-    column): each stemmed term is replaced by its exact preimage set,
-    so the scan predicate is a plain token overlap — the same plan
-    shape as the unstemmed B1 search. The materialized-stems path is
-    exercised by a7_search_postings_stemmed."""
+    base document tokens through the shared FULL Snowball algorithm
+    (compat.snowball, round 7) — "values merges" finds documents
+    containing "value" or "merge". Runs the on-the-fly plan (no stems
+    column): document tokens stem INSIDE the scan predicate via the
+    single-expression Catalyst stemmer — still one scan, no join, no
+    exchange (plan-pinned). The materialized-stems path is exercised
+    by a7_search_postings_stemmed."""
     return _project(search_text(_rulings(spark, sf_dir), "values merges", stem=True))
 
 
@@ -1787,6 +1787,140 @@ ORDER BY similitud DESC, origen ASC, destino ASC LIMIT 25
 """
 
 
+# ---- round 7 Cypher widening (verdict-r6 item 4) --------------------------
+
+CYPHER_RETURN_COMPUTED = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN b.id AS vecino,
+       r.similitud * 2 AS doble,
+       (r.similitud - $lo) / 10 AS margen,
+       CASE WHEN r.similitud >= $fuerte THEN 'fuerte'
+            WHEN r.similitud >= $media THEN 'media'
+            ELSE 'debil' END AS clase
+"""
+
+
+def q_cypher_return_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed RETURN expressions (round 7, verdict-r6 item 4):
+    arithmetic over relationship properties and parameters, plus a
+    multi-branch CASE — the first shapes past plain projections. The
+    compiler parses a real expression grammar (compat/cypher.py::
+    _parse_expr) and lowers it to Catalyst column arithmetic inside
+    the same single-hop scan plan. Value-hash safety: ``*2`` is exact
+    (power of two), and ``(x - lo) / 10`` is one IEEE subtract + one
+    correctly-rounded divide evaluated identically by both engines —
+    no reassociation, so the doubles hash-match unrounded."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_RETURN_COMPUTED, edges=edges,
+        params={"origen": "P-7", "lo": 25.0, "fuerte": 38.0, "media": 31.0},
+    )
+
+
+_CYPHER_RETURN_COMPUTED_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT dst AS vecino,
+       similitud * 2 AS doble,
+       (similitud - 25.0) / 10 AS margen,
+       CASE WHEN similitud >= 38.0 THEN 'fuerte'
+            WHEN similitud >= 31.0 THEN 'media'
+            ELSE 'debil' END AS clase
+FROM e WHERE src = 'P-7' AND similitud >= 25.0
+"""
+
+
+CYPHER_UNION = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN b.id AS id
+UNION
+MATCH (c:Providencia)-[r2:SIMILAR]->(d:Providencia {id: $origen})
+WHERE r2.similitud >= $lo
+RETURN c.id AS id
+"""
+
+
+def q_cypher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UNION`` of two anchored one-hop queries (round 7): out- and
+    in-neighborhood of one node above a weight floor — each part
+    compiles independently (the second anchors on the DESTINATION, so
+    its scan filter is ``dst = lit``), then UNION deduplicates, Neo4j's
+    contract. Mixing UNION with UNION ALL raises, as in Neo4j; column
+    names must agree across parts."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(CYPHER_UNION, edges=edges, params={"origen": "P-7", "lo": 28.0})
+
+
+_CYPHER_UNION_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT dst AS id FROM e WHERE src = 'P-7' AND similitud >= 28.0
+UNION
+SELECT src AS id FROM e WHERE dst = 'P-7' AND similitud >= 28.0
+"""
+
+
+CYPHER_EXISTS_GUARD = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND EXISTS { (b)-[r2:SIMILAR]->(c) WHERE r2.similitud >= $hub }
+RETURN b.id AS vecino, r.similitud AS similitud
+"""
+
+
+def q_cypher_exists_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WHERE EXISTS { pattern }`` (round 7): keep only neighbors
+    that themselves have a strong outgoing edge. The subpattern
+    compiles as its own chain, projects the bound variable's distinct
+    ids, and SEMI-joins the outer chain — existence as set
+    intersection, never a row-multiplying join (cardinality preserved
+    by construction; NOT EXISTS is the same plan with an anti join,
+    pinned in tests/test_ir_compat.py)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_EXISTS_GUARD, edges=edges,
+        params={"origen": "P-7", "lo": 25.0, "hub": 36.0},
+    )
+
+
+_CYPHER_EXISTS_GUARD_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT dst AS vecino, similitud
+FROM e
+WHERE src = 'P-7' AND similitud >= 25.0
+  AND EXISTS (SELECT 1 FROM e h WHERE h.src = e.dst AND h.similitud >= 36.0)
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -2269,6 +2403,120 @@ SELECT anio AS _id,
          AS n_has_the,
        CAST(MAX(the_pos) AS BIGINT) AS max_the_pos
 FROM v GROUP BY anio
+"""
+
+
+def q_mql_object_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-valued expression operators (round 7, verdict-r6 item
+    6): ``$mergeObjects`` (later keys win, proved by overwriting
+    ``s``), ``$objectToArray`` (sorted k/v entry structs), and the
+    ``$arrayToObject`` roundtrip read back through a dotted map path —
+    serialized to scalar columns per the array-lint rule via
+    ``$map``/``$reduce`` over the entries."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = mql_aggregate(
+        docs,
+        [
+            {"$project": {"doc_id": 1, "merged": {"$mergeObjects": [
+                {"l": "$lang", "s": "overwritten"},
+                {"s": "$source", "z": "extra"},
+            ]}}},
+            {"$addFields": {"pairs": {"$objectToArray": "$merged"}}},
+            {"$addFields": {
+                "n_keys": {"$size": "$pairs"},
+                "packed": {"$reduce": {
+                    "input": {"$map": {"input": "$pairs", "as": "p",
+                                       "in": {"$concat": ["$$p.k", "=", "$$p.v"]}}},
+                    "initialValue": "",
+                    "in": {"$concat": ["$$value", "|", "$$this"]},
+                }},
+                "roundtrip": {"$arrayToObject": ["$pairs"]},
+            }},
+            {"$project": {"doc_id": 1, "n_keys": 1, "packed": 1,
+                          "back_s": "$roundtrip.s"}},
+        ],
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        "packed",
+        "back_s",
+    )
+
+
+_MQL_OBJECT_SQL = """
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_keys,
+       '|l=' || lang || '|s=' || source || '|z=extra' AS packed,
+       source AS back_s
+FROM documents
+"""
+
+
+def q_mql_regex_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$regexFind`` / ``$regexFindAll`` (round 7, verdict-r6 item 6):
+    Mongo's {match, idx, captures} documents, consumed through dotted
+    struct paths and serialized to scalars. ``idx`` is the 0-based
+    match position (oracle: strpos — exact here because no fixture
+    word contains another word's match text as a substring); no-match
+    $regexFind is null, $ifNull-defaulted on both engines."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = mql_aggregate(
+        docs,
+        [
+            {"$project": {"doc_id": 1,
+                "f": {"$regexFind": {"input": "$text", "regex": "\\bb(\\w+)"}},
+                "alls": {"$regexFindAll": {"input": "$text", "regex": "\\bs(\\w+)"}},
+            }},
+            {"$project": {"doc_id": 1,
+                "first_word": {"$ifNull": ["$f.match", "NONE"]},
+                "first_idx": {"$ifNull": ["$f.idx", -1]},
+                "first_cap": {"$ifNull": [{"$arrayElemAt": ["$f.captures", 0]}, "NONE"]},
+                "n_s": {"$size": "$alls"},
+                "s_words": {"$reduce": {
+                    "input": {"$map": {"input": "$alls", "as": "m", "in": "$$m.match"}},
+                    "initialValue": "",
+                    "in": {"$concat": ["$$value", ",", "$$this"]},
+                }},
+                "s_caps": {"$reduce": {
+                    "input": {"$map": {"input": "$alls", "as": "m",
+                                       "in": {"$arrayElemAt": ["$$m.captures", 0]}}},
+                    "initialValue": "",
+                    "in": {"$concat": ["$$value", ",", "$$this"]},
+                }},
+            }},
+        ],
+    )
+    return out.select(
+        "doc_id", "first_word",
+        F.col("first_idx").cast("long").alias("first_idx"),
+        "first_cap",
+        F.col("n_s").cast("long").alias("n_s"),
+        "s_words", "s_caps",
+    )
+
+
+_MQL_REGEX_SQL = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '\bb(\w+)')
+            THEN regexp_extract(text, '\bb(\w+)', 0) ELSE 'NONE' END AS first_word,
+       CASE WHEN regexp_matches(text, '\bb(\w+)')
+            THEN CAST(strpos(text, regexp_extract(text, '\bb(\w+)', 0)) - 1 AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS first_idx,
+       CASE WHEN regexp_matches(text, '\bb(\w+)')
+            THEN regexp_extract(text, '\bb(\w+)', 1) ELSE 'NONE' END AS first_cap,
+       CAST(len(regexp_extract_all(text, '\bs(\w+)', 0)) AS BIGINT) AS n_s,
+       CASE WHEN len(regexp_extract_all(text, '\bs(\w+)', 0)) = 0 THEN ''
+            ELSE ',' || array_to_string(regexp_extract_all(text, '\bs(\w+)', 0), ',')
+       END AS s_words,
+       CASE WHEN len(regexp_extract_all(text, '\bs(\w+)', 1)) = 0 THEN ''
+            ELSE ',' || array_to_string(regexp_extract_all(text, '\bs(\w+)', 1), ',')
+       END AS s_caps
+FROM documents
 """
 
 
@@ -2774,6 +3022,8 @@ QUERIES = {
     "mql_date_math": (q_mql_date_math, _MQL_DATE_MATH_SQL),
     "mql_agg_first_last": (q_mql_first_last, _MQL_FIRST_LAST_SQL),
     "mql_string_expr": (q_mql_string_expr, _MQL_STRING_SQL),
+    "mql_object_expr": (q_mql_object_expr, _MQL_OBJECT_SQL),
+    "mql_regex_expr": (q_mql_regex_expr, _MQL_REGEX_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
@@ -2805,4 +3055,7 @@ QUERIES = {
     "cypher_collect_neighbors": (q_cypher_collect, _CYPHER_COLLECT_SQL),
     "cypher_topk_neighbors": (q_cypher_topk_neighbors, _CYPHER_TOPK_SQL),
     "cypher_global_topk": (q_cypher_global_topk, _CYPHER_GLOBAL_TOPK_SQL),
+    "cypher_return_computed": (q_cypher_return_computed, _CYPHER_RETURN_COMPUTED_SQL),
+    "cypher_union": (q_cypher_union, _CYPHER_UNION_SQL),
+    "cypher_exists_guard": (q_cypher_exists_guard, _CYPHER_EXISTS_GUARD_SQL),
 }

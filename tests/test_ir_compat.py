@@ -1767,3 +1767,209 @@ def test_mql_string_expressions(spark):
     ):
         with pytest.raises(ValueError):
             mql_aggregate(df, [{"$addFields": {"x": bad}}]).collect()
+
+
+# ---- round 7: Cypher computed RETURN / UNION / EXISTS ----------------------
+
+
+def _mini_graph(spark):
+    edges = spark.createDataFrame(
+        [("P-1", "P-2", 40.0), ("P-1", "P-3", 20.0), ("P-2", "P-4", 35.0),
+         ("P-3", "P-5", 50.0), ("P-5", "P-1", 45.0)],
+        "src string, dst string, similitud double",
+    )
+    nodes = spark.createDataFrame(
+        [(f"P-{i}", 2000 + i) for i in range(1, 6)], "id string, anio long"
+    )
+    return nodes, edges
+
+
+def test_cypher_computed_return(spark):
+    """Arithmetic + CASE in RETURN (round 7): hand-checkable values,
+    including parameter references inside the expression and a
+    node-property read that needs the lazy nodes left-join."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    rows = {
+        r["vecino"]: r
+        for r in cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) RETURN b.id AS vecino, "
+            "r.similitud * 2 AS doble, (r.similitud - $lo) / 10 AS margen, "
+            "CASE WHEN r.similitud >= $hi THEN 'fuerte' ELSE 'debil' END AS clase, "
+            "b.anio + 1 AS siguiente",
+            nodes=nodes, edges=edges, params={"o": "P-1", "lo": 10.0, "hi": 30.0},
+        ).collect()
+    }
+    assert rows["P-2"]["doble"] == 80.0 and rows["P-2"]["clase"] == "fuerte"
+    assert rows["P-3"]["doble"] == 40.0 and rows["P-3"]["clase"] == "debil"
+    assert rows["P-2"]["margen"] == 3.0 and rows["P-3"]["margen"] == 1.0
+    assert rows["P-2"]["siguiente"] == 2003  # b.anio(P-2)=2002
+
+
+def test_cypher_computed_as_group_key(spark):
+    """A computed item beside an aggregate acts as the group key."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    got = {
+        (r["clase"], r["n"])
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) RETURN "
+            "CASE WHEN r.similitud >= 40 THEN 'alta' ELSE 'baja' END AS clase, "
+            "count(r) AS n",
+            nodes=nodes, edges=edges,
+        ).collect()
+    }
+    assert got == {("alta", 3), ("baja", 2)}
+
+
+def test_cypher_union_and_union_all(spark):
+    """UNION deduplicates; UNION ALL keeps multiplicity; mixing raises;
+    column-name mismatch raises."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    def q(u):
+        return (
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) RETURN b.id AS id "
+            + u
+            + " MATCH (c)-[r2:SIMILAR]->(d {id: $p}) RETURN c.id AS id"
+        )
+
+    # out(P-1) = {P-2, P-3}; in(P-2) = {P-1}
+    plain = sorted(
+        r["id"] for r in cypher_run(
+            q("UNION"), nodes=nodes, edges=edges,
+            params={"o": "P-1", "p": "P-2"},
+        ).collect()
+    )
+    assert plain == ["P-1", "P-2", "P-3"]
+    allrows = sorted(
+        r["id"] for r in cypher_run(
+            q("UNION ALL"), nodes=nodes, edges=edges,
+            params={"o": "P-1", "p": "P-2"},
+        ).collect()
+    )
+    assert allrows == ["P-1", "P-2", "P-3"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mixing UNION"):
+        cypher_run(
+            q("UNION") + " UNION ALL MATCH (x)-[r3:SIMILAR]->(y) "
+            "RETURN x.id AS id",
+            nodes=nodes, edges=edges, params={"o": "P-1", "p": "P-2"},
+        )
+    with _pt.raises(ValueError, match="same columns"):
+        cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) RETURN a.id AS x UNION "
+            "MATCH (c)-[r2:SIMILAR]->(d) RETURN c.id AS y",
+            nodes=nodes, edges=edges,
+        )
+
+
+def test_cypher_exists_and_not_exists(spark):
+    """EXISTS semi-joins (cardinality preserved), NOT EXISTS
+    anti-joins; the subpattern sees outer bindings through its first
+    node variable only."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    got = {
+        (r["src"], r["dst"])
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE EXISTS { (b)-[r2:SIMILAR]->(c) } "
+            "RETURN a.id AS src, b.id AS dst",
+            nodes=nodes, edges=edges,
+        ).collect()
+    }
+    assert got == {("P-1", "P-2"), ("P-1", "P-3"), ("P-3", "P-5"), ("P-5", "P-1")}
+    got2 = {
+        (r["src"], r["dst"])
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE NOT EXISTS { "
+            "MATCH (b)-[r2:SIMILAR]->(c) WHERE r2.similitud >= $m } "
+            "RETURN a.id AS src, b.id AS dst",
+            nodes=nodes, edges=edges, params={"m": 40.0},
+        ).collect()
+    }
+    assert got2 == {("P-1", "P-2"), ("P-2", "P-4")}
+
+
+def test_cypher_exists_error_posture(spark):
+    """EXISTS from an unbound variable raises; rebinding an outer
+    variable deeper in the subpattern raises — never a silent
+    misread."""
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    with _pt.raises(ValueError, match="bound variable"):
+        cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE EXISTS { (z)-[r9:SIMILAR]->(w) } "
+            "RETURN a.id AS src",
+            nodes=nodes, edges=edges,
+        )
+    with _pt.raises(ValueError, match="rebinds outer"):
+        cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE EXISTS { (b)-[r2:SIMILAR]->(a) } "
+            "RETURN a.id AS src",
+            nodes=nodes, edges=edges,
+        )
+
+
+# ---- round 7: MQL document-valued + regex expression operators -------------
+
+
+def test_mql_merge_objects_rules(spark):
+    """$mergeObjects: later keys win; literal subdocs compile to maps;
+    $objectToArray sorts entries by key; $arrayToObject keeps the LAST
+    value of a repeated key (independent of mapKeyDedupPolicy)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame([(1, "en", "web")], "doc_id long, lang string, source string")
+    r = mql_aggregate(df, [
+        {"$project": {"doc_id": 1,
+            "m": {"$mergeObjects": [{"a": "$lang", "b": "x"}, {"b": "$source"}]}}},
+        {"$addFields": {"pairs": {"$objectToArray": "$m"}}},
+        {"$project": {"doc_id": 1, "a": "$m.a", "b": "$m.b",
+                      "ks": {"$map": {"input": "$pairs", "as": "p", "in": "$$p.k"}}}},
+    ]).first()
+    assert (r["a"], r["b"]) == ("en", "web") and r["ks"] == ["a", "b"]
+
+    dup = mql_aggregate(df, [
+        {"$project": {"doc_id": 1, "m": {"$arrayToObject": [
+            {"$objectToArray": {"$mergeObjects": [{"k": "first"}, {"q": "other"}]}},
+        ]}}},
+        {"$project": {"k": "$m.k", "q": "$m.q"}},
+    ]).first()
+    assert (dup["k"], dup["q"]) == ("first", "other")
+
+
+def test_mql_regex_find_semantics(spark):
+    """$regexFind: null on no match, 0-based idx, captures array;
+    $regexFindAll: per-match structs with sequential idx; options 'i';
+    non-literal regex raises (group count is compile-time)."""
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame([(1, "a AB abr abrupt")], "doc_id long, text string")
+    r = mql_aggregate(df, [
+        {"$project": {
+            "f": {"$regexFind": {"input": "$text", "regex": "ab(\\w*)", "options": "i"}},
+            "alls": {"$regexFindAll": {"input": "$text", "regex": "ab(\\w*)"}},
+            "miss": {"$regexFind": {"input": "$text", "regex": "zzz"}},
+        }},
+    ]).first()
+    assert r["f"]["match"] == "AB" and r["f"]["idx"] == 2 and r["f"]["captures"] == [""]
+    assert [(m["match"], m["idx"], m["captures"][0]) for m in r["alls"]] == [
+        ("abr", 5, "r"), ("abrupt", 9, "rupt")]
+    assert r["miss"] is None
+    with _pt.raises(ValueError, match="literal string"):
+        mql_aggregate(df, [{"$project": {
+            "x": {"$regexFind": {"input": "$text", "regex": {"$concat": ["a", "b"]}}}}}])
+    with _pt.raises(ValueError, match="options"):
+        mql_aggregate(df, [{"$project": {
+            "x": {"$regexFind": {"input": "$text", "regex": "a", "options": "x"}}}}])
