@@ -386,6 +386,21 @@ def pairwise_cosine_blocked(
     return tiles.mapInPandas(kernel, "left_id long, right_id long, cosine double")
 
 
+def training_sample(
+    embeddings: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Deterministic uniform training sample: the ``n`` rows with the
+    smallest ``md5(id)`` (the mix.py split device — uniform over ids,
+    refresh-stable, engine-agnostic). Lowers to TakeOrdered (one scan,
+    no full sort, no shuffle of the corpus): the sample costs one pass
+    regardless of corpus size."""
+    return (
+        embeddings
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(n))
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_clusters: int = 16,
@@ -393,6 +408,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     small_cutover: int = 50_000,
+    train_sample: int | None = 200_000,
 ):
     """Lloyd's k-means over the embedding column, spherical variant
     (cosine assignment) — the coarse quantizer for IVF search.
@@ -416,6 +432,19 @@ def kmeans_centroids(
     bits). The distributed loop stays pytest-pinned via
     ``small_cutover=0``.
 
+    Sampled training (round 7, verdict-r6 item 5): above
+    ``train_sample`` rows the Lloyd iterations run on a deterministic
+    md5-top-N uniform sample (``training_sample``) instead of the full
+    corpus — at 100 TB, full-corpus training is ``iters`` complete
+    passes for centroids that a 200k-row uniform sample already
+    estimates to well under assignment noise; the full corpus is
+    touched exactly ONCE afterwards, by ``ivf_assign``. Build cost
+    drops from O(corpus)·iters to O(sample)·iters + one full
+    assignment pass. Fixtures sit far below the threshold, so every
+    existing recall/agreement pin is byte-unchanged; the sampled path
+    is pinned by its own tests (deterministic sample, exhaustive-probe
+    exactness unchanged).
+
     Init is deterministic: the ``n_clusters`` lowest-id vectors.
 
     Returns (centroids: np.ndarray [k x dim], used_iters: int).
@@ -423,7 +452,12 @@ def kmeans_centroids(
     import numpy as np
     import pandas as pd
 
-    if small_cutover and embeddings.count() <= small_cutover:
+    n_rows = embeddings.count()
+    if train_sample and n_rows > train_sample:
+        embeddings = training_sample(embeddings, id_col, train_sample)
+        n_rows = train_sample
+
+    if small_cutover and n_rows <= small_cutover:
         rows = embeddings.select(id_col, vec_col).orderBy(id_col).collect()
         X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -681,6 +715,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     small_cutover: int = 50_000,
+    train_sample: int | None = 200_000,
 ):
     """Train product-quantization codebooks: split each vector into
     ``m`` contiguous subvectors and run L2 Lloyd's k-means per
@@ -695,11 +730,20 @@ def pq_train(
     collect per iteration for sub-millisecond math. Distributed path
     pytest-pinned via ``small_cutover=0``.
 
+    Sampled training above ``train_sample`` rows, exactly as in
+    ``kmeans_centroids`` (round 7, verdict-r6 item 5): codebook Lloyd
+    iterations run on the deterministic md5-top-N sample; the full
+    corpus is scanned once afterwards by ``pq_encode``. Fixtures stay
+    below the threshold — existing ADC/recall pins unchanged.
+
     Deterministic init: the ``n_codes`` lowest-id vectors, sliced.
     Returns np.ndarray [m, n_codes, dim//m].
     """
     import numpy as np
     import pandas as pd
+
+    if train_sample and embeddings.count() > train_sample:
+        embeddings = training_sample(embeddings, id_col, train_sample)
 
     init = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()

@@ -525,3 +525,57 @@ def test_int8_rerank_exact_at_full_pool_and_recall(spark, sf_dir):
     pooled = similarity.int8_rerank_topk(emb, q, k=10, pool=50).collect()
     hit = len({r.vec_id for r in pooled} & {r.vec_id for r in brute})
     assert hit >= 7, f"int8-prefilter recall@10 collapsed: {hit}/10"
+
+
+def test_sampled_training_deterministic_and_exact_probe(spark, sf_dir):
+    """Round 7 (verdict-r6 item 5): above ``train_sample`` rows the
+    Lloyd iterations run on the md5-top-N uniform sample, never the
+    corpus. Pins: (a) the sample is deterministic (same ids every
+    call); (b) centroids trained on the sample equal centroids trained
+    directly on the materialized sample frame (the sampling IS the
+    only difference); (c) the IVF invariant that matters is untouched:
+    exhaustive-probe search over the sampled-training index equals
+    brute-force exact top-k."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    sample_n = max(32, n // 4)
+
+    ids1 = [r.vec_id for r in similarity.training_sample(emb, "vec_id", sample_n)
+            .select("vec_id").collect()]
+    ids2 = [r.vec_id for r in similarity.training_sample(emb, "vec_id", sample_n)
+            .select("vec_id").collect()]
+    assert sorted(ids1) == sorted(ids2) and len(ids1) == sample_n
+
+    # force the sampled path (train_sample < corpus size)
+    C, _ = similarity.kmeans_centroids(
+        emb, n_clusters=8, max_iter=5, train_sample=sample_n
+    )
+    sample_df = emb.filter(F.col("vec_id").isin(ids1))
+    C_direct, _ = similarity.kmeans_centroids(
+        sample_df, n_clusters=8, max_iter=5, train_sample=None
+    )
+    assert np.allclose(C, C_direct, atol=1e-9)
+
+    # full corpus assigned once; exhaustive probe == brute force exact
+    assigned = similarity.ivf_assign(emb, C)
+    assert assigned.count() == n
+    q = [r.embedding for r in emb.filter(F.col("vec_id") == 3).collect()][0]
+    brute = [
+        r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    ]
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, q, C, k=10, nprobe=8  # nprobe == n_clusters: exhaustive
+        ).collect()
+    ]
+    assert ivf == brute
+
+    # PQ codebooks: sampled path == direct-on-sample training
+    pq = similarity.pq_train(emb, m=4, n_codes=8, max_iter=3, train_sample=sample_n)
+    pq_direct = similarity.pq_train(sample_df, m=4, n_codes=8, max_iter=3,
+                                    train_sample=None)
+    assert np.allclose(pq, pq_direct, atol=1e-9)
+    emb.unpersist()
