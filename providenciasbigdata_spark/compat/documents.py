@@ -273,22 +273,79 @@ def text_score_column(query: str, tokens_col: str = "tokens") -> Column:
     ).cast("long")
 
 
+def text_score_tf_column(
+    query: str,
+    tokens_col: str = "tokens",
+    weight: float = 1.0,
+) -> Column:
+    """Mongo-SHAPED tf-weighted relevance (round 7, verdict-r6 missing
+    item 5): per matched query term ``t`` with count ``c_t`` among the
+    field's ``N`` tokens, contribution ``weight * (0.5 * c_t / N +
+    0.5)`` — the coefficient structure of Mongo's v2 text scorer
+    (public mongodb source, fts/fts_spec.cpp::_scoreStringV2: ``coeff
+    = 0.5 * count / numTokens + (exact ? 0.5 : 0)``; on this unstemmed
+    surface every match is its own exact form, so the exact bonus
+    always applies). Still a DOCUMENTED DIVERGENCE from Mongo's actual
+    numbers — index weights and multi-field aggregation live in the
+    unobservable text-index definition — but tf-shaped where the
+    pinned default is plain distinct-term overlap.
+
+    Value-hash-safe: terms contribute in QUERY ORDER via chained
+    addition (no unordered SUM), and each contribution is one IEEE
+    multiply-divide chain both engines evaluate identically."""
+    terms, _phrases, _negated = parse_search_query(query)
+    score = F.lit(0.0)
+    n = F.size(F.col(tokens_col))
+
+    def _eq(term):
+        # closure factory, never default args (the documented HOF trap:
+        # a defaulted second parameter would receive the array INDEX)
+        def body(x):
+            return x == F.lit(term)
+
+        return body
+
+    for t in dict.fromkeys(terms):
+        c = F.size(F.filter(F.col(tokens_col), _eq(t)))
+        part = F.lit(weight) * (
+            F.lit(0.5) * c.cast("double") / n.cast("double") + F.lit(0.5)
+        )
+        score = score + F.when(c > 0, part).otherwise(F.lit(0.0))
+    return score
+
+
 def search_text_ranked(
-    df: DataFrame, query: str, k: int | None = None, tokens_col: str = "tokens"
+    df: DataFrame,
+    query: str,
+    k: int | None = None,
+    tokens_col: str = "tokens",
+    weighting: str = "overlap",
 ) -> DataFrame:
-    """B6 extension (SURVEY §2.5 C-X4): token-overlap relevance score +
-    optional top-k. Score = number of DISTINCT query terms present
-    (ties broken by providencia for a total order). The compat search
-    stays unranked — ranking is opt-in."""
+    """B6 extension (SURVEY §2.5 C-X4): relevance score + optional
+    top-k. Default ``weighting="overlap"`` = number of DISTINCT query
+    terms present (the round-2 pinned contract); ``weighting="tf"`` =
+    the Mongo-shaped tf score of ``text_score_tf_column``. Ties broken
+    by providencia for a total order. The compat search stays
+    unranked — ranking is opt-in."""
     import re
 
     terms = [t for t in re.split(r"\W+", _fold(query)) if t]
     if not terms:
         return df.filter(F.lit(False)).withColumn("score", F.lit(0).cast("long"))
-    qarr = F.array(*[F.lit(t) for t in terms])
-    scored = df.withColumn(
-        "score", F.size(F.array_intersect(F.array_distinct(F.col(tokens_col)), qarr)).cast("long")
-    ).filter(F.col("score") > 0)
+    if weighting == "tf":
+        scored = df.withColumn(
+            "score", text_score_tf_column(query, tokens_col)
+        ).filter(F.col("score") > 0)
+    elif weighting == "overlap":
+        qarr = F.array(*[F.lit(t) for t in terms])
+        scored = df.withColumn(
+            "score",
+            F.size(
+                F.array_intersect(F.array_distinct(F.col(tokens_col)), qarr)
+            ).cast("long"),
+        ).filter(F.col("score") > 0)
+    else:
+        raise ValueError(f"unknown weighting {weighting!r}; use 'overlap' or 'tf'")
     ranked = scored.orderBy(F.desc("score"), F.asc("providencia"))
     return ranked.limit(k) if k else ranked
 

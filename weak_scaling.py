@@ -1,0 +1,201 @@
+"""Weak-scaling harness (round 7, verdict-r6 item 8).
+
+Replicates the sf0.1 fixtures x8 into a staged /tmp dir — key columns
+shifted per replica so uniqueness and join selectivity are preserved,
+document texts tagged per replica so duplicate/shingle structure
+scales linearly instead of exploding quadratically across replicas,
+embeddings rolled per replica so cosine-pair counts scale linearly —
+then times the heavy headline queries whose INPUT actually grows with
+the corpus at both scales and reports the per-query scaling exponent
+``log8(t8/t1)`` (1.0 = perfectly linear work at fixed parallelism;
+< 1 = fixed overhead amortizing; > 1 = a super-linear stage that
+needs a plan postmortem).
+
+Fixture-bounded queries (the Cypher/graph family reads the staged
+similarity-edges table bounded to 1000 vectors; dedup_embedding_* is
+bounded to 150) are deliberately excluded: their inputs do not grow
+with the corpus, so a "weak scaling" number for them would measure
+nothing. Broadcast dims (region/nation) are copied once, unscaled —
+holding dimension tables fixed is the weak-scaling contract.
+
+Usage:  python weak_scaling.py [--replicas 8] [--passes 2]
+Prints one JSON line per query and a final markdown table for STATUS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from providenciasbigdata_spark.io import load_table  # noqa: E402
+from providenciasbigdata_spark.queries import all_queries  # noqa: E402
+from providenciasbigdata_spark.queries.modern import (  # noqa: E402
+    _sf_tag,
+    _source_fingerprint,
+)
+from providenciasbigdata_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# heavy headline queries whose input grows with the corpus
+QUERIES = [
+    "minhash_near_dups",
+    "dedup_span_stats",
+    "dedup_exact_survivors",
+    "contamination_ngram_overlap",
+    "dsir_importance_weights",
+    "a7_search_bm25",
+    "agg_pricing_summary",
+    "sessionize_events",
+    "pack_sequences",
+    "sketch_heavy_hitter_tokens",
+]
+
+# (table, [id columns to shift]); the shift stride of a foreign key
+# must equal its referenced primary's stride, so strides are computed
+# per KEY DOMAIN, not per table
+_SHIFT = {
+    "orders": [("o_orderkey", "order"), ("o_custkey", "cust")],
+    "lineitem": [("l_orderkey", "order"), ("l_partkey", "part"), ("l_suppkey", "supp")],
+    "customer": [("c_custkey", "cust")],
+    "supplier": [("s_suppkey", "supp")],
+    "part": [("p_partkey", "part")],
+    "events": [("event_id", "event"), ("user_id", "user")],
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
+}
+_DOMAIN_OF = {
+    "order": ("orders", "o_orderkey"),
+    "cust": ("customer", "c_custkey"),
+    "part": ("part", "p_partkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+_COPY = ["region", "nation"]
+
+
+def stage_replicated(spark, replicas: int) -> str:
+    out = os.path.join(
+        "/tmp",
+        f"pbd_weak{replicas}_{_sf_tag(SF_DIR)}_"
+        f"{_source_fingerprint(SF_DIR, 'lineitem')}",
+    )
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    strides = {}
+    for dom, (tbl, col) in _DOMAIN_OF.items():
+        strides[dom] = (
+            load_table(spark, SF_DIR, tbl).agg(F.max(col)).first()[0] or 0
+        ) + 1
+
+    for tbl in _COPY:
+        load_table(spark, SF_DIR, tbl).write.mode("overwrite").parquet(
+            os.path.join(out, f"{tbl}.parquet")
+        )
+
+    for tbl, shifts in _SHIFT.items():
+        base = load_table(spark, SF_DIR, tbl)
+        parts: list[DataFrame] = []
+        for i in range(replicas):
+            df = base
+            for col, dom in shifts:
+                df = df.withColumn(col, F.col(col) + F.lit(i * strides[dom]))
+            if tbl == "documents" and i:
+                # per-replica tag token: each replica keeps the
+                # original's internal duplicate/shingle structure but
+                # never collides across replicas — pair counts scale
+                # x8, not x64
+                df = df.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" repl{i}"))
+                ).withColumn("n_chars", F.col("n_chars") + F.lit(len(f" repl{i}")))
+            if tbl == "embeddings" and i:
+                # roll the vector by i: same norms and coordinate
+                # distribution, decorrelated across replicas
+                dim = 64
+                df = df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", i + 1, dim - i),
+                        F.slice("embedding", 1, i),
+                    ),
+                )
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(os.path.join(out, f"{tbl}.parquet"))
+
+    open(done, "w").close()
+    return out
+
+
+def time_queries(spark, registry, sf_dir: str, passes: int) -> dict[str, float]:
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()  # page-cache warm
+    best = {q: float("inf") for q in QUERIES}
+    for _ in range(passes):
+        for q in QUERIES:
+            fn, _sql = registry[q]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best[q] = min(best[q], time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=8)
+    ap.add_argument("--passes", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="weak-scaling",
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "5000"},
+    )
+    registry = all_queries()
+    staged = stage_replicated(spark, args.replicas)
+    print(f"[weak] staged {args.replicas}x dir: {staged}", file=sys.stderr)
+
+    t1 = time_queries(spark, registry, SF_DIR, args.passes)
+    t8 = time_queries(spark, registry, staged, args.passes)
+
+    rows = []
+    for q in QUERIES:
+        exp = math.log(t8[q] / t1[q]) / math.log(args.replicas)
+        rows.append((q, t1[q], t8[q], exp))
+        print(json.dumps({
+            "query": q, "t1_sec": round(t1[q], 3),
+            f"t{args.replicas}_sec": round(t8[q], 3),
+            "exponent": round(exp, 3),
+        }), flush=True)
+
+    print("\n| query | sf0.1 s | x8 s | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for q, a, b, e in rows:
+        print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.2f}x | {e:.2f} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
