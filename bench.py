@@ -146,6 +146,14 @@ HEADLINE = [
     "batch_session_window",
     "multimodal_pgm_decode",
     "training_mix_epochs",
+    # round 7
+    "a7_search_stemmed",        # full Snowball, on-the-fly scan path
+    "a7_search_ranked_tf",      # Mongo-shaped tf relevance
+    "cypher_return_computed",   # expression-grammar projection
+    "cypher_union",
+    "cypher_exists_guard",      # semi-join existence
+    "mql_object_expr",          # mergeObjects/objectToArray/HOF chain
+    "mql_regex_expr",           # regexFind/FindAll struct results
 ]
 
 

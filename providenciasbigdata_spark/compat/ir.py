@@ -191,7 +191,14 @@ def _elem_condition(e: Column, spec: dict) -> Column:
     return reduce(and_, conds)
 
 
-def _query_condition(query: dict, default_language: str = "none") -> Column:
+def _query_condition(
+    query: dict, default_language: str = "none", frame: DataFrame | None = None
+) -> Column:
+    """``frame`` (when the caller has it) enables the stemmed $text
+    dictionary path: the materialized ``stems`` column if present,
+    else vocabulary-preimage expansion — both vocabulary-sized stem
+    work (compat/documents.py::stem_vocab_preimages) instead of the
+    interpreter-bound per-occurrence strip expression."""
     conds: list[Column] = []
     for key, value in query.items():
         if key == "$text":
@@ -208,11 +215,14 @@ def _query_condition(query: dict, default_language: str = "none") -> Column:
             # algorithm for them) inside normalize_language.
             lang = str(value.get("$language", default_language)).lower()
             stem: bool | str = False if lang == "none" else lang
-            conds.append(text_match_condition(value["$search"], stem=stem))
+            conds.append(text_match_condition(
+                value["$search"], stem=stem, vocab_df=frame,
+                has_stems_col=frame is not None and "stems" in frame.columns,
+            ))
         elif key in ("$and", "$or"):
             if not isinstance(value, (list, tuple)) or not value:
                 raise ValueError(f"{key} needs a non-empty list of clauses")
-            sub = [_query_condition(q, default_language) for q in value]
+            sub = [_query_condition(q, default_language, frame) for q in value]
             conds.append(reduce(and_ if key == "$and" else or_, sub))
         elif key.startswith("$"):
             raise ValueError(f"unsupported MQL operator: {key}")
@@ -394,7 +404,7 @@ def mql_find(
     """
     from providenciasbigdata_spark.compat.documents import text_score_column
 
-    out = rulings.filter(_query_condition(query, default_language))
+    out = rulings.filter(_query_condition(query, default_language, rulings))
 
     def _is_meta(v) -> bool:
         if isinstance(v, dict):
@@ -1747,7 +1757,7 @@ def mql_distinct(
     WITHIN the current tipo facet"). Filter grammar = the whole
     find() grammar. One pushed predicate + one hash-distinct; sorted
     ascending like the reference's client-side ``sorted()``."""
-    out = rulings.filter(_query_condition(query or {}, default_language))
+    out = rulings.filter(_query_condition(query or {}, default_language, rulings))
     return out.select(field).distinct().orderBy(field)
 
 
@@ -1759,7 +1769,7 @@ def mql_count_documents(
     relational store has no metadata shortcut to diverge from). One
     filter + one COUNT aggregate; returns a 1-row (n) frame so the
     result composes like any query."""
-    return rulings.filter(_query_condition(query, default_language)).agg(
+    return rulings.filter(_query_condition(query, default_language, rulings)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
 
@@ -1822,7 +1832,7 @@ def mql_aggregate(
         if op in ("$out", "$merge") and idx != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage (Mongo contract)")
         if op == "$match":
-            df = df.filter(_query_condition(spec, default_language))
+            df = df.filter(_query_condition(spec, default_language, df))
         elif op == "$unwind":
             if isinstance(spec, dict):
                 # document form (Mongo 3.2+): path + options
@@ -2141,7 +2151,7 @@ def _graph_lookup_stage(
     max_depth = spec.get("maxDepth")
     restrict = spec.get("restrictSearchWithMatch")
     if restrict:
-        foreign = foreign.filter(_query_condition(restrict, default_language))
+        foreign = foreign.filter(_query_condition(restrict, default_language, foreign))
 
     from pyspark.sql.types import ArrayType
 
