@@ -437,6 +437,19 @@ def parse(query: str) -> dict:
                     ("exists", bool(em.group(1)), exists_blocks[int(em.group(2))])
                 )
                 continue
+            pm = re.match(r"^(NOT\s+)?\(", raw, re.I)
+            if pm:
+                # pattern predicate (round 7): WHERE [NOT] (a)-[:T]->(b)
+                # — Neo4j's existential sugar; parsed as a linear
+                # pattern, compiled next to the EXISTS guards
+                conds.append(
+                    (
+                        "pattern",
+                        bool(pm.group(1)),
+                        parse_pattern(raw[pm.end() - 1:]),
+                    )
+                )
+                continue
             am = re.fullmatch(r"__ALL(\d+)__", raw)
             if am:
                 blk = all_blocks[int(am.group(1))]
@@ -585,6 +598,11 @@ def _collect_params(ast) -> list[str]:
                 val_params(c[3])
             elif c[0] == "exists":
                 names.extend(m.group(1) for m in re.finditer(r"\$(\w+)", c[2]))
+            elif c[0] == "pattern":
+                for item in c[2]:
+                    node = item if isinstance(item, dict) else item[1]
+                    if node.get("anchor_param"):
+                        names.append(node["anchor_param"])
     for c in ast["having"]:
         if c[0] == "bare":
             val_params(c[3])
@@ -626,6 +644,7 @@ def compile_query(
     id_in: dict[str, list] = {}          # node var -> id list
     prop_guards: dict[str, list] = {}    # node var -> [(prop, op, value)]
     exists_guards: list[tuple[bool, str]] = []  # (negated, inner pattern text)
+    pattern_guards: list[tuple[bool, list]] = []  # (negated, pattern items)
 
     node_vars: set[str] = set()
     rel_vars: set[str] = set()
@@ -682,6 +701,12 @@ def compile_query(
                         "EXISTS {...} inside OPTIONAL MATCH is unsupported"
                     )
                 exists_guards.append((c[1], c[2]))
+            elif c[0] == "pattern":
+                if mc["optional"]:
+                    raise CypherUnsupported(
+                        "pattern predicates inside OPTIONAL MATCH are unsupported"
+                    )
+                pattern_guards.append((c[1], c[2]))
             else:  # bare cmp belongs after WITH
                 raise CypherUnsupported(
                     "bare comparisons are only supported after WITH"
@@ -1024,6 +1049,91 @@ def compile_query(
     if prop_guards:
         leftover = sorted(prop_guards)
         raise CypherUnsupported(f"property predicates on unbound variables: {leftover}")
+
+    # ---- WHERE [NOT] (a)-[:T]->(b) pattern predicates (round 7) -----------
+    # Neo4j's existential sugar. Both endpoints bound -> a direct
+    # SEMI/ANTI join against the (direction-oriented) edge pair set; one
+    # endpoint bound -> rewritten into the EXISTS subquery machinery
+    # below (reversed first if the BOUND endpoint is the pattern's
+    # last, so the subchain anchors on it); neither bound raises.
+    def _pattern_text(items) -> str:
+        def node_txt(n):
+            anchor = f" {{id: ${n['anchor_param']}}}" if n.get("anchor_param") else ""
+            return f"({n['var']}{anchor})"
+
+        parts = [node_txt(items[0])]
+        for rel, node in items[1:]:
+            rv = rel["var"] or ""
+            star = (
+                f"*{rel['varlen'][0]}..{rel['varlen'][1]}" if rel["varlen"] else ""
+            )
+            body = f"[{rv}:SIMILAR{star}]"
+            arrow = {
+                "<": f"<-{body}-", ">": f"-{body}->", "-": f"-{body}-",
+            }[rel["dir"]]
+            parts.append(arrow)
+            parts.append(node_txt(node))
+        return "".join(parts)
+
+    def _reversed_items(items) -> list:
+        flipped = {"<": ">", ">": "<", "-": "-"}
+        out: list = [items[-1][1]]
+        hops = items[1:]
+        for i in range(len(hops) - 1, -1, -1):
+            rel, _node = hops[i]
+            left_node = hops[i - 1][1] if i > 0 else items[0]
+            out.append(({**rel, "dir": flipped[rel["dir"]]}, left_node))
+        return out
+
+    for negated, items in pattern_guards:
+        if len(items) < 2:
+            raise CypherUnsupported("pattern predicate needs a relationship")
+        first_var = items[0]["var"]
+        last_var = items[-1][1]["var"]
+        first_bound = first_var in cols
+        last_bound = last_var in cols
+        if first_bound and last_bound:
+            if len(items) > 2:
+                raise CypherUnsupported(
+                    "multi-hop pattern predicates with BOTH endpoints bound "
+                    "are unsupported"
+                )
+            rel = items[1][0]
+            if rel["varlen"]:
+                raise CypherUnsupported(
+                    "var-length pattern predicates are unsupported"
+                )
+            if edges is None:
+                raise ValueError("pattern predicate needs the edges frame")
+            if rel["dir"] == "<":
+                pairs = edges.select(
+                    F.col("dst").alias("__pa"), F.col("src").alias("__pb")
+                )
+            elif rel["dir"] == ">":
+                pairs = edges.select(
+                    F.col("src").alias("__pa"), F.col("dst").alias("__pb")
+                )
+            else:
+                pairs = edges.select(
+                    F.col("src").alias("__pa"), F.col("dst").alias("__pb")
+                ).unionByName(
+                    edges.select(
+                        F.col("dst").alias("__pa"), F.col("src").alias("__pb")
+                    )
+                )
+            cur = cur.join(
+                pairs,
+                (cur[cols[first_var]] == pairs["__pa"])
+                & (cur[cols[last_var]] == pairs["__pb"]),
+                "left_anti" if negated else "left_semi",
+            )
+        elif first_bound or last_bound:
+            ordered = items if first_bound else _reversed_items(items)
+            exists_guards.append((negated, _pattern_text(ordered)))
+        else:
+            raise CypherUnsupported(
+                "pattern predicate must reference at least one bound variable"
+            )
 
     # ---- WHERE [NOT] EXISTS { pattern [WHERE ...] } (round 7) -------------
     # The subpattern's FIRST node variable must be bound by the outer

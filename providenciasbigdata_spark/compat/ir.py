@@ -472,7 +472,67 @@ def _ref_field(spec, what: str) -> str:
 
 _GROUP_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$addToSet", "$count",
                "$stdDevSamp", "$stdDevPop", "$mergeObjects",
-               "$minN", "$maxN", "$topN", "$bottomN", "$first", "$last"}
+               "$minN", "$maxN", "$topN", "$bottomN", "$first", "$last",
+               "$firstN", "$lastN", "$percentile", "$median"}
+
+
+def _percentile_acc(op: str, operand, out: str) -> Column:
+    """Mongo 7.0 ``$percentile``/``$median`` accumulators. Mongo only
+    accepts ``method: "approximate"`` (t-digest); this engine computes
+    the EXACT linear-interpolated percentile instead — deterministic
+    and oracle-checkable where a sketch is neither (documented
+    divergence: exactness in place of approximation; at 100 TB
+    ``approx_percentile`` / the Greenwald-Khanna path in
+    ``agg_percentiles_approx`` is the bounded-state alternative)."""
+    if not isinstance(operand, dict) or "input" not in operand:
+        raise ValueError(f"{op} needs an input: {operand!r}")
+    if operand.get("method", "approximate") != "approximate":
+        raise ValueError(f"{op} method must be 'approximate': {operand!r}")
+    allowed = {"input", "method"} | ({"p"} if op == "$percentile" else set())
+    if set(operand) - allowed:
+        raise ValueError(f"unsupported {op} document: {operand!r}")
+    val = _agg_expr(operand["input"]) if isinstance(operand["input"], dict) \
+        else F.col(_ref_field(operand["input"], op))
+    if op == "$median":
+        return F.percentile(val, F.lit(0.5)).alias(out)
+    ps = operand.get("p")
+    if not (isinstance(ps, list) and ps and all(
+        isinstance(p, (int, float)) and 0 <= p <= 1 for p in ps
+    )):
+        raise ValueError(f"$percentile p must be a list of fractions: {ps!r}")
+    return F.percentile(val, F.array(*[F.lit(float(p)) for p in ps])).alias(out)
+
+
+def _first_last_n_acc(op: str, operand, out: str, sort_spec: dict | None) -> Column:
+    """``$firstN``/``$lastN`` — the array forms of $first/$last, same
+    DETERMINISTIC-subset gate (a preceding single-field ±1 $sort).
+    Both present their elements in PIPELINE order (Mongo's contract):
+    firstN slices the sort order head; lastN slices the reversed order
+    and flips the slice back. Null values are excluded (the
+    engine-reproducible subset, as in $minN/$topN)."""
+    if not (isinstance(sort_spec, dict) and len(sort_spec) == 1):
+        raise ValueError(
+            f"{op} needs a preceding single-field $sort stage "
+            "(pipeline order is undefined without one)"
+        )
+    (key_f, direction), = sort_spec.items()
+    if direction not in (1, -1):
+        raise ValueError(f"{op} needs a 1/-1 $sort direction, got {direction!r}")
+    if not (isinstance(operand, dict) and set(operand) == {"input", "n"}
+            and isinstance(operand["n"], int) and operand["n"] > 0):
+        raise ValueError(f"{op} takes exactly input and integer n >= 1: {operand!r}")
+    n = operand["n"]
+    val = _agg_expr(operand["input"]) if isinstance(operand["input"], dict) \
+        else F.col(_ref_field(operand["input"], op))
+    key = F.col(key_f)
+    pair = F.when(
+        key.isNotNull() & val.isNotNull(), F.struct(key.alias("k"), val.alias("v"))
+    )
+    take_first = op == "$firstN"
+    asc = (direction == 1) == take_first
+    sliced = F.slice(F.sort_array(F.collect_list(pair), asc=asc), 1, n)
+    vals = F.transform(sliced, lambda e: e["v"])
+    return (vals if take_first else F.reverse(vals)).alias(out)
 
 
 def _first_last_acc(op: str, operand, out: str, sort_spec: dict | None) -> Column:
@@ -611,6 +671,12 @@ def _group_aggs(
         if op in ("$first", "$last"):
             aggs.append(_first_last_acc(op, operand, out, sort_spec))
             continue
+        if op in ("$firstN", "$lastN"):
+            aggs.append(_first_last_n_acc(op, operand, out, sort_spec))
+            continue
+        if op in ("$percentile", "$median"):
+            aggs.append(_percentile_acc(op, operand, out))
+            continue
         if op == "$count":
             if operand not in ({}, None):
                 raise ValueError(f"$count takes an empty document: {operand!r}")
@@ -689,6 +755,40 @@ def _expr_args(args, op: str, n: int | None = None) -> list:
     if not args:
         raise ValueError(f"{op} needs at least one argument")
     return list(args)
+
+
+_MONGO_FMT = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%L": "SSS", "%j": "DDD", "%%": "'%'",
+}
+
+
+def _mongo_date_format(fmt: str) -> str:
+    """Mongo ``$dateToString`` %-specifiers -> a Java datetime pattern.
+    Literal runs are single-quoted (Java patterns treat bare letters
+    as pattern characters); unsupported specifiers raise rather than
+    silently misformat."""
+    if not isinstance(fmt, str):
+        raise ValueError(f"date format must be a literal string: {fmt!r}")
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            spec = fmt[i:i + 2]
+            if spec not in _MONGO_FMT:
+                raise ValueError(
+                    f"unsupported $dateToString specifier {spec!r}; "
+                    f"have {sorted(_MONGO_FMT)}"
+                )
+            out.append(_MONGO_FMT[spec])
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            out.append("'" + fmt[i:j].replace("'", "''") + "'")
+            i = j
+    return "".join(out)
 
 
 def _doc_or_map_expr(x, scope) -> Column:
@@ -847,6 +947,39 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
         if op in ("$abs", "$floor", "$ceil"):
             (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             return {"$abs": F.abs, "$floor": F.floor, "$ceil": F.ceil}[op](a)
+        if op in ("$bitAnd", "$bitOr", "$bitXor"):
+            # Mongo 6.3 bitwise operators — n-ary left fold, JVM-side
+            cols = [_agg_expr(a, scope) for a in _expr_args(args, op)]
+            fn = {
+                "$bitAnd": Column.bitwiseAND,
+                "$bitOr": Column.bitwiseOR,
+                "$bitXor": Column.bitwiseXOR,
+            }[op]
+            return reduce(fn, cols)
+        if op == "$bitNot":
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
+            return F.bitwise_not(a)
+        if op == "$dateToString":
+            if not (isinstance(args, dict) and "date" in args
+                    and set(args) <= {"date", "format"}):
+                raise ValueError(f"$dateToString needs {{date[, format]}}: {args!r}")
+            fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+            return F.date_format(
+                _agg_expr(args["date"], scope), _mongo_date_format(fmt)
+            )
+        if op == "$dateFromString":
+            if not (isinstance(args, dict) and "dateString" in args
+                    and set(args) <= {"dateString", "format"}):
+                raise ValueError(
+                    f"$dateFromString needs {{dateString[, format]}}: {args!r}"
+                )
+            s = _agg_expr(args["dateString"], scope)
+            if "format" in args:
+                return F.to_timestamp(s, _mongo_date_format(args["format"]))
+            return F.to_timestamp(s)
+        if op == "$toDate":
+            (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
+            return a.cast("timestamp")
         if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute", "$second"):
             (a,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
             return {

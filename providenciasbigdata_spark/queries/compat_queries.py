@@ -1957,6 +1957,49 @@ WHERE src = 'P-7' AND similitud >= 25.0
 """
 
 
+CYPHER_PATTERN_PRED = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND (b)-[:SIMILAR]->(h {id: $hub})
+RETURN b.id AS vecino, r.similitud AS similitud
+"""
+
+
+def q_cypher_pattern_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern predicate ``WHERE (b)-[:SIMILAR]->(h {id: $hub})``
+    (round 7): Neo4j's existential sugar — neighbors of the origin
+    that are ALSO similar to a second anchored node. The sugar routes
+    through the EXISTS machinery (semi-join against the hub's
+    in-neighbor set; the anchored inner pattern prunes the edge scan).
+    The both-bound pair form and NOT variants are pinned in
+    tests/test_ir_compat.py (the fixture's similarity edges are
+    symmetric by construction, so a reciprocity predicate would not
+    discriminate there)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_PATTERN_PRED, edges=edges,
+        params={"origen": "P-7", "lo": 25.0, "hub": "P-11"},
+    )
+
+
+_CYPHER_PATTERN_PRED_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT dst AS vecino, similitud
+FROM e
+WHERE src = 'P-7' AND similitud >= 25.0
+  AND EXISTS (SELECT 1 FROM e h WHERE h.src = e.dst AND h.dst = 'P-11')
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -2556,6 +2599,104 @@ FROM documents
 """
 
 
+def q_mql_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 7.0 ``$percentile``/``$median`` + ``$firstN``/``$lastN``
+    accumulators (round 7). Percentiles are EXACT linear interpolation
+    (documented divergence: Mongo only ships t-digest approximation;
+    exactness is what an oracle can check — the bounded-state path is
+    agg_percentiles_approx). firstN/lastN ride the deterministic-
+    subset gate: the preceding $sort defines pipeline order."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = mql_aggregate(
+        ev,
+        [
+            {"$sort": {"event_id": 1}},
+            {"$group": {"_id": "$event_type",
+                "med": {"$median": {"input": "$value", "method": "approximate"}},
+                "pct": {"$percentile": {"input": "$value", "p": [0.25, 0.9],
+                                        "method": "approximate"}},
+                "first3": {"$firstN": {"input": "$event_id", "n": 3}},
+                "last2": {"$lastN": {"input": "$event_id", "n": 2}},
+            }},
+        ],
+    )
+    return out.select(
+        "_id", "med",
+        F.element_at("pct", 1).alias("p25"),
+        F.element_at("pct", 2).alias("p90"),
+        F.concat_ws(",", F.transform("first3", lambda x: x.cast("string"))).alias("first3"),
+        F.concat_ws(",", F.transform("last2", lambda x: x.cast("string"))).alias("last2"),
+    )
+
+
+_MQL_PERCENTILE_SQL = """
+SELECT event_type AS _id,
+       quantile_cont(value, 0.5) AS med,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.9) AS p90,
+       array_to_string(list_slice(list_sort(list(event_id)), 1, 3), ',') AS first3,
+       array_to_string(list_slice(list_sort(list(event_id)),
+                                  greatest(len(list(event_id)) - 1, 1),
+                                  len(list(event_id))), ',') AS last2
+FROM events GROUP BY event_type
+"""
+
+
+def q_mql_datetime_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$dateToString`` (Mongo %-specifiers -> Java pattern, literal
+    runs quoted) + Mongo 6.3 bitwise expression operators (round 7),
+    aggregated so the formatted strings and bit results are both
+    value-hashed: per (day, hour-bucket), event count and XOR/AND bit
+    digests of the ids."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    out = mql_aggregate(
+        ev,
+        [
+            {"$addFields": {
+                "day": {"$dateToString": {"date": "$ts", "format": "%Y-%m-%d"}},
+                "hh": {"$dateToString": {"date": "$ts", "format": "h=%H"}},
+                "lo12": {"$bitAnd": ["$event_id", 4095]},
+                "flip": {"$bitXor": [{"$bitAnd": ["$event_id", 255]}, 170]},
+            }},
+            {"$group": {"_id": "$day",
+                        "n": {"$count": {}},
+                        "max_hh": {"$max": "$hh"},
+                        "sum_lo": {"$sum": "$lo12"},
+                        "sum_flip": {"$sum": "$flip"}}},
+        ],
+    )
+    return out.select(
+        "_id",
+        F.col("n").cast("long").alias("n"),
+        "max_hh",
+        F.col("sum_lo").cast("long").alias("sum_lo"),
+        F.col("sum_flip").cast("long").alias("sum_flip"),
+    )
+
+
+_MQL_DATETIME_SQL = """
+WITH v AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         'h=' || strftime(ts, '%H') AS hh,
+         event_id & 4095 AS lo12,
+         xor(event_id & 255, 170) AS flip
+  FROM events
+)
+SELECT day AS _id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(hh) AS max_hh,
+       CAST(SUM(lo12) AS BIGINT) AS sum_lo,
+       CAST(SUM(flip) AS BIGINT) AS sum_flip
+FROM v GROUP BY day
+"""
+
+
 def q_mql_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$first/$last group accumulators in the DETERMINISTIC subset
     (round 6): a single-field $sort precedes the $group, so they
@@ -3064,6 +3205,8 @@ QUERIES = {
     "mql_string_expr": (q_mql_string_expr, _MQL_STRING_SQL),
     "mql_object_expr": (q_mql_object_expr, _MQL_OBJECT_SQL),
     "mql_regex_expr": (q_mql_regex_expr, _MQL_REGEX_EXPR_SQL),
+    "mql_agg_percentile": (q_mql_agg_percentile, _MQL_PERCENTILE_SQL),
+    "mql_datetime_expr": (q_mql_datetime_expr, _MQL_DATETIME_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
@@ -3098,4 +3241,5 @@ QUERIES = {
     "cypher_return_computed": (q_cypher_return_computed, _CYPHER_RETURN_COMPUTED_SQL),
     "cypher_union": (q_cypher_union, _CYPHER_UNION_SQL),
     "cypher_exists_guard": (q_cypher_exists_guard, _CYPHER_EXISTS_GUARD_SQL),
+    "cypher_pattern_predicate": (q_cypher_pattern_predicate, _CYPHER_PATTERN_PRED_SQL),
 }

@@ -517,7 +517,43 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 SPIP, round 7): the sequential
+    ``FROM … |> WHERE … |> AGGREGATE … |> …`` form — operators apply
+    top-to-bottom in reading order instead of SQL's inside-out
+    nesting. Resolves to the identical hash-aggregate plan as the
+    nested form; the oracle is the plain-SQL equivalent (DuckDB has no
+    pipe dialect — the comparison proves the pipe lowering, not the
+    syntax)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1994-01-01'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                                AS DOUBLE), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 0
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        """
+    )
+
+
+_SQL_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+           AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 0
+"""
+
+
 QUERIES = {
+    "sql_pipe_syntax": (q_sql_pipe_syntax, _SQL_PIPE_SQL),
     "sql_pivot_syntax": (q_sql_pivot_syntax, _SQL_PIVOT_SQL),
     "sql_unpivot_syntax": (q_sql_unpivot_syntax, _SQL_UNPIVOT_SQL),
     "sql_named_window": (q_sql_named_window, _SQL_NAMED_WINDOW_SQL),

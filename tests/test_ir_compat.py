@@ -1973,3 +1973,119 @@ def test_mql_regex_find_semantics(spark):
     with _pt.raises(ValueError, match="options"):
         mql_aggregate(df, [{"$project": {
             "x": {"$regexFind": {"input": "$text", "regex": "a", "options": "x"}}}}])
+
+
+def test_cypher_pattern_predicates(spark):
+    """WHERE [NOT] (a)-[:T]->(b) sugar (round 7): both-bound pairs
+    semi/anti-join the oriented edge set; single-bound forms route
+    through the EXISTS machinery (reversed when the bound endpoint is
+    last); unbound patterns raise."""
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    edges = spark.createDataFrame(
+        [("P-1", "P-2", 40.0), ("P-2", "P-1", 10.0), ("P-2", "P-4", 35.0),
+         ("P-3", "P-5", 50.0)],
+        "src string, dst string, similitud double",
+    )
+    # reciprocal discrimination: only P-1->P-2 has an edge back
+    back = {
+        (r.src, r.dst)
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE (b)-[:SIMILAR]->(a) "
+            "RETURN a.id AS src, b.id AS dst", edges=edges,
+        ).collect()
+    }
+    assert back == {("P-1", "P-2"), ("P-2", "P-1")}
+    noback = {
+        (r.src, r.dst)
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE NOT (b)-[:SIMILAR]->(a) "
+            "RETURN a.id AS src, b.id AS dst", edges=edges,
+        ).collect()
+    }
+    assert noback == {("P-2", "P-4"), ("P-3", "P-5")}
+    # undirected both-bound: any stored edge between the pair
+    und = {
+        (r.src, r.dst)
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE (a)-[:SIMILAR]-(b) "
+            "RETURN a.id AS src, b.id AS dst", edges=edges,
+        ).collect()
+    }
+    assert und == back | noback  # every matched edge connects its pair
+    # last-bound single-hop with a fresh source: sources of in-edges
+    has_in = {
+        r.dst
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE (x)-[:SIMILAR]->(a) "
+            "RETURN b.id AS dst", edges=edges,
+        ).collect()
+    }
+    # a must have an in-edge: a∈{P-1,P-2} -> kept edges P-1->P-2,
+    # P-2->P-1, P-2->P-4
+    assert has_in == {"P-1", "P-2", "P-4"}
+    with _pt.raises(ValueError, match="bound variable"):
+        cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE (x)-[:SIMILAR]->(y) "
+            "RETURN a.id AS src", edges=edges,
+        )
+
+
+def test_mql_percentile_and_firstn_rules(spark):
+    """Round 7: $percentile/$median exact interpolation + error
+    postures; $firstN/$lastN sort gate and pipeline-order
+    presentation; $dateFromString/$toDate roundtrip; unsupported
+    $dateToString specifiers raise."""
+    import datetime
+
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 40.0), (4, "b", 5.0)],
+        "event_id long, k string, value double",
+    )
+    r = {
+        row["_id"]: row
+        for row in mql_aggregate(df, [
+            {"$sort": {"event_id": -1}},  # descending pipeline order
+            {"$group": {"_id": "$k",
+                "med": {"$median": {"input": "$value", "method": "approximate"}},
+                "p": {"$percentile": {"input": "$value", "p": [0.5],
+                                      "method": "approximate"}},
+                "f2": {"$firstN": {"input": "$event_id", "n": 2}},
+                "l2": {"$lastN": {"input": "$event_id", "n": 2}},
+            }},
+        ]).collect()
+    }
+    assert r["a"]["med"] == 20.0 and r["a"]["p"] == [20.0]
+    # pipeline order is DESCENDING event_id: first 2 = [3,2]; last 2 = [2,1]
+    assert r["a"]["f2"] == [3, 2] and r["a"]["l2"] == [2, 1]
+    assert r["b"]["f2"] == [4] and r["b"]["l2"] == [4]
+    with _pt.raises(ValueError, match="method"):
+        mql_aggregate(df, [{"$group": {"_id": None,
+            "m": {"$median": {"input": "$value", "method": "exact"}}}}])
+    with _pt.raises(ValueError, match="sort"):
+        mql_aggregate(df, [{"$group": {"_id": None,
+            "f": {"$firstN": {"input": "$value", "n": 2}}}}])
+
+    ts = datetime.datetime(2024, 3, 5, 7, 8, 9)
+    d2 = spark.createDataFrame([(ts,)], "ts timestamp")
+    row = mql_aggregate(d2, [{"$project": {
+        "s": {"$dateToString": {"date": "$ts", "format": "%Y-%m-%d %H:%M:%S"}},
+        "lit": {"$dateToString": {"date": "$ts", "format": "day %d at %H"}},
+        "back": {"$dateFromString": {
+            "dateString": {"$dateToString": {"date": "$ts",
+                                             "format": "%Y-%m-%d %H:%M:%S"}},
+            "format": "%Y-%m-%d %H:%M:%S"}},
+        "cast": {"$toDate": "2024-03-05 07:08:09"},
+    }}]).first()
+    assert row["s"] == "2024-03-05 07:08:09"
+    assert row["lit"] == "day 05 at 07"
+    assert row["back"] == ts and row["cast"] == ts
+    with _pt.raises(ValueError, match="specifier"):
+        mql_aggregate(d2, [{"$project": {
+            "x": {"$dateToString": {"date": "$ts", "format": "%Q"}}}}])
