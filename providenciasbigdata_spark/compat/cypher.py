@@ -522,11 +522,30 @@ def parse(query: str) -> dict:
         if kw in ("MATCH", "OPTIONAL MATCH"):
             if seen_with or seen_return:
                 raise CypherUnsupported("MATCH after WITH/RETURN is unsupported")
-            ast["matches"].append({
-                "optional": kw.startswith("OPTIONAL"),
-                "pattern": parse_pattern(body),
-                "where": [],
-            })
+            # comma-separated patterns (round 7): MATCH (a)-->(b), (a)-->(c)
+            # — Neo4j's branching sugar; each component compiles like its
+            # own MATCH clause, joined on shared variables by the chain
+            # builder. Divergence documented: Cypher's relationship
+            # uniqueness spans ALL patterns of one MATCH, ours is
+            # per-component (same as the multi-MATCH continuation rule).
+            depth = 0
+            start = 0
+            parts: list[str] = []
+            for i, ch in enumerate(body):
+                if ch in "([{":
+                    depth += 1
+                elif ch in ")]}":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(body[start:i])
+                    start = i + 1
+            parts.append(body[start:])
+            for part in parts:
+                ast["matches"].append({
+                    "optional": kw.startswith("OPTIONAL"),
+                    "pattern": parse_pattern(part.strip()),
+                    "where": [],
+                })
         elif kw == "WHERE":
             conds = parse_conds(body)
             if seen_with:

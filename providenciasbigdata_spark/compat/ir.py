@@ -1216,6 +1216,32 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
             )
         if op in ("$regexFind", "$regexFindAll"):
             return _regex_find_expr(op, args, scope)
+        if op == "$getField":
+            if not (isinstance(args, dict) and set(args) == {"field", "input"}
+                    and isinstance(args["field"], str)):
+                raise ValueError(f"$getField needs {{field, input}}: {args!r}")
+            return _doc_or_map_expr(args["input"], scope)[args["field"]]
+        if op in ("$setField", "$unsetField"):
+            want = {"field", "input"} | ({"value"} if op == "$setField" else set())
+            if not (isinstance(args, dict) and set(args) == want
+                    and isinstance(args["field"], str)):
+                raise ValueError(f"{op} needs {sorted(want)}: {args!r}")
+            key = args["field"]
+            m = _doc_or_map_expr(args["input"], scope)
+
+            def _not_key(k_lit):
+                def body(k, _v):
+                    return k != k_lit
+
+                return body
+
+            removed = F.map_filter(m, _not_key(F.lit(key)))
+            if op == "$unsetField" or (
+                op == "$setField" and args.get("value") == "$$REMOVE"
+            ):
+                return removed
+            val = _agg_expr(args["value"], scope)
+            return F.map_concat(removed, F.create_map(F.lit(key), val))
         if op == "$zip":
             if not (isinstance(args, dict) and set(args) == {"inputs"}
                     and isinstance(args["inputs"], list) and len(args["inputs"]) == 2):

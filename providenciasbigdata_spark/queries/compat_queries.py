@@ -2000,6 +2000,48 @@ WHERE src = 'P-7' AND similitud >= 25.0
 """
 
 
+CYPHER_BRANCHING = """
+MATCH (a:Providencia {id: $origen})-[r1:SIMILAR]->(b), (a)-[r2:SIMILAR]->(c)
+WHERE r1.similitud >= $strong AND r2.similitud < $strong AND r2.similitud >= $lo
+RETURN b.id AS fuerte, c.id AS debil, r1.similitud AS s1, r2.similitud AS s2
+"""
+
+
+def q_cypher_branching_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-separated BRANCHING pattern (round 7): one anchored node,
+    two relationship branches with disjoint weight bands — strong
+    neighbors crossed with weak ones. Each component compiles like its
+    own MATCH and joins on the shared anchor (broadcast — the anchored
+    side is tiny). The disjoint bands make the documented
+    per-component relationship-uniqueness divergence unobservable here
+    (no edge can satisfy both guards); the divergent node-reuse pin
+    lives in tests/test_ir_compat.py."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_BRANCHING, edges=edges,
+        params={"origen": "P-7", "strong": 34.0, "lo": 28.0},
+    )
+
+
+_CYPHER_BRANCHING_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT s.dst AS fuerte, w.dst AS debil, s.similitud AS s1, w.similitud AS s2
+FROM e s JOIN e w ON w.src = s.src
+WHERE s.src = 'P-7' AND s.similitud >= 34.0
+  AND w.similitud < 34.0 AND w.similitud >= 28.0
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -3242,4 +3284,5 @@ QUERIES = {
     "cypher_union": (q_cypher_union, _CYPHER_UNION_SQL),
     "cypher_exists_guard": (q_cypher_exists_guard, _CYPHER_EXISTS_GUARD_SQL),
     "cypher_pattern_predicate": (q_cypher_pattern_predicate, _CYPHER_PATTERN_PRED_SQL),
+    "cypher_branching_pattern": (q_cypher_branching_pattern, _CYPHER_BRANCHING_SQL),
 }

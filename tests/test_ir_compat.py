@@ -2089,3 +2089,50 @@ def test_mql_percentile_and_firstn_rules(spark):
     with _pt.raises(ValueError, match="specifier"):
         mql_aggregate(d2, [{"$project": {
             "x": {"$dateToString": {"date": "$ts", "format": "%Q"}}}}])
+
+
+def test_mql_get_set_unset_field(spark):
+    """$getField/$setField/$unsetField over documents-as-maps (round
+    7): set overwrites, $$REMOVE and $unsetField drop the key, get
+    reads through; branching comma-pattern divergence pinned too."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame([(1, "en", "web")], "doc_id long, lang string, source string")
+    r = mql_aggregate(df, [
+        {"$project": {"doc_id": 1,
+            "m": {"$mergeObjects": [{"a": "$lang", "b": "x"}]}}},
+        {"$project": {"doc_id": 1,
+            "got": {"$getField": {"field": "a", "input": "$m"}},
+            "set_": {"$setField": {"field": "b", "input": "$m", "value": "y"}},
+            "dropped": {"$unsetField": {"field": "a", "input": "$m"}},
+            "removed": {"$setField": {"field": "b", "input": "$m",
+                                      "value": "$$REMOVE"}}}},
+        {"$project": {"doc_id": 1, "got": 1,
+            "b2": "$set_.b", "a_gone": "$dropped.a", "b_gone": "$removed.b",
+            "a_kept": "$removed.a"}},
+    ]).first()
+    assert r["got"] == "en" and r["b2"] == "y"
+    assert r["a_gone"] is None and r["b_gone"] is None and r["a_kept"] == "en"
+
+
+def test_cypher_comma_pattern_node_reuse_divergence(spark):
+    """Comma branching compiles per component (multi-MATCH rule): the
+    same stored relationship may bind both branches — DOCUMENTED
+    divergence from Neo4j's per-MATCH relationship uniqueness. Pinned
+    so a future change is a conscious one."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    edges = spark.createDataFrame(
+        [("P-1", "P-2", 40.0), ("P-1", "P-3", 20.0)],
+        "src string, dst string, similitud double",
+    )
+    rows = {
+        (r.b, r.c)
+        for r in cypher_run(
+            "MATCH (a {id: $o})-[r1:SIMILAR]->(b), (a)-[r2:SIMILAR]->(c) "
+            "RETURN b.id AS b, c.id AS c",
+            edges=edges, params={"o": "P-1"},
+        ).collect()
+    }
+    # Neo4j would exclude (P-2,P-2)/(P-3,P-3); per-component semantics keep them
+    assert rows == {("P-2", "P-2"), ("P-2", "P-3"), ("P-3", "P-2"), ("P-3", "P-3")}
