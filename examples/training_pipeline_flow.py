@@ -162,6 +162,15 @@ def main() -> None:
     print(f"[4b] FFD packed into {pk.bins} bins of 2048 "
           f"(fill {pk.fill}, lower bound {-(-pk.fill // 2048)})")
 
+    # -- 4c. deterministic training-order shuffle into reader shards ------
+    from providenciasbigdata_spark.operators.mix import shuffle_to_shards
+
+    sharded = shuffle_to_shards(fuzzy.select("doc_id"), "doc_id",
+                                n_shards=4, seed="epoch0")
+    dist = sharded.groupBy("shard").count().orderBy("shard").collect()
+    print(f"[4c] epoch-0 shuffle: shard sizes {[r['count'] for r in dist]} "
+          "(seeded md5 permutation; a new seed is a fresh epoch order)")
+
     # -- 5. embedding near-dup pruning + IVF ANN probe --------------------
     emb = load_table(spark, sf_dir, "embeddings")
     near = similarity.pairwise_cosine_blocked(emb, threshold=0.95, block_size=512)

@@ -414,3 +414,47 @@ def dsir_log_weights(
         F.sum(F.col("c") * F.col("delta")).alias("log_weight"),
     )
     return scored
+
+
+def shuffle_to_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global TRAINING-ORDER shuffle (round 7): every row
+    gets a ``shard`` in [0, n_shards) and a contiguous 0-based ``pos``
+    within its shard — the reader contract of sharded training data
+    (each worker streams one shard in pos order; the concatenation is
+    a seeded uniform permutation of the corpus).
+
+    Determinism the mix.py way: the shuffle key is ``md5(seed || id)``
+    — refresh-stable, engine-agnostic (the oracle reproduces shard and
+    pos bit-for-bit in SQL), and re-seedable per epoch (a new ``seed``
+    is a fresh permutation, no state carried). Shard = the first 12
+    hex chars as an integer mod ``n_shards``; pos = rank of the full
+    key within the shard (id tiebreak — md5 collisions on distinct
+    ids are not an operational concern, the tiebreak makes even that
+    deterministic).
+
+    Scale shape: one shuffle, ``row_number`` over
+    ``partitionBy(shard)`` — the shard IS the parallel unit, so the
+    window never funnels the corpus to one task; writing
+    ``partitionBy(shard) sortWithinPartitions(pos)`` afterwards lays
+    files out exactly as a training reader wants them.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 12), 16, 10).cast("long") % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("__key")
+    )

@@ -846,8 +846,56 @@ def q_curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket long, weight double")
 
 
+def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (round 7,
+    operators/mix.py::shuffle_to_shards): every document gets a
+    (shard, pos) under a seeded md5 permutation — the sharded-reader
+    layout of a training run. Oracle reproduces shard and pos
+    bit-for-bit (same md5 key, same hex→int, same rank); the per-shard
+    summary keeps the checked frame compact while pinning the full
+    permutation through min/max/count and an order-sensitive
+    position-weighted id sum."""
+    from providenciasbigdata_spark.operators.mix import shuffle_to_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = shuffle_to_shards(docs, "doc_id", n_shards=8, seed="r7")
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("pos").cast("long").alias("min_pos"),
+        F.max("pos").cast("long").alias("max_pos"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("pos_dot_id"),
+        F.min(F.when(F.col("pos") == 0, F.col("doc_id"))).cast("long").alias("head_id"),
+    )
+
+
+_SHUFFLE_SHARDS_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         md5('r7' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), s AS (
+  SELECT doc_id, key,
+         CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 8 AS INTEGER) AS shard
+  FROM k
+), p AS (
+  SELECT doc_id, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+              AS BIGINT) AS pos
+  FROM s
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(pos) AS BIGINT) AS min_pos,
+       CAST(MAX(pos) AS BIGINT) AS max_pos,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS pos_dot_id,
+       CAST(MIN(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS head_id
+FROM p GROUP BY shard
+"""
+
+
 QUERIES = {
     "curate_quality_classifier": (q_curate_quality_classifier, None),
+    "training_shuffle_shards": (q_training_shuffle_shards, _SHUFFLE_SHARDS_SQL),
     "drift_ks_totalprice": (q_drift_ks, _DRIFT_KS_SQL),
     "drift_wasserstein_quantity": (q_drift_w1, _DRIFT_W1_SQL),
     "training_mix_by_lang": (q_training_mix, _mix_sql()),

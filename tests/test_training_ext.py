@@ -284,3 +284,34 @@ def test_dsir_weights_match_numpy_reference(spark):
     en = [got[d][1] for d in got if langs[d] == "en"]
     other = [got[d][1] for d in got if langs[d] != "en"]
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_shuffle_to_shards_permutation_properties(spark, sf_dir):
+    """Round 7: (shard, pos) is a seeded permutation — every row
+    appears exactly once, pos is contiguous per shard, the layout is
+    deterministic across calls, and a different seed yields a
+    DIFFERENT order of the same rows."""
+    from providenciasbigdata_spark.io import load_table
+    from providenciasbigdata_spark.operators.mix import shuffle_to_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    a = shuffle_to_shards(docs, "doc_id", n_shards=4, seed="s1")
+    rows = a.collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(len(poses))), shard
+    # deterministic replay
+    again = {(r.doc_id, r.shard, r.pos) for r in
+             shuffle_to_shards(docs, "doc_id", n_shards=4, seed="s1").collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    # a fresh seed permutes differently (same multiset of rows)
+    b = {(r.doc_id, r.shard, r.pos) for r in
+         shuffle_to_shards(docs, "doc_id", n_shards=4, seed="s2").collect()}
+    assert b != again and len(b) == n
+    # roughly balanced shards (md5-uniform): no shard > 2x the mean
+    assert max(len(v) for v in by_shard.values()) <= 2 * (n / 4)
