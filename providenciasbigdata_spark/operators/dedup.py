@@ -1183,3 +1183,103 @@ def dedup_paragraphs_within_doc(
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
     )
+
+
+def minhash_cross_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """FUZZY eval-set decontamination (round 7): corpus documents that
+    are NEAR-duplicates of any benchmark document — what the exact
+    5-gram overlap screen (queries/training_ext.q_contamination)
+    misses when the leaked copy is paraphrased, truncated or
+    re-punctuated.
+
+    Shape: MinHash signatures on BOTH sides from one shared hash
+    family, LSH band join BETWEEN the sides (never a corpus self-join
+    — shuffle is O((|corpus|+|bench|)·bands), and the benchmark side
+    is tiny), then exact-Jaccard verification of the cross candidates
+    only (precision 1.0 modulo 64-bit shingle hashing). Recall follows
+    the LSH S-curve — probabilistic, which is why the registry entry
+    is rows-only with the planted-contamination behavior pinned in
+    pytest instead of a value-hash oracle.
+
+    Output: one row per contaminated corpus doc — (doc_id, bench_id,
+    jaccard) for its BEST benchmark match (max jaccard, ties to the
+    lowest bench id), jaccard >= threshold.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    k = bands * rows_per_band
+    sets_c = shingle_hash_sets(corpus, id_col, text_col, ngram).persist()
+    sets_b = shingle_hash_sets(benchmark, bench_id, bench_text, ngram).persist()
+    sig_c = _signature_from_sets(sets_c, k=k)
+    sig_b = _signature_from_sets(sets_b, k=k)
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col("id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.xxhash64(
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(out_id, "band.band_id", "band.band_hash")
+
+    cands = (
+        banded(sig_c, "corpus_id")
+        .join(banded(sig_b, "bench_id"), ["band_id", "band_hash"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    joined = (
+        cands.join(
+            sets_c.select(F.col("id").alias("corpus_id"), F.col("__set").alias("set_a")),
+            "corpus_id",
+        )
+        .join(
+            sets_b.select(F.col("id").alias("bench_id"), F.col("__set").alias("set_b")),
+            "bench_id",
+        )
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    pairs = joined.select("corpus_id", "bench_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+    # best benchmark match per contaminated doc: max jaccard, ties to
+    # the LOWEST bench id — two grouped aggregates over the tiny pair
+    # set (robust for any orderable id type, no numeric negation trick)
+    jmax = pairs.groupBy(F.col("corpus_id").alias("doc_id")).agg(
+        F.max("jaccard").alias("jaccard")
+    )
+    best = (
+        pairs.join(
+            jmax,
+            (pairs["corpus_id"] == jmax["doc_id"])
+            & (pairs["jaccard"] == jmax["jaccard"]),
+        )
+        .groupBy("doc_id", jmax["jaccard"].alias("jaccard"))
+        .agg(F.min("bench_id").alias("bench_id"))
+    )
+    return best.select("doc_id", "bench_id", "jaccard")

@@ -1334,3 +1334,102 @@ def betweenness_from_seeds(
     for c in contribs[1:]:
         out = out.union(c)
     return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    max_iter: int = 8,
+    checkpoint_dir: str | None = None,
+    small_cutover: int = 200_000,
+) -> DataFrame:
+    """Power-iteration eigenvector centrality (round 7): x ← Aᵀx with
+    MAX-normalization each step — a node is central in proportion to
+    the centrality of the nodes pointing AT it (PageRank without the
+    damping/teleport machinery; the classic Bonacich measure).
+
+    Max-normalization is deliberate: the max is accumulation-order-FREE
+    (unlike an L2 norm's sum of squares), so the only order-sensitive
+    arithmetic is the per-node in-sum — the same grouped double sum
+    PageRank's oracle already value-hashes under the 6-digit round.
+    Nodes with no in-edges go to 0 after one step, as the definition
+    says.
+
+    Same execution skeleton as ``pagerank``: one join + grouped sum +
+    broadcast 1-row max per iteration, eager lineage truncation per
+    step, and the small-subproblem numpy finisher below
+    ``small_cutover`` edges (identical update math; distributed loop
+    pytest-forced via ``small_cutover=0``).
+
+    Output: (id, score) with max score = 1.0 (on any graph with at
+    least one edge).
+    """
+    ckpt = _truncator(edges.sparkSession, checkpoint_dir)
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .persist()
+        )
+    else:
+        e = (
+            edges.filter(F.col(weight_col) > 0)
+            .groupBy(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .agg(F.sum(F.col(weight_col).cast("double")).alias("w"))
+            .persist()
+        )
+    nodes = (
+        e.select(F.col("u").alias("id")).union(e.select(F.col("v").alias("id")))
+        .distinct().persist()
+    )
+
+    if small_cutover and e.count() <= small_cutover:
+        import numpy as np
+
+        rows = e.collect()
+        e.unpersist()
+        nodes.unpersist()
+        ids = sorted({r["u"] for r in rows} | {r["v"] for r in rows})
+        ix = {v: i for i, v in enumerate(ids)}
+        usrc = np.array([ix[r["u"]] for r in rows], dtype=np.int64)
+        vdst = np.array([ix[r["v"]] for r in rows], dtype=np.int64)
+        w = np.array([r["w"] for r in rows], dtype=np.float64)
+        x = np.ones(len(ids))
+        for _ in range(max_iter):
+            nxt = np.bincount(vdst, weights=x[usrc] * w, minlength=len(ids))
+            m = float(nxt.max())
+            x = nxt / m if m > 0 else nxt
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(zip(ids, [float(v) for v in x])),
+            schema=edges.select(
+                F.col(src).alias("id"), F.lit(0.0).alias("score")
+            ).schema,
+        )
+
+    x = nodes.withColumn("score", F.lit(1.0))
+    for _ in range(max_iter):
+        inflow = (
+            e.join(x.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), (F.col("score") * F.col("w")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("nxt"))
+        )
+        peak = inflow.agg(F.max("nxt").alias("_m"))
+        x = ckpt(
+            nodes.join(inflow, "id", "left")
+            .crossJoin(F.broadcast(peak))
+            .select(
+                "id",
+                F.when(
+                    F.col("_m") > 0,
+                    F.coalesce(F.col("nxt"), F.lit(0.0)) / F.col("_m"),
+                ).otherwise(F.coalesce(F.col("nxt"), F.lit(0.0))).alias("score"),
+            )
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return x

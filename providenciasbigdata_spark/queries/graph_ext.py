@@ -256,6 +256,51 @@ SELECT id, ROUND(rank, 6) AS rank FROM pr{iters}
 """
 
 
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration eigenvector centrality (round 7): x ← Aᵀx with
+    MAX-normalization — the Bonacich measure; central nodes are those
+    pointed at by central nodes. Max-normalization keeps every
+    order-sensitive term down to the per-node in-sum (the same grouped
+    double sum PageRank's oracle hashes under the 6-digit round — the
+    max itself is accumulation-order-free). Oracle unrolls the 4
+    iterations as chained MATERIALIZED CTEs."""
+    from providenciasbigdata_spark.operators.graph_algos import (
+        eigenvector_centrality,
+    )
+
+    edges = staged_similarity_edges(spark, sf_dir, 150).filter(
+        F.col("similitud") >= _HOP_LO
+    )
+    return eigenvector_centrality(edges, max_iter=4).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
+def _eigenvector_sql(iters: int = 4) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""inflow{k} AS MATERIALIZED (
+  SELECT e.v AS id, SUM(p.score) AS nxt
+  FROM e JOIN x{k - 1} p ON p.id = e.u GROUP BY e.v),
+m{k} AS (SELECT MAX(nxt) AS m FROM inflow{k}),
+x{k} AS MATERIALIZED (
+  SELECT nodes.id,
+         CASE WHEN (SELECT m FROM m{k}) > 0
+              THEN COALESCE(s.nxt, 0) / (SELECT m FROM m{k})
+              ELSE COALESCE(s.nxt, 0) END AS score
+  FROM nodes LEFT JOIN inflow{k} s ON s.id = nodes.id)"""
+        )
+    chained = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT u, v FROM ({_SYM_EDGES_150_SQL})),
+nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+{chained}
+SELECT id, ROUND(score, 6) AS score FROM x{iters}
+"""
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED PageRank: transition probability ∝ edge similitud over
     the source's total out-weight — the similarity-graph random walk
@@ -813,6 +858,9 @@ QUERIES = {
     "graph_weighted_sssp": (q_sssp_distances, _SSSP_SQL),
     "graph_pagerank": (q_pagerank, _pagerank_sql()),
     "graph_pagerank_weighted": (q_pagerank_weighted, _pagerank_weighted_sql()),
+    "graph_eigenvector_centrality": (
+        q_eigenvector_centrality, _eigenvector_sql()
+    ),
 }
 
 

@@ -893,9 +893,32 @@ FROM p GROUP BY shard
 """
 
 
+def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (round 7,
+    operators/dedup.py::minhash_cross_contamination): corpus docs that
+    are NEAR-duplicates of an eval-suite doc — catches paraphrased /
+    truncated leakage the exact 5-gram screen (contamination_ngram_
+    overlap) underestimates. LSH bands BETWEEN corpus and benchmark
+    (the benchmark side is tiny; no corpus self-join), exact-Jaccard
+    verify on cross candidates only. Rows-only: LSH recall is the
+    probabilistic S-curve; planted-contamination behavior is pinned in
+    tests/test_training_ext.py."""
+    from providenciasbigdata_spark.operators.dedup import (
+        minhash_cross_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return minhash_cross_contamination(
+        corpus, bench, threshold=0.5, bands=16, rows_per_band=4, ngram=3
+    )
+
+
 QUERIES = {
     "curate_quality_classifier": (q_curate_quality_classifier, None),
     "training_shuffle_shards": (q_training_shuffle_shards, _SHUFFLE_SHARDS_SQL),
+    "contamination_fuzzy_minhash": (q_contamination_fuzzy, None),
     "drift_ks_totalprice": (q_drift_ks, _DRIFT_KS_SQL),
     "drift_wasserstein_quantity": (q_drift_w1, _DRIFT_W1_SQL),
     "training_mix_by_lang": (q_training_mix, _mix_sql()),
@@ -918,6 +941,12 @@ QUERIES = {
 }
 
 WHY_NO_ORACLE = {
+    "contamination_fuzzy_minhash": (
+        "LSH candidate recall is probabilistic (the banding S-curve), so a "
+        "naive all-pairs oracle could legitimately contain pairs the bands "
+        "miss; precision-1.0 verification, planted-contamination recall, "
+        "and best-match determinism are pinned in tests/test_training_ext.py"
+    ),
     "curate_quality_classifier": (
         "iterative gradient-descent optimization is not SQL-expressible; "
         "the update rule is pinned bit-identical to a pure-numpy twin "

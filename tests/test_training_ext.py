@@ -315,3 +315,50 @@ def test_shuffle_to_shards_permutation_properties(spark, sf_dir):
     assert b != again and len(b) == n
     # roughly balanced shards (md5-uniform): no shard > 2x the mean
     assert max(len(v) for v in by_shard.values()) <= 2 * (n / 4)
+
+
+def test_minhash_cross_contamination_planted(spark):
+    """Round 7: fuzzy decontamination finds PLANTED near-duplicate
+    leakage (benchmark doc = corpus doc with small edits) with
+    precision 1.0 (every reported pair's exact Jaccard clears the
+    threshold) and reports the best benchmark match deterministically;
+    unrelated docs are not flagged."""
+    from providenciasbigdata_spark.operators.dedup import (
+        minhash_cross_contamination,
+    )
+
+    base = ("the merge sort spark table window hash join batch stream "
+            "filter scan row column value key part agg data fast slow")
+    unrelated = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, unrelated), (3, base + " extra tail tokens here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        # 101: near-copy of doc 1 (one word changed); 102: disjoint
+        [(101, base.replace("batch", "group")), (102, "completely different words only")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.bench_id, r.jaccard)
+        for r in minhash_cross_contamination(
+            corpus, bench, threshold=0.4, bands=16, rows_per_band=2, ngram=3
+        ).collect()
+    }
+    assert 1 in got and got[1][0] == 101 and got[1][1] >= 0.4
+    assert 2 not in got
+    # deterministic replay
+    again = {
+        r.doc_id: (r.bench_id, r.jaccard)
+        for r in minhash_cross_contamination(
+            corpus, bench, threshold=0.4, bands=16, rows_per_band=2, ngram=3
+        ).collect()
+    }
+    assert again == got
+    # precision 1.0: report nothing when the benchmark is disjoint
+    none = minhash_cross_contamination(
+        corpus.filter("doc_id = 2"), bench, threshold=0.4,
+        bands=16, rows_per_band=2, ngram=3,
+    ).count()
+    assert none == 0
