@@ -489,7 +489,26 @@ FROM v
 """
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE dedup (round 7): aHash fingerprints over the
+    real-decoded BMP containers, then the SAME Hamming pigeonhole join
+    text SimHash uses — near-duplicate images surface as fingerprint
+    pairs within distance 4. The 'resize' is an exact index-boundary
+    8x8 average pool (stdlib+numpy; no interpolation choices to
+    diverge on). Rows-only: the fingerprint depends on the decoded
+    raster, not SQL-expressible; identical/near/unrelated semantics
+    and the python-twin agreement are pinned in
+    tests/test_multimodal.py."""
+    from providenciasbigdata_spark.operators.dedup import simhash_near_dups
+
+    fps = multimodal.perceptual_hash(
+        _bmp_containers(spark, sf_dir), id_col="asset_id", kind="ahash"
+    )
+    return simhash_near_dups(fps, max_hamming=4)
+
+
 QUERIES = {
+    "multimodal_phash_dedup": (q_phash_dedup, None),
     "multimodal_payload_stats": (q_payload_stats, _PAYLOAD_STATS_SQL),
     "multimodal_pgm_decode": (q_pgm_decode, _PGM_DECODE_SQL),
     "multimodal_payload_entropy": (q_payload_entropy, _PAYLOAD_ENTROPY_SQL),
@@ -516,6 +535,12 @@ _FAKE_DECODE = (
     "multimodal_wav_decode / multimodal_payload_stats are oracle-checked"
 )
 WHY_NO_ORACLE = {
+    "multimodal_phash_dedup": (
+        "perceptual fingerprints derive from the DECODED pixel raster "
+        "(stdlib BMP decode + 8x8 average pool), which SQL cannot express; "
+        "identical/near/unrelated Hamming semantics and the python-twin "
+        "fingerprint agreement are pinned in tests/test_multimodal.py"
+    ),
     "multimodal_image_features": _FAKE_DECODE,
     "multimodal_audio_features": _FAKE_DECODE,
     "multimodal_embed_topk": (

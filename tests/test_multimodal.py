@@ -399,3 +399,43 @@ def test_pnm_decode_known_bytes_and_grammar():
     w, h, luma = mm._pnm_image_decode(enc)
     assert (w, h) == (16, 2)
     assert luma == round(20 * 1.0 / 32, 6)
+
+
+def test_perceptual_hash_near_dup_semantics(spark):
+    """Round 7 aHash/dHash: identical images share fingerprints
+    (hamming 0), a small edit flips FEW bits, structurally different
+    images flip MANY; the output feeds simhash_near_dups directly."""
+    import numpy as np
+
+    from providenciasbigdata_spark import multimodal as mm
+    from providenciasbigdata_spark.operators.dedup import simhash_near_dups
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=3 * 16 * 16, dtype=np.uint8).tobytes()
+    edited = bytearray(base)
+    edited[100] = (edited[100] + 128) % 256  # one sub-pixel nudged
+    other = rng.integers(0, 256, size=3 * 16 * 16, dtype=np.uint8).tobytes()
+    rows = [
+        (1, mm.encode_bmp(base, width=16)),
+        (2, mm.encode_bmp(base, width=16)),       # exact duplicate
+        (3, mm.encode_bmp(bytes(edited), width=16)),  # near-duplicate
+        (4, mm.encode_bmp(other, width=16)),      # unrelated
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    for kind in ("ahash", "dhash"):
+        fp = mm.perceptual_hash(df, kind=kind)
+        got = {r.id: r.simhash for r in fp.collect()}
+        assert got[1] == got[2]
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham(got[1], got[3]) <= 4, (kind, ham(got[1], got[3]))
+        assert ham(got[1], got[4]) > 10, (kind, ham(got[1], got[4]))
+        # python twin agrees with the distributed batch path
+        raster = mm._bmp_luma_raster(mm.encode_bmp(base, width=16))
+        fn = mm._ahash64 if kind == "ahash" else mm._dhash64
+        assert fn(raster) == got[1]
+    # dedup join over fingerprints: the duplicate pair surfaces
+    pairs = simhash_near_dups(
+        mm.perceptual_hash(df, kind="ahash"), max_hamming=4
+    )
+    got_pairs = {(r.left_id, r.right_id) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (1, 4) not in got_pairs
