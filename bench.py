@@ -146,8 +146,8 @@ HEADLINE = [
     "batch_session_window",
     "multimodal_pgm_decode",
     "training_mix_epochs",
-    # round 7
-    "a7_search_stemmed",        # full Snowball, on-the-fly scan path
+    # round 7 (a7_search_stemmed above now runs the full-Snowball
+    # dictionary path)
     "a7_search_ranked_tf",      # Mongo-shaped tf relevance
     "cypher_return_computed",   # expression-grammar projection
     "cypher_union",

@@ -2086,6 +2086,49 @@ WHERE a.vec_id = 7
 """
 
 
+def q_mql_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 7.0 window ``$median``/``$percentile`` inside
+    $setWindowFields (round 7): per event type, the trailing-5 rolling
+    median and p75 of value — exact interpolation (the engine's
+    documented divergence from Mongo's t-digest), order-deterministic
+    because window frames evaluate sequentially; oracle is DuckDB's
+    windowed quantile_cont over the identical frame."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = mql_aggregate(
+        ev,
+        [{"$setWindowFields": {
+            "partitionBy": "$event_type",
+            "sortBy": {"event_id": 1},
+            "output": {
+                "med5": {"$median": {"input": "$value", "method": "approximate"},
+                         "window": {"documents": [-4, "current"]}},
+                "p75_5": {"$percentile": {"input": "$value", "p": [0.75],
+                                          "method": "approximate"},
+                          "window": {"documents": [-4, "current"]}},
+            },
+        }}],
+    )
+    return out.select(
+        "event_id", "event_type",
+        F.round("med5", 6).alias("med5"),
+        F.round("p75_5", 6).alias("p75_5"),
+    )
+
+
+_MQL_WINDOW_PCT_SQL = """
+SELECT event_id, event_type,
+       ROUND(quantile_cont(value, 0.5) OVER w, 6) AS med5,
+       ROUND(quantile_cont(value, 0.75) OVER w, 6) AS p75_5
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_mql_agg_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$setWindowFields (verdict-r5 item 2): per-tipo running sum of
     anio, document number, a ±2 RANGE window count on doc_id, a
@@ -3248,6 +3291,7 @@ QUERIES = {
     "mql_object_expr": (q_mql_object_expr, _MQL_OBJECT_SQL),
     "mql_regex_expr": (q_mql_regex_expr, _MQL_REGEX_EXPR_SQL),
     "mql_agg_percentile": (q_mql_agg_percentile, _MQL_PERCENTILE_SQL),
+    "mql_window_percentile": (q_mql_window_percentile, _MQL_WINDOW_PCT_SQL),
     "mql_datetime_expr": (q_mql_datetime_expr, _MQL_DATETIME_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
