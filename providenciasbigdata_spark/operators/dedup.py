@@ -481,6 +481,54 @@ def minhash_near_dups_estimated(
 
 # ---- SimHash ------------------------------------------------------------
 
+def _simhash_batch(texts: "pd.Series") -> "pd.Series":
+    """Shared Arrow-batch SimHash kernel (blake2b token hashes with a
+    per-batch cache, vectorized bit-majority) — the body both the
+    ``simhash`` operator and the streaming ``simhash_udf`` wrap."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
+    hcache: dict[str, int] = {}
+
+    def th(tok: str) -> int:
+        h = hcache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            hcache[tok] = h
+        return h
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = {x for x in re.split(r"\W+", (t or "").lower()) if x}
+        if not toks:
+            continue
+        hs = np.array([th(tok) for tok in toks], dtype=np.uint64)
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        ones = bits.sum(axis=0, dtype=np.int64)
+        sh = powers[2 * ones > len(hs)].sum(dtype=np.uint64)
+        out[i] = np.int64(sh.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_udf():
+    """The SimHash pandas UDF as a reusable factory (round 7): lets a
+    STREAMING pipeline attach the fingerprint with ``withColumn``
+    (pandas UDFs run identically on micro-batches) without the
+    id/text projection ``simhash`` applies."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        return _simhash_batch(texts)
+
+    return _simhash
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
@@ -494,39 +542,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        import hashlib
-        import re
-
-        import numpy as np
-
-        shifts = np.arange(64, dtype=np.uint64)
-        powers = (np.uint64(1) << shifts).astype(np.uint64)
-        # batch-level token-hash cache: shared vocabulary across docs
-        # means most tokens hash once per Arrow batch, not once per doc
-        hcache: dict[str, int] = {}
-
-        def th(tok: str) -> int:
-            h = hcache.get(tok)
-            if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
-                hcache[tok] = h
-            return h
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = {x for x in re.split(r"\W+", (t or "").lower()) if x}
-            if not toks:
-                continue
-            hs = np.array([th(tok) for tok in toks], dtype=np.uint64)
-            # (T, 64) bit matrix in one vectorized shot; majority vote
-            # per bit = 2*popcount - T > 0
-            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
-            ones = bits.sum(axis=0, dtype=np.int64)
-            sh = powers[2 * ones > len(hs)].sum(dtype=np.uint64)
-            out[i] = np.int64(sh.astype(np.int64))
-        return pd.Series(out)
+        return _simhash_batch(texts)
 
     return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
 

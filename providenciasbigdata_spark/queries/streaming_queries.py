@@ -283,7 +283,36 @@ GROUP BY user_id, session_id
 """
 
 
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-fingerprint ingest dedup (round 7,
+    streaming.dedup_documents_fingerprint): SimHash attached in-stream,
+    one survivor per fingerprint — re-crawled near-identical copies
+    drop at ingest. This batch formulation is the shared
+    transformation (min-doc_id winner); the streamed form
+    (dropDuplicatesWithinWatermark, fingerprint-set parity) is pinned
+    in tests/test_streaming.py. Rows-only: the fingerprint is the
+    vectorized blake2b bit-majority UDF, not SQL-expressible."""
+    surv = streaming.dedup_documents_fingerprint(
+        load_table(spark, sf_dir, "documents")
+    )
+    return surv.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+WHY_NO_ORACLE = {
+    "stream_fingerprint_dedup": (
+        "the SimHash fingerprint is a vectorized blake2b bit-majority pandas "
+        "UDF (not SQL-expressible); stream==batch fingerprint-set parity, "
+        "exactly-one-per-fingerprint, and planted near-identical collapse "
+        "are pinned in tests/test_streaming.py"
+    ),
+}
+
+
 QUERIES = {
+    "stream_fingerprint_dedup": (q_fingerprint_dedup, None),
     "stream_ohlc_windows": (q_ohlc_windows, _OHLC_WINDOWS_SQL),
     "stream_purchase_click_semi": (q_purchase_click_semi, _PURCHASE_CLICK_SEMI_SQL),
     "stream_session_dynamic_gap": (q_session_dynamic_gap, _SESSIONS_DYNAMIC_SQL),

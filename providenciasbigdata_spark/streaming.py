@@ -1007,3 +1007,36 @@ def versioned_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_documents_fingerprint(docs: DataFrame) -> DataFrame:
+    """Streaming FUZZY-fingerprint dedup (round 7): attach a SimHash
+    fingerprint in-stream (the vectorized pandas UDF runs identically
+    per micro-batch) and keep the first document per fingerprint —
+    near-identical token sets collide on the 64-bit bit-majority
+    signature, so re-crawled/re-posted copies drop at INGEST, before
+    they ever reach the corpus (the offline near-dup pass then only
+    sees genuinely new text).
+
+    Streams: ``dropDuplicatesWithinWatermark`` on the fingerprint with
+    a processing-time watermark — state is bounded by the horizon, the
+    only safe infinite-stream contract (an unbounded fingerprint set
+    is the batch tool's job). First-arrival winner is micro-batch-
+    order-dependent, so cross-mode parity is on the FINGERPRINT SET,
+    not the surviving doc ids (pinned in tests/test_streaming.py).
+    Batch twin: deterministic first = min doc_id per fingerprint.
+    """
+    from providenciasbigdata_spark.operators.dedup import simhash_udf
+
+    with_fp = docs.withColumn("simhash", simhash_udf()(F.col("text")))
+    if docs.isStreaming:
+        return (
+            with_fp.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["simhash"])
+            .drop("ingest_ts")
+        )
+    d = F.min_by(
+        F.struct(*[F.col(c) for c in with_fp.columns]), F.col("doc_id")
+    ).alias("d")
+    return with_fp.groupBy("simhash").agg(d).select("d.*")

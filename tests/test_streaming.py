@@ -1025,3 +1025,36 @@ def test_first_seen_gate_ttl_live(spark, tmp_path_factory):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_fingerprint_dedup_stream_matches_batch(spark, tmp_path_factory):
+    """Round 7 fuzzy-fingerprint ingest dedup: the streamed drain keeps
+    exactly ONE doc per SimHash fingerprint, and the surviving
+    FINGERPRINT SET equals the batch twin's (first-arrival winners are
+    micro-batch-order-dependent, so ids are not compared); planted
+    near-identical docs collapse to one survivor."""
+    import shutil
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = tmp_path_factory.mktemp("docs_fp_stream")
+    shutil.copy(src, d / "part-0.parquet")
+    batch_docs = spark.read.schema(streaming.DOCUMENTS_SCHEMA).parquet(str(d))
+    batch = streaming.dedup_documents_fingerprint(batch_docs)
+    stream = streaming.dedup_documents_fingerprint(
+        streaming.documents_stream(spark, str(d))
+    )
+    assert stream.isStreaming
+    got = streaming.run_available_now(stream, "t_fp_dedup", output_mode="append")
+    want_fps = sorted(r.simhash for r in batch.select("simhash").collect())
+    got_fps = sorted(r.simhash for r in got.select("simhash").collect())
+    assert got_fps == want_fps and len(got_fps) > 0
+    # exactly one survivor per fingerprint, and no more survivors than docs
+    assert len(set(got_fps)) == len(got_fps) <= batch_docs.count()
+    # planted near-identicals: same token SET -> same fingerprint -> one row
+    extra = spark.createDataFrame(
+        [(900001, "merge sort table window", "en", "web", 23),
+         (900002, "window table merge sort sort merge", "en", "web", 35)],
+        schema=streaming.DOCUMENTS_SCHEMA,
+    )
+    planted = streaming.dedup_documents_fingerprint(extra)
+    assert planted.count() == 1
