@@ -782,3 +782,48 @@ def perceptual_hash(
     return df.select(id_col, payload_col).mapInPandas(
         batches, "id long, simhash long"
     )
+
+
+def shot_boundaries(
+    frames: DataFrame,
+    id_col: str = "asset_id",
+    frame_idx_col: str = "frame_idx",
+    frame_col: str = "frame_bytes",
+    max_hamming: int = 16,
+    frame_width: int = 16,
+) -> DataFrame:
+    """Shot-boundary detection (round 7): fingerprint every sampled
+    frame with the perceptual aHash (each frame wrapped in a BMP
+    container so the REAL decode path runs, the established fixture
+    device), then flag frames whose Hamming distance to the PREVIOUS
+    frame of the same asset exceeds ``max_hamming`` — visually-similar
+    consecutive frames differ by a few bits, a scene cut flips many.
+    The classic video segmentation primitive, composed entirely from
+    pieces already in CI: sample_frames → perceptual_hash → one lag
+    window per asset (partitioned by asset, so no global window).
+
+    Output: (asset_id, frame_idx, hamming, is_boundary) — the first
+    frame of each asset is a boundary by definition (hamming null).
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    def wrap(batches):
+        for pdf in batches:
+            out = [
+                (a, i, _ahash64(_bmp_luma_raster(encode_bmp(bytes(b), width=frame_width))))
+                for a, i, b in zip(pdf[id_col], pdf[frame_idx_col], pdf[frame_col])
+            ]
+            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "fp"])
+
+    fps = frames.select(id_col, frame_idx_col, frame_col).mapInPandas(
+        wrap, "asset_id long, frame_idx long, fp long"
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    prev = F.lag("fp").over(w)
+    ham = F.bit_count(F.col("fp").bitwiseXOR(prev)).cast("long")
+    return fps.select(
+        "asset_id", "frame_idx", ham.alias("hamming"),
+        (prev.isNull() | (ham > max_hamming)).alias("is_boundary"),
+    )

@@ -507,8 +507,26 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(fps, max_hamming=4)
 
 
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the sampled video frames (round
+    7): per-frame perceptual aHash through the REAL BMP decode, one
+    lag window per asset, boundary = Hamming jump above threshold —
+    classic video segmentation from pieces already in CI. Rows-only
+    (pixel-raster fingerprints); the planted two-scene cut is pinned
+    in tests/test_multimodal.py."""
+    assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "video")
+    frames = multimodal.sample_frames(assets, every_n=1, frame_bytes=512)
+    b = multimodal.shot_boundaries(frames, max_hamming=12, frame_width=8)
+    return b.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.col("is_boundary").cast("long")).cast("long").alias("n_shots"),
+        F.max("hamming").cast("long").alias("max_jump"),
+    )
+
+
 QUERIES = {
     "multimodal_phash_dedup": (q_phash_dedup, None),
+    "multimodal_shot_boundaries": (q_shot_boundaries, None),
     "multimodal_payload_stats": (q_payload_stats, _PAYLOAD_STATS_SQL),
     "multimodal_pgm_decode": (q_pgm_decode, _PGM_DECODE_SQL),
     "multimodal_payload_entropy": (q_payload_entropy, _PAYLOAD_ENTROPY_SQL),
@@ -535,6 +553,11 @@ _FAKE_DECODE = (
     "multimodal_wav_decode / multimodal_payload_stats are oracle-checked"
 )
 WHY_NO_ORACLE = {
+    "multimodal_shot_boundaries": (
+        "frame fingerprints derive from decoded pixel rasters (stdlib BMP "
+        "decode + average pool), not SQL-expressible; the planted two-scene "
+        "cut and within-scene stability are pinned in tests/test_multimodal.py"
+    ),
     "multimodal_phash_dedup": (
         "perceptual fingerprints derive from the DECODED pixel raster "
         "(stdlib BMP decode + 8x8 average pool), which SQL cannot express; "

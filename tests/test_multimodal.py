@@ -439,3 +439,35 @@ def test_perceptual_hash_near_dup_semantics(spark):
     )
     got_pairs = {(r.left_id, r.right_id) for r in pairs.collect()}
     assert (1, 2) in got_pairs and (1, 4) not in got_pairs
+
+
+def test_shot_boundaries_planted_scene_cut(spark):
+    """Round 7: a synthetic 'video' of two scenes (repeated noisy frame
+    A, then repeated noisy frame B) yields boundaries exactly at frame
+    0 (definition) and the A->B seam; within-scene hamming stays low."""
+    import numpy as np
+
+    from providenciasbigdata_spark import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    scene_a = rng.integers(0, 256, size=1024, dtype=np.uint8)
+    scene_b = rng.integers(0, 256, size=1024, dtype=np.uint8)
+
+    def jitter(base):
+        f = base.copy()
+        k = rng.integers(0, len(f), size=8)
+        f[k] = (f[k] + 7) % 256  # tiny within-scene noise
+        return f.tobytes()
+
+    payload = b"".join([jitter(scene_a) for _ in range(4)]
+                       + [jitter(scene_b) for _ in range(4)])
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    frames = mm.sample_frames(df, every_n=1, frame_bytes=1024)
+    out = {
+        r.frame_idx: (r.hamming, r.is_boundary)
+        for r in mm.shot_boundaries(frames, max_hamming=12).collect()
+    }
+    assert out[0][1] is True and out[0][0] is None          # first frame
+    assert out[4][1] is True and out[4][0] > 12             # the scene cut
+    for i in (1, 2, 3, 5, 6, 7):                            # within-scene
+        assert out[i][1] is False and out[i][0] <= 12, (i, out[i])
