@@ -154,6 +154,12 @@ HEADLINE = [
     "cypher_exists_guard",      # semi-join existence
     "mql_object_expr",          # mergeObjects/objectToArray/HOF chain
     "mql_regex_expr",           # regexFind/FindAll struct results
+    "mql_window_percentile",    # Mongo 7 window median/percentile
+    "training_shuffle_shards",  # seeded md5 permutation into shards
+    "graph_eigenvector_centrality",
+    "contamination_fuzzy_minhash",  # cross-corpus LSH decontamination
+    "multimodal_phash_dedup",   # perceptual image dedup (real decode)
+    "stream_fingerprint_dedup", # in-stream simhash dedup (batch twin)
 ]
 
 
