@@ -301,6 +301,15 @@ def _parse_expr(text: str):
     return e
 
 
+def _parse_cond_text(text: str):
+    """Parse a standalone WHERE condition through the computed-
+    expression grammar -> condition AST, by parsing
+    ``CASE WHEN <cond> THEN 1 ELSE 0 END`` and unwrapping — zero
+    grammar duplication."""
+    e = _parse_expr(f"CASE WHEN {text} THEN 1 ELSE 0 END")
+    return e[1][0][0]
+
+
 def _expr_walk(e, props: list, pars: list):
     """Collect ('prop', var, prop) leaves and parameter names."""
     kind = e[0]
@@ -470,6 +479,14 @@ def parse(query: str) -> dict:
             if m:
                 conds.append(("bare", m.group(1), m.group(2), m.group(3)))
                 continue
+            # computed condition (round 7): arithmetic/CASE comparisons
+            # like `r.similitud * 2 > 50` through the same expression
+            # grammar RETURN uses; applied as a post-chain filter
+            try:
+                conds.append(("expr_cond", _parse_cond_text(raw)))
+                continue
+            except CypherUnsupported:
+                pass
             raise CypherUnsupported(f"unsupported WHERE atom: {raw[:80]!r}")
         return conds
 
@@ -622,6 +639,11 @@ def _collect_params(ast) -> list[str]:
                     node = item if isinstance(item, dict) else item[1]
                     if node.get("anchor_param"):
                         names.append(node["anchor_param"])
+            elif c[0] == "expr_cond":
+                props: list = []
+                pars: list = []
+                _expr_walk(c[1], props, pars)
+                names.extend(pars)
     for c in ast["having"]:
         if c[0] == "bare":
             val_params(c[3])
@@ -664,6 +686,7 @@ def compile_query(
     prop_guards: dict[str, list] = {}    # node var -> [(prop, op, value)]
     exists_guards: list[tuple[bool, str]] = []  # (negated, inner pattern text)
     pattern_guards: list[tuple[bool, list]] = []  # (negated, pattern items)
+    expr_conds: list = []  # computed WHERE conditions (post-chain filters)
 
     node_vars: set[str] = set()
     rel_vars: set[str] = set()
@@ -726,6 +749,14 @@ def compile_query(
                         "pattern predicates inside OPTIONAL MATCH are unsupported"
                     )
                 pattern_guards.append((c[1], c[2]))
+            elif c[0] == "expr_cond":
+                if mc["optional"]:
+                    raise CypherUnsupported(
+                        "computed conditions inside OPTIONAL MATCH are "
+                        "unsupported (a post-join filter would drop "
+                        "null-preserved rows)"
+                    )
+                expr_conds.append(c[1])
             else:  # bare cmp belongs after WITH
                 raise CypherUnsupported(
                     "bare comparisons are only supported after WITH"
@@ -1356,6 +1387,19 @@ def compile_query(
             else:
                 sel.append(item_col(k, v, p).alias(a))
         return frame.select(*sel)
+
+    # computed WHERE conditions (round 7): `r.similitud * 2 > 50`,
+    # CASE-based guards — evaluated through the same expression
+    # machinery RETURN uses, as plain post-chain filters (WHERE
+    # precedes projection/aggregation, Cypher's contract). Node
+    # property leaves attach their lazy nodes join first.
+    for c_ast in expr_conds:
+        c_props: list = []
+        _expr_walk(c_ast, c_props, [])
+        for cv, cp in c_props:
+            if cv in node_vars and cp != "id":
+                attach_node_prop(cv, cp)
+        cur = cur.filter(cond_col(c_ast))
 
     out = cur
     ret_items = ast["return"]

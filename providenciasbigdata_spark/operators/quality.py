@@ -302,3 +302,60 @@ def wasserstein_1(a: DataFrame, b: DataFrame, col: str, exact: bool = True) -> D
         F.first("_na").alias("n_a"),
         F.first("_nb").alias("n_b"),
     )
+
+
+def chisq_drift(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+) -> DataFrame:
+    """CATEGORICAL drift (round 7) — the chi-squared homogeneity
+    statistic the numeric KS/W1 pair cannot express: per category c
+    with observed counts (o1, o2) and totals (n1, n2, N = n1+n2),
+    expected e_i = n_i·(o1+o2)/N and contribution
+    (o1−e1)²/e1 + (o2−e2)²/e2; the statistic is the sum over
+    categories with (k−1) degrees of freedom.
+
+    Deliberately emitted PER CATEGORY: each row's value is one fixed
+    IEEE expression over exact integer counts (a single division
+    chain, no unordered double sum), so the oracle hash-matches
+    unrounded; the consumer folds the total in category order (few
+    categories — model-sized). Totals ride a broadcast 1-row
+    aggregate; the category join is a map-side union + one grouped
+    count per side — no corpus shuffle beyond the counts.
+
+    Output: (category, o1, o2, contrib).
+    """
+    c1 = left.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("o1")
+    )
+    c2 = right.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("o2")
+    )
+    both = (
+        c1.join(c2, "category", "full")
+        .select(
+            "category",
+            F.coalesce("o1", F.lit(0)).alias("o1"),
+            F.coalesce("o2", F.lit(0)).alias("o2"),
+        )
+    )
+    totals = both.agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    )
+    j = both.crossJoin(F.broadcast(totals))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    t = (F.col("o1") + F.col("o2")).cast("double")
+    big_n = (F.col("n1") + F.col("n2")).cast("double")
+    e1 = n1 * t / big_n
+    e2 = n2 * t / big_n
+    o1d = F.col("o1").cast("double")
+    o2d = F.col("o2").cast("double")
+    contrib = (o1d - e1) * (o1d - e1) / e1 + (o2d - e2) * (o2d - e2) / e2
+    return j.select(
+        "category",
+        F.col("o1").cast("long").alias("o1"),
+        F.col("o2").cast("long").alias("o2"),
+        contrib.alias("contrib"),
+    )

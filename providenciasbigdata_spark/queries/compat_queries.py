@@ -2042,6 +2042,47 @@ WHERE s.src = 'P-7' AND s.similitud >= 34.0
 """
 
 
+CYPHER_COMPUTED_WHERE = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud * 2 >= $dbl AND
+      CASE WHEN r.similitud >= $hi THEN 1 ELSE 0 END + 1 = $want
+RETURN b.id AS vecino, r.similitud AS similitud
+"""
+
+
+def q_cypher_computed_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed WHERE conditions (round 7): arithmetic and CASE inside
+    the predicate, through the same expression grammar RETURN uses —
+    here selecting the mid band (doubled weight above a floor, CASE
+    classifying below the strong threshold). Compiles to a plain
+    post-chain filter; the doubled comparison is exact (power of
+    two)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_COMPUTED_WHERE, edges=edges,
+        params={"origen": "P-7", "dbl": 56.0, "hi": 36.0, "want": 1},
+    )
+
+
+_CYPHER_COMPUTED_WHERE_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT dst AS vecino, similitud
+FROM e
+WHERE src = 'P-7' AND similitud * 2 >= 56.0
+  AND (CASE WHEN similitud >= 36.0 THEN 1 ELSE 0 END) + 1 = 1
+"""
+
+
 CYPHER_DEGREE = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo AND r.similitud <= $hi
@@ -3329,4 +3370,5 @@ QUERIES = {
     "cypher_exists_guard": (q_cypher_exists_guard, _CYPHER_EXISTS_GUARD_SQL),
     "cypher_pattern_predicate": (q_cypher_pattern_predicate, _CYPHER_PATTERN_PRED_SQL),
     "cypher_branching_pattern": (q_cypher_branching_pattern, _CYPHER_BRANCHING_SQL),
+    "cypher_computed_where": (q_cypher_computed_where, _CYPHER_COMPUTED_WHERE_SQL),
 }

@@ -915,10 +915,59 @@ def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared CATEGORICAL drift (round 7,
+    operators/quality.py::chisq_drift): the event_type distribution of
+    two user cohorts compared per category — the categorical
+    counterpart of the KS/W1 numeric drift pair. Each row's
+    contribution is a fixed IEEE expression over exact integer counts
+    (no unordered double sum), so the doubles value-hash unrounded."""
+    from providenciasbigdata_spark.operators.quality import chisq_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") % 2 == 0)
+    right = ev.filter(F.col("user_id") % 2 == 1)
+    return chisq_drift(left, right, "event_type")
+
+
+_DRIFT_CHISQ_SQL = """
+WITH c1 AS (
+  SELECT event_type AS category, COUNT(*) AS o1 FROM events
+  WHERE user_id % 2 = 0 GROUP BY event_type
+), c2 AS (
+  SELECT event_type AS category, COUNT(*) AS o2 FROM events
+  WHERE user_id % 2 = 1 GROUP BY event_type
+), both_sides AS (
+  SELECT COALESCE(c1.category, c2.category) AS category,
+         COALESCE(o1, 0) AS o1, COALESCE(o2, 0) AS o2
+  FROM c1 FULL JOIN c2 ON c1.category = c2.category
+), tot AS (
+  SELECT SUM(o1) AS n1, SUM(o2) AS n2 FROM both_sides
+)
+SELECT category,
+       CAST(o1 AS BIGINT) AS o1,
+       CAST(o2 AS BIGINT) AS o2,
+       (CAST(o1 AS DOUBLE) - (CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                              / CAST(n1 + n2 AS DOUBLE)))
+       * (CAST(o1 AS DOUBLE) - (CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                                / CAST(n1 + n2 AS DOUBLE)))
+       / (CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       +
+       (CAST(o2 AS DOUBLE) - (CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                              / CAST(n1 + n2 AS DOUBLE)))
+       * (CAST(o2 AS DOUBLE) - (CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                                / CAST(n1 + n2 AS DOUBLE)))
+       / (CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       AS contrib
+FROM both_sides, tot
+"""
+
+
 QUERIES = {
     "curate_quality_classifier": (q_curate_quality_classifier, None),
     "training_shuffle_shards": (q_training_shuffle_shards, _SHUFFLE_SHARDS_SQL),
     "contamination_fuzzy_minhash": (q_contamination_fuzzy, None),
+    "drift_chisq_event_types": (q_drift_chisq, _DRIFT_CHISQ_SQL),
     "drift_ks_totalprice": (q_drift_ks, _DRIFT_KS_SQL),
     "drift_wasserstein_quantity": (q_drift_w1, _DRIFT_W1_SQL),
     "training_mix_by_lang": (q_training_mix, _mix_sql()),

@@ -2136,3 +2136,51 @@ def test_cypher_comma_pattern_node_reuse_divergence(spark):
     }
     # Neo4j would exclude (P-2,P-2)/(P-3,P-3); per-component semantics keep them
     assert rows == {("P-2", "P-2"), ("P-2", "P-3"), ("P-3", "P-2"), ("P-3", "P-3")}
+
+
+def test_cypher_computed_where(spark):
+    """Round 7: arithmetic/CASE WHERE conditions through the RETURN
+    expression grammar — post-chain filters; inside OPTIONAL MATCH
+    they raise (a post-join filter would drop null-preserved rows)."""
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    got = {
+        r.dst
+        for r in cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WHERE r.similitud * 2 > 50 "
+            "RETURN b.id AS dst", edges=edges,
+        ).collect()
+    }
+    # exact: 40*2, 35*2, 50*2, 45*2 > 50; 20*2 not
+    assert got == {"P-2", "P-4", "P-5", "P-1"}
+    with _pt.raises(ValueError, match="OPTIONAL"):
+        cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+            "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE r2.similitud + 1 > 10 "
+            "RETURN b.id AS dst",
+            edges=edges, params={"o": "P-1"},
+        )
+
+
+def test_chisq_drift_hand_checked(spark):
+    """Round 7: chi-squared homogeneity on a hand-computable table.
+    left: a=30 b=10; right: a=10 b=30 -> e(a,left)=20 etc., every
+    contribution (30-20)^2/20 + (10-20)^2/20 = 5+5 = 10."""
+    from providenciasbigdata_spark.operators.quality import chisq_drift
+
+    left = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10, "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 30, "k string"
+    )
+    got = {r.category: (r.o1, r.o2, r.contrib)
+           for r in chisq_drift(left, right, "k").collect()}
+    assert got["a"] == (30, 10, 10.0) and got["b"] == (10, 30, 10.0)
+    # category absent on one side: expected counts still well-defined
+    right2 = right.union(spark.createDataFrame([("c",)] * 4, "k string"))
+    got2 = {r.category: r for r in chisq_drift(left, right2, "k").collect()}
+    assert got2["c"].o1 == 0 and got2["c"].o2 == 4 and got2["c"].contrib > 0
