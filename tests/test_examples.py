@@ -81,3 +81,14 @@ def test_reference_app_flow_runs_end_to_end(spark, monkeypatch, capsys):
     flow.main()
     out = capsys.readouterr().out
     assert out.strip()
+
+
+def test_graph_analytics_flow_runs_end_to_end(spark):
+    """The graph-analytics example (structure -> centrality ->
+    community over the staged similarity graph) asserts its
+    cross-algorithm invariants itself; the test drives it and
+    sanity-checks the summary."""
+    from examples.graph_analytics_flow import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["n_components"] >= 1 and out["n_communities"] >= out["n_components"]
