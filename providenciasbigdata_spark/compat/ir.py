@@ -219,6 +219,11 @@ def _query_condition(
                 value["$search"], stem=stem, vocab_df=frame,
                 has_stems_col=frame is not None and "stems" in frame.columns,
             ))
+        elif key == "$expr":
+            # aggregation expressions inside find() (round 7): the full
+            # _agg_expr grammar evaluated as a boolean predicate —
+            # Mongo's device for comparing two fields of one document
+            conds.append(_agg_expr(value).cast("boolean"))
         elif key in ("$and", "$or"):
             if not isinstance(value, (list, tuple)) or not value:
                 raise ValueError(f"{key} needs a non-empty list of clauses")
@@ -2095,7 +2100,12 @@ def mql_aggregate(
                 .orderBy(F.desc("count"), F.asc("_id"))
             )
         elif op == "$lookup":
-            df = _lookup_stage(df, spec, collections or {})
+            if isinstance(spec, dict) and "pipeline" in spec:
+                df = _lookup_pipeline_stage(
+                    df, spec, collections or {}, default_language
+                )
+            else:
+                df = _lookup_stage(df, spec, collections or {})
         elif op == "$graphLookup":
             df = _graph_lookup_stage(df, spec, collections or {}, default_language)
         elif op == "$out":
@@ -2177,11 +2187,175 @@ def mql_aggregate(
     return df
 
 
+def _contains_lookup_var(x) -> bool:
+    if isinstance(x, str):
+        return x.startswith("$$")
+    if isinstance(x, dict):
+        return any(_contains_lookup_var(v) for v in x.values())
+    if isinstance(x, (list, tuple)):
+        return any(_contains_lookup_var(v) for v in x)
+    return False
+
+
+def _lookup_pipeline_stage(
+    df: DataFrame, spec, collections: dict, default_language: str
+) -> DataFrame:
+    """The ``let``/``pipeline`` form of ``$lookup`` (round 7) — the
+    modern "filtered lookup". Supported subset, the equi-join-derivable
+    shape Mongo users actually write:
+
+    - ``let`` binds plain ``"$localField"`` references;
+    - the pipeline's FIRST stage is ``{"$match": {"$expr": ...}}``
+      where the expression is ``$eq: ["$$var", "$foreignField"]`` (or
+      ``$and`` of such equalities, in either operand order) — these
+      become the join keys;
+    - subsequent stages must be ROW-LOCAL and uncorrelated
+      (``$match`` without ``$$`` vars, ``$project``/``$addFields``) —
+      they commute with the per-key grouping and run on the foreign
+      side BEFORE it (one pass, never per local row);
+    - an optional trailing ``$sort`` + ``$limit`` pair lowers to a
+      per-join-key WINDOW rank on the foreign side: "top-k related
+      docs per local row" without ever materializing the full match
+      set (the matched set depends only on the join keys, so per-key
+      top-k ≡ Mongo's per-local-doc sort+limit). The embedded array
+      is emitted in that sort order (plus a full-struct tiebreak for
+      engine determinism); without $sort+$limit the array is value-
+      sorted, the $push rule.
+
+    Anything correlated beyond the leading equality match raises —
+    never a silent misread. The plan is the equality form's: group
+    the (pre-filtered, pre-projected, pre-ranked) foreign side by the
+    key tuple, one left join, coalesce to empty array."""
+    name = spec["from"]
+    if name not in collections:
+        raise ValueError(
+            f"$lookup from unknown collection {name!r}; pass it in collections="
+        )
+    foreign = collections[name]
+    out = spec["as"]
+    if out in df.columns:
+        raise ValueError(f"$lookup 'as' field {out!r} collides with a local column")
+    let = spec.get("let", {})
+    if not (isinstance(let, dict) and all(
+        isinstance(v, str) and v.startswith("$") and not v.startswith("$$")
+        for v in let.values()
+    )):
+        raise ValueError(
+            f"$lookup let must bind plain '$field' references: {let!r}"
+        )
+    pipeline = spec["pipeline"]
+    if not (isinstance(pipeline, list) and pipeline):
+        raise ValueError("$lookup pipeline must be a non-empty list")
+    first = pipeline[0]
+    if not (isinstance(first, dict) and set(first) == {"$match"}
+            and isinstance(first["$match"], dict)
+            and set(first["$match"]) == {"$expr"}):
+        raise ValueError(
+            "$lookup pipeline must start with {'$match': {'$expr': ...}} "
+            f"(the correlated equality), got {first!r}"
+        )
+    expr = first["$match"]["$expr"]
+    eqs = expr["$and"] if isinstance(expr, dict) and set(expr) == {"$and"} else [expr]
+    keys: list[tuple[str, str]] = []  # (local_field, foreign_field)
+    for e in eqs:
+        if not (isinstance(e, dict) and set(e) == {"$eq"}
+                and isinstance(e["$eq"], (list, tuple)) and len(e["$eq"]) == 2):
+            raise ValueError(f"unsupported correlated $expr term: {e!r}")
+        a, b = e["$eq"]
+        var = a if isinstance(a, str) and a.startswith("$$") else (
+            b if isinstance(b, str) and b.startswith("$$") else None
+        )
+        fld = b if var is a else a
+        if var is None or not (isinstance(fld, str) and fld.startswith("$")
+                               and not fld.startswith("$$")):
+            raise ValueError(
+                f"correlated $expr must equate a $$let var with a foreign "
+                f"field: {e!r}"
+            )
+        vname = var[2:]
+        if vname not in let:
+            raise ValueError(f"unbound $lookup variable $${vname}")
+        keys.append((let[vname][1:], fld[1:]))
+
+    rest = pipeline[1:]
+    sort_limit = None
+    if (len(rest) >= 2 and set(rest[-2]) == {"$sort"} and set(rest[-1]) == {"$limit"}):
+        sort_limit = (rest[-2]["$sort"], int(rest[-1]["$limit"]))
+        rest = rest[:-2]
+    for st in rest:
+        if _contains_lookup_var(st):
+            raise ValueError(
+                f"only the leading $match may reference $$ variables: {st!r}"
+            )
+        (op,) = st.keys()
+        if op not in ("$match", "$project", "$addFields", "$set"):
+            raise ValueError(
+                f"unsupported row-local $lookup pipeline stage: {op}"
+            )
+    if rest:
+        foreign = mql_aggregate(foreign, rest, default_language, collections)
+    fkeys = [f for _l, f in keys]
+    for f in fkeys:
+        if f not in foreign.columns:
+            raise ValueError(
+                f"unknown foreign field {f!r}; have {foreign.columns}"
+            )
+    if sort_limit is not None:
+        sort_spec, k = sort_limit
+        sort_pairs, sort_cols = _bson_sort_exprs(sort_spec, "$lookup pipeline")
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy(*[F.col(f) for f in fkeys]).orderBy(
+            *sort_cols,
+            # full-struct tiebreak: deterministic rank under sort ties
+            F.struct(*[F.col(c) for c in foreign.columns]),
+        )
+        foreign = (
+            foreign.withColumn("__rk", F.row_number().over(wspec))
+            .filter(F.col("__rk") <= k)
+        )
+        # pack (rank, doc) and sort by rank so the embedded array keeps
+        # the pipeline's sort order
+        data_cols = [c for c in foreign.columns if c != "__rk"]
+        grouped = foreign.groupBy(*[F.col(f).alias(f"__k{i}") for i, f in enumerate(fkeys)]).agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__rk").alias("r"),
+                            F.struct(*[F.col(c) for c in data_cols]).alias("d"),
+                        )
+                    )
+                ),
+                lambda e: e["d"],
+            ).alias(out)
+        )
+    else:
+        grouped = foreign.groupBy(
+            *[F.col(f).alias(f"__k{i}") for i, f in enumerate(fkeys)]
+        ).agg(
+            F.sort_array(
+                F.collect_list(F.struct(*[F.col(c) for c in foreign.columns]))
+            ).alias(out)
+        )
+    cond = None
+    for i, (l, _f) in enumerate(keys):
+        c = df[l] == grouped[f"__k{i}"]
+        cond = c if cond is None else cond & c
+    empty = F.array().cast(grouped.schema[out].dataType)
+    joined = df.join(grouped, cond, "left")
+    for i in range(len(keys)):
+        joined = joined.drop(f"__k{i}")
+    return joined.withColumn(out, F.coalesce(F.col(out), empty))
+
+
 def _lookup_stage(df: DataFrame, spec, collections: dict) -> DataFrame:
     """The equality form of ``$lookup``: for each local row, embed the
     array of foreign documents whose ``foreignField`` equals the local
     row's ``localField`` (empty array on no match — Mongo's contract,
     NOT a NULL)."""
+    if isinstance(spec, dict) and "pipeline" in spec:
+        raise ValueError("pipeline $lookup is routed by the caller")
     required = {"from", "localField", "foreignField", "as"}
     if not (isinstance(spec, dict) and required <= set(spec)):
         raise ValueError(f"$lookup needs {sorted(required)}, got {spec!r}")

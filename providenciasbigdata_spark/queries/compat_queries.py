@@ -2725,6 +2725,80 @@ FROM documents
 """
 
 
+def q_mql_lookup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$lookup`` pipeline form (round 7): per order, the top-3
+    highest-price line items at quantity >= 30 — correlated equality
+    ($$o == l_orderkey) + row-local $match + $sort/$limit, lowered to
+    a per-join-key WINDOW rank on the foreign side before ONE grouped
+    left join (never a per-local-row subquery). The embedded array
+    keeps pipeline sort order; the (price desc, linenumber) sort key
+    is unique per order so both engines rank identically. Serialized
+    per the array-lint rule."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = mql_aggregate(
+        orders,
+        [
+            {"$lookup": {"from": "lineitem", "as": "top_items",
+                "let": {"o": "$o_orderkey"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$$o", "$l_orderkey"]}}},
+                    {"$match": {"l_quantity": {"$gte": 30}}},
+                    {"$sort": {"l_extendedprice": -1, "l_linenumber": 1}},
+                    {"$limit": 3},
+                ]}},
+            {"$addFields": {
+                "n_top": {"$size": "$top_items"},
+                "lines": {"$reduce": {
+                    "input": {"$map": {"input": "$top_items", "as": "i",
+                                       "in": {"$toString": "$$i.l_linenumber"}}},
+                    "initialValue": "",
+                    "in": {"$concat": ["$$value", ",", "$$this"]}}},
+                "qty_top": {"$reduce": {
+                    "input": {"$map": {"input": "$top_items", "as": "i",
+                                       "in": {"$toLong": "$$i.l_quantity"}}},
+                    "initialValue": 0,
+                    "in": {"$add": ["$$value", "$$this"]}}},
+            }},
+            {"$project": {"o_orderkey": 1, "n_top": 1, "lines": 1, "qty_top": 1}},
+        ],
+        collections={"lineitem": li},
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("n_top").cast("long").alias("n_top"),
+        "lines",
+        F.col("qty_top").cast("long").alias("qty_top"),
+    )
+
+
+_MQL_LOOKUP_PIPELINE_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+  FROM lineitem WHERE l_quantity >= 30
+), top AS (
+  SELECT * FROM f WHERE rk <= 3
+), agg AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_top,
+         ',' || string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY rk) AS lines,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty_top
+  FROM top GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+       CAST(COALESCE(a.n_top, 0) AS BIGINT) AS n_top,
+       COALESCE(a.lines, '') AS lines,
+       CAST(COALESCE(a.qty_top, 0) AS BIGINT) AS qty_top
+FROM orders o LEFT JOIN agg a ON a.l_orderkey = o.o_orderkey
+"""
+
+
 def q_mql_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo 7.0 ``$percentile``/``$median`` + ``$firstN``/``$lastN``
     accumulators (round 7). Percentiles are EXACT linear interpolation
@@ -3333,6 +3407,7 @@ QUERIES = {
     "mql_regex_expr": (q_mql_regex_expr, _MQL_REGEX_EXPR_SQL),
     "mql_agg_percentile": (q_mql_agg_percentile, _MQL_PERCENTILE_SQL),
     "mql_window_percentile": (q_mql_window_percentile, _MQL_WINDOW_PCT_SQL),
+    "mql_lookup_pipeline": (q_mql_lookup_pipeline, _MQL_LOOKUP_PIPELINE_SQL),
     "mql_datetime_expr": (q_mql_datetime_expr, _MQL_DATETIME_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),

@@ -2184,3 +2184,59 @@ def test_chisq_drift_hand_checked(spark):
     right2 = right.union(spark.createDataFrame([("c",)] * 4, "k string"))
     got2 = {r.category: r for r in chisq_drift(left, right2, "k").collect()}
     assert got2["c"].o1 == 0 and got2["c"].o2 == 4 and got2["c"].contrib > 0
+
+
+def test_mql_lookup_pipeline_and_expr(spark):
+    """Round 7: $lookup pipeline form — top-k per local row via the
+    per-join-key window, row-local stages, empty-array contract, and
+    the error postures (correlated non-leading stage, unbound $$var,
+    unsupported stage); plus $expr inside find()."""
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate, mql_find
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20)], "oid long, total long")
+    items = spark.createDataFrame(
+        [(1, "x", 5), (1, "y", 9), (1, "z", 1), (2, "x", 7), (9, "q", 2)],
+        "oid long, sku string, qty long")
+
+    out = {
+        r.oid: [(d.sku, d.qty) for d in r.top]
+        for r in mql_aggregate(orders, [
+            {"$lookup": {"from": "items", "as": "top",
+                "let": {"o": "$oid"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$$o", "$oid"]}}},
+                    {"$match": {"qty": {"$gte": 2}}},
+                    {"$sort": {"qty": -1}},
+                    {"$limit": 2},
+                ]}},
+        ], collections={"items": items}).collect()
+    }
+    assert out[1] == [("y", 9), ("x", 5)]  # pipeline order kept, z filtered
+    assert out[2] == [("x", 7)] and out[3] == []  # empty array, not null
+
+    base = [{"$match": {"$expr": {"$eq": ["$$o", "$oid"]}}}]
+    with _pt.raises(ValueError, match="may reference"):
+        mql_aggregate(orders, [{"$lookup": {"from": "items", "as": "t",
+            "let": {"o": "$oid"},
+            "pipeline": base + [{"$match": {"$expr": {"$gt": ["$$o", 1]}}}],
+        }}], collections={"items": items})
+    with _pt.raises(ValueError, match="unbound"):
+        mql_aggregate(orders, [{"$lookup": {"from": "items", "as": "t",
+            "let": {"o": "$oid"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$$nope", "$oid"]}}}],
+        }}], collections={"items": items})
+    with _pt.raises(ValueError, match="row-local"):
+        mql_aggregate(orders, [{"$lookup": {"from": "items", "as": "t",
+            "let": {"o": "$oid"},
+            "pipeline": base + [{"$group": {"_id": None, "n": {"$count": {}}}}],
+        }}], collections={"items": items})
+
+    got = sorted(
+        r.oid for r in mql_find(
+            orders, {"$expr": {"$gt": ["$total", {"$multiply": [15, 1]}]}}
+        ).collect()
+    )
+    assert got == [2, 3]
