@@ -583,7 +583,31 @@ def parse(query: str) -> dict:
             if dm:
                 ast["distinct"] = True
                 body = body[dm.end():]
-            ast["return"] = parse_items(body)
+            if body.strip() == "*":
+                # RETURN * (round 7): every bound variable, in pattern
+                # binding order — nodes project their id, relationships
+                # their similitud, each under its own variable name
+                star_items: list = []
+                seen_vars: set[str] = set()
+                for mc in ast["matches"]:
+                    pat = mc["pattern"]
+                    chain = [pat[0]] + [n for _r, n in pat[1:]]
+                    rels = [r for r, _n in pat[1:]]
+                    for node in chain:
+                        if node["var"] not in seen_vars:
+                            seen_vars.add(node["var"])
+                            star_items.append(
+                                ("prop", node["var"], "id", node["var"])
+                            )
+                    for rel in rels:
+                        if rel["var"] and rel["var"] not in seen_vars:
+                            seen_vars.add(rel["var"])
+                            star_items.append(
+                                ("prop", rel["var"], "similitud", rel["var"])
+                            )
+                ast["return"] = star_items
+            else:
+                ast["return"] = parse_items(body)
             seen_return = True
         elif kw == "ORDER BY":
             if not seen_return:

@@ -2240,3 +2240,18 @@ def test_mql_lookup_pipeline_and_expr(spark):
         ).collect()
     )
     assert got == [2, 3]
+
+
+def test_cypher_return_star(spark):
+    """RETURN * (round 7): every bound variable in pattern order —
+    node ids and relationship weights under their variable names."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    out = cypher_run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) RETURN *",
+        edges=edges, params={"o": "P-1"},
+    )
+    assert out.columns == ["a", "b", "r"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {("P-1", "P-2", 40.0), ("P-1", "P-3", 20.0)}
