@@ -160,6 +160,14 @@ HEADLINE = [
     "contamination_fuzzy_minhash",  # cross-corpus LSH decontamination
     "multimodal_phash_dedup",   # perceptual image dedup (real decode)
     "stream_fingerprint_dedup", # in-stream simhash dedup (batch twin)
+    "cypher_pattern_predicate",
+    "cypher_branching_pattern",
+    "cypher_computed_where",
+    "mql_agg_percentile",
+    "mql_datetime_expr",
+    "mql_lookup_pipeline",      # per-key window top-k lookup
+    "drift_chisq_event_types",
+    "multimodal_shot_boundaries",
 ]
 
 
