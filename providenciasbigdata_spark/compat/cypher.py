@@ -450,15 +450,21 @@ def parse(query: str) -> dict:
             if pm:
                 # pattern predicate (round 7): WHERE [NOT] (a)-[:T]->(b)
                 # — Neo4j's existential sugar; parsed as a linear
-                # pattern, compiled next to the EXISTS guards
-                conds.append(
-                    (
-                        "pattern",
-                        bool(pm.group(1)),
-                        parse_pattern(raw[pm.end() - 1:]),
+                # pattern, compiled next to the EXISTS guards. A
+                # parenthesized computed/boolean condition also starts
+                # with '(' — fall through to the expression grammar
+                # when it isn't a pattern.
+                try:
+                    conds.append(
+                        (
+                            "pattern",
+                            bool(pm.group(1)),
+                            parse_pattern(raw[pm.end() - 1:]),
+                        )
                     )
-                )
-                continue
+                    continue
+                except CypherUnsupported:
+                    pass
             am = re.fullmatch(r"__ALL(\d+)__", raw)
             if am:
                 blk = all_blocks[int(am.group(1))]

@@ -2340,7 +2340,10 @@ def _lookup_pipeline_stage(
         )
     cond = None
     for i, (l, _f) in enumerate(keys):
-        c = df[l] == grouped[f"__k{i}"]
+        # Mongo's $expr {$eq: [null, null]} is TRUE — a null local key
+        # embeds the null-key foreign matches, so null-safe equality,
+        # not Spark's null-propagating '=='.
+        c = df[l].eqNullSafe(grouped[f"__k{i}"])
         cond = c if cond is None else cond & c
     empty = F.array().cast(grouped.schema[out].dataType)
     joined = df.join(grouped, cond, "left")
@@ -2375,7 +2378,9 @@ def _lookup_stage(df: DataFrame, spec, collections: dict) -> DataFrame:
     )
     empty = F.array().cast(grouped.schema[out].dataType)
     return (
-        df.join(grouped, df[lf] == grouped["__k"], "left")
+        # null localField matches null/missing foreignField (Mongo
+        # equality-form contract) — null-safe join key
+        df.join(grouped, df[lf].eqNullSafe(grouped["__k"]), "left")
         .drop("__k")
         .withColumn(out, F.coalesce(F.col(out), empty))
     )

@@ -996,7 +996,7 @@ def _en_exc1a_g(B, acc):
 def _ends_short_syllable_g(B, w):
     return B.or_(
         B.rlike(w, f"^[{V_EN}][^{V_EN}]$"),
-        B.rlike(w, f"[^{V_EN}][{V_EN}][^{V_EN}wx]$"),
+        B.rlike(w, f"[^{V_EN}][{V_EN}][^{V_EN}wxY]$"),
     )
 
 

@@ -1392,6 +1392,13 @@ def eigenvector_centrality(
         rows = e.collect()
         e.unpersist()
         nodes.unpersist()
+        schema = edges.select(
+            F.col(src).alias("id"), F.lit(0.0).alias("score")
+        ).schema
+        if not rows:
+            # empty (possibly fully-filtered) edge frame: no nodes, no
+            # scores — np.bincount/max would raise on the empty array
+            return edges.sparkSession.createDataFrame([], schema=schema)
         ids = sorted({r["u"] for r in rows} | {r["v"] for r in rows})
         ix = {v: i for i, v in enumerate(ids)}
         usrc = np.array([ix[r["u"]] for r in rows], dtype=np.int64)
@@ -1404,10 +1411,7 @@ def eigenvector_centrality(
             x = nxt / m if m > 0 else nxt
         spark = edges.sparkSession
         return spark.createDataFrame(
-            list(zip(ids, [float(v) for v in x])),
-            schema=edges.select(
-                F.col(src).alias("id"), F.lit(0.0).alias("score")
-            ).schema,
+            list(zip(ids, [float(v) for v in x])), schema=schema
         )
 
     x = nodes.withColumn("score", F.lit(1.0))

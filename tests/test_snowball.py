@@ -165,7 +165,10 @@ def _adversarial_words(language: str) -> list[str]:
             + list(snowball.EN_STEP4)
             + ["ing", "ed", "ies", "ied", "sses", "s", "eedly", "eed", "y", "li"]
         )
-        bases = ["", "b", "be", "hop", "at", "l", "ll", "y", "oy", "gener", "commun"]
+        # play/toy/buy exercise the marked-Y short-syllable guard
+        # (consonant+vowel+y base: 1b's undouble/e-append must NOT fire).
+        bases = ["", "b", "be", "hop", "at", "l", "ll", "y", "oy", "gener",
+                 "commun", "play", "toy", "buy", "enjoy"]
     words = {b + s for b, s in itertools.product(bases, suffixes)}
     words |= {w for w, _ in (ES_PINS if language == "spanish" else EN_PINS)}
     return sorted(words)

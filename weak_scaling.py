@@ -111,6 +111,10 @@ def stage_replicated(spark, replicas: int) -> str:
 
     for tbl, shifts in _SHIFT.items():
         base = load_table(spark, SF_DIR, tbl)
+        if tbl == "embeddings":
+            # read the real vector width — a hard-coded dim would
+            # silently truncate/misroll if the fixture ever changes
+            emb_dim = base.select(F.size("embedding").alias("d")).first()["d"]
         parts: list[DataFrame] = []
         for i in range(replicas):
             df = base
@@ -127,11 +131,10 @@ def stage_replicated(spark, replicas: int) -> str:
             if tbl == "embeddings" and i:
                 # roll the vector by i: same norms and coordinate
                 # distribution, decorrelated across replicas
-                dim = 64
                 df = df.withColumn(
                     "embedding",
                     F.concat(
-                        F.slice("embedding", i + 1, dim - i),
+                        F.slice("embedding", i + 1, emb_dim - i),
                         F.slice("embedding", 1, i),
                     ),
                 )
