@@ -65,14 +65,16 @@ class CypherUnsupported(ValueError):
 # ---- lexical pieces -------------------------------------------------------
 
 _NODE_PAT = re.compile(
-    r"^\(\s*(\w+)\s*(?::\s*(\w+))?\s*(?:\{\s*id\s*:\s*\$(\w+)\s*\})?\s*\)"
+    r"^\(\s*(\w+)\s*(?::\s*(\w+))?\s*"
+    r"(?:\{\s*id\s*:\s*(?:\$(\w+)|(\w+))\s*\})?\s*\)"
 )
 _REL_PAT = re.compile(
     r"^(<?)\s*-\s*\[\s*(\w*)\s*(?::\s*(\w+))?\s*"
     r"(?:(\*)\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-\s*(>?)"
 )
 _CLAUSE_RE = re.compile(
-    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN|ORDER\s+BY|SKIP|LIMIT)\b", re.I
+    r"\b(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|UNWIND|RETURN|ORDER\s+BY|SKIP|LIMIT)\b",
+    re.I,
 )
 _ALL_RE = re.compile(
     r"^ALL\s*\(\s*(\w+)\s+IN\s+(\w+)\s+WHERE\s+"
@@ -93,7 +95,8 @@ _ITEM_COLLECT_RE = re.compile(
 )
 
 # item kinds that compile to aggregate functions
-_AGG_KINDS = ("count", "countd", "collect", "collectd")
+_AGG_KINDS = ("count", "countd", "countstar", "collect", "collectd")
+_ITEM_COUNT_STAR_RE = re.compile(r"^count\s*\(\s*\*\s*\)\s+AS\s+(\w+)$", re.I)
 _ITEM_AGG_RE = re.compile(
     r"^(sum|avg|min|max)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)$", re.I
 )
@@ -237,6 +240,11 @@ def _parse_expr(text: str):
             take()
             var, prop = v.split(".")
             return ("prop", var, prop)
+        if k == "name":
+            # bare identifier: a WITH-carried alias (resolved against
+            # the segment's frame at compile time) or a pattern var
+            take()
+            return ("var", v)
         raise CypherUnsupported(f"unexpected {v!r} in expression {text[:60]!r}")
 
     def parse_cond():
@@ -294,7 +302,7 @@ def _parse_expr(text: str):
     e = parse_sum()
     if pos != len(toks):
         raise CypherUnsupported(f"trailing tokens in expression {text[:60]!r}")
-    if e[0] in ("num", "str", "param", "prop"):
+    if e[0] in ("num", "str", "param", "prop", "var"):
         # plain leaves are handled by the dedicated item kinds; routing
         # them here would weaken their error messages
         raise CypherUnsupported(f"not a computed expression: {text[:60]!r}")
@@ -313,7 +321,9 @@ def _parse_cond_text(text: str):
 def _expr_walk(e, props: list, pars: list):
     """Collect ('prop', var, prop) leaves and parameter names."""
     kind = e[0]
-    if kind == "prop":
+    if kind == "var":
+        pass
+    elif kind == "prop":
         props.append((e[1], e[2]))
     elif kind == "param":
         pars.append(e[1])
@@ -395,16 +405,24 @@ def parse(query: str) -> dict:
     flat, all_blocks = _extract_all_guards(flat)
 
     marks = list(_CLAUSE_RE.finditer(flat))
-    if not marks or marks[0].start() != 0 or marks[0].group(1).upper() != "MATCH":
-        raise CypherUnsupported("query must start with MATCH")
+    if (
+        not marks
+        or marks[0].start() != 0
+        or marks[0].group(1).upper() not in ("MATCH", "UNWIND")
+    ):
+        raise CypherUnsupported("query must start with MATCH or UNWIND")
     clauses = []
     for i, m in enumerate(marks):
         kw = re.sub(r"\s+", " ", m.group(1).upper())
         end = marks[i + 1].start() if i + 1 < len(marks) else len(flat)
         clauses.append((kw, flat[m.end():end].strip()))
 
-    ast: dict = {"matches": [], "with": None, "having": [], "return": None,
-                 "order": [], "skip": None, "limit": None, "distinct": False}
+    # WITH-pipeline segmentation (round 8): the query is a chain of
+    # segments, each `[UNWIND*] MATCH* (WHERE*)` closed by a WITH or the
+    # final RETURN projection (with its own ORDER BY/SKIP/LIMIT and a
+    # post-projection WHERE). compile_query threads each segment's
+    # output frame into the next as the carried variable scope.
+    ast: dict = {"segments": []}
 
     def parse_pattern(text: str) -> list:
         """node (rel node)* -> [node0, (rel1, node1), ...]."""
@@ -412,7 +430,10 @@ def parse(query: str) -> dict:
         m = _NODE_PAT.match(text)
         if not m:
             raise CypherUnsupported(f"cannot parse node pattern at: {text[:60]!r}")
-        items.append({"var": m.group(1), "anchor_param": m.group(3)})
+        items.append({
+            "var": m.group(1), "anchor_param": m.group(3),
+            "anchor_env": m.group(4),
+        })
         rest = text[m.end():].strip()
         while rest:
             rm = _REL_PAT.match(rest)
@@ -432,7 +453,10 @@ def parse(query: str) -> dict:
             nm = _NODE_PAT.match(rest)
             if not nm:
                 raise CypherUnsupported(f"cannot parse node pattern at: {rest[:60]!r}")
-            items.append((rel, {"var": nm.group(1), "anchor_param": nm.group(3)}))
+            items.append((rel, {
+                "var": nm.group(1), "anchor_param": nm.group(3),
+                "anchor_env": nm.group(4),
+            }))
             rest = rest[nm.end():].strip()
         return items
 
@@ -512,6 +536,10 @@ def parse(query: str) -> dict:
                     m.group(2), m.group(3), m.group(4),
                 ))
                 continue
+            m = _ITEM_COUNT_STAR_RE.match(raw)
+            if m:
+                items.append(("countstar", None, None, m.group(1)))
+                continue
             m = _ITEM_COLLECT_RE.match(raw)
             if m:
                 items.append((
@@ -536,66 +564,119 @@ def parse(query: str) -> dict:
             # defaults to the expression text, Neo4j's column-name rule
             am2 = re.match(r"^(.*\S)\s+AS\s+(\w+)$", raw, re.I)
             expr_text, alias = (am2.group(1), am2.group(2)) if am2 else (raw, raw)
+            if re.fullmatch(r"\w+", expr_text):
+                # re-aliased bare variable / carried alias: `deg AS d`
+                items.append(("bare", expr_text, None, alias))
+                continue
             items.append(("expr", _parse_expr(expr_text), None, alias))
         return items
 
-    seen_with = False
-    seen_return = False
+    def _new_seg() -> dict:
+        return {"unwind": [], "matches": [], "project": None,
+                "project_star": False, "post_where": [], "order": [],
+                "skip": None, "limit": None, "distinct": False,
+                "is_return": False}
+
+    def _split_patterns(body: str) -> list[str]:
+        # comma-separated patterns (round 7): MATCH (a)-->(b), (a)-->(c)
+        # — Neo4j's branching sugar; each component compiles like its
+        # own MATCH clause, joined on shared variables by the chain
+        # builder. Divergence documented: Cypher's relationship
+        # uniqueness spans ALL patterns of one MATCH, ours is
+        # per-component (same as the multi-MATCH continuation rule).
+        depth = 0
+        start = 0
+        parts: list[str] = []
+        for i, ch in enumerate(body):
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(body[start:i])
+                start = i + 1
+        parts.append(body[start:])
+        return parts
+
+    segments: list[dict] = []
+    seg = _new_seg()
+    stage = "match"  # -> "post" once the segment's WITH/RETURN is seen
+
+    def _close_segment():
+        nonlocal seg, stage
+        if seg["is_return"]:
+            raise CypherUnsupported("no clause may follow RETURN")
+        if seg["project"] is None:
+            raise CypherUnsupported("segment is missing its WITH projection")
+        segments.append(seg)
+        seg = _new_seg()
+        stage = "match"
+
     for kw, body in clauses:
         if kw in ("MATCH", "OPTIONAL MATCH"):
-            if seen_with or seen_return:
-                raise CypherUnsupported("MATCH after WITH/RETURN is unsupported")
-            # comma-separated patterns (round 7): MATCH (a)-->(b), (a)-->(c)
-            # — Neo4j's branching sugar; each component compiles like its
-            # own MATCH clause, joined on shared variables by the chain
-            # builder. Divergence documented: Cypher's relationship
-            # uniqueness spans ALL patterns of one MATCH, ours is
-            # per-component (same as the multi-MATCH continuation rule).
-            depth = 0
-            start = 0
-            parts: list[str] = []
-            for i, ch in enumerate(body):
-                if ch in "([{":
-                    depth += 1
-                elif ch in ")]}":
-                    depth -= 1
-                elif ch == "," and depth == 0:
-                    parts.append(body[start:i])
-                    start = i + 1
-            parts.append(body[start:])
-            for part in parts:
-                ast["matches"].append({
+            if stage == "post":
+                _close_segment()
+            for part in _split_patterns(body):
+                seg["matches"].append({
                     "optional": kw.startswith("OPTIONAL"),
                     "pattern": parse_pattern(part.strip()),
                     "where": [],
                 })
+        elif kw == "UNWIND":
+            if stage == "post":
+                _close_segment()
+            if seg["matches"]:
+                raise CypherUnsupported(
+                    "UNWIND must precede the MATCH clauses of its segment"
+                )
+            um = re.fullmatch(
+                r"(\$\w+|\w+|\[[^\]]*\])\s+AS\s+(\w+)", body.strip(), re.I
+            )
+            if not um:
+                raise CypherUnsupported(f"unsupported UNWIND: {body[:60]!r}")
+            src_txt, alias = um.group(1), um.group(2)
+            if src_txt.startswith("$"):
+                src = ("param", src_txt[1:])
+            elif src_txt.startswith("["):
+                import ast as _pyast
+
+                try:
+                    vals = list(_pyast.literal_eval(src_txt))
+                except (ValueError, SyntaxError) as exc:
+                    raise CypherUnsupported(
+                        f"unsupported UNWIND list literal: {src_txt[:60]!r}"
+                    ) from exc
+                src = ("list", vals)
+            else:
+                src = ("alias", src_txt)
+            seg["unwind"].append((src, alias))
         elif kw == "WHERE":
             conds = parse_conds(body)
-            if seen_with:
-                ast["having"].extend(conds)
-            elif ast["matches"]:
-                ast["matches"][-1]["where"].extend(conds)
+            if stage == "post":
+                # WHERE attached to a WITH: filters the projection
+                # (applied after the WITH's ORDER BY/SKIP/LIMIT, the
+                # clause-order contract)
+                seg["post_where"].extend(conds)
+            elif seg["matches"]:
+                seg["matches"][-1]["where"].extend(conds)
             else:
                 raise CypherUnsupported("WHERE before any MATCH")
-        elif kw == "WITH":
-            if seen_with or seen_return:
-                raise CypherUnsupported("multiple WITH clauses are unsupported")
-            ast["with"] = parse_items(body)
-            seen_with = True
-        elif kw == "RETURN":
-            if seen_return:
-                raise CypherUnsupported("multiple RETURN clauses")
+        elif kw in ("WITH", "RETURN"):
+            if stage == "post":
+                _close_segment()
             dm = re.match(r"DISTINCT\s+", body, re.I)
             if dm:
-                ast["distinct"] = True
+                seg["distinct"] = True
                 body = body[dm.end():]
             if body.strip() == "*":
-                # RETURN * (round 7): every bound variable, in pattern
-                # binding order — nodes project their id, relationships
-                # their similitud, each under its own variable name
+                # WITH * / RETURN * (round 7): every bound variable, in
+                # pattern binding order — nodes project their id,
+                # relationships their similitud, each under its own
+                # variable name. Carried aliases are prepended at
+                # compile time (project_star).
                 star_items: list = []
                 seen_vars: set[str] = set()
-                for mc in ast["matches"]:
+                for mc in seg["matches"]:
                     pat = mc["pattern"]
                     chain = [pat[0]] + [n for _r, n in pat[1:]]
                     rels = [r for r, _n in pat[1:]]
@@ -611,30 +692,40 @@ def parse(query: str) -> dict:
                             star_items.append(
                                 ("prop", rel["var"], "similitud", rel["var"])
                             )
-                ast["return"] = star_items
+                seg["project"] = star_items
+                seg["project_star"] = True
             else:
-                ast["return"] = parse_items(body)
-            seen_return = True
+                seg["project"] = parse_items(body)
+            seg["is_return"] = kw == "RETURN"
+            stage = "post"
         elif kw == "ORDER BY":
-            if not seen_return:
-                raise CypherUnsupported("ORDER BY before RETURN")
+            if stage != "post":
+                raise CypherUnsupported("ORDER BY before WITH/RETURN")
             for raw in body.split(","):
                 m = _ORDER_RE.match(raw.strip())
                 if not m:
                     raise CypherUnsupported(f"unsupported ORDER BY item: {raw!r}")
-                ast["order"].append((m.group(1), (m.group(2) or "ASC").upper()))
+                seg["order"].append((m.group(1), (m.group(2) or "ASC").upper()))
         elif kw in ("LIMIT", "SKIP"):
+            if stage != "post":
+                raise CypherUnsupported(f"{kw} before WITH/RETURN")
             body = body.strip()
             if re.fullmatch(r"\$\w+|\d+", body):
-                ast["limit" if kw == "LIMIT" else "skip"] = body
+                seg["limit" if kw == "LIMIT" else "skip"] = body
             else:
                 raise CypherUnsupported(f"unsupported {kw}: {body!r}")
-    if ast["return"] is None:
+
+    if seg["project"] is None:
         raise CypherUnsupported("query has no RETURN clause")
-    if not ast["matches"]:
+    segments.append(seg)
+    if not segments[-1]["is_return"]:
+        raise CypherUnsupported("query must end with RETURN")
+    first = segments[0]
+    if not first["matches"] and not first["unwind"]:
         raise CypherUnsupported("query has no MATCH clause")
-    if ast["matches"][0]["optional"]:
+    if first["matches"] and first["matches"][0]["optional"] and not first["unwind"]:
         raise CypherUnsupported("the first MATCH cannot be OPTIONAL")
+    ast["segments"] = segments
     return ast
 
 
@@ -647,45 +738,52 @@ def _collect_params(ast) -> list[str]:
         if isinstance(v, str) and v.startswith("$"):
             names.append(v[1:])
 
-    for mc in ast["matches"]:
-        pat = mc["pattern"]
-        for item in pat:
-            node = item if isinstance(item, dict) else item[1]
-            if node.get("anchor_param"):
-                names.append(node["anchor_param"])
-        for c in mc["where"]:
-            if c[0] == "cmp":
-                val_params(c[4])
-            elif c[0] == "in":
+    for seg in ast["segments"]:
+        for src, _alias in seg["unwind"]:
+            if src[0] == "param":
+                names.append(src[1])
+        for mc in seg["matches"]:
+            pat = mc["pattern"]
+            for item in pat:
+                node = item if isinstance(item, dict) else item[1]
+                if node.get("anchor_param"):
+                    names.append(node["anchor_param"])
+            for c in mc["where"]:
+                if c[0] == "cmp":
+                    val_params(c[4])
+                elif c[0] == "in":
+                    val_params(c[3])
+                elif c[0] == "all":
+                    val_params(c[2]); val_params(c[3])
+                elif c[0] == "bare":
+                    val_params(c[3])
+                elif c[0] == "exists":
+                    names.extend(
+                        m.group(1) for m in re.finditer(r"\$(\w+)", c[2])
+                    )
+                elif c[0] == "pattern":
+                    for item in c[2]:
+                        node = item if isinstance(item, dict) else item[1]
+                        if node.get("anchor_param"):
+                            names.append(node["anchor_param"])
+                elif c[0] == "expr_cond":
+                    props: list = []
+                    pars: list = []
+                    _expr_walk(c[1], props, pars)
+                    names.extend(pars)
+        for c in seg["post_where"]:
+            if c[0] == "bare":
                 val_params(c[3])
-            elif c[0] == "all":
-                val_params(c[2]); val_params(c[3])
-            elif c[0] == "bare":
-                val_params(c[3])
-            elif c[0] == "exists":
-                names.extend(m.group(1) for m in re.finditer(r"\$(\w+)", c[2]))
-            elif c[0] == "pattern":
-                for item in c[2]:
-                    node = item if isinstance(item, dict) else item[1]
-                    if node.get("anchor_param"):
-                        names.append(node["anchor_param"])
-            elif c[0] == "expr_cond":
-                props: list = []
-                pars: list = []
-                _expr_walk(c[1], props, pars)
-                names.extend(pars)
-    for c in ast["having"]:
-        if c[0] == "bare":
-            val_params(c[3])
-    for items in (ast["with"] or []), ast["return"] or []:
-        for k, v, _p, _a in items:
+        for k, v, _p, _a in seg["project"] or []:
             if k == "expr":
-                props: list = []
-                pars: list = []
-                _expr_walk(v, props, pars)
-                names.extend(pars)
-    if ast["limit"]:
-        val_params(ast["limit"])
+                props2: list = []
+                pars2: list = []
+                _expr_walk(v, props2, pars2)
+                names.extend(pars2)
+        if seg["limit"]:
+            val_params(seg["limit"])
+        if seg["skip"]:
+            val_params(seg["skip"])
     return names
 
 
@@ -695,9 +793,40 @@ def compile_query(
     edges: DataFrame | None,
     params: dict,
 ) -> DataFrame:
+    """Compile a segmented Cypher AST: each WITH closes a segment whose
+    projected frame becomes the next segment's carried variable scope
+    (threaded through `_compile_segment`)."""
     missing = sorted({p for p in _collect_params(ast) if p not in params})
     if missing:
         raise ValueError(f"unbound Cypher parameters: {missing}")
+    env: DataFrame | None = None
+    env_kinds: dict[str, str] = {}
+    env_small = False
+    for seg in ast["segments"]:
+        env, env_kinds, env_small = _compile_segment(
+            seg, nodes, edges, params, env, env_kinds, env_small
+        )
+    return env
+
+
+def _compile_segment(
+    seg: dict,
+    nodes: DataFrame | None,
+    edges: DataFrame | None,
+    params: dict,
+    env: DataFrame | None,
+    env_kinds: dict[str, str],
+    env_small: bool,
+    raw: bool = False,
+):
+    """One `[UNWIND*] MATCH* [WHERE*] WITH/RETURN` segment -> projected
+    frame. `env` is the previous segment's output (carried aliases as
+    columns; `env_kinds` marks which carry node ids / node-id lists).
+    Returns (frame, kinds, small) — `small` flags a LIMIT-bounded or
+    globally-aggregated frame safe to broadcast into the next segment's
+    join. With raw=True, returns the unprojected chain state
+    (cur, cols, node_vars, rel_vars) — used to compile a deferred
+    OPTIONAL MATCH pattern as its own all-or-nothing chain."""
 
     def resolve(v, as_float=False):
         if isinstance(v, str) and v.startswith("$"):
@@ -708,6 +837,74 @@ def compile_query(
             v = float(v) if ("." in v or as_float) else int(v)
         return float(v) if as_float else v
 
+    # ---- UNWIND: extend / seed the carried scope ---------------------------
+    for usrc, ualias in seg["unwind"]:
+        if usrc[0] == "param":
+            uvals = params[usrc[1]]
+            if not isinstance(uvals, (list, tuple)):
+                raise ValueError(f"${usrc[1]} must bind a list, got {uvals!r}")
+            uvals = list(uvals)
+        elif usrc[0] == "list":
+            uvals = usrc[1]
+        else:
+            uvals = None  # UNWIND of a carried list alias
+        if uvals is not None and env is None:
+            base = nodes if nodes is not None else edges
+            if base is None:
+                raise ValueError("UNWIND query needs the nodes or edges frame")
+            env = base.sparkSession.createDataFrame(
+                [(v,) for v in uvals], [ualias]
+            )
+            env_kinds = {ualias: "value"}
+            env_small = True
+        elif uvals is not None:
+            env = env.select(
+                "*", F.explode(F.array(*[F.lit(v) for v in uvals])).alias(ualias)
+            )
+            env_kinds = {**env_kinds, ualias: "value"}
+        else:
+            src_alias = usrc[1]
+            if env is None or src_alias not in env.columns:
+                raise CypherUnsupported(
+                    f"UNWIND references unknown alias {src_alias!r}"
+                )
+            if ualias == src_alias:
+                raise CypherUnsupported("UNWIND alias must differ from its source")
+            ukind = "node" if env_kinds.get(src_alias) == "node_list" else "value"
+            env = env.select("*", F.explode(F.col(src_alias)).alias(ualias))
+            env_kinds = {**env_kinds, ualias: ukind}
+
+    # ---- split OPTIONAL MATCH clauses that compile as their own chain ------
+    # (a) multi-hop / var-length optional patterns: per-hop left joins
+    # would keep PARTIAL matches; compiling the whole pattern as a
+    # required chain and LEFT-joining it once preserves Cypher's
+    # all-or-nothing contract by construction. (b) a segment that
+    # OPENS with OPTIONAL MATCH (after WITH): the carried scope is the
+    # preserved side.
+    matches = list(seg["matches"])
+    deferred: list[dict] = []
+    if matches and matches[0]["optional"]:
+        if env is None:
+            raise CypherUnsupported("the first MATCH cannot be OPTIONAL")
+        if not all(m["optional"] for m in matches):
+            raise CypherUnsupported(
+                "required MATCH after a segment-opening OPTIONAL MATCH "
+                "is unsupported"
+            )
+        deferred = matches
+        matches = []
+    else:
+        kept: list[dict] = []
+        for mc in matches:
+            hops = mc["pattern"][1:]
+            if mc["optional"] and (
+                len(hops) > 1 or any(r["varlen"] for r, _n in hops)
+            ):
+                deferred.append(mc)
+            else:
+                kept.append(mc)
+        matches = kept
+
     # classify per-clause WHERE atoms onto vars
     rel_guards: dict[str, list] = {}     # rel var -> [(op, value)]
     all_guards: dict[str, tuple] = {}    # rel var -> (lo, hi)
@@ -717,21 +914,36 @@ def compile_query(
     exists_guards: list[tuple[bool, str]] = []  # (negated, inner pattern text)
     pattern_guards: list[tuple[bool, list]] = []  # (negated, pattern items)
     expr_conds: list = []  # computed WHERE conditions (post-chain filters)
+    env_anchors: list[tuple[str, str]] = []  # (node var, carried alias)
+    env_bare: list[tuple[str, str, str]] = []  # (alias, op, value)
 
-    node_vars: set[str] = set()
+    env_node_aliases = (
+        {a for a, k in env_kinds.items() if k == "node"}
+        if env is not None
+        else set()
+    )
+    node_vars: set[str] = set(env_node_aliases)
     rel_vars: set[str] = set()
-    for mc in ast["matches"]:
+    chain_var_set: set[str] = set()  # vars bound by THIS segment's patterns
+    for mc in matches:
         pat = mc["pattern"]
         first = pat[0]
         node_vars.add(first["var"])
+        chain_var_set.add(first["var"])
         if first.get("anchor_param"):
             id_eq[first["var"]] = params[first["anchor_param"]]
+        if first.get("anchor_env"):
+            env_anchors.append((first["var"], first["anchor_env"]))
         for rel, node in pat[1:]:
             if rel["var"]:
                 rel_vars.add(rel["var"])
+                chain_var_set.add(rel["var"])
             node_vars.add(node["var"])
+            chain_var_set.add(node["var"])
             if node.get("anchor_param"):
                 id_eq[node["var"]] = params[node["anchor_param"]]
+            if node.get("anchor_env"):
+                env_anchors.append((node["var"], node["anchor_env"]))
         for c in mc["where"]:
             if c[0] == "all":
                 _, rvar, lo, hi = c
@@ -787,10 +999,22 @@ def compile_query(
                         "null-preserved rows)"
                     )
                 expr_conds.append(c[1])
-            else:  # bare cmp belongs after WITH
-                raise CypherUnsupported(
-                    "bare comparisons are only supported after WITH"
-                )
+            elif c[0] == "bare":
+                # bare alias comparison: a WITH-carried value
+                _, balias, bop, bval = c
+                if env is not None and balias in env_kinds:
+                    if mc["optional"]:
+                        raise CypherUnsupported(
+                            "carried-alias comparisons inside OPTIONAL "
+                            "MATCH are unsupported"
+                        )
+                    env_bare.append((balias, bop, bval))
+                else:
+                    raise CypherUnsupported(
+                        "bare comparisons are only supported after WITH"
+                    )
+            else:
+                raise CypherUnsupported(f"unsupported WHERE atom kind {c[0]!r}")
 
     def rel_filter(rvar):
         cond = F.lit(True)
@@ -812,7 +1036,7 @@ def compile_query(
     anchored = False
     varlen_lens: set[str] = set()
 
-    for ci, mc in enumerate(ast["matches"]):
+    for ci, mc in enumerate(matches):
         pat = mc["pattern"]
         hops = pat[1:]
         first_var = pat[0]["var"]
@@ -831,7 +1055,7 @@ def compile_query(
             if cur is not None:
                 raise CypherUnsupported("bare node pattern after the first MATCH")
             if nodes is None:
-                if len(ast["matches"]) > 1:
+                if len(matches) > 1:
                     raise ValueError(
                         "this query needs both the nodes and edges frames"
                     )
@@ -853,13 +1077,9 @@ def compile_query(
 
         if edges is None:
             raise ValueError("expansion query needs the edges frame")
-        if mc["optional"] and len(hops) > 1:
-            # Cypher's OPTIONAL MATCH is all-or-nothing per pattern; a
-            # per-hop left-join chain would keep PARTIAL matches, so
-            # multi-hop optional patterns raise instead of misreading
-            raise CypherUnsupported(
-                "OPTIONAL MATCH supports a single relationship pattern"
-            )
+        # multi-hop / var-length OPTIONAL MATCH clauses were deferred
+        # above (compiled as their own chain, then ONE left join) — the
+        # per-hop path below only ever sees single plain-hop optionals
 
         for hj, (rel, node) in enumerate(hops):
             hop_n += 1
@@ -1126,9 +1346,101 @@ def compile_query(
                 if ac is not None:
                     cur = cur.filter(ac)
 
-    if prop_guards:
-        leftover = sorted(prop_guards)
-        raise CypherUnsupported(f"property predicates on unbound variables: {leftover}")
+    # ---- join the carried WITH scope ---------------------------------------
+    # The previous segment's projection is the variable environment:
+    # re-matched node aliases and `{id: alias}` anchors join the chain
+    # against it; value aliases ride along for later projection. A
+    # LIMIT-bounded / globally-aggregated env broadcasts.
+    if env is not None:
+        if cur is None:
+            # no chain in this segment (pure projection / deferred
+            # optionals): the carried scope IS the frame
+            cur = env
+            for a in env.columns:
+                if env_kinds.get(a) == "node":
+                    cols[a] = a
+        else:
+            envr = env.select(
+                [F.col(a).alias(f"__env_{a}") for a in env.columns]
+            )
+            shared = [v for v in env.columns if v in cols]
+            env_conds = [cur[cols[v]] == envr[f"__env_{v}"] for v in shared]
+            for avar, aname in env_anchors:
+                if aname not in env.columns:
+                    raise CypherUnsupported(
+                        f"{{id: {aname}}} references no carried alias"
+                    )
+                if avar not in cols:
+                    raise CypherUnsupported(
+                        f"anchor variable {avar!r} is not bound"
+                    )
+                env_conds.append(cur[cols[avar]] == envr[f"__env_{aname}"])
+            if env_conds:
+                jc = env_conds[0]
+                for c in env_conds[1:]:
+                    jc = jc & c
+                cur = cur.join(
+                    F.broadcast(envr) if env_small else envr, jc, "inner"
+                )
+            elif env_small:
+                cur = cur.crossJoin(F.broadcast(envr))
+            else:
+                raise CypherUnsupported(
+                    "MATCH after WITH must share a variable with the "
+                    "carried scope (or the carried rows must be "
+                    "LIMIT-bounded for a cross product)"
+                )
+            for a in env.columns:
+                if a in shared:
+                    cur = cur.drop(f"__env_{a}")
+                else:
+                    cur = cur.withColumnRenamed(f"__env_{a}", a)
+                    if env_kinds.get(a) == "node":
+                        cols[a] = a
+    elif env_anchors:
+        raise CypherUnsupported(
+            "{id: alias} anchors need a carried WITH/UNWIND scope"
+        )
+
+    # ---- deferred OPTIONAL MATCH clauses ------------------------------------
+    # Each compiles as its OWN required chain (guards applied
+    # pattern-side), then ONE left join onto the bound scope — Cypher's
+    # all-or-nothing contract holds by construction for any hop count.
+    for mc in deferred:
+        sub_seg = {
+            "unwind": [], "matches": [{**mc, "optional": False}],
+            "project": None, "project_star": False, "post_where": [],
+            "order": [], "skip": None, "limit": None, "distinct": False,
+            "is_return": False,
+        }
+        sub_cur, sub_cols, sub_nodes, sub_rels = _compile_segment(
+            sub_seg, nodes, edges, params, None, {}, False, raw=True
+        )
+        shared_vars = [v for v in sub_cols if v in cols]
+        if not shared_vars:
+            raise CypherUnsupported(
+                "OPTIONAL MATCH must share a variable with the bound scope"
+            )
+        subr = sub_cur.select(
+            [F.col(c).alias(f"__sub_{c}") for c in sub_cur.columns]
+        )
+        jc = None
+        for v in shared_vars:
+            c = cur[cols[v]] == subr[f"__sub_{sub_cols[v]}"]
+            jc = c if jc is None else jc & c
+        cur = cur.join(subr, jc, "left")
+        for v, scol in sub_cols.items():
+            if v in shared_vars:
+                continue
+            cur = cur.withColumnRenamed(f"__sub_{scol}", scol)
+            cols[v] = scol
+            if v in sub_nodes:
+                node_vars.add(v)
+            if v in sub_rels:
+                rel_vars.add(v)
+        for c in list(cur.columns):
+            if c.startswith("__sub_"):
+                cur = cur.drop(c)
 
     # ---- WHERE [NOT] (a)-[:T]->(b) pattern predicates (round 7) -----------
     # Neo4j's existential sugar. Both endpoints bound -> a direct
@@ -1243,7 +1555,7 @@ def compile_query(
             )
         inner_ast = parse(f"{inner_flat} RETURN {anchor_var}.id AS __ex_id")
         inner_vars = set()
-        for imc in inner_ast["matches"]:
+        for imc in inner_ast["segments"][0]["matches"]:
             pat = imc["pattern"]
             inner_vars.add(pat[0]["var"])
             for rel, node in pat[1:]:
@@ -1317,6 +1629,12 @@ def compile_query(
             return F.lit(params[e[1]])
         if kind == "prop":
             return item_col("prop", e[1], e[2])
+        if kind == "var":
+            # bare identifier: pattern variable (node id / rel weight)
+            # or a WITH-carried alias column
+            if e[1] in cols:
+                return F.col(cols[e[1]])
+            return F.col(e[1])
         if kind == "neg":
             return -expr_col(e[1])
         if kind == "bin":
@@ -1368,16 +1686,27 @@ def compile_query(
         if aggs:
             keys = [(k, v, p, a) for k, v, p, a in items
                     if not (k in _AGG_KINDS or k.startswith("agg:"))]
-            for k, _v, _p, _a in keys:
+            gb = []
+            for k, v, p, a in keys:
                 if k == "bare":
-                    raise CypherUnsupported("bare items cannot mix with aggregates")
-            gb = [
-                (expr_col(v) if k == "expr" else item_col(k, v, p)).alias(a)
-                for k, v, p, a in keys
-            ]
+                    # grouping on a pattern variable (its id / weight)
+                    # or a carried alias column
+                    if v in cols:
+                        gb.append(F.col(cols[v]).alias(a))
+                    elif v in frame.columns:
+                        gb.append(F.col(v).alias(a))
+                    else:
+                        raise CypherUnsupported(f"unknown alias {v!r}")
+                elif k == "expr":
+                    gb.append(expr_col(v).alias(a))
+                else:
+                    gb.append(item_col(k, v, p).alias(a))
             agg_fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             agg_cols = []
             for k, v, p, a in aggs:
+                if k == "countstar":
+                    agg_cols.append(F.count(F.lit(1)).alias(a))
+                    continue
                 if k in _AGG_KINDS:
                     if p is None:
                         if v not in cols:
@@ -1409,9 +1738,15 @@ def compile_query(
         sel = []
         for k, v, p, a in items:
             if k == "bare":
-                if v not in frame.columns:
+                if v in frame.columns:
+                    sel.append(F.col(v).alias(a))
+                elif v in cols:
+                    # bare pattern variable: a node projects its id, a
+                    # relationship its similitud (Neo4j projects whole
+                    # entities; id/weight is our tabular stand-in)
+                    sel.append(F.col(cols[v]).alias(a))
+                else:
                     raise CypherUnsupported(f"unknown alias {v!r}")
-                sel.append(F.col(v).alias(a))
             elif k == "expr":
                 sel.append(expr_col(v).alias(a))
             else:
@@ -1431,55 +1766,99 @@ def compile_query(
                 attach_node_prop(cv, cp)
         cur = cur.filter(cond_col(c_ast))
 
-    out = cur
-    ret_items = ast["return"]
-    if ast["with"] is not None:
-        out = project(out, ast["with"])
-        for c in ast["having"]:
-            if c[0] != "bare":
-                raise CypherUnsupported("post-WITH WHERE supports alias comparisons only")
-            _, alias, op, val = c
-            if alias not in out.columns:
-                raise CypherUnsupported(f"unknown alias {alias!r} in post-WITH WHERE")
-            out = out.filter(_OPS[op](F.col(alias), F.lit(resolve(val))))
-        # RETURN after WITH: bare aliases only
-        sel = []
-        for k, v, _p, a in ret_items:
-            if k != "bare":
-                raise CypherUnsupported("RETURN after WITH supports bare aliases only")
-            if v not in out.columns:
-                raise CypherUnsupported(f"unknown alias {v!r}")
-            sel.append(F.col(v).alias(a))
-        out = out.select(*sel)
-    else:
-        out = project(out, ret_items)
-    if ast["distinct"]:
-        if any(k in _AGG_KINDS for k, *_ in ret_items):
-            raise CypherUnsupported("RETURN DISTINCT with aggregates is unsupported")
+    # guards on carried-but-not-rematched node aliases: their nodes
+    # join attaches lazily, then a plain filter
+    for gvar in [v for v in list(prop_guards) if v in cols and v not in chain_var_set]:
+        for prop, op, v in prop_guards.pop(gvar):
+            pcol = attach_node_prop(gvar, prop)
+            cur = cur.filter(_OPS[op](F.col(pcol), F.lit(v)))
+    for gvar in [v for v in list(id_eq) if v in env_node_aliases and v not in chain_var_set and v in cols]:
+        cur = cur.filter(F.col(cols[gvar]) == F.lit(id_eq.pop(gvar)))
+    for gvar in [v for v in list(id_in) if v in env_node_aliases and v not in chain_var_set and v in cols]:
+        cur = cur.filter(F.col(cols[gvar]).isin(id_in.pop(gvar)))
+    if prop_guards:
+        leftover = sorted(prop_guards)
+        raise CypherUnsupported(
+            f"property predicates on unbound variables: {leftover}"
+        )
+    # carried-alias comparisons written in a MATCH segment's WHERE
+    for balias, bop, bval in env_bare:
+        cur = cur.filter(_OPS[bop](F.col(balias), F.lit(resolve(bval))))
+
+    if raw:
+        return cur, dict(cols), set(node_vars), set(rel_vars)
+
+    # ---- segment projection -------------------------------------------------
+    items = seg["project"]
+    if seg["project_star"] and env is not None:
+        # WITH * / RETURN * after a WITH: carried aliases come first
+        # (Neo4j scope order), then this segment's pattern variables
+        taken = {it[3] for it in items}
+        items = [
+            ("bare", a, None, a) for a in env.columns if a not in taken
+        ] + items
+    out = project(cur, items)
+    if seg["distinct"]:
+        if any(k in _AGG_KINDS for k, *_ in items):
+            raise CypherUnsupported(
+                "DISTINCT with aggregates is unsupported"
+            )
         out = out.distinct()
 
-    # ---- ORDER BY / SKIP / LIMIT --------------------------------------------
-    if ast["order"]:
-        # resolve each order expression to a RETURNED alias
+    # ---- ORDER BY / SKIP / LIMIT / post-projection WHERE ---------------------
+    if seg["order"]:
+        # resolve each order expression to a projected alias
         alias_of: dict[str, str] = {}
-        for k, v, p, a in ret_items:
+        for k, v, p, a in items:
             alias_of[a] = a
             if k == "prop":
                 alias_of[f"{v}.{p}"] = a
             elif k in ("count", "length"):
                 alias_of[f"{k}({v})"] = a
+            elif k == "bare":
+                alias_of[v] = alias_of.get(v, a)
         order_cols = []
-        for expr, direction in ast["order"]:
+        for expr, direction in seg["order"]:
             a = alias_of.get(expr)
             if a is None:
                 raise CypherUnsupported(
-                    f"ORDER BY expression {expr!r} is not in the RETURN list"
+                    f"ORDER BY expression {expr!r} is not in the projection"
                 )
             c = F.col(a)
             order_cols.append(c.desc() if direction == "DESC" else c.asc())
         out = out.orderBy(*order_cols)
-    if ast["skip"] is not None:
-        out = out.offset(int(resolve(ast["skip"])))
-    if ast["limit"] is not None:
-        out = out.limit(int(resolve(ast["limit"])))
-    return out
+    if seg["skip"] is not None:
+        out = out.offset(int(resolve(seg["skip"])))
+    if seg["limit"] is not None:
+        out = out.limit(int(resolve(seg["limit"])))
+    # WHERE attached to a WITH filters its projection; per clause order
+    # it applies after the WITH's ORDER BY/SKIP/LIMIT
+    for c in seg["post_where"]:
+        if c[0] != "bare":
+            raise CypherUnsupported(
+                "post-WITH WHERE supports alias comparisons only"
+            )
+        _, alias, op, val = c
+        if alias not in out.columns:
+            raise CypherUnsupported(
+                f"unknown alias {alias!r} in post-WITH WHERE"
+            )
+        out = out.filter(_OPS[op](F.col(alias), F.lit(resolve(val))))
+
+    # ---- carried-scope metadata for the next segment -------------------------
+    kinds: dict[str, str] = {}
+    for k, v, p, a in items:
+        if k == "bare":
+            if v in node_vars:
+                kinds[a] = "node"
+            else:
+                kinds[a] = env_kinds.get(v, "value")
+        elif k == "prop" and p == "id" and v in node_vars:
+            kinds[a] = "node"
+        elif k in ("collect", "collectd") and p is None and v in node_vars:
+            kinds[a] = "node_list"
+        else:
+            kinds[a] = "value"
+    is_agg = [k in _AGG_KINDS or k.startswith("agg:") for k, *_ in items]
+    small = seg["limit"] is not None or (any(is_agg) and all(is_agg))
+    return out, kinds, small

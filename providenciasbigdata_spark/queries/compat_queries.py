@@ -1876,6 +1876,155 @@ FROM e WHERE src = 'P-7' AND similitud >= 25.0
 """
 
 
+# ---- round 8 Cypher pipelining (verdict-r7 items 1/2/6) --------------------
+
+CYPHER_WITH_CHAIN = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+WITH a.id AS hub, count(b) AS deg
+ORDER BY deg DESC, hub ASC LIMIT 5
+MATCH (c {id: hub})-[r2:SIMILAR]->(d:Providencia)
+WHERE r2.similitud >= $lo2
+RETURN hub, deg, d.id AS vecino, r2.similitud AS similitud
+"""
+
+
+def q_cypher_with_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-pipeline chaining (round 8, verdict-r7 item 1): the
+    standard Cypher composition `MATCH ... WITH agg ... MATCH ...
+    RETURN` — find the 5 highest-degree hubs in a weight band, then
+    expand each hub's strong neighbors in a SECOND MATCH segment. The
+    compiler closes segment 1 as its own aggregate frame (ORDER BY +
+    LIMIT applied there, TakeOrdered) and joins segment 2's edge scan
+    against it via the `{id: hub}` carried-alias anchor; the
+    LIMIT-bounded carried frame broadcasts (compat/cypher.py::
+    _compile_segment)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_WITH_CHAIN, edges=edges,
+        params={"lo": 30.0, "hi": 100.0, "lo2": 32.0},
+    )
+
+
+_CYPHER_WITH_CHAIN_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), hubs AS (
+  SELECT src AS hub, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM e WHERE similitud BETWEEN 30 AND 100
+  GROUP BY src ORDER BY deg DESC, hub ASC LIMIT 5
+)
+SELECT h.hub AS hub, h.deg AS deg, e.dst AS vecino, e.similitud AS similitud
+FROM hubs h JOIN e ON e.src = h.hub
+WHERE e.similitud >= 32
+"""
+
+
+CYPHER_UNWIND_ANCHOR = """
+UNWIND $ids AS pid
+MATCH (a:Providencia {id: pid})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo AND r.similitud <= $hi
+RETURN a.id AS origen, count(b) AS vecinos, max(r.similitud) AS top_sim
+"""
+
+
+def q_cypher_unwind_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNWIND parameter batches (round 8, verdict-r7 item 2): the
+    standard way Cypher users anchor a pattern on a LIST of ids —
+    `UNWIND $ids AS pid MATCH (a {id: pid})-...`. The parameter list
+    seeds a driver-sized carried frame; the `{id: pid}` anchor joins
+    the (broadcast) seed frame into the edge scan; ids with no
+    qualifying match drop (MATCH is required — only OPTIONAL MATCH
+    preserves)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_UNWIND_ANCHOR, edges=edges,
+        params={"ids": ["P-7", "P-11", "P-23", "P-999"],
+                "lo": 30.0, "hi": 100.0},
+    )
+
+
+_CYPHER_UNWIND_ANCHOR_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT src AS origen, CAST(COUNT(*) AS BIGINT) AS vecinos,
+       MAX(similitud) AS top_sim
+FROM e
+WHERE src IN ('P-7', 'P-11', 'P-23', 'P-999')
+  AND similitud BETWEEN 30 AND 100
+GROUP BY src
+"""
+
+
+CYPHER_OPTIONAL_TWO_HOP = """
+MATCH (a:Providencia {id: $origen})
+OPTIONAL MATCH (a)-[r1:SIMILAR]->(b:Providencia)-[r2:SIMILAR]->(c:Providencia)
+WHERE r1.similitud >= $lo1 AND r2.similitud >= $lo2
+RETURN a.id AS origen, b.id AS intermedio, c.id AS destino
+"""
+
+
+def q_cypher_optional_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop OPTIONAL MATCH (round 8, verdict-r7 item 6): the
+    optional pattern compiles as its OWN required chain (hop joins +
+    weight guards applied pattern-side, relationship uniqueness
+    between r1/r2), then ONE left join onto the anchor — Cypher's
+    all-or-nothing contract holds by construction: an anchor with no
+    complete qualifying 2-hop path keeps exactly one row with NULL
+    intermedio/destino, never a partial first hop."""
+    from providenciasbigdata_spark.compat.documents import rulings_view
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    nodes = rulings_view(load_table(spark, sf_dir, "documents")).select(
+        F.col("providencia").alias("id")
+    )
+    return cypher_run(
+        CYPHER_OPTIONAL_TWO_HOP, nodes=nodes, edges=edges,
+        params={"origen": "P-7", "lo1": 30.0, "lo2": 32.0},
+    )
+
+
+_CYPHER_OPTIONAL_TWO_HOP_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), n AS (
+  SELECT 'P-' || CAST(doc_id AS VARCHAR) AS id FROM documents
+), hit AS (
+  SELECT h1.src AS o, h1.dst AS intermedio, h2.dst AS destino
+  FROM e h1 JOIN e h2 ON h2.src = h1.dst
+  WHERE h1.similitud >= 30 AND h2.similitud >= 32
+    AND NOT (h2.src = h1.src AND h2.dst = h1.dst)
+)
+SELECT n.id AS origen, hit.intermedio, hit.destino
+FROM n LEFT JOIN hit ON hit.o = n.id
+WHERE n.id = 'P-7'
+"""
+
+
 CYPHER_UNION = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo
@@ -3446,4 +3595,9 @@ QUERIES = {
     "cypher_pattern_predicate": (q_cypher_pattern_predicate, _CYPHER_PATTERN_PRED_SQL),
     "cypher_branching_pattern": (q_cypher_branching_pattern, _CYPHER_BRANCHING_SQL),
     "cypher_computed_where": (q_cypher_computed_where, _CYPHER_COMPUTED_WHERE_SQL),
+    "cypher_with_chain": (q_cypher_with_chain, _CYPHER_WITH_CHAIN_SQL),
+    "cypher_unwind_anchor": (q_cypher_unwind_anchor, _CYPHER_UNWIND_ANCHOR_SQL),
+    "cypher_optional_two_hop": (
+        q_cypher_optional_two_hop, _CYPHER_OPTIONAL_TWO_HOP_SQL,
+    ),
 }

@@ -274,8 +274,6 @@ def test_cypher_generic_compiler_capabilities(spark):
     for bad in (
         # multiple relationship types
         "MATCH (a {id:$o})-[r:OTHER]->(b) RETURN a.id AS x, b.id AS y",
-        # bare variable in RETURN
-        "MATCH (a {id:$o})-[r:SIMILAR]->(b) RETURN a, b",
         # disconnected second MATCH (unbound from-variable)
         "MATCH (a {id:$o})-[r:SIMILAR]->(b) MATCH (x)-[s:SIMILAR]->(y) "
         "RETURN a.id AS p, y.id AS q",
@@ -283,17 +281,51 @@ def test_cypher_generic_compiler_capabilities(spark):
         with pytest.raises(ValueError):
             cypher_run(bad, edges=edges, params={"o": "P-7"})
 
-    # multi-hop OPTIONAL MATCH: all-or-nothing semantics would be
-    # violated by a per-hop left-join chain — must raise the specific
-    # guard (nodes provided so the missing-frame check can't mask it)
-    with pytest.raises(ValueError, match="single relationship"):
-        cypher_run(
-            "MATCH (a:Providencia {id:$o}) "
-            "OPTIONAL MATCH (a)-[r:SIMILAR]->(b)-[s:SIMILAR]->(c) "
-            "RETURN a.id AS x, c.id AS y",
-            nodes=nodes_view(load_table(spark, SF, "documents")),
+    # bare variables in RETURN project node ids (round 8) — same rows
+    # as the explicit .id projection
+    bare = cypher_run(
+        "MATCH (a {id:$o})-[r:SIMILAR]->(b) RETURN a, b",
+        edges=edges, params={"o": "P-7"},
+    )
+    explicit = cypher_run(
+        "MATCH (a {id:$o})-[r:SIMILAR]->(b) RETURN a.id AS a, b.id AS b",
+        edges=edges, params={"o": "P-7"},
+    )
+    assert sorted(map(tuple, bare.collect())) == sorted(
+        map(tuple, explicit.collect())
+    ) and bare.columns == ["a", "b"]
+
+    # multi-hop OPTIONAL MATCH (round 8): compiled as its own chain +
+    # ONE left join, so all-or-nothing semantics hold — an anchor with
+    # no full 2-hop path keeps exactly one NULL-extended row
+    om = cypher_run(
+        "MATCH (a:Providencia {id:$o}) "
+        "OPTIONAL MATCH (a)-[r:SIMILAR]->(b)-[s:SIMILAR]->(c) "
+        "RETURN a.id AS x, c.id AS y",
+        nodes=nodes_view(load_table(spark, SF, "documents")),
+        edges=edges, params={"o": "P-7"},
+    ).collect()
+    want2hop = {
+        tuple(r)
+        for r in cypher_run(
+            "MATCH (a:Providencia {id:$o})-[r:SIMILAR]->(b)"
+            "-[s:SIMILAR]->(c) RETURN a.id AS x, c.id AS y",
             edges=edges, params={"o": "P-7"},
-        )
+        ).collect()
+    }
+    if want2hop:
+        assert {tuple(r) for r in om} == want2hop
+    else:
+        assert [tuple(r) for r in om] == [("P-7", None)]
+    # an anchor with NO outgoing edges at all is preserved with NULL
+    om0 = cypher_run(
+        "MATCH (a:Providencia {id:$o}) "
+        "OPTIONAL MATCH (a)-[r:SIMILAR]->(b)-[s:SIMILAR]->(c) "
+        "RETURN a.id AS x, c.id AS y",
+        nodes=nodes_view(load_table(spark, SF, "documents")),
+        edges=edges.limit(0), params={"o": "P-7"},
+    ).collect()
+    assert [tuple(r) for r in om0] == [("P-7", None)]
 
 
 def test_mql_array_operators_semantics(spark):
@@ -2255,3 +2287,116 @@ def test_cypher_return_star(spark):
     assert out.columns == ["a", "b", "r"]
     rows = {tuple(r) for r in out.collect()}
     assert rows == {("P-1", "P-2", 40.0), ("P-1", "P-3", 20.0)}
+
+
+def test_cypher_with_chain_pipeline(spark):
+    """MATCH...WITH...MATCH (round 8): hand-checkable two-segment
+    pipelines on the mini graph (out-degrees: P-1:2, others:1)."""
+    _nodes, edges = _mini_graph(spark)
+
+    # aggregate + ORDER/LIMIT in the WITH, re-anchor via {id: alias}
+    out = cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b) "
+        "WITH a.id AS hub, count(b) AS deg ORDER BY deg DESC, hub ASC LIMIT 1 "
+        "MATCH (c {id: hub})-[r2:SIMILAR]->(d) "
+        "RETURN hub, deg, d.id AS nb",
+        edges=edges, params={},
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("P-1", 2, "P-2"), ("P-1", 2, "P-3"),
+    ]
+
+    # carry the NODE VARIABLE itself and re-match it in segment 2
+    out2 = cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b) WHERE r.similitud >= 40 "
+        "WITH b, r.similitud AS w "
+        "MATCH (b)-[r2:SIMILAR]->(c) "
+        "RETURN b, w, c.id AS nxt",
+        edges=edges, params={},
+    )
+    assert sorted(map(tuple, out2.collect())) == [
+        ("P-1", 45.0, "P-2"), ("P-1", 45.0, "P-3"),
+        ("P-2", 40.0, "P-4"), ("P-5", 50.0, "P-1"),
+    ]
+
+    # multiple WITH clauses; WHERE after the second filters aliases
+    out3 = cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b) WITH a.id AS x, count(b) AS deg "
+        "WITH x, deg WHERE deg >= 2 RETURN x, deg",
+        edges=edges, params={},
+    )
+    assert [tuple(r) for r in out3.collect()] == [("P-1", 2)]
+
+    # MATCH after WITH with neither a shared variable nor a LIMIT
+    # bound raises (an unbounded cross product would misread)
+    with pytest.raises(ValueError, match="share a variable"):
+        cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) WITH a.id AS x, count(b) AS deg "
+            "MATCH (p)-[q:SIMILAR]->(s) RETURN x, s.id AS y",
+            edges=edges, params={},
+        )
+
+
+def test_cypher_unwind(spark):
+    """UNWIND (round 8): parameter batches seed the carried scope;
+    `{id: alias}` anchors join it into the pattern. Ids with no match
+    drop (MATCH is required). Collected lists round-trip."""
+    _nodes, edges = _mini_graph(spark)
+
+    out = cypher_run(
+        "UNWIND $ids AS i MATCH (a {id: i})-[r:SIMILAR]->(b) "
+        "RETURN a.id AS src, b.id AS dst, r.similitud AS w",
+        edges=edges, params={"ids": ["P-1", "P-9"]},
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("P-1", "P-2", 40.0), ("P-1", "P-3", 20.0),
+    ]
+
+    # pure UNWIND projection (no MATCH needed beyond the seed)
+    out2 = cypher_run(
+        "UNWIND [1, 2, 3] AS n RETURN n, n * 2 AS dbl",
+        edges=edges, params={},
+    )
+    assert sorted(map(tuple, out2.collect())) == [(1, 2), (2, 4), (3, 6)]
+
+    # collect() -> UNWIND -> re-match: the list carries NODE ids
+    out3 = cypher_run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) WITH a, collect(b) AS bs "
+        "UNWIND bs AS nb MATCH (nb)-[r2:SIMILAR]->(c) "
+        "RETURN nb, c.id AS nxt",
+        edges=edges, params={"o": "P-1"},
+    )
+    assert sorted(map(tuple, out3.collect())) == [
+        ("P-2", "P-4"), ("P-3", "P-5"),
+    ]
+
+
+def test_cypher_with_order_limit_where_clause_order(spark):
+    """ORDER BY/SKIP/LIMIT belong to their WITH; a WHERE written after
+    them filters the already-limited rows (clause order)."""
+    _nodes, edges = _mini_graph(spark)
+    # per-source degrees: P-1:2, P-2:1, P-3:1, P-5:1. ORDER deg DESC,
+    # x ASC LIMIT 2 -> (P-1,2),(P-2,1); WHERE deg >= 2 then keeps P-1
+    out = cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b) WITH a.id AS x, count(b) AS deg "
+        "ORDER BY deg DESC, x ASC LIMIT 2 WHERE deg >= 2 "
+        "RETURN x, deg",
+        edges=edges, params={},
+    )
+    assert [tuple(r) for r in out.collect()] == [("P-1", 2)]
+
+
+def test_cypher_count_star_and_carried_props(spark):
+    """count(*) aggregates rows; node properties of a carried alias
+    stay projectable in later segments (lazy nodes join)."""
+    nodes, edges = _mini_graph(spark)
+    out = cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b) WITH a, count(*) AS deg "
+        "MATCH (a)-[r2:SIMILAR]->(c) WHERE r2.similitud >= 40 "
+        "RETURN a.anio AS anio, deg, c.id AS strong",
+        nodes=nodes, edges=edges, params={},
+    )
+    # strong edges: P-1->P-2(40), P-3->P-5(50), P-5->P-1(45)
+    assert sorted(map(tuple, out.collect())) == [
+        (2001, 2, "P-2"), (2003, 1, "P-5"), (2005, 1, "P-1"),
+    ]
