@@ -2618,6 +2618,41 @@ _SHORTEST_PATH_RE = re.compile(
 # oracle's recursion cap.
 _SHORTEST_PATH_MAX_HOPS = 30
 
+# allShortestPaths (round 8, verdict-r7 item 5): Neo4j returns one row
+# PER shortest path; the tabular stand-in is sigma rows of length(p).
+# The optional `*..N` bound caps the traversal (default: the 30-hop
+# shortestPath cap).
+_ALL_SHORTEST_RE = re.compile(
+    r"^\s*MATCH\s+(\w+)\s*=\s*allShortestPaths\s*\(\s*"
+    r"\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*:\s*SIMILAR\s*\*\s*(?:\.\.\s*(\d+))?\s*\]\s*-\s*"
+    r"\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)\s*\)\s*"
+    r"WHERE\s+ALL\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*\1\s*\)\s+WHERE\s+"
+    r"\7\.similitud\s*>=\s*\$(\w+)\s+AND\s+\7\.similitud\s*<=\s*\$(\w+)\s*\)\s*"
+    r"RETURN\s+length\s*\(\s*\1\s*\)\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
+# cheapestPath (round 8, verdict-r7 item 5): weighted shortest path —
+# the GDS-Dijkstra stand-in, a DOCUMENTED EXTENSION (core Cypher has
+# no weighted shortest path; Neo4j ships it in the GDS library). Edge
+# cost = 100 - similitud (the dissimilarity distance, the natural
+# metric on a 0-100 similarity graph); the REQUIRED `*..N` bound caps
+# the objective at N hops (hop-bounded Bellman-Ford — the well-defined
+# objective on cyclic graphs; see operators.graph_algos.sssp_distances
+# for the FP-exactness argument). Returns one row `cost(p)` or no rows
+# when unreachable within the bound.
+_CHEAPEST_PATH_RE = re.compile(
+    r"^\s*MATCH\s+(\w+)\s*=\s*cheapestPath\s*\(\s*"
+    r"\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)"
+    r"\s*-\s*\[\s*:\s*SIMILAR\s*\*\s*\.\.\s*(\d+)\s*\]\s*-\s*"
+    r"\(\s*(\w+)\s*:\s*Providencia\s*\{\s*id\s*:\s*\$(\w+)\s*\}\s*\)\s*\)\s*"
+    r"WHERE\s+ALL\s*\(\s*(\w+)\s+IN\s+relationships\s*\(\s*\1\s*\)\s+WHERE\s+"
+    r"\7\.similitud\s*>=\s*\$(\w+)\s+AND\s+\7\.similitud\s*<=\s*\$(\w+)\s*\)\s*"
+    r"RETURN\s+cost\s*\(\s*\1\s*\)\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+
 
 def cypher_run(
     query: str,
@@ -2669,6 +2704,61 @@ def cypher_run(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out if is_all else out.distinct()
+
+    m = _ALL_SHORTEST_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("allShortestPaths query needs the edges frame")
+        src_p, dst_p = m.group(3), m.group(6)
+        cap = int(m.group(4)) if m.group(4) else _SHORTEST_PATH_MAX_HOPS
+        lo_p, hi_p, out_len = m.group(8), m.group(9), m.group(10)
+        missing = [p for p in (src_p, dst_p, lo_p, hi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        from providenciasbigdata_spark.operators.graph_algos import (
+            shortest_path_sigma,
+        )
+
+        filtered = edges.filter(
+            F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+        )
+        hit = shortest_path_sigma(
+            filtered, params[src_p], params[dst_p],
+            directed=False, max_hops=cap,
+        ).first()
+        spark = edges.sparkSession
+        if hit is None:
+            return spark.createDataFrame([], f"{out_len} long")
+        # one row per shortest path, Neo4j's cardinality (sigma is the
+        # target's completed Brandes count — driver-sized by definition)
+        return spark.range(int(hit["sigma"])).select(
+            F.lit(int(hit["hops"])).cast("long").alias(out_len)
+        )
+
+    m = _CHEAPEST_PATH_RE.match(flat)
+    if m:
+        if edges is None:
+            raise ValueError("cheapestPath query needs the edges frame")
+        src_p, dst_p = m.group(3), m.group(6)
+        cap = int(m.group(4))
+        lo_p, hi_p, out_cost = m.group(8), m.group(9), m.group(10)
+        missing = [p for p in (src_p, dst_p, lo_p, hi_p) if p not in params]
+        if missing:
+            raise ValueError(f"unbound Cypher parameters: {missing}")
+        from providenciasbigdata_spark.operators.graph_algos import sssp_distances
+
+        filtered = edges.filter(
+            F.col("similitud").between(float(params[lo_p]), float(params[hi_p]))
+        ).withColumn("w", F.lit(100.0) - F.col("similitud"))
+        # undirected pattern: relax over both orientations; parallel
+        # edges keep the cheapest (shortest-path semantics)
+        fw = filtered.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        bw = filtered.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
+        sym = fw.unionByName(bw).groupBy("u", "v").agg(F.min("w").alias("w"))
+        d = sssp_distances(sym, params[src_p], src="u", dst="v", max_hops=cap)
+        return d.filter(F.col("id") == F.lit(params[dst_p])).select(
+            F.col("d").alias(out_cost)
+        )
 
     m = _SHORTEST_PATH_RE.match(flat)
     if m:

@@ -237,6 +237,71 @@ def bfs_distances(
     return out
 
 
+def shortest_path_sigma(
+    edges: DataFrame,
+    anchor,
+    target,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 30,
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Length of the shortest anchor->target path AND the number of
+    distinct shortest paths (Cypher's ``allShortestPaths`` cardinality)
+    — Brandes' forward sigma pass restricted to one seed: BFS levels
+    carry ``sigma(v)`` = number of shortest anchor->v paths, each level
+    one frontier-edge join + grouped SUM + visited anti-join (level
+    frames are frontier-sized, never the graph), early exit at the
+    target's level (its sigma is complete the level it first appears —
+    BFS level order; shortest paths cannot revisit a node, so walk
+    counting and simple-path counting agree at the minimum depth).
+
+    Output: one row (hops BIGINT, sigma BIGINT), or an empty frame if
+    the target is unreachable within ``max_hops``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    if not directed:
+        e = symmetrize(edges, src, dst)
+    e = e.persist()
+    spark = edges.sparkSession
+    ckpt = _truncator(spark, checkpoint_dir)
+    level = spark.createDataFrame([(anchor, 1)], "id string, sigma long")
+    level = level.withColumn("id", F.col("id").cast(e.schema["u"].dataType))
+    visited = level.select("id")
+    if anchor == target:
+        e.unpersist()
+        return spark.createDataFrame(
+            [(0, 1)], "hops long, sigma long"
+        )
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(level.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, "id", "left_anti")
+        )
+        nxt = ckpt(nxt)
+        # ONE action per level: frontier size + the target's sigma
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.when(F.col("id") == F.lit(target), F.col("sigma"))
+            ).alias("t"),
+        ).first()
+        if stats["n"] == 0:
+            break
+        if stats["t"] is not None:
+            e.unpersist()
+            return spark.createDataFrame(
+                [(hop, int(stats["t"]))], "hops long, sigma long"
+            )
+        visited = visited.union(nxt.select("id"))
+        level = nxt
+    e.unpersist()
+    return spark.createDataFrame([], "hops long, sigma long")
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

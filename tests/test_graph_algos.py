@@ -82,6 +82,88 @@ def test_bfs_distances_chain_and_direction(spark):
     assert trunc == {"a": 0, "b": 1, "c": 1}
 
 
+def test_shortest_path_sigma_diamond(spark):
+    """Hand-checkable sigma counting (round 8): diamond graph with two
+    equal-length A->D paths plus a longer detour; tie handling (sigma
+    2), unreachability (empty frame), undirected mode, and the
+    anchor==target degenerate case."""
+    from providenciasbigdata_spark.operators.graph_algos import shortest_path_sigma
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"),
+         ("A", "E"), ("E", "F"), ("F", "D")],
+        "src string, dst string",
+    )
+    row = shortest_path_sigma(edges, "A", "D", directed=True, max_hops=6).first()
+    assert (row["hops"], row["sigma"]) == (2, 2)
+    # directed: D cannot reach A
+    assert (
+        shortest_path_sigma(edges, "D", "A", directed=True, max_hops=6).count()
+        == 0
+    )
+    # undirected: it can, same sigma by symmetry
+    row2 = shortest_path_sigma(edges, "D", "A", directed=False, max_hops=6).first()
+    assert (row2["hops"], row2["sigma"]) == (2, 2)
+    # anchor == target: the empty path
+    row0 = shortest_path_sigma(edges, "A", "A").first()
+    assert (row0["hops"], row0["sigma"]) == (0, 1)
+    # hop cap short of the target: unreachable within bound
+    assert (
+        shortest_path_sigma(edges, "A", "D", directed=True, max_hops=1).count()
+        == 0
+    )
+
+
+def test_cypher_all_shortest_and_cheapest_routes(spark):
+    """The two round-8 Cypher path routes on a hand-checkable weighted
+    diamond: allShortestPaths emits one row per tied path; cheapestPath
+    minimizes 100-similitud cost, which here prefers a 2-hop path over
+    the direct 1-hop edge."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    edges = spark.createDataFrame(
+        [("A", "B", 90.0), ("B", "D", 95.0), ("A", "C", 90.0),
+         ("C", "D", 85.0), ("A", "D", 20.0)],
+        "src string, dst string, similitud double",
+    )
+    # lo=50 excludes the direct edge: two tied 2-hop shortest paths
+    out = cypher_run(
+        "MATCH p = allShortestPaths((a:Providencia {id: $s})"
+        "-[:SIMILAR*..5]-(b:Providencia {id: $d})) "
+        "WHERE all(x IN relationships(p) WHERE x.similitud >= $lo "
+        "AND x.similitud <= $hi) RETURN length(p) AS saltos",
+        edges=edges, params={"s": "A", "d": "D", "lo": 50.0, "hi": 100.0},
+    )
+    assert [r["saltos"] for r in out.collect()] == [2, 2]
+    # lo=10 admits the direct edge: ONE 1-hop shortest path
+    out1 = cypher_run(
+        "MATCH p = allShortestPaths((a:Providencia {id: $s})"
+        "-[:SIMILAR*..5]-(b:Providencia {id: $d})) "
+        "WHERE all(x IN relationships(p) WHERE x.similitud >= $lo "
+        "AND x.similitud <= $hi) RETURN length(p) AS saltos",
+        edges=edges, params={"s": "A", "d": "D", "lo": 10.0, "hi": 100.0},
+    )
+    assert [r["saltos"] for r in out1.collect()] == [1]
+    # cheapest: direct costs 80; A->B->D costs 10+5=15 — hops lose
+    out2 = cypher_run(
+        "MATCH p = cheapestPath((a:Providencia {id: $s})"
+        "-[:SIMILAR*..5]-(b:Providencia {id: $d})) "
+        "WHERE all(x IN relationships(p) WHERE x.similitud >= $lo "
+        "AND x.similitud <= $hi) RETURN cost(p) AS costo",
+        edges=edges, params={"s": "A", "d": "D", "lo": 10.0, "hi": 100.0},
+    )
+    assert [r["costo"] for r in out2.collect()] == [15.0]
+    # unreachable within the weight band: no rows, like Bolt
+    out3 = cypher_run(
+        "MATCH p = cheapestPath((a:Providencia {id: $s})"
+        "-[:SIMILAR*..5]-(b:Providencia {id: $d})) "
+        "WHERE all(x IN relationships(p) WHERE x.similitud >= $lo "
+        "AND x.similitud <= $hi) RETURN cost(p) AS costo",
+        edges=edges, params={"s": "A", "d": "D", "lo": 99.0, "hi": 100.0},
+    )
+    assert out3.count() == 0
+
+
 def test_sssp_unit_weights_equal_bfs_hops(spark):
     """With every edge weight 1.0, hop-bounded SSSP distances must
     equal BFS hop counts exactly."""
