@@ -168,6 +168,12 @@ HEADLINE = [
     "mql_lookup_pipeline",      # per-key window top-k lookup
     "drift_chisq_event_types",
     "multimodal_shot_boundaries",
+    # round 8
+    "cypher_with_chain",        # WITH-pipeline segment chaining
+    "cypher_unwind_anchor",     # UNWIND param batch anchoring
+    "cypher_optional_two_hop",  # deferred all-or-nothing left join
+    "cypher_all_shortest_paths",  # Brandes sigma forward pass
+    "cypher_cheapest_path",     # weighted SSSP on the Cypher surface
 ]
 
 
@@ -216,17 +222,23 @@ def _isolated(name: str, sf_dir: str) -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
     fn, _sql = registry[name]
-    best = float("inf")
-    for attempt in range(3):
+    attempts: list[float] = []
+    for attempt in range(2):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        if attempt:  # run 0 = compilation warmup, excluded
-            best = min(best, dt)
+        attempts.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
-    print(json.dumps({"name": name, "isolated_sec": round(best, 3)}), flush=True)
+    # run 0 = codegen/JIT warmup; run 1 is the isolated-warm reading.
+    # Robustness across host bursts comes from the PARENT's median of 3
+    # fresh subprocesses, not from more repeats inside one burst window.
+    print(
+        json.dumps(
+            {"name": name, "attempts": attempts, "isolated_sec": attempts[-1]}
+        ),
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -303,28 +315,52 @@ def main() -> None:
     # queries, so `isolated_sec` is plan execution cost and any gap to
     # the in-bench number is measurement context, adjudicated by the
     # artifact itself instead of a judge re-run.
+    import statistics
     import subprocess
 
     slow_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
     isolated: dict[str, float] = {}
+    isolated_runs: dict[str, list[float]] = {}
+    isolated_probes: dict[str, list[float]] = {}
     for n in slow_names:
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--isolated", n],
-                capture_output=True,
-                text=True,
-                timeout=420,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            )
-            last = out.stdout.strip().splitlines()[-1]
-            isolated[n] = json.loads(last)["isolated_sec"]
+        # median of 3 FRESH-SUBPROCESS runs (verdict-r7 item 4): a
+        # single isolated reading lands in whatever host-interference
+        # window happens to be open (r7 recorded minhash_near_dups at
+        # 13.0s isolated vs 2.8s in-bench — a burst, not the plan); the
+        # median of three runs minutes apart survives one burst. A
+        # probe rides BEFORE each run and AFTER the last, so any
+        # remaining skew is visible in the artifact itself.
+        runs: list[float] = []
+        probes: list[float] = []
+        for _r in range(3):
+            probes.append(round(_probe(spark), 3))
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--isolated", n],
+                    capture_output=True,
+                    text=True,
+                    timeout=420,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                )
+                last = out.stdout.strip().splitlines()[-1]
+                runs.append(json.loads(last)["isolated_sec"])
+            except Exception as exc:  # a broken isolate must not sink the bench
+                print(
+                    f"[bench] isolated {n} run FAILED: {exc}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        probes.append(round(_probe(spark), 3))
+        if runs:
+            isolated[n] = round(statistics.median(runs), 3)
+            isolated_runs[n] = runs
+            isolated_probes[n] = probes
             print(
-                f"[bench] isolated {n}: {isolated[n]:.2f}s (in-bench {timings[n]:.2f}s)",
+                f"[bench] isolated {n}: median {isolated[n]:.2f}s of {runs} "
+                f"(in-bench {timings[n]:.2f}s, probes {probes})",
                 file=sys.stderr,
                 flush=True,
             )
-        except Exception as exc:  # a broken isolate must not sink the bench
-            print(f"[bench] isolated {n} FAILED: {exc}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -333,6 +369,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "isolated_sec": isolated,
+        "isolated_runs": isolated_runs,
+        "isolated_probes": isolated_probes,
         "sf": sf,
         "probe_sec": round(probe_sec, 3),
     }

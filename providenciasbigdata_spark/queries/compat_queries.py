@@ -2418,6 +2418,90 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 """
 
 
+def q_mql_window_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 5.0 window ``$covariancePop``/``$covarianceSamp`` inside
+    $setWindowFields (round 8, verdict-r7 item 9): per event type, the
+    trailing-4 covariance of (value, user_id). Window frames evaluate
+    sequentially so the co-moment accumulation is order-deterministic;
+    rounded to 6 digits because the engines' streaming updates may
+    differ in the last ulp. Single-row frames: covar_samp is NULL
+    (n-1 = 0), covar_pop is 0 — both engines agree."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    out = mql_aggregate(
+        ev,
+        [{"$setWindowFields": {
+            "partitionBy": "$event_type",
+            "sortBy": {"event_id": 1},
+            "output": {
+                "cov_p": {"$covariancePop": ["$value", "$user_id"],
+                          "window": {"documents": [-3, "current"]}},
+                "cov_s": {"$covarianceSamp": ["$value", "$user_id"],
+                          "window": {"documents": [-3, "current"]}},
+            },
+        }}],
+    )
+    return out.select(
+        "event_id", "event_type",
+        F.round("cov_p", 6).alias("cov_p"),
+        F.round("cov_s", 6).alias("cov_s"),
+    )
+
+
+_MQL_WINDOW_COV_SQL = """
+SELECT event_id, event_type,
+       ROUND(COVAR_POP(value, user_id) OVER w, 6) AS cov_p,
+       ROUND(COVAR_SAMP(value, user_id) OVER w, 6) AS cov_s
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_mql_iso_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 8601 date parts (round 8, verdict-r7 item 9): $isoWeek /
+    $isoDayOfWeek / $isoWeekYear / $week / $dayOfYear / $dayOfWeek plus
+    a $dateToString with the ISO %G-W%V-%u specifiers. Spark bans
+    week-based pattern letters since 3.0, so the ISO fields compile to
+    computed columns concatenated between date_format runs
+    (compat/ir.py::_date_to_string_col); $isoWeekYear is the year of
+    the ISO week's Thursday. $week is Mongo's Sunday-start week 0-53:
+    floor((dayOfYear + 6 - sundayStartDow0) / 7)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return mql_aggregate(
+        ev,
+        [{"$project": {
+            "event_id": 1,
+            "iso_week": {"$isoWeek": "$ts"},
+            "iso_dow": {"$isoDayOfWeek": "$ts"},
+            "iso_year": {"$isoWeekYear": "$ts"},
+            "week_sun": {"$week": "$ts"},
+            "doy": {"$dayOfYear": "$ts"},
+            "dow": {"$dayOfWeek": "$ts"},
+            "iso_label": {"$dateToString": {"date": "$ts",
+                                            "format": "%G-W%V-%u"}},
+        }}],
+    )
+
+
+_MQL_ISO_DATE_SQL = """
+SELECT event_id,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       CAST(isodow(ts) AS INT) AS iso_dow,
+       CAST(isoyear(ts) AS INT) AS iso_year,
+       CAST(FLOOR((dayofyear(ts) + 6 - dayofweek(ts)) / 7) AS INT) AS week_sun,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       strftime(ts, '%G-W%V-%u') AS iso_label
+FROM events
+"""
+
+
 def q_mql_agg_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$setWindowFields (verdict-r5 item 2): per-tipo running sum of
     anio, document number, a ±2 RANGE window count on doc_id, a
@@ -3655,6 +3739,8 @@ QUERIES = {
     "mql_regex_expr": (q_mql_regex_expr, _MQL_REGEX_EXPR_SQL),
     "mql_agg_percentile": (q_mql_agg_percentile, _MQL_PERCENTILE_SQL),
     "mql_window_percentile": (q_mql_window_percentile, _MQL_WINDOW_PCT_SQL),
+    "mql_window_covariance": (q_mql_window_covariance, _MQL_WINDOW_COV_SQL),
+    "mql_iso_date_parts": (q_mql_iso_date_parts, _MQL_ISO_DATE_SQL),
     "mql_lookup_pipeline": (q_mql_lookup_pipeline, _MQL_LOOKUP_PIPELINE_SQL),
     "mql_datetime_expr": (q_mql_datetime_expr, _MQL_DATETIME_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),

@@ -2400,3 +2400,44 @@ def test_cypher_count_star_and_carried_props(spark):
     assert sorted(map(tuple, out.collect())) == [
         (2001, 2, "P-2"), (2003, 1, "P-5"), (2005, 1, "P-1"),
     ]
+
+
+def test_mql_iso_date_parts_year_boundaries(spark):
+    """ISO week fields at year boundaries (round 8): Jan 1 can belong
+    to the PREVIOUS ISO week-year and late December to the NEXT —
+    the defining Thursday rule, hand-checked against the ISO calendar."""
+    from datetime import datetime
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, datetime(2021, 1, 1)),   # Friday  -> ISO 2020-W53-5
+         (2, datetime(2024, 12, 30)),  # Monday  -> ISO 2025-W01-1
+         (3, datetime(2026, 8, 15)),   # Saturday-> ISO 2026-W33-6
+         (4, datetime(2023, 1, 1))],   # Sunday  -> ISO 2022-W52-7
+        "id long, ts timestamp",
+    )
+    out = {
+        r["id"]: r
+        for r in mql_aggregate(
+            df,
+            [{"$project": {
+                "id": 1,
+                "y": {"$isoWeekYear": "$ts"},
+                "w": {"$isoWeek": "$ts"},
+                "d": {"$isoDayOfWeek": "$ts"},
+                "label": {"$dateToString": {"date": "$ts",
+                                            "format": "%G-W%V-%u"}},
+                "wk_sun": {"$week": "$ts"},
+            }}],
+        ).collect()
+    }
+    assert (out[1]["y"], out[1]["w"], out[1]["d"]) == (2020, 53, 5)
+    assert out[1]["label"] == "2020-W53-5"
+    assert (out[2]["y"], out[2]["w"], out[2]["d"]) == (2025, 1, 1)
+    assert out[2]["label"] == "2025-W01-1"
+    assert (out[3]["y"], out[3]["w"], out[3]["d"]) == (2026, 33, 6)
+    assert (out[4]["y"], out[4]["w"], out[4]["d"]) == (2022, 52, 7)
+    # Mongo $week: 2023-01-01 is a Sunday -> week 1; 2021-01-01 (Fri,
+    # before the year's first Sunday) -> week 0
+    assert out[4]["wk_sun"] == 1 and out[1]["wk_sun"] == 0
