@@ -174,6 +174,8 @@ HEADLINE = [
     "cypher_optional_two_hop",  # deferred all-or-nothing left join
     "cypher_all_shortest_paths",  # Brandes sigma forward pass
     "cypher_cheapest_path",     # weighted SSSP on the Cypher surface
+    "multimodal_jpeg_header_jvm",  # bounded JVM marker-segment walk
+    "mql_iso_date_parts",       # ISO week fields, concat-formatted
 ]
 
 

@@ -615,6 +615,119 @@ def wav_header_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def encode_jpeg_header(
+    width: int, height: int, progressive: bool = False, components: int = 3
+) -> bytes:
+    """Structurally valid JPEG HEADER bytes (stdlib-only): SOI, APP0/
+    JFIF, a DQT stub, the SOF0/SOF2 frame header with the given
+    geometry, and SOS — everything ``jpeg_header_meta``'s segment walk
+    reads. The entropy-coded stream is NOT generated (a full stdlib
+    baseline encoder needs DCT + Huffman; out of scope — these are
+    header fixtures, the documented posture for the JPEG codec), so
+    full decoders will reject the payload past SOS."""
+    import struct
+
+    sof = 0xFFC2 if progressive else 0xFFC0
+    out = [
+        b"\xff\xd8",  # SOI
+        b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00",
+        b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x11",  # DQT stub
+        struct.pack(">HH", sof, 8 + 3 * components),
+        b"\x08",  # precision
+        struct.pack(">HH", height, width),
+        bytes([components]),
+    ]
+    for ci in range(components):
+        out.append(bytes([ci + 1, 0x11, 0x00]))
+    out.append(b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")  # SOS stub
+    return b"".join(out)
+
+
+def jpeg_header_meta(
+    df: DataFrame, payload_col: str = "payload", max_segments: int = 24
+) -> DataFrame:
+    """JPEG geometry WITHOUT decoding (round 8, verdict-r7 item 7):
+    the SOF frame header sits at a VARIABLE offset behind a chain of
+    marker segments (APPn/DQT/DHT/...), so unlike BMP/PNG/WAV this is
+    a bounded SEGMENT WALK, not a fixed-offset read — still pure JVM:
+    one ``F.aggregate`` over a ``max_segments``-long sequence whose
+    accumulator struct carries (offset, width, height, components,
+    sof_marker, done). The lambda's accumulator is a bound reference,
+    so the expression stays LINEAR in ``max_segments`` (a hand-built
+    when-chain would nest the offset subtree exponentially — the
+    round-7 HOF lesson applied in reverse).
+
+    Per segment: marker = BE16 at off, length = BE16 at off+2. The
+    walk captures the FIRST SOF0 (baseline, 0xFFC0) / SOF1 (extended
+    sequential) / SOF2 (progressive) frame header: precision at off+4,
+    height BE16 at off+5, width BE16 at off+7, component count at
+    off+9 (1 = grayscale, 3 = YCbCr); it stops at SOS (0xFFDA — the
+    entropy-coded stream has no walkable lengths), at any non-0xFF
+    byte (corrupt), or when the offset runs past the payload.
+
+    Columns appended: ``jpeg_ok`` (SOI magic), ``sof_marker`` (the
+    captured marker, null if none found), ``width``, ``height``,
+    ``components``, ``progressive`` (sof == 0xFFC2). Same scale
+    posture as the other ``*_header_meta``: geometry filters prune at
+    scan time, before any Arrow decode batch forms. A full-raster
+    JPEG decode has no stdlib path — route survivors to
+    ``decode_image_features(backend='pil')``, the gated PIL stage."""
+    p = F.col(payload_col)
+
+    def be_at(off: Column, nbytes: int) -> Column:
+        # big-endian read at a COLUMN offset (0-based); reads past the
+        # payload end yield NULL (hex of empty substring -> conv null)
+        h = F.hex(F.substr(p, off + 1, F.lit(nbytes)))
+        return F.when(F.length(h) == 2 * nbytes, F.conv(h, 16, 10).cast("long"))
+
+    def step(acc: Column, _i: Column) -> Column:
+        off = acc["off"]
+        marker = be_at(off, 2)
+        seg_len = be_at(off + 2, 2)
+        is_sof = marker.isin(0xFFC0, 0xFFC1, 0xFFC2)
+        # stop conditions: already done, found SOF, hit SOS/EOI, a
+        # non-marker byte, or a truncated read
+        stop = (
+            acc["done"]
+            | is_sof
+            | marker.isNull()
+            | (marker < 0xFF01)
+            | (marker > 0xFFFE)
+            | marker.isin(0xFFDA, 0xFFD9)
+            | seg_len.isNull()
+        )
+        grab = is_sof & ~acc["done"]
+        return F.struct(
+            F.when(stop, off).otherwise(off + 2 + seg_len).alias("off"),
+            F.when(grab, be_at(off + 7, 2)).otherwise(acc["w"]).alias("w"),
+            F.when(grab, be_at(off + 5, 2)).otherwise(acc["h"]).alias("h"),
+            F.when(grab, be_at(off + 9, 1)).otherwise(acc["c"]).alias("c"),
+            F.when(grab, marker).otherwise(acc["sof"]).alias("sof"),
+            stop.alias("done"),
+        )
+
+    nil = F.lit(None).cast("long")
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_segments))),
+        F.struct(
+            F.lit(2).cast("long").alias("off"),
+            nil.alias("w"), nil.alias("h"), nil.alias("c"), nil.alias("sof"),
+            F.lit(False).alias("done"),
+        ),
+        step,
+    )
+    jpeg_ok = F.substring(p, 1, 2) == F.lit(b"\xff\xd8")
+    return df.select(
+        "*",
+        jpeg_ok.alias("jpeg_ok"),
+        F.when(jpeg_ok, state["sof"]).alias("sof_marker"),
+        F.when(jpeg_ok, state["w"]).alias("width"),
+        F.when(jpeg_ok, state["h"]).alias("height"),
+        F.when(jpeg_ok, state["c"]).alias("components"),
+        F.when(jpeg_ok, state["sof"] == 0xFFC2).alias("progressive"),
+    )
+
+
 def payload_entropy_arrow(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

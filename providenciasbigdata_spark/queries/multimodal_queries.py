@@ -524,8 +524,58 @@ def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_header_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG geometry at SCAN TIME (round 8, verdict-r7 item 7): the
+    SOF frame header hides behind a variable-length marker-segment
+    chain, so this is the bounded JVM segment WALK
+    (multimodal.jpeg_header_meta — one F.aggregate whose accumulator
+    struct carries the walk state), not a fixed-offset read. The
+    FIXTURE is also pure JVM: header bytes are concat'd binary
+    literals around unhex'd big-endian geometry fields derived from
+    doc_id, so the whole plan — synthesis AND introspection — is one
+    codegen'd projection with zero Python. Oracle: the synthesis
+    arithmetic (encode->walk must be the identity)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % 1009).cast("long")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 997).cast("long")
+    prog = F.col("doc_id") % 2 == 1
+
+    def be2(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    payload = F.concat(
+        F.lit(b"\xff\xd8"
+              b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+              b"\xff\xdb\x00\x04\x00\x11"),
+        F.when(prog, F.lit(b"\xff\xc2")).otherwise(F.lit(b"\xff\xc0")),
+        F.lit(b"\x00\x11\x08"),
+        be2(h),
+        be2(w),
+        F.lit(b"\x03"
+              b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+              b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"),
+    )
+    jpegs = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    return multimodal.jpeg_header_meta(jpegs).filter(F.col("jpeg_ok")).select(
+        "asset_id", "width", "height", "components", "sof_marker", "progressive"
+    )
+
+
+_JPEG_HEADER_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(16 + doc_id % 1009 AS BIGINT) AS width,
+       CAST(16 + (doc_id * 7) % 997 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS components,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 65474 ELSE 65472 END AS BIGINT)
+         AS sof_marker,
+       (doc_id % 2 = 1) AS progressive
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_phash_dedup": (q_phash_dedup, None),
+    "multimodal_jpeg_header_jvm": (q_jpeg_header_jvm, _JPEG_HEADER_SQL),
     "multimodal_shot_boundaries": (q_shot_boundaries, None),
     "multimodal_payload_stats": (q_payload_stats, _PAYLOAD_STATS_SQL),
     "multimodal_pgm_decode": (q_pgm_decode, _PGM_DECODE_SQL),

@@ -471,3 +471,45 @@ def test_shot_boundaries_planted_scene_cut(spark):
     assert out[4][1] is True and out[4][0] > 12             # the scene cut
     for i in (1, 2, 3, 5, 6, 7):                            # within-scene
         assert out[i][1] is False and out[i][0] <= 12, (i, out[i])
+
+
+def test_jpeg_header_meta_segment_walk(spark):
+    """The bounded JVM segment walk (round 8): SOF0/SOF2 capture
+    behind APP0+DQT, grayscale component counts, non-JPEG rejection,
+    SOI-without-SOF, truncation, and an extra APPn segment shifting
+    the SOF deeper into the chain."""
+    from providenciasbigdata_spark.multimodal import (
+        encode_jpeg_header,
+        jpeg_header_meta,
+    )
+
+    exif = b"\xff\xe1\x00\x06abcd"  # APP1 stub (len 6 = 2 len + 4 body)
+    base = encode_jpeg_header(640, 480)
+    shifted = base[:2] + exif + base[2:]  # APP1 before APP0
+    rows = [
+        (1, base),
+        (2, encode_jpeg_header(1920, 1080, progressive=True)),
+        (3, encode_jpeg_header(16, 9, components=1)),
+        (4, b"\x89PNG not a jpeg"),
+        (5, b"\xff\xd8\xff\xd9"),          # SOI+EOI, no SOF
+        (6, shifted),
+        (7, base[:10]),                      # truncated mid-segment
+    ]
+    out = {
+        r["asset_id"]: r
+        for r in jpeg_header_meta(
+            spark.createDataFrame(rows, "asset_id long, payload binary")
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["components"],
+            out[1]["progressive"]) == (640, 480, 3, False)
+    assert out[1]["sof_marker"] == 0xFFC0
+    assert (out[2]["width"], out[2]["height"], out[2]["progressive"]) == (
+        1920, 1080, True,
+    )
+    assert out[2]["sof_marker"] == 0xFFC2
+    assert (out[3]["width"], out[3]["height"], out[3]["components"]) == (16, 9, 1)
+    assert not out[4]["jpeg_ok"] and out[4]["width"] is None
+    assert out[5]["jpeg_ok"] and out[5]["sof_marker"] is None
+    assert (out[6]["width"], out[6]["height"]) == (640, 480)
+    assert out[7]["jpeg_ok"] and out[7]["width"] is None
