@@ -150,7 +150,7 @@ def _extract_exists_guards(text: str):
 _EXPR_TOK = re.compile(
     r"\s*(?:"
     r"(?P<kw>CASE|WHEN|THEN|ELSE|END|AND|OR|NOT)\b"
-    r"|(?P<op>>=|<=|<>|[-+*/()><=])"
+    r"|(?P<op>>=|<=|<>|[-+*/(),><=])"
     r"|(?P<param>\$\w+)"
     r"|(?P<num>\d+\.\d+|\d+)"
     r"|(?P<str>'[^']*')"
@@ -159,6 +159,36 @@ _EXPR_TOK = re.compile(
     r")",
     re.I,
 )
+
+# Cypher scalar functions in computed expressions (round 8): name ->
+# (arity range, Column builder). substring() is 0-BASED in Cypher
+# (Spark's is 1-based); size() is the list form (Cypher's string form
+# would need type info the compiler doesn't carry).
+_EXPR_FNS: dict = {
+    "abs": ((1, 1), lambda a: F.abs(a[0])),
+    "ceil": ((1, 1), lambda a: F.ceil(a[0])),
+    "floor": ((1, 1), lambda a: F.floor(a[0])),
+    "sqrt": ((1, 1), lambda a: F.sqrt(a[0])),
+    "sign": ((1, 1), lambda a: F.signum(a[0]).cast("int")),
+    "round": ((1, 2), lambda a: F.round(a[0], 0) if len(a) == 1 else F.round(*a)),
+    "tolower": ((1, 1), lambda a: F.lower(a[0])),
+    "toupper": ((1, 1), lambda a: F.upper(a[0])),
+    "trim": ((1, 1), lambda a: F.trim(a[0])),
+    "ltrim": ((1, 1), lambda a: F.ltrim(a[0])),
+    "rtrim": ((1, 1), lambda a: F.rtrim(a[0])),
+    "reverse": ((1, 1), lambda a: F.reverse(a[0])),
+    "replace": ((3, 3), lambda a: F.replace(a[0], a[1], a[2])),
+    "left": ((2, 2), lambda a: F.substr(a[0], F.lit(1), a[1])),
+    "substring": (
+        (2, 3),
+        lambda a: F.substr(a[0], a[1] + F.lit(1), *(a[2:] or [F.lit(1 << 30)])),
+    ),
+    "tostring": ((1, 1), lambda a: a[0].cast("string")),
+    "tointeger": ((1, 1), lambda a: a[0].cast("long")),
+    "tofloat": ((1, 1), lambda a: a[0].cast("double")),
+    "coalesce": ((1, 99), lambda a: F.coalesce(*a)),
+    "size": ((1, 1), lambda a: F.size(a[0])),
+}
 
 
 def _tokenize_expr(text: str) -> list[tuple[str, str]]:

@@ -166,16 +166,113 @@ def time_queries(spark, registry, sf_dir: str, passes: int) -> dict[str, float]:
     return best
 
 
+# ---- graph family (round 8, verdict-r7 item 8) -----------------------------
+# The Cypher/graph registry queries read FIXTURE-BOUNDED edge tables
+# (vec_id < 1000), so table replication cannot grow their input.
+# Weak-scaling for them scales the similarity-graph BOUND instead:
+# edges grow ~bound^2 at a fixed threshold, and the exponent is taken
+# against the MEASURED edge-count ratio, not the nominal replica
+# factor. small_cutover=0 forces the DISTRIBUTED paths — the driver
+# finishers would otherwise absorb the small scale and measure nothing.
+
+_GRAPH_BASE_BOUND = 300
+_GRAPH_LO = 30.0
+
+
+def _graph_ops(edges):
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.operators.graph_algos import (
+        eigenvector_centrality,
+        pagerank,
+        strongly_connected_components,
+    )
+
+    three_hop = (
+        "MATCH (a:Providencia {id: $o})-[r1:SIMILAR]->(b)-[r2:SIMILAR]->(c)"
+        "-[r3:SIMILAR]->(d) WHERE r1.similitud >= $lo AND r2.similitud >= $lo "
+        "AND r3.similitud >= $lo RETURN d.id AS destino, count(r3) AS caminos"
+    )
+    anchor = edges.select("src").first()["src"]
+    return {
+        "graph_pagerank": lambda: pagerank(edges, max_iter=5, small_cutover=0),
+        "graph_scc": lambda: strongly_connected_components(
+            edges, small_cutover=0
+        ),
+        "graph_eigenvector_centrality": lambda: eigenvector_centrality(
+            edges, weight_col="similitud", max_iter=5, small_cutover=0
+        ),
+        "cypher_generic_3hop": lambda: cypher_run(
+            three_hop, edges=edges, params={"o": anchor, "lo": _GRAPH_LO}
+        ),
+    }
+
+
+def time_graph(spark, bound: int, passes: int) -> tuple[dict[str, float], int]:
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, SF_DIR, bound).filter(
+        F.col("similitud") >= _GRAPH_LO
+    )
+    n_edges = edges.count()
+    ops = _graph_ops(edges)
+    best = {q: float("inf") for q in ops}
+    for _ in range(passes):
+        for q, fn in ops.items():
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best[q] = min(best[q], time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+    return best, n_edges
+
+
+def run_graph(spark, replicas: int, passes: int) -> None:
+    big_bound = int(_GRAPH_BASE_BOUND * math.sqrt(replicas))
+    t1, e1 = time_graph(spark, _GRAPH_BASE_BOUND, passes)
+    t2, e2 = time_graph(spark, big_bound, passes)
+    ratio = e2 / max(e1, 1)
+    print(
+        f"[weak-graph] edges: bound {_GRAPH_BASE_BOUND} -> {e1}, "
+        f"bound {big_bound} -> {e2} ({ratio:.2f}x)",
+        file=sys.stderr,
+    )
+    rows = []
+    for q in t1:
+        exp = math.log(t2[q] / t1[q]) / math.log(ratio)
+        rows.append((q, t1[q], t2[q], exp))
+        print(json.dumps({
+            "query": q, "t_base_sec": round(t1[q], 3),
+            "t_big_sec": round(t2[q], 3),
+            "edge_ratio": round(ratio, 3),
+            "exponent": round(exp, 3),
+        }), flush=True)
+    print(f"\n| query | E={e1} s | E={e2} s | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for q, a, b, e in rows:
+        print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.2f}x | {e:.2f} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--graph", action="store_true",
+        help="scale the similarity-graph bound instead of the tables",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
         app_name="weak-scaling",
         extra_conf={"spark.sql.codegen.cache.maxEntries": "5000"},
     )
+    if args.graph:
+        run_graph(spark, args.replicas, args.passes)
+        spark.stop()
+        return
     registry = all_queries()
     staged = stage_replicated(spark, args.replicas)
     print(f"[weak] staged {args.replicas}x dir: {staged}", file=sys.stderr)
