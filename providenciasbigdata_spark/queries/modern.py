@@ -163,13 +163,22 @@ GROUP BY event_type
 
 # ---- stateful streaming: REAL streaming run, oracle-checked -------------
 
-def has_tws_runtime() -> bool:
+def has_tws_runtime(spark: SparkSession | None = None) -> bool:
     """transformWithStateInPandas needs protobuf for its state-server
     protocol. True when google.protobuf is installed OR the vendored
     miniproto shim can stand in for the one generated module pyspark
     imports (vendor/protoshim.py, verdict-r5 item 5) — the shim route
     runs the REAL tws runtime (JVM state server, RocksDB store, timer
-    delivery); only the Python-side message codec is vendored."""
+    delivery); only the Python-side message codec is vendored.
+
+    With ``spark`` given, ALSO verifies the runtime inside a Spark
+    Python *worker* (verdict-r8 item 1): the driver-side import proves
+    nothing about the separate worker interpreters — the r08 gate crash
+    ("TransformWithStateInPySpark driver worker exited unexpectedly")
+    was a worker interpreter missing the shim because the gate's JVM
+    started before this package could export PYTHONPATH. The worker
+    path is first repaired via ``_ensure_tws_worker_env`` (sc.environment
+    injection, works on an already-running JVM), then probed."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -179,9 +188,134 @@ def has_tws_runtime() -> bool:
     try:
         from providenciasbigdata_spark.vendor import protoshim
 
-        return protoshim.install()
+        if not protoshim.install():
+            return False
     except Exception:
         return False
+    if spark is None:
+        return True
+    _ensure_tws_worker_env(spark)
+    return _verify_tws_worker_import(spark) is None
+
+
+def _tws_pythonpath_entries() -> list[str]:
+    """PYTHONPATH entries a fresh interpreter needs to self-install the
+    StateMessage shim: the sitecustomize dir (auto-imported by the
+    ``site`` module at startup) and the repo root (so sitecustomize can
+    import this package)."""
+    from providenciasbigdata_spark.vendor import protoshim
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(protoshim.__file__)))
+    )
+    return [protoshim.pythonpath_dir(), repo_root]
+
+
+def _ensure_tws_worker_env(spark: SparkSession) -> None:
+    """Make the StateMessage codec importable in every Python process
+    this session spawns from now on — executor workers AND the tws
+    driver-side pre-init worker (pyspark's
+    transform_with_state_driver_worker.py, which imports
+    stateful_processor_api_client → StateMessage_pb2 at module top and
+    dies instantly without it).
+
+    ``session.get_spark`` handles the common case by exporting
+    PYTHONPATH before the JVM starts; this covers the FOREIGN-SESSION
+    case — an already-running SparkSession whose JVM env lacks the shim
+    dir (the r08 external gate). Spark captures ``sc.environment`` into
+    every SimplePythonFunction at wrap time (pyspark core/rdd.py
+    ``_prepare_for_python_RDD``) and the JVM's PythonWorkerFactory
+    merges that map's PYTHONPATH into the spawned worker's env, so a
+    driver-side mutation here reaches all workers created for
+    functions wrapped after it; a changed env map also keys a fresh
+    worker daemon, so stale shim-less daemons are not reused. Also
+    exports os.environ as a belt-and-braces for any spawn path that
+    inherits the driver process env."""
+    from providenciasbigdata_spark.vendor import protoshim
+
+    if protoshim._have_real_protobuf():
+        return
+    entries = _tws_pythonpath_entries()
+    env = spark.sparkContext.environment
+    existing = [p for p in (env.get("PYTHONPATH") or "").split(os.pathsep) if p]
+    missing = [e for e in entries if e not in existing]
+    if missing:
+        env["PYTHONPATH"] = os.pathsep.join(missing + existing)
+    proc_existing = [
+        p for p in (os.environ.get("PYTHONPATH") or "").split(os.pathsep) if p
+    ]
+    proc_missing = [e for e in entries if e not in proc_existing]
+    if proc_missing:
+        os.environ["PYTHONPATH"] = os.pathsep.join(proc_missing + proc_existing)
+
+
+def _verify_tws_worker_import(spark: SparkSession) -> str | None:
+    """Import pyspark's tws Python-side state client INSIDE a Spark
+    worker; None on success, else the worker-side traceback — so the
+    next gate failure names its cause instead of crashing opaquely."""
+
+    def probe(_it):
+        try:
+            import pyspark.sql.streaming.stateful_processor_api_client  # noqa: F401
+
+            yield "ok"
+        except BaseException:  # noqa: BLE001 - diagnostic capture
+            import traceback
+
+            yield "err:" + traceback.format_exc()
+
+    out = spark.sparkContext.parallelize([0], 1).mapPartitions(probe).collect()
+    if out == ["ok"]:
+        return None
+    return (out or ["err:empty probe result"])[0][4:]
+
+
+def _preflight_tws(spark: SparkSession) -> None:
+    """2-row end-to-end tws smoke stream (verdict-r8 item 1): exercises
+    the driver-side pre-init worker + state server + RocksDB store on a
+    trivially small source BEFORE the real query, and converts a
+    runtime crash into a RuntimeError that names the environment cause
+    (worker import state, PYTHONPATH seen by workers)."""
+    from providenciasbigdata_spark import streaming as st
+
+    src = os.path.join(tempfile.gettempdir(), "pbd_tws_preflight_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 00:00:01", 2, "view", 2.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB)
+    try:
+        got = st.run_available_now(
+            st.user_running_totals_tws(st.events_stream(spark, src)),
+            "tws_preflight",
+            output_mode="update",
+        ).count()
+        if got < 2:
+            raise RuntimeError(f"tws pre-flight returned {got} rows, expected 2")
+    except Exception as exc:
+        worker_err = _verify_tws_worker_import(spark)
+        raise RuntimeError(
+            "transformWithStateInPandas pre-flight failed in this "
+            f"environment. Worker-side state-client import: "
+            f"{'ok' if worker_err is None else worker_err!r}. "
+            f"sc.environment PYTHONPATH: "
+            f"{spark.sparkContext.environment.get('PYTHONPATH')!r}. "
+            f"Underlying: {exc}"
+        ) from exc
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def q_stream_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,8 +381,12 @@ def q_stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(src)
 
-    if not has_tws_runtime():  # pragma: no cover - shim makes this unreachable here
-        raise RuntimeError("transformWithStateInPandas runtime unavailable")
+    if not has_tws_runtime(spark):  # pragma: no cover - shim makes this unreachable
+        raise RuntimeError(
+            "transformWithStateInPandas runtime unavailable: worker-side "
+            f"state-client import failed ({_verify_tws_worker_import(spark)!r})"
+        )
+    _preflight_tws(spark)
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, _ROCKSDB)

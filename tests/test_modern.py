@@ -136,6 +136,31 @@ class _FakeHandle:
         return self.states.setdefault(name, _FakeValueState())
 
 
+def test_tws_worker_runtime_verified_in_worker(spark):
+    """Verdict-r8 item 1: the tws runtime claim must hold in a Spark
+    Python WORKER interpreter, not just the driver — the r08 gate crash
+    was a shim-less worker. Pins: (a) the worker-side probe imports the
+    state client cleanly, (b) the env repair is idempotent on
+    sc.environment, (c) has_tws_runtime(spark) takes the worker path."""
+    from providenciasbigdata_spark.queries.modern import (
+        _ensure_tws_worker_env,
+        _tws_pythonpath_entries,
+        _verify_tws_worker_import,
+    )
+    from providenciasbigdata_spark.vendor import protoshim
+
+    assert has_tws_runtime(spark)
+    assert _verify_tws_worker_import(spark) is None
+    if not protoshim._have_real_protobuf():
+        _ensure_tws_worker_env(spark)
+        first = spark.sparkContext.environment.get("PYTHONPATH")
+        _ensure_tws_worker_env(spark)
+        assert spark.sparkContext.environment.get("PYTHONPATH") == first
+        parts = (first or "").split(os.pathsep)
+        for entry in _tws_pythonpath_entries():
+            assert parts.count(entry) == 1
+
+
 def test_tws_stream_equals_batch(spark):
     """transformWithStateInPandas parity, ALWAYS exercised: where the
     protobuf state-protocol runtime exists, as a real availableNow
