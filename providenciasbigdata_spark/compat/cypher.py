@@ -272,8 +272,30 @@ def _parse_expr(text: str):
             return ("prop", var, prop)
         if k == "name":
             # bare identifier: a WITH-carried alias (resolved against
-            # the segment's frame at compile time) or a pattern var
+            # the segment's frame at compile time), a pattern var, or —
+            # when followed by '(' — a scalar function call (round 9;
+            # ADVICE-r8: _EXPR_FNS was defined but unreachable)
             take()
+            if peek() == ("op", "("):
+                fname = v.lower()
+                if fname not in _EXPR_FNS:
+                    raise CypherUnsupported(
+                        f"unknown function {v!r} in expression {text[:60]!r}"
+                    )
+                take()
+                args = []
+                if peek() != ("op", ")"):
+                    args.append(parse_sum())
+                    while peek() == ("op", ","):
+                        take()
+                        args.append(parse_sum())
+                take("op", ")")
+                lo, hi = _EXPR_FNS[fname][0]
+                if not (lo <= len(args) <= hi):
+                    raise CypherUnsupported(
+                        f"{v}() expects {lo}..{hi} arguments, got {len(args)}"
+                    )
+                return ("fn", fname, args)
             return ("var", v)
         raise CypherUnsupported(f"unexpected {v!r} in expression {text[:60]!r}")
 
@@ -371,6 +393,9 @@ def _expr_walk(e, props: list, pars: list):
             _expr_walk(v, props, pars)
         if e[2] is not None:
             _expr_walk(e[2], props, pars)
+    elif kind == "fn":
+        for a in e[2]:
+            _expr_walk(a, props, pars)
 
 
 def _extract_all_guards(text: str):
@@ -403,6 +428,29 @@ def _extract_all_guards(text: str):
 
 
 # ---- parse ---------------------------------------------------------------
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas that sit at bracket depth 0 and outside
+    single-quoted strings — RETURN/WITH items may contain function
+    calls (``round(x, 2)``), list literals and string literals."""
+    parts: list[str] = []
+    depth, start, in_str = 0, 0, False
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
 
 def split_union(query: str) -> tuple[list[str], bool]:
     """Split a query on top-level ``UNION [ALL]`` (outside quotes and
@@ -552,7 +600,7 @@ def parse(query: str) -> dict:
 
     def parse_items(text: str) -> list:
         items = []
-        for raw in text.split(","):
+        for raw in _split_top_level(text):
             raw = raw.strip()
             m = _ITEM_PROP_RE.match(raw)
             if m:
@@ -868,6 +916,21 @@ def _compile_segment(
         return float(v) if as_float else v
 
     # ---- UNWIND: extend / seed the carried scope ---------------------------
+    def _unwind_value_type(vals) -> str:
+        """Spark DDL type for an UNWIND literal/param list; defaults to
+        string for the empty list (no values to infer from). A mixed
+        int/float list widens to double (Cypher's numeric coercion)."""
+        if any(isinstance(v, str) for v in vals):
+            return "string"
+        if any(isinstance(v, bool) for v in vals):
+            return "boolean"
+        if any(isinstance(v, float) for v in vals):
+            return "double"
+        if any(isinstance(v, int) for v in vals):
+            return "bigint"
+        return "string"
+
+
     for usrc, ualias in seg["unwind"]:
         if usrc[0] == "param":
             uvals = params[usrc[1]]
@@ -882,15 +945,22 @@ def _compile_segment(
             base = nodes if nodes is not None else edges
             if base is None:
                 raise ValueError("UNWIND query needs the nodes or edges frame")
-            env = base.sparkSession.createDataFrame(
-                [(v,) for v in uvals], [ualias]
-            )
+            # explicit schema: createDataFrame cannot infer from an
+            # empty list (ADVICE-r8) — UNWIND [] must yield Cypher's
+            # zero-row result, not a schema-inference error
+            dtype = _unwind_value_type(uvals)
+            rows = [((float(v) if dtype == "double" else v),) for v in uvals]
+            env = base.sparkSession.createDataFrame(rows, f"{ualias} {dtype}")
             env_kinds = {ualias: "value"}
             env_small = True
         elif uvals is not None:
-            env = env.select(
-                "*", F.explode(F.array(*[F.lit(v) for v in uvals])).alias(ualias)
-            )
+            if uvals:
+                arr = F.array(*[F.lit(v) for v in uvals])
+            else:
+                # zero-element explode: typed empty array keeps the
+                # column resolvable downstream while emitting no rows
+                arr = F.array().cast(f"array<{_unwind_value_type(uvals)}>")
+            env = env.select("*", F.explode(arr).alias(ualias))
             env_kinds = {**env_kinds, ualias: "value"}
         else:
             src_alias = usrc[1]
@@ -1681,6 +1751,8 @@ def _compile_segment(
             for c, v in e[1]:
                 out = (F.when if out is None else out.when)(cond_col(c), expr_col(v))
             return out.otherwise(expr_col(e[2])) if e[2] is not None else out
+        if kind == "fn":
+            return _EXPR_FNS[e[1]][1]([expr_col(a) for a in e[2]])
         raise CypherUnsupported(f"unsupported expression node {kind!r}")
 
     def cond_col(c):

@@ -686,14 +686,16 @@ def jpeg_header_meta(
         seg_len = be_at(off + 2, 2)
         is_sof = marker.isin(0xFFC0, 0xFFC1, 0xFFC2)
         # stop conditions: already done, found SOF, hit SOS/EOI, a
-        # non-marker byte, or a truncated read
+        # non-marker byte, a STANDALONE marker (TEM 0xFF01, RST0-7
+        # 0xFFD0-0xFFD7 — no length field, so the walk cannot step
+        # over them; ADVICE-r8), or a truncated read
         stop = (
             acc["done"]
             | is_sof
             | marker.isNull()
-            | (marker < 0xFF01)
+            | (marker <= 0xFF01)
             | (marker > 0xFFFE)
-            | marker.isin(0xFFDA, 0xFFD9)
+            | ((marker >= 0xFFD0) & (marker <= 0xFFDA))
             | seg_len.isNull()
         )
         grab = is_sof & ~acc["done"]

@@ -259,10 +259,19 @@ def shortest_path_sigma(
 
     Output: one row (hops BIGINT, sigma BIGINT), or an empty frame if
     the target is unreachable within ``max_hops``.
+
+    Multigraph semantics (ADVICE-r8): parallel relationships between
+    the same node pair are NOT collapsed — Neo4j's allShortestPaths
+    yields one path per relationship-distinct route, so each edge
+    carries its multiplicity and the level sum propagates
+    ``sigma * mult`` instead of deduping.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    if not directed:
-        e = symmetrize(edges, src, dst)
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if directed:
+        e = fwd.groupBy("u", "v").agg(F.count(F.lit(1)).alias("mult"))
+    else:
+        rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        e = fwd.union(rev).groupBy("u", "v").agg(F.count(F.lit(1)).alias("mult"))
     e = e.persist()
     spark = edges.sparkSession
     ckpt = _truncator(spark, checkpoint_dir)
@@ -278,7 +287,7 @@ def shortest_path_sigma(
         nxt = (
             e.join(level.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
-            .agg(F.sum("sigma").alias("sigma"))
+            .agg(F.sum(F.col("sigma") * F.col("mult")).alias("sigma"))
             .join(visited, "id", "left_anti")
         )
         nxt = ckpt(nxt)

@@ -2027,6 +2027,50 @@ WHERE e.similitud >= 32
 """
 
 
+CYPHER_SCALAR_FNS = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN toUpper(b.id) AS vecino_up, substring(b.id, 2) AS sufijo,
+       round(sqrt(r.similitud), 3) AS raiz,
+       abs(r.similitud - $mid) AS dist
+"""
+
+
+def q_cypher_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function calls in computed RETURN items (round 9;
+    ADVICE-r8 closed: _EXPR_FNS wired into the expression parser via a
+    name-then-'(' production with depth-aware item splitting) —
+    toUpper / 0-based substring / nested round(sqrt(...)) / abs over
+    the anchored neighborhood. All functions compile to built-in
+    Catalyst expressions; no Python stage (compat/cypher.py::_EXPR_FNS,
+    reference query shape: streamlit_app.py:150-158)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_SCALAR_FNS, edges=edges,
+        params={"origen": "P-7", "lo": 28.0, "mid": 32.0},
+    )
+
+
+_CYPHER_SCALAR_FNS_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT UPPER(dst) AS vecino_up, SUBSTRING(dst, 3) AS sufijo,
+       ROUND(SQRT(similitud), 3) AS raiz,
+       ABS(similitud - 32.0) AS dist
+FROM e
+WHERE src = 'P-7' AND similitud >= 28.0
+"""
+
+
 CYPHER_UNWIND_ANCHOR = """
 UNWIND $ids AS pid
 MATCH (a:Providencia {id: pid})-[r:SIMILAR]->(b:Providencia)
@@ -3789,4 +3833,5 @@ QUERIES = {
         q_cypher_all_shortest_paths, _CYPHER_ALL_SHORTEST_SQL,
     ),
     "cypher_cheapest_path": (q_cypher_cheapest_path, _CYPHER_CHEAPEST_SQL),
+    "cypher_scalar_fns": (q_cypher_scalar_fns, _CYPHER_SCALAR_FNS_SQL),
 }

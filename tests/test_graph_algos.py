@@ -114,6 +114,34 @@ def test_shortest_path_sigma_diamond(spark):
     )
 
 
+def test_shortest_path_sigma_multigraph(spark):
+    """ADVICE-r8: parallel relationships are relationship-distinct
+    paths in Neo4j's allShortestPaths — sigma must carry edge
+    multiplicity, not dedupe. Two parallel A->B edges and one B->C:
+    2 shortest A->C paths; doubled C->B adds 2*2=4 via multiplication
+    on both hops of A->B->C with B->C duplicated."""
+    from providenciasbigdata_spark.operators.graph_algos import shortest_path_sigma
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), ("B", "C")],
+        "src string, dst string",
+    )
+    row = shortest_path_sigma(edges, "A", "C", directed=True, max_hops=4).first()
+    assert (row["hops"], row["sigma"]) == (2, 2)
+
+    # multiplicity multiplies across hops: 2 (A->B) * 3 (B->C) = 6
+    edges2 = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"), ("B", "C")],
+        "src string, dst string",
+    )
+    row2 = shortest_path_sigma(edges2, "A", "C", directed=True, max_hops=4).first()
+    assert (row2["hops"], row2["sigma"]) == (2, 6)
+
+    # undirected multigraph: same counts traversing either way
+    row3 = shortest_path_sigma(edges2, "C", "A", directed=False, max_hops=4).first()
+    assert (row3["hops"], row3["sigma"]) == (2, 6)
+
+
 def test_cypher_all_shortest_and_cheapest_routes(spark):
     """The two round-8 Cypher path routes on a hand-checkable weighted
     diamond: allShortestPaths emits one row per tied path; cheapestPath

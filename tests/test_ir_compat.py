@@ -2371,6 +2371,62 @@ def test_cypher_unwind(spark):
     ]
 
 
+def test_cypher_scalar_functions(spark):
+    """Scalar function calls in computed expressions (round 9;
+    ADVICE-r8: _EXPR_FNS existed but no parser production reached it).
+    Pins: nesting, multi-arg with depth-aware item splitting, Cypher's
+    0-based substring, fn inside CASE conditions, arity and
+    unknown-name errors."""
+    nodes, edges = _mini_graph(spark)
+    rows = sorted(
+        map(tuple, cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) RETURN toUpper(b.id) AS up, "
+            "round(sqrt(r.similitud), 2) AS rt, coalesce(b.anio, 0) + 1 AS nxt, "
+            "substring(b.id, 2) AS tail, abs(r.similitud - 50) AS d",
+            nodes=nodes, edges=edges, params={"o": "P-1"},
+        ).collect())
+    )
+    assert rows == [
+        ("P-2", 6.32, 2003, "2", 10.0),
+        ("P-3", 4.47, 2004, "3", 30.0),
+    ]
+
+    rows2 = sorted(map(tuple, cypher_run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) RETURN b.id AS v, "
+        "CASE WHEN abs(r.similitud) >= 30 THEN toLower('YES') ELSE 'no' END AS f",
+        edges=edges, params={"o": "P-1"},
+    ).collect()))
+    assert rows2 == [("P-2", "yes"), ("P-3", "no")]
+
+    for bad in (
+        "MATCH (a)-[r:SIMILAR]->(b) RETURN abs(r.similitud, 2) AS x",
+        "MATCH (a)-[r:SIMILAR]->(b) RETURN nosuchfn(r.similitud) AS x",
+    ):
+        with pytest.raises(ValueError, match="Cypher subset"):
+            cypher_run(bad, edges=edges, params={})
+
+
+def test_cypher_unwind_empty_list(spark):
+    """ADVICE-r8: UNWIND of an empty parameter or literal list is
+    Cypher's zero-row result, not a schema-inference crash — in both
+    the scope-seeding and scope-extending positions."""
+    _nodes, edges = _mini_graph(spark)
+    out = cypher_run(
+        "UNWIND $ids AS i MATCH (a {id: i})-[r:SIMILAR]->(b) "
+        "RETURN a.id AS src",
+        edges=edges, params={"ids": []},
+    )
+    assert out.count() == 0
+    out2 = cypher_run("UNWIND [] AS n RETURN n", edges=edges, params={})
+    assert out2.count() == 0
+    out3 = cypher_run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) WITH a, collect(b) AS bs "
+        "UNWIND $ks AS k RETURN a.id AS src, k",
+        edges=edges, params={"o": "P-1", "ks": []},
+    )
+    assert out3.count() == 0
+
+
 def test_cypher_with_order_limit_where_clause_order(spark):
     """ORDER BY/SKIP/LIMIT belong to their WITH; a WHERE written after
     them filters the already-limited rows (clause order)."""

@@ -513,3 +513,34 @@ def test_jpeg_header_meta_segment_walk(spark):
     assert out[5]["jpeg_ok"] and out[5]["sof_marker"] is None
     assert (out[6]["width"], out[6]["height"]) == (640, 480)
     assert out[7]["jpeg_ok"] and out[7]["width"] is None
+
+
+def test_jpeg_header_meta_standalone_markers_stop(spark):
+    """ADVICE-r8: TEM (0xFF01) and RST0-7 (0xFFD0-0xFFD7) carry NO
+    length field — a walk that reads one would land at a garbage
+    offset and report bogus geometry. The bounded-walk posture is
+    stop-on-unwalkable: geometry stays null, never garbage."""
+    from providenciasbigdata_spark.multimodal import (
+        encode_jpeg_header,
+        jpeg_header_meta,
+    )
+
+    base = encode_jpeg_header(640, 480)
+    # splice a standalone marker in front of the segment chain; the
+    # two bytes AFTER it would be read as a length by the broken walk
+    rst = base[:2] + b"\xff\xd0" + base[2:]
+    tem = base[:2] + b"\xff\x01" + base[2:]
+    out = {
+        r["asset_id"]: r
+        for r in jpeg_header_meta(
+            spark.createDataFrame(
+                [(1, rst), (2, tem), (3, base)],
+                "asset_id long, payload binary",
+            )
+        ).collect()
+    }
+    for i in (1, 2):
+        assert out[i]["jpeg_ok"]
+        assert out[i]["sof_marker"] is None, out[i]
+        assert out[i]["width"] is None and out[i]["height"] is None
+    assert (out[3]["width"], out[3]["height"]) == (640, 480)

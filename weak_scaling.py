@@ -239,20 +239,31 @@ def run_graph(spark, replicas: int, passes: int) -> None:
         f"bound {big_bound} -> {e2} ({ratio:.2f}x)",
         file=sys.stderr,
     )
+    if ratio <= 1.0:
+        # ADVICE-r8: a bound increase that adds no edges makes
+        # log(ratio) zero/negative — no exponent is computable
+        print(
+            f"[weak-graph] edge ratio {ratio:.3f} <= 1: the scaled bound "
+            "added no edges; exponents are undefined for this run",
+            file=sys.stderr,
+        )
     rows = []
     for q in t1:
-        exp = math.log(t2[q] / t1[q]) / math.log(ratio)
+        exp = (
+            math.log(t2[q] / t1[q]) / math.log(ratio) if ratio > 1.0 else None
+        )
         rows.append((q, t1[q], t2[q], exp))
         print(json.dumps({
             "query": q, "t_base_sec": round(t1[q], 3),
             "t_big_sec": round(t2[q], 3),
             "edge_ratio": round(ratio, 3),
-            "exponent": round(exp, 3),
+            "exponent": round(exp, 3) if exp is not None else None,
         }), flush=True)
     print(f"\n| query | E={e1} s | E={e2} s | ratio | exponent |")
     print("|---|---|---|---|---|")
     for q, a, b, e in rows:
-        print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.2f}x | {e:.2f} |")
+        etxt = f"{e:.2f}" if e is not None else "n/a"
+        print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.2f}x | {etxt} |")
 
 
 def main() -> None:
