@@ -887,6 +887,83 @@ def compile_query(
     return env
 
 
+def _optional_varlen_tail(
+    mc: dict,
+    cur: DataFrame,
+    cols: dict,
+    edges: DataFrame | None,
+    resolve,
+    node_vars: set,
+    rel_vars: set,
+    varlen_lens: set,
+) -> DataFrame:
+    """Compile one deferred ``OPTIONAL MATCH (x)-[r*lo..hi]->(c)``
+    clause: a multi-source BFS over the guarded edge frame, seeded by
+    the DISTINCT bound values of the start variable (as a DataFrame —
+    never collected), LEFT-joined back so unmatched rows survive with
+    null endpoint/length. Registers ``c`` as a node var and ``r`` as a
+    var-length rel (``length(r)`` reads the BFS hop count)."""
+    hops_d = mc["pattern"][1:]
+    if len(hops_d) != 1:
+        raise CypherUnsupported(
+            "OPTIONAL var-length supports a single hop per clause"
+        )
+    rel, node = hops_d[0]
+    from_var = mc["pattern"][0]["var"]
+    nvar, rvar = node["var"], rel["var"]
+    if from_var not in cols:
+        raise CypherUnsupported(
+            "OPTIONAL var-length must expand from a bound variable"
+        )
+    if nvar in cols:
+        raise CypherUnsupported(
+            "OPTIONAL var-length endpoint must be a new variable"
+        )
+    lo_hop, hi_hop = rel["varlen"]
+    if not 1 <= lo_hop <= hi_hop:
+        raise ValueError(f"bad hop range *{lo_hop}..{hi_hop}")
+    if edges is None:
+        raise ValueError("var-length pattern needs the edges frame")
+    fe = edges
+    for c in mc["where"]:
+        if c[0] == "all" and c[1] == rvar:
+            lo_w = resolve(c[2], as_float=True)
+            hi_w = resolve(c[3], as_float=True)
+            fe = fe.filter(F.col("similitud").between(lo_w, hi_w))
+        else:
+            raise CypherUnsupported(
+                "OPTIONAL var-length clauses support ALL(...) weight "
+                "guards only"
+            )
+    if rel["dir"] == "<":
+        fe = fe.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "similitud"
+        )
+    from providenciasbigdata_spark.operators.graph_algos import multi_source_bfs
+
+    reached = multi_source_bfs(
+        fe,
+        cur.select(F.col(cols[from_var])).distinct(),
+        max_hops=hi_hop,
+        directed=rel["dir"] != "-",
+    )
+    len_col = f"__len_{rvar}" if rvar else f"__len_{nvar}"
+    hit = reached.filter(F.col("hops").between(lo_hop, hi_hop)).select(
+        F.col("seed").alias("__bfs_seed"),
+        F.col("id").alias(f"__v_{nvar}"),
+        F.col("hops").cast("bigint").alias(len_col),
+    )
+    cur = cur.join(
+        hit, cur[cols[from_var]] == hit["__bfs_seed"], "left"
+    ).drop("__bfs_seed")
+    cols[nvar] = f"__v_{nvar}"
+    node_vars.add(nvar)
+    if rvar:
+        rel_vars.add(rvar)
+        varlen_lens.add(rvar)
+    return cur
+
+
 def _compile_segment(
     seg: dict,
     nodes: DataFrame | None,
@@ -1507,6 +1584,20 @@ def _compile_segment(
     # pattern-side), then ONE left join onto the bound scope — Cypher's
     # all-or-nothing contract holds by construction for any hop count.
     for mc in deferred:
+        if any(r["varlen"] for r, _n in mc["pattern"][1:]):
+            # OPTIONAL var-length tail (round 9, verdict-r8 item 6):
+            # a BFS frame LEFT-joined on the bound start variable. The
+            # seed set rides as a DataFrame (multi_source_bfs round-9
+            # overload), so the expansion stays distributed however
+            # large the bound scope is; unreachable seeds keep their
+            # row with null endpoint/length — Cypher's OPTIONAL
+            # contract. (Neo4j parity: optional allShortestPaths-style
+            # tails like OPTIONAL MATCH (b)-[r2*1..3]->(c).)
+            cur = _optional_varlen_tail(
+                mc, cur, cols, edges, resolve, node_vars, rel_vars,
+                varlen_lens,
+            )
+            continue
         sub_seg = {
             "unwind": [], "matches": [{**mc, "optional": False}],
             "project": None, "project_star": False, "post_where": [],

@@ -129,6 +129,7 @@ def stem_vocab_preimages(
     stemmed_terms: list[str],
     tokens_col: str,
     language: str,
+    collect_cutover: int = 100_000,
 ) -> list[str]:
     """Corpus-restricted preimage set of stemmed query terms — the
     dictionary trick every stemmed search index uses: stem the
@@ -145,19 +146,41 @@ def stem_vocab_preimages(
     predicate — the SAME plan shape as the unstemmed B1 search. Costs
     one vocabulary job at query build (at scale you materialize the
     dictionary once, as ``stem_postings`` does for the index path).
-    The collected vocabulary stems through the PYTHON reference
-    (microseconds per distinct token) — building the generated
-    Catalyst expression costs thousands of py4j calls and would
-    dominate a vocabulary-sized job."""
-    from providenciasbigdata_spark.compat.stemming import stem_py
+
+    Two regimes (verdict-r8 item 4 — a 100 TB web corpus has 10^8-10^9
+    distinct tokens, so an unconditional full-vocab collect is a driver
+    OOM on the query path):
+
+    - vocabulary <= ``collect_cutover``: collect the distinct tokens
+      and stem through the PYTHON reference (microseconds per distinct
+      token) — building the generated Catalyst expression costs
+      thousands of py4j calls and would dominate a small-vocab job;
+    - above it: stem the vocabulary DISTRIBUTIVELY with the pure-
+      Catalyst Snowball expression and filter against the (tiny) query
+      stem set INSIDE the job — only the matching preimages (bounded
+      by the corpus forms of the query terms) ever reach the driver.
+      The ~20 s py4j expression-build cost is the right trade against
+      collecting 10^8 tokens."""
+    from providenciasbigdata_spark.compat.stemming import stem_col, stem_py
 
     want = set(stemmed_terms)
     if not want:
         return []
-    vocab = (
-        df.select(F.explode(F.col(tokens_col)).alias("t")).distinct().collect()
-    )
-    return sorted(r["t"] for r in vocab if stem_py(r["t"], language) in want)
+    vocab_df = df.select(F.explode(F.col(tokens_col)).alias("t")).distinct()
+    vocab_df.persist()
+    try:
+        if vocab_df.count() <= collect_cutover:
+            return sorted(
+                r["t"]
+                for r in vocab_df.collect()
+                if stem_py(r["t"], language) in want
+            )
+        matched = vocab_df.filter(
+            stem_col(F.col("t"), language).isin(*sorted(want))
+        )
+        return sorted(r["t"] for r in matched.collect())
+    finally:
+        vocab_df.unpersist()
 
 
 def text_match_condition(

@@ -1147,7 +1147,7 @@ def scc_condensation(
 
 def multi_source_bfs(
     edges: DataFrame,
-    seeds: list,
+    seeds: list | DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 10,
@@ -1164,7 +1164,13 @@ def multi_source_bfs(
     bounded times |seeds|, never the corpus.
 
     Output: (seed, id, hops) — minimum hop count per (seed, reachable
-    node), including (seed, seed, 0)."""
+    node), including (seed, seed, 0).
+
+    ``seeds`` may be a Python list (driver-sized seed sets: landmark
+    batches, anchored-chain frontiers) or a single-column DataFrame
+    (round 9) — the DataFrame form never materializes the seed set on
+    the driver, so an UNBOUNDED seed frame (e.g. an OPTIONAL var-length
+    expansion from an unanchored scope) stays fully distributed."""
     spark = edges.sparkSession
     ckpt = _truncator(spark, checkpoint_dir)
     if directed:
@@ -1172,10 +1178,15 @@ def multi_source_bfs(
     else:
         e = symmetrize(edges, src, dst)
     e = ckpt(e)
-    seed_rows = [(s,) for s in seeds]
-    base = spark.createDataFrame(
-        seed_rows, schema=edges.select(F.col(src).alias("seed")).schema
-    )
+    if isinstance(seeds, DataFrame):
+        if len(seeds.columns) != 1:
+            raise ValueError("seeds DataFrame must have exactly one column")
+        base = seeds.toDF("seed").distinct()
+    else:
+        seed_rows = [(s,) for s in seeds]
+        base = spark.createDataFrame(
+            seed_rows, schema=edges.select(F.col(src).alias("seed")).schema
+        )
     frontier = base.select("seed", F.col("seed").alias("id"), F.lit(0).alias("hops"))
     visited = ckpt(frontier)
     for hop in range(1, max_hops + 1):

@@ -2027,6 +2027,61 @@ WHERE e.similitud >= 32
 """
 
 
+CYPHER_OPTIONAL_VARLEN = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+OPTIONAL MATCH (b)-[rs:SIMILAR*1..2]->(c:Providencia)
+WHERE all(x IN rs WHERE x.similitud >= $glo AND x.similitud <= $ghi)
+RETURN b.id AS vecino, c.id AS lejano, length(rs) AS saltos
+"""
+
+
+def q_cypher_optional_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL var-length tail (round 9, verdict-r8 item 6): each
+    strong neighbor of the anchor optionally expands 1..2 guarded hops
+    — neighbors with no guarded tail keep their row with null
+    endpoint/length. Compiles as a multi-source BFS over the guarded
+    edge frame seeded by a DataFrame of the bound variable's values
+    (never collected to the driver), LEFT-joined once
+    (compat/cypher.py::_optional_varlen_tail). Same min-hop-per-
+    endpoint semantics as cypher_varlen_expansion; oracle is the
+    per-seed recursive CTE collapsed by MIN(hop)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_OPTIONAL_VARLEN, edges=edges,
+        params={"origen": "P-7", "lo": 28.0, "glo": 33.0, "ghi": 100.0},
+    )
+
+
+_CYPHER_OPTIONAL_VARLEN_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), nb AS MATERIALIZED (
+  SELECT dst AS b FROM e WHERE src = 'P-7' AND similitud >= 28.0
+), reach(b, id, hop) AS (
+  SELECT b, b, 0 FROM nb
+  UNION ALL
+  SELECT r.b, e.dst, r.hop + 1
+  FROM reach r JOIN e ON e.src = r.id
+  WHERE r.hop < 2 AND e.similitud BETWEEN 33.0 AND 100.0
+), best AS (
+  SELECT b, id, MIN(hop) AS saltos FROM reach GROUP BY b, id
+), hits AS (
+  SELECT b, id, saltos FROM best WHERE saltos BETWEEN 1 AND 2
+)
+SELECT n.b AS vecino, h.id AS lejano, CAST(h.saltos AS BIGINT) AS saltos
+FROM nb n LEFT JOIN hits h ON h.b = n.b
+"""
+
+
 CYPHER_SCALAR_FNS = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo
@@ -3834,4 +3889,7 @@ QUERIES = {
     ),
     "cypher_cheapest_path": (q_cypher_cheapest_path, _CYPHER_CHEAPEST_SQL),
     "cypher_scalar_fns": (q_cypher_scalar_fns, _CYPHER_SCALAR_FNS_SQL),
+    "cypher_optional_varlen": (
+        q_cypher_optional_varlen, _CYPHER_OPTIONAL_VARLEN_SQL,
+    ),
 }

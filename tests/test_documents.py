@@ -201,3 +201,22 @@ def test_search_text_stemmed_matches_plurals(spark, sf_dir):
     no_col = search_text(rulings_view(load_table(spark, sf_dir, "documents")),
                          "values merges", stem=True)
     assert no_col.count() == stemmed.count()
+
+
+def test_stem_vocab_preimages_distributed_cutover(spark, sf_dir):
+    """Verdict-r8 item 4: above the vocabulary cutover the preimage set
+    is computed DISTRIBUTIVELY (Catalyst Snowball stem + filter against
+    the query stems inside the job; only matches reach the driver) —
+    results must be identical to the collect-and-stem-in-Python path,
+    and the forced-distributed run must actually find preimages."""
+    from providenciasbigdata_spark.compat.documents import stem_vocab_preimages
+    from providenciasbigdata_spark.compat.stemming import stem_py
+
+    df = _rulings(spark, sf_dir)
+    stems = sorted({stem_py(w) for w in ("values", "merges")})
+    driver_path = stem_vocab_preimages(df, stems, "tokens", "spanish")
+    distributed = stem_vocab_preimages(
+        df, stems, "tokens", "spanish", collect_cutover=0
+    )
+    assert distributed == driver_path
+    assert distributed  # the fixture corpus contains value/merge forms

@@ -2406,6 +2406,51 @@ def test_cypher_scalar_functions(spark):
             cypher_run(bad, edges=edges, params={})
 
 
+def test_cypher_optional_varlen_tail(spark):
+    """OPTIONAL MATCH with a var-length tail (round 9, verdict-r8 item
+    6): multi-source BFS left-joined on the bound variable. Pins:
+    min-hop endpoints per seed, ALL(...) weight guard, null row for a
+    seed with no guarded tail, and the unsupported shapes still
+    raising."""
+    _nodes, edges = _mini_graph(spark)
+    got = sorted(
+        map(tuple, cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+            "OPTIONAL MATCH (b)-[r2:SIMILAR*1..2]->(c) "
+            "RETURN b.id AS vecino, c.id AS lejano, length(r2) AS saltos",
+            edges=edges, params={"o": "P-1"},
+        ).collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got == [
+        ("P-2", "P-4", 1), ("P-3", "P-1", 2), ("P-3", "P-5", 1),
+    ]
+
+    # guard excludes P-2's only tail edge (35 < 45): null row survives
+    got2 = sorted(
+        map(tuple, cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+            "OPTIONAL MATCH (b)-[r2:SIMILAR*1..2]->(c) "
+            "WHERE all(x IN r2 WHERE x.similitud >= $lo AND x.similitud <= $hi) "
+            "RETURN b.id AS vecino, c.id AS lejano, length(r2) AS saltos",
+            edges=edges, params={"o": "P-1", "lo": 45.0, "hi": 100.0},
+        ).collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got2 == [
+        ("P-2", None, None), ("P-3", "P-1", 2), ("P-3", "P-5", 1),
+    ]
+
+    # unsupported shapes keep raising with a named reason
+    with pytest.raises(ValueError, match="bound variable"):
+        cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+            "OPTIONAL MATCH (z)-[r2:SIMILAR*1..2]->(c) "
+            "RETURN b.id AS v, c.id AS w",
+            edges=edges, params={"o": "P-1"},
+        )
+
+
 def test_cypher_unwind_empty_list(spark):
     """ADVICE-r8: UNWIND of an empty parameter or literal list is
     Cypher's zero-row result, not a schema-inference crash — in both
