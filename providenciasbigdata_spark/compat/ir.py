@@ -809,10 +809,33 @@ def _date_to_string_col(fmt: str, d: Column) -> Column:
             elif spec == "%u":  # ISO day of week 1-7 (Monday = 1)
                 flush()
                 parts.append((F.weekday(d) + F.lit(1)).cast("string"))
+            elif spec == "%w":  # day of week 1-7 (Sunday = 1) — Spark agrees
+                flush()
+                parts.append(F.dayofweek(d).cast("string"))
+            elif spec == "%U":  # week of year 00-53, first Sunday starts week 1
+                # strftime contract: (yday0 + 7 - wday_sun0) / 7, days
+                # before the year's first Sunday are week 00
+                flush()
+                parts.append(
+                    F.lpad(
+                        F.floor(
+                            (F.dayofyear(d) + F.lit(7) - F.dayofweek(d)) / 7
+                        ).cast("int").cast("string"),
+                        2, "0",
+                    )
+                )
+            elif spec == "%z":  # UTC offset — the engine pins session TZ=UTC
+                # as a computed part, NOT a quoted pattern run: two
+                # adjacent quoted runs would merge into an escaped ''
+                flush()
+                parts.append(F.lit("+0000"))
+            elif spec == "%Z":  # minutes offset from UTC (same pin)
+                flush()
+                parts.append(F.lit("0"))
             else:
                 raise ValueError(
                     f"unsupported $dateToString specifier {spec!r}; "
-                    f"have {sorted(_MONGO_FMT) + ['%G', '%V', '%u']}"
+                    f"have {sorted(_MONGO_FMT) + ['%G', '%U', '%V', '%u', '%w', '%z', '%Z']}"
                 )
             i += 2
         else:
@@ -1451,6 +1474,54 @@ def _bucket_stage(df: DataFrame, spec: dict) -> DataFrame:
     return df.groupBy(bucket.alias("_id")).agg(*_group_aggs(out_spec, df))
 
 
+_GRANULARITY_MANTISSAS = {
+    "1-2-5": [1.0, 2.0, 5.0],
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8,
+            3.15, 3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
+}
+
+
+def _granularity_round(x: float, series: str, mode: str) -> float:
+    """Preferred-number rounding for ``$bucketAuto`` granularity —
+    driver-side, applied only to BOUNDARY-count-sized inputs (never
+    data). ``mode``: ``down`` = largest series value <= x, ``up`` =
+    smallest >= x, ``strict_up`` = smallest > x (the final exclusive
+    upper bound). Values must be non-negative, as in Mongo."""
+    import math
+
+    if x < 0:
+        raise ValueError(
+            "$bucketAuto granularity requires non-negative groupBy values"
+        )
+    if x == 0:
+        return 1.0 if mode == "strict_up" else 0.0
+    if series == "POWERSOF2":
+        if mode == "down":
+            return float(2.0 ** math.floor(math.log2(x)))
+        up = float(2.0 ** math.ceil(math.log2(x)))
+        if mode == "up" or up > x:
+            return up
+        return up * 2.0
+    mants = _GRANULARITY_MANTISSAS[series]
+    e = math.floor(math.log10(x))
+    m = x / (10.0 ** e)
+    if m < 1.0:
+        e -= 1
+    elif m >= 10.0:
+        e += 1
+    scale = 10.0 ** e
+    if mode == "down":
+        cands = [v * scale for v in mants if v * scale <= x]
+        return cands[-1] if cands else mants[-1] * scale / 10.0
+    if mode == "up":
+        cands = [v * scale for v in mants if v * scale >= x]
+    else:
+        cands = [v * scale for v in mants if v * scale > x]
+    return cands[0] if cands else 10.0 * scale
+
+
 def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
     """``$bucketAuto``: distribute documents into ``buckets`` groups of
     near-equal population over the ``groupBy`` value's order. The unit
@@ -1469,12 +1540,25 @@ def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
 
     Output columns: ``min_value``, ``max_value`` (the flattened
     ``_id``), plus the ``output`` accumulator document (default
-    ``count``). ``granularity`` (preferred-number rounding) is
-    unsupported and raises."""
+    ``count``).
+
+    ``granularity`` (round 9, verdict-r8 item 8): bucket BOUNDARIES are
+    rounded to the preferred-number series (POWERSOF2 / 1-2-5 / R5 /
+    R10 / R20) — first bound rounded DOWN from the global minimum, each
+    equal-population split value rounded UP, the final bound to the
+    smallest series value STRICTLY above the maximum (bounds stay
+    exclusive-upper). Documents re-bucket by the ROUNDED bounds, so
+    counts become unequal — Mongo's documented granularity effect; the
+    rounding itself touches only the <= buckets+1 boundary values on
+    the driver, never data. E-series (E6..E192) raise."""
     if not (isinstance(spec, dict) and "groupBy" in spec and "buckets" in spec):
         raise ValueError(f"$bucketAuto needs groupBy and buckets: {spec!r}")
-    if "granularity" in spec:
-        raise ValueError("$bucketAuto granularity is unsupported")
+    gran = spec.get("granularity")
+    if gran is not None and gran != "POWERSOF2" and gran not in _GRANULARITY_MANTISSAS:
+        raise ValueError(
+            f"unsupported $bucketAuto granularity {gran!r}; have "
+            f"{['POWERSOF2'] + sorted(_GRANULARITY_MANTISSAS)}"
+        )
     n_buckets = int(spec["buckets"])
     if n_buckets < 1:
         raise ValueError("$bucketAuto buckets must be >= 1")
@@ -1494,8 +1578,40 @@ def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
             F.expr(f"(cum_before * {n_buckets}) div __total").alias("__bucket"),
         )
     )
-    docs = tagged.join(assign, "__v")
     out_spec = spec.get("output", {"count": {"$sum": 1}})
+    if gran is not None:
+        # boundary-count-sized driver work: tentative equal-population
+        # split values (each bucket's first value) + the global max
+        splits = [
+            r["s"]
+            for r in assign.groupBy("__bucket")
+            .agg(F.min("__v").alias("s"))
+            .orderBy("__bucket")
+            .collect()
+        ]
+        vmax = float(vals.agg(F.max("__v").alias("m")).first()["m"])
+        lo0 = _granularity_round(float(splits[0]), gran, "down")
+        top = _granularity_round(vmax, gran, "strict_up")
+        interior = sorted(
+            {_granularity_round(float(s), gran, "up") for s in splits[1:]}
+        )
+        bounds = [lo0] + [b for b in interior if lo0 < b < top] + [top]
+        vv = F.col("__v").cast("double")
+        bexpr = None
+        for i in range(len(bounds) - 1):
+            cond = (vv >= F.lit(bounds[i])) & (vv < F.lit(bounds[i + 1]))
+            bexpr = F.when(cond, i) if bexpr is None else bexpr.when(cond, i)
+        gdocs = tagged.withColumn("__bucket", bexpr)
+        gagged = gdocs.groupBy("__bucket").agg(*_group_aggs(out_spec, gdocs))
+        lo_arr = F.array(*[F.lit(float(b)) for b in bounds[:-1]])
+        hi_arr = F.array(*[F.lit(float(b)) for b in bounds[1:]])
+        idx = F.col("__bucket").cast("int") + F.lit(1)
+        return gagged.select(
+            F.element_at(lo_arr, idx).alias("min_value"),
+            F.element_at(hi_arr, idx).alias("max_value"),
+            *[c for c in gagged.columns if c != "__bucket"],
+        ).orderBy("min_value")
+    docs = tagged.join(assign, "__v")
     agged = docs.groupBy("__bucket").agg(
         F.min("__v").alias("min_value"),
         F.max("__v").alias("__vmax"),

@@ -898,6 +898,68 @@ FROM agged ORDER BY min_value
 """
 
 
+def q_mql_bucket_auto_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucketAuto with POWERSOF2 granularity (round 9, verdict-r8
+    item 8): equal-population splits over doc_id are ROUNDED to the
+    power-of-two series — first bound rounded down, splits rounded up,
+    final bound the smallest power strictly above the max — and the
+    documents re-bucket by the rounded bounds, giving Mongo's
+    documented unequal counts. Rounding touches only the <= 5 boundary
+    values on the driver (compat/ir.py::_granularity_round); the
+    oracle replays bound derivation with LOG2/POWER window SQL."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [{"$bucketAuto": {
+            "groupBy": "$doc_id", "buckets": 4, "granularity": "POWERSOF2",
+        }}],
+    )
+    return out.select(
+        "min_value", "max_value", F.col("count").cast("bigint").alias("count")
+    )
+
+
+_MQL_BUCKET_AUTO_GRAN_SQL = f"""
+WITH r AS ({_RULINGS_SQL}),
+vals AS (SELECT CAST(doc_id AS DOUBLE) AS v, COUNT(*) AS cnt FROM r GROUP BY 1),
+ranked AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         (SELECT SUM(cnt) FROM vals) AS total
+  FROM vals),
+splits AS (
+  SELECT (cb * 4) // total AS bucket, MIN(v) AS s
+  FROM ranked GROUP BY 1),
+lo0 AS (
+  SELECT CASE WHEN s = 0 THEN 0.0 ELSE POWER(2, FLOOR(LOG2(s))) END AS b
+  FROM splits WHERE bucket = (SELECT MIN(bucket) FROM splits)),
+topb AS (
+  SELECT CASE WHEN m = 0 THEN 1.0
+              WHEN POWER(2, CEIL(LOG2(m))) > m THEN POWER(2, CEIL(LOG2(m)))
+              ELSE POWER(2, CEIL(LOG2(m)) + 1) END AS b
+  FROM (SELECT MAX(v) AS m FROM vals)),
+bounds AS (
+  SELECT b FROM lo0
+  UNION
+  SELECT CASE WHEN s = 0 THEN 0.0 ELSE POWER(2, CEIL(LOG2(s))) END AS b
+  FROM splits
+  WHERE bucket > (SELECT MIN(bucket) FROM splits)
+    AND (CASE WHEN s = 0 THEN 0.0 ELSE POWER(2, CEIL(LOG2(s))) END)
+        > (SELECT b FROM lo0)
+    AND (CASE WHEN s = 0 THEN 0.0 ELSE POWER(2, CEIL(LOG2(s))) END)
+        < (SELECT b FROM topb)
+  UNION
+  SELECT b FROM topb),
+bs AS (SELECT b AS lo, LEAD(b) OVER (ORDER BY b) AS hi FROM bounds)
+SELECT bs.lo AS min_value, bs.hi AS max_value,
+       CAST(SUM(vals.cnt) AS BIGINT) AS count
+FROM bs JOIN vals ON vals.v >= bs.lo AND vals.v < bs.hi
+GROUP BY bs.lo, bs.hi ORDER BY bs.lo
+"""
+
+
 def q_mql_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$merge output stage: post-2010 per-tipo counts merged into a
     pre-2010 stats collection on tipo — matched tipos gain the n_new
@@ -3810,6 +3872,9 @@ QUERIES = {
     "mql_graph_lookup": (q_mql_graph_lookup, _MQL_GRAPH_LOOKUP_SQL),
     "mql_agg_merge": (q_mql_agg_merge, _MQL_MERGE_SQL),
     "mql_agg_bucket_auto": (q_mql_bucket_auto, _MQL_BUCKET_AUTO_SQL),
+    "mql_agg_bucket_auto_granularity": (
+        q_mql_bucket_auto_granularity, _MQL_BUCKET_AUTO_GRAN_SQL,
+    ),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),
     "mql_distinct_filtered": (q_mql_distinct_filtered, _MQL_DISTINCT_SQL),

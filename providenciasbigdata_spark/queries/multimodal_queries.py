@@ -573,7 +573,18 @@ FROM documents
 """
 
 
+def q_jpeg_decode_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-less JPEG decode proof (round 9, verdict-r8 item 7):
+    where Pillow exists, real PIL-encoded JPEGs are decoded and the
+    geometry cross-checked against the independent JVM header walk;
+    where it is absent (this container), the same plan runs the walk
+    over stdlib header fixtures with backend='header_only'. Stable
+    schema both ways (multimodal.jpeg_decode_crosscheck)."""
+    return multimodal.jpeg_decode_crosscheck(spark)
+
+
 QUERIES = {
+    "multimodal_jpeg_decode_pil": (q_jpeg_decode_crosscheck, None),
     "multimodal_phash_dedup": (q_phash_dedup, None),
     "multimodal_jpeg_header_jvm": (q_jpeg_header_jvm, _JPEG_HEADER_SQL),
     "multimodal_shot_boundaries": (q_shot_boundaries, None),
@@ -603,6 +614,14 @@ _FAKE_DECODE = (
     "multimodal_wav_decode / multimodal_payload_stats are oracle-checked"
 )
 WHY_NO_ORACLE = {
+    "multimodal_jpeg_decode_pil": (
+        "environment-conditional backend: with Pillow installed the rows "
+        "carry a real JPEG encode->decode->header-walk geometry cross-check "
+        "(geom_match must be all-true, pinned in tests/test_multimodal.py); "
+        "without it (this container) the degraded header_only branch and "
+        "the NotImplementedError of the raw pil backend are both pinned — "
+        "not expressible as a fixed SQL oracle across environments"
+    ),
     "multimodal_shot_boundaries": (
         "frame fingerprints derive from decoded pixel rasters (stdlib BMP "
         "decode + average pool), not SQL-expressible; the planted two-scene "

@@ -1357,11 +1357,70 @@ def test_mql_bucket_auto(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="granularity"):
-        mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x", "buckets": 2,
-                                            "granularity": "R5"}}])
     with _pytest.raises(ValueError, match="bucketAuto needs"):
         mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x"}}])
+
+
+def test_mql_bucket_auto_granularity(spark):
+    """$bucketAuto granularity (round 9, verdict-r8 item 8): boundaries
+    round to the preferred-number series — first bound down, splits up,
+    final bound strictly above the max — and counts become unequal.
+    Hand-checkable over 0..599; E-series and negative values raise."""
+    from providenciasbigdata_spark.compat.ir import (
+        _granularity_round,
+        mql_aggregate,
+    )
+
+    df = spark.range(600).selectExpr("CAST(id AS DOUBLE) AS x")
+    out = mql_aggregate(df, [{"$bucketAuto": {
+        "groupBy": "$x", "buckets": 4, "granularity": "POWERSOF2"}}])
+    rows = [(r.min_value, r.max_value, r["count"]) for r in out.collect()]
+    assert rows == [(0.0, 256.0, 256), (256.0, 512.0, 256),
+                    (512.0, 1024.0, 88)]
+
+    out2 = mql_aggregate(df, [{"$bucketAuto": {
+        "groupBy": "$x", "buckets": 4, "granularity": "R5"}}])
+    rows2 = [(r.min_value, r.max_value, r["count"]) for r in out2.collect()]
+    assert rows2 == [(0.0, 160.0, 160), (160.0, 400.0, 240),
+                     (400.0, 630.0, 200)]
+
+    # rounder contract pins
+    assert _granularity_round(8.0, "POWERSOF2", "up") == 8.0
+    assert _granularity_round(8.0, "POWERSOF2", "strict_up") == 16.0
+    assert _granularity_round(5.0, "POWERSOF2", "down") == 4.0
+    assert _granularity_round(0.07, "1-2-5", "up") == 0.1
+    assert _granularity_round(63.0, "R5", "strict_up") == 100.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported .* granularity"):
+        mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x", "buckets": 2,
+                                            "granularity": "E12"}}])
+    neg = spark.createDataFrame([(-1.0,), (4.0,)], "x double")
+    with _pytest.raises(Exception, match="non-negative"):
+        mql_aggregate(neg, [{"$bucketAuto": {
+            "groupBy": "$x", "buckets": 2, "granularity": "POWERSOF2"}}])
+
+
+def test_mql_date_to_string_extra_specifiers(spark):
+    """%U (Sunday-first week of year), %w (day 1-7 Sunday=1), %z/%Z
+    (UTC offset pins — the session timezone is UTC). Hand-checked:
+    2024-01-01 is a Monday (w=2, U=00); 2024-01-07 the first Sunday
+    (U=01); 2024-12-31 a Tuesday in week 52."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-07",), ("2024-12-31",)], "d string"
+    ).selectExpr("CAST(d AS TIMESTAMP) AS ts")
+    out = mql_aggregate(df, [{"$project": {
+        "s": {"$dateToString": {"date": "$ts", "format": "%Y %U %w %z %Z"}},
+    }}])
+    got = sorted(r["s"] for r in out.collect())
+    assert got == [
+        "2024 00 2 +0000 0",
+        "2024 01 1 +0000 0",
+        "2024 52 3 +0000 0",
+    ]
 
 
 def test_cypher_agg_functions(spark):

@@ -3,6 +3,7 @@ determinism of the FAKE decoders, explosion shape of frame sampling."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from providenciasbigdata_spark import multimodal as mm
@@ -513,6 +514,43 @@ def test_jpeg_header_meta_segment_walk(spark):
     assert out[5]["jpeg_ok"] and out[5]["sof_marker"] is None
     assert (out[6]["width"], out[6]["height"]) == (640, 480)
     assert out[7]["jpeg_ok"] and out[7]["width"] is None
+
+
+def test_jpeg_decode_crosscheck_skipless(spark):
+    """Verdict-r8 item 7, skip-less by construction: exactly one of two
+    pinned branches runs. With Pillow: real encode->decode->header-walk
+    geometry agreement (geom_match all true). Without (this
+    container): the degraded header_only branch still walks headers
+    correctly AND the raw pil backend raises the named
+    NotImplementedError."""
+    from providenciasbigdata_spark.multimodal import (
+        decode_image_features,
+        encode_jpeg_header,
+        have_pil,
+        jpeg_decode_crosscheck,
+    )
+
+    out = jpeg_decode_crosscheck(spark, n_assets=12).collect()
+    assert len(out) == 12
+    assert all(
+        r["width"] == 16 + r["asset_id"] % 113
+        and r["height"] == 16 + (r["asset_id"] * 7) % 97
+        for r in out
+    )
+    if have_pil():
+        assert all(r["backend"] == "pil" and r["geom_match"] for r in out)
+    else:
+        assert all(
+            r["backend"] == "header_only"
+            and r["geom_match"] is None
+            and r["dec_width"] is None
+            for r in out
+        )
+        fixtures = spark.createDataFrame(
+            [(1, encode_jpeg_header(32, 24))], "asset_id long, payload binary"
+        )
+        with pytest.raises(NotImplementedError, match="PIL.*not installed"):
+            decode_image_features(fixtures, decode_backend="pil")
 
 
 def test_jpeg_header_meta_standalone_markers_stop(spark):
