@@ -1311,28 +1311,22 @@ def _compile_segment(
                     cols[from_var] = f"__v_{from_var}"
                     anchored = True
                 else:
-                    # MID-CHAIN var-length hop (round 6): batch-BFS from
-                    # every value the bound variable takes. The chain is
-                    # required to be ANCHORED, so its endpoint set is
-                    # driver-sized by construction — the collect below
-                    # is the seeds list, not data
-                    if not anchored:
-                        raise CypherUnsupported(
-                            "mid-chain var-length expansion requires an "
-                            "anchored chain (unbounded frontier otherwise)"
-                        )
+                    # MID-CHAIN var-length hop (round 6; round 9 lifts
+                    # the anchored-chain requirement): batch-BFS from
+                    # every value the bound variable takes, seeds riding
+                    # as a DataFrame — the frontier never materializes
+                    # on the driver, so an UNANCHORED (corpus-sized)
+                    # bound scope is fine: the BFS is one frontier loop
+                    # whose per-level work is |frontier|-bounded joins
                     from providenciasbigdata_spark.operators.graph_algos import (
                         multi_source_bfs,
                     )
 
-                    seeds = [
-                        r[0]
-                        for r in cur.select(cols[from_var]).distinct().collect()
-                    ]
-                    if not seeds:
-                        seeds = ["__cypher_empty_frontier__"]
                     reached = multi_source_bfs(
-                        fe, seeds, max_hops=hi_hop, directed=directed
+                        fe,
+                        cur.select(F.col(cols[from_var])).distinct(),
+                        max_hops=hi_hop,
+                        directed=directed,
                     )
                     hit = reached.filter(
                         F.col("hops").between(lo_hop, hi_hop)

@@ -195,6 +195,21 @@ def pii_counts(col: Column) -> dict[str, Column]:
     }
 
 
+def redact_pii(col: Column) -> Column:
+    """REDACTION counterpart of ``pii_counts`` (round 9): replace each
+    PII match with its typed tag (``<EMAIL>``, ``<URL>``, ``<PHONE>``)
+    in the fixed PII_PATTERNS order — email and url first so their
+    digit runs can never be re-matched by the looser phone pattern;
+    the tags themselves contain no redactable characters, so the chain
+    is idempotent. A map-only ``regexp_replace`` chain fused into the
+    scan (no UDF, no shuffle) — the shape of a 100 TB pre-training
+    redaction pass."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def dup_gram_stats(tokens: Column, n: int = 3) -> dict[str, Column]:
     """Within-document repetition via n-gram duplication (the Gopher
     repetition filters, simplified): total n-grams, distinct n-grams,

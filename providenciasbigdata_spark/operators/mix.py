@@ -74,6 +74,43 @@ def hash_rate_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling (round 9): each stratum
+    keeps its own ``rate`` fraction, selected by the SAME fixed-width
+    md5-hex bucket device as ``hash_rate_sample`` — bit-reproducible
+    across engines and runs, no RNG state, map-only (the per-stratum
+    threshold is a strata-count-sized CASE fused into the scan; at
+    100 TB this is one filter pushed at the source, no shuffle).
+
+    ``rate >= 1.0`` (keep everything) compiles to the threshold
+    ``'g'*15`` — every hex bucket sorts strictly below ``'g'``, so the
+    lexicographic==numeric invariant is preserved without a 16-digit
+    special case. Strata absent from ``rates`` use ``default_rate``.
+    The canonical knob of a training-mix builder: up-sample scarce
+    high-quality strata, down-sample the crawl."""
+
+    def thr_lit(rate: float) -> str:
+        if not 0.0 <= rate:
+            raise ValueError(f"rate must be >= 0, got {rate}")
+        return "g" * _HEX_DIGITS if rate >= 1.0 else rate_threshold_hex(rate)
+
+    thr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == F.lit(stratum)
+        t = F.lit(thr_lit(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_lit = F.lit(thr_lit(default_rate))
+    thr = default_lit if thr is None else thr.otherwise(default_lit)
+    return df.filter(_bucket(F.col(key_col), salt) < thr)
+
+
 def budget_rates(
     sources: list[tuple[str, DataFrame, float]],
     budget: int,

@@ -2144,6 +2144,58 @@ FROM nb n LEFT JOIN hits h ON h.b = n.b
 """
 
 
+CYPHER_UNANCHORED_VARLEN = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)-[rs:SIMILAR*1..2]->(c:Providencia)
+WHERE r.similitud >= $lo AND all(x IN rs WHERE x.similitud >= $glo AND x.similitud <= $ghi)
+RETURN a.id AS origen, b.id AS medio, c.id AS destino, length(rs) AS saltos
+"""
+
+
+def q_cypher_unanchored_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNANCHORED mid-chain var-length (round 9): the chain opens on a
+    full edge scan (no anchor), and the var-length hop expands from
+    EVERY bound b — possible now that multi_source_bfs takes its seed
+    set as a DataFrame (the frontier never reaches the driver, so the
+    old anchored-chain requirement is gone; compat/cypher.py mid-chain
+    branch). Min-hop-per-endpoint semantics as everywhere; oracle is
+    the per-seed recursive CTE."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_UNANCHORED_VARLEN, edges=edges,
+        params={"lo": 34.0, "glo": 32.0, "ghi": 100.0},
+    )
+
+
+_CYPHER_UNANCHORED_VARLEN_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), firsthop AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e WHERE similitud >= 34.0
+), g AS MATERIALIZED (
+  SELECT src, dst FROM e WHERE similitud BETWEEN 32.0 AND 100.0
+), seeds AS (SELECT DISTINCT b FROM firsthop),
+reach(b, id, hop) AS (
+  SELECT b, b, 0 FROM seeds
+  UNION ALL
+  SELECT r.b, g.dst, r.hop + 1 FROM reach r JOIN g ON g.src = r.id
+  WHERE r.hop < 2
+), best AS (
+  SELECT b, id, MIN(hop) AS saltos FROM reach GROUP BY b, id
+), hits AS (SELECT b, id, saltos FROM best WHERE saltos BETWEEN 1 AND 2)
+SELECT f.a AS origen, f.b AS medio, h.id AS destino,
+       CAST(h.saltos AS BIGINT) AS saltos
+FROM firsthop f JOIN hits h ON h.b = f.b
+"""
+
+
 CYPHER_SCALAR_FNS = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo
@@ -3956,5 +4008,8 @@ QUERIES = {
     "cypher_scalar_fns": (q_cypher_scalar_fns, _CYPHER_SCALAR_FNS_SQL),
     "cypher_optional_varlen": (
         q_cypher_optional_varlen, _CYPHER_OPTIONAL_VARLEN_SQL,
+    ),
+    "cypher_unanchored_varlen": (
+        q_cypher_unanchored_varlen, _CYPHER_UNANCHORED_VARLEN_SQL,
     ),
 }

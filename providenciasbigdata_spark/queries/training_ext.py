@@ -132,6 +132,87 @@ FROM documents
 """
 
 
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION pass (round 9): every email/url/phone match is
+    replaced by its typed tag in pattern order (email/url before the
+    looser phone pattern so digit runs can't re-match; tags are
+    redaction-proof, so the pass is idempotent). One map-only
+    regexp_replace chain fused into the scan — the literal shape of a
+    pre-training redaction sweep at 100 TB. Emits the redacted text
+    (value-hashed against the oracle byte-for-byte), its length, and
+    the tag count actually inserted."""
+    from providenciasbigdata_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = redact_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.length(red).cast("bigint").alias("n_chars_redacted"),
+        F.regexp_count(
+            red, F.lit(r"<(EMAIL|URL|PHONE)>")
+        ).cast("bigint").alias("n_tags"),
+    )
+
+
+_PII_REDACT_SQL = f"""
+WITH red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+             '{PII_PATTERNS["url"]}', '<URL>', 'g'),
+           '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS redacted
+  FROM documents
+)
+SELECT doc_id, redacted,
+       CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
+       CAST(len(regexp_extract_all(redacted, '<(EMAIL|URL|PHONE)>')) AS BIGINT)
+         AS n_tags
+FROM red
+"""
+
+
+def q_mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix stratified sampling (round 9): per-LANGUAGE keep
+    rates over the document corpus — up-sample scarce languages, keep
+    all of one, thin the rest — via operators.mix.stratified_sample
+    (fixed-width md5 bucket vs per-stratum hex threshold; rate>=1.0
+    compiles to the 'g'*15 sentinel every hex bucket sorts below).
+    Row-level output, value-hashed: the sample MEMBERSHIP itself is
+    pinned bit-for-bit against the oracle, not just counts."""
+    from providenciasbigdata_spark.operators.mix import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs.select("doc_id", "lang"),
+        rates={"zh": 1.0, "de": 0.5, "en": 0.25},
+        strata_col="lang",
+        key_col="doc_id",
+        default_rate=0.1,
+        salt="mix9",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _mix_stratified_sql() -> str:
+    from providenciasbigdata_spark.operators.mix import rate_threshold_hex
+
+    t = {r: rate_threshold_hex(r) for r in (0.5, 0.25, 0.1)}
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5('mix9' || CAST(doc_id AS VARCHAR)), 1, 15) <
+      CASE lang WHEN 'zh' THEN 'ggggggggggggggg'
+                WHEN 'de' THEN '{t[0.5]}'
+                WHEN 'en' THEN '{t[0.25]}'
+                ELSE '{t[0.1]}' END
+"""
+
+
+_MIX_STRATIFIED_SQL = _mix_stratified_sql()
+
+
 # ---- benchmark decontamination -----------------------------------------
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,6 +1064,8 @@ QUERIES = {
     "text_repetition": (q_text_repetition, _REPETITION_SQL),
     "sketch_heavy_hitter_tokens": (q_heavy_hitter_tokens, _HEAVY_HITTERS_SQL),
     "text_pii_scan": (q_text_pii_scan, _PII_SQL),
+    "text_pii_redaction": (q_text_pii_redaction, _PII_REDACT_SQL),
+    "mix_stratified_sample": (q_mix_stratified_sample, _MIX_STRATIFIED_SQL),
     "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
     "pack_sequences": (q_pack_sequences, _PACK_SQL),
     "pack_first_fit_bins": (q_pack_first_fit, None),

@@ -2510,6 +2510,27 @@ def test_cypher_optional_varlen_tail(spark):
         )
 
 
+def test_cypher_unanchored_midchain_varlen(spark):
+    """Round 9: mid-chain var-length no longer requires an anchored
+    chain — the BFS seed set rides as a DataFrame. Full hand-checked
+    expansion over the mini graph."""
+    _nodes, edges = _mini_graph(spark)
+    got = sorted(map(tuple, cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b)-[rs:SIMILAR*1..2]->(c) "
+        "RETURN a.id AS origen, b.id AS medio, c.id AS destino, "
+        "length(rs) AS saltos",
+        edges=edges, params={},
+    ).collect()))
+    assert got == [
+        ("P-1", "P-2", "P-4", 1),
+        ("P-1", "P-3", "P-1", 2), ("P-1", "P-3", "P-5", 1),
+        ("P-3", "P-5", "P-1", 1), ("P-3", "P-5", "P-2", 2),
+        ("P-3", "P-5", "P-3", 2),
+        ("P-5", "P-1", "P-2", 1), ("P-5", "P-1", "P-3", 1),
+        ("P-5", "P-1", "P-4", 2), ("P-5", "P-1", "P-5", 2),
+    ]
+
+
 def test_cypher_unwind_empty_list(spark):
     """ADVICE-r8: UNWIND of an empty parameter or literal list is
     Cypher's zero-row result, not a schema-inference crash — in both

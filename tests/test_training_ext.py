@@ -362,3 +362,73 @@ def test_minhash_cross_contamination_planted(spark):
         bands=16, rows_per_band=2, ngram=3,
     ).count()
     assert none == 0
+
+
+def test_redact_pii_hand_checked(spark):
+    """Round 9: typed-tag redaction, pattern order (email/url before
+    phone), idempotence, and count agreement with pii_counts."""
+    from providenciasbigdata_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@example.org then call +57 (301) 555-1234 ok"),
+            (2, "see https://example.com/x?id=123 for details"),
+            (3, "clean text without identifiers"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.red for r in df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> then call <PHONE> ok"
+    assert out[2] == "see <URL> for details"
+    assert out[3] == "clean text without identifiers"
+    assert out[4] is None
+
+    # idempotent: re-redacting the redacted text changes nothing
+    again = {r.doc_id: r.red2 for r in df.select(
+        "doc_id", redact_pii(redact_pii(F.col("text"))).alias("red2")
+    ).collect()}
+    assert again == out
+
+    # the inserted tag count equals the pre-redaction match count
+    counts = pii_counts(F.col("text"))
+    total = sum(counts.values(), F.lit(0))
+    rows = df.filter("text IS NOT NULL").select(
+        total.alias("n"),
+        F.regexp_count(
+            redact_pii(F.col("text")), F.lit(r"<(EMAIL|URL|PHONE)>")
+        ).alias("t"),
+    ).collect()
+    assert all(r.n == r.t for r in rows)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Round 9: per-stratum keep rates hold within hash tolerance,
+    rate>=1.0 keeps every row (the 'g'*15 sentinel), default_rate
+    covers unlisted strata, and the selection is bit-deterministic."""
+    from providenciasbigdata_spark.operators.mix import stratified_sample
+
+    n = 4000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 4 = 0 THEN 'a' WHEN id % 4 = 1 THEN 'b' "
+        "WHEN id % 4 = 2 THEN 'c' ELSE 'd' END AS lang",
+    )
+    out = stratified_sample(
+        df, {"a": 1.0, "b": 0.5, "c": 0.0}, strata_col="lang",
+        key_col="doc_id", default_rate=0.25, salt="s",
+    )
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert by["a"] == n // 4                      # keep-everything
+    assert "c" not in by                          # rate 0 drops all
+    assert abs(by["b"] / (n / 4) - 0.5) < 0.08    # hash-uniform
+    assert abs(by.get("d", 0) / (n / 4) - 0.25) < 0.08
+
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in stratified_sample(
+        df, {"a": 1.0, "b": 0.5, "c": 0.0}, strata_col="lang",
+        key_col="doc_id", default_rate=0.25, salt="s",
+    ).collect())
+    assert a == b
