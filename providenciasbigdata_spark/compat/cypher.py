@@ -98,7 +98,13 @@ _ITEM_COLLECT_RE = re.compile(
 _AGG_KINDS = ("count", "countd", "countstar", "collect", "collectd")
 _ITEM_COUNT_STAR_RE = re.compile(r"^count\s*\(\s*\*\s*\)\s+AS\s+(\w+)$", re.I)
 _ITEM_AGG_RE = re.compile(
-    r"^(sum|avg|min|max)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)$", re.I
+    r"^(sum|avg|min|max|stDev|stDevP)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)$",
+    re.I,
+)
+# percentileCont(v.prop, p) — Neo4j's exact interpolated percentile
+_ITEM_PCTC_RE = re.compile(
+    r"^percentileCont\s*\(\s*(\w+)\.(\w+)\s*,\s*(\d*\.?\d+)\s*\)\s+AS\s+(\w+)$",
+    re.I,
 )
 _ITEM_LEN_RE = re.compile(r"^length\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)$", re.I)
 _ORDER_RE = re.compile(r"^(\w+(?:\.\w+)?)(?:\s+(ASC|DESC))?$", re.I)
@@ -629,6 +635,12 @@ def parse(query: str) -> dict:
             if m:
                 items.append(
                     (f"agg:{m.group(1).lower()}", m.group(2), m.group(3), m.group(4))
+                )
+                continue
+            m = _ITEM_PCTC_RE.match(raw)
+            if m:
+                items.append(
+                    (f"agg:pctc:{m.group(3)}", m.group(1), m.group(2), m.group(4))
                 )
                 continue
             m = _ITEM_LEN_RE.match(raw)
@@ -1888,7 +1900,11 @@ def _compile_segment(
                     gb.append(expr_col(v).alias(a))
                 else:
                     gb.append(item_col(k, v, p).alias(a))
-            agg_fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+            agg_fns = {
+                "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+                # Neo4j stDev = sample, stDevP = population
+                "stdev": F.stddev_samp, "stdevp": F.stddev_pop,
+            }
             agg_cols = []
             for k, v, p, a in aggs:
                 if k == "countstar":
@@ -1919,7 +1935,15 @@ def _compile_segment(
                         )
                         agg_cols.append(F.sort_array(inner).alias(a))
                     continue
-                # sum/avg/min/max over a property expression
+                if k.startswith("agg:pctc:"):
+                    # percentileCont: Spark's exact interpolated
+                    # percentile aggregate — Neo4j's contract
+                    q = float(k.rsplit(":", 1)[1])
+                    agg_cols.append(
+                        F.percentile(item_col("prop", v, p), F.lit(q)).alias(a)
+                    )
+                    continue
+                # sum/avg/min/max/stDev[P] over a property expression
                 agg_cols.append(agg_fns[k[4:]](item_col("prop", v, p)).alias(a))
             return frame.groupBy(*gb).agg(*agg_cols)
         sel = []

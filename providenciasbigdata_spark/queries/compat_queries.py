@@ -2144,6 +2144,51 @@ FROM nb n LEFT JOIN hits h ON h.b = n.b
 """
 
 
+CYPHER_STATS_AGGS = """
+MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+RETURN a.id AS origen, stDev(r.similitud) AS sd, stDevP(r.similitud) AS sdp,
+       percentileCont(r.similitud, 0.5) AS mediana
+"""
+
+
+def q_cypher_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neo4j statistical aggregates (round 9): stDev (sample), stDevP
+    (population) and percentileCont (exact interpolated percentile)
+    over each node's out-edge weights — two-phase hash aggregates, the
+    percentile an exact Spark `percentile` aggregate. Doubles rounded
+    to 6 digits on both sides (stddev partial-merge order varies in the
+    last bits)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    out = cypher_run(CYPHER_STATS_AGGS, edges=edges, params={"lo": 30.0})
+    return out.select(
+        "origen",
+        F.round("sd", 6).alias("sd"),
+        F.round("sdp", 6).alias("sdp"),
+        F.round("mediana", 6).alias("mediana"),
+    ).filter(F.col("sd").isNotNull())
+
+
+_CYPHER_STATS_AGGS_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT src AS origen,
+       ROUND(STDDEV_SAMP(similitud), 6) AS sd,
+       ROUND(STDDEV_POP(similitud), 6) AS sdp,
+       ROUND(quantile_cont(similitud, 0.5), 6) AS mediana
+FROM e WHERE similitud >= 30.0
+GROUP BY src HAVING COUNT(*) > 1
+"""
+
+
 CYPHER_UNANCHORED_VARLEN = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)-[rs:SIMILAR*1..2]->(c:Providencia)
 WHERE r.similitud >= $lo AND all(x IN rs WHERE x.similitud >= $glo AND x.similitud <= $ghi)
@@ -4011,5 +4056,8 @@ QUERIES = {
     ),
     "cypher_unanchored_varlen": (
         q_cypher_unanchored_varlen, _CYPHER_UNANCHORED_VARLEN_SQL,
+    ),
+    "cypher_stats_aggregates": (
+        q_cypher_stats_aggregates, _CYPHER_STATS_AGGS_SQL,
     ),
 }

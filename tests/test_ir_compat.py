@@ -260,15 +260,17 @@ def test_cypher_generic_compiler_capabilities(spark):
         edges=edges_full, params={"o": "P-7", "lo": 20.0},
     )
     assert vf.count() > 0
-    # unanchored mid-chain varlen still raises (unbounded frontier)
-    with pytest.raises(ValueError, match="anchored"):
-        cypher_run(
-            "MATCH (a:Providencia)-[r1:SIMILAR]->(b:Providencia)"
-            "-[rs:SIMILAR*1..2]->(c:Providencia) "
-            "WHERE r1.similitud >= $lo "
-            "RETURN a.id AS x, c.id AS y",
-            edges=edges_full, params={"lo": 20.0},
-        )
+    # unanchored mid-chain varlen WORKS since round 9 (seeds ride as a
+    # DataFrame — no driver-sized frontier requirement); full value pin
+    # in test_cypher_unanchored_midchain_varlen
+    unanchored = cypher_run(
+        "MATCH (a:Providencia)-[r1:SIMILAR]->(b:Providencia)"
+        "-[rs:SIMILAR*1..2]->(c:Providencia) "
+        "WHERE r1.similitud >= $lo "
+        "RETURN a.id AS x, c.id AS y",
+        edges=edges_full, params={"lo": 20.0},
+    )
+    assert unanchored.count() > 0
 
     # out-of-grammar patterns raise with the parser's reason
     for bad in (
@@ -2508,6 +2510,24 @@ def test_cypher_optional_varlen_tail(spark):
             "RETURN b.id AS v, c.id AS w",
             edges=edges, params={"o": "P-1"},
         )
+
+
+def test_cypher_stats_aggregates(spark):
+    """stDev/stDevP/percentileCont (round 9): hand-checked over P-1's
+    out-edge weights [40, 20] — sample sd = 10*sqrt(2), population
+    sd = 10, interpolated median = 30."""
+    _nodes, edges = _mini_graph(spark)
+    row = cypher_run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+        "RETURN a.id AS origen, stDev(r.similitud) AS sd, "
+        "stDevP(r.similitud) AS sdp, "
+        "percentileCont(r.similitud, 0.5) AS mediana",
+        edges=edges, params={"o": "P-1"},
+    ).first()
+    assert row["origen"] == "P-1"
+    assert abs(row["sd"] - 14.142135623730951) < 1e-9
+    assert row["sdp"] == 10.0
+    assert row["mediana"] == 30.0
 
 
 def test_cypher_unanchored_midchain_varlen(spark):
