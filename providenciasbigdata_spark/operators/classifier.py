@@ -143,6 +143,37 @@ def train_logistic_hashed(
         feats.unpersist()
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins (round 9): bucket predicted scores into
+    ``n_bins`` equal-width probability bins (score 1.0 clamps into the
+    last) and report per-bin (n, mean_score, frac_pos) — the table a
+    quality-classifier calibration check reads; the expected
+    calibration error is ``sum(n_i/N * |mean_score_i - frac_pos_i|)``
+    over these rows. ONE hash aggregate over the scored frame (map-side
+    partial), null scores excluded — the shape survives any corpus
+    size. Doubles rounded to 6 so the bins value-hash across engines."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(score_col), 6).alias("mean_score"),
+            F.round(F.avg(F.col(label_col).cast("double")), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
 def predict_logistic(
     df: DataFrame,
     model: LogisticModel,

@@ -89,6 +89,43 @@ FROM documents
 """
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration table (round 9): decile
+    reliability bins of the quality score against the English label —
+    per bin (n, mean_score, frac_pos), the input of an expected-
+    calibration-error check on any model that gates training data.
+    One scan + one hash aggregate (operators.classifier.
+    calibration_bins); the oracle replays the bin math over the
+    SQL-twinned quality expression."""
+    from providenciasbigdata_spark.operators.classifier import calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score(F.col("text"), tokenize(F.col("text"))).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
+def _calibration_sql() -> str:
+    quality = _TEXT_QUALITY_SQL.split("SELECT doc_id,")[1].split("AS quality")[0]
+    return f"""
+WITH s AS (
+  SELECT {quality} AS score, CAST(lang = 'en' AS INT) AS label
+  FROM documents
+)
+SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(AVG(CAST(label AS DOUBLE)), 6) AS frac_pos
+FROM s WHERE score IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_CALIBRATION_SQL = _calibration_sql()
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(tokenize(F.col("text"))).alias("lang_pred"))
@@ -1351,6 +1388,7 @@ QUERIES = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "bpe_train_merges": (q_bpe_train_merges, None),
     "text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
+    "classifier_calibration_bins": (q_classifier_calibration, _CALIBRATION_SQL),
     "text_lang_id": (q_text_lang_id, _lang_id_sql()),
     "text_chunk_documents": (q_chunk_documents, _CHUNK_SQL),
     "text_tfidf": (q_tfidf_top_terms, _TFIDF_SQL),

@@ -108,3 +108,33 @@ def test_logistic_edge_contracts(spark):
     assert len(m.losses) == 5 and m.losses[-1] < m.losses[0]
     scored = {r.doc_id: r.score for r in classifier.predict_logistic(df, m).collect()}
     assert scored[1] > 0.5 > scored[0]
+
+
+def test_calibration_bins_hand_checked(spark):
+    """Round 9: bin assignment (score 1.0 clamps into the last bin),
+    null exclusion, per-bin means, and the ECE computed from the table."""
+    from providenciasbigdata_spark.operators.classifier import calibration_bins
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0.05, 0), (0.08, 0),          # bin 0: mean 0.065, frac 0.0
+            (0.55, 1), (0.58, 0),          # bin 5: mean 0.565, frac 0.5
+            (0.95, 1), (1.00, 1),          # bin 9 (1.0 clamps): frac 1.0
+            (None, 1),                     # excluded
+        ],
+        "score double, label int",
+    )
+    rows = {r.bin: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(rows) == {0, 5, 9}
+    assert rows[0].n == 2 and rows[0].mean_score == 0.065 and rows[0].frac_pos == 0.0
+    assert rows[5].n == 2 and rows[5].frac_pos == 0.5
+    assert rows[9].n == 2 and rows[9].mean_score == 0.975 and rows[9].frac_pos == 1.0
+
+    total = sum(r.n for r in rows.values())
+    ece = sum(r.n / total * abs(r.mean_score - r.frac_pos) for r in rows.values())
+    assert abs(ece - (2/6 * 0.065 + 2/6 * 0.065 + 2/6 * 0.025)) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "score", "label", n_bins=0)
