@@ -1522,6 +1522,59 @@ def _granularity_round(x: float, series: str, mode: str) -> float:
     return cands[0] if cands else 10.0 * scale
 
 
+def _geo_near_stage(
+    df: DataFrame, spec: dict, default_language: str
+) -> DataFrame:
+    """``$geoNear`` (round 9) — Mongo's proximity stage lowered onto a
+    pure-Catalyst haversine (functions.geo.haversine_km): distance in
+    METERS from ``near`` ([lon, lat] legacy pair or a GeoJSON Point)
+    to the ``key`` column (default ``location``, an [lon, lat] array),
+    optional ``query`` pre-filter (the full find() condition grammar),
+    ``minDistance``/``maxDistance`` in meters, ``distanceMultiplier``
+    applied to the emitted field, ascending distance order. One scan +
+    one sort; the 2dsphere-index pruning Mongo does becomes Spark
+    partition pruning when the table is laid out on a grid-cell key
+    (functions.geo.radius_join_pairs documents the cell scheme).
+    Distances round to 6 (libm last-ulp drift across engines)."""
+    from providenciasbigdata_spark.functions.geo import haversine_km
+
+    if not (isinstance(spec, dict) and "near" in spec and "distanceField" in spec):
+        raise ValueError(f"$geoNear needs near and distanceField: {spec!r}")
+    near = spec["near"]
+    if isinstance(near, dict):
+        if near.get("type") != "Point" or "coordinates" not in near:
+            raise ValueError(f"$geoNear near must be a GeoJSON Point: {near!r}")
+        coords = near["coordinates"]
+    else:
+        coords = near
+    if not (isinstance(coords, (list, tuple)) and len(coords) == 2):
+        raise ValueError(f"$geoNear near needs [lon, lat]: {coords!r}")
+    lon0, lat0 = float(coords[0]), float(coords[1])
+    key = spec.get("key", "location")
+    if key not in df.columns:
+        raise ValueError(f"$geoNear key {key!r} is not a column")
+    unknown = set(spec) - {
+        "near", "distanceField", "key", "query", "minDistance",
+        "maxDistance", "distanceMultiplier", "spherical",
+    }
+    if unknown:
+        raise ValueError(f"unsupported $geoNear options: {sorted(unknown)}")
+    if "query" in spec:
+        df = df.filter(_query_condition(spec["query"], default_language, df))
+    lon = F.col(key).getItem(0).cast("double")
+    lat = F.col(key).getItem(1).cast("double")
+    meters = haversine_km(F.lit(lat0), F.lit(lon0), lat, lon) * F.lit(1000.0)
+    if "maxDistance" in spec:
+        df = df.filter(meters <= F.lit(float(spec["maxDistance"])))
+    if "minDistance" in spec:
+        df = df.filter(meters >= F.lit(float(spec["minDistance"])))
+    mult = float(spec.get("distanceMultiplier", 1.0))
+    dfield = spec["distanceField"]
+    return df.withColumn(
+        dfield, F.round(meters * F.lit(mult), 6)
+    ).orderBy(F.asc(dfield))
+
+
 def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
     """``$bucketAuto``: distribute documents into ``buckets`` groups of
     near-equal population over the ``groupBy`` value's order. The unit
@@ -2313,6 +2366,8 @@ def mql_aggregate(
                 df = _lookup_stage(df, spec, collections or {})
         elif op == "$graphLookup":
             df = _graph_lookup_stage(df, spec, collections or {}, default_language)
+        elif op == "$geoNear":
+            df = _geo_near_stage(df, spec, default_language)
         elif op == "$out":
             # terminal output stage: the pipeline result REPLACES the
             # named collection. As a library over DataFrames the engine

@@ -1,0 +1,113 @@
+"""Geospatial primitives (round 9) — pure-Catalyst, no UDF.
+
+The reference has no geo surface (streamlit_app.py queries text and a
+similarity graph only), so this family extends Part C's standard
+categories the way Mongo deployments actually use them: `$geoNear`
+(compat/ir.py lowers onto `haversine_km`) and a distributed radius
+self-join.
+
+Scale posture: `haversine_km` is a fixed-size trig expression fused
+into the scan (whole-stage codegen). The radius join NEVER goes
+cartesian — points land in fixed-degree grid cells sized so that any
+pair within the radius is in the same or an adjacent cell; one side
+explodes its 3x3 cell neighborhood and the candidate set is a plain
+equi-join on the cell key, then the exact haversine verifies. At
+100 TB that is: one map stage, one shuffle on cell keys whose
+population is bounded by point density, zero all-pairs work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: mean Earth radius, kilometres (IUGG)
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km between two (lat, lon) degree pairs
+    — the standard haversine: ``2R asin(sqrt(sin²(Δφ/2) +
+    cosφ1·cosφ2·sin²(Δλ/2)))``. One fixed trig expression per row;
+    round before value-hashing across engines (libm last-ulp drift)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = F.pow(F.sin(dphi), 2) + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dlmb), 2)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def radius_join_pairs(
+    pts: DataFrame,
+    radius_km: float,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """All point pairs within ``radius_km``, id_a < id_b, plus the
+    exact distance (rounded to 6) — the distributed spatial radius
+    self-join. Grid cells: lat height = radius/111 km-per-degree, lon
+    width = radius/(111·cos(max_abs_lat)) (the worst case over the
+    data's latitude band, so adjacency is sufficient everywhere in
+    it). Left side explodes its 3x3 neighborhood; candidates are an
+    EQUI-join on the cell key; haversine verifies. Points beyond
+    ``max_abs_lat`` raise — the fixed-width lon cell would under-cover
+    near the poles.
+
+    Documented limitation: cells do NOT wrap at the antimeridian — a
+    pair straddling lon ±180 is missed (shift the corpus's longitude
+    origin if your data lives there)."""
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    if not 0 < max_abs_lat < 90:
+        raise ValueError(f"max_abs_lat must be in (0, 90), got {max_abs_lat}")
+    import math
+
+    # 110.0 km/degree is a deliberate UNDER-estimate of the true
+    # 110.57-111.70 range: cells come out slightly larger than the
+    # radius needs, so adjacency can never under-cover (a few extra
+    # candidates; the exact haversine discards them)
+    lat_cell = radius_km / 110.0
+    lon_cell = radius_km / (110.0 * math.cos(math.radians(max_abs_lat)))
+
+    base = pts.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+        F.floor(F.col(lat_col) / lat_cell).cast("long").alias("cy"),
+        F.floor(F.col(lon_col) / lon_cell).cast("long").alias("cx"),
+    )
+    oob = base.filter(F.abs(F.col("lat")) > max_abs_lat).limit(1).count()
+    if oob:
+        raise ValueError(
+            f"points beyond |lat| = {max_abs_lat} break the fixed-width "
+            "lon cell; raise max_abs_lat"
+        )
+    offs = F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({dy}L AS dy, {dx}L AS dx)"
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ) + "))"
+    )
+    left = base.select("*", offs.alias("o")).select(
+        F.col("id").alias("id_a"), F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+    )
+    right = base.select(
+        F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"), "cy", "cx",
+    )
+    d = haversine_km(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    return (
+        left.join(right, ["cy", "cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(d, 6).alias("km"))
+        .filter(F.col("km") <= radius_km)
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from providenciasbigdata_spark.queries import (
     compat_queries,
     extended,
+    geo_queries,
     graph_ext,
     modern,
     multimodal_queries,
@@ -32,6 +33,7 @@ from providenciasbigdata_spark.queries import (
 
 _MODULES = (
     compat_queries,
+    geo_queries,
     relational,
     relational_ext,
     pipeline,

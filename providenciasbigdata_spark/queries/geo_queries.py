@@ -1,0 +1,120 @@
+"""Geospatial registry queries (round 9) — the family the reference's
+Mongo deployment surface implies but streamlit_app.py never touches:
+``$geoNear`` proximity and a distributed radius self-join, both over
+deterministically synthesized coordinates (exact integer arithmetic
+from doc_id, so Spark and the DuckDB oracle derive bit-identical
+doubles before any trig).
+
+Scale: the $geoNear query is one scan + one sort; the radius join is
+grid-bucketed (functions/geo.py) — an equi-join on cell keys, never
+all-pairs. Distances round to 6 (libm last-ulp drift between JVM and
+DuckDB trig).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.io import load_table
+
+# exact-integer coordinate synthesis: lat in [-60, 60), lon in [-180, 180)
+_LAT = "(-60.0 + CAST(doc_id * 7919 % 12000 AS DOUBLE) / 100.0)"
+_LON = "(-180.0 + CAST(doc_id * 104729 % 36000 AS DOUBLE) / 100.0)"
+
+_HAV_RAW = (
+    "2.0 * 6371.0088 * ASIN(SQRT("
+    "POW(SIN(RADIANS({lat2} - ({lat1})) / 2), 2) + "
+    "COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+    "POW(SIN(RADIANS({lon2} - ({lon1})) / 2), 2)))"
+)
+_HAV_M = "ROUND(" + _HAV_RAW + " * 1000.0, 6)"
+_HAV_KM = "ROUND(" + _HAV_RAW + ", 6)"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lat = F.lit(-60.0) + ((F.col("doc_id") * 7919) % 12000).cast("double") / 100.0
+    lon = F.lit(-180.0) + ((F.col("doc_id") * 104729) % 36000).cast("double") / 100.0
+    return docs.select(
+        "doc_id",
+        (F.lit(2000) + F.col("doc_id") % 25).cast("int").alias("anio"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+
+
+def q_mql_geo_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoNear from the origin: recent documents within 3,000 km,
+    distance in meters ascending — the `query` pre-filter, maxDistance
+    and the [lon, lat] location array all exercised. Lowered onto the
+    pure-Catalyst haversine (compat/ir.py::_geo_near_stage)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    pts = _points(spark, sf_dir).select(
+        "doc_id", "anio", F.array("lon", "lat").alias("location")
+    )
+    out = mql_aggregate(
+        pts,
+        [
+            {"$geoNear": {
+                "near": [0.0, 0.0],
+                "distanceField": "dist_m",
+                "maxDistance": 3_000_000.0,
+                "query": {"anio": {"$gte": 2010}},
+                "spherical": True,
+            }},
+            {"$project": {"doc_id": 1, "anio": 1, "dist_m": 1}},
+        ],
+    )
+    return out.select("doc_id", F.col("anio").cast("int").alias("anio"), "dist_m")
+
+
+_GEO_NEAR_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, CAST(2000 + doc_id % 25 AS INT) AS anio,
+         {_LAT} AS lat, {_LON} AS lon
+  FROM documents
+), d AS (
+  SELECT doc_id, anio,
+         {_HAV_M.format(lat1="0.0", lon1="0.0", lat2="lat", lon2="lon")} AS dist_m,
+         2.0 * 6371.0088 * ASIN(SQRT(
+           POW(SIN(RADIANS(lat - 0.0) / 2), 2) +
+           COS(RADIANS(0.0)) * COS(RADIANS(lat)) *
+           POW(SIN(RADIANS(lon - 0.0) / 2), 2))) * 1000.0 AS raw_m
+  FROM pts WHERE anio >= 2010
+)
+SELECT doc_id, anio, dist_m FROM d WHERE raw_m <= 3000000.0
+"""
+
+
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed radius self-join: all document pairs within 150 km —
+    grid-bucketed candidates (3x3 cell neighborhood equi-join, never
+    all-pairs; functions/geo.py::radius_join_pairs), exact haversine
+    verify. Oracle is the brute-force pair join with the identical
+    formula — feasible at oracle SF, which is exactly why the engine
+    side must NOT be brute force."""
+    from providenciasbigdata_spark.functions.geo import radius_join_pairs
+
+    return radius_join_pairs(_points(spark, sf_dir), radius_km=150.0)
+
+
+_GEO_RADIUS_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {_LAT} AS lat, {_LON} AS lon FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {_HAV_KM.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")} AS km
+FROM pts a JOIN pts b ON b.doc_id > a.doc_id
+WHERE {_HAV_KM.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}
+      <= 150.0
+"""
+
+
+QUERIES = {
+    "mql_geo_near": (q_mql_geo_near, _GEO_NEAR_SQL),
+    "geo_radius_join": (q_geo_radius_join, _GEO_RADIUS_SQL),
+}
+
+WHY_NO_ORACLE: dict[str, str] = {}

@@ -1,0 +1,124 @@
+"""Geo family pins (round 9): haversine reference values, radius-join
+vs brute force, grid guardrails, $geoNear option handling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from providenciasbigdata_spark.functions.geo import (
+    EARTH_RADIUS_KM,
+    haversine_km,
+    radius_join_pairs,
+)
+
+
+def _hav_py(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    a = (
+        math.sin(math.radians(lat2 - lat1) / 2) ** 2
+        + math.cos(p1) * math.cos(p2)
+        * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(a))
+
+
+def test_haversine_reference_values(spark):
+    rows = [
+        (0.0, 0.0, 0.0, 1.0),      # 1 deg lon at the equator
+        (0.0, 0.0, 1.0, 0.0),      # 1 deg lat
+        (60.0, 10.0, 60.0, 11.0),  # 1 deg lon at 60N: about half
+        (12.5, -7.25, -33.0, 151.2),
+    ]
+    df = spark.createDataFrame(
+        rows, "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    got = df.select(
+        haversine_km(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        ).alias("km")
+    ).collect()
+    for (lat1, lon1, lat2, lon2), r in zip(rows, got):
+        assert abs(r["km"] - _hav_py(lat1, lon1, lat2, lon2)) < 1e-9
+    # the equator degree is the textbook 111.195 km
+    assert abs(got[0]["km"] - math.pi * EARTH_RADIUS_KM / 180) < 1e-6
+
+
+def test_radius_join_matches_brute_force(spark):
+    """Clustered fixture: 4 dense clusters (within-cluster pairs in
+    range, cross-cluster out), offsets crafted to straddle grid-cell
+    boundaries so the 3x3 neighborhood join is actually exercised."""
+    centers = [(-48.3, -71.2), (0.0, 0.0), (41.7, 12.4), (55.1, 170.0)]
+    pts = []
+    i = 0
+    for clat, clon in centers:
+        for k in range(8):
+            pts.append((
+                i,
+                clat + (k * 17 % 40 - 20) / 10.0,   # +-2 deg
+                clon + (k * 29 % 60 - 30) / 10.0,   # +-3 deg
+            ))
+            i += 1
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    got = {
+        (r.id_a, r.id_b): r.km
+        for r in radius_join_pairs(df, radius_km=300.0).collect()
+    }
+    want = {}
+    for i, la, lo in pts:
+        for j, lb, lj in pts:
+            if i < j:
+                d = round(_hav_py(la, lo, lb, lj), 6)
+                if d <= 300.0:
+                    want[(i, j)] = d
+    assert want  # non-trivial fixture
+    assert got == want
+
+
+def test_radius_join_guardrails(spark):
+    df = spark.createDataFrame(
+        [(1, 75.0, 0.0), (2, 10.0, 0.0)], "doc_id long, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="lat"):
+        radius_join_pairs(df, radius_km=100.0)  # 75N beyond the 60 band
+    with pytest.raises(ValueError, match="radius_km"):
+        radius_join_pairs(df, radius_km=0.0)
+    # raising the band admits the points
+    assert (
+        radius_join_pairs(df, radius_km=100.0, max_abs_lat=80.0).count() == 0
+    )
+
+
+def test_geo_near_stage_semantics(spark):
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [10.0, 0.0])],
+        "doc_id long, location array<double>",
+    )
+    out = mql_aggregate(
+        df,
+        [{"$geoNear": {
+            "near": {"type": "Point", "coordinates": [0.0, 0.0]},
+            "distanceField": "d",
+            "maxDistance": 200_000.0,
+            "distanceMultiplier": 0.001,  # meters -> km
+        }}],
+    ).collect()
+    # ascending distance order; the 10-degree point is filtered out
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0]["d"] == 0.0
+    assert abs(out[1]["d"] - _hav_py(0, 0, 0, 1)) < 1e-6
+
+    with pytest.raises(ValueError, match="geoNear needs"):
+        mql_aggregate(df, [{"$geoNear": {"near": [0.0, 0.0]}}])
+    with pytest.raises(ValueError, match="unsupported \\$geoNear"):
+        mql_aggregate(df, [{"$geoNear": {
+            "near": [0.0, 0.0], "distanceField": "d", "includeLocs": "x",
+        }}])
+    with pytest.raises(ValueError, match="not a column"):
+        mql_aggregate(df, [{"$geoNear": {
+            "near": [0.0, 0.0], "distanceField": "d", "key": "nope",
+        }}])
