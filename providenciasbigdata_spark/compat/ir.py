@@ -66,6 +66,46 @@ def _coerce(field: str, value):
     return value
 
 
+def _geo_within_condition(field: str, spec) -> Column:
+    """``$geoWithin`` (round 9) over an [lon, lat] array column —
+    the legacy shapes with exact Catalyst math: ``$box`` (inclusive
+    planar rectangle, Mongo's flat-geometry contract for legacy
+    coordinate pairs) and ``$centerSphere`` ([[lon, lat], radius in
+    RADIANS] — great-circle membership via the same haversine
+    ``$geoNear`` uses). Both are scan predicates: pushed, no UDF.
+    GeoJSON ``$geometry`` polygons are unsupported and raise (a
+    point-in-polygon test is a different device)."""
+    if not (isinstance(spec, dict) and len(spec) == 1):
+        raise ValueError(f"$geoWithin needs exactly one shape: {spec!r}")
+    shape, arg = next(iter(spec.items()))
+    lon = F.col(field).getItem(0).cast("double")
+    lat = F.col(field).getItem(1).cast("double")
+    if shape == "$box":
+        if not (isinstance(arg, (list, tuple)) and len(arg) == 2
+                and all(len(c) == 2 for c in arg)):
+            raise ValueError(f"$box needs [[lon, lat], [lon, lat]]: {arg!r}")
+        (x1, y1), (x2, y2) = arg
+        lo_x, hi_x = sorted((float(x1), float(x2)))
+        lo_y, hi_y = sorted((float(y1), float(y2)))
+        return lon.between(lo_x, hi_x) & lat.between(lo_y, hi_y)
+    if shape == "$centerSphere":
+        if not (isinstance(arg, (list, tuple)) and len(arg) == 2
+                and len(arg[0]) == 2):
+            raise ValueError(
+                f"$centerSphere needs [[lon, lat], radians]: {arg!r}"
+            )
+        from providenciasbigdata_spark.functions.geo import (
+            EARTH_RADIUS_KM,
+            haversine_km,
+        )
+
+        (clon, clat), rad = arg
+        max_km = float(rad) * EARTH_RADIUS_KM
+        d = haversine_km(F.lit(float(clat)), F.lit(float(clon)), lat, lon)
+        return d <= F.lit(max_km)
+    raise ValueError(f"unsupported $geoWithin shape: {shape!r}")
+
+
 def _field_condition(field: str, value) -> Column:
     if isinstance(value, dict):
         if not value:
@@ -74,7 +114,9 @@ def _field_condition(field: str, value) -> Column:
             raise ValueError("$options is only valid alongside $regex")
         conds = []
         for op, operand in value.items():
-            if op == "$regex":
+            if op == "$geoWithin":
+                conds.append(_geo_within_condition(field, operand))
+            elif op == "$regex":
                 # Mongo $regex is an unanchored partial match — same
                 # contract as Spark rlike (java.util.regex find).
                 # Only the 'i' option has a faithful translation here.

@@ -112,8 +112,50 @@ WHERE {_HAV_KM.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")}
 """
 
 
+def q_mql_geo_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoWithin find() operator (round 9): documents inside a planar
+    $box minus a $centerSphere exclusion zone (composed through $and /
+    the haversine the $geoNear stage shares) — both pure scan
+    predicates, pushed, no UDF (compat/ir.py::_geo_within_condition)."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    pts = _points(spark, sf_dir).select(
+        "doc_id", F.array("lon", "lat").alias("location")
+    )
+    out = mql_find(
+        pts,
+        {"$and": [
+            {"location": {"$geoWithin": {
+                "$box": [[-60.0, -30.0], [60.0, 30.0]],
+            }}},
+            {"location": {"$geoWithin": {
+                # ~1000 km exclusion disc around the origin, in radians
+                "$centerSphere": [[0.0, 0.0], 1000.0 / 6371.0088],
+            }}},
+        ]},
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.col("location").getItem(0), 6).alias("lon"),
+        F.round(F.col("location").getItem(1), 6).alias("lat"),
+    )
+
+
+_GEO_WITHIN_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {_LAT} AS lat, {_LON} AS lon FROM documents
+)
+SELECT doc_id, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat
+FROM pts
+WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -30.0 AND 30.0
+  AND {_HAV_RAW.format(lat1="0.0", lon1="0.0", lat2="lat", lon2="lon")}
+      <= (1000.0 / 6371.0088) * 6371.0088
+"""
+
+
 QUERIES = {
     "mql_geo_near": (q_mql_geo_near, _GEO_NEAR_SQL),
+    "mql_geo_within": (q_mql_geo_within, _GEO_WITHIN_SQL),
     "geo_radius_join": (q_geo_radius_join, _GEO_RADIUS_SQL),
 }
 

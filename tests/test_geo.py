@@ -122,3 +122,29 @@ def test_geo_near_stage_semantics(spark):
         mql_aggregate(df, [{"$geoNear": {
             "near": [0.0, 0.0], "distanceField": "d", "key": "nope",
         }}])
+
+
+def test_geo_within_shapes(spark):
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [20.0, 5.0]), (4, [0.5, 0.5])],
+        "doc_id long, location array<double>",
+    )
+    box = mql_find(df, {"location": {"$geoWithin": {
+        "$box": [[-10.0, -10.0], [10.0, 10.0]]}}})
+    assert sorted(r.doc_id for r in box.collect()) == [1, 2, 4]
+
+    # ~100 km disc around the origin keeps only the near points
+    disc = mql_find(df, {"location": {"$geoWithin": {
+        "$centerSphere": [[0.0, 0.0], 100.0 / EARTH_RADIUS_KM]}}})
+    assert sorted(r.doc_id for r in disc.collect()) == [1, 4]
+
+    for bad in (
+        {"$box": [[0.0, 0.0]]},
+        {"$centerSphere": [[0.0], 1.0]},
+        {"$geometry": {"type": "Polygon"}},
+        {"$box": [[0, 0], [1, 1]], "$centerSphere": [[0, 0], 1]},
+    ):
+        with pytest.raises(ValueError):
+            mql_find(df, {"location": {"$geoWithin": bad}})
