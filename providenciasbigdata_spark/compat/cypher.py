@@ -791,11 +791,22 @@ def parse(query: str) -> dict:
         elif kw == "ORDER BY":
             if stage != "post":
                 raise CypherUnsupported("ORDER BY before WITH/RETURN")
-            for raw in body.split(","):
-                m = _ORDER_RE.match(raw.strip())
-                if not m:
-                    raise CypherUnsupported(f"unsupported ORDER BY item: {raw!r}")
-                seg["order"].append((m.group(1), (m.group(2) or "ASC").upper()))
+            for raw in _split_top_level(body):
+                raw = raw.strip()
+                m = _ORDER_RE.match(raw)
+                if m:
+                    seg["order"].append(
+                        (m.group(1), (m.group(2) or "ASC").upper())
+                    )
+                    continue
+                # computed ORDER BY (round 9): arithmetic / scalar
+                # functions / CASE over projected aliases, through the
+                # same expression grammar RETURN uses
+                md = re.match(r"^(.*\S)\s+(ASC|DESC)$", raw, re.I)
+                txt, direction = (
+                    (md.group(1), md.group(2).upper()) if md else (raw, "ASC")
+                )
+                seg["order"].append((("expr", _parse_expr(txt)), direction))
         elif kw in ("LIMIT", "SKIP"):
             if stage != "post":
                 raise CypherUnsupported(f"{kw} before WITH/RETURN")
@@ -2028,14 +2039,79 @@ def _compile_segment(
                 alias_of[f"{k}({v})"] = a
             elif k == "bare":
                 alias_of[v] = alias_of.get(v, a)
+        def order_expr_col(e):
+            # computed ORDER BY compiler: the post-projection scope is
+            # the projected ALIASES only (Neo4j's rule for aggregating
+            # projections; adopted uniformly here)
+            kind = e[0]
+            if kind in ("num", "str"):
+                return F.lit(e[1])
+            if kind == "param":
+                return F.lit(params[e[1]])
+            if kind == "var":
+                a = alias_of.get(e[1])
+                if a is None:
+                    raise CypherUnsupported(
+                        f"ORDER BY references {e[1]!r} which is not in "
+                        "the projection"
+                    )
+                return F.col(a)
+            if kind == "prop":
+                a = alias_of.get(f"{e[1]}.{e[2]}")
+                if a is None:
+                    raise CypherUnsupported(
+                        f"ORDER BY references {e[1]}.{e[2]} which is not "
+                        "in the projection"
+                    )
+                return F.col(a)
+            if kind == "neg":
+                return -order_expr_col(e[1])
+            if kind == "bin":
+                op2, l, r = e[1], order_expr_col(e[2]), order_expr_col(e[3])
+                if op2 == "+":
+                    return l + r
+                if op2 == "-":
+                    return l - r
+                if op2 == "*":
+                    return l * r
+                return l / r
+            if kind == "fn":
+                return _EXPR_FNS[e[1]][1]([order_expr_col(a) for a in e[2]])
+            if kind == "case":
+                built = None
+                for c0, v0 in e[1]:
+                    built = (F.when if built is None else built.when)(
+                        order_cond_col(c0), order_expr_col(v0)
+                    )
+                return (
+                    built.otherwise(order_expr_col(e[2]))
+                    if e[2] is not None else built
+                )
+            raise CypherUnsupported(f"unsupported ORDER BY node {kind!r}")
+
+        def order_cond_col(c0):
+            kind = c0[0]
+            if kind == "cmp":
+                return _OPS[c0[1]](order_expr_col(c0[2]), order_expr_col(c0[3]))
+            if kind == "and":
+                return order_cond_col(c0[1]) & order_cond_col(c0[2])
+            if kind == "or":
+                return order_cond_col(c0[1]) | order_cond_col(c0[2])
+            if kind == "not":
+                return ~order_cond_col(c0[1])
+            raise CypherUnsupported(f"unsupported ORDER BY condition {kind!r}")
+
         order_cols = []
         for expr, direction in seg["order"]:
-            a = alias_of.get(expr)
-            if a is None:
-                raise CypherUnsupported(
-                    f"ORDER BY expression {expr!r} is not in the projection"
-                )
-            c = F.col(a)
+            if isinstance(expr, tuple) and expr[0] == "expr":
+                c = order_expr_col(expr[1])
+            else:
+                a = alias_of.get(expr)
+                if a is None:
+                    raise CypherUnsupported(
+                        f"ORDER BY expression {expr!r} is not in the projection"
+                    )
+                c = F.col(a)
             order_cols.append(c.desc() if direction == "DESC" else c.asc())
         out = out.orderBy(*order_cols)
     if seg["skip"] is not None:

@@ -2144,6 +2144,45 @@ FROM nb n LEFT JOIN hits h ON h.b = n.b
 """
 
 
+CYPHER_ORDER_EXPR = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+RETURN b.id AS vecino, r.similitud AS similitud
+ORDER BY abs(similitud - $mid) ASC, vecino ASC
+LIMIT 10
+"""
+
+
+def q_cypher_order_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed ORDER BY (round 9): sort by an expression over the
+    projected aliases — here proximity to a target weight (the
+    'closest similarity to X' ranking a graph user types), alias
+    tiebreaker for a deterministic LIMIT. Compiles to a TakeOrdered
+    over the projected frame (compat/cypher.py order_expr_col)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_ORDER_EXPR, edges=edges, params={"origen": "P-7", "mid": 32.0}
+    )
+
+
+_CYPHER_ORDER_EXPR_SQL = """
+WITH e AS (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+)
+SELECT dst AS vecino, similitud
+FROM e WHERE src = 'P-7'
+ORDER BY ABS(similitud - 32.0) ASC, vecino ASC
+LIMIT 10
+"""
+
+
 CYPHER_STATS_AGGS = """
 MATCH (a:Providencia)-[r:SIMILAR]->(b:Providencia)
 WHERE r.similitud >= $lo
@@ -4060,4 +4099,5 @@ QUERIES = {
     "cypher_stats_aggregates": (
         q_cypher_stats_aggregates, _CYPHER_STATS_AGGS_SQL,
     ),
+    "cypher_order_by_expr": (q_cypher_order_by_expr, _CYPHER_ORDER_EXPR_SQL),
 }

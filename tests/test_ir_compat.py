@@ -2512,6 +2512,38 @@ def test_cypher_optional_varlen_tail(spark):
         )
 
 
+def test_cypher_order_by_computed(spark):
+    """Computed ORDER BY (round 9): expressions over projected aliases
+    — arithmetic + abs with a DESC tiebreaker, a CASE bucketing sort,
+    and the projection-scope error for unknown names."""
+    _nodes, edges = _mini_graph(spark)
+    got = [tuple(r) for r in cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b) RETURN a.id AS x, b.id AS y, "
+        "r.similitud AS w ORDER BY abs(w - 40.0) ASC, y DESC LIMIT 3",
+        edges=edges, params={},
+    ).collect()]
+    assert got == [
+        ("P-1", "P-2", 40.0), ("P-2", "P-4", 35.0), ("P-5", "P-1", 45.0),
+    ]
+
+    got2 = [tuple(r) for r in cypher_run(
+        "MATCH (a)-[r:SIMILAR]->(b) RETURN b.id AS y, r.similitud AS w "
+        "ORDER BY CASE WHEN w >= 40 THEN 0 ELSE 1 END, w DESC",
+        edges=edges, params={},
+    ).collect()]
+    assert got2 == [
+        ("P-5", 50.0), ("P-1", 45.0), ("P-2", 40.0),
+        ("P-4", 35.0), ("P-3", 20.0),
+    ]
+
+    with pytest.raises(ValueError, match="not in\\s+the projection"):
+        cypher_run(
+            "MATCH (a)-[r:SIMILAR]->(b) RETURN b.id AS y "
+            "ORDER BY abs(w - 1.0)",
+            edges=edges, params={},
+        )
+
+
 def test_cypher_stats_aggregates(spark):
     """stDev/stDevP/percentileCont (round 9): hand-checked over P-1's
     out-edge weights [40, 20] — sample sd = 10*sqrt(2), population
