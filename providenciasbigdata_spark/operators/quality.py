@@ -359,3 +359,63 @@ def chisq_drift(
         F.col("o2").cast("long").alias("o2"),
         contrib.alias("contrib"),
     )
+
+
+def psi_drift(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index contributions per category
+    (round 9) — the drift score model-monitoring dashboards quote
+    beside KS/chi-squared: with p = share in ``left`` and q = share in
+    ``right``, PSI = sum((p − q)·ln(p/q)). Categories absent from one
+    side would make the log infinite, so counts are Laplace-smoothed
+    by ``smoothing`` (added to every category count on both sides —
+    the standard finite-PSI device; 0 disables it and absent
+    categories then raise the documented infinity).
+
+    Same shape discipline as ``chisq_drift``: per-category rows whose
+    value is one fixed IEEE expression over exact integer counts (no
+    unordered double sum), totals on a broadcast 1-row aggregate —
+    value-hashable unrounded; the consumer folds the total in category
+    order. Rule of thumb: total < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted.
+
+    Output: (category, o1, o2, p, q, contrib).
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    c1 = left.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("o1")
+    )
+    c2 = right.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("o2")
+    )
+    both = c1.join(c2, "category", "full").select(
+        "category",
+        F.coalesce("o1", F.lit(0)).alias("o1"),
+        F.coalesce("o2", F.lit(0)).alias("o2"),
+    )
+    totals = both.agg(
+        F.sum("o1").alias("n1"),
+        F.sum("o2").alias("n2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = both.crossJoin(F.broadcast(totals))
+    s = F.lit(float(smoothing))
+    p = (F.col("o1").cast("double") + s) / (
+        F.col("n1").cast("double") + s * F.col("k").cast("double")
+    )
+    q = (F.col("o2").cast("double") + s) / (
+        F.col("n2").cast("double") + s * F.col("k").cast("double")
+    )
+    return j.select(
+        "category",
+        F.col("o1").cast("long").alias("o1"),
+        F.col("o2").cast("long").alias("o2"),
+        p.alias("p"),
+        q.alias("q"),
+        ((p - q) * F.log(p / q)).alias("contrib"),
+    )

@@ -1044,8 +1044,52 @@ FROM both_sides, tot
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI categorical drift (round 9, operators/quality.py::psi_drift)
+    — the model-monitoring stability index beside the chi-squared
+    twin, over the same two event cohorts: per-category
+    (p − q)·ln(p/q) with 0.5 Laplace smoothing so one-sided categories
+    stay finite. Fixed IEEE expressions over exact integer counts —
+    unrounded value-hash against the oracle."""
+    from providenciasbigdata_spark.operators.quality import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") % 2 == 0)
+    right = ev.filter(F.col("user_id") % 2 == 1)
+    return psi_drift(left, right, "event_type")
+
+
+_DRIFT_PSI_SQL = """
+WITH c1 AS (
+  SELECT event_type AS category, COUNT(*) AS o1 FROM events
+  WHERE user_id % 2 = 0 GROUP BY event_type
+), c2 AS (
+  SELECT event_type AS category, COUNT(*) AS o2 FROM events
+  WHERE user_id % 2 = 1 GROUP BY event_type
+), both_sides AS (
+  SELECT COALESCE(c1.category, c2.category) AS category,
+         COALESCE(o1, 0) AS o1, COALESCE(o2, 0) AS o2
+  FROM c1 FULL JOIN c2 ON c1.category = c2.category
+), tot AS (
+  SELECT SUM(o1) AS n1, SUM(o2) AS n2, COUNT(*) AS k FROM both_sides
+)
+SELECT category,
+       CAST(o1 AS BIGINT) AS o1,
+       CAST(o2 AS BIGINT) AS o2,
+       (CAST(o1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS p,
+       (CAST(o2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS q,
+       ((CAST(o1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE))
+        - (CAST(o2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+       * LN(((CAST(o1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)))
+            / ((CAST(o2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE))))
+       AS contrib
+FROM both_sides, tot
+"""
+
+
 QUERIES = {
     "curate_quality_classifier": (q_curate_quality_classifier, None),
+    "drift_psi_event_types": (q_drift_psi, _DRIFT_PSI_SQL),
     "training_shuffle_shards": (q_training_shuffle_shards, _SHUFFLE_SHARDS_SQL),
     "contamination_fuzzy_minhash": (q_contamination_fuzzy, None),
     "drift_chisq_event_types": (q_drift_chisq, _DRIFT_CHISQ_SQL),

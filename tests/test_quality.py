@@ -181,3 +181,39 @@ def test_wasserstein_known_values(spark):
 
     only = spark.createDataFrame([(3,), (3,)], "x long")
     assert wasserstein_1(only, only, "x").first().w1 == 0.0
+
+
+def test_psi_drift_hand_checked(spark):
+    """Round 9: PSI contributions with Laplace smoothing — hand-checked
+    against the closed form, one-sided category stays finite, total in
+    the textbook 'shifted' band for a large shift."""
+    import math
+
+    from providenciasbigdata_spark.operators.quality import psi_drift
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 20, "c string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 40 + [("b",)] * 50 + [("z",)] * 10, "c string"
+    )
+    rows = {r.category: r for r in psi_drift(left, right, "c").collect()}
+    assert set(rows) == {"a", "b", "z"}
+
+    def pq(o, n, k=3, s=0.5):
+        return (o + s) / (n + s * k)
+
+    for cat, o1, o2 in (("a", 80, 40), ("b", 20, 50), ("z", 0, 10)):
+        p, q = pq(o1, 100), pq(o2, 100)
+        want = (p - q) * math.log(p / q)
+        assert abs(rows[cat].contrib - want) < 1e-12, cat
+        assert rows[cat].o1 == o1 and rows[cat].o2 == o2
+
+    total = sum(r.contrib for r in rows.values())
+    assert total > 0.25  # a genuinely shifted distribution
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        psi_drift(left, right, "c", smoothing=-1.0)
