@@ -245,6 +245,69 @@ def jaccard_join_prefix(
     )
 
 
+def containment_join_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT containment-threshold self-join (round 9): pairs where
+    ``|S(inner) ∩ S(outer)| / |S(inner)| >= t`` — the ASYMMETRIC
+    near-dup relation Jaccard misses: a document quoted inside a
+    larger wrapper page has high containment but low Jaccard, and
+    containment is the standard screen for quote/boilerplate
+    subsumption in pre-training dedup.
+
+    Prefix theorem (containment form): if ``|A∩B| >= t·|A|`` then A
+    shares a token with B among A's first ``|A| - ceil(t·|A|) + 1``
+    frequency-ordered tokens — so only the INNER side truncates to a
+    prefix (reusing the Jaccard prefix builder; the formula is
+    identical) while the outer side indexes ALL its tokens. The
+    rarest-first global order keeps the candidate equi-join fan-out
+    minimal; a size filter (``|B| >= t·|A|``) prunes before the exact
+    verify. No cartesian, no driver-side data — the same AllPairs
+    skeleton as ``jaccard_join_prefix``, one side wider.
+
+    Output: (inner_id, outer_id, containment) with inner != outer —
+    asymmetric, so both directions can appear."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    toks = F.array_distinct(
+        shingles(tokenize(F.col(text_col)), ngram)
+        if ngram > 1
+        else tokenize(F.col(text_col))
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
+    inner = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold).select(
+        F.col("id").alias("inner_id"), F.col("len").alias("alen"), "tok"
+    )
+    outer = base.select(
+        F.col("id").alias("outer_id"),
+        F.size("__set").alias("blen"),
+        F.explode("__set").alias("tok"),
+    )
+    cand = (
+        inner.join(outer, "tok")
+        .filter(
+            (F.col("inner_id") != F.col("outer_id"))
+            & (F.col("blen") >= F.lit(threshold) * F.col("alen"))
+        )
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("inner_id"), F.col("__set").alias("set_a"))
+    b = base.select(F.col("id").alias("outer_id"), F.col("__set").alias("set_b"))
+    verified = cand.join(a, "inner_id").join(b, "outer_id")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    cont = F.round(
+        inter / F.greatest(F.size("set_a").cast("double"), F.lit(1.0)), 6
+    )
+    return verified.select(
+        "inner_id", "outer_id", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 # ---- MinHash + LSH ------------------------------------------------------
 
 def shingle_sets(

@@ -249,6 +249,35 @@ WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """.replace("{_TOKENS}", _TOKENS)
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment-threshold self-join (round 9): asymmetric
+    near-dup pairs where >= 60% of the inner document's distinct
+    2-grams appear in the outer one — the quote/boilerplate-subsumption
+    screen Jaccard misses (a page wrapping a quoted document has high
+    containment, low Jaccard). Prefix filter on the inner side only
+    (operators/dedup.py::containment_join_prefix); the oracle is the
+    naive all-pairs formulation, so the hash ALSO proves the prefix
+    filter loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_join_prefix(docs, ngram=2, threshold=0.6)
+
+
+_CONTAINMENT_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(t) - 1, 0)),
+                                      i -> concat_ws(' ', t[i+1], t[i+2]))) AS st
+  FROM (SELECT doc_id, {{_TOKENS}} AS t FROM documents)
+)
+SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+       ROUND(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+             / greatest(CAST(len(a.st) AS DOUBLE), 1.0), 6) AS containment
+FROM s a JOIN s b ON a.doc_id <> b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+            / greatest(CAST(len(a.st) AS DOUBLE), 1.0), 6) >= 0.6
+""".replace("{_TOKENS}", _TOKENS)
+
+
 _JACCARD_SQL = f"""
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
        ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -1403,6 +1432,7 @@ QUERIES = {
     "dedup_exact_survivors": (q_dedup_exact_survivors, _DEDUP_EXACT_SQL),
     "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
     "jaccard_join_prefix": (q_jaccard_join_prefix, _JACCARD_PREFIX_SQL),
+    "containment_join_prefix": (q_containment_join, _CONTAINMENT_SQL),
     "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
     "embed_matryoshka_ratio": (q_embed_matryoshka_ratio, _EMBED_MATRYOSHKA_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),

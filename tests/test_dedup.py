@@ -568,3 +568,58 @@ def test_jaccard_prefix_salted_skew(spark):
 
     with pytest.raises(ValueError, match="salt"):
         dedup.jaccard_join_prefix(docs, threshold=0.9, salt=0)
+
+
+def test_containment_join_prefix(spark):
+    """Round 9: asymmetric near-containment. A quote wrapped in a
+    larger page has high containment (quote side) but low Jaccard —
+    pins the direction, the exact value, the asymmetry, the plan
+    (no cartesian), and brute-force equality."""
+    from providenciasbigdata_spark.operators import dedup
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    wrapper = (
+        "intro words here " + quote + " and a long closing trailer with "
+        "many extra unique tokens one two three four five six seven"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, wrapper), (3, "completely unrelated text body")],
+        "doc_id long, text string",
+    )
+    out = dedup.containment_join_prefix(docs, ngram=1, threshold=0.9)
+    rows = {(r.inner_id, r.outer_id): r.containment for r in out.collect()}
+    # quote fully inside wrapper: containment(1 -> 2) = 1.0; never 2 -> 1
+    assert rows == {(1, 2): 1.0}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # brute-force equality on the fixture corpus at a workable threshold
+    fix = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in dedup.containment_join_prefix(
+            fix, ngram=2, threshold=0.5
+        ).collect()
+    }
+    # brute force via the same set builder
+    from providenciasbigdata_spark.functions.text import shingles, tokenize
+    from pyspark.sql import functions as F
+
+    sets = fix.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize(F.col("text")), 2)).alias("st"),
+    )
+    a = sets.select(F.col("doc_id").alias("inner_id"), F.col("st").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("outer_id"), F.col("st").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    cont = F.round(inter / F.greatest(F.size("sa").cast("double"), F.lit(1.0)), 6)
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )
+    want = {(r.inner_id, r.outer_id): r.containment for r in brute.collect()}
+    assert got == want
