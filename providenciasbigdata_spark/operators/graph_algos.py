@@ -264,14 +264,23 @@ def shortest_path_sigma(
     the same node pair are NOT collapsed — Neo4j's allShortestPaths
     yields one path per relationship-distinct route, so each edge
     carries its multiplicity and the level sum propagates
-    ``sigma * mult`` instead of deduping.
+    ``sigma * mult`` instead of deduping. Undirected multiplicity is
+    the MAX of the two directions' row counts, not their sum: the
+    engine's undirected edge frames (e.g. the cosine similarity graph)
+    redundantly store BOTH orientations of one logical edge, and
+    summing would double every path count; a frame that stores each
+    undirected relationship once keeps its duplicates counted.
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if directed:
         e = fwd.groupBy("u", "v").agg(F.count(F.lit(1)).alias("mult"))
     else:
-        rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        e = fwd.union(rev).groupBy("u", "v").agg(F.count(F.lit(1)).alias("mult"))
+        cnt = fwd.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+        e = (
+            cnt.union(cnt.select(F.col("v").alias("u"), F.col("u").alias("v"), "c"))
+            .groupBy("u", "v")
+            .agg(F.max("c").alias("mult"))
+        )
     e = e.persist()
     spark = edges.sparkSession
     ckpt = _truncator(spark, checkpoint_dir)

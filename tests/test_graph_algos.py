@@ -141,6 +141,16 @@ def test_shortest_path_sigma_multigraph(spark):
     row3 = shortest_path_sigma(edges2, "C", "A", directed=False, max_hops=4).first()
     assert (row3["hops"], row3["sigma"]) == (2, 6)
 
+    # a SYMMETRICALLY-STORED undirected frame (both orientations of one
+    # logical edge present) must not double path counts: undirected
+    # multiplicity is the max per direction, not the sum
+    sym = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")],
+        "src string, dst string",
+    )
+    row4 = shortest_path_sigma(sym, "A", "C", directed=False, max_hops=4).first()
+    assert (row4["hops"], row4["sigma"]) == (2, 1)
+
 
 def test_cypher_all_shortest_and_cheapest_routes(spark):
     """The two round-8 Cypher path routes on a hand-checkable weighted
