@@ -176,6 +176,22 @@ HEADLINE = [
     "cypher_cheapest_path",     # weighted SSSP on the Cypher surface
     "multimodal_jpeg_header_jvm",  # bounded JVM marker-segment walk
     "mql_iso_date_parts",       # ISO week fields, concat-formatted
+    # round 9
+    "stream_user_totals_tws",   # gate-hardened tws runtime (worker env)
+    "cypher_scalar_fns",        # scalar functions in computed items
+    "cypher_optional_varlen",   # OPTIONAL var-length BFS left join
+    "cypher_unanchored_varlen",  # seeds-DataFrame mid-chain BFS
+    "cypher_stats_aggregates",  # stDev/stDevP/percentileCont
+    "cypher_order_by_expr",     # computed ORDER BY over aliases
+    "mql_agg_bucket_auto_granularity",  # preferred-number boundaries
+    "mql_geo_near",             # haversine proximity stage
+    "geo_radius_join",          # grid-bucketed radius self-join
+    "text_pii_redaction",       # map-only typed-tag redaction
+    "mix_stratified_sample",    # per-stratum hash sampling
+    "containment_join_prefix",  # asymmetric subsumption join
+    "drift_psi_event_types",    # PSI drift contributions
+    "classifier_calibration_bins",  # reliability bins
+    "multimodal_jpeg_decode_pil",   # skip-less decode cross-check
 ]
 
 

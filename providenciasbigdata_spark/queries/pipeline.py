@@ -249,6 +249,75 @@ WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """.replace("{_TOKENS}", _TOKENS)
 
 
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (round 9) — the tokenizer-design
+    table: for candidate vocabulary sizes k, the fraction of all token
+    OCCURRENCES covered by the k most frequent types. Rank comes from
+    the two-phase distributed prefix sum over (count desc, token) —
+    never a full-vocab single-partition window (the q_hist_equi_depth
+    lesson); the curve itself is ONE aggregate with a conditional sum
+    per k. At 100 TB: one token scan, one vocab-sized shuffle, done."""
+    from providenciasbigdata_spark.operators.pack import packed_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("one", F.lit(1))
+        .withColumn("negcnt", -F.col("cnt"))
+    )
+    ranked = packed_positions(vocab, ["negcnt", "token"], "one", capacity=1)
+    ks = [10, 100, 1000, 10000]
+    agg = ranked.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("nv"),
+        *[
+            F.sum(F.when(F.col("cum_before") < k, F.col("cnt")).otherwise(0)).alias(
+                f"c{k}"
+            )
+            for k in ks
+        ],
+    )
+    curve = agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("bigint").alias("k"),
+                    F.least(F.lit(k).cast("bigint"), F.col("nv")).alias("vocab_size"),
+                    F.round(
+                        F.col(f"c{k}").cast("double") / F.col("total").cast("double"),
+                        6,
+                    ).alias("coverage"),
+                )
+                for k in ks
+            ])
+        ).alias("s")
+    )
+    return curve.select("s.k", "s.vocab_size", "s.coverage")
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest({{_TOKENS}}) AS token FROM documents
+), v AS (
+  SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY token
+), r AS (
+  SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk FROM v
+), t AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS nv FROM v
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(LEAST(ks.k, t.nv) AS BIGINT) AS vocab_size,
+       ROUND(CAST(SUM(CASE WHEN r.rnk <= ks.k THEN r.cnt ELSE 0 END) AS DOUBLE)
+             / CAST(t.total AS DOUBLE), 6) AS coverage
+FROM r CROSS JOIN t
+CROSS JOIN (SELECT unnest([10, 100, 1000, 10000]) AS k) ks
+GROUP BY ks.k, t.nv, t.total
+""".replace("{_TOKENS}", _TOKENS)
+
+
 def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact containment-threshold self-join (round 9): asymmetric
     near-dup pairs where >= 60% of the inner document's distinct
@@ -1433,6 +1502,7 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
     "jaccard_join_prefix": (q_jaccard_join_prefix, _JACCARD_PREFIX_SQL),
     "containment_join_prefix": (q_containment_join, _CONTAINMENT_SQL),
+    "vocab_coverage_curve": (q_vocab_coverage_curve, _VOCAB_COVERAGE_SQL),
     "embedding_near_dups": (q_embedding_near_dups, _EMB_NEAR_SQL),
     "embed_matryoshka_ratio": (q_embed_matryoshka_ratio, _EMBED_MATRYOSHKA_SQL),
     "ann_brute_topk": (q_ann_brute_topk, _ANN_BRUTE_SQL),
