@@ -1955,6 +1955,47 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             )).otherwise(F.lit(0.0))
             continue
 
+        if fn == "$expMovingAvg":
+            # Mongo's RECURSIVE EMA: seed = first value in sortBy
+            # order, then ema = a*x + (1-a)*ema. Sequential by
+            # definition, so it folds the partition PREFIX list
+            # left-to-right in one F.aggregate — both engines evaluate
+            # the identical multiply-add order, value-hash exact.
+            # Prefix lists are partition-bounded (Mongo's partitions
+            # are key-sized); no window option allowed (Mongo contract).
+            if win is not None:
+                raise ValueError(
+                    "$expMovingAvg does not accept a window (Mongo contract)"
+                )
+            if not sort_cols:
+                raise ValueError("$expMovingAvg requires sortBy")
+            if not (isinstance(arg, dict) and "input" in arg
+                    and (("N" in arg) ^ ("alpha" in arg))):
+                raise ValueError(
+                    f"$expMovingAvg needs input and exactly one of N/alpha: {arg!r}"
+                )
+            if "N" in arg:
+                n_doc = arg["N"]
+                if not isinstance(n_doc, int) or isinstance(n_doc, bool) or n_doc < 1:
+                    raise ValueError(f"$expMovingAvg N must be a positive int: {n_doc!r}")
+                alpha = 2.0 / (n_doc + 1.0)
+            else:
+                alpha = float(arg["alpha"])
+                if not 0.0 < alpha < 1.0:
+                    raise ValueError(f"$expMovingAvg alpha must be in (0, 1): {alpha}")
+            src = _agg_expr(arg["input"]).cast("double")
+            w = base.orderBy(*sort_cols).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            vals = F.collect_list(src).over(w)
+            a = F.lit(alpha)
+            new_cols[out] = F.aggregate(
+                F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+                F.element_at(vals, 1),
+                lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+            )
+            continue
+
         if fn == "$shift":
             if win is not None:
                 raise ValueError("$shift does not accept a window (Mongo contract)")

@@ -2715,6 +2715,50 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 """
 
 
+def q_mql_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo 5.0 window ``$expMovingAvg`` (round 9): per-user
+    recursive EMA of the event value in event order, N=5 (alpha =
+    2/(N+1)). Sequential by definition — the engine folds each row's
+    partition-prefix list left-to-right in one F.aggregate, and the
+    oracle replays the identical multiply-add order via list_reduce,
+    so the doubles value-hash UNROUNDED (the truncated relational
+    EWMA is ewma_truncated_user; this is the MQL recursive surface)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "value"
+    )
+    out = mql_aggregate(
+        ev,
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"event_id": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$value", "N": 5}}},
+        }}],
+    )
+    return out.select("event_id", "user_id", "ema")
+
+
+_MQL_WINDOW_EMA_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS x
+  FROM events WHERE user_id < 50
+), win AS (
+  SELECT event_id, user_id, x,
+         list(x) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vals
+  FROM ev
+)
+SELECT event_id, user_id,
+       CASE WHEN len(vals) = 1 THEN vals[1]
+            ELSE list_reduce(
+              list_prepend(vals[1], vals[2:]),
+              (acc, xx) -> {2.0 / 6.0!r} * xx + (1.0 - {2.0 / 6.0!r}) * acc)
+       END AS ema
+FROM win
+"""
+
+
 def q_mql_window_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo 5.0 window ``$covariancePop``/``$covarianceSamp`` inside
     $setWindowFields (round 8, verdict-r7 item 9): per event type, the
@@ -4040,6 +4084,7 @@ QUERIES = {
     "mql_agg_percentile": (q_mql_agg_percentile, _MQL_PERCENTILE_SQL),
     "mql_window_percentile": (q_mql_window_percentile, _MQL_WINDOW_PCT_SQL),
     "mql_window_covariance": (q_mql_window_covariance, _MQL_WINDOW_COV_SQL),
+    "mql_window_exp_moving_avg": (q_mql_window_ema, _MQL_WINDOW_EMA_SQL),
     "mql_iso_date_parts": (q_mql_iso_date_parts, _MQL_ISO_DATE_SQL),
     "mql_lookup_pipeline": (q_mql_lookup_pipeline, _MQL_LOOKUP_PIPELINE_SQL),
     "mql_datetime_expr": (q_mql_datetime_expr, _MQL_DATETIME_SQL),

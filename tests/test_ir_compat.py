@@ -1404,6 +1404,55 @@ def test_mql_bucket_auto_granularity(spark):
             "groupBy": "$x", "buckets": 2, "granularity": "POWERSOF2"}}])
 
 
+def test_mql_exp_moving_avg(spark):
+    """$expMovingAvg (round 9): hand-checked recursive EMA (seed =
+    first value), N->alpha mapping, alpha form, and the Mongo
+    contract errors (window option, missing sortBy, N xor alpha)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "uid long, seq long, x double",
+    )
+    out = {
+        (r.uid, r.seq): r.ema
+        for r in mql_aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$uid", "sortBy": {"seq": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$x", "alpha": 0.5}}},
+        }}]).collect()
+    }
+    # seed 10; 0.5*20+0.5*10=15; 0.5*30+0.5*15=22.5; singleton seeds itself
+    assert out == {(1, 1): 10.0, (1, 2): 15.0, (1, 3): 22.5, (2, 1): 5.0}
+
+    # N form: alpha = 2/(N+1) = 0.5 for N=3 — identical result
+    out_n = {
+        (r.uid, r.seq): r.ema
+        for r in mql_aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$uid", "sortBy": {"seq": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$x", "N": 3}}},
+        }}]).collect()
+    }
+    assert out_n == out
+
+    for bad in (
+        {"input": "$x"},                          # neither N nor alpha
+        {"input": "$x", "N": 3, "alpha": 0.5},    # both
+        {"input": "$x", "N": 0},                  # bad N
+        {"input": "$x", "alpha": 1.0},            # bad alpha
+    ):
+        with pytest.raises(ValueError):
+            mql_aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$uid", "sortBy": {"seq": 1},
+                "output": {"ema": {"$expMovingAvg": bad}},
+            }}])
+    with pytest.raises(ValueError, match="window"):
+        mql_aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$uid", "sortBy": {"seq": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$x", "N": 3},
+                               "window": {"documents": [-1, 0]}}},
+        }}])
+
+
 def test_mql_date_to_string_extra_specifiers(spark):
     """%U (Sunday-first week of year), %w (day 1-7 Sunday=1), %z/%Z
     (UTC offset pins — the session timezone is UTC). Hand-checked:
