@@ -963,7 +963,62 @@ FROM m
 """
 
 
+def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static exact-dedup gate (round 9), REAL streaming run:
+    file-source stream over the staged documents table, LEFT ANTI
+    joined per micro-batch against a STATIC fingerprint index (here:
+    the content hashes of every doc_id % 7 == 0 document — the 'prior
+    crawl'), availableNow drain to a memory sink. Survivors = docs
+    whose normalized content is NOT in the index; exact duplicates of
+    indexed documents drop at ingest. Stateless (no watermark/state
+    store); batch and stream agree row-for-row (tests). The oracle is
+    the LEFT JOIN ... IS NULL twin (same null-fingerprint behavior as
+    the anti join)."""
+    from providenciasbigdata_spark import streaming as st
+    from providenciasbigdata_spark.functions.text import content_fingerprint
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"pbd_docs_src_{_sf_tag(sf_dir)}_{_source_fingerprint(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") % 7 == 0).select(
+        content_fingerprint(F.col("text")).alias("content_hash")
+    )
+    fresh = st.dedup_against_index(st.documents_stream(spark, src), index)
+    emitted = st.run_available_now(
+        fresh.select("doc_id", "lang", "content_hash"),
+        f"dedup_index_{_sf_tag(sf_dir)}",
+        output_mode="append",
+    )
+    return emitted
+
+
+_STREAM_DEDUP_INDEX_SQL = r"""
+WITH h AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(trim(strip_accents(lower(text))), '\s+', ' ', 'g'))
+           AS content_hash
+  FROM documents
+), idx AS (
+  SELECT DISTINCT
+         md5(regexp_replace(trim(strip_accents(lower(text))), '\s+', ' ', 'g'))
+           AS content_hash
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT h.doc_id, h.lang, h.content_hash
+FROM h LEFT JOIN idx ON h.content_hash = idx.content_hash
+WHERE idx.content_hash IS NULL
+"""
+
+
 QUERIES = {
+    "stream_dedup_against_index": (q_stream_dedup_index, _STREAM_DEDUP_INDEX_SQL),
     "sql_collation_ci": (q_sql_collation_ci, _COLLATION_SQL),
     "mongodump_facet_anio": (q_mongodump_facet_anio, _MONGODUMP_SQL),
     "stream_mongodump_ingest": (q_stream_mongodump_ingest, _STREAM_MONGODUMP_SQL),

@@ -1009,6 +1009,29 @@ def versioned_upsert_sink(
     )
 
 
+def dedup_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Stream-static exact-dedup GATE (round 9): drop incoming
+    documents whose normalized content fingerprint already exists in a
+    STATIC index frame — the ingest shape of 'never re-admit what a
+    prior crawl already holds'. Stateless on the stream side (no
+    watermark, no state store): each micro-batch runs one LEFT ANTI
+    equi-join against the static side, which Spark re-plans per batch
+    (broadcast when the index is small; at 100 TB the index is a
+    parquet table bucketed on content_hash and the join shuffles only
+    the BATCH). Batch frames take the identical anti-join, so stream
+    and batch agree row-for-row (pinned in tests). Null-text rows
+    survive (a null fingerprint never matches — the anti-join
+    contract); the oracle twin uses a LEFT JOIN ... IS NULL for the
+    same null behavior."""
+    from providenciasbigdata_spark.functions.text import content_fingerprint
+
+    withh = docs.withColumn(
+        "content_hash", content_fingerprint(F.col("text"))
+    )
+    idx = index.select("content_hash").distinct()
+    return withh.join(idx, "content_hash", "left_anti")
+
+
 def dedup_documents_fingerprint(docs: DataFrame) -> DataFrame:
     """Streaming FUZZY-fingerprint dedup (round 7): attach a SimHash
     fingerprint in-stream (the vectorized pandas UDF runs identically

@@ -1058,3 +1058,40 @@ def test_fingerprint_dedup_stream_matches_batch(spark, tmp_path_factory):
     )
     planted = streaming.dedup_documents_fingerprint(extra)
     assert planted.count() == 1
+
+
+def test_dedup_against_index_stream_equals_batch(spark, tmp_path):
+    """Round 9 stream-static dedup gate: the streamed anti-join drops
+    exactly the indexed fingerprints and agrees row-for-row with the
+    batch formulation; null-text rows survive (null fingerprints never
+    match — the anti-join contract)."""
+    from providenciasbigdata_spark import streaming as st
+    from providenciasbigdata_spark.functions.text import content_fingerprint
+
+    rows = [
+        (1, "the same text", "en", "s", 13),
+        (2, "The  Same   TEXT", "en", "s", 16),   # normalizes to doc 1
+        (3, "something new", "en", "s", 13),
+        (4, None, "en", "s", 0),                   # null text survives
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)
+    index = docs.filter("doc_id = 1").select(
+        content_fingerprint(F.col("text")).alias("content_hash")
+    )
+
+    batch = st.dedup_against_index(docs, index).select("doc_id")
+    got_batch = sorted(r.doc_id for r in batch.collect())
+    assert got_batch == [3, 4]  # 1 and 2 are indexed content; null survives
+
+    streamed = st.run_available_now(
+        st.dedup_against_index(st.documents_stream(spark, src), index).select(
+            "doc_id"
+        ),
+        "dedup_idx_parity",
+        output_mode="append",
+    )
+    assert sorted(r.doc_id for r in streamed.collect()) == got_batch
