@@ -270,12 +270,21 @@ def _verify_tws_worker_import(spark: SparkSession) -> str | None:
     return (out or ["err:empty probe result"])[0][4:]
 
 
+_TWS_PREFLIGHTED: set[str] = set()
+
+
 def _preflight_tws(spark: SparkSession) -> None:
     """2-row end-to-end tws smoke stream (verdict-r8 item 1): exercises
     the driver-side pre-init worker + state server + RocksDB store on a
     trivially small source BEFORE the real query, and converts a
     runtime crash into a RuntimeError that names the environment cause
-    (worker import state, PYTHONPATH seen by workers)."""
+    (worker import state, PYTHONPATH seen by workers). Runs ONCE per
+    SparkSession — the verified property (worker env + runtime) is
+    session-scoped, so re-proving it per query call would only add a
+    stream startup to every invocation."""
+    sid = spark.sparkContext.applicationId
+    if sid in _TWS_PREFLIGHTED:
+        return
     from providenciasbigdata_spark import streaming as st
 
     src = os.path.join(tempfile.gettempdir(), "pbd_tws_preflight_src")
@@ -311,6 +320,8 @@ def _preflight_tws(spark: SparkSession) -> None:
             f"{spark.sparkContext.environment.get('PYTHONPATH')!r}. "
             f"Underlying: {exc}"
         ) from exc
+    else:
+        _TWS_PREFLIGHTED.add(sid)
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
