@@ -167,20 +167,20 @@ def stem_vocab_preimages(
     if not want:
         return []
     vocab_df = df.select(F.explode(F.col(tokens_col)).alias("t")).distinct()
-    vocab_df.persist()
-    try:
-        if vocab_df.count() <= collect_cutover:
-            return sorted(
-                r["t"]
-                for r in vocab_df.collect()
-                if stem_py(r["t"], language) in want
-            )
-        matched = vocab_df.filter(
-            stem_col(F.col("t"), language).isin(*sorted(want))
+    # ONE job decides the regime AND serves the small path: limit
+    # cutover+1 returns the FULL vocabulary when it fits (no separate
+    # count job — the r9 bench showed the extra vocab aggregate on this
+    # hot query path), and exactly one sentinel row more when it
+    # doesn't.
+    probe = vocab_df.limit(collect_cutover + 1).collect()
+    if len(probe) <= collect_cutover:
+        return sorted(
+            r["t"] for r in probe if stem_py(r["t"], language) in want
         )
-        return sorted(r["t"] for r in matched.collect())
-    finally:
-        vocab_df.unpersist()
+    matched = vocab_df.filter(
+        stem_col(F.col("t"), language).isin(*sorted(want))
+    )
+    return sorted(r["t"] for r in matched.collect())
 
 
 def text_match_condition(
