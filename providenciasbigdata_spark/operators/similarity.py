@@ -98,6 +98,88 @@ def topk_per_query(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (round 9, Carbonell &
+    Goldstein SIGIR'98): from each query's candidate pool, greedily
+    pick ``k`` items maximizing ``lam*rel(d) − (1−lam)*max_{s∈S}
+    cos(d, s)`` — relevance traded against redundancy with what's
+    already selected, the standard diversity pass between ANN
+    retrieval and a RAG/training-sampler consumer.
+
+    The selection is inherently sequential PER QUERY but embarrassingly
+    parallel ACROSS queries, so it runs as ``applyInPandas`` over the
+    query groups: each group is candidate-pool-sized (the top-N of a
+    preceding ANN stage — tens to hundreds of rows), the numpy kernel
+    normalizes once and keeps a running max-similarity vector (O(N·k)
+    dots on a ≤N×dim matrix; never corpus-sized). Deterministic:
+    ties break on ascending id. Output: (query_id, rank 1-based,
+    vec_id, score, mmr)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    import pandas as pd  # noqa: F401 - applyInPandas contract
+
+    schema = (
+        f"{query_id_col} long, rank long, {id_col} long, "
+        f"{score_col} double, mmr double"
+    )
+
+    def pick(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # deterministic candidate order: relevance desc, id asc
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        kk = min(k, n)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        chosen = np.zeros(n, dtype=bool)
+        mmr_vals = []
+        for _ in range(kk):
+            if not selected:
+                gain = rel.copy()
+            else:
+                gain = lam * rel - (1.0 - lam) * max_sim
+            gain[chosen] = -np.inf
+            i = int(np.argmax(gain))  # argmax keeps the FIRST max: id-asc tiebreak
+            selected.append(i)
+            chosen[i] = True
+            mmr_vals.append(float(round(gain[i], 6)))
+            sims = unit @ unit[i]
+            max_sim = np.maximum(max_sim, sims)
+        out = pdf.iloc[selected]
+        return pd.DataFrame({
+            query_id_col: out[query_id_col].to_numpy(),
+            "rank": np.arange(1, kk + 1, dtype="int64"),
+            id_col: out[id_col].to_numpy(),
+            score_col: out[score_col].to_numpy(),
+            "mmr": mmr_vals,
+        })
+
+    return (
+        candidates.select(query_id_col, id_col, score_col, vec_col)
+        .groupBy(query_id_col)
+        .applyInPandas(pick, schema)
+    )
+
+
 def srp_planes(dim: int, n_bits: int, tables: int, seed: int = 42):
     """Deterministic signed-random-projection hyperplanes:
     ``tables`` x ``n_bits`` x ``dim`` (numpy, literal seed)."""

@@ -451,6 +451,25 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
+def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (round 9) on top of the exact top-40
+    retrieval: per query, greedily select 10 results trading relevance
+    against redundancy with what's already picked (lambda = 0.7) —
+    the standard pass between ANN and a RAG/training-sampler consumer.
+    Per-query-group numpy kernel over candidate-pool-sized frames
+    (operators/similarity.py::mmr_rerank); rows-only (the greedy
+    argmax recursion is not SQL-expressible; properties pinned in
+    tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = similarity.topk_per_query(emb, queries, k=40).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return similarity.mmr_rerank(cands, k=10, lam=0.7)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-training chunker: 64-token windows, 16-token overlap
     (stride 48). The token array is bound to a named column BEFORE the
@@ -1535,6 +1554,7 @@ QUERIES = {
     "embedding_pca_variance": (q_embedding_pca_variance, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),
+    "ann_mmr_rerank": (q_ann_mmr_rerank, None),
 }
 
 _APPROX_MINHASH = (
@@ -1547,6 +1567,12 @@ _APPROX_ANN = (
     "oracle-checked brute-force top-k pinned in tests/test_similarity.py"
 )
 WHY_NO_ORACLE = {
+    "ann_mmr_rerank": (
+        "the MMR greedy argmax recursion (selection step t depends on the "
+        "max-similarity state of steps 1..t-1) is not SQL-expressible; "
+        "rank-1 = pure relevance, duplicate-deferral diversity, numpy-twin "
+        "equality and determinism are pinned in tests/test_similarity.py"
+    ),
     "text_lm_perplexity": (
         "log-space scores: engines' ln() differ by 1 ulp (measured, see "
         "F30), so cross-entropy/perplexity can't value-hash; pinned EQUAL "

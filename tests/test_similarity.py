@@ -579,3 +579,58 @@ def test_sampled_training_deterministic_and_exact_probe(spark, sf_dir):
                                     train_sample=None)
     assert np.allclose(pq, pq_direct, atol=1e-9)
     emb.unpersist()
+
+
+def test_mmr_rerank_properties(spark):
+    """Round 9 MMR: rank 1 is pure relevance; an exact-duplicate of the
+    top hit is deferred below a less-relevant-but-diverse candidate;
+    lam=1 reduces to relevance order; deterministic across runs; ties
+    break on ascending id; equality with a direct numpy twin."""
+    import numpy as np
+
+    from providenciasbigdata_spark.operators.similarity import mmr_rerank
+    from pyspark.sql import functions as F
+
+    # query 7: candidate 1 = top hit; 2 = its exact duplicate (same
+    # embedding, slightly lower score); 3 = orthogonal, lower score
+    rows = [
+        (7, 1, 0.99, [1.0, 0.0, 0.0]),
+        (7, 2, 0.80, [1.0, 0.0, 0.0]),
+        (7, 3, 0.60, [0.0, 1.0, 0.0]),
+        (7, 4, 0.55, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, score double, embedding array<double>"
+    )
+    out = mmr_rerank(df, k=3, lam=0.7).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 3, 4]  # the duplicate never makes k=3
+    assert out[0]["mmr"] == 0.99  # first pick = raw relevance
+
+    # lam = 1.0: pure relevance order, duplicate included
+    rel = mmr_rerank(df, k=3, lam=1.0).orderBy("rank").collect()
+    assert [r.vec_id for r in rel] == [1, 2, 3]  # dup outranks diverse 3
+
+    # determinism across runs
+    again = mmr_rerank(df, k=3, lam=0.7).orderBy("rank").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+    # numpy twin over the same pool
+    def twin(rows, k, lam):
+        rows = sorted(rows, key=lambda r: (-r[2], r[1]))
+        mat = np.array([r[3] for r in rows], float)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+        rel = np.array([r[2] for r in rows])
+        chosen, max_sim, sel = np.zeros(len(rows), bool), np.full(len(rows), -np.inf), []
+        for _ in range(k):
+            gain = rel.copy() if not sel else lam * rel - (1 - lam) * max_sim
+            gain[chosen] = -np.inf
+            i = int(np.argmax(gain)); sel.append(rows[i][1]); chosen[i] = True
+            max_sim = np.maximum(max_sim, unit @ unit[i])
+        return sel
+    assert [r.vec_id for r in out] == twin(rows, 3, 0.7)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, k=2, lam=1.5)
+    with _pytest.raises(ValueError, match="k must"):
+        mmr_rerank(df, k=0)
