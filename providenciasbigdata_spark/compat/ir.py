@@ -103,6 +103,46 @@ def _geo_within_condition(field: str, spec) -> Column:
         max_km = float(rad) * EARTH_RADIUS_KM
         d = haversine_km(F.lit(float(clat)), F.lit(float(clon)), lat, lon)
         return d <= F.lit(max_km)
+    if shape == "$geometry":
+        # GeoJSON Polygon, PLANAR ray casting (round 9): the polygon
+        # vertices are query-time LITERALS, so the even-odd crossing
+        # test unrolls into one fixed boolean-XOR chain per edge — all
+        # slopes precomputed in Python, pure Catalyst comparisons at
+        # run time, pushed into the scan. Single outer ring only
+        # (holes raise); horizontal edges never toggle and are skipped
+        # (their crossing predicate is identically false — and skipping
+        # avoids a literal zero-division building the slope). Boundary
+        # points are implementation-defined, as in every even-odd
+        # rasterizer. Spherical polygons are out of scope: this is
+        # Mongo's flat interpretation of small polygons.
+        if not (isinstance(arg, dict) and arg.get("type") == "Polygon"
+                and "coordinates" in arg):
+            raise ValueError(
+                f"$geoWithin $geometry supports Polygon only: {arg!r}"
+            )
+        rings = arg["coordinates"]
+        if not (isinstance(rings, (list, tuple)) and len(rings) == 1):
+            raise ValueError(
+                "$geoWithin $geometry supports a single outer ring "
+                f"(no holes), got {len(rings) if isinstance(rings, (list, tuple)) else '?'} rings"
+            )
+        verts = [(float(x), float(y)) for x, y in rings[0]]
+        if len(verts) < 4 or verts[0] != verts[-1]:
+            raise ValueError(
+                "$geometry Polygon ring must be closed (first == last) "
+                "with >= 3 distinct vertices"
+            )
+        inside = F.lit(False)
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:]):
+            if y1 == y2:
+                continue  # horizontal edge: crossing test identically false
+            slope = (x2 - x1) / (y2 - y1)
+            crosses = (
+                ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+                & (lon < F.lit(x1) + (lat - F.lit(y1)) * F.lit(slope))
+            )
+            inside = inside != crosses  # boolean XOR: even-odd rule
+        return inside
     raise ValueError(f"unsupported $geoWithin shape: {shape!r}")
 
 

@@ -153,9 +153,71 @@ WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -30.0 AND 30.0
 """
 
 
+# a pentagon over the Atlantic — closed GeoJSON ring, no horizontal edges
+_PENTAGON = [
+    [-40.0, -10.0], [-10.0, -20.0], [5.0, 5.0], [-15.0, 25.0],
+    [-45.0, 15.0], [-40.0, -10.0],
+]
+
+
+def q_mql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$geoWithin $geometry Polygon (round 9): planar even-odd ray
+    casting unrolled at compile time into one boolean-XOR chain over
+    the literal vertex edges (slopes precomputed in Python, pure
+    Catalyst comparisons pushed into the scan). The oracle generates
+    the IDENTICAL unrolled expression as SQL text from the same vertex
+    list, so membership value-hashes exactly."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    pts = _points(spark, sf_dir).select(
+        "doc_id", F.array("lon", "lat").alias("location")
+    )
+    out = mql_find(
+        pts,
+        {"location": {"$geoWithin": {"$geometry": {
+            "type": "Polygon", "coordinates": [_PENTAGON],
+        }}}},
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.col("location").getItem(0), 6).alias("lon"),
+        F.round(F.col("location").getItem(1), 6).alias("lat"),
+    )
+
+
+def _point_in_polygon_sql(verts, lon: str, lat: str) -> str:
+    """The same literal-unrolled even-odd XOR chain, as DuckDB SQL —
+    generated from the one vertex list the engine compiles, slope
+    literals repr'd so both engines parse identical doubles."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(verts, verts[1:]):
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"((({y1!r} > {lat}) <> ({y2!r} > {lat})) AND "
+            f"{lon} < {x1!r} + ({lat} - {y1!r}) * {slope!r})"
+        )
+    expr = "FALSE"
+    for t in terms:
+        expr = f"({expr} <> {t})"
+    return expr
+
+
+_GEO_POLYGON_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {_LAT} AS lat, {_LON} AS lon FROM documents
+)
+SELECT doc_id, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat
+FROM pts
+WHERE {_point_in_polygon_sql([(float(x), float(y)) for x, y in _PENTAGON], "lon", "lat")}
+"""
+
+
 QUERIES = {
     "mql_geo_near": (q_mql_geo_near, _GEO_NEAR_SQL),
     "mql_geo_within": (q_mql_geo_within, _GEO_WITHIN_SQL),
+    "mql_geo_polygon": (q_mql_geo_polygon, _GEO_POLYGON_SQL),
     "geo_radius_join": (q_geo_radius_join, _GEO_RADIUS_SQL),
 }
 

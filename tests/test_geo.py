@@ -148,3 +148,52 @@ def test_geo_within_shapes(spark):
     ):
         with pytest.raises(ValueError):
             mql_find(df, {"location": {"$geoWithin": bad}})
+
+
+def test_geo_polygon_ray_casting(spark):
+    """Round 9 $geometry Polygon: hand-checkable unit square + concave
+    chevron (the case bounding boxes get wrong), horizontal edges
+    skipped, malformed rings raise."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    square = {"type": "Polygon", "coordinates": [[
+        [0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0],
+    ]]}
+    df = spark.createDataFrame(
+        [(1, [5.0, 5.0]), (2, [15.0, 5.0]), (3, [5.0, -1.0]), (4, [9.9, 9.9])],
+        "doc_id long, location array<double>",
+    )
+    got = sorted(r.doc_id for r in mql_find(
+        df, {"location": {"$geoWithin": {"$geometry": square}}}
+    ).collect())
+    assert got == [1, 4]
+
+    # concave chevron: > shape — the notch point is OUTSIDE even though
+    # it is inside the bounding box
+    chevron = {"type": "Polygon", "coordinates": [[
+        [0.0, 0.0], [10.0, 5.0], [0.0, 10.0], [3.0, 5.0], [0.0, 0.0],
+    ]]}
+    pts = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [5.0, 5.0]), (3, [1.0, 1.0])],
+        "doc_id long, location array<double>",
+    )
+    got2 = sorted(r.doc_id for r in mql_find(
+        pts, {"location": {"$geoWithin": {"$geometry": chevron}}}
+    ).collect())
+    # (1,5) is in the notch (outside); (5,5) inside the arrow; (1,1)
+    # below the lower edge y=x/2 at x=1 -> 1 > 0.5 so inside? lower
+    # edge from (0,0) to (10,5): y = x/2 = 0.5 at x=1; point y=1 is
+    # ABOVE it, and left edge from (3,5) to (0,0): x = 3y/5 = 0.6 at
+    # y=1; point x=1 > 0.6 so right of it -> inside
+    assert got2 == [2, 3]
+
+    for bad in (
+        {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [0, 0]]]},
+        {"type": "Polygon", "coordinates": [
+            [[0, 0], [1, 0], [1, 1], [0, 0]],
+            [[0, 0], [1, 0], [1, 1], [0, 0]],
+        ]},
+        {"type": "MultiPolygon", "coordinates": []},
+    ):
+        with pytest.raises(ValueError):
+            mql_find(pts, {"location": {"$geoWithin": {"$geometry": bad}}})
