@@ -58,6 +58,10 @@ QUERIES = [
     "sessionize_events",
     "pack_sequences",
     "sketch_heavy_hitter_tokens",
+    # round 9
+    "containment_join_prefix",
+    "text_pii_redaction",
+    "vocab_coverage_curve",
 ]
 
 # (table, [id columns to shift]); the shift stride of a foreign key
