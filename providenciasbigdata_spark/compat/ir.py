@@ -2097,7 +2097,8 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             new_cols[out] = F.count(F.lit(1)).over(w).cast("long")
         elif fn == "$sum" and arg == 1:
             new_cols[out] = F.count(F.lit(1)).over(w).cast("long")
-        elif fn in ("$sum", "$avg", "$min", "$max", "$first", "$last", "$push", "$addToSet"):
+        elif fn in ("$sum", "$avg", "$min", "$max", "$first", "$last",
+                    "$push", "$addToSet", "$stdDevPop", "$stdDevSamp"):
             col = _agg_expr(arg)
             new_cols[out] = {
                 "$sum": lambda c: F.sum(c).over(w),
@@ -2108,6 +2109,11 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
                 "$last": lambda c: F.last(c, ignorenulls=False).over(w),
                 "$push": lambda c: F.collect_list(c).over(w),
                 "$addToSet": lambda c: F.sort_array(F.collect_set(c).over(w)),
+                # Mongo 5.0 window stddev — same sequential-frame
+                # determinism posture as covariance (round to 6 when
+                # value-hashing across engines)
+                "$stdDevPop": lambda c: F.stddev_pop(c).over(w),
+                "$stdDevSamp": lambda c: F.stddev_samp(c).over(w),
             }[fn](col)
         elif fn in ("$median", "$percentile"):
             # Mongo 7.0 window forms (round 7): same EXACT-interpolation

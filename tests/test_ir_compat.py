@@ -1404,6 +1404,30 @@ def test_mql_bucket_auto_granularity(spark):
             "groupBy": "$x", "buckets": 2, "granularity": "POWERSOF2"}}])
 
 
+def test_mql_window_stddev(spark):
+    """Window $stdDevSamp/$stdDevPop (round 9): hand-checked expanding
+    frames; single-row frames give NULL sample / 0.0 population."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 40.0)],
+        "uid long, seq long, x double",
+    )
+    out = mql_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$uid", "sortBy": {"seq": 1},
+        "output": {
+            "sd": {"$stdDevSamp": "$x",
+                   "window": {"documents": ["unbounded", "current"]}},
+            "sdp": {"$stdDevPop": "$x",
+                    "window": {"documents": ["unbounded", "current"]}},
+        },
+    }}]).orderBy("seq").collect()
+    assert out[0]["sd"] is None and out[0]["sdp"] == 0.0
+    assert abs(out[1]["sd"] - 7.0710678118654755) < 1e-12
+    assert out[1]["sdp"] == 5.0
+    assert abs(out[2]["sdp"] - 12.47219128924647) < 1e-12
+
+
 def test_mql_exp_moving_avg(spark):
     """$expMovingAvg (round 9): hand-checked recursive EMA (seed =
     first value), N->alpha mapping, alpha form, and the Mongo
