@@ -92,3 +92,17 @@ def test_graph_analytics_flow_runs_end_to_end(spark):
 
     out = run(spark, "/root/testdata/sf0.001")
     assert out["n_components"] >= 1 and out["n_communities"] >= out["n_components"]
+
+
+def test_retrieval_rerank_flow_runs_end_to_end(spark, capsys, monkeypatch):
+    """The round-9 retrieval flow (topk -> MMR -> budgeted context)
+    runs end to end on the test fixture and respects the budget."""
+    import examples.retrieval_rerank_flow as flow
+
+    monkeypatch.setattr(flow, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setattr("sys.argv", ["x", "/root/testdata/sf0.001"])
+    flow.main()
+    out = capsys.readouterr().out
+    assert "[mmr] selected per query:" in out
+    assert "[done] retrieval -> mmr -> budgeted context assembled" in out
