@@ -192,6 +192,11 @@ HEADLINE = [
     "drift_psi_event_types",    # PSI drift contributions
     "classifier_calibration_bins",  # reliability bins
     "multimodal_jpeg_decode_pil",   # skip-less decode cross-check
+    "vocab_coverage_curve",     # tokenizer-design coverage table
+    "mql_window_exp_moving_avg",  # recursive EMA window fn
+    "stream_dedup_against_index",  # stream-static anti-join gate
+    "mql_geo_polygon",          # unrolled ray-casting membership
+    "ann_mmr_rerank",           # diversity re-ranking
 ]
 
 
