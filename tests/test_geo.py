@@ -197,3 +197,29 @@ def test_geo_polygon_ray_casting(spark):
     ):
         with pytest.raises(ValueError):
             mql_find(pts, {"location": {"$geoWithin": {"$geometry": bad}}})
+
+
+def test_geo_predicates_stay_scan_side(spark):
+    """Round 9 plan pins: $geoWithin compiles to Filter over the scan
+    (no UDF, no Python stage, no join) and the radius join's plan has
+    no cartesian/nested-loop node."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+    from providenciasbigdata_spark.functions.geo import radius_join_pairs
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])],
+        "doc_id long, location array<double>",
+    )
+    out = mql_find(df, {"location": {"$geoWithin": {
+        "$centerSphere": [[0.0, 0.0], 0.1]}}})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan, bad
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.5, 0.5)], "doc_id long, lat double, lon double"
+    )
+    rplan = radius_join_pairs(pts, 100.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    assert "BroadcastNestedLoopJoin" not in rplan
+    assert "BatchEvalPython" not in rplan and "ArrowEvalPython" not in rplan
