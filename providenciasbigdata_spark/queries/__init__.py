@@ -49,25 +49,38 @@ _MODULES = (
 
 
 def _gate_history():
-    """(round_salt, externally-verified-name-set) from the driver's own
-    ``CORRECTNESS_r*.json`` artifacts committed at the repo root. Both
-    values are deterministic WITHIN a round (the gate and any judge
+    """(round_salt, ever-green-name-set, red-name-set) from the driver's
+    own ``CORRECTNESS_r*.json`` artifacts committed at the repo root.
+    All values are deterministic WITHIN a round (the gate and any judge
     re-run see identical files) and advance only when the driver lands
-    the next round's artifact."""
+    the next round's artifact.
+
+    A name is *green* if any round recorded it with no ``err`` and no
+    explicit False among rows/schema/hash matches (rows-only entries
+    record None for hash — still green). A name that appeared but was
+    never green is *red*: a gated failure (e.g. the r08
+    ``stream_user_totals_tws`` crash) whose fix must be re-proved before
+    fresh names get gate slots (verdict-r9 item 1)."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    verified: set[str] = set()
+    green: set[str] = set()
+    appeared: set[str] = set()
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     for path in files:
         try:
             with open(path) as f:
-                verified |= set(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return len(files), verified
+        for name, rec in rows.items():
+            appeared.add(name)
+            checks = (rec.get("rows_match"), rec.get("schema_match"), rec.get("hash_match"))
+            if not rec.get("err") and False not in checks:
+                green.add(name)
+    return len(files), green, appeared - green
 
 
 def all_queries():
@@ -89,7 +102,10 @@ def all_queries():
     queries and salts the shuffle with the round count, so each round's
     50-entry gate covers fresh queries until the whole oracle-backed
     registry has been externally hash-verified (cumulative coverage is
-    tracked in STATUS.md). Rows-only entries follow, each carrying a
+    tracked in STATUS.md). Round 10 (verdict-r9 item 1): previously-RED
+    names — gated at least once, never green — sort ahead of even the
+    never-gated ones, so a fixed failure is the first thing the next
+    gate re-verifies. Rows-only entries follow, each carrying a
     machine-readable reason in ``why_no_oracle()``.
     """
     import hashlib
@@ -101,12 +117,13 @@ def all_queries():
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
 
-    salt, verified = _gate_history()
+    salt, green, red = _gate_history()
 
     def key(n):
         return (
             merged[n][1] is None,
-            n in verified,
+            n not in red,
+            n in green,
             hashlib.md5(f"r{salt}:{n}".encode()).hexdigest(),
         )
 
