@@ -73,8 +73,9 @@ def _geo_within_condition(field: str, spec) -> Column:
     coordinate pairs) and ``$centerSphere`` ([[lon, lat], radius in
     RADIANS] — great-circle membership via the same haversine
     ``$geoNear`` uses). Both are scan predicates: pushed, no UDF.
-    GeoJSON ``$geometry`` polygons are unsupported and raise (a
-    point-in-polygon test is a different device)."""
+    GeoJSON ``$geometry`` supports Polygon (with interior-ring holes)
+    and MultiPolygon via planar even-odd ray casting unrolled to a
+    literal XOR chain (round 10 extended from single-ring)."""
     if not (isinstance(spec, dict) and len(spec) == 1):
         raise ValueError(f"$geoWithin needs exactly one shape: {spec!r}")
     shape, arg = next(iter(spec.items()))
@@ -104,45 +105,59 @@ def _geo_within_condition(field: str, spec) -> Column:
         d = haversine_km(F.lit(float(clat)), F.lit(float(clon)), lat, lon)
         return d <= F.lit(max_km)
     if shape == "$geometry":
-        # GeoJSON Polygon, PLANAR ray casting (round 9): the polygon
-        # vertices are query-time LITERALS, so the even-odd crossing
-        # test unrolls into one fixed boolean-XOR chain per edge — all
-        # slopes precomputed in Python, pure Catalyst comparisons at
-        # run time, pushed into the scan. Single outer ring only
-        # (holes raise); horizontal edges never toggle and are skipped
-        # (their crossing predicate is identically false — and skipping
-        # avoids a literal zero-division building the slope). Boundary
-        # points are implementation-defined, as in every even-odd
-        # rasterizer. Spherical polygons are out of scope: this is
-        # Mongo's flat interpretation of small polygons.
-        if not (isinstance(arg, dict) and arg.get("type") == "Polygon"
-                and "coordinates" in arg):
+        # GeoJSON Polygon / MultiPolygon, PLANAR ray casting (round 9;
+        # holes + MultiPolygon round 10): the vertices are query-time
+        # LITERALS, so the even-odd crossing test unrolls into one
+        # fixed boolean-XOR chain per edge — all slopes precomputed in
+        # Python, pure Catalyst comparisons at run time, pushed into
+        # the scan. Interior rings (holes) need no special case: the
+        # even-odd rule XORs crossings over ALL rings, so a point
+        # inside both the outer ring and a hole toggles twice — out.
+        # MultiPolygon ORs the per-polygon tests. Horizontal edges
+        # never toggle and are skipped (their crossing predicate is
+        # identically false — and skipping avoids a literal
+        # zero-division building the slope). Boundary points are
+        # implementation-defined, as in every even-odd rasterizer.
+        # Spherical polygons are out of scope: this is Mongo's flat
+        # interpretation of small polygons.
+        if not (isinstance(arg, dict) and "coordinates" in arg
+                and arg.get("type") in ("Polygon", "MultiPolygon")):
             raise ValueError(
-                f"$geoWithin $geometry supports Polygon only: {arg!r}"
+                "$geoWithin $geometry supports Polygon/MultiPolygon "
+                f"only: {arg!r}"
             )
-        rings = arg["coordinates"]
-        if not (isinstance(rings, (list, tuple)) and len(rings) == 1):
-            raise ValueError(
-                "$geoWithin $geometry supports a single outer ring "
-                f"(no holes), got {len(rings) if isinstance(rings, (list, tuple)) else '?'} rings"
-            )
-        verts = [(float(x), float(y)) for x, y in rings[0]]
-        if len(verts) < 4 or verts[0] != verts[-1]:
-            raise ValueError(
-                "$geometry Polygon ring must be closed (first == last) "
-                "with >= 3 distinct vertices"
-            )
-        inside = F.lit(False)
-        for (x1, y1), (x2, y2) in zip(verts, verts[1:]):
-            if y1 == y2:
-                continue  # horizontal edge: crossing test identically false
-            slope = (x2 - x1) / (y2 - y1)
-            crosses = (
-                ((F.lit(y1) > lat) != (F.lit(y2) > lat))
-                & (lon < F.lit(x1) + (lat - F.lit(y1)) * F.lit(slope))
-            )
-            inside = inside != crosses  # boolean XOR: even-odd rule
-        return inside
+
+        def ring_xor(rings) -> Column:
+            if not (isinstance(rings, (list, tuple)) and rings):
+                raise ValueError(f"$geometry needs >= 1 ring: {rings!r}")
+            inside = F.lit(False)
+            for ring in rings:
+                verts = [(float(x), float(y)) for x, y in ring]
+                if len(verts) < 4 or verts[0] != verts[-1]:
+                    raise ValueError(
+                        "$geometry ring must be closed (first == last) "
+                        "with >= 3 distinct vertices"
+                    )
+                for (x1, y1), (x2, y2) in zip(verts, verts[1:]):
+                    if y1 == y2:
+                        continue  # horizontal: crossing identically false
+                    slope = (x2 - x1) / (y2 - y1)
+                    crosses = (
+                        ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+                        & (lon < F.lit(x1) + (lat - F.lit(y1)) * F.lit(slope))
+                    )
+                    inside = inside != crosses  # XOR: even-odd rule
+            return inside
+
+        if arg["type"] == "Polygon":
+            return ring_xor(arg["coordinates"])
+        polys = arg["coordinates"]
+        if not (isinstance(polys, (list, tuple)) and polys):
+            raise ValueError(f"MultiPolygon needs >= 1 polygon: {polys!r}")
+        cond = F.lit(False)
+        for rings in polys:
+            cond = cond | ring_xor(rings)
+        return cond
     raise ValueError(f"unsupported $geoWithin shape: {shape!r}")
 
 
@@ -1641,6 +1656,14 @@ def _geo_near_stage(
     }
     if unknown:
         raise ValueError(f"unsupported $geoNear options: {sorted(unknown)}")
+    if spec.get("spherical") is False:
+        # advice-r9: an explicit spherical:false asks for Mongo's 2d
+        # PLANAR distance; computing great-circle meters instead would
+        # be a silent compat divergence, so refuse loudly.
+        raise ValueError(
+            "$geoNear spherical:false (planar 2d distance) is "
+            "unsupported; omit the option or pass spherical:true"
+        )
     if "query" in spec:
         df = df.filter(_query_condition(spec["query"], default_language, df))
     lon = F.col(key).getItem(0).cast("double")

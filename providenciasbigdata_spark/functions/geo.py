@@ -55,7 +55,11 @@ def radius_join_pairs(
     it). Left side explodes its 3x3 neighborhood; candidates are an
     EQUI-join on the cell key; haversine verifies. Points beyond
     ``max_abs_lat`` raise — the fixed-width lon cell would under-cover
-    near the poles.
+    near the poles. The band check is a ``raise_error`` expression
+    fused into the same scan (advice-r9: the old plan-build
+    ``limit(1).count()`` probe scanned the input an extra time per
+    call), so the input is read exactly once and a violation fails the
+    job at execution.
 
     Documented limitation: cells do NOT wrap at the antimeridian — a
     pair straddling lon ±180 is missed (shift the corpus's longitude
@@ -73,19 +77,28 @@ def radius_join_pairs(
     lat_cell = radius_km / 110.0
     lon_cell = radius_km / (110.0 * math.cos(math.radians(max_abs_lat)))
 
+    # band guard fused into the scan: lat passes through a CASE whose
+    # out-of-band arm is raise_error, so the single job both validates
+    # and joins — no separate validation pass over the input
+    lat_d = F.col(lat_col).cast("double")
+    lat_checked = F.when(
+        F.abs(lat_d) > max_abs_lat,
+        F.raise_error(
+            F.format_string(
+                "radius_join_pairs: point at lat=%s beyond |lat| = "
+                f"{max_abs_lat} breaks the fixed-width lon cell; "
+                "raise max_abs_lat",
+                lat_d,
+            )
+        ).cast("double"),
+    ).otherwise(lat_d)
     base = pts.select(
         F.col(id_col).alias("id"),
-        F.col(lat_col).cast("double").alias("lat"),
+        lat_checked.alias("lat"),
         F.col(lon_col).cast("double").alias("lon"),
-        F.floor(F.col(lat_col) / lat_cell).cast("long").alias("cy"),
+        F.floor(lat_checked / lat_cell).cast("long").alias("cy"),
         F.floor(F.col(lon_col) / lon_cell).cast("long").alias("cx"),
     )
-    oob = base.filter(F.abs(F.col("lat")) > max_abs_lat).limit(1).count()
-    if oob:
-        raise ValueError(
-            f"points beyond |lat| = {max_abs_lat} break the fixed-width "
-            "lon cell; raise max_abs_lat"
-        )
     offs = F.expr(
         "explode(array(" + ", ".join(
             f"struct({dy}L AS dy, {dx}L AS dx)"

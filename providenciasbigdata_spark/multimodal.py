@@ -644,10 +644,36 @@ def encode_jpeg_header(
 
 
 def have_pil() -> bool:
-    """True when Pillow is importable (the real JPEG raster backend)."""
+    """True when Pillow is importable (the real JPEG raster backend)
+    in THIS process — driver-side answer only; plan decisions that run
+    PIL in executors must use ``have_pil_worker``."""
     import importlib.util
 
     return importlib.util.find_spec("PIL") is not None
+
+
+_PIL_WORKER_PROBED: dict[str, bool] = {}
+
+
+def have_pil_worker(spark: SparkSession) -> bool:
+    """True when Pillow is importable inside a Spark EXECUTOR Python
+    worker (advice-r9: the encode/decode closures execute worker-side,
+    so a driver-only ``find_spec`` check picks the PIL plan on a
+    cluster whose executors lack Pillow and the query fails at runtime
+    instead of degrading to header_only). Same device as the tws gate:
+    a 1-element ``parallelize().mapPartitions`` probe, cached per
+    applicationId so repeated plan builds cost one tiny job total."""
+    sid = spark.sparkContext.applicationId
+    if sid not in _PIL_WORKER_PROBED:
+
+        def probe(_it):
+            import importlib.util
+
+            yield importlib.util.find_spec("PIL") is not None
+
+        out = spark.sparkContext.parallelize([0], 1).mapPartitions(probe).collect()
+        _PIL_WORKER_PROBED[sid] = out == [True]
+    return _PIL_WORKER_PROBED[sid]
 
 
 def jpeg_decode_crosscheck(
@@ -675,7 +701,10 @@ def jpeg_decode_crosscheck(
         (F.lit(16) + F.col("id") % 113).cast("int").alias("w"),
         (F.lit(16) + (F.col("id") * 7) % 97).cast("int").alias("h"),
     )
-    pil = have_pil()
+    # worker-side probe (advice-r9): the closures run in executor
+    # Python, so the branch must follow EXECUTOR capability, not the
+    # driver's import environment
+    pil = have_pil_worker(spark)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io

@@ -121,7 +121,10 @@ def mmr_rerank(
     normalizes once and keeps a running max-similarity vector (O(N·k)
     dots on a ≤N×dim matrix; never corpus-sized). Deterministic:
     ties break on ascending id. Output: (query_id, rank 1-based,
-    vec_id, score, mmr)."""
+    vec_id, score, mmr) — the ``mmr`` column is ``lam*rel −
+    (1−lam)*maxsim`` at selection time on every rank INCLUDING rank 1
+    (where maxsim is 0 by convention, so mmr = lam*rel — one scale
+    across the whole list; advice-r9)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not 0.0 <= lam <= 1.0:
@@ -154,14 +157,21 @@ def mmr_rerank(
         mmr_vals = []
         for _ in range(kk):
             if not selected:
+                # rank-1 pick: the maxsim term is constant (-inf clamp
+                # aside there is no selected set), so argmax(rel) is
+                # the MMR argmax; the recorded value is lam*rel so the
+                # mmr column is ONE scale across all ranks (advice-r9:
+                # emitting raw rel here mixed two scales per list)
                 gain = rel.copy()
+                emit = lam * rel
             else:
                 gain = lam * rel - (1.0 - lam) * max_sim
+                emit = gain
             gain[chosen] = -np.inf
             i = int(np.argmax(gain))  # argmax keeps the FIRST max: id-asc tiebreak
             selected.append(i)
             chosen[i] = True
-            mmr_vals.append(float(round(gain[i], 6)))
+            mmr_vals.append(float(round(emit[i], 6)))
             sims = unit @ unit[i]
             max_sim = np.maximum(max_sim, sims)
         out = pdf.iloc[selected]

@@ -81,8 +81,10 @@ def test_radius_join_guardrails(spark):
     df = spark.createDataFrame(
         [(1, 75.0, 0.0), (2, 10.0, 0.0)], "doc_id long, lat double, lon double"
     )
-    with pytest.raises(ValueError, match="lat"):
-        radius_join_pairs(df, radius_km=100.0)  # 75N beyond the 60 band
+    # band violation raises AT EXECUTION (raise_error fused into the
+    # scan — advice-r9 removed the extra plan-build validation pass)
+    with pytest.raises(Exception, match="lat"):
+        radius_join_pairs(df, radius_km=100.0).count()  # 75N beyond 60
     with pytest.raises(ValueError, match="radius_km"):
         radius_join_pairs(df, radius_km=0.0)
     # raising the band admits the points
@@ -122,6 +124,17 @@ def test_geo_near_stage_semantics(spark):
         mql_aggregate(df, [{"$geoNear": {
             "near": [0.0, 0.0], "distanceField": "d", "key": "nope",
         }}])
+    # advice-r9: explicit spherical:false means planar 2d distance —
+    # refuse loudly instead of silently computing great-circle meters
+    with pytest.raises(ValueError, match="spherical:false"):
+        mql_aggregate(df, [{"$geoNear": {
+            "near": [0.0, 0.0], "distanceField": "d", "spherical": False,
+        }}])
+    # spherical:true stays the silent pass (it IS the computed model)
+    ok = mql_aggregate(df, [{"$geoNear": {
+        "near": [0.0, 0.0], "distanceField": "d", "spherical": True,
+    }}])
+    assert ok.count() == 3
 
 
 def test_geo_within_shapes(spark):
@@ -190,13 +203,68 @@ def test_geo_polygon_ray_casting(spark):
     for bad in (
         {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [0, 0]]]},
         {"type": "Polygon", "coordinates": [
-            [[0, 0], [1, 0], [1, 1], [0, 0]],
-            [[0, 0], [1, 0], [1, 1], [0, 0]],
+            [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
+            [[0.2, 0.2], [0.8, 0.2], [0.8, 0.8]],  # unclosed hole ring
         ]},
         {"type": "MultiPolygon", "coordinates": []},
+        {"type": "Polygon", "coordinates": []},
+        {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
     ):
         with pytest.raises(ValueError):
             mql_find(pts, {"location": {"$geoWithin": {"$geometry": bad}}})
+
+
+def test_geo_polygon_holes_and_multipolygon(spark):
+    """Round 10: interior rings (holes) via the even-odd rule — a point
+    inside both outer ring and hole toggles twice, so it is OUT — and
+    MultiPolygon as the OR of per-polygon tests."""
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    donut = {"type": "Polygon", "coordinates": [
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+        [[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0], [3.0, 3.0]],
+    ]}
+    df = spark.createDataFrame(
+        [
+            (1, [5.0, 5.0]),   # in the hole -> out
+            (2, [1.0, 1.0]),   # in the ring body -> in
+            (3, [8.0, 5.0]),   # between hole and outer edge -> in
+            (4, [15.0, 5.0]),  # outside entirely -> out
+        ],
+        "doc_id long, location array<double>",
+    )
+    got = sorted(r.doc_id for r in mql_find(
+        df, {"location": {"$geoWithin": {"$geometry": donut}}}
+    ).collect())
+    assert got == [2, 3]
+
+    two_squares = {"type": "MultiPolygon", "coordinates": [
+        [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]],
+        [[[10.0, 10.0], [12.0, 10.0], [12.0, 12.0], [10.0, 12.0],
+          [10.0, 10.0]]],
+    ]}
+    pts2 = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [11.0, 11.0]), (3, [5.0, 5.0])],
+        "doc_id long, location array<double>",
+    )
+    got2 = sorted(r.doc_id for r in mql_find(
+        pts2, {"location": {"$geoWithin": {"$geometry": two_squares}}}
+    ).collect())
+    assert got2 == [1, 2]
+
+    # MultiPolygon with a hole in the first polygon: even-odd per polygon
+    mp_hole = {"type": "MultiPolygon", "coordinates": [
+        donut["coordinates"],
+        [[[20.0, 0.0], [22.0, 0.0], [22.0, 2.0], [20.0, 2.0], [20.0, 0.0]]],
+    ]}
+    pts3 = spark.createDataFrame(
+        [(1, [5.0, 5.0]), (2, [1.0, 1.0]), (3, [21.0, 1.0])],
+        "doc_id long, location array<double>",
+    )
+    got3 = sorted(r.doc_id for r in mql_find(
+        pts3, {"location": {"$geoWithin": {"$geometry": mp_hole}}}
+    ).collect())
+    assert got3 == [2, 3]
 
 
 def test_geo_predicates_stay_scan_side(spark):

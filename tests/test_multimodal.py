@@ -527,8 +527,13 @@ def test_jpeg_decode_crosscheck_skipless(spark):
         decode_image_features,
         encode_jpeg_header,
         have_pil,
+        have_pil_worker,
         jpeg_decode_crosscheck,
     )
+
+    # advice-r9: the branch decision now follows EXECUTOR capability;
+    # in local mode driver == worker so the probes must agree
+    assert have_pil_worker(spark) == have_pil()
 
     out = jpeg_decode_crosscheck(spark, n_assets=12).collect()
     assert len(out) == 12
@@ -537,7 +542,7 @@ def test_jpeg_decode_crosscheck_skipless(spark):
         and r["height"] == 16 + (r["asset_id"] * 7) % 97
         for r in out
     )
-    if have_pil():
+    if have_pil_worker(spark):
         assert all(r["backend"] == "pil" and r["geom_match"] for r in out)
     else:
         assert all(

@@ -604,7 +604,9 @@ def test_mmr_rerank_properties(spark):
     )
     out = mmr_rerank(df, k=3, lam=0.7).orderBy("rank").collect()
     assert [r.vec_id for r in out] == [1, 3, 4]  # the duplicate never makes k=3
-    assert out[0]["mmr"] == 0.99  # first pick = raw relevance
+    # advice-r9: rank-1 mmr = lam*rel (maxsim term 0 by convention) so
+    # the column is one scale across the list, not rel-then-mmr
+    assert out[0]["mmr"] == round(0.7 * 0.99, 6)
 
     # lam = 1.0: pure relevance order, duplicate included
     rel = mmr_rerank(df, k=3, lam=1.0).orderBy("rank").collect()
