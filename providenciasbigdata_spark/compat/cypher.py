@@ -1097,8 +1097,21 @@ def _compile_segment(
         kept: list[dict] = []
         for mc in matches:
             hops = mc["pattern"][1:]
+            # round 10 (verdict-r9 item 5): EXISTS {...}, pattern
+            # predicates, and computed conditions inside OPTIONAL
+            # MATCH also defer — the clause compiles as its own
+            # required chain where those atoms apply PATTERN-SIDE
+            # (semi/anti-join the optional side), then the single
+            # left join null-preserves. A var-length optional with
+            # such atoms still raises in _optional_varlen_tail.
+            defer_atoms = any(
+                c[0] in ("exists", "pattern", "expr_cond")
+                for c in mc["where"]
+            ) and not any(r["varlen"] for r, _n in hops)
             if mc["optional"] and (
-                len(hops) > 1 or any(r["varlen"] for r, _n in hops)
+                len(hops) > 1
+                or any(r["varlen"] for r, _n in hops)
+                or defer_atoms
             ):
                 deferred.append(mc)
             else:

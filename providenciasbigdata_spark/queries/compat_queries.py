@@ -2144,6 +2144,58 @@ FROM nb n LEFT JOIN hits h ON h.b = n.b
 """
 
 
+CYPHER_OPTIONAL_EXISTS = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+OPTIONAL MATCH (b)-[r2:SIMILAR]->(c)
+WHERE r2.similitud >= $hi AND EXISTS {(c)-[:SIMILAR]->(h {id: $hub})}
+RETURN b.id AS vecino, r.similitud AS similitud,
+       c.id AS refuerzo, r2.similitud AS s2
+"""
+
+
+def q_cypher_optional_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS {...} inside OPTIONAL MATCH (round 10, verdict-r9
+    item 5): each strong neighbor optionally binds a further strong
+    neighbor that is ITSELF similar to a hub — neighbors with no such
+    qualifying extension keep their row with nulls. The clause defers
+    (compat/cypher.py split loop): it compiles as its own required
+    chain where the existential applies PATTERN-SIDE as a semi-join,
+    then ONE left join null-preserves — the same all-or-nothing device
+    as multi-hop optionals, so the existential can never drop a
+    preserved row. Pattern-predicate and computed-condition forms are
+    pinned in tests/test_ir_compat.py."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_OPTIONAL_EXISTS, edges=edges,
+        params={"origen": "P-7", "lo": 28.0, "hi": 34.0, "hub": "P-11"},
+    )
+
+
+_CYPHER_OPTIONAL_EXISTS_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), anch AS (
+  SELECT dst AS b, similitud FROM e WHERE src = 'P-7' AND similitud >= 28.0
+), opt AS (
+  SELECT o.src AS b2, o.dst AS c, o.similitud AS s2
+  FROM e o
+  WHERE o.similitud >= 34.0
+    AND EXISTS (SELECT 1 FROM e h WHERE h.src = o.dst AND h.dst = 'P-11')
+)
+SELECT a.b AS vecino, a.similitud AS similitud, o.c AS refuerzo, o.s2 AS s2
+FROM anch a LEFT JOIN opt o ON o.b2 = a.b
+"""
+
+
 CYPHER_ORDER_EXPR = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
 RETURN b.id AS vecino, r.similitud AS similitud
@@ -4145,4 +4197,7 @@ QUERIES = {
         q_cypher_stats_aggregates, _CYPHER_STATS_AGGS_SQL,
     ),
     "cypher_order_by_expr": (q_cypher_order_by_expr, _CYPHER_ORDER_EXPR_SQL),
+    "cypher_optional_exists": (
+        q_cypher_optional_exists, _CYPHER_OPTIONAL_EXISTS_SQL,
+    ),
 }

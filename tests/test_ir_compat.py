@@ -2062,6 +2062,52 @@ def test_cypher_exists_and_not_exists(spark):
     assert got2 == {("P-1", "P-2"), ("P-2", "P-4")}
 
 
+def test_cypher_optional_existential_forms(spark):
+    """Round 10 (verdict-r9 item 5): EXISTS {...}, NOT EXISTS,
+    pattern predicates, and computed conditions inside OPTIONAL MATCH
+    — each defers the clause into its own required chain (the filter
+    applies pattern-side) then ONE left join null-preserves, so the
+    anchor cardinality is identical in every form and a failing
+    predicate yields NULL bindings, never a dropped row."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    nodes, edges = _mini_graph(spark)
+    base = (
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+        "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE {W} "
+        "RETURN b.id AS vecino, c.id AS ext"
+    )
+
+    def run(where):
+        rows = cypher_run(
+            base.replace("{W}", where),
+            nodes=nodes, edges=edges, params={"o": "P-1"},
+        ).collect()
+        return {(r["vecino"], r["ext"]) for r in rows}
+
+    # EXISTS: P-4 (b=P-2's only extension) has no outgoing edge ->
+    # null-preserved; P-5 (b=P-3's) points at P-1 -> bound
+    assert run("EXISTS { (c)-[r3:SIMILAR]->(d) }") == {
+        ("P-2", None), ("P-3", "P-5"),
+    }
+    # NOT EXISTS: the complement, same cardinality
+    assert run("NOT EXISTS { (c)-[r3:SIMILAR]->(d) }") == {
+        ("P-2", "P-4"), ("P-3", None),
+    }
+    # pattern predicate (existential sugar): c must point at P-1
+    assert run("(c)-[:SIMILAR]->(h {id: $o})") == {
+        ("P-2", None), ("P-3", "P-5"),
+    }
+    # computed condition: applies to the optional binding pattern-side
+    assert run("r2.similitud * 2 >= 80") == {
+        ("P-2", None), ("P-3", "P-5"),
+    }
+    # combined: rel guard + existential in one optional WHERE
+    assert run(
+        "r2.similitud >= 40 AND EXISTS { (c)-[r3:SIMILAR]->(d) }"
+    ) == {("P-2", None), ("P-3", "P-5")}
+
+
 def test_cypher_exists_error_posture(spark):
     """EXISTS from an unbound variable raises; rebinding an outer
     variable deeper in the subpattern raises — never a silent
@@ -2307,9 +2353,8 @@ def test_cypher_comma_pattern_node_reuse_divergence(spark):
 def test_cypher_computed_where(spark):
     """Round 7: arithmetic/CASE WHERE conditions through the RETURN
     expression grammar — post-chain filters; inside OPTIONAL MATCH
-    they raise (a post-join filter would drop null-preserved rows)."""
-    import pytest as _pt
-
+    they DEFER the clause (round 10, verdict-r9 item 5) so the filter
+    applies pattern-side before the null-preserving left join."""
     from providenciasbigdata_spark.compat.ir import cypher_run
 
     nodes, edges = _mini_graph(spark)
@@ -2322,13 +2367,19 @@ def test_cypher_computed_where(spark):
     }
     # exact: 40*2, 35*2, 50*2, 45*2 > 50; 20*2 not
     assert got == {"P-2", "P-4", "P-5", "P-1"}
-    with _pt.raises(ValueError, match="OPTIONAL"):
-        cypher_run(
+    # inside OPTIONAL MATCH: compiles (deferred clause), preserves the
+    # anchor row with NULL when the computed condition kills the hit
+    rows = {
+        (r["dst"], r["ext"])
+        for r in cypher_run(
             "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
-            "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE r2.similitud + 1 > 10 "
-            "RETURN b.id AS dst",
+            "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE r2.similitud + 1 > 45 "
+            "RETURN b.id AS dst, c.id AS ext",
             edges=edges, params={"o": "P-1"},
-        )
+        ).collect()
+    }
+    # b=P-2: c=P-4 at 35 (36 <= 45) -> null; b=P-3: c=P-5 at 50 -> bound
+    assert rows == {("P-2", None), ("P-3", "P-5")}
 
 
 def test_chisq_drift_hand_checked(spark):
