@@ -197,6 +197,8 @@ HEADLINE = [
     "stream_dedup_against_index",  # stream-static anti-join gate
     "mql_geo_polygon",          # unrolled ray-casting membership
     "ann_mmr_rerank",           # diversity re-ranking
+    # round 10
+    "cypher_optional_exists",   # existential inside OPTIONAL MATCH
 ]
 
 
@@ -303,9 +305,23 @@ def main() -> None:
     # min recovers the true plan cost unless a burst recurs all 3 times.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
     probe_sec = float("inf")
+    # probe_trace (round 10, verdict-r9 item 4): a probe at pass start
+    # AND every 40 queries, so host-interference windows INSIDE a pass
+    # are visible in the artifact — the r9 "session constant" smear was
+    # adjudicated as host noise between too-sparse probe snapshots
+    # (controlled A/B in STATUS r10: a 10-query panel re-measured after
+    # 110 interleaved queries ran 0.03-0.17s FASTER, so there is no
+    # session-aging cost to reset).
+    probe_trace: list[float] = []
     for _pass in range(3):
-        probe_sec = min(probe_sec, _probe(spark))
-        for name in HEADLINE:
+        p = _probe(spark)
+        probe_sec = min(probe_sec, p)
+        probe_trace.append(round(p, 3))
+        for qi, name in enumerate(HEADLINE):
+            if qi and qi % 40 == 0:
+                p = _probe(spark)
+                probe_sec = min(probe_sec, p)
+                probe_trace.append(round(p, 3))
             fn, _sql = registry[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -341,11 +357,7 @@ def main() -> None:
     import statistics
     import subprocess
 
-    slow_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
-    isolated: dict[str, float] = {}
-    isolated_runs: dict[str, list[float]] = {}
-    isolated_probes: dict[str, list[float]] = {}
-    for n in slow_names:
+    def _isolated_window(n: str) -> tuple[list[float], list[float]]:
         # median of 3 FRESH-SUBPROCESS runs (verdict-r7 item 4): a
         # single isolated reading lands in whatever host-interference
         # window happens to be open (r7 recorded minhash_near_dups at
@@ -374,6 +386,27 @@ def main() -> None:
                     flush=True,
                 )
         probes.append(round(_probe(spark), 3))
+        return runs, probes
+
+    # prior round's isolated medians, read BEFORE this run overwrites
+    # BENCH_DETAIL.json — the >2x-mover recheck baseline (verdict-r9
+    # item 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_isolated: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prior_isolated = json.load(f).get("isolated_sec", {}) or {}
+    except (OSError, ValueError):
+        pass
+
+    slow_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
+    isolated: dict[str, float] = {}
+    isolated_runs: dict[str, list[float]] = {}
+    isolated_probes: dict[str, list[float]] = {}
+    for n in slow_names:
+        runs, probes = _isolated_window(n)
         if runs:
             isolated[n] = round(statistics.median(runs), 3)
             isolated_runs[n] = runs
@@ -385,6 +418,42 @@ def main() -> None:
                 flush=True,
             )
 
+    # isolated-recheck (round 10, verdict-r9 item 3): any query whose
+    # isolated median moved >2x against the PRIOR round's recorded
+    # median gets a SECOND clean window — re-measured here, minutes
+    # later in wall-clock than its first window, after all other
+    # isolates ran — and BOTH windows are recorded. The headline
+    # isolated_sec takes the min of the two medians: host bursts only
+    # ever inflate a reading, so across two separated clean windows the
+    # smaller median is the better plan-cost estimate (the r9 artifact
+    # recorded dsir at 24.4s median from one burst-hit window; an idle
+    # re-measure found 3.17s).
+    isolated_recheck: dict[str, dict] = {}
+    for n in list(isolated):
+        prev = prior_isolated.get(n)
+        first = isolated[n]
+        if not prev or (first <= 2 * prev and first >= prev / 2):
+            continue
+        runs2, probes2 = _isolated_window(n)
+        if not runs2:
+            continue
+        med2 = round(statistics.median(runs2), 3)
+        isolated_recheck[n] = {
+            "prior_round": prev,
+            "first_median": first,
+            "recheck_median": med2,
+            "recheck_runs": runs2,
+            "recheck_probes": probes2,
+        }
+        isolated[n] = min(first, med2)
+        print(
+            f"[bench] recheck {n}: prior {prev:.2f}s, first window "
+            f"{first:.2f}s, second window {med2:.2f}s -> recording "
+            f"{isolated[n]:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
@@ -394,6 +463,8 @@ def main() -> None:
         "isolated_sec": isolated,
         "isolated_runs": isolated_runs,
         "isolated_probes": isolated_probes,
+        "isolated_recheck": isolated_recheck,
+        "probe_trace": probe_trace,
         "sf": sf,
         "probe_sec": round(probe_sec, 3),
     }
@@ -406,7 +477,6 @@ def main() -> None:
     # line is a compact summary guaranteed to fit the tail window — the
     # driver parses that. `queries` in the final line carries only the 10
     # slowest (the actionable ones); `queries_full` points at the rest.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -421,6 +491,9 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "isolated_sec": isolated,
+        "isolated_recheck": {
+            n: r["recheck_median"] for n, r in isolated_recheck.items()
+        },
         "queries_full": "BENCH_DETAIL.json",
     }, separators=(",", ":")))
 

@@ -251,6 +251,7 @@ def containment_join_prefix(
     text_col: str = "text",
     ngram: int = 1,
     threshold: float = 0.8,
+    observation=None,
 ) -> DataFrame:
     """EXACT containment-threshold self-join (round 9): pairs where
     ``|S(inner) ∩ S(outer)| / |S(inner)| >= t`` — the ASYMMETRIC
@@ -270,7 +271,16 @@ def containment_join_prefix(
     skeleton as ``jaccard_join_prefix``, one side wider.
 
     Output: (inner_id, outer_id, containment) with inner != outer —
-    asymmetric, so both directions can appear."""
+    asymmetric, so both directions can appear.
+
+    ``observation`` (round 10, verdict-r9 item 6): an optional
+    ``pyspark.sql.Observation``; when given, the plan records
+    ``raw_candidates`` (token-match join rows BEFORE the distinct —
+    the equi-join fan-out, the quantity whose growth decides whether
+    the prefix filter holds at scale) and ``candidate_pairs_approx``
+    (HLL-approximate distinct pairs entering the exact verify; observe
+    forbids exact DISTINCT aggregates) as free riders on the job — no
+    extra scan, readable from ``observation.get`` after any action."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
     toks = F.array_distinct(
@@ -287,15 +297,23 @@ def containment_join_prefix(
         F.size("__set").alias("blen"),
         F.explode("__set").alias("tok"),
     )
-    cand = (
+    pre = (
         inner.join(outer, "tok")
         .filter(
             (F.col("inner_id") != F.col("outer_id"))
             & (F.col("blen") >= F.lit(threshold) * F.col("alen"))
         )
         .select("inner_id", "outer_id")
-        .distinct()
     )
+    if observation is not None:
+        pre = pre.observe(
+            observation,
+            F.count(F.lit(1)).alias("raw_candidates"),
+            F.approx_count_distinct(
+                F.struct("inner_id", "outer_id")
+            ).alias("candidate_pairs_approx"),
+        )
+    cand = pre.distinct()
     a = base.select(F.col("id").alias("inner_id"), F.col("__set").alias("set_a"))
     b = base.select(F.col("id").alias("outer_id"), F.col("__set").alias("set_b"))
     verified = cand.join(a, "inner_id").join(b, "outer_id")

@@ -270,6 +270,27 @@ def run_graph(spark, replicas: int, passes: int) -> None:
         print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.2f}x | {etxt} |")
 
 
+def _containment_candidates(spark, sf_dir: str) -> dict:
+    """Measured candidate fan-out of the containment join (round 10,
+    verdict-r9 item 6): one run with a rider Observation — raw
+    token-match rows and approx distinct pairs, so prefix-filter
+    fan-out growth is MEASURED at each scale, not inferred from wall
+    time."""
+    from pyspark.sql import Observation
+
+    from providenciasbigdata_spark.operators.dedup import (
+        containment_join_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation()
+    out = containment_join_prefix(
+        docs, ngram=3, threshold=0.6, observation=obs
+    )
+    verified = out.count()
+    return {**obs.get, "verified_pairs": verified}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
@@ -278,7 +299,17 @@ def main() -> None:
         "--graph", action="store_true",
         help="scale the similarity-graph bound instead of the tables",
     )
+    ap.add_argument(
+        "--only", type=str, default="",
+        help="comma-separated subset of QUERIES to run (x64 spot runs)",
+    )
     args = ap.parse_args()
+    if args.only:
+        only = [q.strip() for q in args.only.split(",") if q.strip()]
+        unknown = [q for q in only if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"--only names not in QUERIES: {unknown}")
+        QUERIES[:] = only
 
     spark = get_spark(
         app_name="weak-scaling",
@@ -305,10 +336,22 @@ def main() -> None:
             "exponent": round(exp, 3),
         }), flush=True)
 
-    print("\n| query | sf0.1 s | x8 s | ratio | exponent |")
+    print(f"\n| query | sf0.1 s | x{args.replicas} s | ratio | exponent |")
     print("|---|---|---|---|---|")
     for q, a, b, e in rows:
         print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.2f}x | {e:.2f} |")
+
+    if "containment_join_prefix" in QUERIES:
+        c1 = _containment_candidates(spark, SF_DIR)
+        c2 = _containment_candidates(spark, staged)
+        growth = c2["raw_candidates"] / max(c1["raw_candidates"], 1)
+        cand_exp = math.log(growth) / math.log(args.replicas)
+        print(json.dumps({
+            "observation": "containment_candidates",
+            "base": c1, "scaled": c2,
+            "raw_candidate_growth": round(growth, 3),
+            "candidate_exponent": round(cand_exp, 3),
+        }), flush=True)
     spark.stop()
 
 
