@@ -205,13 +205,20 @@ def jaccard_join_prefix(
     )
     base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
     prefixes = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold)
+    # candidate join keys are xxhash64(token), not the token string
+    # (round 10): equal tokens always hash equal so recall is intact,
+    # a 1-in-2^64 collision only ADDS a candidate the exact verify
+    # discards — and the fan-out shuffle moves 8-byte longs instead of
+    # ~25-byte shingle strings (the dominant byte volume at scale)
     left = prefixes.select(
-        F.col("id").alias("left_id"), F.col("len").alias("alen"), "tok"
+        F.col("id").alias("left_id"), F.col("len").alias("alen"),
+        F.xxhash64("tok").alias("tokh"),
     )
     right = prefixes.select(
-        F.col("id").alias("right_id"), F.col("len").alias("blen"), "tok"
+        F.col("id").alias("right_id"), F.col("len").alias("blen"),
+        F.xxhash64("tok").alias("tokh"),
     )
-    join_keys = ["tok"]
+    join_keys = ["tokh"]
     if salt > 1:
         # xxhash64 over the STRING-cast id: type-canonical on both
         # engines of this repo's parity tests and stable across int/
@@ -223,7 +230,7 @@ def jaccard_join_prefix(
             "__salt",
             F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(salt - 1).cast("bigint"))),
         )
-        join_keys = ["tok", "__salt"]
+        join_keys = ["tokh", "__salt"]
     cand = (
         left.join(right, join_keys)
         .filter(
@@ -289,16 +296,23 @@ def containment_join_prefix(
         else tokenize(F.col(text_col))
     )
     base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
+    # candidate join on xxhash64(token) (round 10): the outer side
+    # explodes EVERY token of every document — the widest shuffle in
+    # the plan — so moving 8-byte longs instead of ~25-byte shingle
+    # strings cuts its byte volume ~3x. Equal tokens always hash
+    # equal (zero recall loss); a collision only adds a candidate the
+    # exact string-set verify below discards.
     inner = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold).select(
-        F.col("id").alias("inner_id"), F.col("len").alias("alen"), "tok"
+        F.col("id").alias("inner_id"), F.col("len").alias("alen"),
+        F.xxhash64("tok").alias("tokh"),
     )
     outer = base.select(
         F.col("id").alias("outer_id"),
         F.size("__set").alias("blen"),
-        F.explode("__set").alias("tok"),
+        F.explode(F.transform("__set", lambda t: F.xxhash64(t))).alias("tokh"),
     )
     pre = (
-        inner.join(outer, "tok")
+        inner.join(outer, "tokh")
         .filter(
             (F.col("inner_id") != F.col("outer_id"))
             & (F.col("blen") >= F.lit(threshold) * F.col("alen"))
