@@ -95,16 +95,30 @@ def _jaccard_prefix_rows(
 ) -> DataFrame:
     """(id, len, tok) prefix rows for the AllPairs/PPJoin candidate
     join: per-document token sets ordered by ascending corpus
-    frequency (ties by token), truncated to the prefix the Jaccard
-    threshold theorem requires. Shared by ``jaccard_join_prefix`` and
-    ``jaccard_prefix_skew`` so the diagnosed key IS the joined key."""
+    frequency, truncated to the prefix the Jaccard threshold theorem
+    requires. Shared by ``jaccard_join_prefix`` and
+    ``jaccard_prefix_skew`` so the diagnosed key IS the joined key.
+
+    ``tok`` is ``xxhash64(token)`` — a LONG, not the shingle string
+    (round 10): tokens hash at the first map, so every downstream
+    shuffle (frequency agg, frequency join, ordered-set build,
+    candidate equi-join) moves 8-byte keys instead of ~25-byte shingle
+    strings — at the x64 weak-scaling point the string pipeline
+    spilled past the sandbox disk; the hashed one fits. Correctness is
+    intact: the prefix theorem needs only A consistent global total
+    order, and (freq asc, hash asc) is one; equal tokens always hash
+    equal (zero recall loss), and a 1-in-2^64 collision only ADDS a
+    candidate the exact string-set verify discards."""
     toks = F.array_distinct(
         shingles(tokenize(F.col(text_col)), ngram)
         if ngram > 1
         else tokenize(F.col(text_col))
     )
     base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
-    tokdf = base.select("id", F.explode("__set").alias("tok"))
+    tokdf = base.select(
+        "id",
+        F.explode(F.transform("__set", lambda t: F.xxhash64(t))).alias("tok"),
+    )
     dfreq = tokdf.groupBy("tok").agg(F.count("*").alias("tdf"))
     ordered = (
         tokdf.join(dfreq, "tok")
@@ -205,20 +219,15 @@ def jaccard_join_prefix(
     )
     base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
     prefixes = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold)
-    # candidate join keys are xxhash64(token), not the token string
-    # (round 10): equal tokens always hash equal so recall is intact,
-    # a 1-in-2^64 collision only ADDS a candidate the exact verify
-    # discards — and the fan-out shuffle moves 8-byte longs instead of
-    # ~25-byte shingle strings (the dominant byte volume at scale)
+    # prefix rows already carry xxhash64(token) keys (round 10, see
+    # _jaccard_prefix_rows): the candidate shuffle moves 8-byte longs
     left = prefixes.select(
-        F.col("id").alias("left_id"), F.col("len").alias("alen"),
-        F.xxhash64("tok").alias("tokh"),
+        F.col("id").alias("left_id"), F.col("len").alias("alen"), "tok"
     )
     right = prefixes.select(
-        F.col("id").alias("right_id"), F.col("len").alias("blen"),
-        F.xxhash64("tok").alias("tokh"),
+        F.col("id").alias("right_id"), F.col("len").alias("blen"), "tok"
     )
-    join_keys = ["tokh"]
+    join_keys = ["tok"]
     if salt > 1:
         # xxhash64 over the STRING-cast id: type-canonical on both
         # engines of this repo's parity tests and stable across int/
@@ -230,7 +239,7 @@ def jaccard_join_prefix(
             "__salt",
             F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(salt - 1).cast("bigint"))),
         )
-        join_keys = ["tokh", "__salt"]
+        join_keys = ["tok", "__salt"]
     cand = (
         left.join(right, join_keys)
         .filter(
@@ -296,23 +305,21 @@ def containment_join_prefix(
         else tokenize(F.col(text_col))
     )
     base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
-    # candidate join on xxhash64(token) (round 10): the outer side
-    # explodes EVERY token of every document — the widest shuffle in
-    # the plan — so moving 8-byte longs instead of ~25-byte shingle
-    # strings cuts its byte volume ~3x. Equal tokens always hash
-    # equal (zero recall loss); a collision only adds a candidate the
-    # exact string-set verify below discards.
+    # hashed-token candidate join (round 10, see _jaccard_prefix_rows):
+    # the outer side explodes EVERY token of every document — the
+    # widest shuffle in the plan — as 8-byte xxhash64 longs; a
+    # collision only adds a candidate the exact string-set verify
+    # below discards
     inner = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold).select(
-        F.col("id").alias("inner_id"), F.col("len").alias("alen"),
-        F.xxhash64("tok").alias("tokh"),
+        F.col("id").alias("inner_id"), F.col("len").alias("alen"), "tok"
     )
     outer = base.select(
         F.col("id").alias("outer_id"),
         F.size("__set").alias("blen"),
-        F.explode(F.transform("__set", lambda t: F.xxhash64(t))).alias("tokh"),
+        F.explode(F.transform("__set", lambda t: F.xxhash64(t))).alias("tok"),
     )
     pre = (
-        inner.join(outer, "tokh")
+        inner.join(outer, "tok")
         .filter(
             (F.col("inner_id") != F.col("outer_id"))
             & (F.col("blen") >= F.lit(threshold) * F.col("alen"))
