@@ -108,7 +108,10 @@ def _jaccard_prefix_rows(
     intact: the prefix theorem needs only A consistent global total
     order, and (freq asc, hash asc) is one; equal tokens always hash
     equal (zero recall loss), and a 1-in-2^64 collision only ADDS a
-    candidate the exact string-set verify discards."""
+    candidate the set-intersection verify discards (the verify sets
+    are hashed too — see jaccard_join_prefix — with the documented
+    shingle_hash_sets collision bound; the registry's brute-force
+    STRING oracles remain the independent exactness check)."""
     toks = F.array_distinct(
         shingles(tokenize(F.col(text_col)), ngram)
         if ngram > 1
@@ -217,7 +220,18 @@ def jaccard_join_prefix(
         if ngram > 1
         else tokenize(F.col(text_col))
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
+    # verify sets ride as xxhash64 long arrays (round 10): set
+    # cardinality — hence Jaccard — is preserved up to 64-bit
+    # collisions (~pairs·|A|·|B|/2^64, negligible; the same documented
+    # bound as shingle_hash_sets), and the verify join's payload drops
+    # ~2.5x vs ~25-byte shingle strings. On a candidate-dense corpus
+    # the verify join IS the widest shuffle (measured at the x64
+    # weak-scaling point: 37M candidate pairs x two ~1KB string arrays
+    # spilled past the sandbox disk; the hashed payload fits).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__set"),
+    )
     prefixes = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold)
     # prefix rows already carry xxhash64(token) keys (round 10, see
     # _jaccard_prefix_rows): the candidate shuffle moves 8-byte longs
@@ -304,19 +318,26 @@ def containment_join_prefix(
         if ngram > 1
         else tokenize(F.col(text_col))
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
-    # hashed-token candidate join (round 10, see _jaccard_prefix_rows):
-    # the outer side explodes EVERY token of every document — the
-    # widest shuffle in the plan — as 8-byte xxhash64 longs; a
-    # collision only adds a candidate the exact string-set verify
-    # below discards
+    # hashed end-to-end (round 10): tokens become xxhash64 longs at
+    # the first map — the candidate equi-join keys AND the verify-set
+    # payloads are 8-byte longs, never ~25-byte shingle strings.
+    # Containment is preserved up to 64-bit collisions (negligible,
+    # same bound as shingle_hash_sets); the brute-force STRING oracle
+    # in the registry stays the independent exactness check. Measured
+    # at the x64 weak-scaling point: the string verify payload (37M
+    # candidate pairs x two ~1KB arrays) spilled past the sandbox
+    # disk; the hashed pipeline fits.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__set"),
+    )
     inner = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold).select(
         F.col("id").alias("inner_id"), F.col("len").alias("alen"), "tok"
     )
     outer = base.select(
         F.col("id").alias("outer_id"),
         F.size("__set").alias("blen"),
-        F.explode(F.transform("__set", lambda t: F.xxhash64(t))).alias("tok"),
+        F.explode("__set").alias("tok"),
     )
     pre = (
         inner.join(outer, "tok")

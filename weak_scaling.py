@@ -270,6 +270,83 @@ def run_graph(spark, replicas: int, passes: int) -> None:
         print(f"| {q} | {a:.2f} | {b:.2f} | {b / a:.2f}x | {etxt} |")
 
 
+def stage_containment(spark, replicas: int) -> str:
+    """Containment-specific staging (round 10): documents-only, with
+    EVERY token suffixed ``~i`` per replica. The shared table staging
+    tags each text with ONE trailing token, which leaves cross-replica
+    copies sharing ~99% of their 3-gram shingles — TRUE containment
+    pairs, so the fixture's pair/candidate structure grows
+    QUADRATICALLY with replicas (x4096 at x64; the two x64 attempts
+    that filled the sandbox disk were materializing that true output,
+    not an engine defect). Per-token suffixes make the replicas'
+    shingle spaces fully disjoint (pairs scale x{replicas}, linearly)
+    while preserving within-replica duplicate structure AND per-replica
+    token frequencies exactly — each replica is an isomorphic copy of
+    the base corpus, the weak-scaling contract."""
+    out = os.path.join(
+        "/tmp",
+        f"pbd_cont{replicas}_{_sf_tag(SF_DIR)}_"
+        f"{_source_fingerprint(SF_DIR, 'documents')}",
+    )
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    base = load_table(spark, SF_DIR, "documents")
+    stride = (base.agg(F.max("doc_id")).first()[0] or 0) + 1
+    parts = []
+    for i in range(replicas):
+        parts.append(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
+            .withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    open(done, "w").close()
+    return out
+
+
+def run_containment(spark, replicas: int, passes: int) -> None:
+    """Targeted x64 point for containment_join_prefix (verdict-r9
+    item 6) on the linear-pair fixture, with measured candidate
+    fan-out at both scales."""
+    registry = all_queries()
+    staged = stage_containment(spark, replicas)
+    print(f"[weak-cont] staged dir: {staged}", file=sys.stderr)
+    fn, _sql = registry["containment_join_prefix"]
+
+    def best_of(sf_dir: str) -> float:
+        load_table(spark, sf_dir, "documents").count()
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return best
+
+    t1 = best_of(SF_DIR)
+    tn = best_of(staged)
+    exp = math.log(tn / t1) / math.log(replicas)
+    c1 = _containment_candidates(spark, SF_DIR)
+    cn = _containment_candidates(spark, staged)
+    growth = cn["raw_candidates"] / max(c1["raw_candidates"], 1)
+    cand_exp = math.log(growth) / math.log(replicas)
+    print(json.dumps({
+        "query": "containment_join_prefix", "fixture": "token-suffixed",
+        "t1_sec": round(t1, 3), f"t{replicas}_sec": round(tn, 3),
+        "exponent": round(exp, 3),
+        "candidates_base": c1, "candidates_scaled": cn,
+        "raw_candidate_growth": round(growth, 3),
+        "candidate_exponent": round(cand_exp, 3),
+    }), flush=True)
+
+
 def _containment_candidates(spark, sf_dir: str) -> dict:
     """Measured candidate fan-out of the containment join (round 10,
     verdict-r9 item 6): one run with a rider Observation — raw
@@ -303,6 +380,12 @@ def main() -> None:
         "--only", type=str, default="",
         help="comma-separated subset of QUERIES to run (x64 spot runs)",
     )
+    ap.add_argument(
+        "--containment", action="store_true",
+        help="containment-only x{replicas} on the token-suffixed "
+        "linear-pair fixture (the shared tag staging scales the TRUE "
+        "pair structure quadratically — see stage_containment)",
+    )
     args = ap.parse_args()
     if args.only:
         only = [q.strip() for q in args.only.split(",") if q.strip()]
@@ -317,6 +400,10 @@ def main() -> None:
     )
     if args.graph:
         run_graph(spark, args.replicas, args.passes)
+        spark.stop()
+        return
+    if args.containment:
+        run_containment(spark, args.replicas, args.passes)
         spark.stop()
         return
     registry = all_queries()
