@@ -282,6 +282,7 @@ def containment_join_prefix(
     ngram: int = 1,
     threshold: float = 0.8,
     observation=None,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """EXACT containment-threshold self-join (round 9): pairs where
     ``|S(inner) ∩ S(outer)| / |S(inner)| >= t`` — the ASYMMETRIC
@@ -358,6 +359,18 @@ def containment_join_prefix(
     cand = pre.distinct()
     a = base.select(F.col("id").alias("inner_id"), F.col("__set").alias("set_a"))
     b = base.select(F.col("id").alias("outer_id"), F.col("__set").alias("set_b"))
+    if broadcast_verify:
+        # candidate-DENSE corpora (templated/duplicate-heavy): the
+        # sort-merge verify shuffles every candidate pair WITH both
+        # set arrays attached — the widest intermediate in the plan
+        # (measured 33+ GB at the x64 weak-scaling point). When the
+        # per-doc set table fits executor memory (hashed sets: 8 bytes
+        # x ~50 shingles x n_docs — ~140 MB at 320k docs), broadcasting
+        # it turns both verify joins into broadcast-hash joins and the
+        # pair stream never shuffles at all. Caller-decided: at true
+        # corpus scale (set table >> executor memory) keep False and
+        # let the sort-merge plan shuffle slim (id, id) pairs.
+        a, b = F.broadcast(a), F.broadcast(b)
     verified = cand.join(a, "inner_id").join(b, "outer_id")
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     cont = F.round(

@@ -314,18 +314,28 @@ def stage_containment(spark, replicas: int) -> str:
 def run_containment(spark, replicas: int, passes: int) -> None:
     """Targeted x64 point for containment_join_prefix (verdict-r9
     item 6) on the linear-pair fixture, with measured candidate
-    fan-out at both scales."""
-    registry = all_queries()
+    fan-out at both scales. Runs with ``broadcast_verify=True`` at
+    BOTH scales (consistent plans): this fixture is candidate-dense
+    (~23% of all pairs — templated short docs), so the sort-merge
+    verify's array-laden pair shuffle exceeds the sandbox disk at x64;
+    the broadcast plan is the right one whenever the hashed set table
+    fits executor memory (~140 MB here)."""
+    from providenciasbigdata_spark.operators.dedup import (
+        containment_join_prefix,
+    )
+
     staged = stage_containment(spark, replicas)
     print(f"[weak-cont] staged dir: {staged}", file=sys.stderr)
-    fn, _sql = registry["containment_join_prefix"]
 
     def best_of(sf_dir: str) -> float:
-        load_table(spark, sf_dir, "documents").count()
+        docs = load_table(spark, sf_dir, "documents")
+        docs.count()
         best = float("inf")
         for _ in range(passes):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            containment_join_prefix(
+                docs, ngram=3, threshold=0.6, broadcast_verify=True
+            ).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         return best
@@ -362,7 +372,7 @@ def _containment_candidates(spark, sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     obs = Observation()
     out = containment_join_prefix(
-        docs, ngram=3, threshold=0.6, observation=obs
+        docs, ngram=3, threshold=0.6, observation=obs, broadcast_verify=True
     )
     verified = out.count()
     return {**obs.get, "verified_pairs": verified}
