@@ -282,7 +282,17 @@ def stage_containment(spark, replicas: int) -> str:
     shingle spaces fully disjoint (pairs scale x{replicas}, linearly)
     while preserving within-replica duplicate structure AND per-replica
     token frequencies exactly — each replica is an isomorphic copy of
-    the base corpus, the weak-scaling contract."""
+    the base corpus, the weak-scaling contract.
+
+    The suffix is ``_{i}`` on every ``\\w+`` run: ``_`` and digits are
+    word characters to the engine tokenizer (split on ``\\W+``), so
+    ``batch_7`` stays ONE token and each replica's shingle STRUCTURE is
+    exactly the base corpus's (a first attempt used ``~{i}``, which the
+    tokenizer split into interleaved extra tokens — that restructured
+    the shingles and made within-replica true pairs explode ~60x,
+    poisoning the exponent). For the same reason the x1 BASELINE must
+    be the suffixed single replica, not the raw table: both scales
+    must run the same text transformation."""
     out = os.path.join(
         "/tmp",
         f"pbd_cont{replicas}_{_sf_tag(SF_DIR)}_"
@@ -300,7 +310,7 @@ def stage_containment(spark, replicas: int) -> str:
         parts.append(
             base.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
             .withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", f"$1~{i}")
+                "text", F.regexp_replace("text", r"(\w+)", f"$1_{i}")
             )
         )
     u = parts[0]
@@ -324,8 +334,9 @@ def run_containment(spark, replicas: int, passes: int) -> None:
         containment_join_prefix,
     )
 
+    base1 = stage_containment(spark, 1)   # suffixed x1 baseline
     staged = stage_containment(spark, replicas)
-    print(f"[weak-cont] staged dir: {staged}", file=sys.stderr)
+    print(f"[weak-cont] dirs: {base1} -> {staged}", file=sys.stderr)
 
     def best_of(sf_dir: str) -> float:
         docs = load_table(spark, sf_dir, "documents")
@@ -340,10 +351,10 @@ def run_containment(spark, replicas: int, passes: int) -> None:
             spark.catalog.clearCache()
         return best
 
-    t1 = best_of(SF_DIR)
+    t1 = best_of(base1)
     tn = best_of(staged)
     exp = math.log(tn / t1) / math.log(replicas)
-    c1 = _containment_candidates(spark, SF_DIR)
+    c1 = _containment_candidates(spark, base1)
     cn = _containment_candidates(spark, staged)
     growth = cn["raw_candidates"] / max(c1["raw_candidates"], 1)
     cand_exp = math.log(growth) / math.log(replicas)
