@@ -72,20 +72,24 @@ def test_registry_order_is_coverage_maximizing_rotation():
     verified (per committed CORRECTNESS_r*.json) sort first, and the
     md5 shuffle is salted with the round count — so each round's
     window verifies fresh names until the registry is exhausted.
-    Deterministic within a round; every sampled entry value-hash-
-    verifiable."""
+    Round 10 (verdict-r9 item 1): previously-RED names — gated at
+    least once, never green — sort ahead of even the never-gated
+    ones, so a fixed failure is the first thing the next gate
+    re-verifies. Deterministic within a round; every sampled entry
+    value-hash-verifiable."""
     import hashlib
 
     from providenciasbigdata_spark.queries import _gate_history, all_queries
 
     reg = all_queries()
     names = list(reg.keys())
-    salt, verified = _gate_history()
+    salt, green, red = _gate_history()
     assert names == sorted(
         names,
         key=lambda n: (
             reg[n][1] is None,
-            n in verified,
+            n not in red,
+            n in green,
             hashlib.md5(f"r{salt}:{n}".encode()).hexdigest(),
         ),
     )
@@ -93,13 +97,17 @@ def test_registry_order_is_coverage_maximizing_rotation():
     n_oracle = sum(1 for _fn, sql in reg.values() if sql is not None)
     assert n_oracle >= 50  # the driver's window stays fully hash-checked
     assert all(reg[n][1] is not None for n in names[:n_oracle])
+    # red-first: every oracle-backed red name precedes every non-red
+    red_oracle_pos = [i for i, n in enumerate(names[:n_oracle]) if n in red]
+    if red_oracle_pos:
+        assert max(red_oracle_pos) == len(red_oracle_pos) - 1
     # coverage maximization: while unverified oracle queries remain,
     # the 50-entry window contains ONLY unverified ones
     unverified_oracle = [
-        n for n in names[:n_oracle] if n not in verified
+        n for n in names[:n_oracle] if n not in green
     ]
     if len(unverified_oracle) >= 50:
-        assert all(n not in verified for n in names[:50])
+        assert all(n not in green for n in names[:50])
 
 
 def test_engine_mongo_aggregate_and_cursor(spark):
