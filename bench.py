@@ -467,6 +467,10 @@ def main() -> None:
         "probe_trace": probe_trace,
         "sf": sf,
         "probe_sec": round(probe_sec, 3),
+        # median of the dense trace: the round-over-round host stat.
+        # probe_sec (the min) is biased low now that 15 probes run per
+        # pass instead of 3 — min-of-N falls with N by sampling alone.
+        "probe_median": round(statistics.median(probe_trace), 3),
     }
     # BENCH_r05.json came back `parsed: null`: the 91-query map made the
     # one-line JSON overflow the driver's output-TAIL capture, which keeps
@@ -488,6 +492,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "probe_sec": round(probe_sec, 3),
+        "probe_median": round(statistics.median(probe_trace), 3),
         "n_queries": len(timings),
         "queries": slowest,
         "isolated_sec": isolated,
