@@ -173,6 +173,7 @@ def jaccard_join_prefix(
     ngram: int = 1,
     threshold: float = 0.5,
     salt: int = 1,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo WWW'07, Xiao WWW'08): the scale
@@ -266,6 +267,15 @@ def jaccard_join_prefix(
     )
     a = base.select(F.col("id").alias("left_id"), F.col("__set").alias("set_a"))
     b = base.select(F.col("id").alias("right_id"), F.col("__set").alias("set_b"))
+    if broadcast_verify:
+        # same device as containment_join_prefix (round 10): on
+        # candidate-dense corpora the sort-merge verify shuffles every
+        # candidate pair with both set arrays attached; when the
+        # hashed set table fits executor memory, broadcasting it keeps
+        # the pair stream shuffle-free. Default off: at corpus scale
+        # the set table exceeds executor memory and the sort-merge
+        # plan (slim id-pair shuffles) is the right one.
+        a, b = F.broadcast(a), F.broadcast(b)
     verified = cand.join(a, "left_id").join(b, "right_id")
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b")).cast("double") - inter

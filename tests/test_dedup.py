@@ -623,3 +623,24 @@ def test_containment_join_prefix(spark):
     )
     want = {(r.inner_id, r.outer_id): r.containment for r in brute.collect()}
     assert got == want
+
+
+def test_broadcast_verify_knob(spark):
+    """Round 10: broadcast_verify turns both verify joins into
+    broadcast-hash joins (plan-pinned) with IDENTICAL output to the
+    default sort-merge plan, for both prefix joins."""
+    from providenciasbigdata_spark.operators import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    for fn, key in (
+        (dedup.containment_join_prefix, ("inner_id", "outer_id", "containment")),
+        (dedup.jaccard_join_prefix, ("left_id", "right_id", "jaccard")),
+    ):
+        plain = fn(docs, ngram=2, threshold=0.5)
+        bcast = fn(docs, ngram=2, threshold=0.5, broadcast_verify=True)
+        plan = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        got_p = {tuple(getattr(r, c) for c in key) for r in plain.collect()}
+        got_b = {tuple(getattr(r, c) for c in key) for r in bcast.collect()}
+        assert got_p == got_b and got_p  # identical, non-trivial
