@@ -469,7 +469,8 @@ def main() -> None:
         "probe_sec": round(probe_sec, 3),
         # median of the dense trace: the round-over-round host stat.
         # probe_sec (the min) is biased low now that 15 probes run per
-        # pass instead of 3 — min-of-N falls with N by sampling alone.
+        # RUN (5 per pass x 3 passes) instead of 3 — min-of-N falls
+        # with N by sampling alone. (ADVICE-r10 comment fix.)
         "probe_median": round(statistics.median(probe_trace), 3),
     }
     # BENCH_r05.json came back `parsed: null`: the 91-query map made the

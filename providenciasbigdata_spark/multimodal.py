@@ -661,8 +661,15 @@ def have_pil_worker(spark: SparkSession) -> bool:
     so a driver-only ``find_spec`` check picks the PIL plan on a
     cluster whose executors lack Pillow and the query fails at runtime
     instead of degrading to header_only). Same device as the tws gate:
-    a 1-element ``parallelize().mapPartitions`` probe, cached per
-    applicationId so repeated plan builds cost one tiny job total."""
+    a ``parallelize().mapPartitions`` probe cached per applicationId so
+    repeated plan builds cost one tiny job total. ADVICE-r10: the probe
+    spans ``defaultParallelism`` partitions and requires ALL workers to
+    answer True — on a heterogeneous cluster one PIL-less executor
+    votes the whole plan down to header_only (degrade, never fail).
+    A dynamically-scaled cluster can still add a PIL-less executor
+    AFTER the cached probe; that residual assumes executors added
+    mid-application share the probed image (the common case — one
+    container spec per app)."""
     sid = spark.sparkContext.applicationId
     if sid not in _PIL_WORKER_PROBED:
 
@@ -671,8 +678,9 @@ def have_pil_worker(spark: SparkSession) -> bool:
 
             yield importlib.util.find_spec("PIL") is not None
 
-        out = spark.sparkContext.parallelize([0], 1).mapPartitions(probe).collect()
-        _PIL_WORKER_PROBED[sid] = out == [True]
+        n = max(spark.sparkContext.defaultParallelism, 1)
+        out = spark.sparkContext.parallelize(range(n), n).mapPartitions(probe).collect()
+        _PIL_WORKER_PROBED[sid] = len(out) == n and all(out)
     return _PIL_WORKER_PROBED[sid]
 
 

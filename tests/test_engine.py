@@ -72,10 +72,13 @@ def test_registry_order_is_coverage_maximizing_rotation():
     verified (per committed CORRECTNESS_r*.json) sort first, and the
     md5 shuffle is salted with the round count — so each round's
     window verifies fresh names until the registry is exhausted.
-    Round 10 (verdict-r9 item 1): previously-RED names — gated at
-    least once, never green — sort ahead of even the never-gated
+    Round 10 (verdict-r9 item 1): previously-RED names — whose LATEST
+    gated record is a failure — sort ahead of even the never-gated
     ones, so a fixed failure is the first thing the next gate
-    re-verifies. Deterministic within a round; every sampled entry
+    re-verifies. Round 11 (verdict-r10 item 2): with the whole
+    oracle-backed registry verified once, already-green names order
+    stalest-green-first so round-1-era regressions resurface within
+    ~7 rounds. Deterministic within a round; every sampled entry
     value-hash-verifiable."""
     import hashlib
 
@@ -89,7 +92,8 @@ def test_registry_order_is_coverage_maximizing_rotation():
         key=lambda n: (
             reg[n][1] is None,
             n not in red,
-            n in green,
+            green.get(n) is not None,
+            green.get(n) or 0,
             hashlib.md5(f"r{salt}:{n}".encode()).hexdigest(),
         ),
     )

@@ -408,6 +408,11 @@ def main() -> None:
         "pair structure quadratically — see stage_containment)",
     )
     args = ap.parse_args()
+    if args.replicas < 2:
+        # every path divides by log(replicas); guard before any staging
+        # work is spent (ADVICE-r10: --containment --replicas 1 built
+        # the x1 fixture then crashed with ZeroDivisionError)
+        ap.error("--replicas must be >= 2 (exponent divides by log(replicas))")
     if args.only:
         only = [q.strip() for q in args.only.split(",") if q.strip()]
         unknown = [q for q in only if q not in QUERIES]
