@@ -329,6 +329,12 @@ def train_val_test_split(
     )
 
 
+# dyadic quantization grid for DSIR bucket deltas: makes the weighted
+# log-sums exact (order-independent) in IEEE double — see the comment
+# inside dsir_log_weights
+_DSIR_QUANT = float(1 << 20)
+
+
 def dsir_log_weights(
     docs: DataFrame,
     target: DataFrame,
@@ -350,8 +356,11 @@ def dsir_log_weights(
     from one explode per corpus), broadcast-joined onto the per-doc
     bucket counts, one sum per doc — the corpus is never shuffled
     whole, and the model tables are O(n_buckets) regardless of scale.
-    Log-space scoring is float (1-ulp ln() divergence across engines —
-    the F30 finding), so the op is numpy-pinned, not oracle-checked.
+    Log-space deltas are quantized to a dyadic grid (see below), which
+    makes the per-doc weighted sum EXACT — bit-deterministic across
+    runs, partitionings, and engines — so the op is both numpy-pinned
+    and DuckDB-oracle-checked (round 11; previously rows-only for the
+    F30 1-ulp ln() divergence the quantization now absorbs).
 
     Output: (id_col, n_feats long, log_weight double).
     """
@@ -436,12 +445,31 @@ def dsir_log_weights(
     # delta_b = ln p_target[b] - ln p_source[b], add-one smoothed;
     # the model tables are <= n_buckets rows — driver-sized by
     # construction — so the log-probs compute here and ship back as a
-    # literal frame
+    # literal frame.
+    #
+    # Each delta is QUANTIZED to the dyadic grid 2^-20 (round 11):
+    # c_b * delta_q and every partial sum are then EXACT in IEEE double
+    # (|m| < 2^25 grid units, counts < 2^14, <= 2^12 terms -> every
+    # intermediate < 2^51 grid units, below the 2^53 mantissa), so
+    # log_weight is bit-identical regardless of partition/aggregation
+    # order — run-to-run deterministic AND reproducible by any engine
+    # whose ln() agrees to ~1 ulp (the F30 finding: that 1 ulp can no
+    # longer flip a sum, only move a delta across a grid midpoint —
+    # a ~2^-32 coincidence that is deterministic per corpus). The
+    # quantization bias per delta is <= 2^-21, orders below the
+    # hashed-ngram model's own estimator noise.
     delta_rows = [
         (
             b,
-            math.log((tgt_counts.get(b, 0) + 1) / tgt_denom)
-            - math.log((src_counts.get(b, 0) + 1) / src_denom),
+            math.floor(
+                (
+                    math.log((tgt_counts.get(b, 0) + 1) / tgt_denom)
+                    - math.log((src_counts.get(b, 0) + 1) / src_denom)
+                )
+                * _DSIR_QUANT
+                + 0.5
+            )
+            / _DSIR_QUANT,
         )
         for b in range(n_buckets)
     ]

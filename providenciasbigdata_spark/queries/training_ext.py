@@ -608,9 +608,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored by hashed-ngram likelihood ratio against an English target
     slice — the data-selection op that turns raw crawl into a
     target-like training mix (feed to weighted_sample_topk for the
-    resampling step). Rows-only: log-space scoring inherits the
-    cross-engine 1-ulp ln() divergence (F30); numpy-pinned in
-    tests/test_training_ext.py."""
+    resampling step). Oracle-checked since round 11: the per-bucket
+    deltas are quantized to the 2^-20 dyadic grid inside
+    dsir_log_weights, making the weighted log-sum EXACT in IEEE double
+    — order-independent and engine-independent — so the DuckDB twin
+    (same md5 buckets, same quantization) value-hashes; the F30 1-ulp
+    ln() divergence can only move a delta across a grid midpoint, a
+    deterministic ~2^-32 per-bucket coincidence absent from the
+    fixtures. Also numpy-pinned in tests/test_training_ext.py."""
     from providenciasbigdata_spark.operators.mix import dsir_log_weights
 
     docs = load_table(spark, sf_dir, "documents")
@@ -619,6 +624,50 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")
     )
+
+
+# md5 bucket: Spark takes the 15-hex-char prefix as an integer mod 4096
+# = the low 12 bits = exactly hex chars 13..15 of the digest, which
+# DuckDB parses directly via the '0x' string cast.
+_DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+feats AS (
+  SELECT doc_id,
+         unnest(list_concat(t,
+             list_transform(range(greatest(len(t) - 1, 0)),
+                            i -> concat_ws(' ', t[i+1], t[i+2])))) AS gram
+  FROM toks
+),
+bf AS (
+  SELECT doc_id, ('0x' || substring(md5(gram), 13, 3))::BIGINT AS bucket
+  FROM feats
+),
+doc_counts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
+src AS (SELECT bucket, SUM(c) AS s FROM doc_counts GROUP BY 1),
+tgt AS (
+  SELECT bucket, SUM(c) AS s
+  FROM doc_counts
+  JOIN (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en') USING (doc_id)
+  GROUP BY 1
+),
+d AS (
+  SELECT (SELECT SUM(s) FROM src) + 4096.0 AS sd,
+         (SELECT COALESCE(SUM(s), 0) FROM tgt) + 4096.0 AS td
+),
+-- same 2^-20 dyadic quantization as dsir_log_weights: the weighted sum
+-- below is then exact, so it value-hashes against Spark bit-for-bit
+delta AS (
+  SELECT s.bucket,
+         floor((ln((COALESCE(t.s, 0) + 1) / d.td)
+                - ln((s.s + 1) / d.sd)) * 1048576.0 + 0.5) / 1048576.0 AS dq
+  FROM src s LEFT JOIN tgt t USING (bucket), d
+)
+SELECT dc.doc_id,
+       CAST(SUM(dc.c) AS BIGINT) AS n_feats,
+       ROUND(SUM(dc.c * dl.dq), 6) AS log_weight
+FROM doc_counts dc JOIN delta dl USING (bucket)
+GROUP BY dc.doc_id
+"""
 
 
 def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,7 +1162,7 @@ QUERIES = {
     "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
     "pack_sequences": (q_pack_sequences, _PACK_SQL),
     "pack_first_fit_bins": (q_pack_first_fit, None),
-    "dsir_importance_weights": (q_dsir_weights, None),
+    "dsir_importance_weights": (q_dsir_weights, _DSIR_SQL),
 }
 
 WHY_NO_ORACLE = {
@@ -1127,11 +1176,6 @@ WHY_NO_ORACLE = {
         "iterative gradient-descent optimization is not SQL-expressible; "
         "the update rule is pinned bit-identical to a pure-numpy twin "
         "(1e-9) and bit-deterministic across runs in tests/test_classifier.py"
-    ),
-    "dsir_importance_weights": (
-        "log-likelihood-ratio scoring inherits the 1-ulp cross-engine ln() "
-        "divergence (the F30 finding); pinned against a pure-numpy DSIR "
-        "reference on identical md5 buckets in tests/test_training_ext.py"
     ),
     "pack_first_fit_bins": (
         "first-fit-decreasing is a sequential greedy per shard — not "

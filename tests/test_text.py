@@ -143,12 +143,19 @@ def test_lm_perplexity_matches_numpy_reference(spark):
             counts[t] = counts.get(t, 0) + 1
     n, v, alpha = sum(counts.values()), len(counts), 0.5
     denom = n + alpha * (v + 1)
+    # same 2^-20 dyadic quantization as q_lm_perplexity: the per-doc
+    # log-prob sum is exact, so cross_entropy must match bit-for-bit
+    QUANT = float(1 << 20)
+    lp = {
+        t: math.floor(math.log((c + alpha) / denom) * QUANT + 0.5) / QUANT
+        for t, c in counts.items()
+    }
     assert got.keys() == {d for d, ts in docs.items() if ts}
     for doc_id, ts in docs.items():
         if not ts:
             continue
-        ce = -sum(math.log((counts[t] + alpha) / denom) for t in ts) / len(ts)
+        ce = -sum(lp[t] for t in ts) / len(ts)
         nt, gce, gppl = got[doc_id]
         assert nt == len(ts)
-        assert abs(gce - round(ce, 6)) <= 1e-9, doc_id
+        assert gce == round(ce, 6), doc_id
         assert abs(gppl - round(math.exp(ce), 4)) <= 1e-3, doc_id

@@ -269,16 +269,28 @@ def test_dsir_weights_match_numpy_reference(spark):
                 tgt_counts[b] = tgt_counts.get(b, 0) + 1
     s_tot = sum(src_counts.values()) + B
     t_tot = sum(tgt_counts.values()) + B
+    # same 2^-20 dyadic quantization as the operator: the per-doc sum
+    # of quantized deltas is EXACT in double, so the distributed result
+    # must be BIT-IDENTICAL to this python fold, any summation order
+    QUANT = float(1 << 20)
+    delta = {
+        b: math.floor(
+            (
+                math.log((tgt_counts.get(b, 0) + 1) / t_tot)
+                - math.log((src_counts.get(b, 0) + 1) / s_tot)
+            )
+            * QUANT
+            + 0.5
+        )
+        / QUANT
+        for b in src_counts
+    }
     for r in rows:
         bs = per_doc[r.doc_id]
-        want = sum(
-            math.log((tgt_counts.get(b, 0) + 1) / t_tot)
-            - math.log((src_counts.get(b, 0) + 1) / s_tot)
-            for b in bs
-        )
+        want = sum(delta[b] for b in bs)
         n, logw = got[r.doc_id]
         assert n == len(bs)
-        assert abs(logw - want) < 1e-6 * max(1.0, abs(want)), r.doc_id
+        assert logw == want, r.doc_id
 
     langs = {r.doc_id: r.lang for r in rows}
     en = [got[d][1] for d in got if langs[d] == "en"]
