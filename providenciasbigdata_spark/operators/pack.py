@@ -82,14 +82,17 @@ def pack_first_fit(
     each item lands whole in one bin (no document straddles a context
     boundary), at the cost of some slack per bin. FFD's guarantee
     (<= 11/9 OPT + 6/9 bins, Dósa 2007) holds per shard; sharding by
-    ``xxhash64(id) % n_shards`` adds at most (n_shards - 1) partially
+    ``md5(id) % n_shards`` adds at most (n_shards - 1) partially
     filled bins versus global FFD — negligible when every shard holds
     many bins, which is exactly the 100 TB regime. The greedy scan is
     inherently sequential, so it runs per shard inside ONE
     applyInPandas kernel; Spark's only shuffle is the shard
     repartition.
 
-    Deterministic: shard assignment is a hash, in-shard order is
+    Deterministic: shard assignment is a hash (md5-prefix, the
+    engine-agnostic key discipline of operators.mix — round 11
+    switched from xxhash64 so a SQL oracle can replay the shard
+    partition and hence the whole packing), in-shard order is
     (size DESC, id ASC), bins are scanned first-fit — no RNG, no
     partition-order dependence; re-runs and retries produce the same
     packing. Items with ``size > capacity`` (or NULL/non-positive)
@@ -109,7 +112,11 @@ def pack_first_fit(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(size_col).cast("long").alias("size"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_shards),
+        )
         .cast("int")
         .alias("shard"),
     )

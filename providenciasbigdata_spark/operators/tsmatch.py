@@ -69,14 +69,20 @@ def znorm_pattern_topk(
         if not ok.any():
             return pd.DataFrame(columns=[by, "start_ts", "dist"])
         z = (win[ok] - mu[ok]) / sd[ok]
-        d = np.sqrt(((z - qn) ** 2).sum(axis=1))
+        d = np.round(
+            np.sqrt(((z - qn) ** 2).sum(axis=1)), round_digits
+        )
         starts = pdf[ts_col].to_numpy()[: len(v) - L + 1][ok]
-        order = np.argsort(d, kind="stable")[:k]  # local prune to k
+        # local prune keyed on the ROUNDED distance + start ts — the
+        # same composite key the global orderBy (and the SQL oracle)
+        # ranks by, so a rounding tie at the prune boundary can never
+        # make the local top-k disagree with a global top-k
+        order = np.lexsort((starts, d))[:k]
         return pd.DataFrame(
             {
                 by: pdf[by].iloc[0],
                 "start_ts": starts[order],
-                "dist": np.round(d[order], round_digits),
+                "dist": d[order],
             }
         )
 

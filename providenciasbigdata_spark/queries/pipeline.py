@@ -466,9 +466,16 @@ def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     against redundancy with what's already picked (lambda = 0.7) —
     the standard pass between ANN and a RAG/training-sampler consumer.
     Per-query-group numpy kernel over candidate-pool-sized frames
-    (operators/similarity.py::mmr_rerank); rows-only (the greedy
-    argmax recursion is not SQL-expressible; properties pinned in
-    tests/test_similarity.py)."""
+    (operators/similarity.py::mmr_rerank). Oracle-checked since round
+    11: the greedy IS SQL-expressible as a recursive CTE — one step
+    per rank, the selected-set and running max-similarity state
+    carried as per-query list columns, argmax-with-first-tiebreak as
+    list_filter(gain = list_max(gain))[1] over the (rel DESC, id ASC)
+    candidate order numpy's argmax scans. Relevance scores are
+    6dp-rounded cosines (identical doubles cross-engine); the
+    candidate-candidate sims differ only in final-ulp summation order,
+    far below any fixture gain gap. Also numpy-pinned in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -477,6 +484,69 @@ def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding"), "vec_id"
     )
     return similarity.mmr_rerank(cands, k=10, lam=0.7)
+
+
+# MMR gain vector at one greedy step: -1e300 poisons already-selected
+# slots so list_max/argmax never revisits them
+_MMR_GAINS = (
+    "list_transform(range(1, len(p.ids)+1), i -> "
+    "CASE WHEN list_contains(s.sel, i) THEN -1e300 "
+    "ELSE 0.7*p.rels[i] - 0.3*s.max_sim[i] END)"
+)
+
+_ANN_MMR_SQL = f"""
+WITH RECURSIVE cand AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6) AS score,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                              e.vec_id ASC) AS rk
+    FROM embeddings e
+    JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      ON e.vec_id <> q.vec_id
+  ) WHERE rk <= 40
+),
+withvec AS (
+  SELECT c.query_id, c.vec_id, c.score,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+             x -> x / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))) AS u
+  FROM cand c JOIN embeddings e USING (vec_id)
+),
+pool AS (
+  SELECT query_id,
+         list(vec_id ORDER BY score DESC, vec_id) AS ids,
+         list(score ORDER BY score DESC, vec_id) AS rels,
+         list(u ORDER BY score DESC, vec_id) AS vecs
+  FROM withvec GROUP BY query_id
+),
+steps(query_id, rank, idx, mmr, sel, max_sim) AS (
+  SELECT query_id, 1, 1, ROUND(0.7 * rels[1], 6), [1],
+         list_transform(range(1, len(ids)+1),
+                        i -> list_dot_product(vecs[i], vecs[1]))
+  FROM pool
+  UNION ALL
+  SELECT query_id, rank, nxt AS idx,
+         ROUND(gains[nxt], 6) AS mmr,
+         list_append(sel, nxt),
+         list_transform(range(1, n+1),
+             i -> greatest(max_sim[i], list_dot_product(vecs[i], vecs[nxt])))
+  FROM (
+    SELECT p.query_id, s.rank + 1 AS rank, s.sel, s.max_sim,
+           p.vecs, len(p.ids) AS n, {_MMR_GAINS} AS gains,
+           list_filter(range(1, len(p.ids)+1),
+               i -> {_MMR_GAINS}[i] = list_max({_MMR_GAINS}))[1] AS nxt
+    FROM steps s JOIN pool p USING (query_id) WHERE s.rank < 10
+  )
+)
+SELECT s.query_id, CAST(s.rank AS BIGINT) AS rank, p.ids[s.idx] AS vec_id,
+       p.rels[s.idx] AS score, s.mmr
+FROM steps s JOIN pool p USING (query_id)
+"""
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,9 +1620,16 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (operators.bpe): 12 merge
     rules learned from the documents corpus — one corpus-scale word-
     frequency pass, then one vocabulary-sized arg-max job per merge.
-    Rows-only: the iterative arg-max is not SQL-expressible; the loop
-    is pinned EQUAL to a pure-Python reference BPE trainer over the
-    full fixture corpus in tests/test_bpe.py."""
+    Oracle-checked since round 11: the whole training loop replays as
+    a DuckDB recursive CTE — each recursion step counts weighted
+    adjacent pairs over the word-type table, takes the deterministic
+    arg-max (count DESC, pair lexicographic), and rewrites every
+    symbol list with the same greedy left-to-right scan apply_merge
+    folds (a merge starts at match position i iff the run of
+    consecutive matches before i has even length — exactly the
+    Catalyst fold's reachable states, since merged==left requires an
+    empty right symbol). Also pinned EQUAL to a pure-Python reference
+    trainer in tests/test_bpe.py."""
     from providenciasbigdata_spark.operators.bpe import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1561,6 +1638,56 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank long, left string, right string, merged string"
     )
+
+
+# match-run parity: a merge starts at i iff (i, i+1) matches AND the
+# number of consecutive matching positions immediately before i is even
+_BPE_MS = """list_transform(range(1, len(s.symbols) + 1), i ->
+             i < len(s.symbols)
+             AND s.symbols[i] = b.l AND s.symbols[i+1] = b.r
+             AND ((i - 1 - COALESCE(list_max(list_filter(range(1, i),
+                    j -> NOT (s.symbols[j] = b.l AND s.symbols[j+1] = b.r))), 0)) % 2 = 0)
+           )"""
+
+_BPE_SQL = f"""
+WITH RECURSIVE wf AS (
+  SELECT w, COUNT(*) AS freq,
+         list_append(list_transform(range(1, length(w)+1),
+                                    i -> substring(w, i, 1)), '</w>') AS symbols
+  FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY w HAVING COUNT(*) >= 2
+),
+steps(iter, w, freq, symbols, ml, mr) AS (
+  SELECT 0, w, freq, symbols, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM wf
+  UNION ALL
+  SELECT iter, w, freq,
+         list_transform(
+           list_filter(range(1, n+1), i -> NOT (i > 1 AND ms[i-1])),
+           i -> CASE WHEN ms[i] THEN ml || mr ELSE symbols[i] END) AS symbols,
+         ml, mr
+  FROM (
+    SELECT s.iter + 1 AS iter, s.w, s.freq, s.symbols, b.l AS ml, b.r AS mr,
+           len(s.symbols) AS n,
+           {_BPE_MS} AS ms
+    FROM steps s CROSS JOIN (
+      -- the arg-max job of one merge iteration, over LAST step's types
+      SELECT l, r FROM (
+        SELECT p.l AS l, p.r AS r, SUM(s2.freq) AS cnt
+        FROM steps s2, UNNEST(list_transform(range(1, len(s2.symbols)),
+             i -> struct_pack(l := s2.symbols[i], r := s2.symbols[i+1]))) AS t(p)
+        GROUP BY 1, 2
+      ) WHERE cnt >= 2
+      ORDER BY cnt DESC, l, r LIMIT 1
+    ) b
+    WHERE s.iter < 12
+  )
+)
+SELECT DISTINCT CAST(iter AS BIGINT) AS rank, ml AS "left", mr AS "right",
+       ml || mr AS merged
+FROM steps WHERE iter >= 1
+"""
 
 
 def q_embed_matryoshka_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1611,7 +1738,7 @@ FROM agg WHERE total > 0
 
 QUERIES = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
-    "bpe_train_merges": (q_bpe_train_merges, None),
+    "bpe_train_merges": (q_bpe_train_merges, _BPE_SQL),
     "text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
     "classifier_calibration_bins": (q_classifier_calibration, _CALIBRATION_SQL),
     "text_lang_id": (q_text_lang_id, _lang_id_sql()),
@@ -1659,7 +1786,7 @@ QUERIES = {
     "embedding_pca_variance": (q_embedding_pca_variance, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, None),
     "srp_ann_topk": (q_srp_ann_topk, None),
-    "ann_mmr_rerank": (q_ann_mmr_rerank, None),
+    "ann_mmr_rerank": (q_ann_mmr_rerank, _ANN_MMR_SQL),
 }
 
 _APPROX_MINHASH = (
@@ -1674,22 +1801,11 @@ _APPROX_ANN = (
     "oracle-checked brute-force top-k pinned in tests/test_similarity.py"
 )
 WHY_NO_ORACLE = {
-    "ann_mmr_rerank": (
-        "the MMR greedy argmax recursion (selection step t depends on the "
-        "max-similarity state of steps 1..t-1) is not SQL-expressible; "
-        "rank-1 = pure relevance, duplicate-deferral diversity, numpy-twin "
-        "equality and determinism are pinned in tests/test_similarity.py"
-    ),
     "embedding_pca_variance": (
         "covariance eigendecomposition (driver-side LAPACK on the d x d "
         "matrix) is not SQL-expressible; the distributed moment pass and "
         "fit are pinned EQUAL (atol 1e-8) to numpy PCA on the collected "
         "fixture corpus in tests/test_similarity.py"
-    ),
-    "bpe_train_merges": (
-        "iterative corpus arg-max (the BPE merge loop) is not "
-        "SQL-expressible; pinned EQUAL to a pure-Python reference BPE "
-        "trainer on the full fixture corpus in tests/test_bpe.py"
     ),
     "minhash_near_dups_est": _APPROX_MINHASH,
     "simhash_fingerprints": (

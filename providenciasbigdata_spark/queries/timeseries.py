@@ -478,15 +478,54 @@ GROUP BY 1, 2
 def q_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 z-normalized matches of a rising-ramp pattern among all
     8-step windows of every user's event-value series (UCR subsequence
-    search, operators/tsmatch.py). Rows-only: the sliding-window
-    z-norm matrix isn't SQL-expressible; pinned against a numpy
-    brute-force model in tests/test_tsmatch.py."""
+    search, operators/tsmatch.py). Oracle-checked since round 11: the
+    sliding z-norm IS SQL-expressible as list arithmetic over an
+    8-row window frame — both sides sum the same 8 doubles in ts
+    order, so the distances agree bit-for-bit before the 6dp round;
+    the numpy kernel prunes on the (rounded dist, start_ts) key the
+    global orderBy and the oracle rank by, so a boundary tie cannot
+    diverge. Also numpy-brute-force pinned in tests/test_tsmatch.py."""
     from providenciasbigdata_spark.operators.tsmatch import znorm_pattern_topk
 
     ev = load_table(spark, sf_dir, "events")
     return znorm_pattern_topk(ev, pattern=list(range(8)), k=10).select(
         "user_id", F.date_format("start_ts", _TS_FMT).alias("start_ts"), "dist"
     )
+
+
+def _znorm_literal(pattern) -> str:
+    """The z-normalized pattern as a full-precision SQL list literal
+    (repr round-trips doubles exactly)."""
+    import numpy as np
+
+    a = np.asarray(pattern, dtype=np.float64)
+    qn = (a - a.mean()) / a.std()
+    return "[" + ", ".join(repr(float(x)) for x in qn) + "]"
+
+
+_QN8 = _znorm_literal(range(8))
+
+_PATTERN_TOPK_SQL = f"""
+WITH wins AS (
+  SELECT user_id, ts AS start_ts,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+  FROM events
+),
+full8 AS (SELECT * FROM wins WHERE len(w) = 8),
+m AS (SELECT user_id, start_ts, w, list_sum(w) / 8.0 AS mu FROM full8),
+s AS (SELECT *, sqrt(list_sum(list_transform(w, x -> (x - mu) * (x - mu))) / 8.0) AS sd
+      FROM m),
+d AS (
+  SELECT user_id, start_ts,
+         ROUND(sqrt(list_sum(list_transform(range(1, 9),
+           i -> ((w[i] - mu) / sd - ({_QN8})[i])
+                * ((w[i] - mu) / sd - ({_QN8})[i])))), 6) AS dist
+  FROM s WHERE sd > 0
+)
+SELECT user_id, strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS start_ts, dist
+FROM d ORDER BY dist, user_id, start_ts LIMIT 10
+"""
 
 
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,13 +715,7 @@ QUERIES = {
     "anomaly_value_outliers": (q_value_outliers, _OUTLIERS_SQL),
     "rollup_hypertable": (q_rollup_hypertable, _ROLLUP_HT_SQL),
     "cohort_retention": (q_cohort_retention, _COHORT_SQL),
-    "timeseries_pattern_topk": (q_pattern_topk, None),
+    "timeseries_pattern_topk": (q_pattern_topk, _PATTERN_TOPK_SQL),
 }
 
-WHY_NO_ORACLE = {
-    "timeseries_pattern_topk": (
-        "sliding-window z-normalization (per-window mean/std matrix) isn't "
-        "SQL-expressible; exact agreement with a numpy brute-force model "
-        "pinned in tests/test_tsmatch.py"
-    ),
-}
+WHY_NO_ORACLE: dict[str, str] = {}

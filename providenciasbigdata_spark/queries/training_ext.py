@@ -296,11 +296,51 @@ def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing of whole documents into 2048-char
     bins (no document straddles a context boundary — the no-split
     sibling of pack_sequences), sharded FFD via one applyInPandas
-    kernel per shard."""
+    kernel per shard. Oracle-checked since round 11: FFD is
+    deterministic (md5 shard, size-DESC/id-ASC scan order), and a
+    DuckDB recursive CTE replays the greedy exactly — one recursion
+    step per in-shard rank, all shards marching in parallel, the open
+    bins' fill levels carried as a per-shard list column."""
     from providenciasbigdata_spark.operators.pack import pack_first_fit
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_first_fit(docs, "n_chars", capacity=2048, n_shards=8)
+
+
+# first bin index whose remaining capacity fits the incoming item —
+# DuckDB's list_filter keeps order, so [1] is first-fit
+_FFD_FIT = "list_filter(range(1, len(s.fills)+1), i -> s.fills[i] + r.size <= 2048)[1]"
+
+_PACK_FFD_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS size,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+              AS INTEGER) AS shard
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY size DESC, id) AS rk
+  FROM base
+),
+steps(shard, rk, id, size, bin_idx, bin_offset, fills) AS (
+  SELECT shard, rk, id, size, 0, CAST(0 AS BIGINT), [size] FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.shard, r.rk, r.id, r.size,
+         CASE WHEN {_FFD_FIT} IS NULL THEN len(s.fills) ELSE {_FFD_FIT} - 1 END,
+         CASE WHEN {_FFD_FIT} IS NULL THEN CAST(0 AS BIGINT)
+              ELSE s.fills[{_FFD_FIT}] END,
+         CASE WHEN {_FFD_FIT} IS NULL THEN list_append(s.fills, r.size)
+              ELSE list_transform(range(1, len(s.fills)+1),
+                     i -> CASE WHEN i = {_FFD_FIT} THEN s.fills[i] + r.size
+                               ELSE s.fills[i] END)
+         END
+  FROM steps s JOIN ranked r ON r.shard = s.shard AND r.rk = s.rk + 1
+)
+SELECT id AS doc_id, size AS n_chars, shard,
+       CAST(shard AS BIGINT) * 4294967296 + bin_idx AS bin_id,
+       bin_offset
+FROM steps
+"""
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,7 +1201,7 @@ QUERIES = {
     "mix_stratified_sample": (q_mix_stratified_sample, _MIX_STRATIFIED_SQL),
     "contamination_ngram_overlap": (q_contamination, _CONTAMINATION_SQL),
     "pack_sequences": (q_pack_sequences, _PACK_SQL),
-    "pack_first_fit_bins": (q_pack_first_fit, None),
+    "pack_first_fit_bins": (q_pack_first_fit, _PACK_FFD_SQL),
     "dsir_importance_weights": (q_dsir_weights, _DSIR_SQL),
 }
 
@@ -1176,11 +1216,6 @@ WHY_NO_ORACLE = {
         "iterative gradient-descent optimization is not SQL-expressible; "
         "the update rule is pinned bit-identical to a pure-numpy twin "
         "(1e-9) and bit-deterministic across runs in tests/test_classifier.py"
-    ),
-    "pack_first_fit_bins": (
-        "first-fit-decreasing is a sequential greedy per shard — not "
-        "SQL-expressible; pinned EQUAL to a pure-Python reference FFD and "
-        "capacity/offset/determinism invariants in tests/test_training_ext.py"
     ),
     "sketch_hll_daily_users": (
         "per-day HyperLogLog++ registers merged across partitions — "
