@@ -1070,9 +1070,13 @@ def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated leakage the exact 5-gram screen (contamination_ngram_
     overlap) underestimates. LSH bands BETWEEN corpus and benchmark
     (the benchmark side is tiny; no corpus self-join), exact-Jaccard
-    verify on cross candidates only. Rows-only: LSH recall is the
-    probabilistic S-curve; planted-contamination behavior is pinned in
-    tests/test_training_ext.py."""
+    verify on cross candidates only. Oracle-checked since round 11:
+    the brute-force exact cross-Jaccard best-match join — exactness of
+    the verify step makes precision 1 by construction, and on the
+    gated fixture the true cross-pair set at j >= 0.5 is EMPTY (the
+    planted near-dups never straddle the %97 split), so the hash row
+    pins that the LSH path invents nothing; recall on planted
+    contamination is pinned in tests/test_training_ext.py."""
     from providenciasbigdata_spark.operators.dedup import (
         minhash_cross_contamination,
     )
@@ -1083,6 +1087,35 @@ def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_cross_contamination(
         corpus, bench, threshold=0.5, bands=16, rows_per_band=4, ngram=3
     )
+
+
+_CONTAM_FUZZY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+grams AS (SELECT doc_id, list_distinct({{g3}}) AS gs FROM toks),
+sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+ge AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+cross_c AS (
+  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS inter
+  FROM (SELECT * FROM ge WHERE doc_id % 97 <> 0) c
+  JOIN (SELECT * FROM ge WHERE doc_id % 97 = 0) b ON c.g = b.g
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT x.doc_id, x.bench_id,
+         ROUND(CAST(x.inter AS DOUBLE)
+               / GREATEST(CAST(sc.sz + sb.sz - x.inter AS DOUBLE), 1.0), 6) AS jaccard
+  FROM cross_c x
+  JOIN sizes sc ON sc.doc_id = x.doc_id
+  JOIN sizes sb ON sb.doc_id = x.bench_id
+),
+best AS (
+  SELECT doc_id, bench_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, bench_id) AS rn
+  FROM jac WHERE jaccard >= 0.5
+)
+SELECT doc_id, bench_id, jaccard FROM best WHERE rn = 1
+""".replace("{g3}", _grams_sql(3))
 
 
 def q_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1180,7 +1213,7 @@ QUERIES = {
     "curate_quality_classifier": (q_curate_quality_classifier, None),
     "drift_psi_event_types": (q_drift_psi, _DRIFT_PSI_SQL),
     "training_shuffle_shards": (q_training_shuffle_shards, _SHUFFLE_SHARDS_SQL),
-    "contamination_fuzzy_minhash": (q_contamination_fuzzy, None),
+    "contamination_fuzzy_minhash": (q_contamination_fuzzy, _CONTAM_FUZZY_SQL),
     "drift_chisq_event_types": (q_drift_chisq, _DRIFT_CHISQ_SQL),
     "drift_ks_totalprice": (q_drift_ks, _DRIFT_KS_SQL),
     "drift_wasserstein_quantity": (q_drift_w1, _DRIFT_W1_SQL),
@@ -1206,12 +1239,6 @@ QUERIES = {
 }
 
 WHY_NO_ORACLE = {
-    "contamination_fuzzy_minhash": (
-        "LSH candidate recall is probabilistic (the banding S-curve), so a "
-        "naive all-pairs oracle could legitimately contain pairs the bands "
-        "miss; precision-1.0 verification, planted-contamination recall, "
-        "and best-match determinism are pinned in tests/test_training_ext.py"
-    ),
     "curate_quality_classifier": (
         "iterative gradient-descent optimization is not SQL-expressible; "
         "the update rule is pinned bit-identical to a pure-numpy twin "
