@@ -910,6 +910,74 @@ def compile_query(
     return env
 
 
+def _pattern_items_text(items) -> str:
+    """Pattern-predicate items back to Cypher text, so a pattern atom
+    can reuse the EXISTS subchain machinery (round 7 device, hoisted to
+    module scope in round 11 for the var-length OPTIONAL tail)."""
+    def node_txt(n):
+        anchor = f" {{id: ${n['anchor_param']}}}" if n.get("anchor_param") else ""
+        return f"({n['var']}{anchor})"
+
+    parts = [node_txt(items[0])]
+    for rel, node in items[1:]:
+        rv = rel["var"] or ""
+        star = (
+            f"*{rel['varlen'][0]}..{rel['varlen'][1]}" if rel["varlen"] else ""
+        )
+        body = f"[{rv}:SIMILAR{star}]"
+        arrow = {
+            "<": f"<-{body}-", ">": f"-{body}->", "-": f"-{body}-",
+        }[rel["dir"]]
+        parts.append(arrow)
+        parts.append(node_txt(node))
+    return "".join(parts)
+
+
+def _compile_exists_subchain(
+    inner: str,
+    allowed_anchors,
+    nodes: DataFrame | None,
+    edges: DataFrame | None,
+    params: dict,
+    clash_vars=frozenset(),
+):
+    """Compile one EXISTS {...} inner pattern to (anchor_var, frame):
+    the frame is the DISTINCT set of anchor node ids satisfying the
+    pattern, projected as ``__ex_id`` — the semi/anti-join side of an
+    existential guard. Shared by the main-chain exists compiler and
+    the var-length OPTIONAL tail (round 11)."""
+    inner_flat = " ".join(inner.split())
+    if not re.match(r"^MATCH\b", inner_flat, re.I):
+        inner_flat = "MATCH " + inner_flat
+    nm = _NODE_PAT.match(inner_flat[5:].lstrip())
+    if not nm:
+        raise CypherUnsupported(
+            f"cannot parse EXISTS pattern at: {inner_flat[:60]!r}"
+        )
+    anchor_var = nm.group(1)
+    if anchor_var not in allowed_anchors:
+        raise CypherUnsupported(
+            f"EXISTS pattern must start from a bound variable; "
+            f"{anchor_var!r} is not bound"
+        )
+    inner_ast = parse(f"{inner_flat} RETURN {anchor_var}.id AS __ex_id")
+    inner_vars = set()
+    for imc in inner_ast["segments"][0]["matches"]:
+        pat = imc["pattern"]
+        inner_vars.add(pat[0]["var"])
+        for rel, node in pat[1:]:
+            inner_vars.add(node["var"])
+            if rel["var"]:
+                inner_vars.add(rel["var"])
+    clash = (inner_vars - {anchor_var}) & set(clash_vars)
+    if clash:
+        raise CypherUnsupported(
+            f"EXISTS pattern rebinds outer variables {sorted(clash)}; "
+            "only the first node may reference the outer scope"
+        )
+    return anchor_var, compile_query(inner_ast, nodes, edges, params).distinct()
+
+
 def _optional_varlen_tail(
     mc: dict,
     cur: DataFrame,
@@ -919,13 +987,23 @@ def _optional_varlen_tail(
     node_vars: set,
     rel_vars: set,
     varlen_lens: set,
+    nodes: DataFrame | None = None,
+    params: dict | None = None,
+    extra_cond=None,
 ) -> DataFrame:
     """Compile one deferred ``OPTIONAL MATCH (x)-[r*lo..hi]->(c)``
     clause: a multi-source BFS over the guarded edge frame, seeded by
     the DISTINCT bound values of the start variable (as a DataFrame —
     never collected), LEFT-joined back so unmatched rows survive with
     null endpoint/length. Registers ``c`` as a node var and ``r`` as a
-    var-length rel (``length(r)`` reads the BFS hop count)."""
+    var-length rel (``length(r)`` reads the BFS hop count).
+
+    Round 11 (verdict-r10 item 3): existential atoms — ``EXISTS
+    {...}`` and pattern-predicate sugar — anchored on the endpoint or
+    the bound start variable apply to the BFS hit frame as semi/anti
+    joins BEFORE the single left join, so the OPTIONAL all-or-nothing
+    contract holds; ``extra_cond`` (carried-alias comparisons, built
+    by the caller against the bound scope) rides the join condition."""
     hops_d = mc["pattern"][1:]
     if len(hops_d) != 1:
         raise CypherUnsupported(
@@ -948,15 +1026,20 @@ def _optional_varlen_tail(
     if edges is None:
         raise ValueError("var-length pattern needs the edges frame")
     fe = edges
+    exists_atoms: list[tuple[bool, str]] = []
     for c in mc["where"]:
         if c[0] == "all" and c[1] == rvar:
             lo_w = resolve(c[2], as_float=True)
             hi_w = resolve(c[3], as_float=True)
             fe = fe.filter(F.col("similitud").between(lo_w, hi_w))
+        elif c[0] == "exists":
+            exists_atoms.append((c[1], c[2]))
+        elif c[0] == "pattern":
+            exists_atoms.append((c[1], _pattern_items_text(c[2])))
         else:
             raise CypherUnsupported(
                 "OPTIONAL var-length clauses support ALL(...) weight "
-                "guards only"
+                "guards, EXISTS {...}, and pattern predicates only"
             )
     if rel["dir"] == "<":
         fe = fe.select(
@@ -976,9 +1059,23 @@ def _optional_varlen_tail(
         F.col("id").alias(f"__v_{nvar}"),
         F.col("hops").cast("bigint").alias(len_col),
     )
-    cur = cur.join(
-        hit, cur[cols[from_var]] == hit["__bfs_seed"], "left"
-    ).drop("__bfs_seed")
+    for negated, inner in exists_atoms:
+        # anchor on the endpoint (filters which BFS targets qualify) or
+        # the bound start (whole tail collapses to null for that seed)
+        anchor, sub = _compile_exists_subchain(
+            inner, {nvar, from_var}, nodes, edges, params or {},
+            clash_vars=(node_vars | rel_vars | {nvar, from_var}),
+        )
+        key = f"__v_{nvar}" if anchor == nvar else "__bfs_seed"
+        hit = hit.join(
+            sub,
+            hit[key] == sub["__ex_id"],
+            "left_anti" if negated else "left_semi",
+        )
+    jc = cur[cols[from_var]] == hit["__bfs_seed"]
+    if extra_cond is not None:
+        jc = jc & extra_cond
+    cur = cur.join(hit, jc, "left").drop("__bfs_seed")
     cols[nvar] = f"__v_{nvar}"
     node_vars.add(nvar)
     if rvar:
@@ -1099,15 +1196,19 @@ def _compile_segment(
             hops = mc["pattern"][1:]
             # round 10 (verdict-r9 item 5): EXISTS {...}, pattern
             # predicates, and computed conditions inside OPTIONAL
-            # MATCH also defer — the clause compiles as its own
-            # required chain where those atoms apply PATTERN-SIDE
-            # (semi/anti-join the optional side), then the single
-            # left join null-preserves. A var-length optional with
-            # such atoms still raises in _optional_varlen_tail.
+            # MATCH defer — the clause compiles as its own required
+            # chain where those atoms apply PATTERN-SIDE (semi/anti-
+            # join the optional side), then the single left join
+            # null-preserves. Round 11 (verdict-r10 item 3): carried-
+            # alias ("bare") comparisons defer too — they become part
+            # of the LEFT-join condition (per-row predicate => no
+            # match, one null row, never a multiplicity change) — and
+            # the var-length tail now applies exists/pattern atoms to
+            # the BFS endpoint frame before its left join.
             defer_atoms = any(
-                c[0] in ("exists", "pattern", "expr_cond")
+                c[0] in ("exists", "pattern", "expr_cond", "bare")
                 for c in mc["where"]
-            ) and not any(r["varlen"] for r, _n in hops)
+            )
             if mc["optional"] and (
                 len(hops) > 1
                 or any(r["varlen"] for r, _n in hops)
@@ -1193,34 +1294,25 @@ def _compile_segment(
                     raise ValueError(f"${val[1:]} must bind a list, got {lst!r}")
                 id_in[var] = list(lst)
             elif c[0] == "exists":
-                if mc["optional"]:
-                    raise CypherUnsupported(
-                        "EXISTS {...} inside OPTIONAL MATCH is unsupported"
-                    )
+                # deferral invariant (round 11, verdict-r10 item 6):
+                # every OPTIONAL clause carrying exists/pattern/
+                # expr_cond/bare atoms was diverted to `deferred` by
+                # the split loop above, so optional atoms can never
+                # reach this inline path — they compile pattern-side
+                # in the deferred chain (or the var-length tail)
+                assert not mc["optional"], "deferral invariant: optional exists atom"
                 exists_guards.append((c[1], c[2]))
             elif c[0] == "pattern":
-                if mc["optional"]:
-                    raise CypherUnsupported(
-                        "pattern predicates inside OPTIONAL MATCH are unsupported"
-                    )
+                assert not mc["optional"], "deferral invariant: optional pattern atom"
                 pattern_guards.append((c[1], c[2]))
             elif c[0] == "expr_cond":
-                if mc["optional"]:
-                    raise CypherUnsupported(
-                        "computed conditions inside OPTIONAL MATCH are "
-                        "unsupported (a post-join filter would drop "
-                        "null-preserved rows)"
-                    )
+                assert not mc["optional"], "deferral invariant: optional expr_cond atom"
                 expr_conds.append(c[1])
             elif c[0] == "bare":
                 # bare alias comparison: a WITH-carried value
                 _, balias, bop, bval = c
+                assert not mc["optional"], "deferral invariant: optional bare atom"
                 if env is not None and balias in env_kinds:
-                    if mc["optional"]:
-                        raise CypherUnsupported(
-                            "carried-alias comparisons inside OPTIONAL "
-                            "MATCH are unsupported"
-                        )
                     env_bare.append((balias, bop, bval))
                 else:
                     raise CypherUnsupported(
@@ -1614,6 +1706,23 @@ def _compile_segment(
     # pattern-side), then ONE left join onto the bound scope — Cypher's
     # all-or-nothing contract holds by construction for any hop count.
     for mc in deferred:
+        # carried-alias ("bare") comparisons reference the BOUND scope
+        # only (round 11, verdict-r10 item 3): they join the LEFT-join
+        # condition instead of the optional sub-chain — a row failing
+        # the predicate simply doesn't match (ONE null row), which is
+        # Cypher's semantics for a per-row condition inside OPTIONAL
+        # MATCH; a post-join filter would drop preserved rows and a
+        # post-join null-out would multiply them.
+        bare_env = [
+            c for c in mc["where"]
+            if c[0] == "bare" and env is not None and c[1] in env_kinds
+        ]
+        if bare_env:
+            mc = {**mc, "where": [c for c in mc["where"] if c not in bare_env]}
+        bare_cond = None
+        for _, balias, bop, bval in bare_env:
+            bc = _OPS[bop](cur[balias], F.lit(resolve(bval)))
+            bare_cond = bc if bare_cond is None else bare_cond & bc
         if any(r["varlen"] for r, _n in mc["pattern"][1:]):
             # OPTIONAL var-length tail (round 9, verdict-r8 item 6):
             # a BFS frame LEFT-joined on the bound start variable. The
@@ -1622,10 +1731,13 @@ def _compile_segment(
             # large the bound scope is; unreachable seeds keep their
             # row with null endpoint/length — Cypher's OPTIONAL
             # contract. (Neo4j parity: optional allShortestPaths-style
-            # tails like OPTIONAL MATCH (b)-[r2*1..3]->(c).)
+            # tails like OPTIONAL MATCH (b)-[r2*1..3]->(c).) Round 11:
+            # exists/pattern atoms apply to the BFS endpoint frame
+            # before the left join; bare atoms ride the join condition.
             cur = _optional_varlen_tail(
                 mc, cur, cols, edges, resolve, node_vars, rel_vars,
-                varlen_lens,
+                varlen_lens, nodes=nodes, params=params,
+                extra_cond=bare_cond,
             )
             continue
         sub_seg = {
@@ -1649,6 +1761,8 @@ def _compile_segment(
         for v in shared_vars:
             c = cur[cols[v]] == subr[f"__sub_{sub_cols[v]}"]
             jc = c if jc is None else jc & c
+        if bare_cond is not None:
+            jc = jc & bare_cond
         cur = cur.join(subr, jc, "left")
         for v, scol in sub_cols.items():
             if v in shared_vars:
@@ -1667,27 +1781,9 @@ def _compile_segment(
     # Neo4j's existential sugar. Both endpoints bound -> a direct
     # SEMI/ANTI join against the (direction-oriented) edge pair set; one
     # endpoint bound -> rewritten into the EXISTS subquery machinery
-    # below (reversed first if the BOUND endpoint is the pattern's
-    # last, so the subchain anchors on it); neither bound raises.
-    def _pattern_text(items) -> str:
-        def node_txt(n):
-            anchor = f" {{id: ${n['anchor_param']}}}" if n.get("anchor_param") else ""
-            return f"({n['var']}{anchor})"
-
-        parts = [node_txt(items[0])]
-        for rel, node in items[1:]:
-            rv = rel["var"] or ""
-            star = (
-                f"*{rel['varlen'][0]}..{rel['varlen'][1]}" if rel["varlen"] else ""
-            )
-            body = f"[{rv}:SIMILAR{star}]"
-            arrow = {
-                "<": f"<-{body}-", ">": f"-{body}->", "-": f"-{body}-",
-            }[rel["dir"]]
-            parts.append(arrow)
-            parts.append(node_txt(node))
-        return "".join(parts)
-
+    # below via _pattern_items_text (reversed first if the BOUND
+    # endpoint is the pattern's last, so the subchain anchors on it);
+    # neither bound raises.
     def _reversed_items(items) -> list:
         flipped = {"<": ">", ">": "<", "-": "-"}
         out: list = [items[-1][1]]
@@ -1742,7 +1838,7 @@ def _compile_segment(
             )
         elif first_bound or last_bound:
             ordered = items if first_bound else _reversed_items(items)
-            exists_guards.append((negated, _pattern_text(ordered)))
+            exists_guards.append((negated, _pattern_items_text(ordered)))
         else:
             raise CypherUnsupported(
                 "pattern predicate must reference at least one bound variable"
@@ -1760,36 +1856,10 @@ def _compile_segment(
     # hit set is a filtered edge scan; AQE broadcasts whichever side
     # is small.
     for negated, inner in exists_guards:
-        inner_flat = " ".join(inner.split())
-        if not re.match(r"^MATCH\b", inner_flat, re.I):
-            inner_flat = "MATCH " + inner_flat
-        nm = _NODE_PAT.match(inner_flat[5:].lstrip())
-        if not nm:
-            raise CypherUnsupported(
-                f"cannot parse EXISTS pattern at: {inner_flat[:60]!r}"
-            )
-        anchor_var = nm.group(1)
-        if anchor_var not in cols:
-            raise CypherUnsupported(
-                f"EXISTS pattern must start from a bound variable; "
-                f"{anchor_var!r} is not bound"
-            )
-        inner_ast = parse(f"{inner_flat} RETURN {anchor_var}.id AS __ex_id")
-        inner_vars = set()
-        for imc in inner_ast["segments"][0]["matches"]:
-            pat = imc["pattern"]
-            inner_vars.add(pat[0]["var"])
-            for rel, node in pat[1:]:
-                inner_vars.add(node["var"])
-                if rel["var"]:
-                    inner_vars.add(rel["var"])
-        clash = (inner_vars - {anchor_var}) & (node_vars | rel_vars)
-        if clash:
-            raise CypherUnsupported(
-                f"EXISTS pattern rebinds outer variables {sorted(clash)}; "
-                "only the first node may reference the outer scope"
-            )
-        sub = compile_query(inner_ast, nodes, edges, params).distinct()
+        anchor_var, sub = _compile_exists_subchain(
+            inner, set(cols), nodes, edges, params,
+            clash_vars=node_vars | rel_vars,
+        )
         cur = cur.join(
             sub,
             cur[cols[anchor_var]] == sub["__ex_id"],

@@ -2196,6 +2196,114 @@ FROM anch a LEFT JOIN opt o ON o.b2 = a.b
 """
 
 
+CYPHER_OPTIONAL_VARLEN_EXISTS = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WHERE r.similitud >= $lo
+OPTIONAL MATCH (b)-[rs:SIMILAR*1..2]->(c:Providencia)
+WHERE all(x IN rs WHERE x.similitud >= $glo AND x.similitud <= $ghi)
+  AND EXISTS {(c)-[:SIMILAR]->(h {id: $hub})}
+RETURN b.id AS vecino, c.id AS lejano, length(rs) AS saltos
+"""
+
+
+def q_cypher_optional_varlen_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Var-length OPTIONAL MATCH with an existential atom (round 11,
+    verdict-r10 item 3): each strong neighbor optionally expands 1..2
+    guarded hops, but only endpoints that are THEMSELVES similar to a
+    hub qualify — neighbors with no qualifying tail keep their row
+    with null endpoint/length. The EXISTS applies to the BFS hit
+    frame as a semi-join BEFORE the single left join
+    (compat/cypher.py::_optional_varlen_tail round-11 extension), so
+    the OPTIONAL all-or-nothing contract holds; the oracle filters the
+    per-seed recursive CTE's min-hop endpoints with the same EXISTS."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_OPTIONAL_VARLEN_EXISTS, edges=edges,
+        params={
+            "origen": "P-7", "lo": 28.0, "glo": 33.0, "ghi": 100.0,
+            "hub": "P-11",
+        },
+    )
+
+
+_CYPHER_OPTIONAL_VARLEN_EXISTS_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), nb AS MATERIALIZED (
+  SELECT dst AS b FROM e WHERE src = 'P-7' AND similitud >= 28.0
+), reach(b, id, hop) AS (
+  SELECT b, b, 0 FROM nb
+  UNION ALL
+  SELECT r.b, e.dst, r.hop + 1
+  FROM reach r JOIN e ON e.src = r.id
+  WHERE r.hop < 2 AND e.similitud BETWEEN 33.0 AND 100.0
+), best AS (
+  SELECT b, id, MIN(hop) AS saltos FROM reach GROUP BY b, id
+), hits AS (
+  SELECT b, id, saltos FROM best
+  WHERE saltos BETWEEN 1 AND 2
+    AND EXISTS (SELECT 1 FROM e h WHERE h.src = best.id AND h.dst = 'P-11')
+)
+SELECT n.b AS vecino, h.id AS lejano, CAST(h.saltos AS BIGINT) AS saltos
+FROM nb n LEFT JOIN hits h ON h.b = n.b
+"""
+
+
+CYPHER_OPTIONAL_CARRIED_GUARD = """
+MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
+WITH b, r.similitud AS s
+OPTIONAL MATCH (b)-[r2:SIMILAR]->(c)
+WHERE s >= $smin AND r2.similitud >= $hi
+RETURN b.id AS vecino, s, c.id AS refuerzo, r2.similitud AS s2
+"""
+
+
+def q_cypher_optional_carried_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carried-alias comparison inside OPTIONAL MATCH (round 11,
+    verdict-r10 item 3): the WITH-carried similarity ``s`` gates the
+    optional expansion per row — a weak neighbor (s below the bar)
+    keeps its row with nulls rather than being dropped, and a strong
+    neighbor with several qualifying extensions keeps its full
+    multiplicity. Compiles as part of the LEFT-join CONDITION of the
+    deferred optional chain (compat/cypher.py deferred loop): a
+    post-join filter would drop preserved rows, a post-join null-out
+    would collapse multiplicities — the join condition does neither."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+    from providenciasbigdata_spark.queries.fixtures import staged_similarity_edges
+
+    edges = staged_similarity_edges(spark, sf_dir, 1000)
+    return cypher_run(
+        CYPHER_OPTIONAL_CARRIED_GUARD, edges=edges,
+        params={"origen": "P-7", "smin": 31.0, "hi": 34.0},
+    )
+
+
+_CYPHER_OPTIONAL_CARRIED_GUARD_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT 'P-' || CAST(a.vec_id AS VARCHAR) AS src,
+         'P-' || CAST(b.vec_id AS VARCHAR) AS dst,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) * 100, 4) AS similitud
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+), anch AS (
+  SELECT dst AS b, similitud AS s FROM e WHERE src = 'P-7'
+), opt AS (
+  SELECT src AS b2, dst AS c, similitud AS s2 FROM e WHERE similitud >= 34.0
+)
+SELECT a.b AS vecino, a.s AS s, o.c AS refuerzo, o.s2 AS s2
+FROM anch a LEFT JOIN opt o ON o.b2 = a.b AND a.s >= 31.0
+"""
+
+
 CYPHER_ORDER_EXPR = """
 MATCH (a:Providencia {id: $origen})-[r:SIMILAR]->(b:Providencia)
 RETURN b.id AS vecino, r.similitud AS similitud
@@ -4197,6 +4305,12 @@ QUERIES = {
         q_cypher_stats_aggregates, _CYPHER_STATS_AGGS_SQL,
     ),
     "cypher_order_by_expr": (q_cypher_order_by_expr, _CYPHER_ORDER_EXPR_SQL),
+    "cypher_optional_varlen_exists": (
+        q_cypher_optional_varlen_exists, _CYPHER_OPTIONAL_VARLEN_EXISTS_SQL,
+    ),
+    "cypher_optional_carried_guard": (
+        q_cypher_optional_carried_guard, _CYPHER_OPTIONAL_CARRIED_GUARD_SQL,
+    ),
     "cypher_optional_exists": (
         q_cypher_optional_exists, _CYPHER_OPTIONAL_EXISTS_SQL,
     ),

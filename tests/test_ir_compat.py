@@ -2636,6 +2636,116 @@ def test_cypher_optional_varlen_tail(spark):
         )
 
 
+def test_cypher_optional_varlen_existential_atoms(spark):
+    """Round 11 (verdict-r10 item 3): EXISTS {...} and pattern
+    predicates inside a var-length OPTIONAL MATCH apply to the BFS
+    endpoint frame BEFORE the left join — a seed whose every endpoint
+    fails the existential keeps its row with nulls; anchoring the
+    EXISTS on the bound start variable gates the whole tail per row."""
+    _nodes, edges = _mini_graph(spark)
+
+    def run(where, params=None):
+        return sorted(
+            map(tuple, cypher_run(
+                "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+                "OPTIONAL MATCH (b)-[r2:SIMILAR*1..2]->(c) "
+                f"WHERE {where} "
+                "RETURN b.id AS vecino, c.id AS lejano, length(r2) AS saltos",
+                edges=edges, params={"o": "P-1", **(params or {})},
+            ).collect()),
+            key=lambda t: (t[0], t[1] or ""),
+        )
+
+    # endpoint existential: P-4 has no outgoing edge -> P-2 nulls;
+    # P-5 and P-1 (via P-3) both have one -> kept
+    assert run("EXISTS { (c)-[r3:SIMILAR]->(d) }") == [
+        ("P-2", None, None), ("P-3", "P-1", 2), ("P-3", "P-5", 1),
+    ]
+    # NOT EXISTS: the complement, same seed cardinality
+    assert run("NOT EXISTS { (c)-[r3:SIMILAR]->(d) }") == [
+        ("P-2", "P-4", 1), ("P-3", None, None),
+    ]
+    # pattern-predicate sugar compiles through the same subchain
+    assert run("(c)-[:SIMILAR]->(d)") == [
+        ("P-2", None, None), ("P-3", "P-1", 2), ("P-3", "P-5", 1),
+    ]
+    # anchored on the BOUND start: only b with an edge to the hub
+    # expands; the other seed null-preserves
+    assert run(
+        "EXISTS { (b)-[r9:SIMILAR]->(h {id: $hub}) }", {"hub": "P-4"}
+    ) == [("P-2", "P-4", 1), ("P-3", None, None)]
+    # combined with the ALL weight guard
+    assert run(
+        "all(x IN r2 WHERE x.similitud >= $lo AND x.similitud <= $hi) "
+        "AND EXISTS { (c)-[r3:SIMILAR]->(d) }",
+        {"lo": 45.0, "hi": 100.0},
+    ) == [("P-2", None, None), ("P-3", "P-1", 2), ("P-3", "P-5", 1)]
+    # computed conditions in a var-length optional still raise
+    with pytest.raises(ValueError, match="ALL"):
+        run("r2.similitud * 2 >= 80")
+
+
+def test_cypher_optional_carried_alias_guard(spark):
+    """Round 11 (verdict-r10 item 3): a WITH-carried alias comparison
+    inside OPTIONAL MATCH rides the LEFT-join condition — a row
+    failing the guard keeps ONE null row (never dropped, never
+    multiplied); a passing row keeps its full match multiplicity."""
+    _nodes, edges = _mini_graph(spark)
+
+    def run(q, **params):
+        return sorted(
+            map(tuple, cypher_run(q, edges=edges, params=params).collect()),
+            key=lambda t: tuple(x if x is not None else "" for x in t),
+        )
+
+    # P-2 carries s=40 (>= 30, expands to P-4); P-3 carries s=20
+    # (fails the guard -> null row, not dropped)
+    got = run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) WITH b, r.similitud AS s "
+        "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE s >= $smin "
+        "RETURN b.id AS vecino, s, c.id AS ext",
+        o="P-1", smin=30.0,
+    )
+    assert got == [("P-2", 40.0, "P-4"), ("P-3", 20.0, None)]
+
+    # multiplicity: b=P-1 (via P-5, s=45) has TWO extensions — the
+    # passing guard keeps both rows; raising the bar collapses them
+    # to ONE null row
+    got2 = run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) WITH b, r.similitud AS s "
+        "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE s >= $smin "
+        "RETURN b.id AS vecino, s, c.id AS ext",
+        o="P-5", smin=40.0,
+    )
+    assert got2 == [("P-1", 45.0, "P-2"), ("P-1", 45.0, "P-3")]
+    got3 = run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) WITH b, r.similitud AS s "
+        "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE s >= $smin "
+        "RETURN b.id AS vecino, s, c.id AS ext",
+        o="P-5", smin=50.0,
+    )
+    assert got3 == [("P-1", 45.0, None)]
+
+    # carried guard on a VAR-LENGTH optional tail rides the same
+    # join condition
+    got4 = run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) WITH b, r.similitud AS s "
+        "OPTIONAL MATCH (b)-[r2:SIMILAR*1..2]->(c) WHERE s >= $smin "
+        "RETURN b.id AS vecino, s, c.id AS lejano, length(r2) AS saltos",
+        o="P-1", smin=30.0,
+    )
+    assert got4 == [("P-2", 40.0, "P-4", 1), ("P-3", 20.0, None, None)]
+
+    # a bare comparison with NO carried binding still raises
+    with pytest.raises(ValueError, match="after WITH"):
+        cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+            "OPTIONAL MATCH (b)-[r2:SIMILAR]->(c) WHERE zz >= 1 "
+            "RETURN b.id AS vecino, c.id AS ext",
+            edges=edges, params={"o": "P-1"},
+        )
+
+
 def test_cypher_order_by_computed(spark):
     """Computed ORDER BY (round 9): expressions over projected aliases
     — arithmetic + abs with a DESC tiebreaker, a CASE bucketing sort,
