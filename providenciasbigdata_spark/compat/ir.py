@@ -661,6 +661,66 @@ def _first_last_acc(op: str, operand, out: str, sort_spec: dict | None) -> Colum
     return fn(val, key).alias(out)
 
 
+def _merge_objects_acc(operand, out: str, sort_spec: dict | None) -> Column:
+    """``$mergeObjects`` GROUP accumulator over the documents-as-maps
+    representation (round 11, verdict-r10 item 4; the expression form
+    exists since I5): merge the group's maps in PIPELINE ORDER with
+    later keys overwriting. Supported in the deterministic subset only
+    — a single-field ±1 ``$sort`` must precede the ``$group`` (the
+    $first/$last rule: a distributed engine cannot pretend to preserve
+    arrival order), ties broken by the canonical JSON of the map
+    (entries sorted by key) so the fold order is engine-reproducible.
+
+    Lowering: collect_list of (sort key, canon, map) structs ->
+    array_sort with a field comparator -> F.aggregate fold where each
+    step keeps only the acc keys ABSENT from the next map, then
+    map_concat — last-win without depending on the session's
+    mapKeyDedupPolicy. Null maps are dropped up front (Mongo ignores
+    null/missing operands); a group whose every operand is null yields
+    null (same documented divergence as the expression form — a typed
+    empty document cannot be synthesized)."""
+    if not (isinstance(sort_spec, dict) and len(sort_spec) == 1):
+        raise ValueError(
+            "$mergeObjects needs a preceding single-field $sort stage "
+            "(merge order is undefined without one)"
+        )
+    (key_f, direction), = sort_spec.items()
+    if direction not in (1, -1):
+        raise ValueError(
+            f"$mergeObjects needs a 1/-1 $sort direction, got {direction!r}"
+        )
+    val = _doc_or_map_expr(operand, None)
+    canon = F.to_json(F.map_from_entries(F.sort_array(F.map_entries(val))))
+    pair = F.struct(F.col(key_f).alias("k"), canon.alias("c"), val.alias("v"))
+    collected = F.collect_list(F.when(val.isNotNull(), pair))
+    lo, hi = (F.lit(-1), F.lit(1)) if direction == 1 else (F.lit(1), F.lit(-1))
+
+    def cmp(a, b):
+        return (
+            F.when(a["k"] < b["k"], lo)
+            .when(a["k"] > b["k"], hi)
+            .when(a["c"] < b["c"], F.lit(-1))
+            .when(a["c"] > b["c"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    ordered = F.array_sort(collected, cmp)
+    maps = F.transform(ordered, lambda s: s["v"])
+    # try_element_at: an all-null group collects an EMPTY array — the
+    # null head then rides through the (empty) fold as the documented
+    # null result instead of an ANSI index error
+    head = F.try_element_at(maps, F.lit(1))
+    rest = F.slice(maps, 2, F.greatest(F.size(maps) - 1, F.lit(0)))
+    merged = F.aggregate(
+        rest,
+        head,
+        lambda acc, m: F.map_concat(
+            F.map_filter(acc, lambda k, _v: ~F.map_contains_key(m, k)), m
+        ),
+    )
+    return merged.alias(out)
+
+
 def _nacc(op: str, operand, out: str) -> Column:
     """Mongo 5.2/6.0 N-accumulators. ``$minN``/``$maxN``: the n
     smallest/largest non-null values. ``$topN``/``$bottomN``: the
@@ -763,7 +823,8 @@ def _group_aggs(
         if op not in _GROUP_ACCS:
             raise ValueError(f"unsupported $group accumulator: {op}")
         if op == "$mergeObjects":
-            raise ValueError("$mergeObjects is unsupported (no document-typed columns)")
+            aggs.append(_merge_objects_acc(operand, out, sort_spec))
+            continue
         if op in ("$stdDevSamp", "$stdDevPop"):
             aggs.append(_stddev_acc(op, _ref_field(operand, op), out, df))
             continue
@@ -1196,11 +1257,44 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
         if op == "$dateTrunc":
             if not (isinstance(args, dict) and {"date", "unit"} <= set(args)):
                 raise ValueError(f"$dateTrunc needs date and unit: {args!r}")
-            if set(args) - {"date", "unit"}:
+            if set(args) - {"date", "unit", "binSize"}:
                 raise ValueError(
-                    f"$dateTrunc binSize/timezone are unsupported: {args!r}"
+                    f"$dateTrunc timezone/startOfWeek are unsupported: {args!r}"
                 )
-            return F.date_trunc(str(args["unit"]), _agg_expr(args["date"], scope))
+            unit = str(args["unit"])
+            date = _agg_expr(args["date"], scope)
+            bin_size = args.get("binSize", 1)
+            if not isinstance(bin_size, int) or isinstance(bin_size, bool) or bin_size < 1:
+                raise ValueError(f"$dateTrunc binSize must be an int >= 1: {bin_size!r}")
+            if bin_size == 1:
+                return F.date_trunc(unit, date)
+            # binSize > 1 (round 11, verdict-r10 item 4): Mongo anchors
+            # bins at the 2000-01-01T00:00:00Z reference. Fixed-width
+            # units bin by UTC epoch arithmetic (b - pmod(b, span) is
+            # floor even for pre-2000 dates); month/quarter/year bin in
+            # month-index space from Jan 2000 via add_months. week
+            # binSize needs startOfWeek anchoring — unsupported, raise.
+            fixed = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+            if unit in fixed:
+                span = fixed[unit] * bin_size
+                ref = 946684800  # 2000-01-01T00:00:00Z
+                b = date.cast("timestamp").cast("long") - F.lit(ref)
+                return (
+                    (b - F.pmod(b, F.lit(span)) + F.lit(ref))
+                    .cast("timestamp")
+                )
+            months_per = {"month": 1, "quarter": 3, "year": 12}
+            if unit in months_per:
+                span = months_per[unit] * bin_size
+                m = (F.year(date) - F.lit(2000)) * 12 + F.month(date) - F.lit(1)
+                binned = m - F.pmod(m, F.lit(span))
+                return F.add_months(
+                    F.lit("2000-01-01").cast("date"), binned
+                ).cast("timestamp")
+            raise ValueError(
+                f"$dateTrunc binSize with unit {unit!r} is unsupported "
+                "(week bins need startOfWeek anchoring)"
+            )
         if op == "$ifNull":
             return F.coalesce(*(_agg_expr(x, scope) for x in _expr_args(args, op, 2)))
         if op == "$cond":
@@ -1410,7 +1504,27 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
             # value of a repeated key. Dedup before map_from_entries so
             # the result never depends on spark.sql.mapKeyDedupPolicy:
             # keep an entry only if no LATER entry carries its key.
-            (arr,) = (_agg_expr(x, scope) for x in _expr_args(args, op, 1))
+            # Round 11: a LITERAL entry array ([{k: expr, v: expr},...]
+            # — Mongo's other documented operand shape) compiles each
+            # k/v through the expression grammar, so a map can be keyed
+            # by a runtime value ({k: "$lang", v: "$source"}).
+            (raw,) = _expr_args(args, op, 1)
+            if isinstance(raw, list):
+                if not all(
+                    isinstance(e, dict) and set(e) == {"k", "v"} for e in raw
+                ):
+                    raise ValueError(
+                        f"$arrayToObject literal entries need {{k, v}}: {raw!r}"
+                    )
+                arr = F.array(*[
+                    F.struct(
+                        _agg_expr(e["k"], scope).alias("k"),
+                        _agg_expr(e["v"], scope).alias("v"),
+                    )
+                    for e in raw
+                ])
+            else:
+                arr = _agg_expr(raw, scope)
             deduped = F.filter(
                 arr,
                 lambda e, i: ~F.exists(
@@ -2102,17 +2216,44 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
                 _window_bound(hi, Window.unboundedFollowing, fn),
             )
         elif isinstance(win, dict) and "range" in win:
-            if win.get("unit"):
-                raise ValueError("range windows with date units are unsupported")
             if len(sort_pairs) != 1 or sort_pairs[0][1] != 1:
                 raise ValueError(
                     "range windows require a single ascending sortBy field (Mongo contract)"
                 )
             lo, hi = win["range"]
-            w = base.orderBy(F.col(sort_pairs[0][0])).rangeBetween(
-                _window_bound(lo, Window.unboundedPreceding, fn),
-                _window_bound(hi, Window.unboundedFollowing, fn),
-            )
+            unit = win.get("unit")
+            if unit:
+                # date-unit range window (round 11, verdict-r10 item
+                # 4): fixed-width units order by UTC epoch seconds and
+                # scale integer bounds to seconds — exactly Mongo's
+                # "sortBy value within [lo, hi] units of the current
+                # document". Calendar units (month+) are not
+                # fixed-width; raise with the reason.
+                secs = {"second": 1, "minute": 60, "hour": 3600,
+                        "day": 86400, "week": 604800}.get(str(unit))
+                if secs is None:
+                    raise ValueError(
+                        f"range window unit {unit!r} is unsupported "
+                        "(calendar months are not fixed-width)"
+                    )
+
+                def scaled(v, side_default):
+                    b = _window_bound(v, side_default, fn)
+                    if isinstance(v, int) and not isinstance(v, bool):
+                        return b * secs
+                    return b  # unbounded sentinel / current(0)
+
+                w = base.orderBy(
+                    F.col(sort_pairs[0][0]).cast("timestamp").cast("long")
+                ).rangeBetween(
+                    scaled(lo, Window.unboundedPreceding),
+                    scaled(hi, Window.unboundedFollowing),
+                )
+            else:
+                w = base.orderBy(F.col(sort_pairs[0][0])).rangeBetween(
+                    _window_bound(lo, Window.unboundedPreceding, fn),
+                    _window_bound(hi, Window.unboundedFollowing, fn),
+                )
         else:
             raise ValueError(f"unsupported window spec: {win!r}")
 

@@ -2875,6 +2875,142 @@ WINDOW w AS (PARTITION BY event_type ORDER BY event_id
 """
 
 
+def q_mql_date_trunc_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$dateTrunc`` with ``binSize`` (round 11, verdict-r10 item 4):
+    12-hour and 2-month bins of the event stream, anchored at Mongo's
+    2000-01-01T00:00:00Z reference — fixed-width units bin by UTC
+    epoch arithmetic, calendar units in month-index space via
+    add_months (compat/ir.py $dateTrunc). The hypertable-rollup shape
+    at a granularity plain date_trunc cannot express."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = mql_aggregate(
+        ev,
+        [
+            {"$addFields": {
+                "bin12h": {"$dateTrunc": {"date": "$ts", "unit": "hour",
+                                          "binSize": 12}},
+                "bin2mo": {"$dateTrunc": {"date": "$ts", "unit": "month",
+                                          "binSize": 2}},
+            }},
+            {"$group": {"_id": "$bin12h", "n": {"$sum": 1},
+                        "mo": {"$addToSet": "$bin2mo"}}},
+        ],
+    )
+    return out.select(
+        F.date_format("_id", "yyyy-MM-dd HH:mm:ss").alias("bin_start"),
+        F.col("n").cast("long").alias("n"),
+        F.date_format(F.element_at("mo", 1), "yyyy-MM-dd HH:mm:ss").alias("bin2mo"),
+    )
+
+
+_MQL_DATE_TRUNC_BINS_SQL = """
+WITH b AS (
+  SELECT to_timestamp(946684800
+           + CAST(floor((epoch(ts) - 946684800) / 43200) AS BIGINT) * 43200) AS b12,
+         CAST(DATE '2000-01-01' + to_months(CAST(
+              ((year(ts) - 2000) * 12 + month(ts) - 1)
+              - ((year(ts) - 2000) * 12 + month(ts) - 1) % 2 AS INTEGER))
+              AS TIMESTAMP) AS b2mo
+  FROM events
+)
+SELECT strftime(b12, '%Y-%m-%d %H:%M:%S') AS bin_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       strftime(MIN(b2mo), '%Y-%m-%d %H:%M:%S') AS bin2mo
+FROM b GROUP BY 1
+"""
+
+
+def q_mql_window_range_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-unit ``range`` window in $setWindowFields (round 11,
+    verdict-r10 item 4): per user, the trailing-3-DAY sum and count of
+    event values — bounds scale to seconds and the frame orders by UTC
+    epoch, exactly Mongo's value-distance semantics for fixed-width
+    units (compat/ir.py range-window branch)."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = mql_aggregate(
+        ev,
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "sum3d": {"$sum": "$value",
+                          "window": {"range": [-3, "current"], "unit": "day"}},
+                "n3d": {"$count": {},
+                        "window": {"range": [-3, "current"], "unit": "day"}},
+            },
+        }}],
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("sum3d", 6).alias("sum3d"),
+        F.col("n3d").cast("long").alias("n3d"),
+    )
+
+
+_MQL_WINDOW_RANGE_DAYS_SQL = """
+SELECT user_id, event_id, ROUND(SUM(value) OVER w, 6) AS sum3d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n3d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_mql_group_merge_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$mergeObjects`` as a GROUP accumulator (round 11, verdict-r10
+    item 4; expression form since I5): per source, merge one
+    {lang: doc_id} entry per document in $sort order — later documents
+    overwrite, so the merged map holds each language's LAST doc id.
+    Deterministic-subset lowering in compat/ir.py::_merge_objects_acc
+    (requires the preceding single-field $sort, canonical-JSON
+    tiebreak); serialized to scalar columns per the array-lint rule."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    out = mql_aggregate(
+        docs,
+        [
+            {"$sort": {"doc_id": 1}},
+            {"$group": {"_id": "$source",
+                        "by_lang": {"$mergeObjects": {"$arrayToObject": [[
+                            {"k": "$lang", "v": {"$toString": "$doc_id"}},
+                        ]]}}}},
+            {"$addFields": {"pairs": {"$objectToArray": "$by_lang"}}},
+            {"$project": {"_id": 1, "n_langs": {"$size": "$pairs"},
+                          "packed": {"$reduce": {
+                              "input": {"$map": {
+                                  "input": "$pairs", "as": "p",
+                                  "in": {"$concat": ["$$p.k", "=", "$$p.v"]}}},
+                              "initialValue": "",
+                              "in": {"$concat": ["$$value", "|", "$$this"]}}}}},
+        ],
+    )
+    return out.select(
+        F.col("_id").alias("source"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "packed",
+    )
+
+
+_MQL_GROUP_MERGE_OBJECTS_SQL = """
+WITH last AS (
+  SELECT source, lang, MAX(doc_id) AS doc_id FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+       '|' || string_agg(lang || '=' || CAST(doc_id AS VARCHAR), '|' ORDER BY lang)
+           AS packed
+FROM last GROUP BY source
+"""
+
+
 def q_mql_window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo 5.0 window ``$expMovingAvg`` (round 9): per-user
     recursive EMA of the event value in event order, N=5 (alpha =
@@ -4243,6 +4379,11 @@ QUERIES = {
     "mql_regex_expr": (q_mql_regex_expr, _MQL_REGEX_EXPR_SQL),
     "mql_agg_percentile": (q_mql_agg_percentile, _MQL_PERCENTILE_SQL),
     "mql_window_percentile": (q_mql_window_percentile, _MQL_WINDOW_PCT_SQL),
+    "mql_date_trunc_bins": (q_mql_date_trunc_bins, _MQL_DATE_TRUNC_BINS_SQL),
+    "mql_window_range_days": (q_mql_window_range_days, _MQL_WINDOW_RANGE_DAYS_SQL),
+    "mql_group_merge_objects": (
+        q_mql_group_merge_objects, _MQL_GROUP_MERGE_OBJECTS_SQL,
+    ),
     "mql_window_covariance": (q_mql_window_covariance, _MQL_WINDOW_COV_SQL),
     "mql_window_exp_moving_avg": (q_mql_window_ema, _MQL_WINDOW_EMA_SQL),
     "mql_iso_date_parts": (q_mql_iso_date_parts, _MQL_ISO_DATE_SQL),

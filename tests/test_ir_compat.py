@@ -1404,6 +1404,76 @@ def test_mql_bucket_auto_granularity(spark):
             "groupBy": "$x", "buckets": 2, "granularity": "POWERSOF2"}}])
 
 
+def test_mql_round11_straggler_surface(spark):
+    """Round 11 (verdict-r10 item 4) unit pins: $dateTrunc binSize
+    bin edges on hand-checkable timestamps, date-unit range-window
+    membership at the exact boundary, $mergeObjects accumulator
+    last-win + null-skip, and every new error path raising with a
+    named reason (week binSize, calendar range unit, sort-less
+    $mergeObjects, malformed literal $arrayToObject entries)."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 05:00:00"), 10.0),
+         (2, ts("2024-01-04 05:00:00"), 20.0),
+         (3, ts("2024-01-07 05:00:00"), 40.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    # 12h bins anchored at 2000-01-01T00Z: 05:00 falls in the 00:00 bin
+    got = {r["event_id"]: (r["b"], r["m"]) for r in mql_aggregate(df, [
+        {"$addFields": {
+            "b": {"$dateTrunc": {"date": "$ts", "unit": "hour", "binSize": 12}},
+            "m": {"$dateTrunc": {"date": "$ts", "unit": "month", "binSize": 2}},
+        }}]).collect()}
+    assert got[1] == (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    assert got[2][0] == ts("2024-01-04 00:00:00")
+    # 3-day trailing range window: event 2 sees event 1 (exactly 3 days
+    # back — inclusive, Mongo contract); event 3 sees event 2 only
+    win = {r["event_id"]: r["s"] for r in mql_aggregate(df, [
+        {"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$value",
+                             "window": {"range": [-3, "current"], "unit": "day"}}},
+        }}]).collect()}
+    assert win == {1: 10.0, 2: 30.0, 3: 60.0}
+    # mergeObjects accumulator: last-win per key, null operands skipped
+    md = spark.createDataFrame(
+        [(1, "g", "en", "a"), (2, "g", "en", "b"), (3, "g", "xx", "skip"),
+         (4, "g", "es", "c"), (5, "h", "xx", "skip")],
+        "doc_id long, grp string, lang string, source string",
+    )
+    rows = {r["_id"]: r["m"] for r in mql_aggregate(md, [
+        {"$sort": {"doc_id": 1}},
+        {"$group": {"_id": "$grp", "m": {"$mergeObjects": {"$cond": [
+            {"$eq": ["$source", "skip"]},
+            None,
+            {"$arrayToObject": [[{"k": "$lang", "v": "$source"}]]},
+        ]}}}},
+    ]).collect()}
+    assert rows["g"] == {"en": "b", "es": "c"}  # last-win, null skipped
+    assert rows["h"] is None  # all-null group -> documented null
+    # error paths
+    with _pt.raises(ValueError, match="startOfWeek"):
+        mql_aggregate(df, [{"$addFields": {"x": {"$dateTrunc": {
+            "date": "$ts", "unit": "week", "binSize": 2}}}}])
+    with _pt.raises(ValueError, match="fixed-width"):
+        mql_aggregate(df, [{"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$value",
+                             "window": {"range": [-1, 0], "unit": "month"}}}}}])
+    with _pt.raises(ValueError, match="sort"):
+        mql_aggregate(md, [{"$group": {"_id": "$grp", "m": {
+            "$mergeObjects": {"$arrayToObject": [[{"k": "$lang", "v": "$source"}]]}}}}])
+    with _pt.raises(ValueError, match="k, v"):
+        mql_aggregate(md, [{"$addFields": {"x": {
+            "$arrayToObject": [[{"key": "$lang"}]]}}}])
+
+
 def test_mql_window_stddev(spark):
     """Window $stdDevSamp/$stdDevPop (round 9): hand-checked expanding
     frames; single-row frames give NULL sample / 0.0 population."""
