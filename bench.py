@@ -199,6 +199,12 @@ HEADLINE = [
     "ann_mmr_rerank",           # diversity re-ranking
     # round 10
     "cypher_optional_exists",   # existential inside OPTIONAL MATCH
+    # round 11
+    "cypher_optional_varlen_exists",  # existential in var-length OPTIONAL
+    "cypher_optional_carried_guard",  # carried-alias guard on the left join
+    "mql_date_trunc_bins",      # $dateTrunc binSize epoch/month bins
+    "mql_window_range_days",    # date-unit range window
+    "mql_group_merge_objects",  # $mergeObjects group accumulator
 ]
 
 

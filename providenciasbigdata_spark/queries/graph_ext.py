@@ -770,10 +770,16 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one edges⋈degrees⋈degrees join + five EXACT BIGINT sums (degrees
     and their products are integers, so every moment is exact — no
     float accumulation order anywhere), then one identical-order
-    double formula — value-hash-safe unrounded."""
-    from providenciasbigdata_spark.operators.similarity import pairwise_cosine_matmul
+    double formula — value-hash-safe unrounded. Round 11 (sf1.0
+    capstone finding): the edge build goes through the size-DISPATCHED
+    pairwise_cosine instead of the driver-materializing matmul — the
+    broadcast path was fine at fixture scale but is exactly the plan
+    that dies first on an unbounded corpus; the dispatcher keeps the
+    matmul while the corpus fits one broadcast and switches to the
+    tile-blocked kernel beyond (identical output, pinned)."""
+    from providenciasbigdata_spark.operators.similarity import pairwise_cosine
 
-    pairs = pairwise_cosine_matmul(
+    pairs = pairwise_cosine(
         load_table(spark, sf_dir, "embeddings"), threshold=_HOP_LO, scale=100.0
     )
     und = pairs.filter(F.col("left_id") < F.col("right_id")).select(

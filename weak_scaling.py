@@ -321,6 +321,51 @@ def stage_containment(spark, replicas: int) -> str:
     return out
 
 
+_CORPUS_X64 = ["minhash_near_dups", "dedup_span_stats", "dsir_importance_weights"]
+
+
+def run_corpus(spark, replicas: int, passes: int) -> None:
+    """Targeted ×N points for the remaining x8-only document-corpus
+    queries (round 11, verdict-r10 item 7) on the ISOMORPHIC
+    token-suffixed fixture that fixed containment (stage_containment):
+    per-replica ``_{i}`` token suffixes keep every replica's shingle /
+    gram / bucket structure exactly the base corpus's while making the
+    replicas' token spaces fully disjoint — true pairs, duplicated
+    spans, and vocabulary all scale LINEARLY with replicas, the
+    weak-scaling contract. The x1 baseline is the suffixed single
+    replica (same text transformation at both scales)."""
+    from providenciasbigdata_spark.queries import all_queries
+
+    registry = all_queries()
+    base1 = stage_containment(spark, 1)
+    staged = stage_containment(spark, replicas)
+
+    def best_of(sf_dir: str, q: str) -> float:
+        load_table(spark, sf_dir, "documents").count()  # page-cache warm
+        fn, _sql = registry[q]
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+        return best
+
+    for q in _CORPUS_X64:
+        t1 = best_of(base1, q)
+        tn = best_of(staged, q)
+        exp = math.log(tn / t1) / math.log(replicas)
+        print(json.dumps({
+            "query": q, "fixture": "token-suffixed",
+            "t1_sec": round(t1, 3), f"t{replicas}_sec": round(tn, 3),
+            "ratio": round(tn / t1, 3), "exponent": round(exp, 3),
+        }), flush=True)
+
+
 def run_containment(spark, replicas: int, passes: int) -> None:
     """Targeted x64 point for containment_join_prefix (verdict-r9
     item 6) on the linear-pair fixture, with measured candidate
@@ -402,6 +447,12 @@ def main() -> None:
         help="comma-separated subset of QUERIES to run (x64 spot runs)",
     )
     ap.add_argument(
+        "--corpus", action="store_true",
+        help="x{replicas} points for the document-corpus trio "
+        f"({', '.join(_CORPUS_X64)}) on the isomorphic token-suffixed "
+        "fixture (see run_corpus)",
+    )
+    ap.add_argument(
         "--containment", action="store_true",
         help="containment-only x{replicas} on the token-suffixed "
         "linear-pair fixture (the shared tag staging scales the TRUE "
@@ -430,6 +481,10 @@ def main() -> None:
         return
     if args.containment:
         run_containment(spark, args.replicas, args.passes)
+        spark.stop()
+        return
+    if args.corpus:
+        run_corpus(spark, args.replicas, args.passes)
         spark.stop()
         return
     registry = all_queries()
