@@ -627,10 +627,28 @@ def minhash_near_dups_estimated(
 
 # ---- SimHash ------------------------------------------------------------
 
+_UNACCENT_TABLE = str.maketrans(
+    "áàâäãåÁÀÂÄÃÅéèêëÉÈÊËíìîïÍÌÎÏóòôöõÓÒÔÖÕúùûüÚÙÛÜñÑçÇýÿÝ",
+    "aaaaaaAAAAAAeeeeEEEEiiiiIIIIoooooOOOOOuuuuUUUUnNcCyyY",
+)
+
+
 def _simhash_batch(texts: "pd.Series") -> "pd.Series":
-    """Shared Arrow-batch SimHash kernel (blake2b token hashes with a
-    per-batch cache, vectorized bit-majority) — the body both the
-    ``simhash`` operator and the streaming ``simhash_udf`` wrap."""
+    """Shared Arrow-batch SimHash kernel (md5-prefix token hashes with
+    a per-batch cache, vectorized bit-majority) — the body both the
+    ``simhash`` operator and the streaming ``simhash_udf`` wrap.
+
+    Round 11: the token hash is the first 8 md5 bytes (big-endian) and
+    tokenization is lower → accent-fold (the engine's pinned table) →
+    split on the EXPLICIT ASCII class ``[^a-z0-9_]+`` — every step
+    reproducible bit-for-bit by a SQL engine (md5 + strip_accents +
+    the same split regex), which turns the whole SimHash family into
+    value-hash-oracle territory: fingerprints are deterministic
+    integers, downstream Hamming joins are exact integer arithmetic,
+    and pigeonhole blocking has recall 1 by theorem. (Previously
+    blake2b + Python's unicode ``\\W`` — neither replayable in SQL.)
+    The explicit class equals Java's ASCII ``\\W`` after lower(), so
+    it also matches the JVM-side tokenize contract."""
     import hashlib
     import re
 
@@ -643,15 +661,14 @@ def _simhash_batch(texts: "pd.Series") -> "pd.Series":
     def th(tok: str) -> int:
         h = hcache.get(tok)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
             hcache[tok] = h
         return h
 
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        toks = {x for x in re.split(r"\W+", (t or "").lower()) if x}
+        folded = (t or "").lower().translate(_UNACCENT_TABLE)
+        toks = {x for x in re.split(r"[^a-z0-9_]+", folded) if x}
         if not toks:
             continue
         hs = np.array([th(tok) for tok in toks], dtype=np.uint64)
@@ -680,8 +697,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     The bit-majority accumulation is awkward as 64 separate aggregates,
     so this is the one dedup operator using a pandas UDF — Arrow-batched
-    and numpy-vectorized per batch (not per row). Token hashes use
-    blake2b (deterministic across runs/processes).
+    and numpy-vectorized per batch (not per row). Token hashes are
+    md5 prefixes (deterministic across runs, processes, AND engines —
+    see _simhash_batch round-11 note).
 
     Output: (id, simhash: long).
     """

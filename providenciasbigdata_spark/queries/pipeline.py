@@ -1365,18 +1365,78 @@ FROM pairs WHERE left_id < 250 AND right_id >= 250
 """
 
 
+# ---- SimHash family -------------------------------------------------------
+# Oracle-backed since round 11: the fingerprint kernel hashes tokens
+# with md5 PREFIXES over the engine's pinned fold+split (see
+# operators/dedup.py::_simhash_batch), so a SQL engine replays the bit
+# votes exactly; everything downstream — pigeonhole chunk joins,
+# bit_count(xor) Hamming — is exact integer arithmetic, and pigeonhole
+# blocking has recall 1 BY THEOREM (a pair within the Hamming budget
+# must agree on a full chunk), so membership needs no fixture luck.
+
+_SIMHASH_FPS_CTE = """
+toks AS (
+  SELECT doc_id, list_distinct(list_filter(
+      string_split_regex(strip_accents(lower(text)), '[^a-z0-9_]+'),
+      x -> x <> '')) AS ts
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+),
+bits AS (
+  SELECT doc_id, sh.s AS s,
+         SUM(CASE WHEN (h >> sh.s) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM th, (SELECT unnest(range(0, 64)) AS s) sh
+  GROUP BY 1, 2
+),
+fpu AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN (1::UBIGINT << s)::HUGEINT ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+),
+fps AS (
+  -- two's-complement reinterpretation to Spark's signed int64
+  SELECT d.doc_id AS id,
+         CAST(COALESCE(CASE WHEN f.u >= 9223372036854775808::HUGEINT
+                            THEN f.u - 18446744073709551616::HUGEINT
+                            ELSE f.u END, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN fpu f USING (doc_id)
+)
+"""
+
+
 def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch Hamming near-dups against the prebuilt SimHash fingerprint
-    index (rows-only: blake2b bit-vote fingerprints aren't
-    SQL-expressible); cross-corpus pairs only."""
+    index; cross-corpus pairs only. Oracle: the same md5 bit-vote
+    fingerprints + a brute-force cross Hamming join (the pigeonhole
+    candidates are recall-1 by theorem, so the blocked plan and the
+    brute force agree exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     index = dedup.simhash(docs.filter(F.col("doc_id") < 250))
     batch = dedup.simhash(docs.filter(F.col("doc_id") >= 250))
     return dedup.simhash_incremental(batch, index, max_hamming=3)
 
 
+_SIMHASH_INCR_SQL = f"""
+WITH {_SIMHASH_FPS_CTE}
+SELECT a.id AS batch_id, b.id AS index_id,
+       CAST(bit_count(xor(a.simhash::BIT, b.simhash::BIT)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.id >= 250 AND b.id < 250
+WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 3
+"""
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_FP_SQL = f"""
+WITH {_SIMHASH_FPS_CTE}
+SELECT id, simhash FROM fps
+"""
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1387,6 +1447,15 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision loss."""
     fps = dedup.simhash(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_near_dups(fps, max_hamming=3)
+
+
+_SIMHASH_ND_SQL = f"""
+WITH {_SIMHASH_FPS_CTE}
+SELECT a.id AS left_id, b.id AS right_id,
+       CAST(bit_count(xor(a.simhash::BIT, b.simhash::BIT)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 3
+"""
 
 
 def q_minhash_near_dups_est(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1775,9 +1844,9 @@ QUERIES = {
     "dedup_paragraph_within_doc": (q_dedup_paragraphs_within, _DEDUP_PARA_WITHIN_SQL),
     "dedup_paragraph_incremental": (q_dedup_paragraphs_incremental, _DEDUP_PARA_INCR_SQL),
     "minhash_incremental": (q_minhash_incremental, _MINHASH_INCR_SQL),
-    "simhash_fingerprints": (q_simhash_fingerprints, None),
-    "simhash_incremental": (q_simhash_incremental, None),
-    "simhash_near_dups": (q_simhash_near_dups, None),
+    "simhash_fingerprints": (q_simhash_fingerprints, _SIMHASH_FP_SQL),
+    "simhash_incremental": (q_simhash_incremental, _SIMHASH_INCR_SQL),
+    "simhash_near_dups": (q_simhash_near_dups, _SIMHASH_ND_SQL),
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "ivf_pq_ann_topk": (q_ivf_pq_ann_topk, None),
@@ -1808,20 +1877,6 @@ WHY_NO_ORACLE = {
         "fixture corpus in tests/test_similarity.py"
     ),
     "minhash_near_dups_est": _APPROX_MINHASH,
-    "simhash_fingerprints": (
-        "64-bit SimHash fingerprints hash token sets through blake2b bit "
-        "votes — not SQL-expressible; Hamming-neighbor equivalence pinned in "
-        "tests/test_dedup.py"
-    ),
-    "simhash_near_dups": (
-        "SimHash Hamming-ball candidate generation (see simhash_fingerprints); "
-        "pair recall pinned in tests/test_dedup.py"
-    ),
-    "simhash_incremental": (
-        "cross-corpus SimHash Hamming check over blake2b bit-vote "
-        "fingerprints — not SQL-expressible; equivalence to the full-corpus "
-        "pair set restricted to cross pairs pinned in tests/test_dedup.py"
-    ),
     "dedup_embedding_blocked": (
         "cluster-blocked (k-means) candidate generation is an approximation "
         "whose partition is not SQL-expressible; survivor agreement + pair "

@@ -290,8 +290,10 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop at ingest. This batch formulation is the shared
     transformation (min-doc_id winner); the streamed form
     (dropDuplicatesWithinWatermark, fingerprint-set parity) is pinned
-    in tests/test_streaming.py. Rows-only: the fingerprint is the
-    vectorized blake2b bit-majority UDF, not SQL-expressible."""
+    in tests/test_streaming.py. Oracle-checked since round 11: the
+    md5-prefix bit-vote fingerprint replays in SQL (see
+    operators/dedup.py::_simhash_batch), so the min-id-per-fingerprint
+    survivors and their per-lang rollup value-hash exactly."""
     surv = streaming.dedup_documents_fingerprint(
         load_table(spark, sf_dir, "documents")
     )
@@ -301,18 +303,27 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WHY_NO_ORACLE = {
-    "stream_fingerprint_dedup": (
-        "the SimHash fingerprint is a vectorized blake2b bit-majority pandas "
-        "UDF (not SQL-expressible); stream==batch fingerprint-set parity, "
-        "exactly-one-per-fingerprint, and planted near-identical collapse "
-        "are pinned in tests/test_streaming.py"
-    ),
-}
+def _fingerprint_dedup_sql() -> str:
+    from providenciasbigdata_spark.queries.pipeline import _SIMHASH_FPS_CTE
+
+    return f"""
+WITH {_SIMHASH_FPS_CTE},
+surv AS (
+  SELECT f.id AS doc_id, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY f.simhash ORDER BY f.id) AS rn
+  FROM fps f JOIN documents d ON d.doc_id = f.id
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM surv WHERE rn = 1 GROUP BY lang
+"""
+
+
+WHY_NO_ORACLE: dict[str, str] = {}
 
 
 QUERIES = {
-    "stream_fingerprint_dedup": (q_fingerprint_dedup, None),
+    "stream_fingerprint_dedup": (q_fingerprint_dedup, _fingerprint_dedup_sql()),
     "stream_ohlc_windows": (q_ohlc_windows, _OHLC_WINDOWS_SQL),
     "stream_purchase_click_semi": (q_purchase_click_semi, _PURCHASE_CLICK_SEMI_SQL),
     "stream_session_dynamic_gap": (q_session_dynamic_gap, _SESSIONS_DYNAMIC_SQL),
