@@ -872,18 +872,53 @@ QUERIES = {
 
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the bounded similarity graph: every surviving edge
-    sits in >= 2 triangles — the edge-centric cohesion core. Rows-only:
-    the fixed-point peeling isn't SQL-expressible; the UNIQUE result is
-    pinned against a pure-Python reference in tests/test_graph_algos.py."""
+    sits in >= 2 triangles — the edge-centric cohesion core.
+    Oracle-checked since round 11: the set-at-a-time peel replays as a
+    DuckDB recursive CTE (one recursion step per round, same canonical
+    triangle join, simultaneous drop), run to a fixed iteration bound —
+    the k-truss is a fixed point, so extra rounds reproduce it
+    unchanged and the final-iteration rows ARE the truss. Threshold 20
+    (was _HOP_LO=30, whose 4-truss is empty at every fixture scale):
+    a 30-edge cohesion core survives at sf0.01, so the hash row pins
+    real structure, not just absence. Also pinned against a
+    pure-Python reference in tests/test_graph_algos.py."""
     from providenciasbigdata_spark.operators.graph_algos import ktruss
 
     edges = staged_similarity_edges(spark, sf_dir, 150).filter(
-        F.col("similitud") >= _HOP_LO
+        F.col("similitud") >= 20.0
     )
     return ktruss(edges, k=4)
 
 
-QUERIES["graph_ktruss"] = (q_ktruss, None)
+_KTRUSS_SQL = f"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST('P-' || a.vec_id, 'P-' || b.vec_id) AS u,
+                  GREATEST('P-' || a.vec_id, 'P-' || b.vec_id) AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND {_COS_SQL.format(a='a', b='b')} >= 20
+),
+peel(iter, u, v) AS (
+  SELECT 0, u, v FROM e0
+  UNION ALL
+  SELECT iter + 1, u, v FROM (
+    -- one peeling round: recompute support with the canonical
+    -- triangle join over LAST round's surviving edges, drop below
+    -- k-2 simultaneously (Wang & Cheng VLDB'12, the operator's shape)
+    SELECT p.iter, p.u, p.v, COUNT(*) AS sup
+    FROM peel p
+    JOIN (SELECT u, v FROM peel UNION ALL SELECT v, u FROM peel) n1
+      ON n1.u = p.u
+    JOIN (SELECT u, v FROM peel UNION ALL SELECT v, u FROM peel) n2
+      ON n2.u = p.v AND n2.v = n1.v
+    GROUP BY p.iter, p.u, p.v
+  ) s
+  WHERE sup >= 2 AND iter < 16
+)
+SELECT u, v FROM peel WHERE iter = 16
+"""
+
+QUERIES["graph_ktruss"] = (q_ktruss, _KTRUSS_SQL)
 
 def q_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-sampled betweenness (Brandes-Pich): dependency-score sums
@@ -913,11 +948,5 @@ WHY_NO_ORACLE = {
         "order differs between engines; pinned exactly against a pure-Python "
         "Brandes (hand graph, random graph with all nodes seeded = exact "
         "betweenness, and seed subsets) in tests/test_graph_algos.py"
-    ),
-    "graph_ktruss": (
-        "fixed-point edge peeling isn't SQL-expressible (aggregates over a "
-        "recursive relation); the k-truss is UNIQUE and pinned against a "
-        "pure-Python reference on known graphs and the fixture graph in "
-        "tests/test_graph_algos.py"
     ),
 }

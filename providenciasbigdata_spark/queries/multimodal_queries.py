@@ -219,10 +219,44 @@ FROM documents WHERE doc_id % 3 = 1
 
 
 def q_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full real-decode feature set including RMS over the PCM —
-    rows-only (RMS isn't SQL-expressible); pinned by
-    tests/test_multimodal.py on known byte patterns."""
+    """Full real-decode feature set including RMS over the PCM.
+    Oracle-checked since round 11: the container payload is
+    encode(text), so the oracle re-derives every int16 sample from the
+    UTF-8 bytes (hex-substring byte access) and computes RMS as an
+    EXACT integer sum of squares — each numpy term s^2/2^30 is dyadic,
+    so the kernel's mean is exact too and the doubles match
+    bit-for-bit before the 6dp round. Backend also pinned on known
+    byte patterns in tests/test_multimodal.py."""
     return _wav_features(spark, sf_dir)
+
+
+# byte i (0-based) of the UTF-8 payload, 0 beyond the end (the
+# even-length zero pad / raster zero fill both engines apply)
+def _byte_sql(i: str) -> str:
+    return f"CASE WHEN {i} < L THEN ('0x' || substr(hx, 2*({i})+1, 2))::INT ELSE 0 END"
+
+
+_WAV_RMS_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 1
+),
+g AS (SELECT asset_id, hx, L, (L + 1) // 2 AS n FROM p),
+s AS (
+  SELECT asset_id, L, n,
+    list_sum(list_transform(range(0, n), k ->
+      CAST(POWER(({_byte_sql('2*k')}) + 256 * ({_byte_sql('2*k+1')})
+           - CASE WHEN ({_byte_sql('2*k')}) + 256 * ({_byte_sql('2*k+1')}) >= 32768
+                  THEN 65536 ELSE 0 END, 2) AS BIGINT))) AS sumsq
+  FROM g
+)
+SELECT asset_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(16000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE ROUND(sqrt(CAST(sumsq AS DOUBLE) / n) / 32768.0, 6) END AS rms
+FROM s
+"""
 
 
 def _bmp_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,10 +319,37 @@ FROM v
 
 def q_bmp_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full real-decode feature set including mean luma over the BGR
-    raster — rows-only (per-pixel luma isn't SQL-expressible); pinned
-    on known pixel bytes in tests/test_multimodal.py; geometry fields
-    oracle-checked via multimodal_bmp_decode."""
+    raster. Oracle-checked since round 11: the raster is encode(text)
+    zero-filled to whole 16-px rows, so the oracle re-derives every
+    BGR triple from the UTF-8 bytes and sums the ITU-R 601 integer
+    numerator (299R + 587G + 114B) EXACTLY; the final /1000/(16h)/255
+    association differs from numpy's elementwise path only at ~1e-13,
+    far inside the 6dp round. Backend also pinned on known pixel bytes
+    in tests/test_multimodal.py."""
     return _bmp_features(spark, sf_dir)
+
+
+_BMP_LUMA_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 0
+),
+g AS (SELECT asset_id, hx, L, GREATEST(1, (L + 47) // 48) AS h FROM p),
+s AS (
+  SELECT asset_id, h,
+    list_sum(list_transform(range(0, 16 * h), px ->
+      299 * ({_byte_sql('3*px+2')})
+      + 587 * ({_byte_sql('3*px+1')})
+      + 114 * ({_byte_sql('3*px')})
+    )) AS lsum
+  FROM g
+)
+SELECT asset_id, CAST(54 + 48 * h AS BIGINT) AS n_bytes,
+       CAST(16 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       ROUND(CAST(lsum AS DOUBLE) / 1000.0 / (16 * h) / 255.0, 6) AS mean_luma
+FROM s
+"""
 
 
 def q_bmp_header_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,10 +656,10 @@ QUERIES = {
     "multimodal_audio_features": (q_audio_features, None),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "multimodal_wav_decode": (q_wav_decode_features, _WAV_DECODE_SQL),
-    "multimodal_wav_rms": (q_wav_rms, None),
+    "multimodal_wav_rms": (q_wav_rms, _WAV_RMS_SQL),
     "multimodal_bmp_decode": (q_bmp_decode, _BMP_DECODE_SQL),
     "multimodal_bmp_header_jvm": (q_bmp_header_jvm, _BMP_HEADER_SQL),
-    "multimodal_bmp_luma": (q_bmp_luma, None),
+    "multimodal_bmp_luma": (q_bmp_luma, _BMP_LUMA_SQL),
     "multimodal_png_decode": (q_png_decode, _PNG_DECODE_SQL),
     "multimodal_png_header_jvm": (q_png_header_jvm, _PNG_HEADER_SQL),
     "multimodal_png_luma": (q_png_luma, None),
@@ -638,16 +699,6 @@ WHY_NO_ORACLE = {
     "multimodal_embed_topk": (
         "blake2b-seeded PCG64 fake embedding — not reproducible in SQL; the "
         "cosine fold itself is oracle-checked via ann_brute_topk"
-    ),
-    "multimodal_wav_rms": (
-        "RMS over real-decoded PCM isn't SQL-expressible; decode backend "
-        "pinned on known byte patterns in tests/test_multimodal.py; header "
-        "fields oracle-checked via multimodal_wav_decode"
-    ),
-    "multimodal_bmp_luma": (
-        "mean luma over the decoded BGR raster isn't SQL-expressible; decode "
-        "backend pinned on known pixel bytes in tests/test_multimodal.py; "
-        "geometry fields oracle-checked via multimodal_bmp_decode"
     ),
     "multimodal_png_luma": (
         "mean luma and container size ride zlib-compressed filtered "
