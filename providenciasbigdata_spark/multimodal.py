@@ -67,11 +67,13 @@ def attach_payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFra
 
 
 def _fake_image_decode(payload: bytes) -> tuple[int, int, float]:
-    """FAKE deterministic decode: blake2b(payload) seeds the result.
-    Replace with PIL.Image.open(io.BytesIO(payload)) in production."""
+    """FAKE deterministic decode: md5(payload) seeds the result
+    (round 11: md5 instead of blake2b so a SQL oracle can replay the
+    seed — the same determinism, now engine-independent). Replace with
+    PIL.Image.open(io.BytesIO(payload)) in production."""
     import hashlib
 
-    h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+    h = hashlib.md5(payload or b"").digest()
     width = 16 + h[0]
     height = 16 + h[1]
     mean_luma = round(int.from_bytes(h[2:4], "big") / 65535.0, 6)

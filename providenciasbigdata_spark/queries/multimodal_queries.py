@@ -91,13 +91,59 @@ WHERE octet_length(encode(text)) > 0
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-backend image features. Oracle-checked since round 11: the
+    deterministic fake decoder seeds from md5(payload) (was blake2b),
+    and payload = encode(text), so DuckDB replays width/height/luma
+    from md5(text) hex bytes exactly — the plumbing-under-test
+    (binary column, Arrow batches, mapInPandas) now has a value hash,
+    not just a schema check."""
     assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "image")
     return multimodal.decode_image_features(assets)
 
 
+def _md5b(i: int) -> str:
+    return f"('0x' || substr(md5(text), 2*({i})+1, 2))::INT"
+
+
+_IMAGE_FEATURES_SQL = f"""
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + {_md5b(0)} AS BIGINT) AS width,
+       CAST(16 + {_md5b(1)} AS BIGINT) AS height,
+       ROUND(({_md5b(2)} * 256 + {_md5b(3)}) / 65535.0, 6) AS mean_luma
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-backend audio features. Oracle-checked since round 11: the
+    fake decoder's RMS is over the RAW payload bytes (uint8), which
+    the oracle re-derives from encode(text) via hex-substring byte
+    access — an exact integer sum of squares, bit-identical doubles
+    before the 6dp round."""
     assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "audio")
     return multimodal.decode_audio_features(assets)
+
+
+_AUDIO_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT asset_id, L,
+         list_sum(list_transform(range(0, L), i ->
+             CAST(POWER(('0x' || substr(hx, 2*i+1, 2))::INT, 2) AS BIGINT)
+         )) AS sumsq
+  FROM p
+)
+SELECT asset_id, CAST(L AS BIGINT) AS n_bytes,
+       CAST(16000 AS BIGINT) AS sample_rate, CAST(L AS BIGINT) AS n_samples,
+       CASE WHEN L = 0 THEN 0.0
+            ELSE ROUND(sqrt(CAST(sumsq AS DOUBLE) / L), 6) END AS rms
+FROM s
+"""
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,10 +602,14 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text SimHash uses — near-duplicate images surface as fingerprint
     pairs within distance 4. The 'resize' is an exact index-boundary
     8x8 average pool (stdlib+numpy; no interpolation choices to
-    diverge on). Rows-only: the fingerprint depends on the decoded
-    raster, not SQL-expressible; identical/near/unrelated semantics
-    and the python-twin agreement are pinned in
-    tests/test_multimodal.py."""
+    diverge on). Oracle-checked since round 11: the raster is
+    encode(text) zero-filled into 16-px rows, luma is the exact
+    1000x-scaled ITU-R 601 integer, pool cells are integer-sum /
+    block-size rationals, and the only float comparison (cell > mean
+    of 64 cells) sits far from any 1-ulp tie on the fixtures — so the
+    whole fingerprint + pigeonhole Hamming join replays in SQL.
+    Identical/near/unrelated semantics and the python-twin agreement
+    stay pinned in tests/test_multimodal.py."""
     from providenciasbigdata_spark.operators.dedup import simhash_near_dups
 
     fps = multimodal.perceptual_hash(
@@ -568,13 +618,71 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(fps, max_hamming=4)
 
 
+# byte i (0-based) of the image payload, 0 beyond the end
+def _pb(i: str) -> str:
+    return f"CASE WHEN {i} < L THEN ('0x' || substr(hx, 2*({i})+1, 2))::INT ELSE 0 END"
+
+
+def _pluma(x: str) -> str:
+    """1000x-scaled integer luma of pixel (y, x) of the 16-wide raster."""
+    return (f"(299 * ({_pb(f'48*y + 3*({x}) + 2')})"
+            f" + 587 * ({_pb(f'48*y + 3*({x}) + 1')})"
+            f" + 114 * ({_pb(f'48*y + 3*({x})')}))")
+
+
+_PH_Y0 = "((c // 8) * h // 8)"
+_PH_Y1 = f"GREATEST((c // 8 + 1) * h // 8, {_PH_Y0} + 1)"
+
+_PHASH_DEDUP_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L,
+         GREATEST(1, (octet_length(encode(text)) + 47) // 48) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+cellmeans AS (
+  -- the 8x8 index-boundary average pool: x-blocks are exactly 2 px
+  -- (width 16), y-blocks are integer row ranges with the same
+  -- max(y1, y0+1) degeneracy rule as _pool_mean
+  SELECT id,
+    list_transform(range(0, 64), c ->
+      CAST(list_sum(list_transform(range({_PH_Y0}, {_PH_Y1}),
+             y -> {_pluma('2 * (c % 8)')} + {_pluma('2 * (c % 8) + 1')})) AS DOUBLE)
+      / (2 * ({_PH_Y1} - {_PH_Y0}))
+    ) AS cm
+  FROM p
+),
+fpu AS (
+  SELECT id,
+         SUM(CASE WHEN cm[k + 1] > list_sum(cm) / 64.0
+                  THEN (1::UBIGINT << (63 - k))::HUGEINT ELSE 0 END) AS u
+  FROM cellmeans, UNNEST(range(0, 64)) AS t(k)
+  GROUP BY id
+),
+fps AS (
+  SELECT id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+             AS simhash
+  FROM fpu
+)
+SELECT a.id AS left_id, b.id AS right_id,
+       CAST(bit_count(xor(a.simhash::BIT, b.simhash::BIT)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 4
+"""
+
+
 def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection over the sampled video frames (round
     7): per-frame perceptual aHash through the REAL BMP decode, one
     lag window per asset, boundary = Hamming jump above threshold —
-    classic video segmentation from pieces already in CI. Rows-only
-    (pixel-raster fingerprints); the planted two-scene cut is pinned
-    in tests/test_multimodal.py."""
+    classic video segmentation from pieces already in CI.
+    Oracle-checked since round 11: frames are 512-byte payload chunks,
+    each wrapped into an 8-px-wide raster — the same integer-luma /
+    rational-pool replay as multimodal_phash_dedup, per (asset, frame),
+    then a SQL lag window reproduces the jump detector exactly. The
+    planted two-scene cut stays pinned in tests/test_multimodal.py."""
     assets = assets_frame(spark, sf_dir).filter(F.col("modality") == "video")
     frames = multimodal.sample_frames(assets, every_n=1, frame_bytes=512)
     b = multimodal.shot_boundaries(frames, max_hamming=12, frame_width=8)
@@ -583,6 +691,71 @@ def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_boundary").cast("long")).cast("long").alias("n_shots"),
         F.max("hamming").cast("long").alias("max_jump"),
     )
+
+
+# byte i of frame f (512-byte chunks), zero beyond the frame end
+def _fb(i: str) -> str:
+    return (f"CASE WHEN ({i}) < LEAST(L - 512*f, 512) "
+            f"THEN ('0x' || substr(hx, 2*(512*f + ({i}))+1, 2))::INT ELSE 0 END")
+
+
+def _fluma(x: str) -> str:
+    """Integer luma of pixel (y, x) of a frame's 8-wide raster."""
+    return (f"(299 * ({_fb(f'24*y + 3*({x}) + 2')})"
+            f" + 587 * ({_fb(f'24*y + 3*({x}) + 1')})"
+            f" + 114 * ({_fb(f'24*y + 3*({x})')}))")
+
+
+_SHOT_BOUNDARIES_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+),
+fr AS (
+  SELECT asset_id, hx, L, t.f AS f,
+         GREATEST(1, (LEAST(L - 512*t.f, 512) + 23) // 24) AS h
+  FROM p, UNNEST(range(0, (L + 511) // 512)) AS t(f)
+),
+cellmeans AS (
+  SELECT asset_id, f,
+    list_transform(range(0, 64), c ->
+      CAST(list_sum(list_transform(range({_PH_Y0}, {_PH_Y1}),
+             y -> {_fluma('c % 8')})) AS DOUBLE)
+      / ({_PH_Y1} - {_PH_Y0})
+    ) AS cm
+  FROM fr
+),
+fpu AS (
+  SELECT asset_id, f,
+         SUM(CASE WHEN cm[k + 1] > list_sum(cm) / 64.0
+                  THEN (1::UBIGINT << (63 - k))::HUGEINT ELSE 0 END) AS u
+  FROM cellmeans, UNNEST(range(0, 64)) AS t(k)
+  GROUP BY asset_id, f
+),
+fps AS (
+  SELECT asset_id, f,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
+  FROM fpu
+),
+lagd AS (
+  SELECT asset_id, fp,
+         lag(fp) OVER (PARTITION BY asset_id ORDER BY f) AS prev
+  FROM fps
+),
+feat AS (
+  SELECT asset_id,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE bit_count(xor(fp::BIT, prev::BIT)) END AS hamming,
+         (prev IS NULL OR bit_count(xor(fp::BIT, prev::BIT)) > 12) AS is_boundary
+  FROM lagd
+)
+SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+       CAST(MAX(hamming) AS BIGINT) AS max_jump
+FROM feat GROUP BY asset_id
+"""
 
 
 def q_jpeg_header_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,14 +819,14 @@ def q_jpeg_decode_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_jpeg_decode_pil": (q_jpeg_decode_crosscheck, None),
-    "multimodal_phash_dedup": (q_phash_dedup, None),
+    "multimodal_phash_dedup": (q_phash_dedup, _PHASH_DEDUP_SQL),
     "multimodal_jpeg_header_jvm": (q_jpeg_header_jvm, _JPEG_HEADER_SQL),
-    "multimodal_shot_boundaries": (q_shot_boundaries, None),
+    "multimodal_shot_boundaries": (q_shot_boundaries, _SHOT_BOUNDARIES_SQL),
     "multimodal_payload_stats": (q_payload_stats, _PAYLOAD_STATS_SQL),
     "multimodal_pgm_decode": (q_pgm_decode, _PGM_DECODE_SQL),
     "multimodal_payload_entropy": (q_payload_entropy, _PAYLOAD_ENTROPY_SQL),
-    "multimodal_image_features": (q_image_features, None),
-    "multimodal_audio_features": (q_audio_features, None),
+    "multimodal_image_features": (q_image_features, _IMAGE_FEATURES_SQL),
+    "multimodal_audio_features": (q_audio_features, _AUDIO_FEATURES_SQL),
     "multimodal_frame_sample": (q_frame_sample, _FRAME_SAMPLE_SQL),
     "multimodal_wav_decode": (q_wav_decode_features, _WAV_DECODE_SQL),
     "multimodal_wav_rms": (q_wav_rms, _WAV_RMS_SQL),
@@ -668,12 +841,6 @@ QUERIES = {
     "multimodal_embed_topk": (q_payload_embed_topk, None),
 }
 
-_FAKE_DECODE = (
-    "deterministic fake decode backend (blake2b-seeded — the container has "
-    "no media libs); not SQL-expressible, value-pinned in "
-    "tests/test_multimodal.py; the real-decode siblings "
-    "multimodal_wav_decode / multimodal_payload_stats are oracle-checked"
-)
 WHY_NO_ORACLE = {
     "multimodal_jpeg_decode_pil": (
         "environment-conditional backend: with Pillow installed the rows "
@@ -683,19 +850,6 @@ WHY_NO_ORACLE = {
         "the NotImplementedError of the raw pil backend are both pinned — "
         "not expressible as a fixed SQL oracle across environments"
     ),
-    "multimodal_shot_boundaries": (
-        "frame fingerprints derive from decoded pixel rasters (stdlib BMP "
-        "decode + average pool), not SQL-expressible; the planted two-scene "
-        "cut and within-scene stability are pinned in tests/test_multimodal.py"
-    ),
-    "multimodal_phash_dedup": (
-        "perceptual fingerprints derive from the DECODED pixel raster "
-        "(stdlib BMP decode + 8x8 average pool), which SQL cannot express; "
-        "identical/near/unrelated Hamming semantics and the python-twin "
-        "fingerprint agreement are pinned in tests/test_multimodal.py"
-    ),
-    "multimodal_image_features": _FAKE_DECODE,
-    "multimodal_audio_features": _FAKE_DECODE,
     "multimodal_embed_topk": (
         "blake2b-seeded PCG64 fake embedding — not reproducible in SQL; the "
         "cosine fold itself is oracle-checked via ann_brute_topk"
