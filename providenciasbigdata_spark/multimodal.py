@@ -501,23 +501,37 @@ def embed_payload(
     payload_col: str = "payload",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """Deterministic FAKE payload embedding (blake2b-seeded) with the
-    real plumbing: Arrow-batched pandas UDF returning array<float> —
-    the output feeds operators.similarity unchanged."""
+    """Deterministic FAKE payload embedding with the real plumbing:
+    Arrow-batched pandas UDF returning array<float> — the output feeds
+    operators.similarity unchanged.
+
+    Round 11: components are md5-derived int16 values (big-endian byte
+    pairs of md5(p), md5(p + 0x01), ... minus 32768) instead of
+    blake2b-seeded PCG64 gaussians — same determinism, but now a SQL
+    engine replays every component exactly (int16 is exact in float32),
+    so downstream cosine top-k value-hashes: the dot/norm arithmetic
+    runs on identical integer inputs on both engines. Unit
+    normalization is dropped — every similarity consumer computes
+    cosine with explicit norms, so it was cosmetic (and it made the
+    components irrational)."""
+    if dim % 8:
+        raise ValueError(f"dim must be a multiple of 8 (md5 yields 8 int16s), got {dim}")
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(payloads: pd.Series) -> pd.Series:
         import hashlib
 
-        import numpy as np
-
         out = []
         for p in payloads:
             p = bytes(p) if p is not None else b""
-            seed = int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "big")
-            rng = np.random.Generator(np.random.PCG64(seed))
-            v = rng.standard_normal(dim)
-            out.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+            raw = b"".join(
+                hashlib.md5(p + bytes([t]) if t else p).digest()
+                for t in range(dim // 8)
+            )
+            out.append([
+                float(int.from_bytes(raw[2 * i : 2 * i + 2], "big") - 32768)
+                for i in range(dim)
+            ])
         return pd.Series(out)
 
     return df.select(id_col, _embed(F.col(payload_col)).alias("embedding"))

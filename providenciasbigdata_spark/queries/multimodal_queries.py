@@ -4,9 +4,12 @@ the text; the container has no media libs, so decode is the pinned fake
 backend — the Spark plumbing is the real deliverable: binary columns,
 Arrow batch shapes, mapInPandas row explosion, feature-then-shuffle).
 
-``multimodal_payload_stats`` is fully oracle-checked (byte length + md5
-are computable in DuckDB over the same encoded payload); the fake-decode
-features are rows-only and property-tested in tests/test_multimodal.py.
+Since round 11 nearly every row here is DuckDB-oracle-checked: the
+payload is encode(text), so byte-level decodes (WAV PCM, BMP rasters,
+perceptual hashes, frame fingerprints) and the md5-seeded fakes all
+replay in SQL via hex-substring byte access; the residual rows-only
+entries (PNG zlib scanlines, the environment-conditional PIL JPEG) name
+their obstruction in WHY_NO_ORACLE.
 """
 
 from __future__ import annotations
@@ -540,12 +543,41 @@ FROM frames
 
 def q_payload_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-embed every payload, then brute-force cosine top-10 against
-    asset 0 — the multimodal->similarity handoff, end to end."""
+    asset 0 — the multimodal->similarity handoff, end to end.
+    Oracle-checked since round 11: the fake embedding is md5-derived
+    int16 components (multimodal.embed_payload), so both engines run
+    the cosine arithmetic on identical integer inputs — dot and
+    norm-squared are exact, the final sqrt/divide are single correctly
+    rounded IEEE ops, and the doubles match bit-for-bit before the
+    6dp round."""
     emb = multimodal.embed_payload(assets_frame(spark, sf_dir), dim=16)
     qvec = emb.filter(F.col("asset_id") == 0).select("embedding").first().embedding
     return similarity.brute_force_topk(
         emb, [float(x) for x in qvec], k=10, id_col="asset_id"
     )
+
+
+_EMBED_V16 = (
+    "list_transform(range(0, 16), i -> "
+    "CAST(('0x' || substr(CASE WHEN i < 8 THEN h1 ELSE h2 END, 2*((2*i) % 16)+1, 2))::INT * 256 "
+    "+ ('0x' || substr(CASE WHEN i < 8 THEN h1 ELSE h2 END, 2*((2*i+1) % 16)+1, 2))::INT "
+    "- 32768 AS DOUBLE))"
+)
+
+_EMBED_TOPK_SQL = f"""
+WITH e AS (
+  SELECT doc_id AS asset_id, md5(text) AS h1, md5(text || chr(1)) AS h2
+  FROM documents
+),
+vecs AS (SELECT asset_id, {_EMBED_V16} AS v FROM e),
+q AS (SELECT v AS qv FROM vecs WHERE asset_id = 0)
+SELECT v.asset_id,
+       ROUND(list_dot_product(v.v, q.qv)
+             / (sqrt(list_dot_product(v.v, v.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM vecs v, q
+ORDER BY score DESC, v.asset_id ASC LIMIT 10
+"""
 
 
 def _pgm_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,7 +870,7 @@ QUERIES = {
     "multimodal_png_luma": (q_png_luma, None),
     "multimodal_wav_header_jvm": (q_wav_header_jvm, _WAV_HEADER_SQL),
     "multimodal_frame_dedup": (q_frame_dedup, _FRAME_DEDUP_SQL),
-    "multimodal_embed_topk": (q_payload_embed_topk, None),
+    "multimodal_embed_topk": (q_payload_embed_topk, _EMBED_TOPK_SQL),
 }
 
 WHY_NO_ORACLE = {
@@ -849,10 +881,6 @@ WHY_NO_ORACLE = {
         "without it (this container) the degraded header_only branch and "
         "the NotImplementedError of the raw pil backend are both pinned — "
         "not expressible as a fixed SQL oracle across environments"
-    ),
-    "multimodal_embed_topk": (
-        "blake2b-seeded PCG64 fake embedding — not reproducible in SQL; the "
-        "cosine fold itself is oracle-checked via ann_brute_topk"
     ),
     "multimodal_png_luma": (
         "mean luma and container size ride zlib-compressed filtered "
