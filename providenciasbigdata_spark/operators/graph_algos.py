@@ -1350,10 +1350,19 @@ def betweenness_from_seeds(
     ORDERED (seed, target) pairs, seeds excluded from their own
     tally — the undirected unordered-pair convention is this divided
     by 2 when seeds = all nodes (callers' choice; documented rather
-    than hidden). Floating accumulation: sigma ratios are exact
-    integer divisions, the delta sums are IEEE doubles whose
-    partial-sum order Spark does not fix — rows-only posture, pinned
-    against a pure-Python Brandes in tests.
+    than hidden).
+
+    Floating accumulation (round 11): each dependency TERM
+    ``sigma_u/sigma_v * (1 + delta_v)`` is quantized to the 2^-20
+    dyadic grid before the per-level SUM — the dsir/lm device — so
+    every delta and the final betweenness are EXACT dyadic sums:
+    order-independent across partitions, runs, and engines (term
+    inputs are integers and already-exact grid deltas, so the
+    divide/multiply/floor chain is bit-identical everywhere). That
+    turns the op from rows-only into value-hash-oracle territory; the
+    per-term bias is <= 2^-21, orders below the seed-sampling error
+    the estimator carries by design. Also pinned against a pure-Python
+    Brandes (same quantization) in tests.
     """
     spark = edges.sparkSession
     ckpt = _truncator(spark, checkpoint_dir)
@@ -1414,7 +1423,13 @@ def betweenness_from_seeds(
             .groupBy("seed", "id")
             .agg(
                 F.sum(
-                    (F.col("sigma") / F.col("bsigma")) * (F.lit(1.0) + F.col("bdelta"))
+                    F.floor(
+                        (F.col("sigma") / F.col("bsigma"))
+                        * (F.lit(1.0) + F.col("bdelta"))
+                        * F.lit(1048576.0)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1048576.0)
                 ).alias("delta")
             )
         )

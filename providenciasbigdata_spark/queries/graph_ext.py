@@ -925,11 +925,15 @@ def q_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from three landmark sources over the bounded similarity graph —
     the forward sigma pass and backward delta pass each run one
     join+aggregate per BFS level, all seeds batched in one loop.
-    Rows-only: sigma ratios are exact, but the delta accumulation is
-    an IEEE double SUM whose partial-sum order Spark does not fix;
-    the algorithm is pinned exactly (1e-9) against a pure-Python
-    Brandes in tests/test_graph_algos.py, including the
-    all-nodes-seeded exact-betweenness case."""
+    Oracle-checked since round 11: each dependency term is quantized
+    to the 2^-20 dyadic grid inside the operator (the dsir/lm device),
+    making every delta and the final betweenness EXACT dyadic sums —
+    order-independent across engines — and the oracle unrolls the
+    6-level forward/backward passes as chained CTEs with the same
+    quantized arithmetic (bit-for-bit doubles, hash-safe unrounded).
+    Also pinned EXACTLY EQUAL to a pure-Python Brandes (same
+    quantization; all-nodes-seeded = exact betweenness) in
+    tests/test_graph_algos.py."""
     from providenciasbigdata_spark.operators.graph_algos import betweenness_from_seeds
 
     edges = staged_similarity_edges(spark, sf_dir, 150).filter(
@@ -940,13 +944,54 @@ def q_betweenness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-QUERIES["graph_betweenness_seeds"] = (q_betweenness_seeds, None)
+def _betweenness_sql(max_hops: int = 6) -> str:
+    """Unrolled Brandes over the bounded similarity graph: forward
+    sigma levels l0..l{H} with a NOT EXISTS visited guard, backward
+    quantized-delta levels d{H-1}..d1 (level 0 is the seed itself,
+    excluded from its own tally — the operator's contract)."""
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT 'P-' || a.vec_id AS u, 'P-' || b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND {_COS_SQL.format(a='a', b='b')} >= 30
+),
+seeds(seed) AS (VALUES ('P-7'), ('P-27'), ('P-58')),
+l0 AS (SELECT seed, seed AS id, CAST(1 AS BIGINT) AS sigma FROM seeds),
+v0 AS (SELECT seed, id FROM l0)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f"""l{h} AS (
+  SELECT l.seed, e.v AS id, SUM(l.sigma) AS sigma
+  FROM l{h-1} l JOIN e0 e ON e.u = l.id
+  WHERE NOT EXISTS (SELECT 1 FROM v{h-1} w WHERE w.seed = l.seed AND w.id = e.v)
+  GROUP BY 1, 2
+),
+v{h} AS (SELECT seed, id FROM v{h-1} UNION ALL SELECT seed, id FROM l{h})""")
+    parts.append(
+        f"b{max_hops} AS (SELECT seed, id AS bv, sigma AS bsigma, 0.0 AS bdelta "
+        f"FROM l{max_hops})"
+    )
+    for d in range(max_hops - 1, 0, -1):
+        parts.append(f"""d{d} AS (
+  SELECT c.seed, c.id,
+         SUM(floor(c.sigma / b.bsigma * (1.0 + b.bdelta) * 1048576.0 + 0.5)
+             / 1048576.0) AS delta
+  FROM l{d} c JOIN e0 e ON e.u = c.id
+  JOIN b{d+1} b ON b.seed = c.seed AND b.bv = e.v
+  GROUP BY 1, 2
+),
+b{d} AS (
+  SELECT l.seed, l.id AS bv, l.sigma AS bsigma, COALESCE(d.delta, 0.0) AS bdelta
+  FROM l{d} l LEFT JOIN d{d} d ON d.seed = l.seed AND d.id = l.id
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT id, delta FROM d{d}" for d in range(1, max_hops)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, SUM(delta) AS betweenness FROM ({union}) GROUP BY id"
+    )
 
-WHY_NO_ORACLE = {
-    "graph_betweenness_seeds": (
-        "Brandes delta accumulation is an IEEE double SUM whose partial-sum "
-        "order differs between engines; pinned exactly against a pure-Python "
-        "Brandes (hand graph, random graph with all nodes seeded = exact "
-        "betweenness, and seed subsets) in tests/test_graph_algos.py"
-    ),
-}
+
+QUERIES["graph_betweenness_seeds"] = (q_betweenness_seeds, _betweenness_sql())
+
+WHY_NO_ORACLE: dict[str, str] = {}

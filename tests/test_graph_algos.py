@@ -717,10 +717,17 @@ def test_betweenness_matches_python_brandes(spark):
                     if dist[v] == dist[u] + 1:
                         sigma[v] += sigma[u]
             delta = {u: 0.0 for u in order}
+            # same 2^-20 dyadic term quantization as the operator
+            # (round 11): dependency sums become exact, so the
+            # distributed result must match BIT-FOR-BIT
+            import math
+            QUANT = float(1 << 20)
             for w in reversed(order):
                 for v in adj[w]:
                     if dist.get(v) == dist[w] + 1:
-                        delta[w] += sigma[w] / sigma[v] * (1 + delta[v])
+                        delta[w] += math.floor(
+                            sigma[w] / sigma[v] * (1 + delta[v]) * QUANT + 0.5
+                        ) / QUANT
                 if w != s:
                     bc[w] = bc.get(w, 0.0) + delta[w]
         return bc
@@ -733,7 +740,7 @@ def test_betweenness_matches_python_brandes(spark):
     want = py_brandes(path, [0, 1, 2])
     assert got.get(1) == want[1] == 2.0
     for k in set(got) | set(want):
-        assert abs(got.get(k, 0.0) - want.get(k, 0.0)) < 1e-9, k
+        assert got.get(k, 0.0) == want.get(k, 0.0), k
 
     # random graph, all nodes seeded -> exact betweenness
     rng = random.Random(7)
@@ -746,7 +753,7 @@ def test_betweenness_matches_python_brandes(spark):
     keys = set(got) | set(want)
     assert keys
     for k in keys:
-        assert abs(got.get(k, 0.0) - want.get(k, 0.0)) < 1e-9, (
+        assert got.get(k, 0.0) == want.get(k, 0.0), (
             k, got.get(k), want.get(k))
 
     # seed subset: contributions restricted to those sources
@@ -754,4 +761,4 @@ def test_betweenness_matches_python_brandes(spark):
     wsub = py_brandes(rows, [0, 5])
     gsub = {r.id: r.betweenness for r in sub.collect()}
     for k in set(gsub) | set(wsub):
-        assert abs(gsub.get(k, 0.0) - wsub.get(k, 0.0)) < 1e-9, k
+        assert gsub.get(k, 0.0) == wsub.get(k, 0.0), k
