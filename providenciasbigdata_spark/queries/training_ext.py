@@ -1240,9 +1240,14 @@ QUERIES = {
 
 WHY_NO_ORACLE = {
     "curate_quality_classifier": (
-        "iterative gradient-descent optimization is not SQL-expressible; "
-        "the update rule is pinned bit-identical to a pure-numpy twin "
-        "(1e-9) and bit-deterministic across runs in tests/test_classifier.py"
+        "the GD loop itself would unroll as a recursive CTE (the round-11 "
+        "BPE/FFD/Brandes device), but the obstructions are upstream: the "
+        "hashed presence features use xxhash64 (no SQL engine reproduces "
+        "it, and md5 would slow the 100-TB featurization scan), and every "
+        "per-row sigmoid carries the 1-ulp exp() divergence INTO the "
+        "gradient before any quantization could absorb it; the update rule "
+        "is pinned bit-identical to a pure-numpy twin and bit-deterministic "
+        "across runs in tests/test_classifier.py"
     ),
     "sketch_hll_daily_users": (
         "per-day HyperLogLog++ registers merged across partitions — "
