@@ -1252,10 +1252,19 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the SCALE-DEFAULT candidate strategy: k-means
     cluster-blocked pairs (candidates='cluster') instead of the exact
     O(n^2) kernel — total compute O(n^2/k), the plan a 100 TB corpus
-    would actually run. Rows-only: the k-means partition is not
-    SQL-expressible; survivor-set agreement and pair recall vs the
-    exact oracle-checked path are pinned in tests/test_dedup.py, and
-    the plan is pinned cartesian-free in tests/test_plans.py."""
+    would actually run. Oracle-checked since round 11: the k-means
+    partition IS SQL-expressible — init is the n_clusters lowest-id
+    unit vectors, so the oracle unrolls the 4 Lloyd rounds as chained
+    CTEs (argmax-cosine assignment with the numpy first-max tiebreak,
+    per-position sum + renormalize update, empty clusters keep their
+    old centroid) and replays the within-cluster exact-cosine pairs,
+    the reachability fixed point, and the min-id survivors. The float
+    chain (normalize, dot, argmax) runs on identical inputs both
+    engines; assignment flips would need sub-ulp cosine ties, absent
+    from the fixtures (all 150 assignments verified equal). Survivor
+    agreement and pair recall vs the exact path stay pinned in
+    tests/test_dedup.py; the plan is pinned cartesian-free in
+    tests/test_plans.py."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     return dedup.dedup_embedding(
         emb, id_col="vec_id", threshold=30.0, scale=100.0,
@@ -1264,6 +1273,78 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounds on the 150-vector fixture and each round is a full
         # map+reduce+broadcast cycle (bench: ~5.2s -> ~3s)
         kmeans_iter=4,
+    )
+
+
+def _dedup_emb_blocked_sql(n_clusters: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means (spherical, lowest-id init) + within-
+    cluster pair generation + reachability components — the DuckDB
+    twin of cluster_blocked_pairs -> connected_components ->
+    min-id survivors."""
+    parts = [f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings WHERE vec_id < 150),
+n0 AS (SELECT vec_id, list_transform(x, e -> e / sqrt(list_dot_product(x, x))) AS xn
+       FROM v),
+c0 AS (SELECT vec_id AS c, xn AS cv FROM n0 WHERE vec_id < {n_clusters})"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, c FROM (
+    SELECT n0.vec_id, c{it-1}.c,
+           ROW_NUMBER() OVER (PARTITION BY n0.vec_id
+                              ORDER BY list_dot_product(n0.xn, c{it-1}.cv) DESC,
+                                       c{it-1}.c ASC) AS rk
+    FROM n0, c{it-1}
+  ) WHERE rk = 1
+),
+s{it} AS (
+  SELECT a.c, t.pos AS pos, SUM(n0.xn[t.pos]) AS se
+  FROM a{it} a JOIN n0 USING (vec_id),
+       UNNEST(range(1, {dim + 1})) AS t(pos)
+  GROUP BY a.c, t.pos
+),
+c{it} AS (
+  SELECT p.c, COALESCE(u.cv, p.cv) AS cv
+  FROM c{it-1} p LEFT JOIN (
+    SELECT c, list_transform(list(se ORDER BY pos), z -> z / nrm) AS cv
+    FROM (SELECT c, pos, se, sqrt(SUM(se * se) OVER (PARTITION BY c)) AS nrm
+          FROM s{it})
+    GROUP BY c, nrm
+  ) u ON u.c = p.c
+)""")
+    parts.append(f"""fin AS (
+  -- ivf_assign: raw dots against the trained unit centroids
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c{iters}.c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.x, c{iters}.cv) DESC,
+                                       c{iters}.c ASC) AS rk
+    FROM v, c{iters}
+  ) WHERE rk = 1
+),
+e AS MATERIALIZED (
+  SELECT fa.vec_id AS u, fb.vec_id AS w
+  FROM fin fa JOIN fin fb ON fa.c = fb.c AND fa.vec_id <> fb.vec_id
+  JOIN v va ON va.vec_id = fa.vec_id JOIN v vb ON vb.vec_id = fb.vec_id
+  WHERE ROUND(list_dot_product(va.x, vb.x)
+              / (sqrt(list_dot_product(va.x, va.x))
+                 * sqrt(list_dot_product(vb.x, vb.x))) * 100, 4) >= 30
+),
+reach(u, w) AS (
+  SELECT u, w FROM e
+  UNION
+  SELECT r.u, s.w FROM reach r JOIN e s ON r.w = s.u
+),
+comp AS (SELECT u AS id, LEAST(u, MIN(w)) AS component FROM reach GROUP BY u),
+allc AS (
+  SELECT id, component FROM comp
+  UNION ALL
+  SELECT vec_id, vec_id FROM embeddings
+  WHERE vec_id < 150 AND vec_id NOT IN (SELECT id FROM comp)
+)""")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\nSELECT CAST(component AS BIGINT) AS survivor_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_members FROM allc GROUP BY component"
     )
 
 
@@ -1837,7 +1918,7 @@ QUERIES = {
     "minhash_near_dups_est": (q_minhash_near_dups_est, None),
     "dedup_near_survivors": (q_dedup_near_survivors, _DEDUP_NEAR_SURV_SQL),
     "dedup_embedding_survivors": (q_dedup_embedding_survivors, _DEDUP_EMB_SQL),
-    "dedup_embedding_blocked": (q_dedup_embedding_blocked, None),
+    "dedup_embedding_blocked": (q_dedup_embedding_blocked, _dedup_emb_blocked_sql()),
     "dedup_exact_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
     "dedup_span_stats": (q_dedup_span_stats, _DEDUP_SPAN_SQL),
     "dedup_paragraph_rewrite": (q_dedup_paragraphs, _DEDUP_PARA_SQL),
@@ -1877,12 +1958,6 @@ WHY_NO_ORACLE = {
         "fixture corpus in tests/test_similarity.py"
     ),
     "minhash_near_dups_est": _APPROX_MINHASH,
-    "dedup_embedding_blocked": (
-        "cluster-blocked (k-means) candidate generation is an approximation "
-        "whose partition is not SQL-expressible; survivor agreement + pair "
-        "recall vs the oracle-checked exact path pinned in "
-        "tests/test_dedup.py"
-    ),
     "ivf_ann_topk": _APPROX_ANN,
     "ivf_pq_ann_topk": _APPROX_ANN,
     "pq_ann_topk": _APPROX_ANN,
