@@ -1756,14 +1756,74 @@ def q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH candidate pairs. Oracle-checked since round 11: the
+    random hyperplanes enter BOTH plans as full-precision literals
+    (the Spark side always did — srp_planes is a fixed-seed literal
+    array), so the oracle recomputes every sign bit from the same
+    doubles and replays the bucket equi-join exactly; a flip would
+    need a projection within 1 ulp of zero, absent from the fixtures."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_lsh_pairs(emb, dim=64, n_bits=14, tables=2)
 
 
+def _srp_bucket_expr(planes_t) -> str:
+    def lit(vec):
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    bits = [
+        f"CASE WHEN list_dot_product(x, {lit(planes_t[b])}) >= 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(len(planes_t))
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _srp_pairs_sql() -> str:
+    from providenciasbigdata_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(64, 14, 2)
+    tbl = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, {_srp_bucket_expr(planes[t])} AS bucket FROM ve"
+        for t in range(2)
+    )
+    return f"""
+WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+b AS ({tbl})
+SELECT DISTINCT l.id AS left_id, r.id AS right_id
+FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id
+"""
+
+
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH probe + exact rerank. Oracle-checked since round 11 via
+    the same literal-plane replay as srp_lsh_pairs: the query's bucket
+    per table, the candidate union, and the exact cosine top-10 all
+    recompute from identical doubles in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
     return similarity.srp_lsh_topk(emb, qvec, dim=64, k=10, n_bits=8, tables=8)
+
+
+def _srp_topk_sql() -> str:
+    from providenciasbigdata_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(64, 8, 8)
+    tbl = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, {_srp_bucket_expr(planes[t])} AS bucket FROM ve"
+        for t in range(8)
+    )
+    return f"""
+WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+b AS ({tbl}),
+qb AS (SELECT tbl, bucket FROM b WHERE id = 0),
+cand AS (SELECT DISTINCT b.id FROM b JOIN qb USING (tbl, bucket)),
+qv AS (SELECT x AS q FROM ve WHERE vec_id = 0)
+SELECT v.vec_id, ROUND(list_dot_product(v.x, qv.q)
+       / (sqrt(list_dot_product(v.x, v.x))
+          * sqrt(list_dot_product(qv.q, qv.q))), 6) AS score
+FROM ve v JOIN cand c ON c.id = v.vec_id, qv
+ORDER BY score DESC, v.vec_id ASC LIMIT 10
+"""
 
 
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1934,8 +1994,8 @@ QUERIES = {
     "pq_ann_topk": (q_pq_ann_topk, None),
     "embedding_quantize_int8": (q_quantize_int8, _QUANTIZE_SQL),
     "embedding_pca_variance": (q_embedding_pca_variance, None),
-    "srp_lsh_pairs": (q_srp_lsh_pairs, None),
-    "srp_ann_topk": (q_srp_ann_topk, None),
+    "srp_lsh_pairs": (q_srp_lsh_pairs, _srp_pairs_sql()),
+    "srp_ann_topk": (q_srp_ann_topk, _srp_topk_sql()),
     "ann_mmr_rerank": (q_ann_mmr_rerank, _ANN_MMR_SQL),
 }
 
@@ -1961,6 +2021,4 @@ WHY_NO_ORACLE = {
     "ivf_ann_topk": _APPROX_ANN,
     "ivf_pq_ann_topk": _APPROX_ANN,
     "pq_ann_topk": _APPROX_ANN,
-    "srp_lsh_pairs": _APPROX_ANN,
-    "srp_ann_topk": _APPROX_ANN,
 }
