@@ -1276,13 +1276,16 @@ def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_emb_blocked_sql(n_clusters: int = 8, iters: int = 4, dim: int = 64) -> str:
-    """Unrolled Lloyd's k-means (spherical, lowest-id init) + within-
-    cluster pair generation + reachability components — the DuckDB
-    twin of cluster_blocked_pairs -> connected_components ->
-    min-id survivors."""
+def _lloyd_ctes(where: str, n_clusters: int, iters: int, dim: int = 64) -> list:
+    """Chained-CTE replay of kmeans_centroids' small-path spherical
+    Lloyd rounds (round 11): ``v``/``n0`` project and unit-normalize
+    the corpus, ``c0`` is the lowest-id init, each round is
+    argmax-cosine assignment (numpy first-max tiebreak) + per-position
+    sum + renormalize; empty clusters keep their previous centroid.
+    The final centroids are ``c{iters}``. Shared by the blocked-
+    SemDeDup and IVF oracles."""
     parts = [f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-      FROM embeddings WHERE vec_id < 150),
+      FROM embeddings{where}),
 n0 AS (SELECT vec_id, list_transform(x, e -> e / sqrt(list_dot_product(x, x))) AS xn
        FROM v),
 c0 AS (SELECT vec_id AS c, xn AS cv FROM n0 WHERE vec_id < {n_clusters})"""]
@@ -1311,6 +1314,15 @@ c{it} AS (
     GROUP BY c, nrm
   ) u ON u.c = p.c
 )""")
+    return parts
+
+
+def _dedup_emb_blocked_sql(n_clusters: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means (spherical, lowest-id init) + within-
+    cluster pair generation + reachability components — the DuckDB
+    twin of cluster_blocked_pairs -> connected_components ->
+    min-id survivors."""
+    parts = _lloyd_ctes(" WHERE vec_id < 150", n_clusters, iters, dim)
     parts.append(f"""fin AS (
   -- ivf_assign: raw dots against the trained unit centroids
   SELECT vec_id, c FROM (
@@ -1600,12 +1612,47 @@ FROM dim_means GROUP BY label
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical k-means coarse quantizer (distributed Lloyd
     with per-batch partial sums), probe the 4 nearest of 16 inverted
-    lists, exact re-rank. Rows-only: the quantizer is iterative
-    (recall pinned vs brute force in tests/test_similarity.py)."""
+    lists, exact re-rank. Oracle-checked since round 11: the quantizer
+    replays as 5 unrolled Lloyd rounds in SQL (_lloyd_ctes — verified
+    to never early-stop on the fixtures, shift >> 1e-6 every round),
+    then the probe ranking, argmax assignment, and exact cosine top-10
+    all recompute from identical doubles; assignment flips would need
+    sub-ulp cosine ties, absent from the fixtures."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
     C, _ = similarity.kmeans_centroids(emb, n_clusters=16, max_iter=5)
     return similarity.ivf_topk(emb, qvec, C, k=10, nprobe=4)
+
+
+def _ivf_topk_sql(n_clusters: int = 16, iters: int = 5, nprobe: int = 4) -> str:
+    parts = _lloyd_ctes("", n_clusters, iters)
+    parts.append(f"""qn AS (SELECT xn AS q FROM n0 WHERE vec_id = 0),
+probes AS (
+  SELECT c FROM (
+    SELECT c{iters}.c,
+           ROW_NUMBER() OVER (ORDER BY list_dot_product(c{iters}.cv, qn.q) DESC,
+                              c{iters}.c ASC) AS rk
+    FROM c{iters}, qn
+  ) WHERE rk <= {nprobe}
+),
+assigned AS (
+  -- ivf_assign: raw dots against the trained unit centroids
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, c{iters}.c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.x, c{iters}.cv) DESC,
+                                       c{iters}.c ASC) AS rk
+    FROM v, c{iters}
+  ) WHERE rk = 1
+),
+qv AS (SELECT x AS q FROM v WHERE vec_id = 0)""")
+    return "WITH " + ",\n".join(parts) + """
+SELECT v.vec_id, ROUND(list_dot_product(v.x, qv.q)
+       / (sqrt(list_dot_product(v.x, v.x))
+          * sqrt(list_dot_product(qv.q, qv.q))), 6) AS score
+FROM v JOIN assigned a ON a.vec_id = v.vec_id JOIN probes p ON p.c = a.c, qv
+ORDER BY score DESC, v.vec_id ASC LIMIT 10
+"""
 
 
 def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1989,7 +2036,7 @@ QUERIES = {
     "simhash_incremental": (q_simhash_incremental, _SIMHASH_INCR_SQL),
     "simhash_near_dups": (q_simhash_near_dups, _SIMHASH_ND_SQL),
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
-    "ivf_ann_topk": (q_ivf_ann_topk, None),
+    "ivf_ann_topk": (q_ivf_ann_topk, _ivf_topk_sql()),
     "ivf_pq_ann_topk": (q_ivf_pq_ann_topk, None),
     "pq_ann_topk": (q_pq_ann_topk, None),
     "embedding_quantize_int8": (q_quantize_int8, _QUANTIZE_SQL),
@@ -2018,7 +2065,6 @@ WHY_NO_ORACLE = {
         "fixture corpus in tests/test_similarity.py"
     ),
     "minhash_near_dups_est": _APPROX_MINHASH,
-    "ivf_ann_topk": _APPROX_ANN,
     "ivf_pq_ann_topk": _APPROX_ANN,
     "pq_ann_topk": _APPROX_ANN,
 }
