@@ -1300,18 +1300,34 @@ def _compile_segment(
                 # the split loop above, so optional atoms can never
                 # reach this inline path — they compile pattern-side
                 # in the deferred chain (or the var-length tail)
-                assert not mc["optional"], "deferral invariant: optional exists atom"
+                if mc["optional"]:
+                    raise RuntimeError(
+                        "deferral invariant violated: optional exists atom "
+                        "reached the inline WHERE path"
+                    )
                 exists_guards.append((c[1], c[2]))
             elif c[0] == "pattern":
-                assert not mc["optional"], "deferral invariant: optional pattern atom"
+                if mc["optional"]:
+                    raise RuntimeError(
+                        "deferral invariant violated: optional pattern atom "
+                        "reached the inline WHERE path"
+                    )
                 pattern_guards.append((c[1], c[2]))
             elif c[0] == "expr_cond":
-                assert not mc["optional"], "deferral invariant: optional expr_cond atom"
+                if mc["optional"]:
+                    raise RuntimeError(
+                        "deferral invariant violated: optional expr_cond atom "
+                        "reached the inline WHERE path"
+                    )
                 expr_conds.append(c[1])
             elif c[0] == "bare":
                 # bare alias comparison: a WITH-carried value
                 _, balias, bop, bval = c
-                assert not mc["optional"], "deferral invariant: optional bare atom"
+                if mc["optional"]:
+                    raise RuntimeError(
+                        "deferral invariant violated: optional bare atom "
+                        "reached the inline WHERE path"
+                    )
                 if env is not None and balias in env_kinds:
                     env_bare.append((balias, bop, bval))
                 else:

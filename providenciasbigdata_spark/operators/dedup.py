@@ -25,10 +25,65 @@ buckets should be salted or capped upstream.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from providenciasbigdata_spark.functions.text import content_fingerprint, shingles, tokenize
+
+
+# ---- fingerprint format versioning ---------------------------------------
+#
+# The *_incremental operators compare a fresh batch against a PERSISTED
+# index of fingerprints/signatures. Whenever a hash family changes (round
+# 11 moved SimHash blake2b+unicode-\W -> md5-prefix+ASCII tokenize so a
+# SQL oracle can replay the bits), every previously persisted index of
+# that family is silently garbage — same column types, wrong agreement
+# semantics. Writers should stamp their index with `stamp_family`; the
+# incremental readers call `check_family` and FAIL LOUDLY on a stale or
+# foreign index instead of returning plausible-looking non-matches.
+# (Unstamped legacy indexes pass unchecked — documented migration gap.)
+#
+# Throughput note: md5 is ~2-4x slower per token than xxhash64/blake2b.
+# SimHash hashes DISTINCT tokens once per Arrow batch behind a cache, so
+# the delta is a small fraction of tokenize cost even on a 100 TB scan;
+# where the hash IS the hot loop (curate_quality_classifier's feature
+# hashing) xxhash64 stays, trading oracle replay for scan speed.
+
+SIMHASH_FAMILY = "simhash/md5-ascii/v2"        # r11: was blake2b/\W (v1)
+MINHASH_FAMILY = "minhash/xxhash64-shingle/v1"  # unchanged since r1
+EXACT_FAMILY = "exact/md5-content/v1"           # unchanged since r1
+
+_FAMILY_COL = "fingerprint_family"
+
+
+def stamp_family(index_df: DataFrame, family: str) -> DataFrame:
+    """Tag a fingerprint/signature index with its hash-family version
+    (one literal column, ~free under dictionary encoding in parquet).
+    Write indexes through this so a later family bump is caught at read
+    time by ``check_family`` instead of silently estimating garbage."""
+    return index_df.withColumn(_FAMILY_COL, F.lit(family))
+
+
+def check_family(index_df: DataFrame, expected: str) -> DataFrame:
+    """Validate a persisted index's hash-family stamp against the
+    CURRENT operator family; returns the index with the stamp column
+    dropped. A missing stamp passes (pre-versioning indexes); a
+    mismatching stamp raises immediately — plan-build time, not after
+    a full scan."""
+    if _FAMILY_COL not in index_df.columns:
+        return index_df
+    found = [
+        r[0]
+        for r in index_df.select(_FAMILY_COL).distinct().limit(3).collect()
+    ]
+    if found and (len(found) > 1 or found[0] != expected):
+        raise ValueError(
+            f"fingerprint index family {found!r} does not match the "
+            f"current operator family {expected!r} — rebuild the index "
+            "(hash families changed; agreement across families is "
+            "meaningless)"
+        )
+    return index_df.drop(_FAMILY_COL)
 
 
 # ---- exact --------------------------------------------------------------
@@ -715,6 +770,15 @@ def _simhash_chunks(fingerprints: DataFrame, chunks: int, width: int) -> DataFra
     """Pigeonhole blocking keys: explode each 64-bit fingerprint into
     its ``chunks`` fixed-width slices — any pair within the Hamming
     budget must agree on at least one full slice."""
+    # width 64 (max_hamming=0, one chunk): the full-width mask 2^64-1
+    # overflows a literal long — the slice is the whole fingerprint, so
+    # skip the mask (signed -1 would also work but reads as magic)
+    def slice_val(c: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), c * width)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     return fingerprints.select(
         "id",
         "simhash",
@@ -723,9 +787,7 @@ def _simhash_chunks(fingerprints: DataFrame, chunks: int, width: int) -> DataFra
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk_val"),
+                        slice_val(c).alias("chunk_val"),
                     )
                     for c in range(chunks)
                 ]
@@ -783,6 +845,7 @@ def simhash_incremental(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
+    index_fps = check_family(index_fps, SIMHASH_FAMILY)
     a = _simhash_chunks(batch_fps, chunks, width).alias("a")
     b = _simhash_chunks(index_fps, chunks, width).alias("b")
     cands = (
@@ -862,6 +925,7 @@ def dedup_exact_incremental(
     Intra-batch duplicates are also collapsed (min-id survivor) so the
     output can append straight into the index.
     """
+    seen_hashes = check_family(seen_hashes, EXACT_FAMILY)
     batch = dedup_exact(new_df, text_col=text_col, id_col=new_df.columns[0])
     h = content_fingerprint(F.col(text_col)).alias("content_hash")
     hashed = batch.select(h, *batch.columns)
@@ -894,6 +958,7 @@ def minhash_near_dups_incremental(
     on the batch separately for those.
     """
     k = bands * rows_per_band
+    corpus_sigs = check_family(corpus_sigs, MINHASH_FAMILY)
     new_sigs = _signature_from_sets(
         shingle_hash_sets(new_df, id_col, text_col, ngram), k
     )

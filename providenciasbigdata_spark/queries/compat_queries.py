@@ -2925,9 +2925,10 @@ FROM b GROUP BY 1
 def q_mql_window_range_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-unit ``range`` window in $setWindowFields (round 11,
     verdict-r10 item 4): per user, the trailing-3-DAY sum and count of
-    event values — bounds scale to seconds and the frame orders by UTC
-    epoch, exactly Mongo's value-distance semantics for fixed-width
-    units (compat/ir.py range-window branch)."""
+    event values — bounds scale to MILLIS and the frame orders by UTC
+    epoch millis, exactly Mongo's value-distance semantics (and
+    resolution) for fixed-width units (compat/ir.py range-window
+    branch; round 12 lifted the whole-second truncation)."""
     from providenciasbigdata_spark.compat.ir import mql_aggregate
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -2957,8 +2958,8 @@ _MQL_WINDOW_RANGE_DAYS_SQL = """
 SELECT user_id, event_id, ROUND(SUM(value) OVER w, 6) AS sum3d,
        CAST(COUNT(*) OVER w AS BIGINT) AS n3d
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 259200000 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -1655,6 +1655,142 @@ ORDER BY score DESC, v.vec_id ASC LIMIT 10
 """
 
 
+def _pq_lloyd_ctes(m: int, n_codes: int, iters: int, dim: int = 64,
+                   emit_v: bool = True) -> list:
+    """Chained-CTE replay of pq_train's per-subspace L2 Lloyd rounds
+    (round 12, verdict-r11 item 1 — the last Lloyd family): ``sl``
+    slices every vector into ``m`` contiguous subvectors, ``p0`` is
+    the lowest-id init sliced, each round is argmin-||x-c||^2
+    assignment (the -2xc + ||c||^2 form pq_train itself computes,
+    numpy first-min tiebreak -> ORDER BY d ASC, c ASC) + per-position
+    mean update; empty codes keep their previous centroid. Verified
+    bit-exact against the numpy small-path on the fixtures (max
+    |C_np - C_sql| = 0.0, all per-iteration assignments identical,
+    shift >= 1e-6 every round so no early stop — the IVF-lift
+    acceptance test, tests/test_oracle_parity.py). Final codebooks are
+    ``p{iters}``; composes after _lloyd_ctes via ``emit_v=False``."""
+    dsub = dim // m
+    parts = []
+    if emit_v:
+        parts.append(
+            "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"
+        )
+    parts.append(f"""sl AS (
+  SELECT vec_id, t.sub, list_slice(x, t.sub*{dsub}+1, (t.sub+1)*{dsub}) AS xs
+  FROM v, UNNEST(range(0, {m})) AS t(sub)),
+p0 AS (SELECT sub, vec_id AS c, xs AS cv FROM sl WHERE vec_id < {n_codes})""")
+    for it in range(1, iters + 1):
+        parts.append(f"""pa{it} AS (
+  SELECT vec_id, sub, c FROM (
+    SELECT sl.vec_id, sl.sub, p.c,
+           ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub
+             ORDER BY -2*list_dot_product(sl.xs, p.cv) + list_dot_product(p.cv, p.cv) ASC,
+                      p.c ASC) AS rk
+    FROM sl JOIN p{it-1} p USING (sub)
+  ) WHERE rk = 1
+),
+ps{it} AS (
+  SELECT a.sub, a.c, t.pos, COUNT(*) AS n, SUM(sl.xs[t.pos]) AS se
+  FROM pa{it} a JOIN sl USING (vec_id, sub), UNNEST(range(1, {dsub+1})) AS t(pos)
+  GROUP BY a.sub, a.c, t.pos
+),
+p{it} AS (
+  SELECT p.sub, p.c, COALESCE(u.cv, p.cv) AS cv
+  FROM p{it-1} p LEFT JOIN (
+    SELECT sub, c, list(se / n ORDER BY pos) AS cv FROM ps{it} GROUP BY sub, c
+  ) u ON u.sub = p.sub AND u.c = p.c
+)""")
+    return parts
+
+
+def _pq_adc_tail(iters: int, m: int, dim: int, pool: int, k: int,
+                 cell_join: str = "") -> str:
+    """ADC scoring + exact re-rank CTEs shared by the PQ and IVF-PQ
+    oracles: encode against the final codebooks (same argmin form as
+    training), build the query's per-(subspace, code) squared-distance
+    LUT, fold the ``m`` LUT hits in SUBSPACE ORDER (list_sum over the
+    sub-ordered list — Spark's F.aggregate is sequential), pool the
+    best ``pool`` by (approx_dist, id), exact-L2 re-rank the pool
+    only. ``cell_join`` optionally restricts the scored set to the
+    probed IVF cells (the partition-pruning step at scale)."""
+    dsub = dim // m
+    return f"""codes AS (
+  SELECT vec_id, sub, c FROM (
+    SELECT sl.vec_id, sl.sub, p.c,
+           ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub
+             ORDER BY -2*list_dot_product(sl.xs, p.cv) + list_dot_product(p.cv, p.cv) ASC,
+                      p.c ASC) AS rk
+    FROM sl JOIN p{iters} p USING (sub)
+  ) WHERE rk = 1
+),
+qsl AS (SELECT sub, xs FROM sl WHERE vec_id = 0),
+lut AS (
+  SELECT p.sub, p.c,
+         list_sum(list_transform(range(1, {dsub}+1),
+                  i -> (p.cv[i] - q.xs[i]) * (p.cv[i] - q.xs[i]))) AS d2
+  FROM p{iters} p JOIN qsl q USING (sub)
+),
+approx AS (
+  SELECT c2.vec_id, list_sum(list(l.d2 ORDER BY l.sub)) AS approx_dist
+  FROM codes c2
+  {cell_join}
+  JOIN lut l ON l.sub = c2.sub AND l.c = c2.c
+  GROUP BY c2.vec_id
+),
+pool AS (SELECT vec_id FROM approx ORDER BY approx_dist ASC, vec_id ASC LIMIT {pool}),
+qv AS (SELECT x AS q FROM v WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(sqrt(list_sum(list_transform(range(1, {dim}+1),
+             i -> (v.x[i] - qv.q[i]) * (v.x[i] - qv.q[i])))), 6) AS l2_dist
+FROM v JOIN pool USING (vec_id), qv
+ORDER BY l2_dist ASC, vec_id ASC LIMIT {k}"""
+
+
+def _pq_topk_sql(m: int = 4, n_codes: int = 16, iters: int = 4,
+                 pool: int = 100, k: int = 10, dim: int = 64) -> str:
+    parts = _pq_lloyd_ctes(m, n_codes, iters, dim)
+    return "WITH " + ",\n".join(parts) + ",\n" + _pq_adc_tail(
+        iters, m, dim, pool, k
+    )
+
+
+def _ivf_pq_topk_sql(n_clusters: int = 16, ck_iters: int = 3, nprobe: int = 4,
+                     m: int = 4, n_codes: int = 16, pq_iters: int = 3,
+                     pool: int = 100, k: int = 10, dim: int = 64) -> str:
+    """IVF-PQ composed replay: spherical-Lloyd coarse quantizer
+    (_lloyd_ctes, shared with the IVF oracle) routes to ``nprobe``
+    cells, the per-subspace Lloyd codebooks (_pq_lloyd_ctes) ADC-score
+    only the probed cells' vectors, exact re-rank of the pool."""
+    parts = _lloyd_ctes("", n_clusters, ck_iters, dim)
+    parts += _pq_lloyd_ctes(m, n_codes, pq_iters, dim, emit_v=False)
+    parts.append(f"""qn AS (SELECT xn AS q FROM n0 WHERE vec_id = 0),
+probes AS (
+  SELECT c FROM (
+    SELECT c{ck_iters}.c,
+           ROW_NUMBER() OVER (ORDER BY list_dot_product(c{ck_iters}.cv, qn.q) DESC,
+                              c{ck_iters}.c ASC) AS rk
+    FROM c{ck_iters}, qn
+  ) WHERE rk <= {nprobe}
+),
+assigned AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT v.vec_id, c{ck_iters}.c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.x, c{ck_iters}.cv) DESC,
+                                       c{ck_iters}.c ASC) AS rk
+    FROM v, c{ck_iters}
+  ) WHERE rk = 1
+),
+in_cells AS (
+  SELECT a.vec_id FROM assigned a JOIN probes p ON p.c = a.cell
+)""")
+    tail = _pq_adc_tail(
+        pq_iters, m, dim, pool, k,
+        cell_join="JOIN in_cells ic ON ic.vec_id = c2.vec_id",
+    )
+    return "WITH " + ",\n".join(parts) + ",\n" + tail
+
+
 def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary (sign-bit) embedding ANN, first stage: pack every vector
     to 1 bit/dim (two 32-bit words per 64-dim vector, BIGINT-safe) and
@@ -1782,8 +1918,12 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: 4x16 product-quantization codebooks (one-scan-per-iter
     distributed training), JVM-side ADC candidate scoring against a
     literal lookup table, exact L2 re-rank of the top-100 pool.
-    Rows-only: the quantizer is iterative (recall + exactness pinned in
-    tests/test_similarity.py)."""
+    Oracle-checked since round 12 (verdict-r11 item 1): the
+    per-subspace L2 Lloyd training replays as unrolled CTEs
+    (_pq_lloyd_ctes — centroids verified BIT-EXACT vs the numpy path
+    on the fixtures, shift >= 1e-6 every round so no early stop), then
+    encode/LUT/ADC/pool/re-rank recompute from identical doubles;
+    recall + exactness additionally pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
     C = similarity.pq_train(emb, m=4, n_codes=16, max_iter=4)
@@ -1792,8 +1932,13 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (coarse routing + ADC scoring + exact
-    re-rank) — the billion-scale index shape. Rows-only: iterative
-    quantizers; exhaustive-probe==exact and recall pinned in
+    re-rank) — the billion-scale index shape. Oracle-checked since
+    round 12 (verdict-r11 item 1): BOTH Lloyd families replay in one
+    SQL — the spherical coarse quantizer via _lloyd_ctes (the IVF
+    oracle's machinery) and the per-subspace L2 codebooks via
+    _pq_lloyd_ctes — then probe routing, cell restriction, ADC and
+    the exact re-rank recompute from identical doubles;
+    exhaustive-probe==exact and recall pinned in
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
@@ -2037,8 +2182,8 @@ QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, _SIMHASH_ND_SQL),
     "embedding_label_centroids": (q_label_centroids, _LABEL_CENTROID_SQL),
     "ivf_ann_topk": (q_ivf_ann_topk, _ivf_topk_sql()),
-    "ivf_pq_ann_topk": (q_ivf_pq_ann_topk, None),
-    "pq_ann_topk": (q_pq_ann_topk, None),
+    "ivf_pq_ann_topk": (q_ivf_pq_ann_topk, _ivf_pq_topk_sql()),
+    "pq_ann_topk": (q_pq_ann_topk, _pq_topk_sql()),
     "embedding_quantize_int8": (q_quantize_int8, _QUANTIZE_SQL),
     "embedding_pca_variance": (q_embedding_pca_variance, None),
     "srp_lsh_pairs": (q_srp_lsh_pairs, _srp_pairs_sql()),
@@ -2053,10 +2198,6 @@ _APPROX_MINHASH = (
     "dedup_near_survivors ARE oracle-checked since round 11); estimator "
     "error vs exact Jaccard pinned in tests/test_dedup.py"
 )
-_APPROX_ANN = (
-    "approximate index (probe subset of partitions/codebooks); recall vs the "
-    "oracle-checked brute-force top-k pinned in tests/test_similarity.py"
-)
 WHY_NO_ORACLE = {
     "embedding_pca_variance": (
         "covariance eigendecomposition (driver-side LAPACK on the d x d "
@@ -2065,6 +2206,4 @@ WHY_NO_ORACLE = {
         "fixture corpus in tests/test_similarity.py"
     ),
     "minhash_near_dups_est": _APPROX_MINHASH,
-    "ivf_pq_ann_topk": _APPROX_ANN,
-    "pq_ann_topk": _APPROX_ANN,
 }

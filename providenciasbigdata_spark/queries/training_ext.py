@@ -304,7 +304,17 @@ def q_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from providenciasbigdata_spark.operators.pack import pack_first_fit
 
     docs = load_table(spark, sf_dir, "documents")
-    return pack_first_fit(docs, "n_chars", capacity=2048, n_shards=8)
+    # pack_first_fit RAISES on unpackable items (NULL / non-positive /
+    # > capacity) — filter eligibility up front, mirrored in the
+    # oracle's base CTE, so the query is fixture-robust (round 12,
+    # ADVICE: current fixtures happen to have no doc over 2048 chars,
+    # but the gate must not depend on that)
+    eligible = docs.filter(
+        F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+        & (F.col("n_chars") <= 2048)
+    )
+    return pack_first_fit(eligible, "n_chars", capacity=2048, n_shards=8)
 
 
 # first bin index whose remaining capacity fits the incoming item —
@@ -317,6 +327,7 @@ WITH RECURSIVE base AS (
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
               AS INTEGER) AS shard
   FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND n_chars <= 2048
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY size DESC, id) AS rk

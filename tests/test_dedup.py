@@ -644,3 +644,38 @@ def test_broadcast_verify_knob(spark):
         got_p = {tuple(getattr(r, c) for c in key) for r in plain.collect()}
         got_b = {tuple(getattr(r, c) for c in key) for r in bcast.collect()}
         assert got_p == got_b and got_p  # identical, non-trivial
+
+
+def test_fingerprint_family_versioning(spark, sf_dir):
+    """Stamped indexes from the CURRENT hash family pass (stamp column
+    dropped transparently); a stale/foreign family raises at plan-build
+    time; unstamped legacy indexes pass unchecked (migration gap)."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from providenciasbigdata_spark.functions.text import content_fingerprint
+
+    index = docs.filter(F.col("doc_id") < 20).select(
+        content_fingerprint(F.col("text")).alias("content_hash")
+    ).distinct()
+    batch = docs.filter(F.col("doc_id") < 30)
+
+    # current family: passes, identical result to unstamped
+    good = dedup.stamp_family(index, dedup.EXACT_FAMILY)
+    out = dedup.dedup_exact_incremental(batch, good)
+    assert {r.doc_id for r in out.collect()} == set(range(20, 30))
+
+    # stale family (pre-r11 SimHash tag shape): raises loudly
+    stale = dedup.stamp_family(index, "exact/md5-content/v0")
+    with pytest.raises(ValueError, match="fingerprint index family"):
+        dedup.dedup_exact_incremental(batch, stale)
+
+    # simhash reader checks its own family
+    fps = dedup.simhash(docs.filter(F.col("doc_id") < 10))
+    stale_fps = dedup.stamp_family(fps, "simhash/blake2b/v1")
+    with pytest.raises(ValueError, match="fingerprint index family"):
+        dedup.simhash_incremental(fps, stale_fps).collect()
+    ok = dedup.simhash_incremental(
+        fps, dedup.stamp_family(fps, dedup.SIMHASH_FAMILY), max_hamming=0
+    )
+    assert ok.count() >= 10  # every doc matches itself at hamming 0

@@ -2978,3 +2978,67 @@ def test_mql_iso_date_parts_year_boundaries(spark):
     # Mongo $week: 2023-01-01 is a Sunday -> week 1; 2021-01-01 (Fri,
     # before the year's first Sunday) -> week 0
     assert out[4]["wk_sun"] == 1 and out[1]["wk_sun"] == 0
+
+
+def test_mql_round12_advice_pins(spark):
+    """Round 12 ADVICE pins. (1) Date-unit range windows resolve at
+    MILLISECOND value-distance (Mongo's resolution): two timestamps
+    400ms apart must NOT be RANGE peers, and a bound of [-1, 0]
+    seconds includes a row exactly 1.000s back but excludes one
+    1.500s back. (2) $mergeObjects accumulator stays a total order
+    when the sort key is NULL for some rows: NULL keys sort first
+    ascending (BSON null < any value), last under -1, and the result
+    is deterministic."""
+    import datetime as dt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:00:00.000"), 1.0),
+         (2, ts("2024-01-01 00:00:00.400"), 2.0),
+         (3, ts("2024-01-01 00:00:01.000"), 4.0),
+         (4, ts("2024-01-01 00:00:02.500"), 8.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    win = {r["event_id"]: r["s"] for r in mql_aggregate(df, [
+        {"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$value",
+                             "window": {"range": [-1, 0], "unit": "second"}}},
+        }}]).collect()}
+    # event 2: sees 1 (400ms back) + itself, NOT 3 (600ms ahead)
+    # event 3: sees 1 (exactly 1.000s back, inclusive), 2, itself
+    # event 4: sees only itself (1.5s back from 2.5 is 1.0 -> 3 is
+    #          exactly 1.5s back, outside the 1s bound)
+    assert win == {1: 1.0, 2: 3.0, 3: 7.0, 4: 8.0}, win
+
+    # sub-second timestamps must not collapse into whole-second peers:
+    # a rank over ts must distinguish events 1 and 2
+    rk = {r["event_id"]: r["r"] for r in mql_aggregate(df, [
+        {"$setWindowFields": {"sortBy": {"ts": 1},
+                              "output": {"r": {"$denseRank": {}}}}},
+    ]).collect()}
+    assert len(set(rk.values())) == 4
+
+    # mergeObjects with NULL sort keys: nulls-first ascending => the
+    # NULL-key row merges FIRST and is overwritten by later keys
+    md = spark.createDataFrame(
+        [(1, "g", None, "en", "null_key"), (2, "g", 5, "en", "five"),
+         (3, "g", 9, "es", "nine"), (4, "h", None, "xx", "only")],
+        "doc_id long, grp string, ord int, lang string, source string",
+    )
+    rows = {r["_id"]: r["m"] for r in mql_aggregate(md, [
+        {"$sort": {"ord": 1}},
+        {"$group": {"_id": "$grp", "m": {"$mergeObjects": {
+            "$arrayToObject": [[{"k": "$lang", "v": "$source"}]]}}}},
+    ]).collect()}
+    assert rows["g"] == {"en": "five", "es": "nine"}  # null-key overwritten
+    assert rows["h"] == {"xx": "only"}
+    # descending: NULL key sorts LAST => null_key wins the en slot
+    rows_d = {r["_id"]: r["m"] for r in mql_aggregate(md, [
+        {"$sort": {"ord": -1}},
+        {"$group": {"_id": "$grp", "m": {"$mergeObjects": {
+            "$arrayToObject": [[{"k": "$lang", "v": "$source"}]]}}}},
+    ]).collect()}
+    assert rows_d["g"] == {"en": "null_key", "es": "nine"}

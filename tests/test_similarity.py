@@ -636,3 +636,68 @@ def test_mmr_rerank_properties(spark):
         mmr_rerank(df, k=2, lam=1.5)
     with _pytest.raises(ValueError, match="k must"):
         mmr_rerank(df, k=0)
+
+
+def test_pq_lloyd_oracle_replay_bit_exact():
+    """Acceptance gate for the round-12 PQ/IVF-PQ oracle lift (the IVF
+    lift's criteria, applied to the per-subspace L2 family): on BOTH
+    oracle fixtures, (1) pq_train's small-path Lloyd never early-stops
+    within the registry queries' iteration budgets (shift >= 1e-6
+    every round, so the unrolled CTE count is exact), (2) the DuckDB
+    replay (_pq_lloyd_ctes) reproduces the numpy codebooks BIT-EXACTLY
+    and every per-iteration assignment identically. Pure numpy+duckdb
+    — independent of the Spark session."""
+    import duckdb
+    import numpy as np
+
+    from providenciasbigdata_spark.queries.pipeline import _pq_lloyd_ctes
+
+    M, K, DIM = 4, 16, 64
+    DSUB = DIM // M
+    MAX_ITERS = 4  # pq_ann_topk trains 4; ivf_pq_ann_topk trains 3 (prefix)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS "
+            f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        rows = con.execute(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id"
+        ).fetchall()
+        X = np.vstack([np.asarray(r[1]) for r in rows])
+        C = np.stack([X[:K, s * DSUB:(s + 1) * DSUB].copy() for s in range(M)])
+        assigns = []
+        for _ in range(MAX_ITERS):
+            newC = C.copy()
+            a_it = np.zeros((len(X), M), dtype=int)
+            for s in range(M):
+                Xs = X[:, s * DSUB:(s + 1) * DSUB]
+                d = -2 * Xs @ C[s].T + (C[s] ** 2).sum(axis=1)[None, :]
+                a = np.argmin(d, axis=1)
+                a_it[:, s] = a
+                for c in np.unique(a):
+                    msk = a == c
+                    newC[s, c] = Xs[msk].sum(axis=0) / msk.sum()
+            shift = float(np.abs(newC - C).max())
+            assert shift >= 1e-6, f"{sf}: early stop would fire (shift={shift})"
+            assigns.append(a_it)
+            C = newC
+
+        # DuckDB replay: final codebooks bit-exact, assignments identical
+        sql = ("WITH " + ",\n".join(_pq_lloyd_ctes(M, K, MAX_ITERS, DIM))
+               + f" SELECT sub, c, cv FROM p{MAX_ITERS} ORDER BY sub, c")
+        C_sql = np.zeros((M, K, DSUB))
+        for sub, c, cv in con.execute(sql).fetchall():
+            C_sql[sub, c] = cv
+        assert float(np.abs(C - C_sql).max()) == 0.0, f"{sf}: codebooks diverge"
+        for it in range(1, MAX_ITERS + 1):
+            got = np.zeros((len(X), M), dtype=int)
+            sqla = con.execute(
+                "WITH " + ",\n".join(_pq_lloyd_ctes(M, K, it, DIM))
+                + f" SELECT vec_id, sub, c FROM pa{it} ORDER BY vec_id, sub"
+            ).fetchall()
+            for vid, sub, c in sqla:
+                got[vid, sub] = c
+            assert (got == assigns[it - 1]).all(), f"{sf}: iter {it} assignment flip"
+        con.close()
