@@ -208,6 +208,66 @@ HEADLINE = [
 ]
 
 
+import hashlib
+import re
+
+# Round 12 (verdict-r11 item 2): per-query EXECUTED-PLAN fingerprints.
+# A raw bench ratio that moves while the plan fingerprint is unchanged
+# is host drift by construction — machine-checkable, no judge
+# adjudication needed (r11 burned one proving a 1.36x window was the
+# container). Normalization strips everything that varies run-to-run
+# without a structural plan change: expression ids (#123), plan ids,
+# file paths/locations, and size statistics.
+_FP_RES = [
+    (re.compile(r"#\d+"), "#"),
+    (re.compile(r"plan_id=\d+"), "plan_id="),
+    (re.compile(r"(?m)^Location.*$"), "Location: <normalized>"),
+    (re.compile(r"file:/[^\s,\])]*"), "<path>"),
+    (re.compile(r"(?m)^.*Statistics.*$"), ""),
+    (re.compile(r"cachedrdd_\d+"), "cachedrdd_"),
+    # HOF lambda variable counters increment per-SESSION, not per-plan
+    (re.compile(r"\b([a-zA-Z]+)_\d+\b"), r"\1_"),
+    # localCheckpoint scans (iterative BFS/pagerank state) print the
+    # GLOBAL RDD id counter — session history, not plan structure
+    (re.compile(r"RDD\[\d+\]"), "RDD[]"),
+]
+
+
+def _plan_fingerprint(df) -> str:
+    """md5 (16 hex chars) of the NORMALIZED formatted explain string of
+    a query's physical plan. Computed OUTSIDE the timed region (after
+    the pass-0 write) so timings are unaffected."""
+    try:
+        s = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:
+        return "unavailable"
+    for rx, rep in _FP_RES:
+        s = rx.sub(rep, s)
+    return hashlib.md5(s.encode()).hexdigest()[:16]
+
+
+def _fingerprints_only(sf_dir: str) -> None:
+    """Plan-only mode (`bench.py --fingerprints`): build every headline
+    DataFrame and print the {name: fingerprint} map without executing
+    the writes — cheap enough to run against an old tree (git worktree)
+    to diff plans across rounds."""
+    spark = get_spark(app_name="bench-fp")
+    registry = all_queries()
+    fps = {}
+    for name in HEADLINE:
+        fn, _sql = registry[name]
+        try:
+            fps[name] = _plan_fingerprint(fn(spark, sf_dir))
+        except Exception as exc:
+            fps[name] = f"error:{type(exc).__name__}"
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+    print(json.dumps({"plan_fp": fps, "sf_dir": sf_dir}, sort_keys=True))
+
+
 def _probe(spark) -> float:
     """Host-calibration probe: a FIXED synthetic Catalyst-only job
     (range -> hash-mod keys -> two-phase agg) touching no input files,
@@ -277,6 +337,9 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
         _isolated(sys.argv[2], sf_dir)
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--fingerprints":
+        _fingerprints_only(sf_dir)
+        return
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     # Spark's whole-stage-codegen class cache is 100 entries (static
     # conf) — one entry per generated stage. A 100+ query bench pass
@@ -310,6 +373,7 @@ def main() -> None:
     # burst; full passes put a query's attempts minutes apart, so the
     # min recovers the true plan cost unless a burst recurs all 3 times.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    plan_fp: dict[str, str] = {}
     probe_sec = float("inf")
     # probe_trace (round 10, verdict-r9 item 4): a probe at pass start
     # AND every 40 queries, so host-interference windows INSIDE a pass
@@ -330,8 +394,12 @@ def main() -> None:
                 probe_trace.append(round(p, 3))
             fn, _sql = registry[name]
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
+            if _pass == 0:
+                # plan fingerprint: once per run, AFTER the timed write
+                plan_fp[name] = _plan_fingerprint(df)
             # drop DataFrames persisted inside operators (minhash/ivf/...):
             # dead cached RDDs from one query otherwise evict the LIVE
             # cache of later ones mid-measurement (minhash 5.3s dirty
@@ -401,11 +469,19 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     prior_isolated: dict[str, float] = {}
+    prior_fp: dict[str, str] = {}
     try:
         with open(detail_path) as f:
-            prior_isolated = json.load(f).get("isolated_sec", {}) or {}
+            _prior = json.load(f)
+        prior_isolated = _prior.get("isolated_sec", {}) or {}
+        prior_fp = _prior.get("plan_fp", {}) or {}
     except (OSError, ValueError):
         pass
+    # "ratio moved, fingerprint unchanged => host" — the machine check.
+    plan_fp_changed = sorted(
+        n for n, fp in plan_fp.items()
+        if n in prior_fp and prior_fp[n] != fp
+    )
 
     slow_names = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
     isolated: dict[str, float] = {}
@@ -466,6 +542,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plan_fp": plan_fp,
+        "plan_fp_changed": plan_fp_changed,
         "isolated_sec": isolated,
         "isolated_runs": isolated_runs,
         "isolated_probes": isolated_probes,

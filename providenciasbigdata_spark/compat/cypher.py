@@ -194,6 +194,11 @@ _EXPR_FNS: dict = {
     "tofloat": ((1, 1), lambda a: a[0].cast("double")),
     "coalesce": ((1, 99), lambda a: F.coalesce(*a)),
     "size": ((1, 1), lambda a: F.size(a[0])),
+    # length(r) is CONTEXT-DEPENDENT (reads a var-length rel's BFS hop
+    # count, not a value of its argument) — each expression compiler
+    # intercepts the ("fn", "length", [("var", r)]) node itself; the
+    # None sentinel makes a missed interception fail loudly
+    "length": ((1, 1), None),
 }
 
 
@@ -978,6 +983,129 @@ def _compile_exists_subchain(
     return anchor_var, compile_query(inner_ast, nodes, edges, params).distinct()
 
 
+def _filter_hit_expr_conds(
+    hit: DataFrame,
+    conds: list,
+    nvar: str,
+    rvar: str | None,
+    from_var: str,
+    len_col: str,
+    nodes: DataFrame | None,
+    params: dict,
+) -> DataFrame:
+    """Compile computed WHERE conditions against a var-length OPTIONAL
+    tail's BFS hit frame (round 12, verdict-r11 item 4 — the last
+    named raise in the OPTIONAL family). Scope: the endpoint variable
+    (id + node properties, lazily left-joined), the bound start's id
+    (``__bfs_seed``), ``length(r)``, literals, parameters, arithmetic,
+    scalar functions, and boolean combinators. Conditions over other
+    bound variables live in the bound frame, not the tail — carried-
+    alias forms ride the join condition (``extra_cond``); anything
+    else raises with the reason."""
+
+    def attach(prop: str) -> str:
+        nonlocal hit
+        pcol = f"__tp_{prop}"
+        if pcol in hit.columns:
+            return pcol
+        if nodes is None:
+            raise ValueError("computed condition needs the nodes frame")
+        if prop not in nodes.columns:
+            raise ValueError(
+                f"unknown node property {prop!r}; nodes frame has {nodes.columns}"
+            )
+        nf = nodes.select(F.col("id").alias("__tpj"), F.col(prop).alias(pcol))
+        hit = hit.join(nf, hit[f"__v_{nvar}"] == nf["__tpj"], "left").drop("__tpj")
+        return pcol
+
+    def ex(e):
+        kind = e[0]
+        if kind in ("num", "str"):
+            return F.lit(e[1])
+        if kind == "param":
+            return F.lit(params[e[1]])
+        if kind == "var":
+            if e[1] == nvar:
+                return F.col(f"__v_{nvar}")
+            if e[1] == from_var:
+                return F.col("__bfs_seed")
+            raise CypherUnsupported(
+                f"variable {e[1]!r} is not in the var-length OPTIONAL "
+                f"tail's scope ({nvar!r}, {from_var!r}, length())"
+            )
+        if kind == "prop":
+            v, p = e[1], e[2]
+            if v == nvar:
+                return F.col(f"__v_{nvar}") if p == "id" else F.col(attach(p))
+            if v == from_var and p == "id":
+                return F.col("__bfs_seed")
+            if rvar and v == rvar:
+                raise CypherUnsupported(
+                    f"{v}.{p} reads a PER-EDGE property of the var-length "
+                    "relationship — use an ALL(x IN r WHERE ...) guard"
+                )
+            raise CypherUnsupported(
+                "computed conditions in a var-length OPTIONAL tail may "
+                f"reference the endpoint {nvar!r} (id/properties), "
+                f"{from_var!r}.id, and length(); got {v}.{p} (properties "
+                "of other bound variables live in the bound frame — use "
+                "a WITH-carried alias)"
+            )
+        if kind == "neg":
+            return -ex(e[1])
+        if kind == "bin":
+            op, l, r = e[1], ex(e[2]), ex(e[3])
+            if op == "+":
+                return l + r
+            if op == "-":
+                return l - r
+            if op == "*":
+                return l * r
+            return l / r
+        if kind == "fn":
+            if e[1] == "length":
+                a = e[2][0]
+                if a[0] != "var" or not rvar or a[1] != rvar:
+                    raise CypherUnsupported(
+                        "length() must reference the clause's var-length "
+                        "relationship variable"
+                    )
+                return F.col(len_col)
+            return _EXPR_FNS[e[1]][1]([ex(a) for a in e[2]])
+        if kind == "case":
+            out = None
+            for c0, v0 in e[1]:
+                out = (F.when if out is None else out.when)(cx(c0), ex(v0))
+            return out.otherwise(ex(e[2])) if e[2] is not None else out
+        raise CypherUnsupported(
+            f"unsupported expression node {kind!r} in a var-length "
+            "OPTIONAL computed condition"
+        )
+
+    def cx(c):
+        k = c[0]
+        if k == "cmp":
+            return _OPS[c[1]](ex(c[2]), ex(c[3]))
+        if k == "and":
+            return cx(c[1]) & cx(c[2])
+        if k == "or":
+            return cx(c[1]) | cx(c[2])
+        if k == "not":
+            return ~cx(c[1])
+        raise CypherUnsupported(f"unsupported condition node {k!r}")
+
+    for c in conds:
+        # attach property columns FIRST (each attach rebinds `hit`),
+        # then filter — so the condition sees the joined frame
+        props: list = []
+        _expr_walk(c, props, [])
+        for v, p in props:
+            if v == nvar and p != "id":
+                attach(p)
+        hit = hit.filter(cx(c))
+    return hit
+
+
 def _optional_varlen_tail(
     mc: dict,
     cur: DataFrame,
@@ -1027,6 +1155,7 @@ def _optional_varlen_tail(
         raise ValueError("var-length pattern needs the edges frame")
     fe = edges
     exists_atoms: list[tuple[bool, str]] = []
+    expr_atoms: list = []
     for c in mc["where"]:
         if c[0] == "all" and c[1] == rvar:
             lo_w = resolve(c[2], as_float=True)
@@ -1036,10 +1165,24 @@ def _optional_varlen_tail(
             exists_atoms.append((c[1], c[2]))
         elif c[0] == "pattern":
             exists_atoms.append((c[1], _pattern_items_text(c[2])))
+        elif c[0] == "expr_cond":
+            expr_atoms.append(c[1])
+        elif c[0] == "cmp":
+            # plain property guard (var.prop op value): route through
+            # the endpoint-frame machinery as a literal comparison —
+            # out-of-scope variables raise there with the reason
+            vres = resolve(c[4])
+            lit = (
+                ("num", vres)
+                if isinstance(vres, (int, float)) and not isinstance(vres, bool)
+                else ("str", vres)
+            )
+            expr_atoms.append(("cmp", c[3], ("prop", c[1], c[2]), lit))
         else:
             raise CypherUnsupported(
                 "OPTIONAL var-length clauses support ALL(...) weight "
-                "guards, EXISTS {...}, and pattern predicates only"
+                "guards, EXISTS {...}, pattern predicates, and computed "
+                "conditions over the endpoint/hop-count frame only"
             )
     if rel["dir"] == "<":
         fe = fe.select(
@@ -1071,6 +1214,20 @@ def _optional_varlen_tail(
             sub,
             hit[key] == sub["__ex_id"],
             "left_anti" if negated else "left_semi",
+        )
+    if expr_atoms:
+        # computed conditions (round 12, verdict-r11 item 4): compiled
+        # against the BFS HIT frame — endpoint properties (lazy nodes
+        # left-join), the endpoint/seed ids, length(r), literals and
+        # parameters — and applied as a filter BEFORE the single left
+        # join, so the all-or-nothing contract holds (a seed whose
+        # every endpoint fails keeps one null row). Conditions over
+        # OTHER bound variables' properties stay out of scope: they
+        # live in the bound frame, not the tail (carried-alias forms
+        # ride extra_cond instead).
+        hit = _filter_hit_expr_conds(
+            hit, expr_atoms, nvar, rvar, from_var, len_col, nodes,
+            params or {},
         )
     jc = cur[cols[from_var]] == hit["__bfs_seed"]
     if extra_cond is not None:
@@ -1959,6 +2116,12 @@ def _compile_segment(
                 out = (F.when if out is None else out.when)(cond_col(c), expr_col(v))
             return out.otherwise(expr_col(e[2])) if e[2] is not None else out
         if kind == "fn":
+            if e[1] == "length":
+                if e[2][0][0] != "var":
+                    raise CypherUnsupported(
+                        "length() takes a var-length relationship variable"
+                    )
+                return item_col("length", e[2][0][1], None)
             return _EXPR_FNS[e[1]][1]([expr_col(a) for a in e[2]])
         raise CypherUnsupported(f"unsupported expression node {kind!r}")
 
@@ -2175,6 +2338,11 @@ def _compile_segment(
                     return l * r
                 return l / r
             if kind == "fn":
+                if e[1] == "length":
+                    raise CypherUnsupported(
+                        "length() in ORDER BY: project it in the WITH/"
+                        "RETURN items and order by the alias"
+                    )
                 return _EXPR_FNS[e[1]][1]([order_expr_col(a) for a in e[2]])
             if kind == "case":
                 built = None

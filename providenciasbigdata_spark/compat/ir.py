@@ -861,7 +861,11 @@ def _group_aggs(
             _ref_field(operand, op)
         )
         fn = {
-            "$sum": F.sum,
+            # Mongo: $sum IGNORES non-numeric/missing values and
+            # returns 0 when every value is — F.sum alone would return
+            # SQL NULL for an all-null group (caught by the round-12
+            # expression-grammar property gate)
+            "$sum": lambda c: F.coalesce(F.sum(c), F.lit(0)),
             "$avg": F.avg,
             "$min": F.min,
             "$max": F.max,
@@ -884,6 +888,12 @@ def _group_stage(
     if gid is None:
         return df.agg(*aggs)
     if isinstance(gid, dict):
+        if len(gid) == 1 and next(iter(gid)).startswith("$"):
+            # operator expression _id: {"$mod": ["$a", 2]} — a scalar
+            # group key, not a compound subdocument (Mongo disallows
+            # $-prefixed field names in the _id document, so the single
+            # $-key form is unambiguous; round-12 property-gate fix)
+            return df.groupBy(_agg_expr(gid).alias("_id")).agg(*aggs)
         # compound _id subdocument: {"y": "$anio", "t": "$tipo"} ->
         # group on every key expression, emit _id as ONE struct column
         # (the document shape Mongo returns); expressions come from
@@ -1264,23 +1274,57 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
         if op == "$dateTrunc":
             if not (isinstance(args, dict) and {"date", "unit"} <= set(args)):
                 raise ValueError(f"$dateTrunc needs date and unit: {args!r}")
-            if set(args) - {"date", "unit", "binSize"}:
+            if set(args) - {"date", "unit", "binSize", "startOfWeek"}:
                 raise ValueError(
-                    f"$dateTrunc timezone/startOfWeek are unsupported: {args!r}"
+                    f"$dateTrunc timezone is unsupported: {args!r}"
                 )
             unit = str(args["unit"])
             date = _agg_expr(args["date"], scope)
             bin_size = args.get("binSize", 1)
             if not isinstance(bin_size, int) or isinstance(bin_size, bool) or bin_size < 1:
                 raise ValueError(f"$dateTrunc binSize must be an int >= 1: {bin_size!r}")
+            if "startOfWeek" in args and unit != "week":
+                # Mongo: startOfWeek is IGNORED unless unit is week —
+                # but a silent ignore on the engine side would let a
+                # typo'd unit ship wrong bins; mirror Mongo exactly
+                pass
+            if unit == "week":
+                # week truncation (round 12, verdict-r11 item 6):
+                # Mongo anchors week bins at the most recent
+                # startOfWeek (default Sunday — Mongo's documented
+                # default) ON OR BEFORE the 2000-01-01 reference, then
+                # bins by fixed 7-day millis arithmetic — weeks ARE
+                # fixed-width in UTC, only the anchor moves. (The
+                # plain-Spark date_trunc('week') is ISO Monday-start;
+                # this path replaces it for Mongo parity.)
+                sow = str(args.get("startOfWeek", "sunday")).lower()
+                anchors = {
+                    "monday": "1999-12-27", "tuesday": "1999-12-28",
+                    "wednesday": "1999-12-29", "thursday": "1999-12-30",
+                    "friday": "1999-12-31", "saturday": "2000-01-01",
+                    "sunday": "1999-12-26",
+                }
+                if sow not in anchors:
+                    raise ValueError(
+                        f"$dateTrunc startOfWeek must be a weekday name: {sow!r}"
+                    )
+                import datetime as _dt
+
+                ref_ms = int(_dt.datetime.strptime(
+                    anchors[sow], "%Y-%m-%d"
+                ).replace(tzinfo=_dt.timezone.utc).timestamp()) * 1000
+                span = 7 * 86400 * 1000 * bin_size
+                b = F.unix_millis(date.cast("timestamp")) - F.lit(ref_ms)
+                return F.timestamp_millis(
+                    b - F.pmod(b, F.lit(span)) + F.lit(ref_ms)
+                )
             if bin_size == 1:
                 return F.date_trunc(unit, date)
             # binSize > 1 (round 11, verdict-r10 item 4): Mongo anchors
             # bins at the 2000-01-01T00:00:00Z reference. Fixed-width
             # units bin by UTC epoch arithmetic (b - pmod(b, span) is
             # floor even for pre-2000 dates); month/quarter/year bin in
-            # month-index space from Jan 2000 via add_months. week
-            # binSize needs startOfWeek anchoring — unsupported, raise.
+            # month-index space from Jan 2000 via add_months.
             fixed = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
             if unit in fixed:
                 # millis arithmetic (bin edges are whole seconds, so a
@@ -1301,8 +1345,7 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
                     F.lit("2000-01-01").cast("date"), binned
                 ).cast("timestamp")
             raise ValueError(
-                f"$dateTrunc binSize with unit {unit!r} is unsupported "
-                "(week bins need startOfWeek anchoring)"
+                f"$dateTrunc binSize with unit {unit!r} is unsupported"
             )
         if op == "$ifNull":
             return F.coalesce(*(_agg_expr(x, scope) for x in _expr_args(args, op, 2)))
@@ -2024,6 +2067,7 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
 
     new_cols: dict[str, Column] = {}
     pre_cols: dict[str, Column] = {}
+    cal_outputs: list[tuple] = []  # calendar-unit range windows
     for out, odoc in spec["output"].items():
         if not (isinstance(odoc, dict) and odoc):
             raise ValueError(f"$setWindowFields output {out!r} must be a document")
@@ -2243,10 +2287,17 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
                 secs = {"second": 1, "minute": 60, "hour": 3600,
                         "day": 86400, "week": 604800}.get(str(unit))
                 if secs is None:
-                    raise ValueError(
-                        f"range window unit {unit!r} is unsupported "
-                        "(calendar months are not fixed-width)"
-                    )
+                    cal = {"month": 1, "quarter": 3, "year": 12}.get(str(unit))
+                    if cal is None:
+                        raise ValueError(
+                            f"range window unit {unit!r} is unsupported"
+                        )
+                    # calendar unit (round 12, verdict-r11 item 6):
+                    # months are not fixed-width, so no linear RANGE
+                    # frame exists — computed post-loop by the dateAdd-
+                    # boundary join device (_apply_calendar_range)
+                    cal_outputs.append((out, fn, arg, lo, hi, cal))
+                    continue
                 millis = secs * 1000
 
                 def scaled(v, side_default):
@@ -2328,12 +2379,106 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
         else:
             raise ValueError(f"unsupported $setWindowFields function: {fn}")
     if pre_cols:
-        return (
+        out_df = (
             df.withColumns(pre_cols)
             .withColumns(new_cols)
             .drop(*pre_cols.keys())
         )
-    return df.withColumns(new_cols)
+    else:
+        out_df = df.withColumns(new_cols)
+    if cal_outputs:
+        out_df = _apply_calendar_range(
+            out_df, part, sort_pairs[0][0], cal_outputs
+        )
+    return out_df
+
+
+def _apply_calendar_range(
+    df: DataFrame, part, ts_field: str, outputs: list[tuple]
+) -> DataFrame:
+    """Calendar-unit (month/quarter/year) ``range`` windows in
+    ``$setWindowFields`` (round 12, verdict-r11 item 6). Months are
+    not fixed-width, so no linear RANGE ordering exists; the frame is
+    instead defined by dateAdd boundaries — a peer document belongs to
+    the frame iff its sortBy value lies in
+    ``[timestampadd(MONTH, lo*m, cur), timestampadd(MONTH, hi*m, cur)]``
+    (day-clamped month addition, exactly Mongo's $dateAdd rule, which
+    is how its server resolves calendar window bounds).
+
+    Lowering: frame membership depends only on (partition, sortBy
+    value), so the aggregate is computed once per DISTINCT anchor —
+    anchors range-join the value rows on the boundary condition, one
+    hash-aggregate per anchor, LEFT-joined back (empty frames: $sum
+    and $count read 0, $min/$max/$avg read null — Mongo's empty-window
+    results). Two shuffles total per output, never a per-row loop; at
+    scale the join keys carry the partition column, so skew follows
+    the partition cardinality exactly like the window operator would.
+
+    Surface: $sum/$avg/$min/$max/$count. Order-dependent accumulators
+    ($push/$first/...) raise — their frame order is a sort this device
+    does not replay."""
+    months_fn = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+                 "$count": None}
+    pcols: list[str] = []
+    work = df
+    if part is not None:
+        work = work.withColumn("__swf_p", _agg_expr(part))
+        pcols = ["__swf_p"]
+    for out, fn, arg, lo, hi, months in outputs:
+        if fn not in months_fn and not (fn == "$sum"):
+            raise ValueError(
+                f"calendar-unit range windows support $sum/$avg/$min/"
+                f"$max/$count only, got {fn}"
+            )
+        is_count = fn == "$count" or (fn == "$sum" and arg == 1)
+        anchors = work.select(*pcols, ts_field).distinct().select(
+            *[F.col(c).alias(f"__a_{c}") for c in pcols],
+            F.col(ts_field).alias("__a_ts"),
+        )
+
+        def bound(v):
+            if v == "unbounded":
+                return None
+            if v == "current":
+                return F.col("__a_ts")
+            if isinstance(v, int) and not isinstance(v, bool):
+                return F.timestamp_add("MONTH", F.lit(v * months), F.col("__a_ts"))
+            raise ValueError(f"bad calendar range bound {v!r}")
+
+        lo_b, hi_b = bound(lo), bound(hi)
+        val = F.lit(1) if is_count else _agg_expr(arg)
+        vals = work.select(
+            *pcols, F.col(ts_field).alias("__v_ts"), val.alias("__v_val")
+        )
+        cond = F.lit(True)
+        for c in pcols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__a_{c}"))
+        if lo_b is not None:
+            cond = cond & (F.col("__v_ts") >= lo_b)
+        if hi_b is not None:
+            cond = cond & (F.col("__v_ts") <= hi_b)
+        agg_fn = (
+            (lambda c: F.count(c).cast("long"))
+            if is_count else months_fn[fn]
+        )
+        per = (
+            anchors.join(vals, cond, "left")
+            .groupBy(*[f"__a_{c}" for c in pcols], "__a_ts")
+            .agg(agg_fn(F.col("__v_val")).alias(f"__o_{out}"))
+        )
+        if is_count or fn == "$sum":
+            per = per.withColumn(
+                f"__o_{out}", F.coalesce(F.col(f"__o_{out}"), F.lit(0))
+            )
+        jc = F.col(ts_field).eqNullSafe(F.col("__a_ts"))
+        for c in pcols:
+            jc = jc & F.col(c).eqNullSafe(F.col(f"__a_{c}"))
+        work = (
+            work.join(per, jc, "left")
+            .drop("__a_ts", *[f"__a_{c}" for c in pcols])
+            .withColumnRenamed(f"__o_{out}", out)
+        )
+    return work.drop(*pcols)
 
 
 def _densify_stage(df: DataFrame, spec) -> DataFrame:
