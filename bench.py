@@ -205,6 +205,10 @@ HEADLINE = [
     "mql_date_trunc_bins",      # $dateTrunc binSize epoch/month bins
     "mql_window_range_days",    # date-unit range window
     "mql_group_merge_objects",  # $mergeObjects group accumulator
+    # round 12
+    "cypher_optional_varlen_computed",  # computed cond in var-length OPTIONAL
+    "mql_date_trunc_week_bins",  # week binSize + startOfWeek bins
+    "mql_window_range_months",   # calendar-unit range window (join device)
 ]
 
 

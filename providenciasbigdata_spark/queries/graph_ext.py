@@ -785,11 +785,18 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.filter(F.col("left_id") < F.col("right_id")).select(
         F.col("left_id").alias("x"), F.col("right_id").alias("y")
     )
+    # Degree straight off the ORDERED pair list: cosine is symmetric
+    # and pairwise_cosine emits both orientations, so the count per
+    # left_id IS the undirected degree — one scan of the O(n^2) matmul
+    # subtree instead of the two union branches. PERSIST the (tiny:
+    # one row per node) degree table: it feeds two joins below, and
+    # without the persist each join re-executes the whole matmul
+    # (round 12 sf1.0 re-run finding: the un-persisted shape ran the
+    # pairwise kernel ~5x per query — 44 s vs 16 s at sf1.0).
     deg = (
-        und.select(F.col("x").alias("id"))
-        .unionAll(und.select(F.col("y").alias("id")))
-        .groupBy("id")
+        pairs.groupBy(F.col("left_id").alias("id"))
         .agg(F.count("*").cast("bigint").alias("d"))
+        .persist()
     )
     # both orientations: (dx, dy) and (dy, dx)
     e = und.join(deg.withColumnRenamed("id", "x").withColumnRenamed("d", "dx"), "x").join(
