@@ -209,6 +209,7 @@ HEADLINE = [
     "cypher_optional_varlen_computed",  # computed cond in var-length OPTIONAL
     "mql_date_trunc_week_bins",  # week binSize + startOfWeek bins
     "mql_window_range_months",   # calendar-unit range window (join device)
+    "mql_agg_bucket_auto_e24",   # E-series granularity boundaries
 ]
 
 

@@ -1737,12 +1737,48 @@ def _bucket_stage(df: DataFrame, spec: dict) -> DataFrame:
     return df.groupBy(bucket.alias("_id")).agg(*_group_aggs(out_spec, df))
 
 
+def _e_series(n: int) -> list:
+    """IEC 60063 E48/E96/E192 mantissas: 10^(i/n) rounded to 3
+    significant digits, plus the standard's single tabulated anomaly
+    (E192 lists 9.20 where the formula gives 9.19). E6/E12/E24 are
+    NOT formulaic (legacy tables predate the geometric rule — 2.7,
+    3.3, 3.9, 4.7 etc. deviate) and stay hardcoded below."""
+    out = []
+    for i in range(n):
+        v = round(10 ** (i / n), 2)
+        out.append(9.2 if v == 9.19 else v)
+    return out
+
+
 _GRANULARITY_MANTISSAS = {
     "1-2-5": [1.0, 2.0, 5.0],
     "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
     "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
     "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8,
             3.15, 3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
+    # round 12 (verdict-r11 residue): the remaining Renard series —
+    # ISO 3 tables; R20 ⊂ R40 ⊂ R80 (pinned in tests)
+    "R40": [1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7,
+            1.8, 1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0,
+            3.15, 3.35, 3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3,
+            5.6, 6.0, 6.3, 6.7, 7.1, 7.5, 8.0, 8.5, 9.0, 9.5],
+    "R80": [1.0, 1.03, 1.06, 1.09, 1.12, 1.15, 1.18, 1.22, 1.25, 1.28,
+            1.32, 1.36, 1.4, 1.45, 1.5, 1.55, 1.6, 1.65, 1.7, 1.75,
+            1.8, 1.85, 1.9, 1.95, 2.0, 2.06, 2.12, 2.18, 2.24, 2.3,
+            2.36, 2.43, 2.5, 2.58, 2.65, 2.72, 2.8, 2.9, 3.0, 3.07,
+            3.15, 3.25, 3.35, 3.45, 3.55, 3.65, 3.75, 3.87, 4.0, 4.12,
+            4.25, 4.37, 4.5, 4.62, 4.75, 4.87, 5.0, 5.15, 5.3, 5.45,
+            5.6, 5.8, 6.0, 6.15, 6.3, 6.5, 6.7, 6.9, 7.1, 7.3,
+            7.5, 7.75, 8.0, 8.25, 8.5, 8.75, 9.0, 9.25, 9.5, 9.75],
+    # IEC 60063 E-series: the legacy tables verbatim, the geometric
+    # ones generated (see _e_series)
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+    "E24": [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0,
+            3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1],
+    "E48": _e_series(48),
+    "E96": _e_series(96),
+    "E192": _e_series(192),
 }
 
 
@@ -1867,14 +1903,15 @@ def _bucket_auto_stage(df: DataFrame, spec: dict) -> DataFrame:
     ``count``).
 
     ``granularity`` (round 9, verdict-r8 item 8): bucket BOUNDARIES are
-    rounded to the preferred-number series (POWERSOF2 / 1-2-5 / R5 /
-    R10 / R20) — first bound rounded DOWN from the global minimum, each
-    equal-population split value rounded UP, the final bound to the
-    smallest series value STRICTLY above the maximum (bounds stay
-    exclusive-upper). Documents re-bucket by the ROUNDED bounds, so
-    counts become unequal — Mongo's documented granularity effect; the
-    rounding itself touches only the <= buckets+1 boundary values on
-    the driver, never data. E-series (E6..E192) raise."""
+    rounded to the preferred-number series — first bound rounded DOWN
+    from the global minimum, each equal-population split value rounded
+    UP, the final bound to the smallest series value STRICTLY above
+    the maximum (bounds stay exclusive-upper). Documents re-bucket by
+    the ROUNDED bounds, so counts become unequal — Mongo's documented
+    granularity effect; the rounding itself touches only the <=
+    buckets+1 boundary values on the driver, never data. Round 12
+    closes the series list: POWERSOF2 / 1-2-5 / R5-R80 (ISO 3) /
+    E6-E192 (IEC 60063) — Mongo's full granularity surface."""
     if not (isinstance(spec, dict) and "groupBy" in spec and "buckets" in spec):
         raise ValueError(f"$bucketAuto needs groupBy and buckets: {spec!r}")
     gran = spec.get("granularity")

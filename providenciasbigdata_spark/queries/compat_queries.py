@@ -960,6 +960,92 @@ GROUP BY bs.lo, bs.hi ORDER BY bs.lo
 """
 
 
+def q_mql_bucket_auto_e24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucketAuto with IEC 60063 E-series granularity (round 12,
+    verdict-r11 residue — the last granularity family): equal-
+    population doc_id splits rounded to the E24 preferred numbers
+    (legacy table, NOT formulaic: 2.7/3.3/3.9/4.7... predate the
+    geometric rule). Same bound derivation as the POWERSOF2 sibling
+    (down / up / strict-up, compat/ir.py::_granularity_round); the
+    oracle replays the mantissa rounding with an E24 VALUES table and
+    the engine's decade-normalization compensation."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    out = mql_aggregate(
+        _rulings(spark, sf_dir),
+        [{"$bucketAuto": {
+            "groupBy": "$doc_id", "buckets": 5, "granularity": "E24",
+        }}],
+    )
+    return out.select(
+        "min_value", "max_value", F.col("count").cast("bigint").alias("count")
+    )
+
+
+_E24_LIST = ("[1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7, 3.0, "
+             "3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5, 8.2, 9.1]")
+
+_MQL_BUCKET_AUTO_E24_SQL = f"""
+WITH r AS ({_RULINGS_SQL}),
+vals AS (SELECT CAST(doc_id AS DOUBLE) AS v, COUNT(*) AS cnt FROM r GROUP BY 1),
+ranked AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         (SELECT SUM(cnt) FROM vals) AS total
+  FROM vals),
+splits AS (
+  SELECT (cb * 5) // total AS bucket, MIN(v) AS s
+  FROM ranked GROUP BY 1),
+mants AS (SELECT UNNEST({_E24_LIST}) AS m),
+-- decade normalization with the engine's m<1 / m>=10 compensation
+norm AS (
+  SELECT bucket, s,
+         FLOOR(LOG10(s)) + CASE WHEN s / POWER(10, FLOOR(LOG10(s))) >= 10 THEN 1
+                                WHEN s / POWER(10, FLOOR(LOG10(s))) < 1 THEN -1
+                                ELSE 0 END AS e
+  FROM splits WHERE s > 0),
+lo0 AS (
+  SELECT CASE WHEN s = 0 THEN 0.0 ELSE COALESCE(
+           (SELECT MAX(m * POWER(10, n.e)) FROM mants
+            WHERE m * POWER(10, n.e) <= s),
+           9.1 * POWER(10, n.e - 1)) END AS b
+  FROM splits LEFT JOIN norm n USING (bucket, s)
+  WHERE bucket = (SELECT MIN(bucket) FROM splits)),
+ups AS (
+  SELECT CASE WHEN s = 0 THEN 0.0 ELSE COALESCE(
+           (SELECT MIN(m * POWER(10, n.e)) FROM mants
+            WHERE m * POWER(10, n.e) >= s),
+           POWER(10, n.e + 1)) END AS b
+  FROM splits LEFT JOIN norm n USING (bucket, s)
+  WHERE bucket > (SELECT MIN(bucket) FROM splits)),
+mx AS (SELECT MAX(v) AS s FROM vals),
+mxn AS (
+  SELECT s, FLOOR(LOG10(s)) + CASE WHEN s / POWER(10, FLOOR(LOG10(s))) >= 10 THEN 1
+                                   WHEN s / POWER(10, FLOOR(LOG10(s))) < 1 THEN -1
+                                   ELSE 0 END AS e
+  FROM mx WHERE s > 0),
+topb AS (
+  SELECT CASE WHEN (SELECT s FROM mx) = 0 THEN 1.0 ELSE COALESCE(
+           (SELECT MIN(m * POWER(10, mxn.e)) FROM mants
+            WHERE m * POWER(10, mxn.e) > mxn.s),
+           POWER(10, mxn.e + 1)) END AS b
+  FROM mxn),
+bounds AS (
+  SELECT b FROM lo0
+  UNION
+  SELECT b FROM ups
+  WHERE b > (SELECT b FROM lo0) AND b < (SELECT b FROM topb)
+  UNION
+  SELECT b FROM topb),
+bs AS (SELECT b AS lo, LEAD(b) OVER (ORDER BY b) AS hi FROM bounds)
+SELECT bs.lo AS min_value, bs.hi AS max_value,
+       CAST(SUM(vals.cnt) AS BIGINT) AS count
+FROM bs JOIN vals ON vals.v >= bs.lo AND vals.v < bs.hi
+GROUP BY bs.lo, bs.hi ORDER BY bs.lo
+"""
+
+
 def q_mql_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$merge output stage: post-2010 per-tipo counts merged into a
     pre-2010 stats collection on tipo — matched tipos gain the n_new
@@ -4512,6 +4598,9 @@ QUERIES = {
     "mql_agg_bucket_auto": (q_mql_bucket_auto, _MQL_BUCKET_AUTO_SQL),
     "mql_agg_bucket_auto_granularity": (
         q_mql_bucket_auto_granularity, _MQL_BUCKET_AUTO_GRAN_SQL,
+    ),
+    "mql_agg_bucket_auto_e24": (
+        q_mql_bucket_auto_e24, _MQL_BUCKET_AUTO_E24_SQL,
     ),
     "mql_agg_top_tokens": (q_mql_agg_top_tokens, _MQL_AGG_TOKENS_SQL),
     "mql_agg_bucket": (q_mql_agg_bucket, _MQL_BUCKET_SQL),

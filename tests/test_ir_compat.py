@@ -1395,9 +1395,10 @@ def test_mql_bucket_auto_granularity(spark):
 
     import pytest as _pytest
 
+    # round 12 lifted the E-series; an unknown series still raises
     with _pytest.raises(ValueError, match="unsupported .* granularity"):
         mql_aggregate(df, [{"$bucketAuto": {"groupBy": "$x", "buckets": 2,
-                                            "granularity": "E12"}}])
+                                            "granularity": "E13"}}])
     neg = spark.createDataFrame([(-1.0,), (4.0,)], "x double")
     with _pytest.raises(Exception, match="non-negative"):
         mql_aggregate(neg, [{"$bucketAuto": {
@@ -3210,3 +3211,52 @@ def test_mql_date_trunc_week_start_of_week(spark):
     with _pt.raises(ValueError, match="timezone"):
         mql_aggregate(df, [{"$addFields": {"x": {"$dateTrunc": {
             "date": "$ts", "unit": "day", "timezone": "America/Bogota"}}}}])
+
+
+def test_mql_granularity_full_series(spark):
+    """Round 12: the remaining $bucketAuto granularity families — ISO 3
+    Renard R40/R80 and IEC 60063 E6..E192. Pins: the Renard nesting
+    invariant (R5 ⊂ R10 ⊂ R20 ⊂ R40 ⊂ R80), series lengths, the E192
+    anomaly (the standard tabulates 9.20 where 10^(185/192) rounds to
+    9.19), legacy-E24 deviations from the geometric rule (2.7 where
+    the formula gives 2.61), spot rounding values, and an end-to-end
+    E12 bucketing."""
+    from providenciasbigdata_spark.compat.ir import (
+        _GRANULARITY_MANTISSAS as G,
+        _granularity_round,
+        mql_aggregate,
+    )
+
+    for small, big in [("R5", "R10"), ("R10", "R20"), ("R20", "R40"),
+                       ("R40", "R80")]:
+        assert set(G[small]) <= set(G[big]), (small, big)
+    assert [len(G[s]) for s in ("R40", "R80", "E6", "E12", "E24",
+                                "E48", "E96", "E192")] == \
+        [40, 80, 6, 12, 24, 48, 96, 192]
+    assert 9.2 in G["E192"] and 9.19 not in G["E192"]
+    assert 2.7 in G["E24"] and 2.61 not in G["E24"]  # legacy table
+    assert 2.61 in G["E48"]                           # geometric table
+
+    # spot rounding: up(300, E24) stays 300 (3.0 is in E24); up(400)
+    # jumps to 430; strict_up(499) -> 510; down(95, R40) -> 90
+    assert _granularity_round(300.0, "E24", "up") == 300.0
+    assert _granularity_round(400.0, "E24", "up") == 430.0
+    assert _granularity_round(499.0, "E24", "strict_up") == 5.1 * 100.0
+    assert _granularity_round(95.0, "R40", "down") == 95.0  # 9.5 in R40
+    assert _granularity_round(94.0, "R40", "down") == 90.0
+    # decade fallbacks: up past the last mantissa rolls to the next
+    # decade; down below 1.0-mantissa falls to the previous decade top
+    assert _granularity_round(9.6, "E24", "up") == 10.0
+    assert abs(_granularity_round(0.99, "E24", "down") - 0.91) < 1e-12
+
+    # end-to-end: E12 bounds over 0..99 with 4 buckets
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    rows = mql_aggregate(df, [{"$bucketAuto": {
+        "groupBy": "$x", "buckets": 4, "granularity": "E12"}}]).collect()
+    bounds = sorted((r["min_value"], r["max_value"]) for r in rows)
+    # splits 0/25/50/75 -> up: 27, 56, 82; max 99 -> strict_up 100
+    # (IEEE products: the bound VALUES are mantissa*10^e exactly as the
+    # engine computes them — compare to the same products)
+    want = [(0.0, 2.7 * 10), (2.7 * 10, 5.6 * 10), (5.6 * 10, 8.2 * 10),
+            (8.2 * 10, 100.0)]
+    assert bounds == want, bounds
