@@ -320,6 +320,14 @@ def pairwise_cosine(
     Both branches share the identical output contract (pinned equal in
     tests/test_similarity.py), so callers get the same answer either
     way — only the physical plan changes with scale.
+
+    Dispatch-cost caveat (round 12, ADVICE-r11): the COUNT(*) is
+    footer-answered only for a plain table scan. A caller passing a
+    DERIVED plan (filter/join upstream) pays a full job for the
+    dispatch AND a second execution of that plan inside the chosen
+    branch — cache the input first, or skip the dispatcher and call
+    pairwise_cosine_matmul / pairwise_cosine_blocked directly when the
+    size class is known.
     """
     n = embeddings.count()
     if n <= broadcast_limit:
