@@ -2365,7 +2365,10 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
                     "$push", "$addToSet", "$stdDevPop", "$stdDevSamp"):
             col = _agg_expr(arg)
             new_cols[out] = {
-                "$sum": lambda c: F.sum(c).over(w),
+                # Mongo window $sum: 0 over an all-null/empty frame —
+                # same rule as the $group accumulator (round-12 window
+                # property gate caught the bare F.sum returning NULL)
+                "$sum": lambda c: F.coalesce(F.sum(c).over(w), F.lit(0)),
                 "$avg": lambda c: F.avg(c).over(w),
                 "$min": lambda c: F.min(c).over(w),
                 "$max": lambda c: F.max(c).over(w),

@@ -760,3 +760,135 @@ def test_agg_group_pipeline_matches_mongo_model(spark, expr, key):
             len(vs),
         )
     assert got == want, (expr, key)
+
+
+# ---- $setWindowFields vs pure-Python models (round 12) -------------------
+
+_WF_BOUND = st.one_of(
+    st.integers(-3, 3),
+    st.just("unbounded"),
+    st.just("current"),
+)
+
+
+def _wf_rows():
+    # unique (grp, ord) so the sortBy order is total => deterministic
+    return st.lists(
+        st.tuples(
+            st.sampled_from(["g", "h"]),
+            st.one_of(st.none(), st.integers(-4, 4)),
+        ),
+        min_size=1, max_size=8,
+    ).map(lambda vs: [
+        (i, g, i, v) for i, (g, v) in enumerate(vs)
+    ])
+
+
+def _resolve_docs_bound(b, idx, n, side):
+    if b == "unbounded":
+        return 0 if side == "lo" else n - 1
+    if b == "current":
+        return idx
+    return idx + b
+
+
+@settings(max_examples=20, deadline=None)
+@given(_wf_rows(), _WF_BOUND, _WF_BOUND)
+def test_window_fields_documents_matches_model(spark, rows, lo, hi):
+    """Random `documents` frames (ROWS windows) in $setWindowFields
+    match a pure-Python frame evaluator: $sum ignores nulls and reads
+    0 on an all-null/empty frame, $min null, $count counts documents
+    (not nulls), partitions are isolated, and negative/positive/
+    unbounded/current bounds all slice correctly."""
+    from hypothesis import assume
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    def rank(b, side):
+        order = {"unbounded": -10**6 if side == "lo" else 10**6,
+                 "current": 0}
+        return order.get(b, b)
+
+    assume(rank(lo, "lo") <= rank(hi, "hi"))
+    df = spark.createDataFrame(rows, "rid long, grp string, ord long, v long")
+    got = {r["rid"]: (r["s"], r["mn"], r["n"]) for r in mql_aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$grp",
+            "sortBy": {"ord": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"documents": [lo, hi]}},
+                "mn": {"$min": "$v", "window": {"documents": [lo, hi]}},
+                "n": {"$count": {}, "window": {"documents": [lo, hi]}},
+            },
+        }}]).collect()}
+
+    by_grp: dict = {}
+    for rid, g, o, v in rows:
+        by_grp.setdefault(g, []).append((o, rid, v))
+    want = {}
+    for g, items in by_grp.items():
+        items.sort()
+        n = len(items)
+        for idx, (_o, rid, _v) in enumerate(items):
+            a = max(0, _resolve_docs_bound(lo, idx, n, "lo"))
+            b = min(n - 1, _resolve_docs_bound(hi, idx, n, "hi"))
+            frame = [items[j][2] for j in range(a, b + 1)] if a <= b else []
+            nn = [v for v in frame if v is not None]
+            want[rid] = (sum(nn) if nn else 0,
+                         min(nn) if nn else None,
+                         len(frame))
+    assert got == want, (rows, lo, hi)
+
+
+def _cal_ts():
+    import datetime as dt
+
+    return st.builds(
+        lambda month, day, sec, ms: dt.datetime(
+            2024, month, min(day, [31,29,31,30,31,30,31,31,30,31,30,31][month-1]),
+            12, 0, sec, ms * 1000,
+        ),
+        st.integers(1, 12), st.integers(1, 31),
+        st.integers(0, 59), st.integers(0, 3),
+    )
+
+
+def _add_months_clamped(ts, n):
+    import calendar
+
+    y = ts.year + (ts.month - 1 + n) // 12
+    m = (ts.month - 1 + n) % 12 + 1
+    d = min(ts.day, calendar.monthrange(y, m)[1])
+    return ts.replace(year=y, month=m, day=d)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(_cal_ts(), min_size=1, max_size=7, unique=True),
+    st.integers(-2, 0), st.integers(0, 2),
+)
+def test_window_fields_calendar_range_matches_model(spark, tss, lo, hi):
+    """Random timestamps (incl. month-end days and sub-second parts)
+    through the round-12 calendar-unit range window match a Python
+    model computing the dateAdd boundaries with explicit day clamping
+    — frame membership is [ts + lo months, ts + hi months] inclusive
+    at full timestamp precision."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    rows = [(i, ts, float(2 ** i)) for i, ts in enumerate(sorted(tss))]
+    df = spark.createDataFrame(rows, "rid long, ts timestamp, v double")
+    got = {r["rid"]: (r["s"], r["n"]) for r in mql_aggregate(df, [
+        {"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"range": [lo, hi], "unit": "month"}},
+                "n": {"$count": {}, "window": {"range": [lo, hi], "unit": "month"}},
+            },
+        }}]).collect()}
+    want = {}
+    for rid, ts, _v in rows:
+        a = _add_months_clamped(ts, lo)
+        b = _add_months_clamped(ts, hi)
+        frame = [v for _r, t, v in rows if a <= t <= b]
+        want[rid] = (sum(frame) if frame else 0.0, len(frame))
+    assert got == want, (rows, lo, hi)
