@@ -1274,12 +1274,36 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
         if op == "$dateTrunc":
             if not (isinstance(args, dict) and {"date", "unit"} <= set(args)):
                 raise ValueError(f"$dateTrunc needs date and unit: {args!r}")
-            if set(args) - {"date", "unit", "binSize", "startOfWeek"}:
-                raise ValueError(
-                    f"$dateTrunc timezone is unsupported: {args!r}"
-                )
+            if set(args) - {"date", "unit", "binSize", "startOfWeek", "timezone"}:
+                raise ValueError(f"unsupported $dateTrunc options: {args!r}")
             unit = str(args["unit"])
             date = _agg_expr(args["date"], scope)
+            tz = args.get("timezone")
+            if tz is not None:
+                # timezone (round 12, closing the last $dateTrunc
+                # option): truncation happens in the zone's WALL CLOCK
+                # — shift the instant to local wall time (as NTZ; the
+                # session runs UTC so a cast is wall-preserving), run
+                # the unchanged truncation arithmetic on it (bins
+                # thereby anchor at 2000-01-01 LOCAL midnight, Mongo's
+                # rule), and shift the result back to a UTC instant.
+                # Accepts Olson ids and fixed offsets (Java ZoneId).
+                # DST edge: a bin start falling in a spring-forward gap
+                # resolves by Java's gap rule (shift forward) — Mongo's
+                # timelib may differ in that one wall hour; documented.
+                if not isinstance(tz, str) or not tz:
+                    raise ValueError(f"$dateTrunc timezone must be a string: {tz!r}")
+                date = F.convert_timezone(
+                    F.lit("UTC"), F.lit(tz), date.cast("timestamp_ntz")
+                ).cast("timestamp")
+
+            def _from_local(res: Column) -> Column:
+                if tz is None:
+                    return res
+                return F.convert_timezone(
+                    F.lit(tz), F.lit("UTC"), res.cast("timestamp_ntz")
+                ).cast("timestamp")
+
             bin_size = args.get("binSize", 1)
             if not isinstance(bin_size, int) or isinstance(bin_size, bool) or bin_size < 1:
                 raise ValueError(f"$dateTrunc binSize must be an int >= 1: {bin_size!r}")
@@ -1315,11 +1339,11 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
                 ).replace(tzinfo=_dt.timezone.utc).timestamp()) * 1000
                 span = 7 * 86400 * 1000 * bin_size
                 b = F.unix_millis(date.cast("timestamp")) - F.lit(ref_ms)
-                return F.timestamp_millis(
+                return _from_local(F.timestamp_millis(
                     b - F.pmod(b, F.lit(span)) + F.lit(ref_ms)
-                )
+                ))
             if bin_size == 1:
-                return F.date_trunc(unit, date)
+                return _from_local(F.date_trunc(unit, date))
             # binSize > 1 (round 11, verdict-r10 item 4): Mongo anchors
             # bins at the 2000-01-01T00:00:00Z reference. Fixed-width
             # units bin by UTC epoch arithmetic (b - pmod(b, span) is
@@ -1331,24 +1355,29 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
                 # second-floor cast would bin identically — millis kept
                 # for uniformity with the range-window resolution)
                 span = fixed[unit] * bin_size * 1000
-                ref = 946684800000  # 2000-01-01T00:00:00Z epoch millis
+                ref = 946684800000  # 2000-01-01T00:00 (local wall when
+                # a timezone localized `date`, else Z) epoch millis
                 b = F.unix_millis(date.cast("timestamp")) - F.lit(ref)
-                return F.timestamp_millis(
+                return _from_local(F.timestamp_millis(
                     b - F.pmod(b, F.lit(span)) + F.lit(ref)
-                )
+                ))
             months_per = {"month": 1, "quarter": 3, "year": 12}
             if unit in months_per:
                 span = months_per[unit] * bin_size
                 m = (F.year(date) - F.lit(2000)) * 12 + F.month(date) - F.lit(1)
                 binned = m - F.pmod(m, F.lit(span))
-                return F.add_months(
+                return _from_local(F.add_months(
                     F.lit("2000-01-01").cast("date"), binned
-                ).cast("timestamp")
+                ).cast("timestamp"))
             raise ValueError(
                 f"$dateTrunc binSize with unit {unit!r} is unsupported"
             )
         if op == "$ifNull":
-            return F.coalesce(*(_agg_expr(x, scope) for x in _expr_args(args, op, 2)))
+            # Mongo 5.0: variadic — first non-null of 2+ expressions
+            exprs = _expr_args(args, op)
+            if len(exprs) < 2:
+                raise ValueError(f"$ifNull needs at least 2 arguments: {args!r}")
+            return F.coalesce(*(_agg_expr(x, scope) for x in exprs))
         if op == "$cond":
             if isinstance(args, dict):
                 args = [args.get("if"), args.get("then"), args.get("else")]

@@ -3165,6 +3165,46 @@ FROM b GROUP BY 1
 """
 
 
+def q_mql_date_trunc_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$dateTrunc`` with ``timezone`` (round 12, the last $dateTrunc
+    option): daily event bins in America/Bogota (UTC-5, no DST) —
+    truncation runs in the zone's WALL clock and the bin start comes
+    back as a UTC instant (05:00Z boundaries), so late-evening UTC
+    events land on the LOCAL previous day. The oracle replays the
+    identical wall-clock walk with DuckDB's ICU timezone(): instant ->
+    local wall -> date_trunc -> instant -> UTC wall."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    out = mql_aggregate(
+        ev,
+        [
+            {"$addFields": {"day_local": {"$dateTrunc": {
+                "date": "$ts", "unit": "day",
+                "timezone": "America/Bogota"}}}},
+            {"$group": {"_id": "$day_local", "n": {"$sum": 1}}},
+        ],
+    )
+    return out.select(
+        F.date_format("_id", "yyyy-MM-dd HH:mm:ss").alias("day_start_utc"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_MQL_DATE_TRUNC_TZ_SQL = """
+WITH b AS (
+  SELECT timezone('UTC',
+           timezone('America/Bogota',
+             date_trunc('day',
+               timezone('America/Bogota', timezone('UTC', ts))))) AS d
+  FROM events
+)
+SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS day_start_utc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1
+"""
+
+
 def q_mql_window_range_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-unit range window (round 12, verdict-r11 item 6): per
     user, the trailing-1-MONTH sum and count of event values. Months
@@ -4637,6 +4677,9 @@ QUERIES = {
     ),
     "mql_date_trunc_week_bins": (
         q_mql_date_trunc_week_bins, _MQL_DATE_TRUNC_WEEK_SQL,
+    ),
+    "mql_date_trunc_timezone": (
+        q_mql_date_trunc_timezone, _MQL_DATE_TRUNC_TZ_SQL,
     ),
     "mql_group_merge_objects": (
         q_mql_group_merge_objects, _MQL_GROUP_MERGE_OBJECTS_SQL,

@@ -3208,9 +3208,31 @@ def test_mql_date_trunc_week_start_of_week(spark):
     assert got[3][1] == ts("1999-12-27 00:00:00")
     assert got[3][2] == ts("1999-12-27 00:00:00")
 
-    with _pt.raises(ValueError, match="timezone"):
+    # round 12 (late): timezone supported — truncation in the zone's
+    # wall clock, result back as a UTC instant. Bogota is UTC-5, no
+    # DST: 2024-01-10 03:00Z = Jan 9 22:00 local -> day-trunc ->
+    # Jan 9 00:00 local = Jan 9 05:00Z. Unknown option names raise.
+    tzdf = spark.createDataFrame(
+        [(1, ts("2024-01-10 03:00:00"))], "event_id long, ts timestamp")
+    got_tz = mql_aggregate(tzdf, [{"$addFields": {
+        "d": {"$dateTrunc": {"date": "$ts", "unit": "day",
+                             "timezone": "America/Bogota"}},
+        "m": {"$dateTrunc": {"date": "$ts", "unit": "month", "binSize": 2,
+                             "timezone": "America/Bogota"}},
+        "w": {"$dateTrunc": {"date": "$ts", "unit": "week",
+                             "startOfWeek": "monday",
+                             "timezone": "America/Bogota"}},
+    }}]).collect()[0]
+    assert got_tz["d"] == ts("2024-01-09 05:00:00")
+    # 2-month bins anchored at 2000-01-01 LOCAL midnight: Jan 2024 ->
+    # bin start Jan 1 local = Jan 1 05:00Z
+    assert got_tz["m"] == ts("2024-01-01 05:00:00")
+    # Jan 9 2024 22:00 local is a Tuesday; Monday-start week ->
+    # Mon Jan 8 00:00 local = Jan 8 05:00Z
+    assert got_tz["w"] == ts("2024-01-08 05:00:00")
+    with _pt.raises(ValueError, match="unsupported"):
         mql_aggregate(df, [{"$addFields": {"x": {"$dateTrunc": {
-            "date": "$ts", "unit": "day", "timezone": "America/Bogota"}}}}])
+            "date": "$ts", "unit": "day", "timeZone": "America/Bogota"}}}}])
 
 
 def test_mql_granularity_full_series(spark):
@@ -3260,3 +3282,22 @@ def test_mql_granularity_full_series(spark):
     want = [(0.0, 2.7 * 10), (2.7 * 10, 5.6 * 10), (5.6 * 10, 8.2 * 10),
             (8.2 * 10, 100.0)]
     assert bounds == want, bounds
+
+
+def test_mql_if_null_variadic(spark):
+    """Mongo 5.0 variadic $ifNull: first non-null of 2+ expressions
+    (round 12 — was pinned to exactly 2); <2 args still raises."""
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    df = spark.createDataFrame(
+        [(1, None, None, 7), (2, None, 5, 7), (3, 3, 5, 7)],
+        "rid long, a long, b long, c long",
+    )
+    got = {r["rid"]: r["x"] for r in mql_aggregate(df, [
+        {"$addFields": {"x": {"$ifNull": ["$a", "$b", "$c", 0]}}},
+    ]).collect()}
+    assert got == {1: 7, 2: 5, 3: 3}
+    with _pt.raises(ValueError, match="at least 2"):
+        mql_aggregate(df, [{"$addFields": {"x": {"$ifNull": ["$a"]}}}])
