@@ -211,6 +211,7 @@ HEADLINE = [
     "mql_window_range_months",   # calendar-unit range window (join device)
     "mql_agg_bucket_auto_e24",   # E-series granularity boundaries
     "mql_date_trunc_timezone",   # wall-clock truncation (ICU replay)
+    "mql_derivative_time_rate",  # date-unit derivative/integral
 ]
 
 

@@ -2208,15 +2208,33 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             # date form — unsupported, raises).
             if not (isinstance(arg, dict) and "input" in arg):
                 raise ValueError(f"{fn} needs an input: {arg!r}")
-            if arg.get("unit"):
-                raise ValueError(f"{fn} date units are unsupported (numeric sortBy)")
             if len(sort_pairs) != 1 or sort_pairs[0][1] != 1:
                 raise ValueError(
-                    f"{fn} requires a single ascending numeric sortBy field"
+                    f"{fn} requires a single ascending sortBy field"
                 )
             if win is None or "documents" not in win:
                 raise ValueError(f"{fn} requires a documents window here")
-            s = F.col(sort_pairs[0][0]).cast("double")
+            d_unit = arg.get("unit")
+            if d_unit:
+                # date form (round 12): sortBy is a timestamp; the
+                # axis is epoch time expressed IN THE UNIT (fixed-width
+                # only — Mongo's own rule for these two functions), so
+                # derivative reads as a per-unit rate and integral as
+                # value x unit area. Millis precision (range-window
+                # resolution rule).
+                u_ms = {"millisecond": 1, "second": 1000, "minute": 60_000,
+                        "hour": 3_600_000, "day": 86_400_000,
+                        "week": 604_800_000}.get(str(d_unit))
+                if u_ms is None:
+                    raise ValueError(
+                        f"{fn} unit must be a fixed-width time unit: {d_unit!r}"
+                    )
+                s = (
+                    F.unix_millis(F.col(sort_pairs[0][0]).cast("timestamp"))
+                    .cast("double") / F.lit(float(u_ms))
+                )
+            else:
+                s = F.col(sort_pairs[0][0]).cast("double")
             v = _agg_expr(arg["input"]).cast("double")
             lo_b, hi_b = win["documents"]
             w = base.orderBy(*sort_cols).rowsBetween(

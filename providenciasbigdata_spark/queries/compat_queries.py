@@ -3693,6 +3693,67 @@ FROM w
 """
 
 
+def q_mql_derivative_time_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$derivative/$integral over a TIMESTAMP axis (round 12 — the
+    date-unit form the numeric sibling above couldn't express): per
+    user, the trailing 3-event per-HOUR rate of change and the running
+    value x hour area. The axis is epoch millis divided into the unit
+    (fixed-width only, Mongo's rule for these functions); both engines
+    divide identical integers, difference and fold in identical order,
+    so the doubles value-hash UNROUNDED."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts",
+                F.col("value").cast("double").alias("v"))
+    )
+    out = mql_aggregate(
+        ev,
+        [{"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "rate_h": {"$derivative": {"input": "$v", "unit": "hour"},
+                           "window": {"documents": [-2, 0]}},
+                "area_h": {"$integral": {"input": "$v", "unit": "hour"},
+                           "window": {"documents": ["unbounded", "current"]}},
+            },
+        }}],
+    )
+    return out.select("user_id", "event_id", "rate_h", "area_h")
+
+
+_MQL_DERIV_TIME_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+         CAST(epoch_ms(ts) AS DOUBLE) / 3600000.0 AS s
+  FROM events WHERE user_id < 30
+), w AS (
+  SELECT user_id, event_id, v,
+         FIRST_VALUE(s) OVER t3 AS fs, LAST_VALUE(s) OVER t3 AS ls,
+         FIRST_VALUE(v) OVER t3 AS fv, LAST_VALUE(v) OVER t3 AS lv,
+         list(s) OVER cum AS ss, list(v) OVER cum AS vs
+  FROM ev
+  WINDOW t3 AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         cum AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CASE WHEN ls - fs <> 0 THEN (lv - fv) / (ls - fs) END AS rate_h,
+       CASE WHEN len(ss) >= 2 THEN
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(range(1, len(ss)),
+                            i -> (vs[i + 1] + vs[i]) * (ss[i + 1] - ss[i]) / 2.0)),
+           (acc, t) -> acc + t)
+       ELSE 0.0 END AS area_h
+FROM w
+"""
+
+
 def q_mql_agg_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-6 expression/accumulator widening over a non-rulings
     collection (any DataFrame is a collection): ``$dateTrunc`` +
@@ -4690,6 +4751,7 @@ QUERIES = {
     "mql_lookup_pipeline": (q_mql_lookup_pipeline, _MQL_LOOKUP_PIPELINE_SQL),
     "mql_datetime_expr": (q_mql_datetime_expr, _MQL_DATETIME_SQL),
     "mql_agg_derivative_integral": (q_mql_agg_derivative_integral, _MQL_DERIV_INT_SQL),
+    "mql_derivative_time_rate": (q_mql_derivative_time_rate, _MQL_DERIV_TIME_SQL),
     "mql_agg_replace_root": (q_mql_agg_replace_root, _MQL_REPLACE_ROOT_SQL),
     "mql_agg_unset": (q_mql_agg_unset, _MQL_UNSET_SQL),
     "mql_agg_fill": (q_mql_agg_fill, _MQL_FILL_SQL),

@@ -3301,3 +3301,47 @@ def test_mql_if_null_variadic(spark):
     assert got == {1: 7, 2: 5, 3: 3}
     with _pt.raises(ValueError, match="at least 2"):
         mql_aggregate(df, [{"$addFields": {"x": {"$ifNull": ["$a"]}}}])
+
+
+def test_mql_derivative_integral_date_units(spark):
+    """Round 12: $derivative/$integral over a TIMESTAMP sortBy with a
+    fixed-width unit — the axis is epoch time in that unit, so
+    derivative reads per-unit rate and integral value x unit area.
+    Hand-checked: value rises 10 per hour; 3-point trapezoids."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:00:00"), 0.0),
+         (2, ts("2024-01-01 01:00:00"), 10.0),
+         (3, ts("2024-01-01 02:30:00"), 40.0)],
+        "rid long, ts timestamp, v double",
+    )
+    got = {r["rid"]: (r["rate_h"], r["rate_m"], r["area_h"]) for r in mql_aggregate(df, [
+        {"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {
+                "rate_h": {"$derivative": {"input": "$v", "unit": "hour"},
+                           "window": {"documents": [-1, 0]}},
+                "rate_m": {"$derivative": {"input": "$v", "unit": "minute"},
+                           "window": {"documents": [-1, 0]}},
+                "area_h": {"$integral": {"input": "$v", "unit": "hour"},
+                           "window": {"documents": ["unbounded", "current"]}},
+            },
+        }}]).collect()}
+    # rid 2: dv=10 over 1h -> 10/h, 10/60 per minute
+    assert got[2][0] == 10.0 and abs(got[2][1] - 10.0 / 60) < 1e-12
+    # rid 3: dv=30 over 1.5h -> 20/h
+    assert got[3][0] == 20.0
+    # trapezoids in hours: (0+10)/2*1 + (10+40)/2*1.5 = 5 + 37.5
+    assert got[1][2] == 0.0 and got[2][2] == 5.0 and got[3][2] == 42.5
+    # unknown unit raises with the reason
+    with _pt.raises(ValueError, match="fixed-width"):
+        mql_aggregate(df, [{"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"x": {"$derivative": {"input": "$v", "unit": "month"},
+                             "window": {"documents": [-1, 0]}}}}}])
