@@ -2110,10 +2110,12 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
     $push/$addToSet`` with ``documents`` (ROWS) or integer ``range``
     (RANGE, single ascending numeric sortBy — Mongo's own requirement)
     windows, rank family ``$rank/$denseRank/$documentNumber`` (sortBy
-    required, window forbidden — Mongo errors likewise), and ``$shift``
-    (lead/lag with ``by``/``default``). Omitted window = the whole
-    partition (Mongo's documented default). Date-``unit`` range windows
-    and derivative/integral are unsupported and raise.
+    required, window forbidden — Mongo errors likewise), ``$shift``
+    (lead/lag with ``by``/``default``), ``$derivative``/``$integral``
+    (numeric or date-unit axis), gap fills, EMA, and window
+    percentiles. Omitted window = the whole partition (Mongo's
+    documented default). Date-``unit`` range windows cover fixed-width
+    units linearly and month+ via the dateAdd-boundary join device.
 
     Determinism pin: ``$push``/``$addToSet`` arrays follow frame order
     (= sortBy order), which is engine-reproducible only when sortBy is
@@ -2204,8 +2206,8 @@ def _set_window_fields_stage(df: DataFrame, spec) -> DataFrame:
             # trapezoids (v_i + v_{i+1}) * (s_{i+1} - s_i) / 2 — the
             # latter folds a collect_list window LEFT-TO-RIGHT, the
             # identical-order evaluation the DuckDB oracle replays
-            # (the EWMA pattern). Numeric sortBy only ("unit" is the
-            # date form — unsupported, raises).
+            # (the EWMA pattern). Axis: numeric sortBy, or (round 12)
+            # a timestamp sortBy with a fixed-width "unit".
             if not (isinstance(arg, dict) and "input" in arg):
                 raise ValueError(f"{fn} needs an input: {arg!r}")
             if len(sort_pairs) != 1 or sort_pairs[0][1] != 1:
