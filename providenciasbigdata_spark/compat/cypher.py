@@ -409,6 +409,37 @@ def _expr_walk(e, props: list, pars: list):
             _expr_walk(a, props, pars)
 
 
+def _split_top_level_and(text: str) -> list[str]:
+    """Split a WHERE clause on AND at PAREN DEPTH ZERO only (round 12
+    — the Cypher grammar property gate caught the paren-blind
+    ``re.split`` cutting ``(a >= 1 AND b <= 2)`` in half). A
+    parenthesized boolean group survives intact and classifies as one
+    expr_cond atom through the expression grammar, which handles full
+    AND/OR/NOT trees."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i:i + 3].upper() == "AND":
+            before_ws = i > 0 and text[i - 1].isspace()
+            after_ws = i + 3 < n and text[i + 3].isspace()
+            if before_ws and after_ws:
+                parts.append(text[start:i])
+                i += 3
+                start = i
+                continue
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _extract_all_guards(text: str):
     """Pull paren-balanced ``ALL(...)`` blocks out before clause/AND
     splitting (they contain WHERE and AND keywords)."""
@@ -551,7 +582,7 @@ def parse(query: str) -> dict:
 
     def parse_conds(text: str) -> list:
         conds = []
-        for raw in re.split(r"\s+AND\s+", text, flags=re.I):
+        for raw in _split_top_level_and(text):
             raw = raw.strip()
             em = re.fullmatch(r"(NOT\s+)?__EXISTS(\d+)__", raw, re.I)
             if em:

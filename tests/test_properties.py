@@ -892,3 +892,82 @@ def test_window_fields_calendar_range_matches_model(spark, tss, lo, hi):
         frame = [v for _r, t, v in rows if a <= t <= b]
         want[rid] = (sum(frame) if frame else 0.0, len(frame))
     assert got == want, (rows, lo, hi)
+
+
+# ---- Cypher WHERE grammar vs a Python graph model (round 12) -------------
+
+_CY_EDGES = [
+    ("P-1", "P-2", 40.0), ("P-1", "P-3", 20.0), ("P-1", "P-4", 55.5),
+    ("P-1", "P-5", 31.0), ("P-2", "P-4", 35.0), ("P-3", "P-5", 50.0),
+    ("P-5", "P-1", 45.0),
+]
+_CY_ANIO = {f"P-{i}": 2000 + i for i in range(1, 6)}
+
+
+def _cy_conds():
+    leaf = st.one_of(
+        st.builds(lambda op, v: (f"r.similitud {op} {v}",
+                                 lambda s, b: _OPSPY[op](s, v)),
+                  st.sampled_from([">=", ">", "<", "<=", "="]),
+                  st.sampled_from([20.0, 31.0, 40.0, 50.5])),
+        st.builds(lambda op, y: (f"b.anio {op} {y}",
+                                 lambda s, b: _OPSPY[op](_CY_ANIO[b], y)),
+                  st.sampled_from([">=", ">", "<", "<="]),
+                  st.integers(2001, 2005)),
+        st.builds(lambda c, d, v: (
+            f"r.similitud * {c} + {d} > {v}",
+            lambda s, b, c=c, d=d, v=v: s * c + d > v),
+            st.integers(1, 3), st.integers(-10, 10),
+            st.sampled_from([60, 100, 150])),
+    )
+
+    def extend(children):
+        return st.one_of(
+            st.builds(lambda a, b2: (f"({a[0]} AND {b2[0]})",
+                                     lambda s, b: a[1](s, b) and b2[1](s, b)),
+                      children, children),
+            st.builds(lambda a, b2: (f"({a[0]} OR {b2[0]})",
+                                     lambda s, b: a[1](s, b) or b2[1](s, b)),
+                      children, children),
+        )
+
+    return st.recursive(leaf, extend, max_leaves=4)
+
+
+_OPSPY = {
+    ">=": lambda a, b: a >= b, ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b,
+}
+
+
+@settings(max_examples=25, deadline=None)
+@given(_cy_conds())
+def test_cypher_where_grammar_matches_model(spark, cond):
+    """Random WHERE condition trees (relationship-weight guards,
+    node-property guards needing the lazy nodes join, computed
+    arithmetic, AND/OR nesting with parentheses) over the 1-hop
+    anchored pattern evaluate on Spark exactly as a pure-Python graph
+    model — the Cypher sibling of the MQL expression-grammar gate."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    text, model = cond
+    edges = spark.createDataFrame(
+        _CY_EDGES, "src string, dst string, similitud double")
+    nodes = spark.createDataFrame(
+        sorted(_CY_ANIO.items()), "id string, anio long")
+    got = sorted(
+        (r["vecino"], r["s"])
+        for r in cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+            f"WHERE {text} "
+            "RETURN b.id AS vecino, r.similitud AS s",
+            nodes=nodes, edges=edges, params={"o": "P-1"},
+        ).collect()
+    )
+    want = sorted(
+        (dst, sim)
+        for src, dst, sim in _CY_EDGES
+        if src == "P-1" and model(sim, dst)
+    )
+    assert got == want, text
