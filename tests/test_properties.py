@@ -971,3 +971,47 @@ def test_cypher_where_grammar_matches_model(spark, cond):
         if src == "P-1" and model(sim, dst)
     )
     assert got == want, text
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    _cy_conds(),
+    st.sampled_from([None, "s", "abs(s - 40)", "s * -1 + 100"]),
+    st.integers(1, 4),
+)
+def test_cypher_order_limit_matches_model(spark, cond, order, k):
+    """The ORDER BY expression + LIMIT path (order_expr_col) under the
+    same random WHERE grammar: computed sort keys over the projected
+    alias with a deterministic vecino tiebreak, sliced to k — matches
+    the Python model's total-order sort exactly."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    text, model = cond
+    edges = spark.createDataFrame(
+        _CY_EDGES, "src string, dst string, similitud double")
+    nodes = spark.createDataFrame(
+        sorted(_CY_ANIO.items()), "id string, anio long")
+    order_sql = f"ORDER BY {order} ASC, vecino ASC LIMIT {k} " if order else ""
+    rows = cypher_run(
+        "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+        f"WHERE {text} "
+        "RETURN b.id AS vecino, r.similitud AS s "
+        + order_sql,
+        nodes=nodes, edges=edges, params={"o": "P-1"},
+    ).collect()
+    got = [(r["vecino"], r["s"]) for r in rows]
+
+    cands = [
+        (dst, sim) for src, dst, sim in _CY_EDGES
+        if src == "P-1" and model(sim, dst)
+    ]
+    keyfns = {
+        "s": lambda t: t[1],
+        "abs(s - 40)": lambda t: abs(t[1] - 40),
+        "s * -1 + 100": lambda t: t[1] * -1 + 100,
+    }
+    if order:
+        want = sorted(cands, key=lambda t: (keyfns[order](t), t[0]))[:k]
+        assert got == want, (text, order, k)
+    else:
+        assert sorted(got) == sorted(cands), text
