@@ -1015,3 +1015,132 @@ def test_cypher_order_limit_matches_model(spark, cond, order, k):
         assert got == want, (text, order, k)
     else:
         assert sorted(got) == sorted(cands), text
+
+
+# ---- find() projection grammar vs a Mongo model (round 12) ----------------
+
+_PJ_ROWS = [
+    (100, 1, "x", [1, 2, 3, 4, 5]),
+    (101, 2, "y", []),
+    (102, 3, "z", None),
+    (103, 4, "w", [7]),
+]
+_PJ_COLS = ["_id", "a", "b", "arr"]
+
+
+def _projections():
+    inc = st.sampled_from([0, 1])
+    slice_spec = st.one_of(
+        st.integers(-6, 6),
+        st.tuples(st.integers(-6, 6), st.integers(1, 6)).map(list),
+    )
+    return st.builds(
+        lambda fields, id_v, sl: {
+            **{f: v for f, v in fields.items() if v is not None},
+            **({"_id": id_v} if id_v is not None else {}),
+            **({"arr": {"$slice": sl}} if sl is not None else {}),
+        },
+        st.fixed_dictionaries({
+            "a": st.one_of(st.none(), inc),
+            "b": st.one_of(st.none(), inc),
+            "arr": st.one_of(st.none(), inc),
+        }),
+        st.one_of(st.none(), inc),
+        st.one_of(st.none(), slice_spec),
+    )
+
+
+def _model_slice(arr, spec):
+    if arr is None:
+        return None
+    if isinstance(spec, int):
+        return arr[:spec] if spec >= 0 else (arr[spec:] if arr else arr)
+    skip, limit = spec
+    if skip < 0:
+        skip = max(len(arr) + skip, 0)
+    return arr[skip:skip + limit]
+
+
+def _model_projection(projection):
+    """Columns surviving + slice spec, or ValueError — Mongo's rules:
+    single mode (excluding _id), _id implicit in include mode unless
+    _id:0, $slice inclusion-neutral."""
+    sl = None
+    spec = {}
+    for k, v in projection.items():
+        if isinstance(v, dict):
+            sl = v["$slice"]
+        elif k != "_id":
+            spec[k] = bool(v)
+    if len(set(spec.values())) > 1:
+        raise ValueError("mixed")
+    id_setting = projection.get("_id")
+    if not spec:
+        if sl is not None:
+            keep = list(_PJ_COLS)
+            if "_id" in projection and not id_setting:
+                keep.remove("_id")
+            return keep, sl
+        keep = list(_PJ_COLS)
+        if "_id" in projection and not id_setting:
+            keep.remove("_id")
+            if not keep:
+                raise ValueError("empty")
+        return keep, None
+    include = next(iter(spec.values()))
+    if include:
+        keep = [c for c in _PJ_COLS if spec.get(c)]
+        if sl is not None and "arr" not in keep:
+            keep.append("arr")
+        if "_id" in _PJ_COLS and id_setting != 0 and not (
+            "_id" in projection and not id_setting
+        ):
+            keep = ["_id"] + [c for c in keep if c != "_id"]
+    else:
+        keep = [c for c in _PJ_COLS if c == "_id" or not (c in spec)]
+        if "_id" in projection and not id_setting:
+            keep.remove("_id")
+        if not keep:
+            raise ValueError("empty")
+    # stored order
+    keep = [c for c in _PJ_COLS if c in keep]
+    return keep, sl
+
+
+@settings(max_examples=30, deadline=None)
+@given(_projections())
+def test_find_projection_grammar_matches_model(spark, projection):
+    """Random find() projections (include/exclude modes, the _id
+    special cases, inclusion-neutral $slice with int and [skip, limit]
+    forms incl. negative skips and empty/NULL arrays) match a
+    pure-Python Mongo projection model — and the engine raises exactly
+    where the model does (mixed modes)."""
+    from hypothesis import assume
+
+    import pytest as _pt
+
+    from providenciasbigdata_spark.compat.ir import mql_find
+
+    assume(projection)  # empty dict = no projection, nothing to check
+    df = spark.createDataFrame(
+        _PJ_ROWS, "_id long, a long, b string, arr array<int>")
+    try:
+        want_cols, sl = _model_projection(projection)
+        valid = True
+    except ValueError:
+        valid = False
+    if not valid:
+        with _pt.raises(ValueError):
+            mql_find(df, {}, projection=projection).collect()
+        return
+    out = mql_find(df, {}, projection=projection)
+    assert out.columns == want_cols, (projection, out.columns, want_cols)
+    got = sorted((tuple(r) for r in out.collect()), key=repr)
+    want = []
+    for row in _PJ_ROWS:
+        d = dict(zip(_PJ_COLS, row))
+        if sl is not None:
+            d["arr"] = _model_slice(d["arr"], sl)
+        want.append(tuple(d[c] for c in want_cols))
+    want.sort(key=repr)
+    assert got == want, (projection, got, want)
