@@ -218,6 +218,11 @@ HEADLINE = [
 import hashlib
 import re
 
+# Bumped whenever the normalization rules below change: fingerprints
+# from different rule versions are incomparable, and the bench records
+# a baseline reset instead of flagging every query as plan drift.
+_FP_NORM_VERSION = 2
+
 # Round 12 (verdict-r11 item 2): per-query EXECUTED-PLAN fingerprints.
 # A raw bench ratio that moves while the plan fingerprint is unchanged
 # is host drift by construction — machine-checkable, no judge
@@ -232,8 +237,13 @@ _FP_RES = [
     (re.compile(r"file:/[^\s,\])]*"), "<path>"),
     (re.compile(r"(?m)^.*Statistics.*$"), ""),
     (re.compile(r"cachedrdd_\d+"), "cachedrdd_"),
-    # HOF lambda variable counters increment per-SESSION, not per-plan
-    (re.compile(r"\b([a-zA-Z]+)_\d+\b"), r"\1_"),
+    # HOF lambda variable counters increment per-SESSION, not per-plan.
+    # Scope the strip to the short lambda-parameter bases this codebase
+    # actually uses (1-3 lowercase letters: x/y/acc/idx/...) — ADVICE
+    # r12: the old \b[a-zA-Z]+_\d+ stripped the suffix off EVERY
+    # identifier, so two plans differing only in a real alias like
+    # sum_1 vs sum_2 hashed identical (false-negative drift check).
+    (re.compile(r"\b([a-z]{1,3})_\d+\b"), r"\1_"),
     # localCheckpoint scans (iterative BFS/pagerank state) print the
     # GLOBAL RDD id counter — session history, not plan structure
     (re.compile(r"RDD\[\d+\]"), "RDD[]"),
@@ -272,7 +282,10 @@ def _fingerprints_only(sf_dir: str) -> None:
         spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
-    print(json.dumps({"plan_fp": fps, "sf_dir": sf_dir}, sort_keys=True))
+    print(json.dumps(
+        {"plan_fp": fps, "sf_dir": sf_dir, "fp_norm_version": _FP_NORM_VERSION},
+        sort_keys=True,
+    ))
 
 
 def _probe(spark) -> float:
@@ -477,15 +490,23 @@ def main() -> None:
     )
     prior_isolated: dict[str, float] = {}
     prior_fp: dict[str, str] = {}
+    prior_fp_version = None
     try:
         with open(detail_path) as f:
             _prior = json.load(f)
         prior_isolated = _prior.get("isolated_sec", {}) or {}
         prior_fp = _prior.get("plan_fp", {}) or {}
+        prior_fp_version = _prior.get("fp_norm_version", 1)
     except (OSError, ValueError):
         pass
     # "ratio moved, fingerprint unchanged => host" — the machine check.
-    plan_fp_changed = sorted(
+    # Fingerprints are only comparable under the SAME normalization
+    # rules: when the prior artifact was written by an older bench.py
+    # (fp_norm_version differs), every hash moves for rule reasons, so
+    # the comparison is skipped and the artifact says why instead of
+    # flagging the whole headline as plan drift.
+    fp_baseline_reset = prior_fp_version is not None and prior_fp_version != _FP_NORM_VERSION
+    plan_fp_changed = [] if fp_baseline_reset else sorted(
         n for n, fp in plan_fp.items()
         if n in prior_fp and prior_fp[n] != fp
     )
@@ -551,6 +572,8 @@ def main() -> None:
         "queries": timings,
         "plan_fp": plan_fp,
         "plan_fp_changed": plan_fp_changed,
+        "fp_norm_version": _FP_NORM_VERSION,
+        "fp_baseline_reset": fp_baseline_reset,
         "isolated_sec": isolated,
         "isolated_runs": isolated_runs,
         "isolated_probes": isolated_probes,

@@ -95,7 +95,9 @@ def run(spark, sf_dir: str, work_dir: str) -> None:
 
     # -- 4. SimHash: fingerprint index ------------------------------------
     fps = dedup.simhash(docs).cache()
-    idx_fps = fps.filter(F.col("id") < split)
+    # persisted indexes carry their hash-family stamp; SimHash is past
+    # v1 so the reader rejects unstamped indexes outright
+    idx_fps = dedup.stamp_family(fps.filter(F.col("id") < split), dedup.SIMHASH_FAMILY)
     new_fps = fps.filter(F.col("id") >= split)
     inc_pairs = {
         (r.batch_id, r.index_id)

@@ -415,7 +415,10 @@ def _split_top_level_and(text: str) -> list[str]:
     ``re.split`` cutting ``(a >= 1 AND b <= 2)`` in half). A
     parenthesized boolean group survives intact and classifies as one
     expr_cond atom through the expression grammar, which handles full
-    AND/OR/NOT trees."""
+    AND/OR/NOT trees. Quoted string literals are skipped wholesale
+    (ADVICE r12: a '(' / ')' or an uppercase ' AND ' inside quotes
+    must neither move the depth counter nor split the conjunct),
+    mirroring the quote handling the expression grammar has."""
     parts: list[str] = []
     depth = 0
     start = 0
@@ -423,6 +426,13 @@ def _split_top_level_and(text: str) -> list[str]:
     n = len(text)
     while i < n:
         ch = text[i]
+        if ch in ("'", '"'):
+            # skip to the closing quote, exactly mirroring the
+            # grammar's escape-free token '[^']*' (an unterminated
+            # string consumes the tail and the grammar raises later)
+            j = text.find(ch, i + 1)
+            i = n if j < 0 else j + 1
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":

@@ -67,10 +67,25 @@ def stamp_family(index_df: DataFrame, family: str) -> DataFrame:
 def check_family(index_df: DataFrame, expected: str) -> DataFrame:
     """Validate a persisted index's hash-family stamp against the
     CURRENT operator family; returns the index with the stamp column
-    dropped. A missing stamp passes (pre-versioning indexes); a
-    mismatching stamp raises immediately — plan-build time, not after
-    a full scan."""
+    dropped. A mismatching stamp raises immediately — plan-build time,
+    not after a full scan.
+
+    A missing stamp passes only for v1 families (nothing predates v1,
+    so an unstamped index is genuinely current). For any family past
+    v1 an unstamped index IS the hazard the guard exists for — every
+    pre-bump index is by definition unstamped (ADVICE r12: the v1->v2
+    SimHash break would have sailed through the lenient path) — so it
+    raises with a rebuild-or-restamp hint."""
     if _FAMILY_COL not in index_df.columns:
+        if expected.rsplit("/", 1)[-1] != "v1":
+            raise ValueError(
+                f"fingerprint index has no {_FAMILY_COL!r} stamp but the "
+                f"current operator family {expected!r} has had at least "
+                "one hash-family bump — an unstamped index predates the "
+                "bump and its agreement semantics are meaningless. "
+                "Rebuild the index, or re-stamp it with stamp_family() "
+                "if it was verifiably built with the current family."
+            )
         return index_df
     found = [
         r[0]

@@ -814,10 +814,18 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return s.select(
+    out = s.select(
         F.col("n").alias("n_endpoints"),
         (num / F.sqrt(vx * vy)).alias("assortativity"),
     )
+    # The result is ONE row: materialize it eagerly so the persisted
+    # degree table can be released here instead of leaking executor
+    # cache into the caller's session (ADVICE r12 — bench.py cleaned
+    # up between queries, but a library caller embedding this in a
+    # longer session would not). Driver-bounded by construction.
+    rows = out.collect()
+    deg.unpersist()
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 _ASSORTATIVITY_SQL = f"""

@@ -1508,7 +1508,12 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are recall-1 by theorem, so the blocked plan and the
     brute force agree exactly)."""
     docs = load_table(spark, sf_dir, "documents")
-    index = dedup.simhash(docs.filter(F.col("doc_id") < 250))
+    # indexes are stamped with their hash family at build time: the
+    # SimHash family is past v1, so the reader REJECTS unstamped
+    # indexes (they could only predate the v1->v2 hash bump)
+    index = dedup.stamp_family(
+        dedup.simhash(docs.filter(F.col("doc_id") < 250)), dedup.SIMHASH_FAMILY
+    )
     batch = dedup.simhash(docs.filter(F.col("doc_id") >= 250))
     return dedup.simhash_incremental(batch, index, max_hamming=3)
 

@@ -313,7 +313,11 @@ def test_simhash_incremental_equals_cross_pairs_of_full(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     fps = dedup.simhash(docs).cache()
     split = 250
-    index = fps.filter(F.col("id") < split)
+    # the SimHash family is past v1, so the index side must carry the
+    # build-time family stamp (unstamped => pre-bump hazard, raises)
+    index = dedup.stamp_family(
+        fps.filter(F.col("id") < split), dedup.SIMHASH_FAMILY
+    )
     batch = fps.filter(F.col("id") >= split)
     inc = {
         (r.batch_id, r.index_id, r.hamming)
@@ -649,7 +653,9 @@ def test_broadcast_verify_knob(spark):
 def test_fingerprint_family_versioning(spark, sf_dir):
     """Stamped indexes from the CURRENT hash family pass (stamp column
     dropped transparently); a stale/foreign family raises at plan-build
-    time; unstamped legacy indexes pass unchecked (migration gap)."""
+    time. Unstamped indexes pass only for v1 families (nothing predates
+    v1); for a family past v1 — SimHash after the r11 v1->v2 hash bump —
+    an unstamped index IS the pre-bump hazard and raises (ADVICE r12)."""
     import pytest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -675,7 +681,14 @@ def test_fingerprint_family_versioning(spark, sf_dir):
     stale_fps = dedup.stamp_family(fps, "simhash/blake2b/v1")
     with pytest.raises(ValueError, match="fingerprint index family"):
         dedup.simhash_incremental(fps, stale_fps).collect()
+    # UNSTAMPED SimHash index: the family is past v1, so the lenient
+    # path would wave through exactly the pre-bump (v1) indexes the
+    # guard exists for — strict rejection with a restamp hint
+    with pytest.raises(ValueError, match="no 'fingerprint_family' stamp"):
+        dedup.simhash_incremental(fps, fps)
     ok = dedup.simhash_incremental(
         fps, dedup.stamp_family(fps, dedup.SIMHASH_FAMILY), max_hamming=0
     )
     assert ok.count() >= 10  # every doc matches itself at hamming 0
+    # v1 families still accept unstamped indexes: nothing predates v1
+    assert dedup.check_family(index, dedup.EXACT_FAMILY) is index
