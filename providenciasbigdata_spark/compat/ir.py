@@ -58,6 +58,35 @@ _RANGE_OPS = {
 }
 
 
+_UTC_SESSION_TZS = frozenset({"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00"})
+
+
+def _require_utc_session(what: str) -> None:
+    """Calendar-unit lowering (``date_trunc``/``year``/``month`` on
+    TIMESTAMP, date->timestamp casts) follows the SESSION timezone in
+    Spark, while Mongo's wall clock is always UTC. The engine's own
+    sessions pin UTC (session.py), but ``mql_aggregate`` accepts any
+    caller SparkSession — under a non-UTC session those expressions
+    would silently shift bins, so fail loudly at plan build instead
+    (ADVICE r12). Instant-space arithmetic (``unix_millis``,
+    ``from_utc_timestamp``) is session-independent and unaffected."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return
+    tz = sess.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in _UTC_SESSION_TZS:
+        raise ValueError(
+            f"{what} requires spark.sql.session.timeZone=UTC (found {tz!r}): "
+            "Mongo date semantics anchor at UTC walls, and Spark's calendar "
+            "truncation follows the session timezone — a non-UTC session "
+            "would silently shift every bin. Set the session timezone to "
+            "UTC (providenciasbigdata_spark.session does this) or pass an "
+            "explicit 'timezone' option for zone-local truncation."
+        )
+
+
 def _coerce(field: str, value):
     # the reference's dynamic year type, pinned (SURVEY.md §1.4): anio
     # compares as int whatever the client sent
@@ -1277,32 +1306,34 @@ def _agg_expr(spec, scope: dict | None = None) -> Column:
             if set(args) - {"date", "unit", "binSize", "startOfWeek", "timezone"}:
                 raise ValueError(f"unsupported $dateTrunc options: {args!r}")
             unit = str(args["unit"])
+            _require_utc_session("$dateTrunc")
             date = _agg_expr(args["date"], scope)
             tz = args.get("timezone")
             if tz is not None:
                 # timezone (round 12, closing the last $dateTrunc
                 # option): truncation happens in the zone's WALL CLOCK
-                # — shift the instant to local wall time (as NTZ; the
-                # session runs UTC so a cast is wall-preserving), run
-                # the unchanged truncation arithmetic on it (bins
-                # thereby anchor at 2000-01-01 LOCAL midnight, Mongo's
-                # rule), and shift the result back to a UTC instant.
+                # — shift the instant so its UTC wall time equals the
+                # zone's wall time, run the unchanged truncation
+                # arithmetic on it (bins thereby anchor at 2000-01-01
+                # LOCAL midnight, Mongo's rule), and shift the result
+                # back to a UTC instant. from/to_utc_timestamp do the
+                # shift in instant space (ADVICE r12: unlike
+                # timestamp<->NTZ casts they never consult the session
+                # timezone, so the millis-based unit paths are correct
+                # under ANY session; the calendar paths additionally
+                # hold the UTC-session guard above).
                 # Accepts Olson ids and fixed offsets (Java ZoneId).
                 # DST edge: a bin start falling in a spring-forward gap
                 # resolves by Java's gap rule (shift forward) — Mongo's
                 # timelib may differ in that one wall hour; documented.
                 if not isinstance(tz, str) or not tz:
                     raise ValueError(f"$dateTrunc timezone must be a string: {tz!r}")
-                date = F.convert_timezone(
-                    F.lit("UTC"), F.lit(tz), date.cast("timestamp_ntz")
-                ).cast("timestamp")
+                date = F.from_utc_timestamp(date, tz)
 
             def _from_local(res: Column) -> Column:
                 if tz is None:
                     return res
-                return F.convert_timezone(
-                    F.lit(tz), F.lit("UTC"), res.cast("timestamp_ntz")
-                ).cast("timestamp")
+                return F.to_utc_timestamp(res, tz)
 
             bin_size = args.get("binSize", 1)
             if not isinstance(bin_size, int) or isinstance(bin_size, bool) or bin_size < 1:
@@ -2499,13 +2530,25 @@ def _apply_calendar_range(
     anchors range-join the value rows on the boundary condition, one
     hash-aggregate per anchor, LEFT-joined back (empty frames: $sum
     and $count read 0, $min/$max/$avg read null — Mongo's empty-window
-    results). Two shuffles total per output, never a per-row loop; at
-    scale the join keys carry the partition column, so skew follows
-    the partition cardinality exactly like the window operator would.
+    results). Two shuffles total per output, never a per-row loop.
+
+    Scale posture (round 13, verdict-r12 item 3): the anchors⋈values
+    join is MONTH-BUCKET BINNED — a value in the frame of an anchor at
+    month index ``mi_a`` must itself sit in month index
+    ``mi_a + k, k in [lo*m, hi*m]`` (day-clamped month addition never
+    leaves the target month), so each anchor explodes to its
+    ``(hi-lo)*m + 1`` candidate buckets and the bucket becomes an
+    EQUI-KEY alongside the exact boundary conditions. With a
+    ``partitionBy`` this bounds per-partition skew; WITHOUT one it is
+    the difference between a hash join and a broadcast nested-loop
+    over anchors×values (O(n²) at scale). Unbounded sides cannot be
+    binned (infinite bucket fan-out) and keep the unbinned join —
+    documented residual.
 
     Surface: $sum/$avg/$min/$max/$count. Order-dependent accumulators
     ($push/$first/...) raise — their frame order is a sort this device
     does not replay."""
+    _require_utc_session("$setWindowFields calendar-unit range window")
     months_fn = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
                  "$count": None}
     pcols: list[str] = []
@@ -2513,6 +2556,12 @@ def _apply_calendar_range(
     if part is not None:
         work = work.withColumn("__swf_p", _agg_expr(part))
         pcols = ["__swf_p"]
+
+    def _month_index(col: Column) -> Column:
+        # month index from Jan 2000 (any fixed origin works); UTC
+        # session pinned above, so year/month are Mongo's UTC walls
+        return (F.year(col) - F.lit(2000)) * 12 + F.month(col) - F.lit(1)
+
     for out, fn, arg, lo, hi, months in outputs:
         if fn not in months_fn and not (fn == "$sum"):
             raise ValueError(
@@ -2534,7 +2583,17 @@ def _apply_calendar_range(
                 return F.timestamp_add("MONTH", F.lit(v * months), F.col("__a_ts"))
             raise ValueError(f"bad calendar range bound {v!r}")
 
+        def month_offset(v):
+            # candidate-bucket offset of a binnable bound, else None
+            if v == "current":
+                return 0
+            if isinstance(v, int) and not isinstance(v, bool):
+                return v * months
+            return None
+
         lo_b, hi_b = bound(lo), bound(hi)
+        lo_off, hi_off = month_offset(lo), month_offset(hi)
+        binnable = lo_off is not None and hi_off is not None
         val = F.lit(1) if is_count else _agg_expr(arg)
         vals = work.select(
             *pcols, F.col(ts_field).alias("__v_ts"), val.alias("__v_val")
@@ -2542,6 +2601,27 @@ def _apply_calendar_range(
         cond = F.lit(True)
         for c in pcols:
             cond = cond & F.col(c).eqNullSafe(F.col(f"__a_{c}"))
+        if binnable:
+            # explode each anchor to its candidate month buckets: the
+            # bucket equi-key makes this a hash join; the exact
+            # boundary conditions below keep the semantics. Each
+            # qualifying (anchor, value) pair matches EXACTLY one
+            # exploded bucket (k = value_month - anchor_month), so no
+            # dedup is needed before the aggregate. NULL-ts anchors
+            # (null bucket) fall out of the equi-join and surface as
+            # empty frames via the left join, same as the range
+            # conditions would decide.
+            anchors = (
+                anchors.withColumn(
+                    "__k", F.explode(F.sequence(F.lit(lo_off), F.lit(hi_off)))
+                )
+                .withColumn(
+                    "__a_mb", _month_index(F.col("__a_ts")) + F.col("__k")
+                )
+                .drop("__k")
+            )
+            vals = vals.withColumn("__v_mb", _month_index(F.col("__v_ts")))
+            cond = cond & (F.col("__v_mb") == F.col("__a_mb"))
         if lo_b is not None:
             cond = cond & (F.col("__v_ts") >= lo_b)
         if hi_b is not None:

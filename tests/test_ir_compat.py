@@ -3169,6 +3169,50 @@ def test_mql_calendar_range_window(spark):
                              "window": {"range": [-1, 0], "unit": "month"}}}}}])
 
 
+def test_mql_calendar_range_window_unpartitioned_plan(spark):
+    """Round 13 (verdict-r12 item 3): WITHOUT partitionBy the
+    anchors×values join used to have NO equi-key, so Spark lowered it
+    to a BroadcastNestedLoopJoin — O(n²) at scale. Month-bucket
+    binning (each anchor explodes to its (hi−lo)·m+1 candidate month
+    buckets; the bucket is an equi-key beside the exact dateAdd
+    boundary conditions) makes it a hash join. Pins: no nested-loop /
+    cartesian in the plan, and values unchanged vs the hand-computed
+    frames (cross-user now that there is no partition isolation)."""
+    import datetime as dt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    df = spark.createDataFrame(
+        [(1, "u", ts("2023-12-31 12:00:00"), 1.0),
+         (2, "u", ts("2024-01-31 12:00:00"), 2.0),
+         (3, "u", ts("2024-02-28 12:00:00"), 4.0),
+         (4, "u", ts("2024-03-31 12:00:00"), 8.0),
+         (5, "v", ts("2024-01-15 00:00:00"), 100.0)],
+        "event_id long, user string, ts timestamp, value double",
+    )
+    out = mql_aggregate(df, [{"$setWindowFields": {
+        "sortBy": {"ts": 1},
+        "output": {
+            "s1m": {"$sum": "$value",
+                    "window": {"range": [-1, "current"], "unit": "month"}},
+            "n1m": {"$count": {},
+                    "window": {"range": [-1, "current"], "unit": "month"}},
+        },
+    }}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = {r["event_id"]: (r["s1m"], r["n1m"]) for r in out.collect()}
+    assert got == {
+        1: (1.0, 1),            # [Nov 30, Dec 31 12:00] -> self only
+        2: (103.0, 3),          # Dec 31 + Jan 15 + self
+        3: (6.0, 2),            # Jan 31 + self (Jan 15 < Jan 28 bound)
+        4: (8.0, 1),            # clamped Feb 29 12:00 excludes Feb 28
+        5: (101.0, 2),          # Dec 31 + self
+    }
+
+
 def test_mql_date_trunc_week_start_of_week(spark):
     """Round 12 (verdict-r11 item 6): $dateTrunc week bins anchored at
     the most recent startOfWeek on or before 2000-01-01 (Mongo's
@@ -3233,6 +3277,18 @@ def test_mql_date_trunc_week_start_of_week(spark):
     with _pt.raises(ValueError, match="unsupported"):
         mql_aggregate(df, [{"$addFields": {"x": {"$dateTrunc": {
             "date": "$ts", "unit": "day", "timeZone": "America/Bogota"}}}}])
+
+    # ADVICE r12: a non-UTC caller session would silently shift
+    # calendar bins (Spark's date_trunc/year/month follow the session
+    # timezone; Mongo's wall clock is UTC) — the lowering now fails
+    # loudly at plan build instead. Restore the UTC session either way.
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _pt.raises(ValueError, match="session.timeZone"):
+            mql_aggregate(tzdf, [{"$addFields": {"x": {"$dateTrunc": {
+                "date": "$ts", "unit": "day"}}}}])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def test_mql_granularity_full_series(spark):
