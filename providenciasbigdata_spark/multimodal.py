@@ -236,14 +236,41 @@ def encode_png(data: bytes, width: int = 16) -> bytes:
     ``width x H`` raster with H = ceil(len/width) (min 1), zlib IDAT,
     CRC-correct chunks. Pure stdlib — the fixture generator for the
     ``"png"`` real-decode backend (the third real image/audio codec
-    path alongside BMP and WAV)."""
+    path alongside BMP and WAV).
+
+    The IDAT stream is a VALID zlib stream of STORED (BTYPE=00)
+    deflate blocks, one per scanline (round 13, verdict-r12 item 2):
+    any inflater decodes it unchanged, but — unlike a compressed
+    stream — the container size is pure arithmetic
+    (``8 + 25 + 12 + (6 + (width+6)·H) + 12`` bytes) and every raster
+    byte sits at a computable offset, so a SQL oracle can replay the
+    full decode feature set (geometry + size + luma) byte-for-byte.
+    The zlib obstruction that kept ``multimodal_png_luma`` rows-only
+    was self-imposed by the encoder's compression level."""
     import struct
     import zlib
 
     h = max(1, -(-len(data) // width))
     raster = data.ljust(width * h, b"\x00")
+    scanline = width + 1  # filter byte + pixels; < 65535 stored-block cap
+
+    def stored_block(row: int) -> bytes:
+        body = b"\x00" + raster[row * width : (row + 1) * width]
+        # 1-byte header: BFINAL in bit 0, BTYPE=00 -> stored;
+        # then LEN / NLEN (ones' complement), little-endian
+        return (
+            (b"\x01" if row == h - 1 else b"\x00")
+            + struct.pack("<HH", scanline, scanline ^ 0xFFFF)
+            + body
+        )
+
     raw = b"".join(
         b"\x00" + raster[r * width : (r + 1) * width] for r in range(h)
+    )
+    idat = (
+        b"\x78\x01"  # zlib header: deflate, 32K window, no dict
+        + b"".join(stored_block(r) for r in range(h))
+        + struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
     )
 
     def chunk(typ: bytes, body: bytes) -> bytes:
@@ -258,7 +285,7 @@ def encode_png(data: bytes, width: int = 16) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
 

@@ -458,9 +458,9 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk, inflate, filter reconstruction): container geometry (width
     pinned at 16, height = ceil(len/16) rows min 1) is exact arithmetic
     a SQL oracle reproduces — so the distributed decode path IS
-    hash-checked. Compressed container size and pixel-derived luma live
-    in the rows-only sibling ``multimodal_png_luma`` (zlib output size
-    isn't SQL-expressible)."""
+    hash-checked. Container size and pixel-derived luma live in the
+    sibling ``multimodal_png_luma`` — itself oracle-backed since round
+    13 (STORED-deflate IDAT makes both pure arithmetic)."""
     feats = multimodal.decode_image_features(
         _png_containers(spark, sf_dir), decode_backend="png"
     )
@@ -477,13 +477,39 @@ FROM documents WHERE doc_id % 3 = 2
 
 def q_png_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full real PNG decode feature set including mean luma over the
-    reconstructed raster — rows-only (the luma rides zlib-compressed
-    filtered scanlines; not SQL-expressible); decode backend pinned on
-    known bytes and ALL five filter types in tests/test_multimodal.py;
-    geometry oracle-checked via multimodal_png_decode."""
+    reconstructed raster. Oracle-backed since round 13 (verdict-r12
+    item 2): ``encode_png`` emits STORED (level-0) deflate blocks —
+    still a valid zlib stream through the unchanged CRC-verified
+    chunk-walk + inflate + unfilter decode path — so the container
+    size is pure arithmetic (63 + 22·h bytes at width 16) and the
+    grayscale raster is exactly the UTF-8 text bytes zero-padded to
+    whole rows: the oracle re-derives the byte sum and replays
+    round(S/(16h)/255, 6). Decode backend additionally pinned on known
+    bytes and ALL five filter types in tests/test_multimodal.py."""
     return multimodal.decode_image_features(
         _png_containers(spark, sf_dir), decode_backend="png"
     )
+
+
+_PNG_LUMA_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents WHERE doc_id % 3 = 2
+),
+g AS (SELECT asset_id, hx, L, GREATEST(1, (L + 15) // 16) AS h FROM p),
+s AS (
+  SELECT asset_id, h,
+    list_sum(list_transform(range(0, 16 * h), px -> {_byte_sql('px')})) AS lsum
+  FROM g
+)
+SELECT asset_id,
+       CAST(63 + 22 * h AS BIGINT) AS n_bytes,
+       CAST(16 AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       ROUND(CAST(lsum AS DOUBLE) / (16 * h) / 255.0, 6) AS mean_luma
+FROM s
+"""
 
 
 def q_png_header_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,7 +893,7 @@ QUERIES = {
     "multimodal_bmp_luma": (q_bmp_luma, _BMP_LUMA_SQL),
     "multimodal_png_decode": (q_png_decode, _PNG_DECODE_SQL),
     "multimodal_png_header_jvm": (q_png_header_jvm, _PNG_HEADER_SQL),
-    "multimodal_png_luma": (q_png_luma, None),
+    "multimodal_png_luma": (q_png_luma, _PNG_LUMA_SQL),
     "multimodal_wav_header_jvm": (q_wav_header_jvm, _WAV_HEADER_SQL),
     "multimodal_frame_dedup": (q_frame_dedup, _FRAME_DEDUP_SQL),
     "multimodal_embed_topk": (q_payload_embed_topk, _EMBED_TOPK_SQL),
@@ -881,11 +907,5 @@ WHY_NO_ORACLE = {
         "without it (this container) the degraded header_only branch and "
         "the NotImplementedError of the raw pil backend are both pinned — "
         "not expressible as a fixed SQL oracle across environments"
-    ),
-    "multimodal_png_luma": (
-        "mean luma and container size ride zlib-compressed filtered "
-        "scanlines — not SQL-expressible; decode backend pinned on known "
-        "bytes and all five PNG filter types in tests/test_multimodal.py; "
-        "geometry fields oracle-checked via multimodal_png_decode"
     ),
 }
