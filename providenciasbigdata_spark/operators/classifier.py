@@ -54,17 +54,60 @@ def hashed_presence_features(
     text_col: str = "text",
     dim: int = 256,
     out_col: str = "buckets",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Binary hashed presence features: the DISTINCT set of
-    pmod(xxhash64(token), dim) bucket ids per row. String-canonical
-    hashing (xxhash64 is type-sensitive); sorted for determinism."""
+    hash(token) % dim bucket ids per row, sorted for determinism.
+
+    ``hash_family``: ``"xxhash64"`` (default — fastest per token,
+    the 100-TB featurization scan) or ``"md5"`` (md5-prefix % dim,
+    2-4x slower but replayable by any SQL engine — the same
+    speed-vs-oracle trade the SimHash v2 family made; used by the
+    externally hash-verified scoring query)."""
     toks = tokenize(F.col(text_col))
-    buckets = F.sort_array(
-        F.array_distinct(
-            F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)).cast("int"))
-        )
-    )
+    if hash_family == "xxhash64":
+        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(dim)).cast("int")
+    elif hash_family == "md5":
+        bucket = lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % F.lit(dim)
+        ).cast("int")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    buckets = F.sort_array(F.array_distinct(F.transform(toks, bucket)))
     return df.withColumn(out_col, buckets)
+
+
+def score_margin_millionths(
+    df: DataFrame,
+    weights_millionths: list[int],
+    bias_millionths: int = 0,
+    text_col: str = "text",
+    hash_family: str = "xxhash64",
+    out_col: str = "margin_millionths",
+) -> DataFrame:
+    """EXACT integer scoring path (round 13, verdict-r12 item 6): the
+    decision side of the classifier with the model quantized to
+    integer millionths. ``margin = bias + Σ_j∈buckets w_j`` evaluates
+    in 64-bit integer arithmetic — no sigmoid, no floats — and
+    ``margin > 0`` is exactly ``sigmoid(margin/1e6) > 0.5`` (sigmoid
+    is a monotone bijection), so classification is unchanged for any
+    document whose float margin is ≥ 1e-6 from the boundary. This is
+    what actually runs at 100 TB (train once on a sample, score the
+    corpus): same literal-array fold as ``_margin``, zero Python in
+    the scan, and — unlike the float path — value-hash-reproducible
+    on any engine, which is what lets the external gate verify it.
+    Output keeps the ``buckets`` column (callers read n_features)."""
+    dim = len(weights_millionths)
+    feats = hashed_presence_features(
+        df, text_col, dim, hash_family=hash_family
+    )
+    wlit = F.array(*[F.lit(int(w)).cast("long") for w in weights_millionths])
+    m = F.aggregate(
+        F.col("buckets"),
+        F.lit(int(bias_millionths)).cast("long"),
+        lambda acc, j: acc + F.element_at(wlit, j + F.lit(1)),
+    )
+    return feats.withColumn(out_col, m)
 
 
 def _margin(weights: list[float], bias: float) -> F.Column:

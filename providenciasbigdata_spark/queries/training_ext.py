@@ -1027,6 +1027,78 @@ def q_curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket long, weight double")
 
 
+def _synthetic_weights_millionths(dim: int, salt: str = "w") -> list[int]:
+    """Deterministic synthetic model in integer millionths of [-1, 1]:
+    ``md5(salt||j)``-prefix mod 2000001, shifted. Replayed verbatim by
+    the DuckDB oracle, so the weight VECTOR needs no side-channel."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{salt}{j}".encode()).hexdigest()[:6], 16) % 2000001
+        - 1000000
+        for j in range(dim)
+    ]
+
+
+def q_classifier_score_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier SCORING path, externally hash-verifiable (round
+    13, verdict-r12 item 6). ``curate_quality_classifier`` stays
+    rows-only because TRAINING is obstructed twice over (xxhash64
+    features, per-row exp() ulps inside the gradient); but scoring —
+    featurize → distinct buckets → literal-weight fold → threshold —
+    is the part that runs over the 100-TB corpus, and it quantizes
+    clean: md5-prefix bucket hashing (the SimHash-v2 trade) + the
+    model in integer millionths make the margin EXACT 64-bit integer
+    arithmetic, and ``margin > 0 ≡ sigmoid > 0.5`` (monotone), so the
+    decision is identical except within 1e-6 of the boundary.
+    Recorded finding: quantization does NOT break classifier quality —
+    it is exact on the decision side; only the probability VALUE needs
+    floats. Weights here are a deterministic synthetic model (the
+    oracle replays the md5 formula; a trained vector would need a
+    side-channel the static oracle cannot see)."""
+    from providenciasbigdata_spark.operators.classifier import (
+        score_margin_millionths,
+    )
+
+    dim, bias_m = 512, -250000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    scored = score_margin_millionths(
+        docs, _synthetic_weights_millionths(dim), bias_m, hash_family="md5"
+    )
+    return scored.select(
+        "doc_id",
+        F.size("buckets").cast("long").alias("n_features"),
+        F.col("margin_millionths").cast("long").alias("margin_millionths"),
+        (F.col("margin_millionths") > 0).cast("long").alias("label"),
+    )
+
+
+_SCORE_QUANTIZED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_TOKENS.replace("lower(text)", "lower(COALESCE(text, ''))")} AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_distinct(list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS INT))) AS buckets
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(buckets) AS BIGINT) AS n_features,
+       CAST(-250000 + COALESCE(list_sum(list_transform(buckets, j ->
+         ('0x' || substr(md5('w' || CAST(j AS VARCHAR)), 1, 6))::BIGINT
+           % 2000001 - 1000000)), 0) AS BIGINT) AS margin_millionths,
+       CAST(CASE WHEN -250000 + COALESCE(list_sum(list_transform(buckets, j ->
+         ('0x' || substr(md5('w' || CAST(j AS VARCHAR)), 1, 6))::BIGINT
+           % 2000001 - 1000000)), 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM b
+"""
+
+
 def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle (round 7,
     operators/mix.py::shuffle_to_shards): every document gets a
@@ -1222,6 +1294,7 @@ FROM both_sides, tot
 
 QUERIES = {
     "curate_quality_classifier": (q_curate_quality_classifier, None),
+    "classifier_score_quantized": (q_classifier_score_quantized, _SCORE_QUANTIZED_SQL),
     "drift_psi_event_types": (q_drift_psi, _DRIFT_PSI_SQL),
     "training_shuffle_shards": (q_training_shuffle_shards, _SHUFFLE_SHARDS_SQL),
     "contamination_fuzzy_minhash": (q_contamination_fuzzy, _CONTAM_FUZZY_SQL),
@@ -1258,7 +1331,10 @@ WHY_NO_ORACLE = {
         "per-row sigmoid carries the 1-ulp exp() divergence INTO the "
         "gradient before any quantization could absorb it; the update rule "
         "is pinned bit-identical to a pure-numpy twin and bit-deterministic "
-        "across runs in tests/test_classifier.py"
+        "across runs in tests/test_classifier.py. The SCORING path — what "
+        "actually runs over the full corpus — IS externally hash-verified "
+        "via the oracle-backed sibling classifier_score_quantized (round "
+        "13: md5 buckets + integer-millionths margin, exact by construction)"
     ),
     "sketch_hll_daily_users": (
         "per-day HyperLogLog++ registers merged across partitions — "

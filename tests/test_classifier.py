@@ -138,3 +138,42 @@ def test_calibration_bins_hand_checked(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "score", "label", n_bins=0)
+
+
+def test_score_margin_millionths_exact_and_decision_equivalent(spark):
+    """Round 13 (verdict-r12 item 6): the integer-quantized scoring
+    path. Pins: (a) the margin equals a pure-Python replay of the same
+    md5 buckets and md5-derived millionths weights — EXACT, no
+    tolerance; (b) margin > 0 decisions equal sigmoid > 0.5 on the
+    float rendering of the same quantized model (monotone bijection);
+    (c) the xxhash64 and md5 families produce valid bucket ranges and
+    an unknown family raises."""
+    import hashlib
+
+    dim, bias_m = 64, -250000
+    wm = [
+        int(hashlib.md5(f"w{j}".encode()).hexdigest()[:6], 16) % 2000001 - 1000000
+        for j in range(dim)
+    ]
+    df = _corpus(spark, n=40)
+    out = classifier.score_margin_millionths(
+        df, wm, bias_m, hash_family="md5"
+    ).select("doc_id", "text", "buckets", "margin_millionths").collect()
+    assert len(out) == 40
+    for r in out:
+        toks = r.text.split()
+        exp_buckets = sorted(
+            {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim for t in toks}
+        )
+        assert list(r.buckets) == exp_buckets
+        exp_m = bias_m + sum(wm[j] for j in exp_buckets)
+        assert r.margin_millionths == exp_m  # exact integer arithmetic
+        # decision equivalence with the float sigmoid of the SAME model
+        p = 1.0 / (1.0 + math.exp(-(exp_m / 1e6)))
+        assert (r.margin_millionths > 0) == (p > 0.5)
+
+    # family hygiene
+    x = classifier.hashed_presence_features(df, dim=dim).first()
+    assert all(0 <= j < dim for j in x.buckets)
+    with pytest.raises(ValueError, match="hash_family"):
+        classifier.hashed_presence_features(df, dim=dim, hash_family="sha9")
