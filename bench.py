@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from providenciasbigdata_spark.io import load_table  # noqa: E402
 from providenciasbigdata_spark.queries import all_queries  # noqa: E402
+from providenciasbigdata_spark import staging  # noqa: E402
 from providenciasbigdata_spark.session import get_spark  # noqa: E402
 
 # Representative slice of SURVEY.md §2: reference-parity (a7/a10),
@@ -346,7 +347,12 @@ def _isolated(name: str, sf_dir: str) -> None:
     # fresh subprocesses, not from more repeats inside one burst window.
     print(
         json.dumps(
-            {"name": name, "attempts": attempts, "isolated_sec": attempts[-1]}
+            {
+                "name": name,
+                "attempts": attempts,
+                "isolated_sec": attempts[-1],
+                "staged": staging.EVENTS,
+            }
         ),
         flush=True,
     )
@@ -394,6 +400,7 @@ def main() -> None:
     # min recovers the true plan cost unless a burst recurs all 3 times.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
     plan_fp: dict[str, str] = {}
+    staged_during: dict[str, list] = {}
     probe_sec = float("inf")
     # probe_trace (round 10, verdict-r9 item 4): a probe at pass start
     # AND every 40 queries, so host-interference windows INSIDE a pass
@@ -413,10 +420,23 @@ def main() -> None:
                 probe_sec = min(probe_sec, p)
                 probe_trace.append(round(p, 3))
             fn, _sql = registry[name]
+            n_ev = len(staging.EVENTS)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = min(timings[name], time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if len(staging.EVENTS) > n_ev:
+                # verdict-r12 item 4: a timed attempt that performed a
+                # one-off /tmp staging build (fixture regeneration
+                # invalidates the vintage-keyed caches) is recorded in
+                # the artifact — min-of-3-passes absorbs it from the
+                # headline number, and any residual mover self-describes
+                # instead of needing timing forensics.
+                staged_during.setdefault(name, []).extend(
+                    {**e, "pass": _pass, "attempt_sec": round(dt, 3)}
+                    for e in staging.EVENTS[n_ev:]
+                )
+            timings[name] = min(timings[name], dt)
             if _pass == 0:
                 # plan fingerprint: once per run, AFTER the timed write
                 plan_fp[name] = _plan_fingerprint(df)
@@ -472,7 +492,12 @@ def main() -> None:
                     env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
                 )
                 last = out.stdout.strip().splitlines()[-1]
-                runs.append(json.loads(last)["isolated_sec"])
+                rec = json.loads(last)
+                runs.append(rec["isolated_sec"])
+                if rec.get("staged"):
+                    staged_during.setdefault(f"isolated:{n}", []).extend(
+                        rec["staged"]
+                    )
             except Exception as exc:  # a broken isolate must not sink the bench
                 print(
                     f"[bench] isolated {n} run FAILED: {exc}",
@@ -578,6 +603,11 @@ def main() -> None:
         "isolated_runs": isolated_runs,
         "isolated_probes": isolated_probes,
         "isolated_recheck": isolated_recheck,
+        # verdict-r12 item 4: queries whose timed attempt (or isolated
+        # subprocess) performed a one-off /tmp staging build this run —
+        # a mover that appears here is a staging artifact, not a plan
+        # regression. Empty when every staged source was already warm.
+        "staged": staged_during,
         "probe_trace": probe_trace,
         "sf": sf,
         "probe_sec": round(probe_sec, 3),
