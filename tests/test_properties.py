@@ -1144,3 +1144,138 @@ def test_find_projection_grammar_matches_model(spark, projection):
         want.append(tuple(d[c] for c in want_cols))
     want.sort(key=repr)
     assert got == want, (projection, got, want)
+
+
+# ---- var-length OPTIONAL computed-condition gate (round 13, ----------
+# verdict-r12 item 5): random computed WHERE trees over the BFS hit
+# frame of an OPTIONAL MATCH (b)-[rs:SIMILAR*1..H]->(c) tail vs a
+# pure-Python min-hop graph model. The scoped compiler under test is
+# compat/cypher.py::_filter_hit_expr_conds — new in round 12 and
+# exactly the kind of hand-rolled expression lowering the round-12
+# grammar gates caught 4 real bugs in.
+
+_VL_EDGES = [
+    ("P-1", "P-2", 40.0), ("P-1", "P-3", 20.0), ("P-1", "P-4", 55.0),
+    ("P-1", "P-5", 31.0), ("P-2", "P-4", 35.0), ("P-2", "P-6", 60.0),
+    ("P-3", "P-5", 50.0), ("P-4", "P-6", 45.0), ("P-4", "P-7", 25.0),
+    ("P-5", "P-7", 65.0), ("P-6", "P-8", 30.0), ("P-7", "P-8", 70.0),
+    ("P-5", "P-1", 45.0), ("P-8", "P-2", 33.0),
+]
+_VL_ANIO = {f"P-{i}": 2000 + i for i in range(1, 9)}
+
+
+def _vl_conds():
+    """(cypher_text, model(anio_c, saltos, b_id, c_id) -> bool) pairs
+    over exactly the tail's documented scope: endpoint properties
+    (lazy nodes join), length(rs), the bound start's id, literals,
+    arithmetic, scalar functions, AND/OR/NOT."""
+    leaf = st.one_of(
+        st.builds(lambda op, y: (f"c.anio {op} {y}",
+                                 lambda a, h, b, c: _OPSPY[op](a, y)),
+                  st.sampled_from([">=", ">", "<", "<=", "="]),
+                  st.integers(2002, 2008)),
+        st.builds(lambda op, k: (f"length(rs) {op} {k}",
+                                 lambda a, h, b, c: _OPSPY[op](h, k)),
+                  st.sampled_from([">=", "<=", "="]),
+                  st.integers(1, 3)),
+        st.builds(lambda w, bar: (
+            f"c.anio + length(rs) * {w} > {bar}",
+            lambda a, h, b, c, w=w, bar=bar: a + h * w > bar),
+            st.integers(1, 5), st.integers(2004, 2012)),
+        st.builds(lambda y, d: (
+            f"abs(c.anio - {y}) <= {d}",
+            lambda a, h, b, c, y=y, d=d: abs(a - y) <= d),
+            st.integers(2002, 2008), st.integers(0, 3)),
+        st.builds(lambda p: (f"b.id = 'P-{p}'",
+                             lambda a, h, b, c, p=p: b == f"P-{p}"),
+                  st.integers(1, 5)),
+        st.builds(lambda p: (f"c.id <> 'P-{p}'",
+                             lambda a, h, b, c, p=p: c != f"P-{p}"),
+                  st.integers(2, 8)),
+    )
+
+    def extend(children):
+        return st.one_of(
+            st.builds(lambda x, y: (f"({x[0]} AND {y[0]})",
+                                    lambda a, h, b, c: x[1](a, h, b, c)
+                                    and y[1](a, h, b, c)),
+                      children, children),
+            st.builds(lambda x, y: (f"({x[0]} OR {y[0]})",
+                                    lambda a, h, b, c: x[1](a, h, b, c)
+                                    or y[1](a, h, b, c)),
+                      children, children),
+            st.builds(lambda x: (f"NOT {x[0]}",
+                                 lambda a, h, b, c: not x[1](a, h, b, c)),
+                      children),
+        )
+
+    return st.recursive(leaf, extend, max_leaves=4)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    _vl_conds(),
+    st.sampled_from([20.0, 31.0, 40.5]),       # bound-hop floor
+    st.sampled_from([(25.0, 100.0), (33.0, 60.0), (45.0, 100.0)]),
+    st.integers(1, 3),                          # max hops H
+)
+def test_cypher_varlen_optional_computed_matches_model(
+    spark, cond, lo, guard, hi_hop
+):
+    """Random computed conditions over var-length OPTIONAL tails
+    evaluate on Spark exactly as a pure-Python min-hop BFS model:
+    per bound neighbor b of the anchor, endpoints c at min-hop 1..H
+    through the all()-guarded edge set, the computed tree filtering
+    hits BEFORE the left join — so a b whose every tail fails keeps
+    exactly one null row (the all-or-nothing OPTIONAL contract)."""
+    from providenciasbigdata_spark.compat.ir import cypher_run
+
+    text, model = cond
+    glo, ghi = guard
+    edges = spark.createDataFrame(
+        _VL_EDGES, "src string, dst string, similitud double")
+    nodes = spark.createDataFrame(
+        sorted(_VL_ANIO.items()), "id string, anio long")
+    got = sorted(
+        [(r["vecino"], r["lejano"], r["saltos"])
+         for r in cypher_run(
+            "MATCH (a {id: $o})-[r:SIMILAR]->(b) "
+            "WHERE r.similitud >= $lo "
+            f"OPTIONAL MATCH (b)-[rs:SIMILAR*1..{hi_hop}]->(c) "
+            "WHERE all(x IN rs WHERE x.similitud >= $glo AND x.similitud <= $ghi) "
+            f"  AND {text} "
+            "RETURN b.id AS vecino, c.id AS lejano, length(rs) AS saltos",
+            nodes=nodes, edges=edges,
+            params={"o": "P-1", "lo": lo, "glo": glo, "ghi": ghi},
+         ).collect()],
+        key=lambda t: (t[0], t[1] or "", t[2] if t[2] is not None else -1),
+    )
+
+    guarded = [(s, d) for s, d, w in _VL_EDGES if glo <= w <= ghi]
+
+    def min_hops(seed):
+        dist, frontier = {seed: 0}, [seed]
+        for h in range(1, hi_hop + 1):
+            nxt = []
+            for u in frontier:
+                for s, d in guarded:
+                    if s == u and d not in dist:
+                        dist[d] = h
+                        nxt.append(d)
+            frontier = nxt
+        return {n: h for n, h in dist.items() if h >= 1}
+
+    want = []
+    for src, b, w in _VL_EDGES:
+        if src != "P-1" or w < lo:
+            continue
+        hits = [
+            (c, h) for c, h in min_hops(b).items()
+            if model(_VL_ANIO[c], h, b, c)
+        ]
+        if hits:
+            want.extend((b, c, h) for c, h in hits)
+        else:
+            want.append((b, None, None))
+    want.sort(key=lambda t: (t[0], t[1] or "", t[2] if t[2] is not None else -1))
+    assert got == want, (text, lo, guard, hi_hop)
