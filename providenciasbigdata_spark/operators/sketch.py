@@ -107,6 +107,28 @@ def hll_daily_cumulative(
 
 # ---- count-min sketch (pure DataFrame construction) ---------------------
 
+def _cms_bucket(col: str, salt: int, width: int, hash_family: str):
+    """One CMS row-hash bucket expression. ``"xxhash64"`` (default):
+    fastest per value, JVM-side — the 100-TB build path. ``"md5"``:
+    md5-prefix of ``value:salt`` mod width — 2-4x slower but
+    replayable by any SQL engine (the same speed-vs-oracle trade the
+    SimHash-v2 and quantized-classifier families made), which is what
+    lets an external oracle rebuild the sketch bit-for-bit."""
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(col), F.lit(salt)), F.lit(width))
+    if hash_family == "md5":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(col), F.lit(str(salt)))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(width)
+        )
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
 def cms_build(
     df: DataFrame,
     col: str,
@@ -114,6 +136,7 @@ def cms_build(
     width: int = 4096,
     seed: int = 42,
     weight_col: str | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Count-min sketch materialized as a (row, bucket, cnt) counter
     table: ``depth`` independent hash rows of ``width`` buckets.
@@ -138,9 +161,7 @@ def cms_build(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width)).alias(
-                    "bucket"
-                ),
+                _cms_bucket(col, seed + i, width, hash_family).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -160,6 +181,7 @@ def cms_estimate(
     depth: int = 5,
     width: int = 4096,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Point-frequency estimates for ``probes[col]`` against a
     ``cms_build`` table: est(x) = min over rows of counter[row,
@@ -173,9 +195,7 @@ def cms_estimate(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width)).alias(
-                    "bucket"
-                ),
+                _cms_bucket(col, seed + i, width, hash_family).alias("bucket"),
             )
             for i in range(depth)
         ]

@@ -276,6 +276,53 @@ def test_cms_bounds(spark):
         assert r["cms_count"] <= r["exact"] + eps * n_total * 3, f"CMS blew bound {r}"
 
 
+def test_cms_md5_family_matches_python_replay(spark):
+    """Round 13: the md5 hash family (the SQL-replayable build behind
+    the oracle-backed cms_token_estimates_replayable) — bucket ids and
+    the min-over-rows estimate replay EXACTLY in pure Python, the
+    overestimate bound still holds, and an unknown family raises."""
+    import hashlib
+
+    import pytest
+
+    toks = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    depth, width, seed = 3, 64, 42
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+
+    def bucket(tok, row):
+        h = hashlib.md5(f"{tok}:{seed + row}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    counters: dict = {}
+    for tok, n in exact.items():
+        for row in range(depth):
+            key = (row, bucket(tok, row))
+            counters[key] = counters.get(key, 0) + n
+
+    cms = cms_build(toks, "token", depth=depth, width=width, hash_family="md5")
+    got_counters = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert got_counters == counters
+
+    probes = toks.select("token").distinct().limit(20)
+    est = cms_estimate(
+        cms, probes, "token", depth=depth, width=width, hash_family="md5"
+    )
+    for r in est.collect():
+        want = min(counters[(row, bucket(r["token"], row))] for row in range(depth))
+        assert r["cms_count"] == want
+        assert r["cms_count"] >= exact[r["token"]]
+
+    with pytest.raises(ValueError, match="hash_family"):
+        cms_build(toks, "token", hash_family="crc7")
+
+
 def test_cms_weighted_build_equals_raw(spark):
     """Sketch built from the aggregated vocabulary (weight_col) is
     counter-for-counter identical to the raw-stream build."""
