@@ -213,6 +213,10 @@ HEADLINE = [
     "mql_agg_bucket_auto_e24",   # E-series granularity boundaries
     "mql_date_trunc_timezone",   # wall-clock truncation (ICU replay)
     "mql_derivative_time_rate",  # date-unit derivative/integral
+    # round 13
+    "multimodal_png_luma",       # full PNG decode incl. luma (STORED-IDAT oracle)
+    "classifier_score_quantized",  # integer-millionths margin scoring
+    "cms_token_estimates_replayable",  # md5-family CMS replay
 ]
 
 
