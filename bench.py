@@ -287,8 +287,15 @@ def _fingerprints_only(sf_dir: str) -> None:
         spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
+    # fp_mode: these fingerprints are PLAN-ONLY (the DataFrame is never
+    # executed), while the full bench records them AFTER execution
+    # (AQE-finalized plans). The two modes differ for some queries
+    # (cached subtrees finalize differently) — compare like with like;
+    # a round-13 mixed-mode compare flagged minhash_near_dups as a
+    # false positive.
     print(json.dumps(
-        {"plan_fp": fps, "sf_dir": sf_dir, "fp_norm_version": _FP_NORM_VERSION},
+        {"plan_fp": fps, "sf_dir": sf_dir,
+         "fp_norm_version": _FP_NORM_VERSION, "fp_mode": "plan_only"},
         sort_keys=True,
     ))
 
@@ -602,6 +609,7 @@ def main() -> None:
         "plan_fp": plan_fp,
         "plan_fp_changed": plan_fp_changed,
         "fp_norm_version": _FP_NORM_VERSION,
+        "fp_mode": "executed",
         "fp_baseline_reset": fp_baseline_reset,
         "isolated_sec": isolated,
         "isolated_runs": isolated_runs,
