@@ -1279,3 +1279,94 @@ def test_cypher_varlen_optional_computed_matches_model(
             want.append((b, None, None))
     want.sort(key=lambda t: (t[0], t[1] or "", t[2] if t[2] is not None else -1))
     assert got == want, (text, lo, guard, hi_hop)
+
+
+# ---- $dateTrunc option-matrix gate (round 13) ------------------------
+# The unit x binSize x startOfWeek x timezone matrix was assembled
+# across rounds 11-13 (bins r11, week anchors r12, tz shift
+# reimplemented r13 via from/to_utc_timestamp) — but only ever pinned
+# by hand-picked cases. Fuzz the whole matrix against an independent
+# pure-Python wall-clock model. Fixed-offset zones only: Olson zones
+# hit the documented DST-gap divergence (Java gap rule vs timelib);
+# offsets exercise the same shift arithmetic without the ambiguity.
+# Pre-2000 timestamps exercise the floor (not trunc) bin semantics.
+
+_DT_UNITS = ["second", "minute", "hour", "day", "week", "month", "quarter", "year"]
+_DT_WEEKDAY_ANCHOR = {
+    "monday": "1999-12-27", "tuesday": "1999-12-28", "wednesday": "1999-12-29",
+    "thursday": "1999-12-30", "friday": "1999-12-31", "saturday": "2000-01-01",
+    "sunday": "1999-12-26",
+}
+
+
+def _model_date_trunc(ts, unit, bin_size, sow, offset_min):
+    """Independent Mongo $dateTrunc model: shift to the zone wall
+    clock, bin against the 2000-01-01 local anchor, shift back."""
+    import datetime as dt
+
+    off = dt.timedelta(minutes=offset_min)
+    local = ts + off
+    if unit == "week":
+        ref = dt.datetime.strptime(_DT_WEEKDAY_ANCHOR[sow], "%Y-%m-%d")
+        span = dt.timedelta(days=7 * bin_size)
+        b = local - ref
+        res = ref + (b - b % span)  # timedelta % is floor-mod
+    elif unit in ("second", "minute", "hour", "day"):
+        ref = dt.datetime(2000, 1, 1)
+        span = dt.timedelta(
+            seconds={"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+            * bin_size
+        )
+        b = local - ref
+        res = ref + (b - b % span)
+    else:
+        months_per = {"month": 1, "quarter": 3, "year": 12}[unit]
+        span = months_per * bin_size
+        m = (local.year - 2000) * 12 + local.month - 1
+        binned = m - m % span  # Python % floors for negative m too
+        y, mo = divmod(2000 * 12 + binned, 12)
+        res = dt.datetime(y, mo + 1, 1)
+    return res - off
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(
+            # 1995-06-01 .. 2034-12-31 in whole seconds: spans the
+            # pre-2000 negative-bin region and far post-anchor dates
+            min_value=801964800, max_value=2050000000
+        ),
+        min_size=6, max_size=12, unique=True,
+    ),
+    st.sampled_from(_DT_UNITS),
+    st.integers(1, 7),
+    st.sampled_from(sorted(_DT_WEEKDAY_ANCHOR)),
+    st.sampled_from([None, 0, 330, -480, -210, 840, 60]),  # offset minutes
+)
+def test_mql_date_trunc_matrix_matches_model(spark, epochs, unit, bin_size, sow, off):
+    """Random (unit, binSize, startOfWeek, fixed-offset timezone)
+    against the pure-Python wall-clock model — including the
+    binSize == 1 shortcut (Spark date_trunc) vs the model's bin
+    arithmetic, which must agree because the 2000-01-01 anchor sits
+    on every unit boundary."""
+    import datetime as dt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    rows = [(i, dt.datetime.utcfromtimestamp(e)) for i, e in enumerate(epochs)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    spec = {"date": "$ts", "unit": unit, "binSize": bin_size}
+    if unit == "week":
+        spec["startOfWeek"] = sow
+    offset_min = 0
+    if off is not None:
+        sign = "+" if off >= 0 else "-"
+        h, m = divmod(abs(off), 60)
+        spec["timezone"] = f"{sign}{h:02d}:{m:02d}"
+        offset_min = off
+    out = mql_aggregate(df, [{"$addFields": {"x": {"$dateTrunc": spec}}}])
+    got = {r["i"]: r["x"] for r in out.collect()}
+    for i, ts in rows:
+        want = _model_date_trunc(ts, unit, bin_size, sow, offset_min)
+        assert got[i] == want, (ts, unit, bin_size, sow, off, got[i], want)
