@@ -1370,3 +1370,49 @@ def test_mql_date_trunc_matrix_matches_model(spark, epochs, unit, bin_size, sow,
     for i, ts in rows:
         want = _model_date_trunc(ts, unit, bin_size, sow, offset_min)
         assert got[i] == want, (ts, unit, bin_size, sow, off, got[i], want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_cal_ts(), min_size=2, max_size=8, unique=True),
+    st.sampled_from(["month", "quarter", "year"]),
+    st.integers(-2, 0), st.integers(0, 1),
+    st.booleans(),
+)
+def test_window_fields_calendar_units_partitioned_matches_model(
+    spark, tss, unit, lo, hi, partitioned
+):
+    """Round-13 extension of the calendar-range gate to the
+    quarter/year month-multipliers (the binning's (hi-lo)*m+1 bucket
+    fan-out) and to partitioned frames — frame membership stays
+    [ts + lo*m months, ts + hi*m months] day-clamped, per partition
+    key when partitionBy is present. Also pins the binning plan:
+    no nested-loop join regardless of partitioning."""
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    m = {"month": 1, "quarter": 3, "year": 12}[unit]
+    rows = [
+        (i, ts, float(2 ** i), f"u{i % 2}" if partitioned else "u")
+        for i, ts in enumerate(sorted(tss))
+    ]
+    df = spark.createDataFrame(rows, "rid long, ts timestamp, v double, u string")
+    swf = {
+        "sortBy": {"ts": 1},
+        "output": {
+            "s": {"$sum": "$v", "window": {"range": [lo, hi], "unit": unit}},
+            "n": {"$count": {}, "window": {"range": [lo, hi], "unit": unit}},
+        },
+    }
+    if partitioned:
+        swf["partitionBy"] = "$u"
+    out = mql_aggregate(df, [{"$setWindowFields": swf}])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    got = {r["rid"]: (r["s"], r["n"]) for r in out.collect()}
+    want = {}
+    for rid, ts, _v, u in rows:
+        a = _add_months_clamped(ts, lo * m)
+        b = _add_months_clamped(ts, hi * m)
+        frame = [v for _r, t, v, u2 in rows if u2 == u and a <= t <= b]
+        want[rid] = (sum(frame) if frame else 0.0, len(frame))
+    assert got == want, (rows, unit, lo, hi, partitioned)
