@@ -3401,3 +3401,62 @@ def test_mql_derivative_integral_date_units(spark):
             "sortBy": {"ts": 1},
             "output": {"x": {"$derivative": {"input": "$v", "unit": "month"},
                              "window": {"documents": [-1, 0]}}}}}])
+
+
+def test_mql_calendar_range_prefix_device_corners(spark):
+    """Round 13: the sorted-prefix lowering for invertible calendar
+    range accumulators. Pins the corners the refactor touched:
+    (a) 'unbounded' lower bound = cumulative-to-date (far-past probe,
+    no special case); (b) $avg skips nulls and reads null on an
+    all-null frame; (c) integral $sum stays long; (d) $min still
+    routes through the binned join device and agrees; (e) a NULL-ts
+    row reads the empty frame (sum 0, count 0, avg null)."""
+    import datetime as dt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    df = spark.createDataFrame(
+        [(1, "u", ts("2024-01-15 00:00:00"), 10.0, 3),
+         (2, "u", ts("2024-02-20 00:00:00"), None, 5),
+         (3, "u", ts("2024-03-31 12:00:00"), 2.5, 7),
+         (4, "u", ts("2024-04-30 06:00:00"), 4.0, 11),
+         (5, "v", ts("2024-02-29 00:00:00"), 100.0, 13),
+         (6, "v", None, 7.0, 17)],
+        "event_id long, user string, ts timestamp, value double, iv long",
+    )
+    out = mql_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$user",
+        "sortBy": {"ts": 1},
+        "output": {
+            "cum": {"$sum": "$value",
+                    "window": {"range": ["unbounded", "current"], "unit": "month"}},
+            "a1m": {"$avg": "$value",
+                    "window": {"range": [-1, "current"], "unit": "month"}},
+            "isum": {"$sum": "$iv",
+                     "window": {"range": [-1, "current"], "unit": "month"}},
+            "mn": {"$min": "$value",
+                   "window": {"range": [-1, "current"], "unit": "month"}},
+            "n": {"$count": {},
+                  "window": {"range": ["unbounded", "unbounded"], "unit": "month"}},
+        },
+    }}])
+    assert dict(out.dtypes)["isum"] == "bigint"
+    got = {r["event_id"]: (r["cum"], r["a1m"], r["isum"], r["mn"], r["n"])
+           for r in out.collect()}
+    assert got[1] == (10.0, 10.0, 3, 10.0, 4)
+    # frame of #2: Jan 20..Feb 20 -> none (Jan 15 outside); value null
+    assert got[2] == (10.0, None, 5, None, 4)
+    # frame of #3: Feb 29 12:00 (clamped month-sub keeps the TIME) ..
+    # Mar 31 12:00 -> row 3 only (Feb 20 00:00 < Feb 29 12:00); the
+    # null-skip rides cum (10 + null + 2.5 = 12.5)
+    assert got[3] == (12.5, 2.5, 7, 2.5, 4)
+    # frame of #4: Mar 30 06:00..Apr 30 -> rows 3,4
+    assert got[4] == (16.5, 3.25, 18, 2.5, 4)
+    # a NULL-ts VALUE row sits in no month frame — including the
+    # [unbounded, unbounded] one (the r12 join device dropped both
+    # range conditions there and accidentally admitted it; the prefix
+    # device applies the one consistent rule)
+    assert got[5] == (100.0, 100.0, 13, 100.0, 1)
+    # NULL-ts anchor: empty frame — sums/counts 0, avg/min null
+    assert got[6] == (0.0, None, 0, None, 0)
