@@ -3460,3 +3460,42 @@ def test_mql_calendar_range_prefix_device_corners(spark):
     assert got[5] == (100.0, 100.0, 13, 100.0, 1)
     # NULL-ts anchor: empty frame — sums/counts 0, avg/min null
     assert got[6] == (0.0, None, 0, None, 0)
+
+
+def test_mql_calendar_range_duplicate_ts_peers(spark):
+    """sortBy TIES: rows sharing a timestamp are one distinct anchor —
+    they read the SAME frame, and both are peers in any frame whose
+    boundary touches their timestamp (inclusive both ends). Pins the
+    prefix device's probe tagging around equal-ts values (lo probe
+    before, hi probe after) and the distinct-anchor join-back
+    fan-out."""
+    import datetime as dt
+
+    from providenciasbigdata_spark.compat.ir import mql_aggregate
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-31 00:00:00"), 1.0),
+         (2, ts("2024-02-29 00:00:00"), 2.0),   # = dateAdd(Mar 29, -1 mo)
+         (3, ts("2024-02-29 00:00:00"), 4.0),   # duplicate ts peer
+         (4, ts("2024-03-29 00:00:00"), 8.0),
+         (5, ts("2024-03-29 00:00:00"), 16.0)],  # duplicate ts peer
+        "event_id long, ts timestamp, value double",
+    )
+    out = mql_aggregate(df, [{"$setWindowFields": {
+        "sortBy": {"ts": 1},
+        "output": {
+            "s": {"$sum": "$value",
+                  "window": {"range": [-1, "current"], "unit": "month"}},
+            "n": {"$count": {},
+                  "window": {"range": [-1, "current"], "unit": "month"}},
+        },
+    }}])
+    got = {r["event_id"]: (r["s"], r["n"]) for r in out.collect()}
+    # frame of the Feb 29 pair: [Jan 29, Feb 29] -> rows 1? no (Jan 31
+    # is IN [Jan 29, Feb 29]) -> rows 1,2,3
+    assert got[2] == got[3] == (7.0, 3)
+    # frame of the Mar 29 pair: [Feb 29, Mar 29] -> rows 2,3,4,5
+    # (both boundaries inclusive, both duplicate pairs as peers)
+    assert got[4] == got[5] == (30.0, 4)
+    assert got[1] == (1.0, 1)
