@@ -692,3 +692,69 @@ def test_fingerprint_family_versioning(spark, sf_dir):
     assert ok.count() >= 10  # every doc matches itself at hamming 0
     # v1 families still accept unstamped indexes: nothing predates v1
     assert dedup.check_family(index, dedup.EXACT_FAMILY) is index
+
+
+def test_oph_densification_matches_two_pass_reference(spark):
+    """Round-13 optimization pin: the single-pass seeded-carry
+    densification in _signature_from_sets must reproduce the original
+    two-circular-pass formulation BIT-FOR-BIT (signatures feed LSH
+    bands — any densification drift silently changes candidate sets).
+    The reference implementation is inlined here exactly as it stood
+    before the refactor."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sets = dedup.shingle_hash_sets(docs, "doc_id", "text", 3)
+    k = 16  # small k still exercises empty buckets + wraparound
+
+    exploded = sets.select("id", F.explode("__set").alias("g")).select(
+        "id", F.xxhash64("g").alias("h")
+    )
+    withb = exploded.select(
+        "id", F.pmod("h", F.lit(k)).cast("int").alias("b"), "h"
+    )
+    bm = (
+        withb.groupBy("id")
+        .agg(*[F.min(F.when(F.col("b") == i, F.col("h"))).alias(f"m{i}") for i in range(k)])
+        .select("id", F.array(*[f"m{i}" for i in range(k)]).alias("bm"))
+    )
+
+    def _lookup(i):
+        return F.try_element_at("bm", (F.pmod(i, F.lit(k)) + F.lit(1)).cast("int"))
+
+    two_pass = F.aggregate(
+        F.sequence(F.lit(0), F.lit(2 * k - 1)),
+        F.struct(
+            F.array().cast("array<bigint>").alias("arr"),
+            F.lit(None).cast("bigint").alias("carry"),
+        ),
+        lambda acc, i: F.struct(
+            F.concat(
+                acc["arr"], F.array(F.coalesce(_lookup(i), acc["carry"]))
+            ).alias("arr"),
+            F.coalesce(_lookup(i), acc["carry"]).alias("carry"),
+        ),
+        lambda acc: F.slice(acc["arr"], k + 1, k),
+    )
+    ref = bm.select("id", two_pass.alias("sig"))
+    got = dedup._signature_from_sets(sets, k)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    assert got.filter(F.size("sig") != k).count() == 0
+
+
+def test_cross_contamination_best_match_tiebreak(spark):
+    """Round-13 optimization pin: minhash_cross_contamination's
+    best-match now comes from one window rank — ties at the max
+    jaccard must still resolve to the LOWEST bench id, and exactly one
+    row per contaminated corpus doc survives."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, text), (2, text), (3, "unrelated words only here nothing shared")],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_cross_contamination(
+        corpus, bench, threshold=0.5, bands=8, rows_per_band=2, ngram=2
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].doc_id, out[0].bench_id) == (10, 1)
+    assert out[0].jaccard == 1.0
