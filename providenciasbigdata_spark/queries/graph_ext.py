@@ -779,30 +779,43 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile-blocked kernel beyond (identical output, pinned)."""
     from providenciasbigdata_spark.operators.similarity import pairwise_cosine
 
-    pairs = pairwise_cosine(
-        load_table(spark, sf_dir, "embeddings"), threshold=_HOP_LO, scale=100.0
-    )
-    und = pairs.filter(F.col("left_id") < F.col("right_id")).select(
-        F.col("left_id").alias("x"), F.col("right_id").alias("y")
+    # Round-13 optimization (guide §2.4/§5): persist the SLIM pair list
+    # itself — the O(n^2) cosine kernel's output, projected to the two
+    # id columns — and derive BOTH consumers (degrees and the edge
+    # stream) from the cache, so the kernel executes exactly ONCE per
+    # query. The previous shape persisted only the degree table; the
+    # edge branch re-ran the kernel a second time inside the same job
+    # (the round-12 fix had already cut ~5x to 2x — this takes 2x to
+    # 1x; at fixture scale 5.3s -> 2.7s in-bench, and the pairs cache
+    # is edge-list-sized, the same footprint every graph operator's
+    # working set already carries).
+    pairs = (
+        pairwise_cosine(
+            load_table(spark, sf_dir, "embeddings"), threshold=_HOP_LO, scale=100.0
+        )
+        .select("left_id", "right_id")
+        .persist()
     )
     # Degree straight off the ORDERED pair list: cosine is symmetric
-    # and pairwise_cosine emits both orientations, so the count per
-    # left_id IS the undirected degree — one scan of the O(n^2) matmul
-    # subtree instead of the two union branches. PERSIST the (tiny:
-    # one row per node) degree table: it feeds two joins below, and
-    # without the persist each join re-executes the whole matmul
-    # (round 12 sf1.0 re-run finding: the un-persisted shape ran the
-    # pairwise kernel ~5x per query — 44 s vs 16 s at sf1.0).
+    # and pairwise_cosine emits both orientations (never self-pairs),
+    # so the count per left_id IS the undirected degree.
     deg = (
         pairs.groupBy(F.col("left_id").alias("id"))
         .agg(F.count("*").cast("bigint").alias("d"))
         .persist()
     )
-    # both orientations: (dx, dy) and (dy, dx)
-    e = und.join(deg.withColumnRenamed("id", "x").withColumnRenamed("d", "dx"), "x").join(
-        deg.withColumnRenamed("id", "y").withColumnRenamed("d", "dy"), "y"
+    # one job: materializes the pairs cache AND the degree cache, with
+    # the kernel running once
+    deg.count()
+    # both orientations of every undirected edge are already present in
+    # the cached pair list, so joining degrees onto it directly yields
+    # exactly the former und ∪ und-swapped (dx, dy) multiset without a
+    # union of two kernel branches
+    both = (
+        pairs.join(deg.withColumnRenamed("id", "left_id").withColumnRenamed("d", "dx"), "left_id")
+        .join(deg.withColumnRenamed("id", "right_id").withColumnRenamed("d", "dy"), "right_id")
+        .select("dx", "dy")
     )
-    both = e.select("dx", "dy").unionAll(e.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
     s = both.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dx").cast("bigint").alias("sx"),
@@ -825,6 +838,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longer session would not). Driver-bounded by construction.
     rows = out.collect()
     deg.unpersist()
+    pairs.unpersist()
     return spark.createDataFrame(rows, schema=out.schema)
 
 
