@@ -176,6 +176,7 @@ def bfs_distances(
     directed: bool = True,
     checkpoint_dir: str | None = None,
     target=None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Hop distances from one anchor node — frontier-expansion BFS.
     Generalizes the reference's 1-hop page (streamlit_app.py:60-64) and
@@ -207,6 +208,34 @@ def bfs_distances(
     # fixture node ids are strings ("P-7"); cast to match arbitrary types
     visited = visited.withColumn("id", F.col("id").cast(e.schema["u"].dataType))
     frontier = visited.select("id")
+
+    if small_cutover and e.count() <= small_cutover:
+        # driver finisher (round 13 — the SCC/CC/pagerank small-
+        # subproblem pattern, guide §1.2: a fixed-point loop over a
+        # tiny graph pays per-round scheduling latency for sub-ms
+        # compute). Hop counts are integers, so the python
+        # level-synchronous BFS reproduces the distributed loop's
+        # answer EXACTLY — including the target truncation (stop after
+        # completing the level where the target appears). Pinned equal
+        # via small_cutover=0 in tests/test_graph_cutover.py.
+        rows = e.collect()
+        e.unpersist()
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r["u"], []).append(r["v"])
+        hops = {anchor: 0}
+        level = [anchor]
+        for hop in range(1, max_hops + 1):
+            nxt = {v for u in level for v in adj.get(u, ()) if v not in hops}
+            if not nxt:
+                break
+            for v in nxt:
+                hops[v] = hop
+            level = list(nxt)
+            if target is not None and target in nxt:
+                break
+        return spark.createDataFrame(sorted(hops.items()), schema=visited.schema)
+
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("id", "u"), "u")
@@ -215,11 +244,13 @@ def bfs_distances(
             .join(visited, "id", "left_anti")
             .withColumn("hops", F.lit(hop))
         )
-        nxt = ckpt(nxt)  # truncate lineage per level
+        # LAZY truncation (round 13): the stats aggregate below is the
+        # level's ONLY job — it materializes the localCheckpoint blocks
+        # as a side effect (the former eager ckpt ran a separate
+        # materialization job per level, 2 jobs/level -> 1)
+        nxt = ckpt(nxt, eager=False)
 
-        # ONE action per level: frontier size and target hits ride the
-        # same aggregate over the just-materialized checkpoint (the
-        # separate filter+isEmpty probe re-ran a second job per hop)
+        # frontier size and target hits ride the same aggregate
         stats = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(
@@ -246,6 +277,7 @@ def shortest_path_sigma(
     max_hops: int = 30,
     directed: bool = False,
     checkpoint_dir: str | None = None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Length of the shortest anchor->target path AND the number of
     distinct shortest paths (Cypher's ``allShortestPaths`` cardinality)
@@ -292,6 +324,37 @@ def shortest_path_sigma(
         return spark.createDataFrame(
             [(0, 1)], "hops long, sigma long"
         )
+
+    if small_cutover and e.count() <= small_cutover:
+        # driver finisher (round 13 — SCC/CC/pagerank pattern): sigma
+        # counting is integer arithmetic over the SAME level-
+        # synchronous expansion, so the python loop is exact; pinned
+        # equal via small_cutover=0 in tests/test_graph_cutover.py
+        # (including the multigraph multiplicity contract — the mult
+        # table is computed by the Spark aggregate above either way).
+        rows = e.collect()
+        e.unpersist()
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r["u"], []).append((r["v"], int(r["mult"])))
+        seen = {anchor}
+        frontier = {anchor: 1}
+        for hop in range(1, max_hops + 1):
+            nxt: dict = {}
+            for u, su in frontier.items():
+                for v, mult in adj.get(u, ()):
+                    if v not in seen:
+                        nxt[v] = nxt.get(v, 0) + su * mult
+            if not nxt:
+                break
+            if target in nxt:
+                return spark.createDataFrame(
+                    [(hop, int(nxt[target]))], "hops long, sigma long"
+                )
+            seen.update(nxt)
+            frontier = nxt
+        return spark.createDataFrame([], "hops long, sigma long")
+
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(level.withColumnRenamed("id", "u"), "u")
@@ -299,8 +362,11 @@ def shortest_path_sigma(
             .agg(F.sum(F.col("sigma") * F.col("mult")).alias("sigma"))
             .join(visited, "id", "left_anti")
         )
-        nxt = ckpt(nxt)
-        # ONE action per level: frontier size + the target's sigma
+        # LAZY truncation (round 13): the stats aggregate is the
+        # level's only job and materializes the checkpoint blocks
+        # itself (was 2 jobs/level)
+        nxt = ckpt(nxt, eager=False)
+        # frontier size + the target's sigma in one aggregate
         stats = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             F.max(
@@ -553,6 +619,7 @@ def sssp_distances(
     weight: str = "w",
     max_hops: int = 4,
     checkpoint_dir: str | None = None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Weighted single-source shortest paths, hop-bounded Bellman-Ford:
     after iteration h, ``d(v)`` is the minimum total weight over paths
@@ -575,6 +642,33 @@ def sssp_distances(
     ckpt = _truncator(spark, checkpoint_dir)
     dist = spark.createDataFrame([(str(anchor), 0.0)], "id string, d double")
     dist = dist.withColumn("id", F.col("id").cast(e.schema["u"].dataType))
+
+    if small_cutover and e.count() <= small_cutover:
+        # driver finisher (round 13 — SCC/CC/pagerank pattern): the
+        # SAME synchronous min-then-extend rounds in IEEE doubles, so
+        # distances are BIT-IDENTICAL to the distributed loop (python
+        # floats are IEEE doubles; min over the same candidate set is
+        # order-independent). A converged round changes nothing, so the
+        # exact-equality early exit cannot change the answer — it only
+        # skips no-op rounds the distributed loop still pays. Pinned
+        # equal (exact float compare) in tests/test_graph_cutover.py.
+        rows = e.collect()
+        e.unpersist()
+        dd = {anchor: 0.0}
+        for _ in range(max_hops):
+            new = dict(dd)
+            for r in rows:
+                u = r["u"]
+                if u in dd:
+                    cand = dd[u] + r["w"]
+                    cur = new.get(r["v"])
+                    if cur is None or cand < cur:
+                        new[r["v"]] = cand
+            if new == dd:
+                break
+            dd = new
+        return spark.createDataFrame(sorted(dd.items()), schema=dist.schema)
+
     for _ in range(max_hops):
         relaxed = e.join(
             dist.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u"
@@ -1162,6 +1256,7 @@ def multi_source_bfs(
     max_hops: int = 10,
     directed: bool = False,
     checkpoint_dir: str | None = None,
+    small_cutover: int = 200_000,
 ) -> DataFrame:
     """Hop distances from EVERY seed in ONE frontier loop: frontier and
     visited set carry (seed, id) pairs, so each iteration expands all
@@ -1197,6 +1292,44 @@ def multi_source_bfs(
             seed_rows, schema=edges.select(F.col(src).alias("seed")).schema
         )
     frontier = base.select("seed", F.col("seed").alias("id"), F.lit(0).alias("hops"))
+
+    if small_cutover:
+        n_edges = e.count()  # cheap: e is checkpointed just above
+        if n_edges <= small_cutover:
+            # driver finisher (round 13 — SCC/CC/pagerank pattern),
+            # additionally bounded by driver WORK = |seeds| x |edges|:
+            # the seed frame can be corpus-derived and huge even over a
+            # tiny graph, so probe it with a budgeted limit-collect and
+            # fall through to the distributed loop when it overflows
+            # (the probe costs one bounded job; at fixture scale it
+            # replaces the eager frontier checkpoint job). Pinned equal
+            # via small_cutover=0 in tests/test_graph_cutover.py.
+            budget = max(64, 1_000_000 // max(n_edges, 1))
+            seed_rows = base.limit(budget + 1).collect()
+            if len(seed_rows) <= budget:
+                adj: dict = {}
+                for r in e.collect():
+                    adj.setdefault(r["u"], []).append(r["v"])
+                out = []
+                for srow in seed_rows:
+                    s = srow["seed"]
+                    hops = {s: 0}
+                    level = [s]
+                    for hop in range(1, max_hops + 1):
+                        nxt = {
+                            v
+                            for u in level
+                            for v in adj.get(u, ())
+                            if v not in hops
+                        }
+                        if not nxt:
+                            break
+                        for v in nxt:
+                            hops[v] = hop
+                        level = list(nxt)
+                    out.extend((s, node, h) for node, h in hops.items())
+                return spark.createDataFrame(sorted(out), schema=frontier.schema)
+
     visited = ckpt(frontier)
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -1205,10 +1338,14 @@ def multi_source_bfs(
             .distinct()
             .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
         )
-        nxt = ckpt(nxt)
-        if nxt.isEmpty():
+        # LAZY truncation + count (round 13): one job per level — the
+        # count materializes this level's checkpoint AND the previous
+        # level's lazy visited-union checkpoint (was 3 jobs/level:
+        # eager nxt ckpt, isEmpty probe, eager visited ckpt)
+        nxt = ckpt(nxt, eager=False)
+        if nxt.count() == 0:
             break
-        visited = ckpt(visited.union(nxt))
+        visited = ckpt(visited.union(nxt), eager=False)
         frontier = nxt
     return visited
 
