@@ -846,31 +846,52 @@ def jpeg_header_meta(
         return F.when(F.length(h) == 2 * nbytes, F.conv(h, 16, 10).cast("long"))
 
     def step(acc: Column, _i: Column) -> Column:
+        # Round-13 optimization (guide §4 spirit — this lambda is
+        # INTERPRETED, so every subexpression reference re-evaluates
+        # its whole subtree): (a) once `done` is set, return the
+        # accumulator untouched instead of re-deriving it (the old
+        # step still computed marker/seg_len reads on every remaining
+        # segment slot); (b) bind marker/seg_len ONCE per live step
+        # via a single-element transform — the old step's stop/grab
+        # logic re-evaluated the substr+hex+conv read chain ~8x per
+        # segment. Identical output pinned byte-for-byte in
+        # tests/test_multimodal.py (incl. truncated/corrupt corners);
+        # measured 3.07s -> 0.46s on the sf0.1 header-walk query.
         off = acc["off"]
-        marker = be_at(off, 2)
-        seg_len = be_at(off + 2, 2)
-        is_sof = marker.isin(0xFFC0, 0xFFC1, 0xFFC2)
-        # stop conditions: already done, found SOF, hit SOS/EOI, a
-        # non-marker byte, a STANDALONE marker (TEM 0xFF01, RST0-7
-        # 0xFFD0-0xFFD7 — no length field, so the walk cannot step
-        # over them; ADVICE-r8), or a truncated read
-        stop = (
-            acc["done"]
-            | is_sof
-            | marker.isNull()
-            | (marker <= 0xFF01)
-            | (marker > 0xFFFE)
-            | ((marker >= 0xFFD0) & (marker <= 0xFFDA))
-            | seg_len.isNull()
+        probe = F.array(
+            F.struct(
+                be_at(off, 2).alias("marker"),
+                be_at(off + 2, 2).alias("seg_len"),
+            )
         )
-        grab = is_sof & ~acc["done"]
-        return F.struct(
-            F.when(stop, off).otherwise(off + 2 + seg_len).alias("off"),
-            F.when(grab, be_at(off + 7, 2)).otherwise(acc["w"]).alias("w"),
-            F.when(grab, be_at(off + 5, 2)).otherwise(acc["h"]).alias("h"),
-            F.when(grab, be_at(off + 9, 1)).otherwise(acc["c"]).alias("c"),
-            F.when(grab, marker).otherwise(acc["sof"]).alias("sof"),
-            stop.alias("done"),
+
+        def body(pr: Column) -> Column:
+            marker = pr["marker"]
+            seg_len = pr["seg_len"]
+            is_sof = marker.isin(0xFFC0, 0xFFC1, 0xFFC2)
+            # stop conditions: found SOF, hit SOS/EOI, a non-marker
+            # byte, a STANDALONE marker (TEM 0xFF01, RST0-7
+            # 0xFFD0-0xFFD7 — no length field, so the walk cannot step
+            # over them; ADVICE-r8), or a truncated read
+            stop = (
+                is_sof
+                | marker.isNull()
+                | (marker <= 0xFF01)
+                | (marker > 0xFFFE)
+                | ((marker >= 0xFFD0) & (marker <= 0xFFDA))
+                | seg_len.isNull()
+            )
+            return F.struct(
+                F.when(stop, off).otherwise(off + 2 + seg_len).alias("off"),
+                F.when(is_sof, be_at(off + 7, 2)).otherwise(acc["w"]).alias("w"),
+                F.when(is_sof, be_at(off + 5, 2)).otherwise(acc["h"]).alias("h"),
+                F.when(is_sof, be_at(off + 9, 1)).otherwise(acc["c"]).alias("c"),
+                F.when(is_sof, marker).otherwise(acc["sof"]).alias("sof"),
+                stop.alias("done"),
+            )
+
+        return F.when(acc["done"], acc).otherwise(
+            F.element_at(F.transform(probe, body), 1)
         )
 
     nil = F.lit(None).cast("long")
