@@ -423,23 +423,47 @@ def dsir_log_weights(
         return {r["bucket"]: r["s"] for r in df.groupBy("bucket").agg(
             F.sum("c").alias("s")).collect()}
 
-    src_counts = bucket_totals(doc_counts)
-    tgt_ids = target.select(F.col(id_col)).distinct()
-    n_tgt = tgt_ids.count()
-    overlap = doc_counts.select(id_col).distinct().join(
-        tgt_ids, id_col, "left_semi"
-    ).count()
-    if overlap == n_tgt:
-        tgt_counts = bucket_totals(
-            doc_counts.join(tgt_ids, id_col, "left_semi")
+    tgt_ids = target.select(F.col(id_col)).distinct().persist()
+    # Round-13 optimization (guide §1.2 — fewer driver actions): the
+    # subset probe is ONE limit-1 anti-join job (the former
+    # n_tgt-count + overlap-count pair scanned the target and the
+    # checkpointed ids twice to compare two numbers), and in the
+    # common subset case the source AND target bucket models come
+    # from ONE combined collect over the checkpointed doc_counts
+    # (marker left join + conditional sum) instead of two separate
+    # grouped collects. 5 driver jobs -> 3; identical model dicts.
+    subset = (
+        tgt_ids.join(
+            doc_counts.select(id_col).distinct(), id_col, "left_anti"
         )
+        .limit(1)
+        .isEmpty()
+    )
+    if subset:
+        rows = (
+            doc_counts.join(
+                tgt_ids.withColumn("__t", F.lit(1)), id_col, "left"
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("c").alias("s"),
+                F.sum(F.when(F.col("__t") == 1, F.col("c"))).alias("st"),
+            )
+            .collect()
+        )
+        src_counts = {r["bucket"]: r["s"] for r in rows}
+        tgt_counts = {
+            r["bucket"]: r["st"] for r in rows if r["st"] is not None
+        }
     else:
+        src_counts = bucket_totals(doc_counts)
         tgt_counts = {
             r["bucket"]: r["c"]
             for r in feats(target).groupBy("bucket").agg(
                 F.count(F.lit(1)).alias("c")
             ).collect()
         }
+    tgt_ids.unpersist()
     src_denom = float(sum(src_counts.values()) + n_buckets)
     tgt_denom = float(sum(tgt_counts.values()) + n_buckets)
     # delta_b = ln p_target[b] - ln p_source[b], add-one smoothed;
