@@ -161,7 +161,8 @@ def jaccard_pairs(
 
 
 def _jaccard_prefix_rows(
-    df: DataFrame, id_col: str, text_col: str, ngram: int, threshold: float
+    df: DataFrame, id_col: str, text_col: str, ngram: int, threshold: float,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """(id, len, tok) prefix rows for the AllPairs/PPJoin candidate
     join: per-document token sets ordered by ascending corpus
@@ -181,17 +182,26 @@ def _jaccard_prefix_rows(
     candidate the set-intersection verify discards (the verify sets
     are hashed too — see jaccard_join_prefix — with the documented
     shingle_hash_sets collision bound; the registry's brute-force
-    STRING oracles remain the independent exactness check)."""
-    toks = F.array_distinct(
-        shingles(tokenize(F.col(text_col)), ngram)
-        if ngram > 1
-        else tokenize(F.col(text_col))
-    )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
-    tokdf = base.select(
-        "id",
-        F.explode(F.transform("__set", lambda t: F.xxhash64(t))).alias("tok"),
-    )
+    STRING oracles remain the independent exactness check).
+
+    ``base`` (round 13): a prebuilt — typically persisted — (id,
+    __set: array<long>) HASHED-set frame to derive the rows from, so
+    a caller that also needs the hashed sets for its verify step (the
+    containment join) shares one tokenize+shingle+hash pass instead of
+    re-running it per plan branch."""
+    if base is not None:
+        tokdf = base.select("id", F.explode("__set").alias("tok"))
+    else:
+        toks = F.array_distinct(
+            shingles(tokenize(F.col(text_col)), ngram)
+            if ngram > 1
+            else tokenize(F.col(text_col))
+        )
+        sb = df.select(F.col(id_col).alias("id"), toks.alias("__set"))
+        tokdf = sb.select(
+            "id",
+            F.explode(F.transform("__set", lambda t: F.xxhash64(t))).alias("tok"),
+        )
     dfreq = tokdf.groupBy("tok").agg(F.count("*").alias("tdf"))
     ordered = (
         tokdf.join(dfreq, "tok")
@@ -408,11 +418,21 @@ def containment_join_prefix(
     # at the x64 weak-scaling point: the string verify payload (37M
     # candidate pairs x two ~1KB arrays) spilled past the sandbox
     # disk; the hashed pipeline fits.
+    # PERSIST the hashed sets (round 13, guide §5): this one frame
+    # feeds FOUR plan branches — the prefix build (via the ``base``
+    # pass-through below), the outer token index, and both verify
+    # sides — so the uncached shape re-ran the tokenize+shingle+hash
+    # pass five times per query (measured 3.54s -> 2.42s at sf0.1;
+    # at corpus scale that is five full scans -> one). Hashed LONG
+    # sets serialize compactly (the round-8 lesson: caching pays for
+    # 8-byte elements, loses for strings).
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__set"),
-    )
-    inner = _jaccard_prefix_rows(df, id_col, text_col, ngram, threshold).select(
+    ).persist()
+    inner = _jaccard_prefix_rows(
+        df, id_col, text_col, ngram, threshold, base=base
+    ).select(
         F.col("id").alias("inner_id"), F.col("len").alias("alen"), "tok"
     )
     outer = base.select(
