@@ -37,6 +37,23 @@ def _truncator(df_session, checkpoint_dir):
     return lambda df, eager=True: df.checkpoint(eager=eager)
 
 
+def _cast_like(spark, dtype, value):
+    """Coerce a python anchor/target value through the SAME Spark cast
+    the distributed loops apply to their seed frames (string -> edge id
+    type), so the driver finishers key their dicts with values equal to
+    the collected edge ids (ADVICE r13: a string anchor over long ids
+    otherwise silently misses every adjacency lookup). One local-
+    relation job; callers gate it behind a python-type-mismatch check
+    so the common matched-type path pays nothing."""
+    if value is None:
+        return None
+    return (
+        spark.createDataFrame([(str(value),)], "v string")
+        .select(F.col("v").cast(dtype))
+        .first()[0]
+    )
+
+
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected view of a directed edge list (deduped)."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -220,6 +237,19 @@ def bfs_distances(
         # via small_cutover=0 in tests/test_graph_cutover.py.
         rows = e.collect()
         e.unpersist()
+        if not rows:
+            # no edges: the anchor alone at hop 0, typed by the same
+            # cast the distributed path applies
+            return visited
+        # ADVICE r13: the distributed loop casts the anchor to the edge
+        # id type (visited above); the python finisher must key its
+        # dicts with the SAME coerced value or a string anchor over
+        # non-string ids silently returns anchor-only results. The
+        # one-row local job runs only on a type mismatch.
+        if type(anchor) is not type(rows[0]["u"]):
+            anchor = visited.first()["id"]
+        if target is not None and type(target) is not type(rows[0]["u"]):
+            target = _cast_like(spark, e.schema["u"].dataType, target)
         adj: dict = {}
         for r in rows:
             adj.setdefault(r["u"], []).append(r["v"])
@@ -334,6 +364,15 @@ def shortest_path_sigma(
         # table is computed by the Spark aggregate above either way).
         rows = e.collect()
         e.unpersist()
+        if not rows:
+            return spark.createDataFrame([], "hops long, sigma long")
+        # ADVICE r13: key the python dicts with the SAME cast values the
+        # distributed loop compares (string anchor/target over non-string
+        # ids otherwise reports the target unreachable). Mismatch-gated.
+        if type(anchor) is not type(rows[0]["u"]):
+            anchor = level.first()["id"]
+        if type(target) is not type(rows[0]["u"]):
+            target = _cast_like(spark, e.schema["u"].dataType, target)
         adj: dict = {}
         for r in rows:
             adj.setdefault(r["u"], []).append((r["v"], int(r["mult"])))
@@ -654,16 +693,34 @@ def sssp_distances(
         # equal (exact float compare) in tests/test_graph_cutover.py.
         rows = e.collect()
         e.unpersist()
+        if not rows:
+            return dist  # anchor alone, typed by the distributed cast
+        # ADVICE r13: coerce the anchor to the collected id type (the
+        # distributed loop casts it; a string anchor over long ids
+        # would otherwise relax nothing). Mismatch-gated local job.
+        if type(anchor) is not type(rows[0]["u"]):
+            anchor = dist.first()["id"]
         dd = {anchor: 0.0}
         for _ in range(max_hops):
             new = dict(dd)
             for r in rows:
                 u = r["u"]
                 if u in dd:
-                    cand = dd[u] + r["w"]
-                    cur = new.get(r["v"])
-                    if cur is None or cand < cur:
-                        new[r["v"]] = cand
+                    du = dd[u]
+                    # mirror the min-aggregate's null handling (ADVICE
+                    # r13): a null weight (or a null upstream distance)
+                    # yields a null candidate, which never beats a real
+                    # distance but does mark the node reached — exactly
+                    # what unionByName + F.min produce distributedly.
+                    w = r["w"]
+                    cand = du + w if du is not None and w is not None else None
+                    v = r["v"]
+                    if v not in new:
+                        new[v] = cand
+                    else:
+                        cur = new[v]
+                        if cand is not None and (cur is None or cand < cur):
+                            new[v] = cand
             if new == dd:
                 break
             dd = new
@@ -1310,9 +1367,22 @@ def multi_source_bfs(
                 adj: dict = {}
                 for r in e.collect():
                     adj.setdefault(r["u"], []).append(r["v"])
-                out = []
+                # ADVICE r13: the list form's base is NOT distinct-ed,
+                # and the distributed loop keeps duplicate seed rows
+                # only at hop 0 (visited starts as the raw frontier;
+                # every later level is distinct-ed). Mirror exactly:
+                # expand each seed once, emit one extra (s, s, 0) row
+                # per duplicate input row.
+                dup0 = []
+                uniq = {}
                 for srow in seed_rows:
                     s = srow["seed"]
+                    if s in uniq:
+                        dup0.append(s)
+                    else:
+                        uniq[s] = None
+                out = [(s, s, 0) for s in dup0]
+                for s in uniq:
                     hops = {s: 0}
                     level = [s]
                     for hop in range(1, max_hops + 1):

@@ -1400,8 +1400,12 @@ def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans at 5-gram resolution (the
     distributed form of suffix-array substring dedup): per document,
     the number of corpus-duplicated 5-gram start positions and the
-    token positions they cover. String-keyed gram join (hash_grams
-    off) so the value-hash matches the string-keyed oracle exactly."""
+    token positions they cover. Round 14: the gram key is
+    xxhash64(gram) and the gram rows are built once and persisted
+    (verdict-r13 item 4) — results equal the string-keyed oracle up to
+    64-bit gram collisions (~n_grams^2/2^65, the module's documented
+    bound; the string-keyed path stays available via
+    hash_grams=False and is pinned equal in tests/test_dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dup_span_stats(docs, n=5, min_count=2)
 

@@ -529,10 +529,10 @@ class SessionTimeoutProcessor:
         for pdf in rows:
             ts_list.extend(int(t) for t in pdf["ts_us"])
         ts_list.sort()
-        if self._state.exists():
-            n, start_us, last_us = self._state.get()
-        else:
-            n, start_us, last_us = 0, None, None
+        # one RPC: get() returns None for absent state (see
+        # UserTotalsProcessor.handleInputRows)
+        cur = self._state.get()
+        n, start_us, last_us = cur if cur is not None else (0, None, None)
         for t in ts_list:
             if last_us is not None and t - last_us > SESSION_GAP_US:
                 yield self._emit(key, n, start_us, last_us)
@@ -547,8 +547,9 @@ class SessionTimeoutProcessor:
         self._handle.registerTimer((last_us + SESSION_GAP_US) // 1000)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if self._state.exists():
-            n, start_us, last_us = self._state.get()
+        cur = self._state.get()  # one RPC; None == absent
+        if cur is not None:
+            n, start_us, last_us = cur
             if n:
                 yield self._emit(key, n, start_us, last_us)
         self._state.clear()
@@ -673,7 +674,13 @@ class UserTotalsProcessor:
         self._state = handle.getValueState("totals", _RUNNING_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        n, total_s = self._state.get() if self._state.exists() else (0, "0")
+        # ONE state-server round trip, not two (round 14, guide §4.5 —
+        # amortize the per-key boundary cost): ValueState.get() returns
+        # None when the state has no value (the server answers the same
+        # request either way), so the exists() probe was a second RPC
+        # per key per micro-batch that carried no extra information.
+        cur = self._state.get()
+        n, total_s = cur if cur is not None else (0, "0")
         total = Decimal(total_s)
         for pdf in rows:
             n += len(pdf)

@@ -176,3 +176,94 @@ def test_sigma_cutover_multigraph_mult(spark):
         edges, "A", "C", directed=False, max_hops=4, small_cutover=0
     ).first()
     assert (und_f.hops, und_f.sigma) == (und_s.hops, und_s.sigma)
+
+
+# ---- round 14 (ADVICE r13): id-type coercion, duplicate seeds, null
+# weights — the python finishers must mirror the distributed loops on
+# these edges exactly.
+
+def test_bfs_cutover_string_anchor_long_ids(spark):
+    # the distributed loop CASTS the string anchor to the edge id type;
+    # the python finisher must key its dicts with the same coerced
+    # value (ADVICE r13: it silently returned anchor-only results)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 1)], "src long, dst long"
+    )
+    fast = {(r.id, r.hops) for r in bfs_distances(edges, "1").collect()}
+    slow = {
+        (r.id, r.hops)
+        for r in bfs_distances(edges, "1", small_cutover=0).collect()
+    }
+    assert fast == slow == {(1, 0), (2, 1), (3, 2), (4, 3)}
+    # target coercion too (early exit at the target's level)
+    fast_t = {
+        (r.id, r.hops)
+        for r in bfs_distances(edges, "1", target="3").collect()
+    }
+    slow_t = {
+        (r.id, r.hops)
+        for r in bfs_distances(edges, "1", target="3", small_cutover=0).collect()
+    }
+    assert fast_t == slow_t == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_sssp_cutover_string_anchor_long_ids(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.5), (2, 3, 0.25), (1, 3, 10.0)], "src long, dst long, w double"
+    )
+    fast = sorted(
+        (r.id, r.d) for r in sssp_distances(edges, "1", max_hops=4).collect()
+    )
+    slow = sorted(
+        (r.id, r.d)
+        for r in sssp_distances(edges, "1", max_hops=4, small_cutover=0).collect()
+    )
+    assert fast == slow == [(1, 0.0), (2, 1.5), (3, 1.75)]
+
+
+def test_sigma_cutover_string_anchor_long_ids(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 3), (3, 4)], "src long, dst long"
+    )
+    fast = shortest_path_sigma(edges, "1", "4", directed=True, max_hops=4).first()
+    slow = shortest_path_sigma(
+        edges, "1", "4", directed=True, max_hops=4, small_cutover=0
+    ).first()
+    assert (fast.hops, fast.sigma) == (slow.hops, slow.sigma) == (2, 2)
+
+
+def test_multi_source_bfs_duplicate_seeds(spark, sim_edges):
+    # the distributed loop keeps duplicate list-form seed rows at hop 0
+    # only (visited starts as the raw frontier; later levels are
+    # distinct-ed); the python finisher must produce the SAME multiset
+    seeds = ["P-7", "P-1", "P-7", "P-7"]
+    fast = sorted(
+        (r.seed, r.id, r.hops)
+        for r in multi_source_bfs(sim_edges, seeds, max_hops=4).collect()
+    )
+    slow = sorted(
+        (r.seed, r.id, r.hops)
+        for r in multi_source_bfs(
+            sim_edges, seeds, max_hops=4, small_cutover=0
+        ).collect()
+    )
+    assert fast == slow
+    assert fast.count(("P-7", "P-7", 0)) == 3  # dup seeds only at hop 0
+
+
+def test_sssp_cutover_null_weights(spark):
+    # null weights: the distributed min-aggregate keeps the node with a
+    # NULL distance when nulls are its only candidates and never lets a
+    # null beat a real distance — the python loop must mirror both
+    edges = spark.createDataFrame(
+        [(1, 2, None), (1, 3, 2.0), (3, 2, 1.0), (2, 4, None)],
+        "src long, dst long, w double",
+    )
+    fast = sorted(
+        (r.id, r.d) for r in sssp_distances(edges, 1, max_hops=4).collect()
+    )
+    slow = sorted(
+        (r.id, r.d)
+        for r in sssp_distances(edges, 1, max_hops=4, small_cutover=0).collect()
+    )
+    assert fast == slow == [(1, 0.0), (2, 3.0), (3, 2.0), (4, None)]
